@@ -1,0 +1,32 @@
+"""pyschema_ray — a from-scratch, Ray-Data-native schema + constraint
+validation and data-processing engine with the capabilities of
+spotify/pyschema, rebuilt for 10^12-row Parquet corpora.
+
+Public surface:
+
+* ``schema``       — pyschema-style declarative Record/Field classes
+* ``constraints``  — vectorized constraint DSL + plugin registry
+* ``sketches``     — mergeable t-digest / HyperLogLog / histograms
+* ``stages``       — Ray Data batch stages (validator, stats, unique,
+                     drift)
+* ``pipelines``    — end-to-end resumable validation pipeline
+* ``state``        — checkpoint manifest with per-partition lineage
+* ``sources``      — parquet discovery + deterministic synth corpus
+* ``functions``    — training-data ops: dedup, similarity, text, multimodal
+
+Never calls ``ray.init()`` — the host (driver, test fixture, bench)
+owns the Ray session.
+"""
+
+from .schema import (Boolean, Bytes, Date, DateTime, Enum, Field, Float,
+                     Integer, List, Map, ParseError, Record, SchemaStore,
+                     SubRecord, Text, ispyschema, no_auto_store,
+                     schema_store)
+
+__all__ = [
+    "Boolean", "Bytes", "Date", "DateTime", "Enum", "Field", "Float",
+    "Integer", "List", "Map", "ParseError", "Record", "SchemaStore",
+    "SubRecord", "Text", "ispyschema", "no_auto_store", "schema_store",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,274 @@
+"""Vectorized constraint DSL.
+
+Each :class:`Constraint` compiles a per-field rule (the reference checks
+these value-at-a-time inside ``Field.load``, pyschema/types.py) into a
+whole-column Arrow predicate: ``mask(table) -> pyarrow.BooleanArray``
+with **True = valid**.  Nulls are governed only by :class:`NotNull`;
+every other constraint treats null input values as valid (so a null
+``doc_id`` yields exactly one violation row, not one per constraint —
+this ordering/semantics is frozen for violation-row parity).
+
+Constraint *names* and *detail* strings are frozen, deterministic
+strings — the oracle validator in ``tests/`` must reproduce them
+byte-for-byte (SURVEY.md §7 hard part 2).
+
+Extension surface (the analog of the reference's ``Field.mixin`` +
+Field subclassing, pyschema/core.py): subclass :class:`Constraint` and
+register with :func:`register_constraint`, or use :class:`Custom` with a
+plain ``fn(pa.Table) -> BooleanArray`` — the vectorized analog of a
+pyschema custom validator.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+#: registry: constraint-kind name -> class (plugin surface)
+CONSTRAINT_REGISTRY: dict[str, type] = {}
+
+
+def register_constraint(cls):
+    CONSTRAINT_REGISTRY[cls.__name__] = cls
+    return cls
+
+
+def _true_for_null(mask, col) -> pa.ChunkedArray | pa.Array:
+    """Nulls are valid for non-NotNull constraints; also maps the null
+    results of Arrow comparisons on null inputs to True."""
+    return pc.fill_null(pc.or_kleene(mask, pc.is_null(col)), True)
+
+
+class Constraint:
+    """Base.  ``name`` is the frozen identifier that appears in
+    violation rows and the manifest; ``detail`` the frozen human string."""
+
+    name: str = "?"
+    detail: str = ""
+
+    def mask(self, table: pa.Table):  # pragma: no cover - abstract
+        """Return BooleanArray/ChunkedArray, True where the row is valid."""
+        raise NotImplementedError
+
+    def __repr__(self):
+        return f"<{type(self).__name__} {self.name}>"
+
+
+@register_constraint
+class NotNull(Constraint):
+    def __init__(self, column: str):
+        self.column = column
+        self.name = f"not_null({column})"
+        self.detail = f"{column} is null"
+
+    def mask(self, table):
+        return pc.is_valid(table[self.column])
+
+
+@register_constraint
+class Regex(Constraint):
+    """Value must match (search semantics) the regex.  Uses Arrow's RE2
+    engine; keep patterns in the RE2-compatible subset so the oracle's
+    ``re.search`` agrees."""
+
+    def __init__(self, column: str, pattern: str):
+        self.column = column
+        self.pattern = pattern
+        self.name = f"regex({column})"
+        self.detail = f"{column} !~ /{pattern}/"
+
+    def mask(self, table):
+        m = pc.match_substring_regex(table[self.column], self.pattern)
+        return _true_for_null(m, table[self.column])
+
+
+@register_constraint
+class Range(Constraint):
+    """Inclusive [min, max] bounds on a numeric column."""
+
+    def __init__(self, column: str, min=None, max=None):  # noqa: A002
+        self.column = column
+        self.min = min
+        self.max = max
+        self.name = f"range({column})"
+        self.detail = f"{column} not in [{min}, {max}]"
+
+    def mask(self, table):
+        col = table[self.column]
+        m = None
+        if self.min is not None:
+            m = pc.greater_equal(col, self.min)
+        if self.max is not None:
+            hi = pc.less_equal(col, self.max)
+            m = hi if m is None else pc.and_kleene(m, hi)
+        return _true_for_null(m, col)
+
+
+@register_constraint
+class InSet(Constraint):
+    """Closed value domain (enum membership / local referential check)."""
+
+    def __init__(self, column: str, values: Iterable):
+        self.column = column
+        self.values = list(values)
+        self.name = f"in_set({column})"
+        self.detail = f"{column} not in declared domain"
+        self._value_set = pa.array(self.values)
+
+    def mask(self, table):
+        m = pc.is_in(table[self.column], value_set=self._value_set)
+        # is_in returns False (not null) for null inputs; still normalize
+        return _true_for_null(m, table[self.column])
+
+
+@register_constraint
+class Utf8Length(Constraint):
+    def __init__(self, column: str, min_length=None, max_length=None):
+        self.column = column
+        self.min_length = min_length
+        self.max_length = max_length
+        self.name = f"utf8_length({column})"
+        self.detail = f"len({column}) not in [{min_length}, {max_length}]"
+
+    def mask(self, table):
+        n = pc.utf8_length(table[self.column])
+        m = None
+        if self.min_length is not None:
+            m = pc.greater_equal(n, self.min_length)
+        if self.max_length is not None:
+            hi = pc.less_equal(n, self.max_length)
+            m = hi if m is None else pc.and_kleene(m, hi)
+        return _true_for_null(m, table[self.column])
+
+
+@register_constraint
+class ListLength(Constraint):
+    def __init__(self, column: str, min_items=None, max_items=None):
+        self.column = column
+        self.min_items = min_items
+        self.max_items = max_items
+        self.name = f"list_length({column})"
+        self.detail = f"len({column}) not in [{min_items}, {max_items}]"
+
+    def mask(self, table):
+        n = pc.list_value_length(table[self.column])
+        m = None
+        if self.min_items is not None:
+            m = pc.greater_equal(n, self.min_items)
+        if self.max_items is not None:
+            hi = pc.less_equal(n, self.max_items)
+            m = hi if m is None else pc.and_kleene(m, hi)
+        return _true_for_null(m, table[self.column])
+
+
+@register_constraint
+class LengthEquals(Constraint):
+    """int column must equal the list length of another column
+    (``n_tok == len(tokens)``).  Null on either side -> valid (covered
+    by the NotNull constraints)."""
+
+    def __init__(self, column: str, list_column: str):
+        self.column = column
+        self.list_column = list_column
+        self.name = f"length_eq({column},{list_column})"
+        self.detail = f"{column} != len({list_column})"
+
+    def mask(self, table):
+        n = pc.list_value_length(table[self.list_column])
+        m = pc.equal(pc.cast(table[self.column], pa.int64()),
+                     pc.cast(n, pa.int64()))
+        m = _true_for_null(m, table[self.column])
+        return pc.fill_null(pc.or_kleene(m, pc.is_null(table[self.list_column])), True)
+
+
+@register_constraint
+class ElementRange(Constraint):
+    """Every element of a list column must lie in the half-open range
+    [min, max).  Fully vectorized: flatten the list buffer once, compare,
+    and reduce per row via offset-sliced cumulative sums — no per-row
+    Python loop (SURVEY.md §7 hard part 4)."""
+
+    def __init__(self, column: str, min=None, max=None):  # noqa: A002
+        self.column = column
+        self.min = min
+        self.max = max
+        self.name = f"element_range({column})"
+        self.detail = f"{self.column} has element outside [{min}, {max})"
+
+    def mask(self, table):
+        col = table[self.column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if isinstance(col, pa.ChunkedArray):  # zero-chunk edge
+            col = pa.array([], type=col.type) if col.num_chunks == 0 else col.chunk(0)
+        # offsets of the (possibly sliced) ListArray, normalized to the
+        # values buffer coordinates
+        offsets = np.asarray(col.offsets)
+        values = col.values
+        vnp = np.asarray(values.to_numpy(zero_copy_only=False), dtype=np.float64)
+        bad = np.zeros(len(vnp), dtype=np.int64)
+        if self.min is not None:
+            bad |= vnp < self.min
+        if self.max is not None:
+            bad |= vnp >= self.max
+        if values.null_count:
+            bad &= np.asarray(pc.is_valid(values))  # null elements: skip
+        csum = np.concatenate([[0], np.cumsum(bad)])
+        per_row_bad = (csum[offsets[1:]] - csum[offsets[:-1]]) > 0
+        valid = ~per_row_bad
+        if col.null_count:
+            valid |= ~np.asarray(pc.is_valid(col))  # null list -> valid here
+            valid = np.where(np.asarray(pc.is_valid(col)), ~per_row_bad, True)
+        return pa.array(valid)
+
+
+@register_constraint
+class Custom(Constraint):
+    """Escape hatch: arbitrary vectorized validator
+    ``fn(pa.Table) -> BooleanArray`` (True = valid) — the analog of a
+    pyschema custom validator, but batch-at-a-time."""
+
+    def __init__(self, name: str, fn: Callable[[pa.Table], "pa.Array"],
+                 detail: str | None = None):
+        self.name = f"custom({name})"
+        self.fn = fn
+        self.detail = detail or f"custom validator {name} failed"
+
+    def mask(self, table):
+        return self.fn(table)
+
+
+# -- global constraints (need a shuffle / broadcast; evaluated by their own
+#    pipeline stages, not inside the per-batch validator) -------------------
+
+class Unique(Constraint):
+    """Global exact uniqueness; evaluated by stages/unique.py via a
+    groupby-aggregate hash shuffle on the key column."""
+
+    def __init__(self, column: str):
+        self.column = column
+        self.name = f"unique({column})"
+        self.detail = f"{column} duplicated"
+
+    def mask(self, table):  # not a per-batch constraint
+        raise TypeError("Unique is evaluated by the uniqueness stage")
+
+
+class Referential(Constraint):
+    """Membership of ``column`` in a broadcast dimension table's column.
+    Evaluated per batch against the broadcast value set (never a shuffle
+    join): stages/validator.py binds the dim values at compile time."""
+
+    def __init__(self, column: str, dim_name: str, dim_column: str,
+                 values: Iterable):
+        self.column = column
+        self.name = f"ref({column}->{dim_name}.{dim_column})"
+        self.detail = f"{column} not present in {dim_name}.{dim_column}"
+        self._value_set = pa.array(sorted(set(values)))
+
+    def mask(self, table):
+        m = pc.is_in(table[self.column], value_set=self._value_set)
+        return _true_for_null(m, table[self.column])

@@ -1,0 +1,313 @@
+"""The flagship validation pipeline (SURVEY.md §3.2).
+
+Lifecycle per run:
+
+1. compile the declared schema -> (pa.Schema, [Constraint])
+2. discover input files; group into shards (the resume unit)
+3. drop shards already recorded in the checkpoint manifest
+4. per remaining shard: ``read_parquet(shard_files,
+   include_paths=True)`` -> one actor-pool ``map_batches`` pass
+   (CompiledValidator: schema conformance + row constraints + broadcast
+   referential + stats/drift partials, zero-copy Arrow) -> the tiny
+   tagged result stream is pulled to the driver, split into violation
+   rows (written as per-shard parquet, write-then-rename) and stats
+   partials (merged per partition) -> shard manifest record committed
+   atomically
+5. global passes: exact uniqueness via the doc_id hash shuffle (key
+   column only), drift scoring of merged histograms vs the baseline
+6. summary verdicts written; the whole run is idempotent — re-running
+   after a crash skips completed shards and re-derives global results.
+
+Scale notes: the full input is only ever streamed, never materialized;
+per-shard driver traffic is O(defect rate + batches), and the only
+all-to-all op is the uniqueness groupby on the projected key column.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..stages import drift as drift_mod
+from ..stages import stats as stats_mod
+from ..stages.unique import uniqueness_violations
+from ..stages.validator import (CompiledValidator, StatsConfig,
+                                VIOLATION_SCHEMA)
+from ..state.manifest import Manifest, ShardRecord, schema_hash
+
+
+@dataclass
+class PipelineConfig:
+    schema_cls: type
+    input_paths: list[str] | str = ""
+    out_dir: str = "/tmp/pyschema_ray_run"
+    files_per_shard: int = 16
+    batch_size: int | None = 8192
+    concurrency: int | tuple | None = None  # actor pool size for the validator
+    stats: StatsConfig | None = None
+    ref_sets: dict = field(default_factory=dict)
+    extra_constraints: list = field(default_factory=list)
+    baseline_profile: "drift_mod.BaselineProfile | None" = None
+    psi_threshold: float = 0.25
+    kl_threshold: float = 0.5
+    check_unique: bool = True
+    quantiles: tuple = (0.5, 0.9, 0.99)
+
+
+@dataclass
+class ValidationReport:
+    out_dir: str
+    row_count: int = 0
+    shard_count: int = 0
+    shards_skipped: int = 0
+    violation_counts: dict = field(default_factory=dict)
+    partition_verdicts: dict = field(default_factory=dict)
+    global_stats: dict = field(default_factory=dict)
+    drift: dict | None = None
+    duplicate_count: int = 0
+    passed: bool = True
+    wall_time_s: float = 0.0
+
+    def violations_dataset(self):
+        import ray.data
+        vdir = os.path.join(self.out_dir, "violations")
+        files = sorted(_glob.glob(os.path.join(vdir, "*.parquet")))
+        if not files:
+            import ray
+            return ray.data.from_arrow(VIOLATION_SCHEMA.empty_table())
+        return ray.data.read_parquet(files)
+
+    def violations_table(self) -> pa.Table:
+        vdir = os.path.join(self.out_dir, "violations")
+        files = sorted(_glob.glob(os.path.join(vdir, "*.parquet")))
+        if not files:
+            return VIOLATION_SCHEMA.empty_table()
+        return pa.concat_tables([pq.read_table(f) for f in files])
+
+
+def discover_files(input_paths) -> list[str]:
+    if isinstance(input_paths, str):
+        input_paths = [input_paths]
+    out: list[str] = []
+    for p in input_paths:
+        if os.path.isdir(p):
+            out.extend(sorted(_glob.glob(os.path.join(p, "*.parquet"))))
+        elif any(ch in p for ch in "*?["):
+            out.extend(sorted(_glob.glob(p)))
+        elif os.path.exists(p):
+            out.append(p)
+    return out
+
+
+class ValidationPipeline:
+    def __init__(self, cfg: PipelineConfig):
+        self.cfg = cfg
+        self.manifest = Manifest(cfg.out_dir)
+        self.schema_hash = schema_hash(cfg.schema_cls)
+        os.makedirs(os.path.join(cfg.out_dir, "violations"), exist_ok=True)
+
+    # ------------------------------------------------------------------
+    def run(self) -> ValidationReport:
+        import ray.data
+
+        cfg = self.cfg
+        t0 = time.perf_counter()
+        files = discover_files(cfg.input_paths)
+        if not files:
+            raise ValueError(f"no input files under {cfg.input_paths!r}")
+        shards = [files[i:i + cfg.files_per_shard]
+                  for i in range(0, len(files), cfg.files_per_shard)]
+
+        completed = self.manifest.completed_shards()
+        for sid, rec in completed.items():
+            if rec.get("schema_hash") != self.schema_hash:
+                raise RuntimeError(
+                    f"manifest shard {sid} was produced with a different "
+                    f"schema ({rec.get('schema_hash')} != {self.schema_hash}); "
+                    "refusing to resume")
+
+        report = ValidationReport(out_dir=cfg.out_dir, shard_count=len(shards),
+                                  shards_skipped=len(completed))
+        for sid, shard_files in enumerate(shards):
+            if sid in completed:
+                continue
+            rec = self._run_shard(sid, shard_files)
+            completed[sid] = json.loads(rec.to_json())
+
+        # ---- assemble from manifest (covers resumed + fresh shards) ----
+        merged_hist = None
+        merged = stats_mod.PartitionStats(partition_id="<global>")
+        for sid in sorted(completed):
+            rec = completed[sid]
+            report.row_count += rec["row_count"]
+            for k, v in rec["violation_counts"].items():
+                report.violation_counts[k] = report.violation_counts.get(k, 0) + v
+            for pid, d in rec.get("partition_digests", {}).items():
+                report.partition_verdicts[pid] = d.get("verdict", "pass")
+            sd = rec.get("stats_digest", {})
+            hist_hex = sd.pop("hist_hex", None)
+            if hist_hex:
+                from ..sketches import GroupedHistogram
+                g = GroupedHistogram.from_bytes(bytes.fromhex(hist_hex))
+                merged_hist = g if merged_hist is None else merged_hist.merge(g)
+            td_hex = sd.pop("tdigest_hex", None)
+            if td_hex:
+                from ..sketches import TDigest
+                td = TDigest.from_bytes(bytes.fromhex(td_hex))
+                merged.tdigest = td if merged.tdigest is None \
+                    else merged.tdigest.merge(td)
+            hll_hex = sd.pop("hll_hex", None)
+            if hll_hex:
+                from ..sketches import HyperLogLog
+                h = HyperLogLog.from_bytes(bytes.fromhex(hll_hex))
+                merged.hll = h if merged.hll is None else merged.hll.merge(h)
+
+        report.global_stats = {
+            "row_count": report.row_count,
+            "violation_counts": dict(report.violation_counts),
+        }
+        if merged.tdigest is not None:
+            report.global_stats["quantiles"] = {
+                f"p{int(q * 100)}": merged.tdigest.quantile(q)
+                for q in cfg.quantiles}
+        if merged.hll is not None:
+            report.global_stats["ndv_estimate"] = merged.hll.estimate()
+
+        # ---- global uniqueness (E6) ----
+        if cfg.check_unique:
+            key = cfg.schema_cls.key_field()
+            uniq = self.manifest.get_global("unique")
+            if uniq is None:
+                ds = ray.data.read_parquet(files, columns=[key])
+                dup_tbl = uniqueness_violations(ds, key)
+                self._write_violations(dup_tbl, "global-unique")
+                uniq = {"duplicate_keys": dup_tbl.num_rows,
+                        "constraint": f"unique({key})"}
+                self.manifest.commit_global("unique", uniq)
+            report.duplicate_count = uniq["duplicate_keys"]
+            if report.duplicate_count:
+                report.violation_counts[uniq["constraint"]] = \
+                    report.violation_counts.get(uniq["constraint"], 0) \
+                    + report.duplicate_count
+
+        # ---- drift (E8) ----
+        if cfg.baseline_profile is not None and merged_hist is not None:
+            report.drift = drift_mod.score_drift(
+                merged_hist, cfg.baseline_profile,
+                cfg.psi_threshold, cfg.kl_threshold)
+
+        report.passed = (not report.violation_counts
+                         and (report.drift is None or report.drift["passed"]))
+        report.wall_time_s = time.perf_counter() - t0
+        self.manifest.commit_global("summary", {
+            "row_count": report.row_count,
+            "violation_counts": report.violation_counts,
+            "passed": report.passed,
+            "drift": report.drift,
+            "stats": report.global_stats,
+            "wall_time_s": report.wall_time_s,
+        })
+        return report
+
+    # ------------------------------------------------------------------
+    def _run_shard(self, sid: int, shard_files: list[str]) -> ShardRecord:
+        import ray
+        import ray.data
+
+        cfg = self.cfg
+        t0 = time.perf_counter()
+        ds = ray.data.read_parquet(shard_files, include_paths=True)
+        kwargs = dict(
+            fn_constructor_kwargs=dict(
+                schema_cls=cfg.schema_cls,
+                stats=cfg.stats,
+                ref_sets=cfg.ref_sets,
+                extra_constraints=cfg.extra_constraints,
+                baseline_profile=cfg.baseline_profile,
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        if cfg.batch_size is not None:
+            kwargs["batch_size"] = cfg.batch_size
+        # callable-class stages require an explicit actor-pool size;
+        # default to an autoscaling pool bounded by the session's CPUs
+        if cfg.concurrency is not None:
+            kwargs["concurrency"] = cfg.concurrency
+        else:
+            n = int(ray.cluster_resources().get("CPU", 4))
+            kwargs["concurrency"] = (1, max(2, n))
+        tagged = ds.map_batches(CompiledValidator, **kwargs)
+
+        # tagged stream is tiny (violations + 1 stats row per batch);
+        # pull to the driver
+        batches = list(tagged.iter_batches(batch_format="pyarrow",
+                                           batch_size=65536))
+        result = (pa.concat_tables(batches) if batches
+                  else _empty_result_table())
+
+        viol = result.filter(pc.equal(result["kind"], "violation")) \
+                     .select(["key", "partition_id", "constraint", "detail"])
+        viol = _strip_path_prefix(viol, shard_files)
+        self._write_violations(viol, f"shard-{sid:05d}")
+
+        stats_tbl = result.filter(pc.equal(result["kind"], "stats")) \
+                          .select(["partition_id", "blob", "row_count"])
+        per_part = stats_mod.merge_stats_table(stats_tbl)
+        shard_total = stats_mod.global_rollup(per_part)
+
+        rec = ShardRecord(shard_id=sid, files=shard_files,
+                          schema_hash=self.schema_hash)
+        rec.row_count = shard_total.row_count
+        rec.rows_per_file = {os.path.basename(pid): ps.row_count
+                             for pid, ps in per_part.items()}
+        rec.violation_counts = dict(shard_total.violation_counts)
+        digest = shard_total.digest(self.cfg.quantiles)
+        if shard_total.hist is not None:
+            digest["hist_hex"] = shard_total.hist.to_bytes().hex()
+        if shard_total.tdigest is not None:
+            digest["tdigest_hex"] = shard_total.tdigest.to_bytes().hex()
+        if shard_total.hll is not None:
+            digest["hll_hex"] = shard_total.hll.to_bytes().hex()
+        rec.stats_digest = digest
+        rec.partition_digests = {
+            os.path.basename(pid): {
+                "row_count": ps.row_count,
+                "violation_counts": dict(ps.violation_counts),
+                "verdict": "fail" if ps.violation_counts else "pass",
+            } for pid, ps in per_part.items()}
+        rec.verdict = "fail" if rec.violation_counts else "pass"
+        rec.wall_time_s = time.perf_counter() - t0
+        self.manifest.commit(rec)
+        return rec
+
+    # ------------------------------------------------------------------
+    def _write_violations(self, table: pa.Table, name: str) -> None:
+        """Idempotent per-shard violation output (write-then-rename)."""
+        vdir = os.path.join(self.cfg.out_dir, "violations")
+        final = os.path.join(vdir, f"{name}.parquet")
+        tmp = final + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, final)
+
+
+def _strip_path_prefix(viol: pa.Table, files: list[str]) -> pa.Table:
+    """partition_id = basename of the input file (stable lineage id that
+    does not leak absolute scratch paths into reports)."""
+    if viol.num_rows == 0:
+        return viol
+    pid = pc.replace_substring_regex(viol["partition_id"], r"^.*/", "")
+    return viol.set_column(viol.schema.get_field_index("partition_id"),
+                           "partition_id", pid)
+
+
+def _empty_result_table() -> pa.Table:
+    from ..stages.validator import RESULT_SCHEMA
+    return RESULT_SCHEMA.empty_table()

@@ -1,0 +1,582 @@
+"""Declarative, pyschema-style schema definitions compiled to Arrow.
+
+A schema is a Python class whose class-level attributes are ``Field``
+instances; a metaclass harvests them (in declaration order) into
+``_fields`` and auto-registers the class in a global ``SchemaStore`` —
+the same declaration surface as the reference's ``Record`` /
+``PySchema`` metaclass / ``SchemaStore`` (reference semantics:
+pyschema/core.py — class-attr harvesting, ordered ``_fields``,
+``_schema_name``, auto-registration, ``no_auto_store`` opt-out).
+
+Unlike the reference, a schema here compiles to TWO artifacts:
+
+* ``to_arrow()`` — a ``pyarrow.Schema`` (the reference's analog is the
+  avro schema emitted by pyschema_extensions/avro.py), and
+* ``compiled_constraints()`` — an ordered list of vectorized
+  :class:`~pyschema_ray.constraints.Constraint` objects evaluated over
+  whole Arrow record batches (the reference validates value-at-a-time in
+  ``Field.load``; we keep that row-at-a-time path too — see
+  :meth:`Field.load` — because the test oracle uses it).
+
+Field types mirror pyschema/types.py: Text, Bytes, Integer, Float,
+Boolean, Date, DateTime, Enum, List, Map, SubRecord.  Each field both
+(a) validates one value (``load``) / serializes one value (``dump``)
+exactly like the reference, and (b) contributes vectorized constraints.
+"""
+
+from __future__ import annotations
+
+import base64
+import datetime as _dt
+import re
+from typing import Any, Callable, Iterable
+
+import pyarrow as pa
+
+
+class ParseError(Exception):
+    """Raised by the row-at-a-time ``Field.load`` path on invalid input.
+
+    Mirrors the reference's ParseError (pyschema/core.py).  The
+    vectorized engine path never raises this mid-pipeline — violations
+    are emitted as data rows instead.
+    """
+
+
+_MISSING = object()
+
+
+class Field:
+    """Base field descriptor.
+
+    Parameters shared by all field types:
+
+    nullable:     may the value be null (default True, like the reference
+                  scalar fields).
+    default:      value used when the field is absent at load time.
+    description:  free-form doc string carried into the schema fingerprint.
+    """
+
+    # class-level counter preserves declaration order even on Pythons
+    # where class bodies are not ordered dicts (they are, but the
+    # reference used an explicit counter; keep it for stable sorting).
+    _creation_counter = 0
+
+    def __init__(self, nullable: bool = True, default: Any = _MISSING,
+                 description: str | None = None):
+        self.nullable = nullable
+        self.default = default
+        self.description = description
+        self.name: str | None = None  # set by the metaclass
+        Field._creation_counter += 1
+        self._order = Field._creation_counter
+
+    # ---- row-at-a-time path (reference semantics; used by the oracle) ----
+    def load(self, obj: Any) -> Any:
+        """Parse + validate one JSON-compatible value; raise ParseError."""
+        if obj is None:
+            if not self.nullable:
+                raise ParseError(f"{self.name}: null not allowed")
+            return None
+        return self._load(obj)
+
+    def dump(self, obj: Any) -> Any:
+        """One validated value -> JSON-compatible value."""
+        if obj is None:
+            return None
+        return self._dump(obj)
+
+    def _load(self, obj: Any) -> Any:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def _dump(self, obj: Any) -> Any:
+        return obj
+
+    # ---- vectorized path ----
+    def arrow_type(self) -> pa.DataType:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def constraints(self) -> list:
+        """Per-field vectorized constraints (beyond nullability/type)."""
+        from . import constraints as C
+        out: list = []
+        if not self.nullable:
+            out.append(C.NotNull(self.name))
+        return out
+
+    def fingerprint(self) -> dict:
+        """JSON-compatible description used in the checkpoint manifest."""
+        return {
+            "name": self.name,
+            "type": type(self).__name__,
+            "arrow": str(self.arrow_type()),
+            "nullable": self.nullable,
+        }
+
+
+class Text(Field):
+    """Unicode string.  Extra constraints: ``regex``, ``min_length``,
+    ``max_length``, ``in_set`` (value domain), ``unique`` (global),
+    ``references`` ((dim_name, column) referential check against a
+    broadcast dimension table)."""
+
+    def __init__(self, regex: str | None = None, min_length: int | None = None,
+                 max_length: int | None = None, in_set: Iterable[str] | None = None,
+                 unique: bool = False, references: tuple[str, str] | None = None,
+                 **kw):
+        super().__init__(**kw)
+        self.regex = regex
+        self._regex_c = re.compile(regex) if regex else None
+        self.min_length = min_length
+        self.max_length = max_length
+        self.in_set = frozenset(in_set) if in_set is not None else None
+        self.unique = unique
+        self.references = references
+
+    def _load(self, obj):
+        if not isinstance(obj, str):
+            raise ParseError(f"{self.name}: not text: {obj!r}")
+        if self._regex_c is not None and not self._regex_c.search(obj):
+            raise ParseError(f"{self.name}: regex mismatch: {obj!r}")
+        if self.min_length is not None and len(obj) < self.min_length:
+            raise ParseError(f"{self.name}: too short")
+        if self.max_length is not None and len(obj) > self.max_length:
+            raise ParseError(f"{self.name}: too long")
+        if self.in_set is not None and obj not in self.in_set:
+            raise ParseError(f"{self.name}: not in domain: {obj!r}")
+        return obj
+
+    def arrow_type(self):
+        return pa.string()
+
+    def constraints(self):
+        from . import constraints as C
+        out = super().constraints()
+        if self.regex:
+            out.append(C.Regex(self.name, self.regex))
+        if self.min_length is not None or self.max_length is not None:
+            out.append(C.Utf8Length(self.name, self.min_length, self.max_length))
+        if self.in_set is not None:
+            out.append(C.InSet(self.name, sorted(self.in_set)))
+        return out
+
+
+class Bytes(Field):
+    """Binary; base64 in JSON dumps (reference: pyschema/types.py Bytes)."""
+
+    def _load(self, obj):
+        if isinstance(obj, bytes):
+            return obj
+        if isinstance(obj, str):
+            try:
+                return base64.b64decode(obj)
+            except Exception as e:  # noqa: BLE001
+                raise ParseError(f"{self.name}: bad base64") from e
+        raise ParseError(f"{self.name}: not bytes: {obj!r}")
+
+    def _dump(self, obj):
+        return base64.b64encode(obj).decode("ascii")
+
+    def arrow_type(self):
+        return pa.binary()
+
+
+class Integer(Field):
+    """Integer; ``size`` in bytes selects int32 vs int64 (the reference
+    uses size to pick avro int vs long).  Extra constraints: ``min`` /
+    ``max`` inclusive bounds, ``equals_length_of`` (value must equal the
+    list length of another column — the n_tok == len(tokens) invariant)."""
+
+    def __init__(self, size: int = 8, min: int | None = None,  # noqa: A002
+                 max: int | None = None,  # noqa: A002
+                 equals_length_of: str | None = None, **kw):
+        super().__init__(**kw)
+        if size not in (4, 8):
+            raise ValueError("Integer size must be 4 or 8 bytes")
+        self.size = size
+        self.min = min
+        self.max = max
+        self.equals_length_of = equals_length_of
+
+    def _load(self, obj):
+        if isinstance(obj, bool) or not isinstance(obj, int):
+            raise ParseError(f"{self.name}: not an integer: {obj!r}")
+        if self.min is not None and obj < self.min:
+            raise ParseError(f"{self.name}: {obj} < min {self.min}")
+        if self.max is not None and obj > self.max:
+            raise ParseError(f"{self.name}: {obj} > max {self.max}")
+        return obj
+
+    def arrow_type(self):
+        return pa.int32() if self.size == 4 else pa.int64()
+
+    def constraints(self):
+        from . import constraints as C
+        out = super().constraints()
+        if self.min is not None or self.max is not None:
+            out.append(C.Range(self.name, self.min, self.max))
+        if self.equals_length_of:
+            out.append(C.LengthEquals(self.name, self.equals_length_of))
+        return out
+
+
+class Float(Field):
+    def __init__(self, size: int = 8, min: float | None = None,  # noqa: A002
+                 max: float | None = None, **kw):  # noqa: A002
+        super().__init__(**kw)
+        if size not in (4, 8):
+            raise ValueError("Float size must be 4 or 8 bytes")
+        self.size = size
+        self.min = min
+        self.max = max
+
+    def _load(self, obj):
+        if isinstance(obj, bool) or not isinstance(obj, (int, float)):
+            raise ParseError(f"{self.name}: not a float: {obj!r}")
+        v = float(obj)
+        if self.min is not None and v < self.min:
+            raise ParseError(f"{self.name}: {v} < min {self.min}")
+        if self.max is not None and v > self.max:
+            raise ParseError(f"{self.name}: {v} > max {self.max}")
+        return v
+
+    def arrow_type(self):
+        return pa.float32() if self.size == 4 else pa.float64()
+
+    def constraints(self):
+        from . import constraints as C
+        out = super().constraints()
+        if self.min is not None or self.max is not None:
+            out.append(C.Range(self.name, self.min, self.max))
+        return out
+
+
+class Boolean(Field):
+    def _load(self, obj):
+        if not isinstance(obj, bool):
+            raise ParseError(f"{self.name}: not a bool: {obj!r}")
+        return obj
+
+    def arrow_type(self):
+        return pa.bool_()
+
+
+class Date(Field):
+    """date <-> ISO 'YYYY-MM-DD' (reference: pyschema/types.py Date)."""
+
+    def _load(self, obj):
+        if isinstance(obj, _dt.date) and not isinstance(obj, _dt.datetime):
+            return obj
+        if isinstance(obj, str):
+            try:
+                return _dt.date.fromisoformat(obj)
+            except ValueError as e:
+                raise ParseError(f"{self.name}: bad date {obj!r}") from e
+        raise ParseError(f"{self.name}: not a date: {obj!r}")
+
+    def _dump(self, obj):
+        return obj.isoformat()
+
+    def arrow_type(self):
+        return pa.date32()
+
+
+class DateTime(Field):
+    def _load(self, obj):
+        if isinstance(obj, _dt.datetime):
+            return obj
+        if isinstance(obj, str):
+            try:
+                return _dt.datetime.fromisoformat(obj)
+            except ValueError as e:
+                raise ParseError(f"{self.name}: bad datetime {obj!r}") from e
+        raise ParseError(f"{self.name}: not a datetime: {obj!r}")
+
+    def _dump(self, obj):
+        return obj.isoformat()
+
+    def arrow_type(self):
+        return pa.timestamp("us")
+
+
+class Enum(Field):
+    """String with a closed value domain (reference: Enum(values))."""
+
+    def __init__(self, values: Iterable[str], **kw):
+        super().__init__(**kw)
+        self.values = frozenset(values)
+
+    def _load(self, obj):
+        if not isinstance(obj, str) or obj not in self.values:
+            raise ParseError(f"{self.name}: not in enum: {obj!r}")
+        return obj
+
+    def arrow_type(self):
+        return pa.string()
+
+    def constraints(self):
+        from . import constraints as C
+        out = super().constraints()
+        out.append(C.InSet(self.name, sorted(self.values)))
+        return out
+
+
+class List(Field):
+    """Homogeneous list.  Matches the reference's List(subtype); like the
+    reference, ``nullable=False`` by default for lists.  Extra
+    constraints: ``element_min``/``element_max`` (closed-open range
+    [min, max) over every element — the token-id in [0, vocab) check),
+    ``min_items``/``max_items``."""
+
+    def __init__(self, subtype: Field, nullable: bool = False,
+                 element_min: int | float | None = None,
+                 element_max: int | float | None = None,
+                 min_items: int | None = None, max_items: int | None = None,
+                 **kw):
+        super().__init__(nullable=nullable, **kw)
+        self.subtype = subtype
+        self.element_min = element_min
+        self.element_max = element_max
+        self.min_items = min_items
+        self.max_items = max_items
+
+    def _load(self, obj):
+        if not isinstance(obj, (list, tuple)):
+            raise ParseError(f"{self.name}: not a list: {obj!r}")
+        self.subtype.name = self.subtype.name or f"{self.name}[]"
+        out = [self.subtype.load(v) for v in obj]
+        if self.min_items is not None and len(out) < self.min_items:
+            raise ParseError(f"{self.name}: too few items")
+        if self.max_items is not None and len(out) > self.max_items:
+            raise ParseError(f"{self.name}: too many items")
+        for v in out:
+            if v is None:
+                continue
+            if self.element_min is not None and v < self.element_min:
+                raise ParseError(f"{self.name}: element {v} < {self.element_min}")
+            if self.element_max is not None and v >= self.element_max:
+                raise ParseError(f"{self.name}: element {v} >= {self.element_max}")
+        return list(out)
+
+    def _dump(self, obj):
+        return [self.subtype.dump(v) for v in obj]
+
+    def arrow_type(self):
+        return pa.list_(self.subtype.arrow_type())
+
+    def constraints(self):
+        from . import constraints as C
+        out = super().constraints()
+        if self.element_min is not None or self.element_max is not None:
+            out.append(C.ElementRange(self.name, self.element_min, self.element_max))
+        if self.min_items is not None or self.max_items is not None:
+            out.append(C.ListLength(self.name, self.min_items, self.max_items))
+        return out
+
+
+class Map(Field):
+    """String-keyed map (reference: Map(value_type))."""
+
+    def __init__(self, value_type: Field, **kw):
+        super().__init__(**kw)
+        self.value_type = value_type
+
+    def _load(self, obj):
+        if not isinstance(obj, dict):
+            raise ParseError(f"{self.name}: not a map: {obj!r}")
+        self.value_type.name = self.value_type.name or f"{self.name}{{}}"
+        return {str(k): self.value_type.load(v) for k, v in obj.items()}
+
+    def _dump(self, obj):
+        return {k: self.value_type.dump(v) for k, v in obj.items()}
+
+    def arrow_type(self):
+        return pa.map_(pa.string(), self.value_type.arrow_type())
+
+
+class SubRecord(Field):
+    """Nested record (reference: SubRecord(RecordClass)) -> Arrow struct."""
+
+    def __init__(self, record_cls: type["Record"], **kw):
+        super().__init__(**kw)
+        self.record_cls = record_cls
+
+    def _load(self, obj):
+        if not isinstance(obj, dict):
+            raise ParseError(f"{self.name}: not a record: {obj!r}")
+        return self.record_cls.from_json_compatible(obj)
+
+    def _dump(self, obj):
+        return obj.to_json_compatible()
+
+    def arrow_type(self):
+        return pa.struct([pa.field(n, f.arrow_type(), nullable=f.nullable)
+                          for n, f in self.record_cls._fields.items()])
+
+
+# ---------------------------------------------------------------------------
+# SchemaStore + Record metaclass
+# ---------------------------------------------------------------------------
+
+class SchemaStore:
+    """name -> Record-class registry (reference: pyschema/core.py
+    SchemaStore; classes auto-register at definition time)."""
+
+    def __init__(self):
+        self._schemas: dict[str, type[Record]] = {}
+
+    def add_record(self, cls: type["Record"]) -> None:
+        self._schemas[cls._schema_name] = cls
+
+    def get(self, name: str) -> type["Record"]:
+        try:
+            return self._schemas[name]
+        except KeyError:
+            raise KeyError(f"schema not in store: {name!r}") from None
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._schemas
+
+
+#: module-level default store, like the reference's auto-registry.
+schema_store = SchemaStore()
+
+
+def no_auto_store(cls: type["Record"]) -> type["Record"]:
+    """Decorator: opt a Record class out of auto-registration
+    (reference: pyschema/core.py no_auto_store)."""
+    if cls._schema_name in schema_store._schemas and \
+            schema_store._schemas[cls._schema_name] is cls:
+        del schema_store._schemas[cls._schema_name]
+    return cls
+
+
+class PySchemaMeta(type):
+    """Harvest Field class attributes into ordered ``_fields``; set
+    ``_schema_name``; auto-register (reference: the PySchema metaclass)."""
+
+    def __new__(mcs, name, bases, ns):
+        fields: dict[str, Field] = {}
+        for base in bases:  # inherit parent fields first (subclass schemas)
+            fields.update(getattr(base, "_fields", {}))
+        own = [(k, v) for k, v in ns.items() if isinstance(v, Field)]
+        own.sort(key=lambda kv: kv[1]._order)
+        for k, v in own:
+            v.name = k
+            fields[k] = v
+        ns["_fields"] = fields
+        ns.setdefault("_schema_name", name)
+        cls = super().__new__(mcs, name, bases, ns)
+        if name != "Record":
+            schema_store.add_record(cls)
+        return cls
+
+
+class Record(metaclass=PySchemaMeta):
+    """Base schema class.  Subclass and declare Field attributes.
+
+    Class-level config attributes (optional):
+
+    _key_field:   name of the column identifying a row in violation
+                  reports (e.g. ``"doc_id"``).  Defaults to the first
+                  declared field.
+    _extra_constraints: list of additional Constraint objects (custom
+                  validators — the analog of pyschema custom validators).
+    """
+
+    _fields: dict[str, Field] = {}
+    _key_field: str | None = None
+    _extra_constraints: list = []
+
+    # ---- row-at-a-time construction (reference Record semantics) ----
+    def __init__(self, **kwargs):
+        for name, field in self._fields.items():
+            if name in kwargs:
+                setattr(self, name, kwargs.pop(name))
+            elif field.default is not _MISSING:
+                setattr(self, name, field.default)
+            else:
+                setattr(self, name, None)
+        if kwargs:
+            raise ParseError(f"unknown fields: {sorted(kwargs)}")
+
+    def __eq__(self, other):
+        return (isinstance(other, Record)
+                and self._schema_name == other._schema_name
+                and all(getattr(self, n) == getattr(other, n)
+                        for n in self._fields))
+
+    def __repr__(self):
+        body = ", ".join(f"{n}={getattr(self, n)!r}" for n in self._fields)
+        return f"{self._schema_name}({body})"
+
+    def to_json_compatible(self) -> dict:
+        return {n: f.dump(getattr(self, n)) for n, f in self._fields.items()}
+
+    @classmethod
+    def from_json_compatible(cls, dct: dict) -> "Record":
+        unknown = set(dct) - set(cls._fields)
+        if unknown:
+            raise ParseError(f"unknown fields: {sorted(unknown)}")
+        vals = {}
+        for n, f in cls._fields.items():
+            if n in dct:
+                vals[n] = f.load(dct[n])
+            elif f.default is not _MISSING:
+                vals[n] = f.default
+            elif not f.nullable:
+                raise ParseError(f"missing required field {n!r}")
+            else:
+                vals[n] = None
+        rec = cls.__new__(cls)
+        for k, v in vals.items():
+            setattr(rec, k, v)
+        return rec
+
+    # ---- compiled / engine path ----
+    @classmethod
+    def key_field(cls) -> str:
+        return cls._key_field or next(iter(cls._fields))
+
+    @classmethod
+    def to_arrow(cls) -> pa.Schema:
+        return pa.schema([pa.field(n, f.arrow_type(), nullable=f.nullable)
+                          for n, f in cls._fields.items()])
+
+    @classmethod
+    def compiled_constraints(cls) -> list:
+        """Ordered vectorized constraints.  Order is frozen: declaration
+        order of fields, then per-field constraint order, then
+        ``_extra_constraints`` — violation-row parity depends on this."""
+        out: list = []
+        for f in cls._fields.values():
+            out.extend(f.constraints())
+        out.extend(cls._extra_constraints)
+        return out
+
+    @classmethod
+    def unique_fields(cls) -> list[str]:
+        return [n for n, f in cls._fields.items()
+                if getattr(f, "unique", False)]
+
+    @classmethod
+    def referential_fields(cls) -> dict[str, tuple[str, str]]:
+        return {n: f.references for n, f in cls._fields.items()
+                if getattr(f, "references", None)}
+
+    @classmethod
+    def fingerprint(cls) -> dict:
+        """Stable JSON description of the schema, embedded in the
+        checkpoint manifest for lineage (analog of the reference's avro
+        schema string, pyschema_extensions/avro.py get_schema_string)."""
+        return {
+            "name": cls._schema_name,
+            "key_field": cls.key_field(),
+            "fields": [f.fingerprint() for f in cls._fields.values()],
+            "constraints": [c.name for c in cls.compiled_constraints()],
+        }
+
+
+def ispyschema(obj) -> bool:
+    """Reference: pyschema/core.py ispyschema."""
+    return isinstance(obj, type) and issubclass(obj, Record) and obj is not Record

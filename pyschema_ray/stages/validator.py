@@ -1,0 +1,306 @@
+"""The core per-batch validation stage.
+
+``CompiledValidator`` is a callable CLASS for
+``ds.map_batches(CompiledValidator, fn_constructor_kwargs=...,
+batch_format="pyarrow", zero_copy_batch=True, concurrency=N)`` — an
+actor-pool stage: constraints are compiled and the drift baseline
+profile is loaded ONCE per actor in ``__init__``; ``__call__`` runs the
+vectorized checks per Arrow batch (the reference validates
+record-at-a-time in ``Field.load``, pyschema/core.py
+``from_json_compatible``; here one pass covers E2 schema conformance,
+E3 row constraints, E4 violation emission, E5 stats partials, E7
+broadcast referential, and the E8 per-batch drift histograms).
+
+Output is a tagged union table (both streams are tiny relative to the
+input — violations ~O(defect rate), stats one row per batch-partition):
+
+    kind          string   "violation" | "stats"
+    key           string   row key (e.g. doc_id) for violations, null for stats
+    partition_id  string   lineage partition (input file) the row came from
+    constraint    string   frozen constraint name ("" for stats rows)
+    detail        string   frozen detail string ("" for stats rows)
+    blob          binary   pickled StatsPartial for stats rows, null otherwise
+    row_count     int64    rows covered by a stats row, 0 for violations
+
+Downstream, ``split_result`` filters the two streams and
+``stages.stats`` merges the partials per partition.
+"""
+
+from __future__ import annotations
+
+import pickle
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..constraints import Constraint, Referential
+from ..sketches import GroupedHistogram, HyperLogLog, TDigest, hash_strings
+
+RESULT_SCHEMA = pa.schema([
+    pa.field("kind", pa.string()),
+    pa.field("key", pa.string()),
+    pa.field("partition_id", pa.string()),
+    pa.field("constraint", pa.string()),
+    pa.field("detail", pa.string()),
+    pa.field("blob", pa.binary()),
+    pa.field("row_count", pa.int64()),
+])
+
+VIOLATION_SCHEMA = pa.schema([
+    pa.field("key", pa.string()),
+    pa.field("partition_id", pa.string()),
+    pa.field("constraint", pa.string()),
+    pa.field("detail", pa.string()),
+])
+
+PARTITION_COLUMN = "path"  # injected by read_parquet(include_paths=True)
+
+
+@dataclass
+class StatsConfig:
+    """What the stats partial tracks.  All optional so the validator can
+    run constraint-only."""
+
+    quantile_column: str | None = None      # t-digest over this column
+    cardinality_column: str | None = None   # HLL over this column
+    histogram_column: str | None = None     # per-group histogram values
+    histogram_group: str | None = None      # group key (e.g. "source")
+    histogram_range: tuple[float, float] = (1.0, 4096.0)
+    histogram_bins: int = 64
+    minmax_columns: list[str] = field(default_factory=list)
+    tdigest_compression: int = 200
+    hll_p: int = 14
+
+
+@dataclass
+class StatsPartial:
+    """Per-(batch, partition) partial; mergeable and picklable."""
+
+    row_count: int = 0
+    null_counts: dict = field(default_factory=dict)
+    minmax: dict = field(default_factory=dict)       # col -> (min, max)
+    violation_counts: dict = field(default_factory=dict)
+    tdigest: bytes | None = None
+    hll: bytes | None = None
+    hist: bytes | None = None
+
+    def to_bytes(self) -> bytes:
+        return pickle.dumps(self, protocol=4)
+
+    @staticmethod
+    def from_bytes(b: bytes) -> "StatsPartial":
+        return pickle.loads(b)
+
+
+class CompiledValidator:
+    """Actor-pool batch validator.  See module docstring.
+
+    Parameters
+    ----------
+    schema_cls : Record subclass (pyschema-style declaration)
+    stats : StatsConfig | None
+    ref_sets : {column: (dim_name, dim_column, list_of_values)} — the
+        broadcast side of referential checks.  Pass the *values* (small);
+        at cluster scale the caller puts them once via ``ray.put`` and
+        Ray ships the object to each actor, not per batch.
+    extra_constraints : additional Constraint objects (custom validators).
+    baseline_profile : optional drift baseline (see stages.drift); loaded
+        here once per actor so drift histograms use its binning.
+    """
+
+    def __init__(self, schema_cls, stats: StatsConfig | None = None,
+                 ref_sets: dict | None = None,
+                 extra_constraints: list | None = None,
+                 baseline_profile=None):
+        import ray
+
+        self.schema_cls = schema_cls
+        self.expected = schema_cls.to_arrow()
+        self.key_field = schema_cls.key_field()
+        self.constraints: list[Constraint] = list(schema_cls.compiled_constraints())
+        for col, (dim, dim_col, values) in (ref_sets or {}).items():
+            if isinstance(values, ray.ObjectRef):
+                values = ray.get(values)  # broadcast: fetched once per actor
+            self.constraints.append(Referential(col, dim, dim_col, values))
+        self.constraints.extend(extra_constraints or [])
+        self.stats = stats
+        if baseline_profile is not None and stats is not None:
+            # align histogram binning with the baseline so KL/PSI compare
+            # identical bins (stages/drift.py BaselineProfile)
+            self.stats.histogram_range = (baseline_profile.lo, baseline_profile.hi)
+            self.stats.histogram_bins = baseline_profile.nbins
+        self.baseline = baseline_profile
+
+    # ------------------------------------------------------------------
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if PARTITION_COLUMN in batch.column_names:
+            parts = batch[PARTITION_COLUMN]
+            batch = batch.drop_columns([PARTITION_COLUMN])
+            enc = pc.dictionary_encode(parts.combine_chunks()
+                                       if isinstance(parts, pa.ChunkedArray)
+                                       else parts)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            dictionary = enc.dictionary.to_pylist()
+            codes = np.asarray(enc.indices)
+            if len(dictionary) == 1:
+                pieces = [(dictionary[0], batch, None)]
+            else:
+                pieces = []
+                for code, pid in enumerate(dictionary):
+                    mask = codes == code
+                    pieces.append((pid, batch.filter(pa.array(mask)), None))
+        else:
+            pieces = [("", batch, None)]
+
+        outs = [self._validate_piece(pid, tbl) for pid, tbl, _ in pieces]
+        return pa.concat_tables(outs) if len(outs) > 1 else outs[0]
+
+    # ------------------------------------------------------------------
+    def _schema_violations(self, table: pa.Table):
+        """E2: column presence + type conformance, one violation per
+        offending column per batch (key = '<schema>')."""
+        rows = []
+        for f in self.expected:
+            if f.name not in table.column_names:
+                rows.append((f"schema({f.name})", "column missing"))
+                continue
+            actual = table.schema.field(f.name).type
+            if actual != f.type and not _castable(actual, f.type):
+                rows.append((f"schema({f.name})",
+                             f"type {actual} not castable to {f.type}"))
+        return rows
+
+    def _validate_piece(self, pid: str, table: pa.Table) -> pa.Table:
+        n = table.num_rows
+        kinds, keys, partitions, constraints, details = [], [], [], [], []
+        blobs, row_counts = [], []
+
+        schema_rows = self._schema_violations(table)
+        for cname, cdetail in schema_rows:
+            kinds.append("violation")
+            keys.append("<schema>")
+            partitions.append(pid)
+            constraints.append(cname)
+            details.append(cdetail)
+            blobs.append(None)
+            row_counts.append(0)
+
+        checkable = {c for c in self.constraints
+                     if _columns_present(c, table.column_names)}
+        key_col = (pc.cast(table[self.key_field], pa.string())
+                   if self.key_field in table.column_names
+                   else pa.nulls(n, pa.string()))
+        viol_counts: dict[str, int] = {}
+        for c in self.constraints:  # frozen declaration order
+            if c not in checkable:
+                continue
+            mask = c.mask(table)
+            invalid = pc.fill_null(pc.invert(mask), True)
+            idx = pc.indices_nonzero(invalid)
+            cnt = len(idx)
+            if cnt == 0:
+                continue
+            viol_counts[c.name] = cnt
+            bad_keys = pc.take(key_col, idx)
+            keys.extend(pc.fill_null(bad_keys, "<null>").to_pylist())
+            kinds.extend(["violation"] * cnt)
+            partitions.extend([pid] * cnt)
+            constraints.extend([c.name] * cnt)
+            details.extend([c.detail] * cnt)
+            blobs.extend([None] * cnt)
+            row_counts.extend([0] * cnt)
+
+        if self.stats is not None:
+            partial = self._stats_partial(table, viol_counts, schema_rows)
+            kinds.append("stats")
+            keys.append(None)
+            partitions.append(pid)
+            constraints.append("")
+            details.append("")
+            blobs.append(partial.to_bytes())
+            row_counts.append(n)
+
+        return pa.table({
+            "kind": pa.array(kinds, pa.string()),
+            "key": pa.array(keys, pa.string()),
+            "partition_id": pa.array(partitions, pa.string()),
+            "constraint": pa.array(constraints, pa.string()),
+            "detail": pa.array(details, pa.string()),
+            "blob": pa.array(blobs, pa.binary()),
+            "row_count": pa.array(row_counts, pa.int64()),
+        }, schema=RESULT_SCHEMA)
+
+    # ------------------------------------------------------------------
+    def _stats_partial(self, table: pa.Table, viol_counts: dict,
+                       schema_rows) -> StatsPartial:
+        s = self.stats
+        p = StatsPartial(row_count=table.num_rows)
+        p.violation_counts = dict(viol_counts)
+        for cname, _ in schema_rows:
+            p.violation_counts[cname] = p.violation_counts.get(cname, 0) + 1
+        for col in table.column_names:
+            p.null_counts[col] = table[col].null_count
+        for col in s.minmax_columns:
+            if col in table.column_names and table.num_rows:
+                mm = pc.min_max(table[col])
+                p.minmax[col] = (mm["min"].as_py(), mm["max"].as_py())
+        if s.quantile_column and s.quantile_column in table.column_names:
+            vals = np.asarray(pc.drop_null(table[s.quantile_column])
+                              .to_numpy(zero_copy_only=False), dtype=np.float64)
+            td = TDigest(s.tdigest_compression).add(vals)
+            p.tdigest = td.to_bytes()
+        if s.cardinality_column and s.cardinality_column in table.column_names:
+            col = pc.drop_null(table[s.cardinality_column])
+            hll = HyperLogLog(s.hll_p)
+            hll.add_strings(pc.cast(col, pa.string()).to_pylist())
+            p.hll = hll.to_bytes()
+        if (s.histogram_column and s.histogram_group
+                and s.histogram_column in table.column_names
+                and s.histogram_group in table.column_names):
+            lo, hi = s.histogram_range
+            gh = GroupedHistogram(lo, hi, s.histogram_bins)
+            gh.add(table[s.histogram_group].to_numpy(zero_copy_only=False),
+                   table[s.histogram_column].to_numpy(zero_copy_only=False))
+            p.hist = gh.to_bytes()
+        return p
+
+
+def _columns_present(c: Constraint, names) -> bool:
+    cols = [getattr(c, "column", None), getattr(c, "list_column", None)]
+    return all(col is None or col in names for col in cols)
+
+
+_CAST_OK = {
+    (pa.int32(), pa.int64()), (pa.int64(), pa.int32()),
+    (pa.float32(), pa.float64()), (pa.float64(), pa.float32()),
+    (pa.large_string(), pa.string()), (pa.string(), pa.large_string()),
+}
+
+
+def _castable(src: pa.DataType, dst: pa.DataType) -> bool:
+    if (src, dst) in _CAST_OK:
+        return True
+    if pa.types.is_list(src) and pa.types.is_list(dst):
+        return src.value_type == dst.value_type or \
+            _castable(src.value_type, dst.value_type)
+    if pa.types.is_integer(src) and pa.types.is_integer(dst):
+        return True
+    return False
+
+
+# ---------------------------------------------------------------------------
+# stream splitting
+# ---------------------------------------------------------------------------
+
+def violations_only(t: pa.Table) -> pa.Table:
+    """map_batches fn: keep violation rows, project to VIOLATION_SCHEMA."""
+    v = t.filter(pc.equal(t["kind"], "violation"))
+    return v.select(["key", "partition_id", "constraint", "detail"])
+
+
+def stats_only(t: pa.Table) -> pa.Table:
+    s = t.filter(pc.equal(t["kind"], "stats"))
+    return s.select(["partition_id", "blob", "row_count"])
