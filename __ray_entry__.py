@@ -3,42 +3,580 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+DuckDB (row-count + schema + order-insensitive value-hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; no
+``ray.init()`` / ``ray.shutdown()`` happens here or anywhere in
+``pyschema_ray``.
+
+Float discipline: every oracle-checked query returns only integers /
+strings / exactly-reproducible floats (float aggregates that depend on
+distributed summation order are exposed as rows-only queries instead).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+DOC_SOURCES = [f"src{i}" for i in range(16)]   # srcs 16..19 violate ref
+DOC_LANGS = ["de", "en", "es", "fr"]           # 'zh' violates in_set
+
+
+def _documents_schema():
+    from pyschema_ray import Integer, Record, Text, no_auto_store
+    from pyschema_ray.constraints import Custom
+
+    def n_chars_matches(t: pa.Table):
+        return pc.equal(pc.cast(t["n_chars"], pa.int64()),
+                        pc.cast(pc.utf8_length(t["text"]), pa.int64()))
+
+    @no_auto_store
+    class DocumentsSchema(Record):
+        doc_id = Integer(size=8, nullable=False, unique=True)
+        text = Text(nullable=False, min_length=50)
+        lang = Text(in_set=DOC_LANGS)
+        source = Text(nullable=False)
+        n_chars = Integer(size=8, min=1, max=500)
+        _key_field = "doc_id"
+        _extra_constraints = [
+            Custom("n_chars_eq_len", n_chars_matches,
+                   "n_chars != len(text)"),
+        ]
+
+    return DocumentsSchema
+
+
+def _read(sf_dir: str, table: str):
+    import ray.data
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def _collect(ds, empty_schema: pa.Schema | None = None) -> pa.Table:
+    tables = [t for t in ds.iter_batches(batch_format="pyarrow",
+                                         batch_size=65536) if t.num_rows]
+    if not tables:
+        if empty_schema is not None:
+            return empty_schema.empty_table()
+        try:
+            return pa.schema(ds.schema().base_schema).empty_table()
+        except Exception:  # noqa: BLE001
+            return pa.table({})
+    return pa.concat_tables(tables)
+
+
+# ---------------------------------------------------------------------------
+# flagship entry
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full resumable validation pipeline (constraints +
+    stats sketches + uniqueness shuffle + broadcast referential) over
+    sf0.001 documents; returns the violation rows."""
+    import shutil
+    import tempfile
+
+    from pyschema_ray.pipelines.validate import (PipelineConfig,
+                                                 ValidationPipeline)
+    from pyschema_ray.stages.validator import StatsConfig
+
+    out_dir = tempfile.mkdtemp(prefix="pyschema_ray_entry_")
+    try:
+        cfg = PipelineConfig(
+            schema_cls=_documents_schema(),
+            input_paths=os.path.join("/root/testdata/sf0.001",
+                                     "documents.parquet"),
+            out_dir=out_dir,
+            stats=StatsConfig(quantile_column="n_chars",
+                              cardinality_column="doc_id",
+                              histogram_column="n_chars",
+                              histogram_group="source",
+                              minmax_columns=["n_chars"]),
+            ref_sets={"source": ("sources", "source", DOC_SOURCES)},
+        )
+        rep = ValidationPipeline(cfg).run()
+        t = rep.violations_table()
+        return t.rename_columns(
+            ["key", "partition_id", "constraint_name", "detail"])
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_violations_documents(sf_dir: str) -> pa.Table:
+    """Row-constraint violations on documents via the compiled
+    vectorized validator (E2-E4 + broadcast E7)."""
+    from pyschema_ray.stages.validator import CompiledValidator
+
+    ds = _read(sf_dir, "documents")
+    out = ds.map_batches(
+        CompiledValidator,
+        fn_constructor_kwargs=dict(
+            schema_cls=_documents_schema(),
+            ref_sets={"source": ("sources", "source", DOC_SOURCES)}),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=2)
+    t = _collect(out)
+    t = t.filter(pc.equal(t["kind"], "violation"))
+    return t.select(["key", "constraint"]) \
+            .rename_columns(["key", "constraint_name"]) \
+            .sort_by([("key", "ascending"), ("constraint_name", "ascending")])
+
+
+def _q_duplicate_user_ids(sf_dir: str) -> pa.Table:
+    """E6 uniqueness: combiner + groupby hash shuffle on the key."""
+    from pyschema_ray.stages.unique import duplicate_keys
+
+    dups = duplicate_keys(_read(sf_dir, "events"), "user_id")
+    return _collect(dups).sort_by("user_id")
+
+
+def _q_stats_per_source(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents").select_columns(["source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate(
+            [("n_chars", "sum"), ("n_chars", "min"),
+             ("n_chars", "max"), ("n_chars", "count")])
+        return g.rename_columns(["source", "sum_chars", "min_chars",
+                                 "max_chars", "n_docs"])
+
+    import ray.data.aggregate as A
+    pre = ds.map_batches(partial, batch_format="pyarrow")
+    agg = pre.groupby("source").aggregate(
+        A.Sum("sum_chars"), A.Min("min_chars"),
+        A.Max("max_chars"), A.Sum("n_docs"))
+    t = _collect(agg)
+    return t.rename_columns(["source", "sum_chars", "min_chars",
+                             "max_chars", "n_docs"]).sort_by("source")
+
+
+def _q_ref_violations_documents_source(sf_dir: str) -> pa.Table:
+    """E7 broadcast referential as a standalone stage."""
+    import ray
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "source"])
+    valid = ray.put(pa.array(DOC_SOURCES))
+
+    def anti(t: pa.Table) -> pa.Table:
+        ok = pc.is_in(t["source"], value_set=ray.get(valid))
+        return t.filter(pc.invert(ok)).select(["doc_id", "source"])
+
+    return _collect(ds.map_batches(anti, batch_format="pyarrow")) \
+        .sort_by("doc_id")
+
+
+def _q_ndv_doc_id_exact(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents").select_columns(["doc_id"])
+    n = ds.groupby("doc_id").count().count()
+    return pa.table({"ndv": pa.array([n], pa.int64())})
+
+
+def _q_pricing_summary(sf_dir: str) -> pa.Table:
+    """TPC-H Q1-shaped grouped aggregate; money kept as exact int cents
+    so the distributed sum matches SQL bit-for-bit."""
+    import ray.data.aggregate as A
+
+    ds = _read(sf_dir, "lineitem").select_columns(
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        qty = pc.cast(t["l_quantity"], pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                        pa.int64())
+        g = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "qty": qty, "cents": cents,
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+        }).group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("cents", "sum"), ("one", "sum")])
+        return g.rename_columns(["l_returnflag", "l_linestatus",
+                                 "sum_qty", "sum_cents", "count_order"])
+
+    pre = ds.map_batches(prep, batch_format="pyarrow")
+    agg = pre.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        A.Sum("sum_qty"), A.Sum("sum_cents"), A.Sum("count_order"))
+    t = _collect(agg)
+    return t.rename_columns(
+        ["l_returnflag", "l_linestatus", "sum_qty", "sum_cents",
+         "count_order"]).sort_by([("l_returnflag", "ascending"),
+                                  ("l_linestatus", "ascending")])
+
+
+def _q_events_histogram(sf_dir: str) -> pa.Table:
+    """Fixed-width histogram as partial bincounts + merge groupby —
+    the per-source-histogram pattern with SQL-checkable integer bins."""
+    import ray.data.aggregate as A
+
+    ds = _read(sf_dir, "events").select_columns(["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.floor(pc.divide(t["value"], 50.0)), pa.int32())
+        g = pa.table({"event_type": t["event_type"], "bin": b,
+                      "one": pa.array(np.ones(t.num_rows, np.int64))}) \
+            .group_by(["event_type", "bin"]).aggregate([("one", "sum")])
+        return g.rename_columns(["event_type", "bin", "n"])
+
+    pre = ds.map_batches(partial, batch_format="pyarrow")
+    agg = pre.groupby(["event_type", "bin"]).aggregate(A.Sum("n"))
+    t = _collect(agg).rename_columns(["event_type", "bin", "n"])
+    return t.sort_by([("event_type", "ascending"), ("bin", "ascending")])
+
+
+def _q_embedding_lengths(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "embeddings")
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "dim": pc.cast(pc.list_value_length(t["embedding"]), pa.int64()),
+        })
+
+    return _collect(ds.map_batches(f, batch_format="pyarrow")) \
+        .sort_by("vec_id")
+
+
+def _q_embedding_element_range_violations(sf_dir: str) -> pa.Table:
+    """E3 list-element range check on a real list<float> column."""
+    from pyschema_ray.constraints import ElementRange
+
+    ds = _read(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
+    c = ElementRange("embedding", -0.5, 0.5)
+
+    def f(t: pa.Table) -> pa.Table:
+        bad = pc.invert(c.mask(t))
+        return t.filter(bad).select(["vec_id"])
+
+    return _collect(ds.map_batches(f, batch_format="pyarrow"),
+                    pa.schema([pa.field("vec_id", pa.int64())])) \
+        .sort_by("vec_id")
+
+
+def _q_top_sources_by_chars(sf_dir: str) -> pa.Table:
+    import ray.data.aggregate as A
+
+    ds = _read(sf_dir, "documents").select_columns(["source", "n_chars"])
+    agg = ds.groupby("source").aggregate(A.Sum("n_chars"))
+    out = agg.map_batches(
+        lambda t: t.rename_columns(["source", "total_chars"]),
+        batch_format="pyarrow")
+    top = out.sort("total_chars", descending=True).limit(5)
+    return _collect(top)
+
+
+def _q_dedup_exact(sf_dir: str) -> pa.Table:
+    from pyschema_ray.functions.dedup import exact_dedup_keys
+
+    kept = exact_dedup_keys(_read(sf_dir, "documents"))
+    return _collect(kept).sort_by("doc_id")
+
+
+def _q_token_counts(sf_dir: str) -> pa.Table:
+    from pyschema_ray.functions.text import token_count_batch
+
+    ds = _read(sf_dir, "documents").map_batches(
+        token_count_batch, batch_format="pyarrow")
+    return _collect(ds.select_columns(["doc_id", "n_tokens"])) \
+        .sort_by("doc_id")
+
+
+def _q_quality_features(sf_dir: str) -> pa.Table:
+    from pyschema_ray.functions.text import quality_features_batch
+
+    ds = _read(sf_dir, "documents").map_batches(
+        quality_features_batch, batch_format="pyarrow")
+    return _collect(ds.select_columns(
+        ["doc_id", "n_chars_actual", "n_words", "n_digits", "n_punct"])) \
+        .sort_by("doc_id")
+
+
+def _q_ann_topk(sf_dir: str) -> pa.Table:
+    """Brute-force cosine top-10 for query vectors vec_id 0..2
+    (broadcast query matrix, per-batch matmul partials)."""
+    from pyschema_ray.functions.similarity import brute_force_topk
+
+    ds = _read(sf_dir, "embeddings")
+    qrows = _collect(ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["vec_id"],
+                                    value_set=pa.array([0, 1, 2]))),
+        batch_format="pyarrow")).sort_by("vec_id")
+    q = np.stack([np.asarray(v, dtype=np.float32)
+                  for v in qrows["embedding"].to_pylist()])
+    out = brute_force_topk(ds, q, k=10)
+    return out.select(["query_id", "vec_id", "rank"]) \
+        .sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
+# -- rows-only (non-SQL-expressible: sketches, model-ish scoring) -----------
+
+def _q_ndv_user_id_hll(sf_dir: str) -> pa.Table:
+    from pyschema_ray.sketches import HyperLogLog
+
+    ds = _read(sf_dir, "events").select_columns(["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = HyperLogLog(14)
+        h.add_strings(pc.cast(t["user_id"], pa.string()).to_pylist())
+        return pa.table({"blob": pa.array([h.to_bytes()], pa.binary())})
+
+    merged = HyperLogLog(14)
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        for blob in b["blob"].to_pylist():
+            merged.merge(HyperLogLog.from_bytes(blob))
+    return pa.table({"ndv_estimate": pa.array([merged.estimate()],
+                                              pa.float64())})
+
+
+def _q_value_quantiles_tdigest(sf_dir: str) -> pa.Table:
+    from pyschema_ray.sketches import TDigest
+
+    ds = _read(sf_dir, "events").select_columns(["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        td = TDigest().add(np.asarray(
+            pc.drop_null(t["value"]).to_numpy(zero_copy_only=False)))
+        return pa.table({"blob": pa.array([td.to_bytes()], pa.binary())})
+
+    merged = None
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        for blob in b["blob"].to_pylist():
+            td = TDigest.from_bytes(blob)
+            merged = td if merged is None else merged.merge(td)
+    return pa.table({
+        "p50": pa.array([merged.quantile(0.5)], pa.float64()),
+        "p90": pa.array([merged.quantile(0.9)], pa.float64()),
+        "p99": pa.array([merged.quantile(0.99)], pa.float64()),
+    })
+
+
+def _q_drift_events_self(sf_dir: str) -> pa.Table:
+    """Drift of events.value against a baseline built from the same
+    table — must pass with ~0 PSI (actor-pool DriftScorer path)."""
+    from pyschema_ray.stages.drift import (build_baseline_profile,
+                                           drift_pipeline)
+
+    ds = _read(sf_dir, "events")
+    baseline = build_baseline_profile(ds, "value", "event_type",
+                                      lo=0.0, hi=500.0, nbins=50)
+    res = drift_pipeline(ds, baseline, "value", "event_type",
+                         concurrency=(1, 2))
+    return pa.table({
+        "overall_psi": pa.array([res["overall_psi"]], pa.float64()),
+        "overall_kl": pa.array([res["overall_kl"]], pa.float64()),
+        "passed": pa.array([res["passed"]], pa.bool_()),
+    })
+
+
+def _q_lang_id(sf_dir: str) -> pa.Table:
+    from pyschema_ray.functions.text import LangIdScorer
+
+    ds = _read(sf_dir, "documents").map_batches(
+        LangIdScorer, batch_format="pyarrow", concurrency=2)
+    return _collect(ds.select_columns(["doc_id", "lang_pred"])) \
+        .sort_by("doc_id")
+
+
+def _q_fingerprints(sf_dir: str) -> pa.Table:
+    from pyschema_ray.functions.text import fingerprint_batch
+
+    ds = _read(sf_dir, "documents").map_batches(
+        fingerprint_batch, batch_format="pyarrow")
+    return _collect(ds.select_columns(["doc_id", "fingerprint"])) \
+        .sort_by("doc_id")
+
+
+def _q_minhash_near_dup_pairs(sf_dir: str) -> pa.Table:
+    from pyschema_ray.functions.dedup import minhash_lsh_candidates
+
+    cand = minhash_lsh_candidates(_read(sf_dir, "documents"),
+                                  concurrency=2)
+    t = _collect(cand)
+    if t.num_rows == 0:
+        return pa.table({"key_a": pa.array([], pa.int64()),
+                         "key_b": pa.array([], pa.int64())})
+    return t.sort_by([("key_a", "ascending"), ("key_b", "ascending")])
+
+
+def _q_simhash(sf_dir: str) -> pa.Table:
+    from pyschema_ray.functions.dedup import SimHasher
+
+    ds = _read(sf_dir, "documents").map_batches(
+        SimHasher, batch_format="pyarrow", concurrency=2)
+    t = _collect(ds.select_columns(["doc_id", "simhash"]))
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "simhash": pc.cast(t["simhash"], pa.int64(), safe=False),
+    }).sort_by("doc_id")
+
+
+def _q_lsh_ann_topk(sf_dir: str) -> pa.Table:
+    from pyschema_ray.functions.similarity import lsh_topk
+
+    ds = _read(sf_dir, "embeddings")
+    qrows = _collect(ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["vec_id"],
+                                    value_set=pa.array([0, 1]))),
+        batch_format="pyarrow")).sort_by("vec_id")
+    q = np.stack([np.asarray(v, dtype=np.float32)
+                  for v in qrows["embedding"].to_pylist()])
+    out = lsh_topk(ds, q, k=5, n_planes=4)
+    return out.select(["query_id", "vec_id", "rank"]) \
+        .sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # core validation engine (oracle-checked)
+        "violations_documents": _q_violations_documents,
+        "duplicate_user_ids": _q_duplicate_user_ids,
+        "stats_per_source": _q_stats_per_source,
+        "ref_violations_documents_source": _q_ref_violations_documents_source,
+        "ndv_doc_id_exact": _q_ndv_doc_id_exact,
+        "pricing_summary": _q_pricing_summary,
+        "events_histogram": _q_events_histogram,
+        "embedding_lengths": _q_embedding_lengths,
+        "embedding_element_range_violations":
+            _q_embedding_element_range_violations,
+        "top_sources_by_chars": _q_top_sources_by_chars,
+        # training-data ops (oracle-checked)
+        "dedup_exact": _q_dedup_exact,
+        "token_counts": _q_token_counts,
+        "quality_features": _q_quality_features,
+        "ann_topk": _q_ann_topk,
+        # sketches / scoring (rows-only)
+        "ndv_user_id_hll": _q_ndv_user_id_hll,
+        "value_quantiles_tdigest": _q_value_quantiles_tdigest,
+        "drift_events_self": _q_drift_events_self,
+        "lang_id": _q_lang_id,
+        "fingerprints": _q_fingerprints,
+        "minhash_near_dup_pairs": _q_minhash_near_dup_pairs,
+        "simhash": _q_simhash,
+        "lsh_ann_topk": _q_lsh_ann_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    src_list = ", ".join(f"'{s}'" for s in DOC_SOURCES)
+    lang_list = ", ".join(f"'{x}'" for x in DOC_LANGS)
+    return {
+        "violations_documents": f"""
+            SELECT CAST(doc_id AS VARCHAR) AS key,
+                   'utf8_length(text)' AS constraint_name
+              FROM documents WHERE length(text) < 50
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'in_set(lang)'
+              FROM documents
+             WHERE lang IS NOT NULL AND lang NOT IN ({lang_list})
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'range(n_chars)'
+              FROM documents
+             WHERE n_chars IS NOT NULL AND (n_chars < 1 OR n_chars > 500)
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'custom(n_chars_eq_len)'
+              FROM documents WHERE n_chars <> length(text)
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR),
+                   'ref(source->sources.source)'
+              FROM documents
+             WHERE source IS NOT NULL AND source NOT IN ({src_list})
+            ORDER BY 1, 2
+        """,
+        "duplicate_user_ids": """
+            SELECT user_id, count(*) AS dup_count FROM events
+             GROUP BY user_id HAVING count(*) > 1 ORDER BY user_id
+        """,
+        "stats_per_source": """
+            SELECT source, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+                   count(*) AS n_docs
+              FROM documents GROUP BY source ORDER BY source
+        """,
+        "ref_violations_documents_source": f"""
+            SELECT doc_id, source FROM documents
+             WHERE source NOT IN ({src_list}) ORDER BY doc_id
+        """,
+        "ndv_doc_id_exact": """
+            SELECT count(DISTINCT doc_id) AS ndv FROM documents
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       AS BIGINT) AS sum_cents,
+                   count(*) AS count_order
+              FROM lineitem GROUP BY l_returnflag, l_linestatus
+             ORDER BY l_returnflag, l_linestatus
+        """,
+        "events_histogram": """
+            SELECT event_type, CAST(floor(value / 50.0) AS INTEGER) AS bin,
+                   count(*) AS n
+              FROM events GROUP BY event_type, bin
+             ORDER BY event_type, bin
+        """,
+        "embedding_lengths": """
+            SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim
+              FROM embeddings ORDER BY vec_id
+        """,
+        "embedding_element_range_violations": """
+            SELECT vec_id FROM embeddings
+             WHERE len(list_filter(embedding,
+                                   x -> x < -0.5 OR x >= 0.5)) > 0
+             ORDER BY vec_id
+        """,
+        "top_sources_by_chars": """
+            SELECT source, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents
+             GROUP BY source ORDER BY total_chars DESC LIMIT 5
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id FROM documents
+             GROUP BY text ORDER BY doc_id
+        """,
+        "token_counts": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                        AS BIGINT) AS n_tokens
+              FROM documents ORDER BY doc_id
+        """,
+        "quality_features": r"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_actual,
+                   CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                        AS BIGINT) AS n_words,
+                   CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                        AS BIGINT) AS n_digits,
+                   CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                        AS BIGINT) AS n_punct
+              FROM documents ORDER BY doc_id
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                         FROM embeddings WHERE vec_id IN (0, 1, 2)),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(e.embedding, q.qe) AS s
+                  FROM embeddings e CROSS JOIN q),
+            ranked AS (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY s DESC, vec_id ASC)
+                           AS rank
+                  FROM scored)
+            SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank
+              FROM ranked WHERE rank <= 10
+             ORDER BY query_id, rank
+        """,
+    }

@@ -1,0 +1,142 @@
+"""Multimodal column plumbing: image/audio/video payloads as opaque
+``binary`` columns with typed metadata, processed by actor-pool
+``map_batches`` stages.
+
+The decode kernels themselves are STUBBED (image/audio codec libraries
+are not available in this environment — each stage raises
+``NotImplementedError`` unless constructed with ``fake=True``, which
+produces deterministic hash-derived outputs).  The Ray-side plumbing —
+schema, batch sizing, actor signatures, output layout — is real and
+tested (tests/test_multimodal.py): swapping in a real codec changes
+only the marked ``_decode_one`` bodies.
+
+Scale notes baked in: media batches must be SMALL (payloads are KB–MB
+per row; default ``batch_size=32``) and stages should run as actor
+pools so codec/model setup happens once per worker, with
+``num_cpus``/``concurrency`` sized to keep payload bytes × in-flight
+batches inside worker heaps.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+#: canonical media-column schema fragment
+MEDIA_SCHEMA = pa.schema([
+    pa.field("media_id", pa.string(), nullable=False),
+    pa.field("payload", pa.binary()),            # opaque encoded bytes
+    pa.field("media_type", pa.string()),         # "image" | "audio" | "video"
+    pa.field("format", pa.string()),             # "jpeg", "wav", ...
+    pa.field("width", pa.int32()),               # images/video
+    pa.field("height", pa.int32()),
+    pa.field("duration_ms", pa.int32()),         # audio/video
+])
+
+RECOMMENDED_MEDIA_BATCH_SIZE = 32
+
+
+def _det_floats(seed_bytes: bytes, n: int) -> np.ndarray:
+    """Deterministic pseudo-features from payload bytes (fake path)."""
+    h = hashlib.sha256(seed_bytes).digest()
+    rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
+    return rng.standard_normal(n).astype(np.float32)
+
+
+class ImageDecoder:
+    """Actor-pool stage: decode + resize images to fixed (H, W) and emit
+    a float feature vector.  Real implementation would hold the codec /
+    preprocessing pipeline in ``__init__`` (once per actor)."""
+
+    def __init__(self, height: int = 224, width: int = 224,
+                 payload_col: str = "payload", fake: bool = False):
+        self.height = height
+        self.width = width
+        self.payload_col = payload_col
+        self.fake = fake
+        # REAL path: load codec / model here, once per actor, e.g.
+        # self.codec = SomeImageLib(); heavy setup amortized over batches
+
+    def _decode_one(self, payload: bytes) -> np.ndarray:
+        if not self.fake:
+            raise NotImplementedError(
+                "image codec not available in this environment; construct "
+                "with fake=True for deterministic test features")
+        return _det_floats(payload, 8)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        feats = [self._decode_one(p) if p is not None else None
+                 for p in t[self.payload_col].to_pylist()]
+        valid = [f if f is not None else np.zeros(8, np.float32)
+                 for f in feats]
+        flat = pa.array(np.concatenate(valid), pa.float32())
+        col = pa.FixedSizeListArray.from_arrays(flat, 8)
+        out = t.drop_columns([self.payload_col])  # payload not re-emitted
+        return out.append_column("image_features", col)
+
+
+class AudioFrameSampler:
+    """Actor-pool stage: sample N fixed-position frames from an audio
+    payload and emit per-frame energy.  Stubbed like ImageDecoder."""
+
+    def __init__(self, n_frames: int = 4, payload_col: str = "payload",
+                 fake: bool = False):
+        self.n_frames = n_frames
+        self.payload_col = payload_col
+        self.fake = fake
+
+    def _decode_one(self, payload: bytes) -> np.ndarray:
+        if not self.fake:
+            raise NotImplementedError(
+                "audio codec not available; construct with fake=True")
+        return np.abs(_det_floats(payload, self.n_frames))
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        feats = [self._decode_one(p) if p is not None
+                 else np.zeros(self.n_frames, np.float32)
+                 for p in t[self.payload_col].to_pylist()]
+        flat = pa.array(np.concatenate(feats), pa.float32())
+        col = pa.FixedSizeListArray.from_arrays(flat, self.n_frames)
+        out = t.drop_columns([self.payload_col])
+        return out.append_column("frame_energy", col)
+
+
+def decode_images(ds, height: int = 224, width: int = 224,
+                  fake: bool = False, concurrency=(1, 4),
+                  batch_size: int = RECOMMENDED_MEDIA_BATCH_SIZE):
+    """The canonical wiring: small batches, actor pool, payload dropped
+    after decode so downstream blocks shrink."""
+    return ds.map_batches(
+        ImageDecoder,
+        fn_constructor_kwargs=dict(height=height, width=width, fake=fake),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+def sample_audio_frames(ds, n_frames: int = 4, fake: bool = False,
+                        concurrency=(1, 4),
+                        batch_size: int = RECOMMENDED_MEDIA_BATCH_SIZE):
+    return ds.map_batches(
+        AudioFrameSampler,
+        fn_constructor_kwargs=dict(n_frames=n_frames, fake=fake),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
+    """Deterministic fake media table matching MEDIA_SCHEMA (payloads
+    are seeded random bytes), for plumbing tests."""
+    rng = np.random.default_rng(seed)
+    payloads = [rng.integers(0, 256, size=int(rng.integers(512, 4096)),
+                             dtype=np.uint8).tobytes() for _ in range(n)]
+    return pa.table({
+        "media_id": pa.array([f"m-{i:06d}" for i in range(n)], pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "media_type": pa.array(["image"] * n, pa.string()),
+        "format": pa.array(["fake"] * n, pa.string()),
+        "width": pa.array([640] * n, pa.int32()),
+        "height": pa.array([480] * n, pa.int32()),
+        "duration_ms": pa.array([0] * n, pa.int32()),
+    }).cast(MEDIA_SCHEMA)

@@ -1,0 +1,132 @@
+"""Text-analysis operators for training-data pipelines, all expressed
+as vectorized ``map_batches`` stages over a string column: token
+counting, quality features, language ID (stopword heuristic), and
+content fingerprinting.  The reference has no text ops — these are the
+north-prompt "text analysis" extensions, built Ray-Data-first.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sketches import hash_strings
+
+TOKEN_SPLIT_RE = r"\s+"
+
+
+def token_count_batch(t: pa.Table, text_col: str = "text",
+                      out_col: str = "n_tokens") -> pa.Table:
+    """Whitespace token count, matching SQL
+    ``len(regexp_split_to_array(trim(text), '\\s+'))`` exactly:
+    empty-after-trim strings count 1 (the SQL split of '' is ['''])."""
+    trimmed = pc.utf8_trim_whitespace(t[text_col])
+    parts = pc.split_pattern_regex(trimmed, TOKEN_SPLIT_RE)
+    n = pc.list_value_length(parts)
+    return t.append_column(out_col, pc.cast(n, pa.int64()))
+
+
+def quality_features_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Integer-exact quality features (SQL-oracle friendly):
+    n_chars, n_words, n_digits, n_punct, plus float ratios."""
+    text = t[text_col]
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    trimmed = pc.utf8_trim_whitespace(text)
+    n_words = pc.cast(pc.list_value_length(
+        pc.split_pattern_regex(trimmed, TOKEN_SPLIT_RE)), pa.int64())
+    n_digits = pc.cast(pc.count_substring_regex(text, r"[0-9]"), pa.int64())
+    n_punct = pc.cast(pc.count_substring_regex(text, r"[.,;:!?]"), pa.int64())
+    out = t.append_column("n_chars_actual", n_chars)
+    out = out.append_column("n_words", n_words)
+    out = out.append_column("n_digits", n_digits)
+    out = out.append_column("n_punct", n_punct)
+    mean_word_len = pc.divide(
+        pc.cast(n_chars, pa.float64()),
+        pc.cast(pc.max_element_wise(n_words, 1), pa.float64()))
+    out = out.append_column("mean_word_len", mean_word_len)
+    return out
+
+
+def quality_score_batch(t: pa.Table, text_col: str = "text",
+                        min_words: int = 10, max_mean_word_len: float = 12.0,
+                        max_digit_ratio: float = 0.3) -> pa.Table:
+    """Composite 0..1 quality score + keep flag (heuristics in the
+    C4/Gopher style: length, word shape, symbol density)."""
+    q = quality_features_batch(t, text_col)
+    n_chars = np.asarray(q["n_chars_actual"].to_numpy(zero_copy_only=False),
+                         dtype=np.float64)
+    n_words = np.asarray(q["n_words"].to_numpy(zero_copy_only=False),
+                         dtype=np.float64)
+    n_digits = np.asarray(q["n_digits"].to_numpy(zero_copy_only=False),
+                          dtype=np.float64)
+    mwl = np.asarray(q["mean_word_len"].to_numpy(zero_copy_only=False),
+                     dtype=np.float64)
+    digit_ratio = n_digits / np.maximum(n_chars, 1.0)
+    score = np.ones(len(n_chars))
+    score *= np.clip(n_words / max(min_words, 1), 0, 1)
+    score *= np.where(mwl <= max_mean_word_len, 1.0,
+                      np.clip(max_mean_word_len / np.maximum(mwl, 1e-9), 0, 1))
+    score *= np.clip(1.0 - digit_ratio / max(max_digit_ratio, 1e-9), 0, 1)
+    out = q.append_column("quality_score", pa.array(score, pa.float64()))
+    return out.append_column("quality_keep",
+                             pa.array(score >= 0.5, pa.bool_()))
+
+
+# ---------------------------------------------------------------------------
+# language ID — stopword-hit heuristic, stateful actor stage
+# ---------------------------------------------------------------------------
+
+#: tiny distinctive-stopword lists per language (public common words)
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "is", "was", "with", "that"],
+    "es": ["el", "la", "los", "las", "que", "una", "por"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein"],
+    "fr": ["le", "la", "les", "est", "une", "dans", "pour"],
+    "zh": ["的", "是", "在", "了", "我", "他", "不"],
+}
+
+
+class LangIdScorer:
+    """Actor-pool stage: regex patterns compiled ONCE per actor in
+    ``__init__`` (the stateful-stage pattern); ``__call__`` scores each
+    batch vectorized via ``pc.count_substring_regex``.  Use with
+    ``ds.map_batches(LangIdScorer, concurrency=(1, n),
+    batch_format="pyarrow")``."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "lang_pred",
+                 markers: dict | None = None):
+        self.text_col = text_col
+        self.out_col = out_col
+        markers = markers or _LANG_MARKERS
+        # one alternation pattern per language, word-bounded for latin
+        self.patterns = {}
+        for lang, words in markers.items():
+            if lang == "zh":
+                pat = "|".join(words)
+            else:
+                pat = r"\b(?:" + "|".join(words) + r")\b"
+            self.patterns[lang] = pat
+        self.langs = sorted(self.patterns)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        lower = pc.utf8_lower(t[self.text_col])
+        scores = np.zeros((t.num_rows, len(self.langs)), dtype=np.int64)
+        for j, lang in enumerate(self.langs):
+            c = pc.count_substring_regex(lower, self.patterns[lang])
+            scores[:, j] = np.asarray(c.to_numpy(zero_copy_only=False))
+        best = np.asarray(self.langs, dtype=object)[scores.argmax(axis=1)]
+        best = np.where(scores.max(axis=1) > 0, best, "und")
+        return t.append_column(self.out_col,
+                               pa.array(best, pa.string(), from_pandas=True))
+
+
+def fingerprint_batch(t: pa.Table, text_col: str = "text",
+                      out_col: str = "fingerprint") -> pa.Table:
+    """64-bit content fingerprint (stable SipHash of the full text),
+    returned as a 16-hex-digit string.  Equal texts -> equal
+    fingerprints across processes/machines; the exact-dedup key."""
+    h = hash_strings(t[text_col].to_numpy(zero_copy_only=False))
+    hexes = np.char.zfill(np.char.mod("%x", h.astype(object)), 16)
+    return t.append_column(out_col,
+                           pa.array(hexes.astype(object), pa.string()))

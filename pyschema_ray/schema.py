@@ -63,10 +63,13 @@ class Field:
     _creation_counter = 0
 
     def __init__(self, nullable: bool = True, default: Any = _MISSING,
-                 description: str | None = None):
+                 description: str | None = None, unique: bool = False,
+                 references: tuple[str, str] | None = None):
         self.nullable = nullable
         self.default = default
         self.description = description
+        self.unique = unique            # global uniqueness (E6 stage)
+        self.references = references    # (dim_name, dim_column) (E7 stage)
         self.name: str | None = None  # set by the metaclass
         Field._creation_counter += 1
         self._order = Field._creation_counter
@@ -122,7 +125,6 @@ class Text(Field):
 
     def __init__(self, regex: str | None = None, min_length: int | None = None,
                  max_length: int | None = None, in_set: Iterable[str] | None = None,
-                 unique: bool = False, references: tuple[str, str] | None = None,
                  **kw):
         super().__init__(**kw)
         self.regex = regex
@@ -130,8 +132,6 @@ class Text(Field):
         self.min_length = min_length
         self.max_length = max_length
         self.in_set = frozenset(in_set) if in_set is not None else None
-        self.unique = unique
-        self.references = references
 
     def _load(self, obj):
         if not isinstance(obj, str):

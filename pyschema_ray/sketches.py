@@ -49,10 +49,11 @@ _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 def mix64(h: np.ndarray, seed: int = 0) -> np.ndarray:
     """splitmix64 finalizer — cheap vectorized re-hash of uint64 values
     with a seed, for minhash permutations / HLL independence."""
-    z = h + np.uint64(seed + 1) * _GOLDEN
-    z = (z ^ (z >> np.uint64(30))) * _SPLITMIX_C1
-    z = (z ^ (z >> np.uint64(27))) * _SPLITMIX_C2
-    return z ^ (z >> np.uint64(31))
+    with np.errstate(over="ignore"):  # uint64 wraparound is the point
+        z = h + np.uint64((seed + 1) * 0x9E3779B97F4A7C15 % (1 << 64))
+        z = (z ^ (z >> np.uint64(30))) * _SPLITMIX_C1
+        z = (z ^ (z >> np.uint64(27))) * _SPLITMIX_C2
+        return z ^ (z >> np.uint64(31))
 
 
 # ---------------------------------------------------------------------------

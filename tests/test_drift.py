@@ -1,0 +1,68 @@
+"""Drift-check tests per FIXTURES.md F3: a clean same-distribution
+table must pass; a table whose n_tok lognormal mean is 1.5x the
+baseline must fail PSI/KL.  Exercises the actor-pool DriftScorer path
+end to end."""
+
+import numpy as np
+import pytest
+
+from pyschema_ray.sources.synth import generate_sequences
+from pyschema_ray.stages.drift import (BaselineProfile, DriftScorer,
+                                       build_baseline_profile,
+                                       drift_pipeline, merge_partials,
+                                       score_drift)
+
+
+@pytest.fixture(scope="module")
+def baseline(tmp_path_factory):
+    import ray.data
+
+    d = tmp_path_factory.mktemp("baseline_data")
+    paths, _ = generate_sequences(20_000, seed=7, out_dir=str(d), n_files=4,
+                                  inject=False)
+    ds = ray.data.read_parquet(paths)
+    return build_baseline_profile(ds, "n_tok", "source")
+
+
+def test_baseline_json_round_trip(baseline, tmp_path):
+    p = str(tmp_path / "profile.json")
+    baseline.save(p)
+    b2 = BaselineProfile.load(p)
+    assert b2.nbins == baseline.nbins
+    for g in baseline.groups:
+        np.testing.assert_array_equal(b2.groups[g], baseline.groups[g])
+
+
+def test_same_distribution_passes(baseline, tmp_path):
+    import ray.data
+
+    paths, _ = generate_sequences(20_000, seed=42, out_dir=str(tmp_path),
+                                  n_files=4, inject=False)
+    ds = ray.data.read_parquet(paths)
+    result = drift_pipeline(ds, baseline, "n_tok", "source",
+                            concurrency=(1, 2))
+    assert result["passed"], result
+    assert result["overall_psi"] < 0.05
+
+
+def test_shifted_distribution_fails(baseline, tmp_path):
+    import ray.data
+
+    paths, _ = generate_sequences(20_000, seed=43, out_dir=str(tmp_path),
+                                  n_files=4, inject=False, mean_len=300.0)
+    ds = ray.data.read_parquet(paths)
+    result = drift_pipeline(ds, baseline, "n_tok", "source",
+                            concurrency=(1, 2))
+    assert not result["passed"], result
+    assert result["overall_psi"] > 0.25
+
+
+def test_missing_group_is_maximal_drift(baseline):
+    from pyschema_ray.sketches import GroupedHistogram
+
+    actual = GroupedHistogram(baseline.lo, baseline.hi, baseline.nbins)
+    actual.add(np.array(["never-seen-source"] * 100, dtype=object),
+               np.random.default_rng(0).uniform(1, 4096, 100))
+    result = score_drift(actual, baseline)
+    assert "never-seen-source" in result["groups"]
+    assert result["groups"]["never-seen-source"]["psi"] > 0.25

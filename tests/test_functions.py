@@ -1,0 +1,227 @@
+"""Tests for the training-data ops: text analysis, dedup (exact /
+MinHash-LSH / SimHash / Jaccard), similarity search, multimodal
+plumbing."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from pyschema_ray.functions import dedup, multimodal, similarity, text
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents_ds():
+    import ray.data
+    return ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def test_token_count_matches_sql(documents_ds):
+    got = pa.concat_tables(
+        documents_ds.map_batches(text.token_count_batch,
+                                 batch_format="pyarrow")
+        .select_columns(["doc_id", "n_tokens"])
+        .iter_batches(batch_format="pyarrow")).sort_by("doc_id")
+    con = duckdb.connect()
+    want = con.execute(
+        f"SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) "
+        f"AS n_tokens FROM '{SF_DIR}/documents.parquet' ORDER BY doc_id"
+    ).arrow()
+    assert got["n_tokens"].to_pylist() == want["n_tokens"].to_pylist()
+
+
+def test_quality_features_and_score(documents_ds):
+    out = pa.concat_tables(
+        documents_ds.map_batches(text.quality_score_batch,
+                                 batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow"))
+    assert out.num_rows == documents_ds.count()
+    scores = out["quality_score"].to_pylist()
+    assert all(0.0 <= s <= 1.0 for s in scores)
+    # word-soup docs with 10+ words and no digits should score high
+    n_words = out["n_words"].to_pylist()
+    for s, w in zip(scores, n_words):
+        if w >= 10:
+            assert s > 0.5
+
+
+def test_lang_id_deterministic_and_closed_domain(documents_ds):
+    out1 = pa.concat_tables(
+        documents_ds.map_batches(text.LangIdScorer, concurrency=2,
+                                 batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")).sort_by("doc_id")
+    out2 = pa.concat_tables(
+        documents_ds.map_batches(text.LangIdScorer, concurrency=2,
+                                 batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")).sort_by("doc_id")
+    assert out1["lang_pred"].to_pylist() == out2["lang_pred"].to_pylist()
+    domain = set(text._LANG_MARKERS) | {"und"}
+    assert set(out1["lang_pred"].to_pylist()) <= domain
+
+
+def test_lang_id_on_real_phrases():
+    t = pa.table({"text": pa.array([
+        "the cat is on the mat and the dog was here",
+        "el perro y la casa que una vez por el camino",
+        "der Hund und die Katze ist nicht ein Problem",
+        "le chat est dans la maison pour les enfants",
+        "我是他的朋友 他不在了",
+    ])})
+    out = text.LangIdScorer()(t)
+    assert out["lang_pred"].to_pylist() == ["en", "es", "de", "fr", "zh"]
+
+
+def test_fingerprint_equal_iff_equal_text():
+    t = pa.table({"text": pa.array(["aaa", "bbb", "aaa"])})
+    out = text.fingerprint_batch(t)
+    fp = out["fingerprint"].to_pylist()
+    assert fp[0] == fp[2] != fp[1]
+    assert all(len(f) == 16 for f in fp)
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def dup_docs():
+    """10 unique docs; doc 3/13 exact dups; 5/15 near dups (one word
+    changed); the rest distinct."""
+    base = ("spark batch window order data column agg join small line "
+            "customer query value table key scan fast merge sort stream")
+    texts, ids = [], []
+    for i in range(10):
+        words = base.split()
+        words = words[i:] + words[:i]
+        texts.append(" ".join(words))
+        ids.append(i)
+    texts.append(texts[3])          # exact dup of 3
+    ids.append(13)
+    near = texts[5].split()
+    near[10] = "changed"            # near dup of 5
+    texts.append(" ".join(near))
+    ids.append(15)
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def test_exact_dedup(dup_docs):
+    import ray.data
+    ds = ray.data.from_arrow(dup_docs)
+    kept = sorted(r["doc_id"] for r in
+                  dedup.exact_dedup_keys(ds).take_all())
+    assert kept == sorted([0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 15])
+    groups = dedup.exact_duplicate_groups(ds).take_all()
+    assert len(groups) == 1 and groups[0]["dup_count"] == 2
+
+
+def test_minhash_lsh_finds_near_dups(dup_docs):
+    import ray.data
+    ds = ray.data.from_arrow(dup_docs)
+    cand = dedup.minhash_lsh_candidates(ds, num_hashes=64, bands=16,
+                                        concurrency=2)
+    pairs = {(r["key_a"], r["key_b"]) for r in cand.take_all()}
+    assert (3, 13) in pairs        # exact dup always co-buckets
+    assert (5, 15) in pairs        # near dup co-buckets in >=1 band
+    verified = dedup.jaccard_verify_pairs(
+        pa.table({"key_a": pa.array([a for a, _ in pairs], pa.int64()),
+                  "key_b": pa.array([b for _, b in pairs], pa.int64())}),
+        dup_docs, threshold=0.5)
+    vp = {(a, b) for a, b in zip(verified["key_a"].to_pylist(),
+                                 verified["key_b"].to_pylist())}
+    assert (3, 13) in vp and (5, 15) in vp
+    jac = dict(zip(zip(verified["key_a"].to_pylist(),
+                       verified["key_b"].to_pylist()),
+                   verified["jaccard"].to_pylist()))
+    assert jac[(3, 13)] == 1.0
+    assert 0.5 <= jac[(5, 15)] < 1.0
+
+
+def test_simhash_near_dups(dup_docs):
+    import ray.data
+    ds = ray.data.from_arrow(dup_docs)
+    sigs = pa.concat_tables(
+        ds.map_batches(dedup.SimHasher, concurrency=2,
+                       batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")).sort_by("doc_id")
+    s = dict(zip(sigs["doc_id"].to_pylist(), sigs["simhash"].to_pylist()))
+    assert s[3] == s[13]  # identical text -> identical signature
+    ham_near = bin(s[5] ^ s[15]).count("1")
+    assert ham_near <= 8  # one word changed out of 20
+    pairs = dedup.simhash_near_dups(ds, max_hamming=3, concurrency=2)
+    got = {(r["key_a"], r["key_b"]) for r in pairs.take_all()}
+    assert (3, 13) in got
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def test_brute_force_topk_self_is_top1():
+    import ray.data
+    ds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    first = ds.take(3)
+    q = np.stack([np.asarray(r["embedding"], dtype=np.float32)
+                  for r in first])
+    out = similarity.brute_force_topk(ds, q, k=5)
+    for qi, r in enumerate(first):
+        sel = out.filter(pa.compute.equal(out["query_id"], qi))
+        assert sel.num_rows == 5
+        top = sel.filter(pa.compute.equal(sel["rank"], 1))
+        assert top["vec_id"][0].as_py() == r["vec_id"]
+        assert abs(top["score"][0].as_py() - 1.0) < 1e-5
+        scores = sel.sort_by("rank")["score"].to_pylist()
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_lsh_topk_contains_self():
+    import ray.data
+    ds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    first = ds.take(2)
+    q = np.stack([np.asarray(r["embedding"], dtype=np.float32)
+                  for r in first])
+    out = similarity.lsh_topk(ds, q, k=5, n_planes=4)
+    for qi, r in enumerate(first):
+        sel = out.filter(pa.compute.equal(out["query_id"], qi))
+        top = sel.filter(pa.compute.equal(sel["rank"], 1))
+        assert top["vec_id"][0].as_py() == r["vec_id"]
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def test_multimodal_fake_pipeline():
+    import ray.data
+    t = multimodal.synth_media_table(48)
+    assert t.schema.equals(multimodal.MEDIA_SCHEMA)
+    ds = ray.data.from_arrow(t)
+    out = pa.concat_tables(
+        multimodal.decode_images(ds, fake=True, concurrency=2, batch_size=16)
+        .iter_batches(batch_format="pyarrow"))
+    assert out.num_rows == 48
+    assert "payload" not in out.column_names  # payload dropped post-decode
+    assert out["image_features"].type.list_size == 8
+    # determinism: same payload -> same features
+    out2 = pa.concat_tables(
+        multimodal.decode_images(ray.data.from_arrow(t), fake=True,
+                                 concurrency=2, batch_size=16)
+        .iter_batches(batch_format="pyarrow"))
+    assert out.sort_by("media_id").equals(out2.sort_by("media_id"))
+
+    audio = pa.concat_tables(
+        multimodal.sample_audio_frames(ds, fake=True, concurrency=2)
+        .iter_batches(batch_format="pyarrow"))
+    assert audio["frame_energy"].type.list_size == 4
+
+
+def test_multimodal_real_path_raises():
+    dec = multimodal.ImageDecoder(fake=False)
+    with pytest.raises(NotImplementedError):
+        dec._decode_one(b"\x00\x01")
