@@ -208,7 +208,12 @@ class ElementRange(Constraint):
         # values buffer coordinates
         offsets = np.asarray(col.offsets)
         values = col.values
-        vnp = np.asarray(values.to_numpy(zero_copy_only=False), dtype=np.float64)
+        # zero-copy in the common no-null case (native int/float dtype);
+        # nulls force the float64+NaN conversion path
+        vnp = values.to_numpy(zero_copy_only=not values.null_count) \
+            if not values.null_count \
+            else np.asarray(values.to_numpy(zero_copy_only=False),
+                            dtype=np.float64)
         bad = np.zeros(len(vnp), dtype=np.int64)
         if self.min is not None:
             bad |= vnp < self.min

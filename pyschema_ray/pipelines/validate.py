@@ -224,27 +224,31 @@ class ValidationPipeline:
         cfg = self.cfg
         t0 = time.perf_counter()
         ds = ray.data.read_parquet(shard_files, include_paths=True)
-        kwargs = dict(
-            fn_constructor_kwargs=dict(
-                schema_cls=cfg.schema_cls,
-                stats=cfg.stats,
-                ref_sets=cfg.ref_sets,
-                extra_constraints=cfg.extra_constraints,
-                baseline_profile=cfg.baseline_profile,
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
+        ctor = dict(
+            schema_cls=cfg.schema_cls,
+            stats=cfg.stats,
+            ref_sets=cfg.ref_sets,
+            extra_constraints=cfg.extra_constraints,
+            baseline_profile=cfg.baseline_profile,
         )
+        kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
         if cfg.batch_size is not None:
             kwargs["batch_size"] = cfg.batch_size
-        # callable-class stages require an explicit actor-pool size;
-        # default to an autoscaling pool bounded by the session's CPUs
-        if cfg.concurrency is not None:
-            kwargs["concurrency"] = cfg.concurrency
+        if cfg.concurrency is not None or cfg.baseline_profile is not None:
+            # stateful mode: actor pool (e.g. drift baseline loaded once
+            # per actor); callable classes require explicit concurrency
+            if cfg.concurrency is not None:
+                kwargs["concurrency"] = cfg.concurrency
+            else:
+                n = int(ray.cluster_resources().get("CPU", 4))
+                kwargs["concurrency"] = (1, max(2, n))
+            tagged = ds.map_batches(CompiledValidator,
+                                    fn_constructor_kwargs=ctor, **kwargs)
         else:
-            n = int(ray.cluster_resources().get("CPU", 4))
-            kwargs["concurrency"] = (1, max(2, n))
-        tagged = ds.map_batches(CompiledValidator, **kwargs)
+            # stateless mode: compile once on the driver, ship the
+            # compiled validator in the (plasma-cached) task closure —
+            # avoids actor-pool spin-up and scales elastically
+            tagged = ds.map_batches(CompiledValidator(**ctor), **kwargs)
 
         # tagged stream is tiny (violations + 1 stats row per batch);
         # pull to the driver

@@ -24,6 +24,7 @@ import zlib
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 # ---------------------------------------------------------------------------
 # stable vectorized hashing
@@ -37,6 +38,8 @@ def hash_strings(values) -> np.ndarray:
     be a numpy object array, list, or an Arrow array (converted
     zero-copy where possible).
     """
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = values.to_numpy(zero_copy_only=False)
     arr = np.asarray(values, dtype=object)
     return pd.util.hash_array(arr, categorize=False)
 
@@ -106,39 +109,26 @@ class TDigest:
         return self
 
     def _compress(self, means: np.ndarray, weights: np.ndarray) -> None:
+        """Fully vectorized compression: each (sorted) point is assigned
+        to the k-scale bin ``floor(k(q_mid))``; k has range compression/2,
+        so this yields <= compression/2 + 1 centroids, each spanning a
+        k-width <= 1 (the t-digest size invariant).  No Python loop over
+        values — reduceat does the clustering."""
         order = np.argsort(means, kind="stable")
         means = means[order]
         weights = weights[order]
         total = weights.sum()
-        d = float(self.compression)
-        norm = d / (2.0 * np.pi)
-
-        def k(q):
-            return norm * np.arcsin(np.clip(2.0 * q - 1.0, -1.0, 1.0))
-
-        out_m: list[float] = []
-        out_w: list[float] = []
-        w_so_far = 0.0
-        cur_m = means[0]
-        cur_w = weights[0]
-        k_left = k(0.0)
-        for i in range(1, means.size):
-            proposed = cur_w + weights[i]
-            q_right = (w_so_far + proposed) / total
-            if k(q_right) - k_left <= 1.0:
-                cur_m += (means[i] - cur_m) * (weights[i] / proposed)
-                cur_w = proposed
-            else:
-                out_m.append(cur_m)
-                out_w.append(cur_w)
-                w_so_far += cur_w
-                k_left = k(w_so_far / total)
-                cur_m = means[i]
-                cur_w = weights[i]
-        out_m.append(cur_m)
-        out_w.append(cur_w)
-        self.means = np.asarray(out_m)
-        self.weights = np.asarray(out_w)
+        norm = self.compression / (2.0 * np.pi)
+        cum = np.cumsum(weights)
+        q_mid = (cum - weights / 2.0) / total
+        k = norm * np.arcsin(np.clip(2.0 * q_mid - 1.0, -1.0, 1.0))
+        bins = np.floor(k).astype(np.int64)
+        change = np.nonzero(np.diff(bins))[0] + 1
+        starts = np.concatenate([[0], change])
+        new_w = np.add.reduceat(weights, starts)
+        new_m = np.add.reduceat(means * weights, starts) / new_w
+        self.means = new_m
+        self.weights = new_w
 
     # -- queries ----------------------------------------------------------
     def quantile(self, q: float) -> float:

@@ -165,6 +165,42 @@ def _list_with_nulls(offsets: np.ndarray, flat: np.ndarray,
                                     mask=pa.array(~validity))
 
 
+def _gen_one_shard(args) -> str:
+    (i, rows, seed, out_dir, mean_len, inject, row_group_size) = args
+    table, _ = generate_sequences(rows, seed=seed * 100_003 + i, n_files=1,
+                                  mean_len=mean_len, inject=inject)
+    # re-key doc ids so they are globally unique across shards
+    ids = table["doc_id"].to_pylist()
+    base = i * rows
+    ids = [f"doc-{base + int(x.split('-')[1]):012d}"
+           if x is not None and x.startswith("doc-") else x for x in ids]
+    table = table.set_column(0, "doc_id",
+                             pa.array(ids, pa.string(), from_pandas=True))
+    p = os.path.join(out_dir, f"part-{i:05d}.parquet")
+    pq.write_table(table, p, row_group_size=row_group_size)
+    return p
+
+
+def generate_sequences_sharded(n_rows: int, seed: int = 42,
+                               n_files: int = 32,
+                               out_dir: str = "/tmp/seq_corpus",
+                               mean_len: float = 200.0, inject: bool = True,
+                               processes: int = 8) -> list[str]:
+    """Parallel (multiprocessing) corpus generation for bench-scale
+    inputs: each file is generated independently from a per-file seed,
+    with doc ids re-keyed to a disjoint range per file.  Deterministic
+    given (n_rows, seed, n_files).  Duplicate-id injection stays within
+    a file, so global dup counts still match the per-file injection."""
+    import multiprocessing as mp
+
+    os.makedirs(out_dir, exist_ok=True)
+    rows_per = n_rows // n_files
+    jobs = [(i, rows_per, seed, out_dir, mean_len, inject, 20_000)
+            for i in range(n_files)]
+    with mp.get_context("spawn").Pool(processes) as pool:
+        return sorted(pool.map(_gen_one_shard, jobs))
+
+
 def sources_dim_table() -> pa.Table:
     """FIXTURES.md F2 broadcast dimension table."""
     return pa.table({

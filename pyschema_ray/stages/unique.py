@@ -1,61 +1,93 @@
-"""Exact global uniqueness via groupby-aggregate hash shuffle (E6).
+"""Exact global uniqueness (E6) — bucketed groupby-aggregate hash
+shuffle.
 
-The only all-to-all exchange in the validation suite.  Scale rules
-applied here (SURVEY.md §4.2, §7):
+Naive ``groupby(key).count()`` shuffles on the raw (near-unique) string
+key, which makes Ray's sort-based shuffle order the full key set — slow
+and memory-hungry at 10^12 keys.  Instead:
 
-* project to the key column FIRST — the shuffle never moves the fat
-  ``tokens`` column;
-* pre-aggregate inside ``map_batches`` (per-batch ``value_counts``) so
-  the shuffle input is (distinct-keys-per-batch, count) pairs, not raw
-  rows — a classic combiner;
-* the groupby key (``doc_id``-like, near-unique) hash-distributes
-  uniformly, so no skew handling is needed; never group by the skewed
-  ``source`` column.
+1. per-batch combiner (``map_batches``): drop null keys (they're
+   covered by ``not_null``), pre-aggregate duplicate keys within the
+   batch, and attach ``bucket = siphash64(key) % num_buckets`` — an
+   *integer* shuffle key;
+2. ``groupby("bucket")`` — the all-to-all exchange now sorts a small
+   integer column; identical keys always share a bucket;
+3. ``map_groups`` per bucket: a C++ Arrow ``group_by`` finds keys with
+   total count > 1 inside the bucket.
+
+Scale rules: the shuffle moves only (key, bucket, cnt) — never the fat
+``tokens`` column; bucket count defaults to 4x cluster CPUs (set
+``num_buckets`` ~ 4x total cores on a real cluster so each bucket is a
+task); the key hash is uniform, so buckets are balanced regardless of
+data skew.  Bucketing is by hash but dup detection compares the real
+keys, so hash collisions cannot create false duplicates (at 10^12 keys
+64-bit collisions WOULD occur).
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..constraints import Unique
+from ..sketches import hash_strings
 
 
-def _batch_counts(key: str):
+def _default_buckets() -> int:
+    import ray
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 16))
+    except Exception:  # noqa: BLE001
+        cpus = 16
+    return max(64, cpus * 4)
+
+
+def _bucketize(key: str, num_buckets: int):
     def fn(t: pa.Table) -> pa.Table:
-        # null keys are handled by not_null(key); Ray's sort-based
-        # groupby cannot order null keys, so drop them here
+        # null keys are handled by not_null(key); also Ray's sort-based
+        # groupby cannot order null keys
         t = t.filter(pc.is_valid(t[key]))
-        counts = t.group_by(key).aggregate([(key, "count")])
-        return counts.rename_columns([key, "cnt"])
+        h = hash_strings(pc.cast(t[key], pa.string()))
+        pre = pa.table({
+            key: t[key],
+            "bucket": pa.array((h % np.uint64(num_buckets)).astype(np.int64)),
+        })
+        g = pre.group_by(["bucket", key]).aggregate([(key, "count")])
+        return g.rename_columns(["bucket", key, "cnt"])
     return fn
 
 
-def duplicate_keys(ds, key: str):
-    """-> Dataset(key, dup_count) with dup_count >= 2.  ``ds`` may be the
-    full table; only ``key`` survives to the shuffle."""
-    import ray.data  # noqa: F401
+def _find_dups(key: str):
+    def fn(t: pa.Table) -> pa.Table:
+        g = t.group_by(key).aggregate([("cnt", "sum")])
+        g = g.rename_columns([key, "dup_count"])
+        return g.filter(pc.greater(g["dup_count"], 1))
+    return fn
 
+
+def duplicate_keys(ds, key: str, num_buckets: int | None = None):
+    """-> Dataset(key, dup_count) with dup_count >= 2.  ``ds`` may be
+    the full table; only (key, bucket, cnt) survives to the shuffle."""
+    nb = num_buckets or _default_buckets()
     pre = (ds.select_columns([key])
-             .map_batches(_batch_counts(key), batch_format="pyarrow"))
-    agg = pre.groupby(key).sum("cnt")
-    agg = agg.map_batches(
-        lambda t: t.rename_columns([key, "dup_count"]).filter(
-            pc.greater(t["sum(cnt)"], 1)),
-        batch_format="pyarrow")
-    return agg
+             .map_batches(_bucketize(key, nb), batch_format="pyarrow"))
+    return pre.groupby("bucket").map_groups(_find_dups(key),
+                                            batch_format="pyarrow")
 
 
-def uniqueness_violations(ds, key: str) -> pa.Table:
+def uniqueness_violations(ds, key: str,
+                          num_buckets: int | None = None) -> pa.Table:
     """Materialize duplicate keys as frozen violation rows
     (key, partition_id='<global>', constraint, detail).  The duplicate
     set is assumed small relative to the input (defect-rate sized); for
     a pathological all-duplicates input, stream ``duplicate_keys``
     to parquet instead."""
     c = Unique(key)
-    dups = duplicate_keys(ds, key)
+    dups = duplicate_keys(ds, key, num_buckets)
     parts = []
     for batch in dups.iter_batches(batch_format="pyarrow", batch_size=65536):
+        if batch.num_rows == 0:
+            continue
         keys = pc.cast(batch[key], pa.string())
         n = len(keys)
         parts.append(pa.table({

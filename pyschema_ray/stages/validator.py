@@ -255,7 +255,7 @@ class CompiledValidator:
         if s.cardinality_column and s.cardinality_column in table.column_names:
             col = pc.drop_null(table[s.cardinality_column])
             hll = HyperLogLog(s.hll_p)
-            hll.add_strings(pc.cast(col, pa.string()).to_pylist())
+            hll.add_strings(pc.cast(col, pa.string()))
             p.hll = hll.to_bytes()
         if (s.histogram_column and s.histogram_group
                 and s.histogram_column in table.column_names
