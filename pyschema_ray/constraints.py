@@ -206,27 +206,42 @@ class ElementRange(Constraint):
             col = pa.array([], type=col.type) if col.num_chunks == 0 else col.chunk(0)
         # offsets of the (possibly sliced) ListArray, normalized to the
         # values buffer coordinates
-        offsets = np.asarray(col.offsets)
-        values = col.values
+        offsets = np.asarray(col.offsets, dtype=np.int64)
+        n_rows = len(col)
+        if n_rows == 0:
+            return pa.array(np.ones(0, dtype=bool))
+        # CRITICAL for batched execution: ``col.values`` of a *sliced*
+        # ListArray is the FULL child array; restrict to this slice's
+        # value range or per-batch work becomes O(block), i.e. quadratic
+        # over the file
+        lo_idx = int(offsets[0])
+        hi_idx = int(offsets[-1])
+        offsets = offsets - lo_idx
+        values = col.values.slice(lo_idx, hi_idx - lo_idx)
         # zero-copy in the common no-null case (native int/float dtype);
         # nulls force the float64+NaN conversion path
         vnp = values.to_numpy(zero_copy_only=not values.null_count) \
             if not values.null_count \
             else np.asarray(values.to_numpy(zero_copy_only=False),
                             dtype=np.float64)
-        bad = np.zeros(len(vnp), dtype=np.int64)
-        if self.min is not None:
-            bad |= vnp < self.min
-        if self.max is not None:
-            bad |= vnp >= self.max
+        if self.min is not None and self.max is not None:
+            bad = (vnp < self.min) | (vnp >= self.max)
+        elif self.min is not None:
+            bad = vnp < self.min
+        else:
+            bad = vnp >= self.max
         if values.null_count:
             bad &= np.asarray(pc.is_valid(values))  # null elements: skip
-        csum = np.concatenate([[0], np.cumsum(bad)])
-        per_row_bad = (csum[offsets[1:]] - csum[offsets[:-1]]) > 0
-        valid = ~per_row_bad
+        # out-of-range elements are defect-rate sparse: locate them and
+        # map value index -> row via searchsorted instead of a full
+        # cumsum over every element
+        valid = np.ones(n_rows, dtype=bool)
+        bad_idx = np.nonzero(bad)[0]
+        if bad_idx.size:
+            rows = np.searchsorted(offsets, bad_idx, side="right") - 1
+            valid[rows] = False
         if col.null_count:
             valid |= ~np.asarray(pc.is_valid(col))  # null list -> valid here
-            valid = np.where(np.asarray(pc.is_valid(col)), ~per_row_bad, True)
         return pa.array(valid)
 
 

@@ -164,17 +164,31 @@ def minhash_lsh_candidates(ds, text_col: str = "text",
         lambda t: lsh_band_buckets(t, key_col=key_col, bands=bands),
         batch_format="pyarrow")
 
+    # shuffle on a SMALL mod-bucket (co-locating whole (band, bucket)
+    # groups), never on the raw (band, bucket) pair: a groupby with one
+    # tiny group per bucket is pathological in any engine at scale
+    nb = 64
+
+    def add_mod(t: pa.Table) -> pa.Table:
+        m = mix64(np.asarray(t["bucket"].to_numpy(zero_copy_only=False),
+                             dtype=np.uint64),
+                  7) % np.uint64(nb)
+        return t.append_column("shard", pa.array(m.astype(np.int64)))
+
     def emit_pairs(df):
         import pandas as pd
-        keys = sorted(df[key_col].tolist())
-        if len(keys) < 2:
-            return pd.DataFrame({"key_a": [], "key_b": []})
-        a, b = zip(*((keys[i], keys[j]) for i in range(len(keys))
-                     for j in range(i + 1, len(keys))))
-        return pd.DataFrame({"key_a": list(a), "key_b": list(b)})
+        dup = df[df.duplicated(["band", "bucket"], keep=False)]
+        a_out, b_out = [], []
+        for _, g in dup.groupby(["band", "bucket"], sort=False):
+            keys = sorted(g[key_col].tolist())
+            for i in range(len(keys)):
+                for j in range(i + 1, len(keys)):
+                    a_out.append(keys[i])
+                    b_out.append(keys[j])
+        return pd.DataFrame({"key_a": a_out, "key_b": b_out})
 
-    pairs = buckets.groupby(["band", "bucket"]).map_groups(
-        emit_pairs, batch_format="pandas")
+    pairs = buckets.map_batches(add_mod, batch_format="pyarrow") \
+        .groupby("shard").map_groups(emit_pairs, batch_format="pandas")
     # same pair can surface from several bands -> distinct
     return pairs.groupby(["key_a", "key_b"]).count().drop_columns(["count()"])
 
@@ -277,23 +291,35 @@ def simhash_near_dups(ds, text_col: str = "text", key_col: str = "doc_id",
 
     exploded = sigs.map_batches(explode_chunks, batch_format="pyarrow")
 
+    # same small-mod-bucket shuffle as MinHash LSH: co-locate whole
+    # (chunk_id, chunk) groups on a few integer shards
+    nb = 64
+
+    def add_mod(t: pa.Table) -> pa.Table:
+        base = (np.asarray(t["chunk"].to_numpy(zero_copy_only=False),
+                           dtype=np.uint64)
+                + (np.asarray(t["chunk_id"].to_numpy(zero_copy_only=False),
+                              dtype=np.uint64) << np.uint64(17)))
+        m = mix64(base, 11) % np.uint64(nb)
+        return t.append_column("shard", pa.array(m.astype(np.int64)))
+
     def emit(df):
         import pandas as pd
-        if len(df) < 2:
-            return pd.DataFrame({"key_a": [], "key_b": [], "hamming": []})
-        recs = sorted(zip(df[key_col], df["simhash"]))
         a_out, b_out, h_out = [], [], []
-        for i in range(len(recs)):
-            for j in range(i + 1, len(recs)):
-                x = np.uint64(recs[i][1]) ^ np.uint64(recs[j][1])
-                ham = bin(int(x)).count("1")
-                if ham <= max_hamming and recs[i][0] != recs[j][0]:
-                    a_out.append(recs[i][0])
-                    b_out.append(recs[j][0])
-                    h_out.append(ham)
+        dup = df[df.duplicated(["chunk_id", "chunk"], keep=False)]
+        for _, g in dup.groupby(["chunk_id", "chunk"], sort=False):
+            recs = sorted(zip(g[key_col], g["simhash"]))
+            for i in range(len(recs)):
+                for j in range(i + 1, len(recs)):
+                    x = np.uint64(recs[i][1]) ^ np.uint64(recs[j][1])
+                    ham = bin(int(x)).count("1")
+                    if ham <= max_hamming and recs[i][0] != recs[j][0]:
+                        a_out.append(recs[i][0])
+                        b_out.append(recs[j][0])
+                        h_out.append(ham)
         return pd.DataFrame({"key_a": a_out, "key_b": b_out,
                              "hamming": h_out})
 
-    pairs = exploded.groupby(["chunk_id", "chunk"]).map_groups(
-        emit, batch_format="pandas")
+    pairs = exploded.map_batches(add_mod, batch_format="pyarrow") \
+        .groupby("shard").map_groups(emit, batch_format="pandas")
     return pairs.groupby(["key_a", "key_b"]).min("hamming")

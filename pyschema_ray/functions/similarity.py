@@ -26,16 +26,18 @@ def _as_matrix(col) -> np.ndarray:
         col = col.combine_chunks()
     if pa.types.is_fixed_size_list(col.type):
         d = col.type.list_size
-        flat = col.values
+        flat = col.values  # FixedSizeListArray.values IS slice-adjusted
     else:
-        offsets = np.asarray(col.offsets)
+        offsets = np.asarray(col.offsets, dtype=np.int64)
         lens = np.diff(offsets)
         if len(lens) == 0:
             return np.empty((0, 0), dtype=np.float32)
         d = int(lens[0])
         if not (lens == d).all():
             raise ValueError("ragged embedding column; expected fixed dim")
-        flat = col.values
+        # .values of a sliced ListArray is the full child — restrict it
+        flat = col.values.slice(int(offsets[0]),
+                                int(offsets[-1]) - int(offsets[0]))
     m = np.asarray(flat.to_numpy(zero_copy_only=False), dtype=np.float32)
     return m.reshape(-1, d)
 

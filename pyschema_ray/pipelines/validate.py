@@ -38,8 +38,8 @@ import pyarrow.parquet as pq
 from ..stages import drift as drift_mod
 from ..stages import stats as stats_mod
 from ..stages.unique import uniqueness_violations
-from ..stages.validator import (CompiledValidator, StatsConfig,
-                                VIOLATION_SCHEMA)
+from ..stages.validator import (CompiledValidator, FileValidator,
+                                StatsConfig, VIOLATION_SCHEMA)
 from ..state.manifest import Manifest, ShardRecord, schema_hash
 
 
@@ -59,6 +59,10 @@ class PipelineConfig:
     kl_threshold: float = 0.5
     check_unique: bool = True
     quantiles: tuple = (0.5, 0.9, 0.99)
+    #: fuse parquet read into the validate/uniqueness tasks (one task
+    #: per file; the decoded data never transits the object store).
+    #: Disable for non-file inputs or when downstream consumes blocks.
+    fused: bool = True
 
 
 @dataclass
@@ -185,8 +189,11 @@ class ValidationPipeline:
             key = cfg.schema_cls.key_field()
             uniq = self.manifest.get_global("unique")
             if uniq is None:
-                ds = ray.data.read_parquet(files, columns=[key])
-                dup_tbl = uniqueness_violations(ds, key)
+                if self.cfg.fused:
+                    dup_tbl = uniqueness_violations(files, key)
+                else:
+                    ds = ray.data.read_parquet(files, columns=[key])
+                    dup_tbl = uniqueness_violations(ds, key)
                 self._write_violations(dup_tbl, "global-unique")
                 uniq = {"duplicate_keys": dup_tbl.num_rows,
                         "constraint": f"unique({key})"}
@@ -223,7 +230,6 @@ class ValidationPipeline:
 
         cfg = self.cfg
         t0 = time.perf_counter()
-        ds = ray.data.read_parquet(shard_files, include_paths=True)
         ctor = dict(
             schema_cls=cfg.schema_cls,
             stats=cfg.stats,
@@ -231,24 +237,40 @@ class ValidationPipeline:
             extra_constraints=cfg.extra_constraints,
             baseline_profile=cfg.baseline_profile,
         )
-        kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
-        if cfg.batch_size is not None:
-            kwargs["batch_size"] = cfg.batch_size
-        if cfg.concurrency is not None or cfg.baseline_profile is not None:
-            # stateful mode: actor pool (e.g. drift baseline loaded once
-            # per actor); callable classes require explicit concurrency
-            if cfg.concurrency is not None:
-                kwargs["concurrency"] = cfg.concurrency
+        if cfg.fused:
+            # fused read+validate: one task per file streams its row
+            # groups through the validator locally and ships ONLY the
+            # tiny tagged output — the decoded corpus never transits
+            # the object store (see FileValidator docstring)
+            fctor = dict(batch_rows=cfg.batch_size or 8192, **ctor)
+            ds = ray.data.from_items(
+                [{"path": f} for f in shard_files])
+            kwargs = dict(batch_format="pyarrow", batch_size=1)
+            if cfg.concurrency is not None or cfg.baseline_profile is not None:
+                kwargs["concurrency"] = cfg.concurrency or \
+                    (1, max(2, int(ray.cluster_resources().get("CPU", 4))))
+                tagged = ds.map_batches(FileValidator,
+                                        fn_constructor_kwargs=fctor, **kwargs)
             else:
-                n = int(ray.cluster_resources().get("CPU", 4))
-                kwargs["concurrency"] = (1, max(2, n))
-            tagged = ds.map_batches(CompiledValidator,
-                                    fn_constructor_kwargs=ctor, **kwargs)
+                tagged = ds.map_batches(FileValidator(**fctor), **kwargs)
         else:
-            # stateless mode: compile once on the driver, ship the
-            # compiled validator in the (plasma-cached) task closure —
-            # avoids actor-pool spin-up and scales elastically
-            tagged = ds.map_batches(CompiledValidator(**ctor), **kwargs)
+            # generic Dataset path (non-file sources, or when downstream
+            # stages also consume the decoded blocks)
+            ds = ray.data.read_parquet(shard_files, include_paths=True)
+            kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
+            if cfg.batch_size is not None:
+                kwargs["batch_size"] = cfg.batch_size
+            if cfg.concurrency is not None or cfg.baseline_profile is not None:
+                # stateful mode: actor pool (e.g. drift baseline loaded
+                # once per actor)
+                kwargs["concurrency"] = cfg.concurrency or \
+                    (1, max(2, int(ray.cluster_resources().get("CPU", 4))))
+                tagged = ds.map_batches(CompiledValidator,
+                                        fn_constructor_kwargs=ctor, **kwargs)
+            else:
+                # stateless mode: compile once on the driver, ship the
+                # compiled validator in the (plasma-cached) task closure
+                tagged = ds.map_batches(CompiledValidator(**ctor), **kwargs)
 
         # tagged stream is tiny (violations + 1 stats row per batch);
         # pull to the driver

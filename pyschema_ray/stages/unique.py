@@ -65,6 +65,33 @@ def _find_dups(key: str):
     return fn
 
 
+def duplicate_keys_from_files(files: list[str], key: str,
+                              num_buckets: int | None = None):
+    """Fused variant: each task reads ONLY the key column of its file
+    (column-pruned parquet read inside the task — the decoded key data
+    never transits the object store unaggregated) and emits the
+    (bucket, key, cnt) combiner output; then the bucket groupby as in
+    :func:`duplicate_keys`."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    nb = num_buckets or _default_buckets()
+    bucketize = _bucketize(key, nb)
+
+    def per_file(batch: pa.Table) -> pa.Table:
+        outs = []
+        for path in batch["path"].to_pylist():
+            t = pq.read_table(path, columns=[key])
+            outs.append(bucketize(t))
+        return outs[0] if len(outs) == 1 else pa.concat_tables(outs)
+
+    ds = ray.data.from_items([{"path": f} for f in files])
+    pre = ds.map_batches(per_file, batch_format="pyarrow", batch_size=1)
+    return pre.groupby("bucket").map_groups(_find_dups(key),
+                                            batch_format="pyarrow")
+
+
 def duplicate_keys(ds, key: str, num_buckets: int | None = None):
     """-> Dataset(key, dup_count) with dup_count >= 2.  ``ds`` may be
     the full table; only (key, bucket, cnt) survives to the shuffle."""
@@ -75,15 +102,19 @@ def duplicate_keys(ds, key: str, num_buckets: int | None = None):
                                             batch_format="pyarrow")
 
 
-def uniqueness_violations(ds, key: str,
+def uniqueness_violations(ds_or_files, key: str,
                           num_buckets: int | None = None) -> pa.Table:
     """Materialize duplicate keys as frozen violation rows
-    (key, partition_id='<global>', constraint, detail).  The duplicate
-    set is assumed small relative to the input (defect-rate sized); for
-    a pathological all-duplicates input, stream ``duplicate_keys``
-    to parquet instead."""
+    (key, partition_id='<global>', constraint, detail).  Accepts a
+    Dataset or a list of parquet paths (fused, column-pruned reads).
+    The duplicate set is assumed small relative to the input
+    (defect-rate sized); for a pathological all-duplicates input,
+    stream ``duplicate_keys`` to parquet instead."""
     c = Unique(key)
-    dups = duplicate_keys(ds, key, num_buckets)
+    if isinstance(ds_or_files, (list, tuple)):
+        dups = duplicate_keys_from_files(list(ds_or_files), key, num_buckets)
+    else:
+        dups = duplicate_keys(ds_or_files, key, num_buckets)
     parts = []
     for batch in dups.iter_batches(batch_format="pyarrow", batch_size=65536):
         if batch.num_rows == 0:

@@ -93,6 +93,101 @@ class StatsPartial:
     def from_bytes(b: bytes) -> "StatsPartial":
         return pickle.loads(b)
 
+    def merge(self, other: "StatsPartial") -> "StatsPartial":
+        """Associative partial-partial merge (used by FileValidator to
+        collapse per-batch partials to one per file, so the driver-side
+        final reduce is O(files), not O(batches))."""
+        from ..sketches import GroupedHistogram, HyperLogLog, TDigest
+
+        self.row_count += other.row_count
+        for k, v in other.null_counts.items():
+            self.null_counts[k] = self.null_counts.get(k, 0) + v
+        for k, (lo, hi) in other.minmax.items():
+            cur = self.minmax.get(k)
+            self.minmax[k] = (lo, hi) if cur is None else \
+                (min(cur[0], lo), max(cur[1], hi))
+        for k, v in other.violation_counts.items():
+            self.violation_counts[k] = self.violation_counts.get(k, 0) + v
+        if other.tdigest is not None:
+            self.tdigest = other.tdigest if self.tdigest is None else \
+                TDigest.from_bytes(self.tdigest).merge(
+                    TDigest.from_bytes(other.tdigest)).to_bytes()
+        if other.hll is not None:
+            self.hll = other.hll if self.hll is None else \
+                HyperLogLog.from_bytes(self.hll).merge(
+                    HyperLogLog.from_bytes(other.hll)).to_bytes()
+        if other.hist is not None:
+            self.hist = other.hist if self.hist is None else \
+                GroupedHistogram.from_bytes(self.hist).merge(
+                    GroupedHistogram.from_bytes(other.hist)).to_bytes()
+        return self
+
+
+class StatsAccumulator:
+    """Live sketch state for one lineage partition.  Dataset mode uses
+    a throwaway accumulator per batch (partials merge downstream);
+    FileValidator keeps ONE per file so each file ships a single merged
+    partial and the driver-side final reduce is O(files)."""
+
+    def __init__(self, cfg: StatsConfig):
+        self.cfg = cfg
+        self.row_count = 0
+        self.null_counts: dict = {}
+        self.minmax: dict = {}
+        self.violation_counts: dict = {}
+        self.tdigest = TDigest(cfg.tdigest_compression) \
+            if cfg.quantile_column else None
+        self.hll = HyperLogLog(cfg.hll_p) if cfg.cardinality_column else None
+        if cfg.histogram_column and cfg.histogram_group:
+            lo, hi = cfg.histogram_range
+            self.hist = GroupedHistogram(lo, hi, cfg.histogram_bins)
+        else:
+            self.hist = None
+
+    def update(self, table: pa.Table, viol_counts: dict) -> None:
+        s = self.cfg
+        self.row_count += table.num_rows
+        for k, v in viol_counts.items():
+            self.violation_counts[k] = self.violation_counts.get(k, 0) + v
+        for col in table.column_names:
+            self.null_counts[col] = self.null_counts.get(col, 0) \
+                + table[col].null_count
+        for col in s.minmax_columns:
+            if col in table.column_names and table.num_rows:
+                mm = pc.min_max(table[col])
+                lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                if lo is not None:
+                    cur = self.minmax.get(col)
+                    self.minmax[col] = (lo, hi) if cur is None else \
+                        (min(cur[0], lo), max(cur[1], hi))
+        if self.tdigest is not None and s.quantile_column in table.column_names:
+            vals = np.asarray(
+                pc.drop_null(table[s.quantile_column])
+                .to_numpy(zero_copy_only=False), dtype=np.float64)
+            self.tdigest.add(vals)
+        if self.hll is not None and s.cardinality_column in table.column_names:
+            col = pc.drop_null(table[s.cardinality_column])
+            self.hll.add_strings(pc.cast(col, pa.string()))
+        if (self.hist is not None
+                and s.histogram_column in table.column_names
+                and s.histogram_group in table.column_names):
+            self.hist.add(
+                table[s.histogram_group].to_numpy(zero_copy_only=False),
+                table[s.histogram_column].to_numpy(zero_copy_only=False))
+
+    def to_partial(self) -> StatsPartial:
+        p = StatsPartial(row_count=self.row_count)
+        p.null_counts = dict(self.null_counts)
+        p.minmax = dict(self.minmax)
+        p.violation_counts = dict(self.violation_counts)
+        if self.tdigest is not None:
+            p.tdigest = self.tdigest.to_bytes()
+        if self.hll is not None:
+            p.hll = self.hll.to_bytes()
+        if self.hist is not None:
+            p.hist = self.hist.to_bytes()
+        return p
+
 
 class CompiledValidator:
     """Actor-pool batch validator.  See module docstring.
@@ -134,6 +229,13 @@ class CompiledValidator:
         self.baseline = baseline_profile
 
     # ------------------------------------------------------------------
+    def validate_table(self, table: pa.Table, partition_id: str = "",
+                       accumulator: "StatsAccumulator | None" = None) -> pa.Table:
+        """Validate one batch with a known lineage partition id.  When
+        ``accumulator`` is given, stats are folded into it instead of
+        emitting a per-batch stats row (fused file mode)."""
+        return self._validate_piece(partition_id, table, accumulator)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         if PARTITION_COLUMN in batch.column_names:
             parts = batch[PARTITION_COLUMN]
@@ -173,7 +275,8 @@ class CompiledValidator:
                              f"type {actual} not castable to {f.type}"))
         return rows
 
-    def _validate_piece(self, pid: str, table: pa.Table) -> pa.Table:
+    def _validate_piece(self, pid: str, table: pa.Table,
+                        accumulator: "StatsAccumulator | None" = None) -> pa.Table:
         n = table.num_rows
         kinds, keys, partitions, constraints, details = [], [], [], [], []
         blobs, row_counts = [], []
@@ -214,14 +317,21 @@ class CompiledValidator:
             row_counts.extend([0] * cnt)
 
         if self.stats is not None:
-            partial = self._stats_partial(table, viol_counts, schema_rows)
-            kinds.append("stats")
-            keys.append(None)
-            partitions.append(pid)
-            constraints.append("")
-            details.append("")
-            blobs.append(partial.to_bytes())
-            row_counts.append(n)
+            all_counts = dict(viol_counts)
+            for cname, _ in schema_rows:
+                all_counts[cname] = all_counts.get(cname, 0) + 1
+            if accumulator is not None:
+                accumulator.update(table, all_counts)
+            else:
+                acc = StatsAccumulator(self.stats)
+                acc.update(table, all_counts)
+                kinds.append("stats")
+                keys.append(None)
+                partitions.append(pid)
+                constraints.append("")
+                details.append("")
+                blobs.append(acc.to_partial().to_bytes())
+                row_counts.append(n)
 
         return pa.table({
             "kind": pa.array(kinds, pa.string()),
@@ -232,41 +342,6 @@ class CompiledValidator:
             "blob": pa.array(blobs, pa.binary()),
             "row_count": pa.array(row_counts, pa.int64()),
         }, schema=RESULT_SCHEMA)
-
-    # ------------------------------------------------------------------
-    def _stats_partial(self, table: pa.Table, viol_counts: dict,
-                       schema_rows) -> StatsPartial:
-        s = self.stats
-        p = StatsPartial(row_count=table.num_rows)
-        p.violation_counts = dict(viol_counts)
-        for cname, _ in schema_rows:
-            p.violation_counts[cname] = p.violation_counts.get(cname, 0) + 1
-        for col in table.column_names:
-            p.null_counts[col] = table[col].null_count
-        for col in s.minmax_columns:
-            if col in table.column_names and table.num_rows:
-                mm = pc.min_max(table[col])
-                p.minmax[col] = (mm["min"].as_py(), mm["max"].as_py())
-        if s.quantile_column and s.quantile_column in table.column_names:
-            vals = np.asarray(pc.drop_null(table[s.quantile_column])
-                              .to_numpy(zero_copy_only=False), dtype=np.float64)
-            td = TDigest(s.tdigest_compression).add(vals)
-            p.tdigest = td.to_bytes()
-        if s.cardinality_column and s.cardinality_column in table.column_names:
-            col = pc.drop_null(table[s.cardinality_column])
-            hll = HyperLogLog(s.hll_p)
-            hll.add_strings(pc.cast(col, pa.string()))
-            p.hll = hll.to_bytes()
-        if (s.histogram_column and s.histogram_group
-                and s.histogram_column in table.column_names
-                and s.histogram_group in table.column_names):
-            lo, hi = s.histogram_range
-            gh = GroupedHistogram(lo, hi, s.histogram_bins)
-            gh.add(table[s.histogram_group].to_numpy(zero_copy_only=False),
-                   table[s.histogram_column].to_numpy(zero_copy_only=False))
-            p.hist = gh.to_bytes()
-        return p
-
 
 def _columns_present(c: Constraint, names) -> bool:
     cols = [getattr(c, "column", None), getattr(c, "list_column", None)]
@@ -289,6 +364,57 @@ def _castable(src: pa.DataType, dst: pa.DataType) -> bool:
     if pa.types.is_integer(src) and pa.types.is_integer(dst):
         return True
     return False
+
+
+class FileValidator:
+    """Fused read+validate: one task per input FILE.
+
+    The generic path (``read_parquet -> map_batches(CompiledValidator)``)
+    decodes the whole corpus into object-store blocks that the validator
+    immediately reduces to a tiny tagged stream — at 17 GB decoded that
+    object-store round trip dominated wall time.  Since validation is a
+    pure reduction, each task instead streams its file's row groups
+    through the compiled validator locally (``ParquetFile.iter_batches``
+    — one ~8k-row batch in memory at a time) and ships ONLY the tagged
+    output.  Partition lineage (= file path) is exact by construction.
+
+    Use as ``from_items(paths) -> map_batches(FileValidator(...) | cls,
+    batch_size=1)``; works both as a task closure and as an actor pool
+    (pass via class + fn_constructor_kwargs when holding a drift
+    baseline).
+    """
+
+    def __init__(self, batch_rows: int = 8192, columns: list | None = None,
+                 **validator_kwargs):
+        self.validator = CompiledValidator(**validator_kwargs)
+        self.batch_rows = batch_rows
+        self.columns = columns
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        outs = []
+        for path in batch[PARTITION_COLUMN].to_pylist():
+            pf = pq.ParquetFile(path)
+            acc = (StatsAccumulator(self.validator.stats)
+                   if self.validator.stats is not None else None)
+            for rb in pf.iter_batches(batch_size=self.batch_rows,
+                                      columns=self.columns):
+                tbl = pa.Table.from_batches([rb])
+                outs.append(self.validator.validate_table(tbl, path, acc))
+            if acc is not None:
+                # one merged stats row per FILE (not per batch)
+                outs.append(pa.table({
+                    "kind": pa.array(["stats"], pa.string()),
+                    "key": pa.array([None], pa.string()),
+                    "partition_id": pa.array([path], pa.string()),
+                    "constraint": pa.array([""], pa.string()),
+                    "detail": pa.array([""], pa.string()),
+                    "blob": pa.array([acc.to_partial().to_bytes()],
+                                     pa.binary()),
+                    "row_count": pa.array([acc.row_count], pa.int64()),
+                }, schema=RESULT_SCHEMA))
+        return pa.concat_tables(outs) if outs else RESULT_SCHEMA.empty_table()
 
 
 # ---------------------------------------------------------------------------
