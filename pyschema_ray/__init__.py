@@ -20,13 +20,16 @@ owns the Ray session.
 
 from .schema import (Boolean, Bytes, Date, DateTime, Enum, Field, Float,
                      Integer, List, Map, ParseError, Record, SchemaStore,
-                     SubRecord, Text, ispyschema, no_auto_store,
-                     schema_store)
+                     SubRecord, Text, dumps, get_avro_schema_dict,
+                     get_avro_schema_string, get_json_schema, ispyschema,
+                     loads, no_auto_store, record_from_arrow, schema_store)
 
 __all__ = [
     "Boolean", "Bytes", "Date", "DateTime", "Enum", "Field", "Float",
     "Integer", "List", "Map", "ParseError", "Record", "SchemaStore",
-    "SubRecord", "Text", "ispyschema", "no_auto_store", "schema_store",
+    "SubRecord", "Text", "dumps", "get_avro_schema_dict",
+    "get_avro_schema_string", "get_json_schema", "ispyschema", "loads",
+    "no_auto_store", "record_from_arrow", "schema_store",
 ]
 
 __version__ = "0.1.0"

@@ -73,11 +73,19 @@ class ValidationReport:
     shards_skipped: int = 0
     violation_counts: dict = field(default_factory=dict)
     partition_verdicts: dict = field(default_factory=dict)
+    partition_violations: dict = field(default_factory=dict)
     global_stats: dict = field(default_factory=dict)
     drift: dict | None = None
     duplicate_count: int = 0
     passed: bool = True
     wall_time_s: float = 0.0
+
+    def worst_partitions(self, k: int = 10) -> list[tuple[str, int]]:
+        """E13: top-k partitions by violation count (descending), for
+        reporting / triage.  Per-partition counts are manifest-derived
+        (tiny), so this is a driver-side sort."""
+        return sorted(self.partition_violations.items(),
+                      key=lambda kv: (-kv[1], kv[0]))[:k]
 
     def violations_dataset(self):
         import ray.data
@@ -155,6 +163,8 @@ class ValidationPipeline:
                 report.violation_counts[k] = report.violation_counts.get(k, 0) + v
             for pid, d in rec.get("partition_digests", {}).items():
                 report.partition_verdicts[pid] = d.get("verdict", "pass")
+                report.partition_violations[pid] = sum(
+                    d.get("violation_counts", {}).values())
             sd = rec.get("stats_digest", {})
             hist_hex = sd.pop("hist_hex", None)
             if hist_hex:

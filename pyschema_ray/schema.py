@@ -580,3 +580,196 @@ class Record(metaclass=PySchemaMeta):
 def ispyschema(obj) -> bool:
     """Reference: pyschema/core.py ispyschema."""
     return isinstance(obj, type) and issubclass(obj, Record) and obj is not Record
+
+
+# ---------------------------------------------------------------------------
+# record serialization with $schema injection (reference: pyschema/core.py
+# dumps/loads — JSON line <-> registry-resolved validated record)
+# ---------------------------------------------------------------------------
+
+SCHEMA_FIELD_NAME = "$schema"
+
+
+def dumps(record: Record) -> str:
+    """Record -> JSON line, injecting the schema name under ``$schema``
+    so ``loads`` can resolve the class from the store."""
+    import json as _json
+
+    dct = record.to_json_compatible()
+    dct[SCHEMA_FIELD_NAME] = record._schema_name
+    return _json.dumps(dct)
+
+
+def loads(s: str, record_store: SchemaStore | None = None,
+          schema: type[Record] | None = None) -> Record:
+    """JSON line -> validated Record.  Resolution order mirrors the
+    reference: explicit ``schema`` arg wins, else the ``$schema`` field
+    is looked up in ``record_store`` (default: the global store);
+    missing both raises ParseError."""
+    import json as _json
+
+    try:
+        dct = _json.loads(s)
+    except ValueError as e:
+        raise ParseError(f"invalid JSON: {e}") from e
+    if not isinstance(dct, dict):
+        raise ParseError("JSON line is not an object")
+    name = dct.pop(SCHEMA_FIELD_NAME, None)
+    if schema is None:
+        if name is None:
+            raise ParseError("no $schema field and no schema= given")
+        store = record_store or schema_store
+        try:
+            schema = store.get(name)
+        except KeyError as e:
+            raise ParseError(str(e)) from e
+    return schema.from_json_compatible(dct)
+
+
+# ---------------------------------------------------------------------------
+# schema export / import (reference: pyschema_extensions/avro.py
+# get_schema_dict/get_schema_string, jsonschema.py, avro_to_pyschema.py)
+# ---------------------------------------------------------------------------
+
+_AVRO_PRIMITIVES = {
+    "Text": "string", "Bytes": "bytes", "Boolean": "boolean",
+    "Date": {"type": "int", "logicalType": "date"},
+    "DateTime": {"type": "long", "logicalType": "timestamp-micros"},
+}
+
+
+def _avro_type(f: Field, state: set) -> Any:
+    tname = type(f).__name__
+    if tname == "Integer":
+        t = "int" if f.size == 4 else "long"
+    elif tname == "Float":
+        t = "float" if f.size == 4 else "double"
+    elif tname == "Enum":
+        t = {"type": "enum", "name": f"{f.name}_enum",
+             "symbols": sorted(f.values)}
+    elif tname == "List":
+        t = {"type": "array", "items": _avro_type(f.subtype, state)}
+    elif tname == "Map":
+        t = {"type": "map", "values": _avro_type(f.value_type, state)}
+    elif tname == "SubRecord":
+        # state set avoids re-defining an already-emitted subrecord
+        # (same trick as the reference's avro mixin)
+        rname = f.record_cls._schema_name
+        if rname in state:
+            t = rname
+        else:
+            state.add(rname)
+            t = get_avro_schema_dict(f.record_cls, state)
+    else:
+        t = _AVRO_PRIMITIVES.get(tname, "string")
+    if f.nullable and tname not in ("List", "Map"):
+        return ["null", t]
+    return t
+
+
+def get_avro_schema_dict(cls: type[Record], _state: set | None = None) -> dict:
+    """Avro record schema (plain dict) for a Record class — the analog
+    of the reference's ``avro.get_schema_dict``."""
+    state = _state if _state is not None else {cls._schema_name}
+    return {
+        "type": "record",
+        "name": cls._schema_name,
+        "fields": [{"name": n, "type": _avro_type(f, state)}
+                   for n, f in cls._fields.items()],
+    }
+
+
+def get_avro_schema_string(cls: type[Record]) -> str:
+    import json as _json
+
+    return _json.dumps(get_avro_schema_dict(cls), indent=2)
+
+
+_JSONSCHEMA_TYPES = {
+    "Text": {"type": "string"}, "Bytes": {"type": "string",
+                                          "contentEncoding": "base64"},
+    "Integer": {"type": "integer"}, "Float": {"type": "number"},
+    "Boolean": {"type": "boolean"},
+    "Date": {"type": "string", "format": "date"},
+    "DateTime": {"type": "string", "format": "date-time"},
+}
+
+
+def _jsonschema_type(f: Field) -> dict:
+    tname = type(f).__name__
+    if tname == "Enum":
+        t: dict = {"type": "string", "enum": sorted(f.values)}
+    elif tname == "List":
+        t = {"type": "array", "items": _jsonschema_type(f.subtype)}
+    elif tname == "Map":
+        t = {"type": "object",
+             "additionalProperties": _jsonschema_type(f.value_type)}
+    elif tname == "SubRecord":
+        t = get_json_schema(f.record_cls)
+    else:
+        t = dict(_JSONSCHEMA_TYPES.get(tname, {"type": "string"}))
+    if tname == "Integer":
+        if f.min is not None:
+            t["minimum"] = f.min
+        if f.max is not None:
+            t["maximum"] = f.max
+    if tname == "Text" and f.regex:
+        t["pattern"] = f.regex
+    return t
+
+
+def get_json_schema(cls: type[Record]) -> dict:
+    """JSON-Schema document for a Record class (reference:
+    pyschema_extensions/jsonschema.py)."""
+    required = [n for n, f in cls._fields.items() if not f.nullable]
+    out = {
+        "type": "object",
+        "title": cls._schema_name,
+        "properties": {n: _jsonschema_type(f)
+                       for n, f in cls._fields.items()},
+        "additionalProperties": False,
+    }
+    if required:
+        out["required"] = required
+    return out
+
+
+def record_from_arrow(schema: pa.Schema, name: str = "Inferred",
+                      key_field: str | None = None) -> type[Record]:
+    """Inverse constructor: build a Record class from a pyarrow.Schema
+    (the analog of the reference's avro_to_pyschema codegen — here the
+    class is built directly instead of emitting source text)."""
+    ns: dict[str, Any] = {"_schema_name": name}
+    if key_field:
+        ns["_key_field"] = key_field
+    for f in schema:
+        ns[f.name] = _field_from_arrow(f.type, f.nullable)
+    return PySchemaMeta(name, (Record,), ns)
+
+
+def _field_from_arrow(t: pa.DataType, nullable: bool) -> Field:
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return Text(nullable=nullable)
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return Bytes(nullable=nullable)
+    if pa.types.is_integer(t):
+        return Integer(size=4 if t.bit_width <= 32 else 8,
+                       nullable=nullable)
+    if pa.types.is_floating(t):
+        return Float(size=4 if t == pa.float32() else 8, nullable=nullable)
+    if pa.types.is_boolean(t):
+        return Boolean(nullable=nullable)
+    if pa.types.is_date(t):
+        return Date(nullable=nullable)
+    if pa.types.is_timestamp(t):
+        return DateTime(nullable=nullable)
+    if pa.types.is_list(t) or pa.types.is_large_list(t) \
+            or pa.types.is_fixed_size_list(t):
+        return List(_field_from_arrow(t.value_type, True),
+                    nullable=nullable)
+    if pa.types.is_map(t):
+        return Map(_field_from_arrow(t.item_type, True), nullable=nullable)
+    if pa.types.is_struct(t):
+        sub = record_from_arrow(pa.schema(list(t)), name="InferredStruct")
+        return SubRecord(sub, nullable=nullable)
+    return Text(nullable=nullable)  # conservative fallback

@@ -174,3 +174,12 @@ def test_token_round_trip_invariant(synth_corpus, tmp_path):
     assert orig.num_rows == back.num_rows
     assert back["tokens"].combine_chunks().cast(pa.list_(pa.int32())) \
         .equals(orig["tokens"].combine_chunks().cast(pa.list_(pa.int32())))
+
+
+def test_worst_partitions_reporting(run_report):
+    worst = run_report.worst_partitions(3)
+    assert len(worst) == 3
+    counts = [c for _, c in worst]
+    assert counts == sorted(counts, reverse=True)
+    assert all(run_report.partition_verdicts[p] == "fail"
+               for p, c in worst if c > 0)
