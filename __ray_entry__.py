@@ -318,6 +318,43 @@ def _q_ann_topk(sf_dir: str) -> pa.Table:
         .sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def _q_embedding_near_dups(sf_dir: str) -> pa.Table:
+    """Embedding-cosine near-dup pairs (exact all-pairs, broadcast
+    matrix + per-batch matmul)."""
+    from pyschema_ray.functions.similarity import cosine_near_dup_pairs
+
+    ds = _read(sf_dir, "embeddings")
+    return cosine_near_dup_pairs(ds, threshold=0.5)
+
+
+def _q_events_hourly(sf_dir: str) -> pa.Table:
+    """Tumbling-window (1h) aggregate over the event stream: partial
+    per-batch combine, then the small groupby — the windowed-aggregate
+    pattern with SQL-checkable integer outputs."""
+    import ray.data.aggregate as A
+
+    ds = _read(sf_dir, "events").select_columns(
+        ["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        g = pa.table({
+            "event_type": t["event_type"], "hour": hour, "cents": cents,
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+        }).group_by(["event_type", "hour"]).aggregate(
+            [("cents", "sum"), ("one", "sum")])
+        return g.rename_columns(["event_type", "hour", "sum_cents",
+                                 "n_events"])
+
+    pre = ds.map_batches(partial, batch_format="pyarrow")
+    agg = pre.groupby(["event_type", "hour"]).aggregate(
+        A.Sum("sum_cents"), A.Sum("n_events"))
+    t = _collect(agg).rename_columns(
+        ["event_type", "hour", "sum_cents", "n_events"])
+    return t.sort_by([("event_type", "ascending"), ("hour", "ascending")])
+
+
 # -- rows-only (non-SQL-expressible: sketches, model-ish scoring) -----------
 
 def _q_ndv_user_id_hll(sf_dir: str) -> pa.Table:
@@ -456,6 +493,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "quality_features": _q_quality_features,
         "ann_topk": _q_ann_topk,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "events_hourly": _q_events_hourly,
         # sketches / scoring (rows-only)
         "ndv_user_id_hll": _q_ndv_user_id_hll,
         "value_quantiles_tdigest": _q_value_quantiles_tdigest,
@@ -561,6 +600,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
                         AS BIGINT) AS n_punct
               FROM documents ORDER BY doc_id
+        """,
+        "embedding_near_dups": """
+            SELECT a.vec_id AS key_a, b.vec_id AS key_b
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
+             ORDER BY key_a, key_b
+        """,
+        "events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_cents,
+                   count(*) AS n_events
+              FROM events GROUP BY event_type, hour
+             ORDER BY event_type, hour
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe

@@ -96,6 +96,86 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
     })
 
 
+def cosine_near_dup_pairs(ds, threshold: float = 0.9,
+                          embedding_col: str = "embedding",
+                          key_col: str = "vec_id") -> pa.Table:
+    """Embedding-cosine near-duplicate detection (exact all-pairs).
+
+    The normalized corpus matrix is broadcast once (``ray.put``); each
+    batch computes its block-vs-all similarity with one matmul and
+    emits only pairs >= threshold with key_a < key_b.  O(n^2) compute
+    distributed over batches but O(n·d) memory per worker — right for
+    corpora whose embedding matrix fits a worker (~10^6 × 256 floats =
+    1 GB); beyond that use :func:`cosine_near_dups_lsh`."""
+    import ray
+
+    whole = _collect_matrix(ds, embedding_col, key_col)
+    keys_all, m_all = whole
+    mn = _normalize(m_all)
+    ref = ray.put((keys_all, mn))
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys_a, mat = ray.get(ref)
+        keys_b = np.asarray(t[key_col].to_numpy(zero_copy_only=False))
+        mb = _normalize(_as_matrix(t[embedding_col]))
+        sims = mb @ mat.T  # (batch, n)
+        bi, ai = np.nonzero(sims >= threshold)
+        ka, kb = keys_a[ai], keys_b[bi]
+        keep = kb < ka  # key_a < key_b, self-pairs excluded
+        return pa.table({
+            "key_a": pa.array(kb[keep]),
+            "key_b": pa.array(ka[keep]),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    out = pa.concat_tables(
+        [t for t in parts.iter_batches(batch_format="pyarrow") if t.num_rows]
+        or [pa.table({"key_a": pa.array([], pa.int64()),
+                      "key_b": pa.array([], pa.int64())})])
+    return out.sort_by([("key_a", "ascending"), ("key_b", "ascending")])
+
+
+def cosine_near_dups_lsh(ds, threshold: float = 0.9, n_planes: int = 12,
+                         seed: int = 1234, embedding_col: str = "embedding",
+                         key_col: str = "vec_id"):
+    """Scale path for embedding near-dup: random-hyperplane bucketing,
+    exact cosine only within buckets (recall < 1 for pairs split across
+    buckets; raise recall with multi-probe / fewer planes)."""
+    import pandas as pd
+
+    probe = ds.take_batch(1, batch_format="pyarrow")
+    dim = _as_matrix(probe[embedding_col]).shape[1]
+    coded = ds.map_batches(
+        LshBucketer,
+        fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes, seed=seed,
+                                   embedding_col=embedding_col),
+        batch_format="pyarrow", concurrency=(1, 4))
+
+    def emit(df: "pd.DataFrame") -> "pd.DataFrame":
+        if len(df) < 2:
+            return pd.DataFrame({"key_a": [], "key_b": []})
+        m = _normalize(np.stack(
+            [np.asarray(v, dtype=np.float32) for v in df[embedding_col]]))
+        keys = df[key_col].to_numpy()
+        sims = m @ m.T
+        ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
+        ka, kb = keys[ai], keys[bi]
+        lo, hi = np.minimum(ka, kb), np.maximum(ka, kb)
+        return pd.DataFrame({"key_a": lo, "key_b": hi})
+
+    return coded.groupby("bucket").map_groups(emit, batch_format="pandas")
+
+
+def _collect_matrix(ds, embedding_col: str, key_col: str):
+    """Materialize (keys, matrix) of a small-enough embedding table."""
+    keys, mats = [], []
+    for t in ds.select_columns([key_col, embedding_col]) \
+              .iter_batches(batch_format="pyarrow"):
+        keys.append(np.asarray(t[key_col].to_numpy(zero_copy_only=False)))
+        mats.append(_as_matrix(t[embedding_col]))
+    return np.concatenate(keys), np.vstack(mats)
+
+
 class LshBucketer:
     """Actor-pool stage: random-hyperplane LSH codes.  The projection
     matrix is derived deterministically from (dim, n_planes, seed) in

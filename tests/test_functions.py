@@ -225,3 +225,28 @@ def test_multimodal_real_path_raises():
     dec = multimodal.ImageDecoder(fake=False)
     with pytest.raises(NotImplementedError):
         dec._decode_one(b"\x00\x01")
+
+
+def test_cosine_near_dup_pairs_and_lsh():
+    import ray.data
+    from pyschema_ray.functions.similarity import (cosine_near_dup_pairs,
+                                                   cosine_near_dups_lsh)
+    ds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = cosine_near_dup_pairs(ds, threshold=0.5)
+    got = set(zip(exact["key_a"].to_pylist(), exact["key_b"].to_pylist()))
+    # brute-force numpy reference
+    t = __import__("pyarrow.parquet", fromlist=["pq"]).read_table(
+        f"{SF_DIR}/embeddings.parquet")
+    m = np.stack([np.asarray(v, np.float32)
+                  for v in t["embedding"].to_pylist()])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    keys = np.asarray(t["vec_id"].to_pylist())
+    sims = m @ m.T
+    ai, bi = np.nonzero(np.triu(sims >= 0.5, k=1))
+    want = {(min(keys[a], keys[b]), max(keys[a], keys[b]))
+            for a, b in zip(ai, bi)}
+    assert got == want
+    # LSH variant returns a subset (recall <= 1) of the exact pairs
+    lsh = cosine_near_dups_lsh(ds, threshold=0.5, n_planes=4)
+    lp = {(r["key_a"], r["key_b"]) for r in lsh.take_all()}
+    assert lp <= want
