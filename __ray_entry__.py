@@ -355,6 +355,52 @@ def _q_events_hourly(sf_dir: str) -> pa.Table:
     return t.sort_by([("event_type", "ascending"), ("hour", "ascending")])
 
 
+def _q_orders_by_nation(sf_dir: str) -> pa.Table:
+    """Join demo: orders ⋈ customer via Ray's native hash-partitioned
+    shuffle join (large-to-large), then nation via a broadcast hash
+    join (small side shipped once), then grouped aggregate."""
+    import pyarrow.parquet as pq
+    import ray.data.aggregate as A
+
+    from pyschema_ray.functions.joins import broadcast_join, shuffle_join
+
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_custkey", "o_totalprice"])
+    customer = _read(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_nationkey"])
+    joined = shuffle_join(orders, customer, on="o_custkey",
+                          right_on="c_custkey", num_partitions=8)
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    enriched = broadcast_join(joined, nation, keys="c_nationkey",
+                              right_keys="n_nationkey")
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        g = pa.table({
+            "n_name": t["n_name"], "cents": cents,
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+        }).group_by("n_name").aggregate([("cents", "sum"), ("one", "sum")])
+        return g.rename_columns(["n_name", "sum_cents", "n_orders"])
+
+    pre = enriched.map_batches(prep, batch_format="pyarrow")
+    agg = pre.groupby("n_name").aggregate(A.Sum("sum_cents"),
+                                          A.Sum("n_orders"))
+    return _collect(agg).rename_columns(
+        ["n_name", "sum_cents", "n_orders"]).sort_by("n_name")
+
+
+def _q_user_session_counts(sf_dir: str) -> pa.Table:
+    """Gap-based sessionization (30-min gap) — windowed/stateful
+    stream op via per-key groupby."""
+    from pyschema_ray.functions.joins import session_counts
+
+    out = session_counts(_read(sf_dir, "events"), "user_id", "ts",
+                         gap_seconds=1800.0)
+    return _collect(out).sort_by("user_id")
+
+
 # -- rows-only (non-SQL-expressible: sketches, model-ish scoring) -----------
 
 def _q_ndv_user_id_hll(sf_dir: str) -> pa.Table:
@@ -494,6 +540,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_features": _q_quality_features,
         "ann_topk": _q_ann_topk,
         "embedding_near_dups": _q_embedding_near_dups,
+        "orders_by_nation": _q_orders_by_nation,
+        "user_session_counts": _q_user_session_counts,
         "events_hourly": _q_events_hourly,
         # sketches / scoring (rows-only)
         "ndv_user_id_hll": _q_ndv_user_id_hll,
@@ -600,6 +648,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
                         AS BIGINT) AS n_punct
               FROM documents ORDER BY doc_id
+        """,
+        "orders_by_nation": """
+            SELECT n_name,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_cents,
+                   count(*) AS n_orders
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+             GROUP BY n_name ORDER BY n_name
+        """,
+        "user_session_counts": """
+            WITH gaps AS (
+                SELECT user_id,
+                       epoch(ts) - lag(epoch(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts) AS gap
+                  FROM events)
+            SELECT user_id,
+                   CAST(1 + sum(CASE WHEN gap > 1800 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+              FROM gaps GROUP BY user_id ORDER BY user_id
         """,
         "embedding_near_dups": """
             SELECT a.vec_id AS key_a, b.vec_id AS key_b

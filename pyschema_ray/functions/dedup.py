@@ -33,8 +33,10 @@ def exact_dedup_keys(ds, text_col: str = "text", key_col: str = "doc_id"):
     content hash.  Shuffle moves only (hash, key) pairs, never text."""
     def add_hash(t: pa.Table) -> pa.Table:
         h = hash_strings(t[text_col].to_numpy(zero_copy_only=False))
+        # int64 view (not uint64): Ray's shuffle materializes group keys
+        # through Python ints, where uint64 > 2^63 overflows
         return pa.table({
-            "content_hash": pa.array(h.astype(np.uint64), pa.uint64()),
+            "content_hash": pa.array(h.view(np.int64), pa.int64()),
             key_col: t[key_col],
         })
 
@@ -50,8 +52,8 @@ def exact_duplicate_groups(ds, text_col: str = "text",
     """-> Dataset(content_hash, dup_count) for content appearing >1 time."""
     def add_hash(t: pa.Table) -> pa.Table:
         h = hash_strings(t[text_col].to_numpy(zero_copy_only=False))
-        return pa.table({"content_hash": pa.array(h.astype(np.uint64),
-                                                  pa.uint64())})
+        return pa.table({"content_hash": pa.array(h.view(np.int64),
+                                                  pa.int64())})
 
     counts = ds.map_batches(add_hash, batch_format="pyarrow") \
                .groupby("content_hash").count()

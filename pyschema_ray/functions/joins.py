@@ -1,0 +1,112 @@
+"""Join operators, Ray-Data-first.
+
+* :func:`broadcast_join` — small-side enrichment: the dimension table
+  is ``ray.put`` ONCE; every map task does an Arrow C++ hash join of
+  its batch against the broadcast table.  No shuffle; the fact side
+  streams.  This is the right join for star-schema enrichment at any
+  scale where the dim side fits a worker (the usual case).
+* :func:`shuffle_join` — large-to-large: Ray Data's native hash
+  partitioned ``Dataset.join`` (both sides exchange by key).  Use only
+  when neither side is broadcastable; choose ``num_partitions`` ~ total
+  cores.
+* :func:`sessionize` — per-key event sessionization (gap-based window
+  op): hash-groupby on the entity key, within-group ts sort + gap
+  split.  The per-key event history must fit a task (standard
+  assumption for per-user sessionization).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def broadcast_join(ds, dim_table: pa.Table, keys, right_keys=None,
+                   join_type: str = "inner"):
+    """Enrich ``ds`` (fact side, streams) with ``dim_table`` (small,
+    broadcast once).  ``keys``/``right_keys``: str or list[str]."""
+    import ray
+
+    if isinstance(keys, str):
+        keys = [keys]
+    right_keys = right_keys or keys
+    if isinstance(right_keys, str):
+        right_keys = [right_keys]
+    dim_ref = ray.put(dim_table)
+
+    def join_batch(t: pa.Table) -> pa.Table:
+        dim = ray.get(dim_ref)  # object-store read, cached per worker
+        return t.join(dim, keys=keys, right_keys=right_keys,
+                      join_type=join_type)
+
+    return ds.map_batches(join_batch, batch_format="pyarrow")
+
+
+def shuffle_join(left, right, on, right_on=None, join_type: str = "inner",
+                 num_partitions: int | None = None):
+    """Large-to-large hash-partitioned join via Ray Data's native
+    ``Dataset.join`` (both sides shuffle by key)."""
+    import ray
+
+    if num_partitions is None:
+        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    on = (on,) if isinstance(on, str) else tuple(on)
+    if right_on is None:
+        right_on = on
+    elif isinstance(right_on, str):
+        right_on = (right_on,)
+    else:
+        right_on = tuple(right_on)
+    return left.join(right, join_type=join_type,
+                     num_partitions=num_partitions,
+                     on=on, right_on=right_on)
+
+
+def sessionize(ds, key_col: str, ts_col: str, gap_seconds: float,
+               out_prefix: str = "session"):
+    """Gap-based sessionization: events of one key, sorted by time,
+    split where the inter-event gap exceeds ``gap_seconds``.  Returns
+    one row per (key, session) with start/end/count.
+
+    Partitioning assumption: one key's full event history fits a task
+    (per-user web events: yes).  The shuffle key is the entity key —
+    uniform for user-id-like keys."""
+
+    def per_key(df):
+        import pandas as pd
+
+        df = df.sort_values(ts_col, kind="stable")
+        ts = df[ts_col].to_numpy()
+        gaps = np.diff(ts.astype("datetime64[us]").astype(np.int64)) \
+            / 1e6
+        new_session = np.concatenate([[True], gaps > gap_seconds])
+        sess_id = np.cumsum(new_session) - 1
+        out = df.assign(**{f"{out_prefix}_id": sess_id}) \
+            .groupby(f"{out_prefix}_id", sort=True) \
+            .agg(start=(ts_col, "min"), end=(ts_col, "max"),
+                 n_events=(ts_col, "size")).reset_index()
+        out[key_col] = df[key_col].iloc[0]
+        return out[[key_col, f"{out_prefix}_id", "start", "end",
+                    "n_events"]]
+
+    return ds.select_columns([key_col, ts_col]) \
+             .groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
+def session_counts(ds, key_col: str, ts_col: str, gap_seconds: float):
+    """(key, n_sessions, n_events) per key — SQL-oracle-friendly
+    projection of :func:`sessionize`."""
+
+    def per_key(df):
+        import pandas as pd
+
+        df = df.sort_values(ts_col, kind="stable")
+        ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        gaps = np.diff(ts) / 1e6
+        n_sessions = int(1 + (gaps > gap_seconds).sum()) if len(ts) else 0
+        return pd.DataFrame({key_col: [df[key_col].iloc[0]],
+                             "n_sessions": [n_sessions],
+                             "n_events": [len(df)]})
+
+    return ds.select_columns([key_col, ts_col]) \
+             .groupby(key_col).map_groups(per_key, batch_format="pandas")

@@ -250,3 +250,48 @@ def test_cosine_near_dup_pairs_and_lsh():
     lsh = cosine_near_dups_lsh(ds, threshold=0.5, n_planes=4)
     lp = {(r["key_a"], r["key_b"]) for r in lsh.take_all()}
     assert lp <= want
+
+
+# ---------------------------------------------------------------------------
+# joins + sessionization
+# ---------------------------------------------------------------------------
+
+def test_broadcast_and_shuffle_join_agree():
+    import ray.data
+    from pyschema_ray.functions.joins import broadcast_join, shuffle_join
+    import pyarrow.parquet as pq
+    cust = ray.data.read_parquet(f"{SF_DIR}/customer.parquet")
+    nation = pq.read_table(f"{SF_DIR}/nation.parquet")
+    b = pa.concat_tables(
+        broadcast_join(cust, nation, keys="c_nationkey",
+                       right_keys="n_nationkey")
+        .iter_batches(batch_format="pyarrow"))
+    nation_ds = ray.data.read_parquet(f"{SF_DIR}/nation.parquet")
+    s = pa.concat_tables(
+        shuffle_join(cust, nation_ds, on="c_nationkey",
+                     right_on="n_nationkey", num_partitions=4)
+        .iter_batches(batch_format="pyarrow"))
+    assert b.num_rows == s.num_rows == cust.count()
+    bk = sorted(zip(b["c_custkey"].to_pylist(), b["n_name"].to_pylist()))
+    sk = sorted(zip(s["c_custkey"].to_pylist(), s["n_name"].to_pylist()))
+    assert bk == sk
+
+
+def test_sessionize_detail():
+    import ray.data
+    from pyschema_ray.functions.joins import sessionize
+    import datetime as dt
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        {"uid": 1, "ts": t0},
+        {"uid": 1, "ts": t0 + dt.timedelta(minutes=5)},
+        {"uid": 1, "ts": t0 + dt.timedelta(hours=2)},   # new session
+        {"uid": 2, "ts": t0},
+    ]
+    ds = ray.data.from_items(rows)
+    out = pa.concat_tables(
+        sessionize(ds, "uid", "ts", gap_seconds=1800)
+        .iter_batches(batch_format="pyarrow"))
+    got = sorted(zip(out["uid"].to_pylist(), out["session_id"].to_pylist(),
+                     out["n_events"].to_pylist()))
+    assert got == [(1, 0, 2), (1, 1, 1), (2, 0, 1)]
