@@ -11,11 +11,11 @@ Default mode: run the headline pipelines with
 * per-query timings for representative ``__ray_entry__.queries()``
   entries over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
 
-``--scaling``: run the headline pipeline twice in FRESH processes at
-num_cpus=8 and num_cpus=32 on the same input and report both
-throughputs + scaling efficiency (the sandbox substitution for the
-N-node vs 4N-node cluster criterion); results also written to
-BENCH/BASELINE.md.
+``--scaling``: run the headline pipeline in FRESH processes at N and
+4N CPUs (default 4 and 16 — see scaling_mode docstring for why not
+8/32 on this VM) on the same input and report both throughputs +
+scaling efficiency (the sandbox substitution for the N-node vs 4N-node
+cluster criterion); results also written to BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -41,9 +41,10 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 QUERY_SUBSET = [
     "violations_documents", "duplicate_user_ids", "pricing_summary",
-    "events_histogram", "dedup_exact", "token_counts", "ann_topk",
-    "ndv_user_id_hll", "value_quantiles_tdigest", "drift_events_self",
-    "minhash_near_dup_pairs", "simhash",
+    "events_histogram", "events_hourly", "dedup_exact", "token_counts",
+    "ann_topk", "embedding_near_dups", "orders_by_nation",
+    "user_session_counts", "ndv_user_id_hll", "value_quantiles_tdigest",
+    "drift_events_self", "minhash_near_dup_pairs", "simhash",
 ]
 
 

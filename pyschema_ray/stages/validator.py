@@ -298,7 +298,9 @@ class CompiledValidator:
                    else pa.nulls(n, pa.string()))
         viol_counts: dict[str, int] = {}
         for c in self.constraints:  # frozen declaration order
-            if c not in checkable:
+            # n == 0 guard: pyarrow's indices_nonzero segfaults on the
+            # zero-chunk ChunkedArrays of an empty table slice
+            if n == 0 or c not in checkable:
                 continue
             mask = c.mask(table)
             invalid = pc.fill_null(pc.invert(mask), True)

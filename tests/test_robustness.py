@@ -1,0 +1,94 @@
+"""Degenerate-input robustness: empty files, zero-violation corpora,
+all-duplicate corpora, single-row files."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyschema_ray.pipelines.validate import (PipelineConfig,
+                                             ValidationPipeline)
+from pyschema_ray.stages.unique import uniqueness_violations
+from pyschema_ray.stages.validator import StatsConfig
+
+
+def _write_corpus(d, tables):
+    paths = []
+    for i, t in enumerate(tables):
+        p = os.path.join(d, f"part-{i:05d}.parquet")
+        pq.write_table(t, p)
+        paths.append(p)
+    return paths
+
+
+def _seq_table(ids, n_tok=5):
+    flat = np.arange(n_tok * len(ids), dtype=np.int32) % 100
+    offsets = np.arange(0, n_tok * len(ids) + 1, n_tok)
+    tokens = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                      pa.array(flat, pa.int32()))
+    return pa.table({
+        "doc_id": pa.array(ids, pa.string()),
+        "tokens": tokens,
+        "n_tok": pa.array([n_tok] * len(ids), pa.int32()),
+        "source": pa.array(["web"] * len(ids), pa.string()),
+    })
+
+
+def test_empty_file_and_clean_corpus(tmp_path, sequences_schema):
+    d = str(tmp_path / "data")
+    os.makedirs(d)
+    empty = _seq_table([]).schema.empty_table()
+    clean = _seq_table([f"doc-{i:012d}" for i in range(50)])
+    _write_corpus(d, [clean, empty, _seq_table([f"doc-{i:012d}"
+                                               for i in range(100, 103)])])
+    cfg = PipelineConfig(
+        schema_cls=sequences_schema, input_paths=d,
+        out_dir=str(tmp_path / "out"),
+        stats=StatsConfig(quantile_column="n_tok",
+                          cardinality_column="doc_id"))
+    rep = ValidationPipeline(cfg).run()
+    assert rep.row_count == 53
+    assert rep.passed  # clean corpus passes
+    assert rep.violation_counts == {}
+    assert rep.duplicate_count == 0
+    # the empty partition gets a pass verdict
+    assert all(v == "pass" for v in rep.partition_verdicts.values())
+
+
+def test_all_duplicates_corpus(tmp_path, sequences_schema):
+    d = str(tmp_path / "dups")
+    os.makedirs(d)
+    same = _seq_table(["doc-000000000001"] * 40)
+    _write_corpus(d, [same.slice(0, 20), same.slice(20, 20)])
+    cfg = PipelineConfig(schema_cls=sequences_schema, input_paths=d,
+                         out_dir=str(tmp_path / "out2"))
+    rep = ValidationPipeline(cfg).run()
+    assert not rep.passed
+    assert rep.duplicate_count == 1  # one duplicated KEY (40 rows)
+    vt = rep.violations_table()
+    assert vt.num_rows == 1
+    assert vt["constraint"][0].as_py() == "unique(doc_id)"
+
+
+def test_uniqueness_on_single_row_files(tmp_path):
+    import ray.data
+
+    d = str(tmp_path / "single")
+    os.makedirs(d)
+    paths = _write_corpus(d, [_seq_table([f"doc-{i:012d}"])
+                              for i in range(5)])
+    out = uniqueness_violations(paths, "doc_id")
+    assert out.num_rows == 0
+    ds = ray.data.read_parquet(paths)
+    out2 = uniqueness_violations(ds, "doc_id")
+    assert out2.num_rows == 0
+
+
+def test_validator_zero_row_batch(sequences_schema):
+    from pyschema_ray.stages.validator import CompiledValidator
+
+    v = CompiledValidator(sequences_schema)
+    empty = _seq_table([]).schema.empty_table()
+    out = v(empty)
+    assert out.num_rows == 0
