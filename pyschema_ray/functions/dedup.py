@@ -230,6 +230,73 @@ def jaccard_verify_pairs(pairs_table: pa.Table, docs_table: pa.Table,
 
 
 # ---------------------------------------------------------------------------
+# composed dedup pipeline
+# ---------------------------------------------------------------------------
+
+def dedup_keep_keys(ds, text_col: str = "text", key_col: str = "doc_id",
+                    jaccard_threshold: float = 0.8, num_hashes: int = 64,
+                    shingle_words: int = 3, bands: int = 16,
+                    concurrency=(1, 4)) -> pa.Table:
+    """End-to-end dedup: exact (content-hash) THEN near-dup
+    (MinHash+LSH candidates -> exact Jaccard verify -> union-find) —
+    returns the kept keys (minimum key per duplicate component).
+
+    Distributed stages: exact-dedup groupby, MinHash actor pool, LSH
+    shard groupby.  Driver-side: union-find over the VERIFIED pair list
+    and the Jaccard verification text fetch — both duplicate-rate
+    sized, documented as the small-side assumption."""
+    import pyarrow.compute as pc  # noqa: F401  (local alias clarity)
+
+    kept_exact = pa.concat_tables(
+        exact_dedup_keys(ds, text_col, key_col)
+        .iter_batches(batch_format="pyarrow"))
+    kept_set = set(kept_exact[key_col].to_pylist())
+
+    cand = minhash_lsh_candidates(ds, text_col, key_col, num_hashes,
+                                  shingle_words, bands, concurrency)
+    cand_tbl = pa.concat_tables(
+        [t for t in cand.iter_batches(batch_format="pyarrow")
+         if t.num_rows]
+        or [pa.table({"key_a": pa.array([], pa.int64()),
+                      "key_b": pa.array([], pa.int64())})])
+    # fetch candidate docs (duplicate-rate sized) for exact verification
+    cand_keys = set(cand_tbl["key_a"].to_pylist()) \
+        | set(cand_tbl["key_b"].to_pylist())
+    if cand_keys:
+        key_arr = pa.array(sorted(cand_keys))
+        docs = pa.concat_tables(ds.map_batches(
+            lambda t: t.filter(pc.is_in(t[key_col], value_set=key_arr))
+                       .select([key_col, text_col]),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
+        verified = jaccard_verify_pairs(cand_tbl, docs, text_col, key_col,
+                                        shingle_words, jaccard_threshold)
+    else:
+        verified = pa.table({"key_a": pa.array([], pa.int64()),
+                             "key_b": pa.array([], pa.int64()),
+                             "jaccard": pa.array([], pa.float64())})
+
+    # union-find over verified near-dup pairs
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(verified["key_a"].to_pylist(),
+                    verified["key_b"].to_pylist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+            parent[hi] = lo
+
+    drop = {k for k in kept_set if find(k) != k}
+    keep = sorted(kept_set - drop)
+    return pa.table({key_col: pa.array(keep)})
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -63,6 +63,10 @@ class PipelineConfig:
     #: per file; the decoded data never transits the object store).
     #: Disable for non-file inputs or when downstream consumes blocks.
     fused: bool = True
+    #: write violation rows from Ray workers (spillable) instead of
+    #: pulling them to the driver — for corpora whose violation volume
+    #: is itself large (SCALE.md §7)
+    stream_violations: bool = False
 
 
 @dataclass
@@ -90,7 +94,8 @@ class ValidationReport:
     def violations_dataset(self):
         import ray.data
         vdir = os.path.join(self.out_dir, "violations")
-        files = sorted(_glob.glob(os.path.join(vdir, "*.parquet")))
+        files = sorted(_glob.glob(os.path.join(vdir, "**", "*.parquet"),
+                                  recursive=True))
         if not files:
             import ray
             return ray.data.from_arrow(VIOLATION_SCHEMA.empty_table())
@@ -98,10 +103,12 @@ class ValidationReport:
 
     def violations_table(self) -> pa.Table:
         vdir = os.path.join(self.out_dir, "violations")
-        files = sorted(_glob.glob(os.path.join(vdir, "*.parquet")))
+        files = sorted(_glob.glob(os.path.join(vdir, "**", "*.parquet"),
+                                  recursive=True))
         if not files:
             return VIOLATION_SCHEMA.empty_table()
-        return pa.concat_tables([pq.read_table(f) for f in files])
+        return pa.concat_tables([
+            pq.read_table(f) for f in files]).cast(VIOLATION_SCHEMA)
 
 
 def discover_files(input_paths) -> list[str]:
@@ -282,20 +289,56 @@ class ValidationPipeline:
                 # compiled validator in the (plasma-cached) task closure
                 tagged = ds.map_batches(CompiledValidator(**ctor), **kwargs)
 
-        # tagged stream is tiny (violations + 1 stats row per batch);
-        # pull to the driver
-        batches = list(tagged.iter_batches(batch_format="pyarrow",
-                                           batch_size=65536))
-        result = (pa.concat_tables(batches) if batches
-                  else _empty_result_table())
+        if cfg.stream_violations:
+            # heavy-violation mode (SCALE.md §7): violations are written
+            # by Ray workers directly (object store may spill, driver
+            # never holds them); only the O(files) stats rows are pulled
+            mat = tagged.materialize()
 
-        viol = result.filter(pc.equal(result["kind"], "violation")) \
-                     .select(["key", "partition_id", "constraint", "detail"])
-        viol = _strip_path_prefix(viol, shard_files)
-        self._write_violations(viol, f"shard-{sid:05d}")
+            def viol_batch(t: pa.Table) -> pa.Table:
+                v = t.filter(pc.equal(t["kind"], "violation")) \
+                     .select(["key", "partition_id", "constraint",
+                              "detail"])
+                return _strip_path_prefix(v, shard_files)
 
-        stats_tbl = result.filter(pc.equal(result["kind"], "stats")) \
-                          .select(["partition_id", "blob", "row_count"])
+            vdir = os.path.join(cfg.out_dir, "violations",
+                                f"shard-{sid:05d}")
+            tmp_dir = vdir + ".tmp"
+            if os.path.exists(tmp_dir):
+                import shutil
+                shutil.rmtree(tmp_dir)
+            mat.map_batches(viol_batch, batch_format="pyarrow") \
+               .write_parquet(tmp_dir)
+            if os.path.exists(vdir):
+                import shutil
+                shutil.rmtree(vdir)
+            os.rename(tmp_dir, vdir)
+            stats_tbl = pa.concat_tables(
+                list(mat.map_batches(
+                    lambda t: t.filter(pc.equal(t["kind"], "stats"))
+                               .select(["partition_id", "blob",
+                                        "row_count"]),
+                    batch_format="pyarrow")
+                    .iter_batches(batch_format="pyarrow"))
+                or [pa.table({"partition_id": pa.array([], pa.string()),
+                              "blob": pa.array([], pa.binary()),
+                              "row_count": pa.array([], pa.int64())})])
+        else:
+            # tagged stream is tiny (violations + 1 stats row per file);
+            # pull to the driver
+            batches = list(tagged.iter_batches(batch_format="pyarrow",
+                                               batch_size=65536))
+            result = (pa.concat_tables(batches) if batches
+                      else _empty_result_table())
+
+            viol = result.filter(pc.equal(result["kind"], "violation")) \
+                         .select(["key", "partition_id", "constraint",
+                                  "detail"])
+            viol = _strip_path_prefix(viol, shard_files)
+            self._write_violations(viol, f"shard-{sid:05d}")
+
+            stats_tbl = result.filter(pc.equal(result["kind"], "stats")) \
+                              .select(["partition_id", "blob", "row_count"])
         per_part = stats_mod.merge_stats_table(stats_tbl)
         shard_total = stats_mod.global_rollup(per_part)
 

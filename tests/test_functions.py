@@ -295,3 +295,26 @@ def test_sessionize_detail():
     got = sorted(zip(out["uid"].to_pylist(), out["session_id"].to_pylist(),
                      out["n_events"].to_pylist()))
     assert got == [(1, 0, 2), (1, 1, 1), (2, 0, 1)]
+
+
+def test_dedup_keep_keys_composed():
+    import ray.data
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(500)]
+    texts, ids = [], []
+    for i in range(6):  # six genuinely distinct docs (disjoint-ish words)
+        words = list(rng.choice(vocab, size=30, replace=False))
+        texts.append(" ".join(words))
+        ids.append(i)
+    texts.append(texts[2])                      # 10: exact dup of 2
+    ids.append(10)
+    near = texts[4].split()
+    near[7] = "zzz"                             # 11: near dup of 4
+    texts.append(" ".join(near))
+    ids.append(11)
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(t)
+    keep = dedup.dedup_keep_keys(ds, jaccard_threshold=0.5, concurrency=2)
+    # exact dup 10 (of 2) and near dup 11 (of 4) dropped; rest kept
+    assert keep["doc_id"].to_pylist() == [0, 1, 2, 3, 4, 5]

@@ -92,3 +92,26 @@ def test_validator_zero_row_batch(sequences_schema):
     empty = _seq_table([]).schema.empty_table()
     out = v(empty)
     assert out.num_rows == 0
+
+
+def test_stream_violations_mode_matches_pull_mode(tmp_path, synth_corpus,
+                                                  sequences_schema):
+    from pyschema_ray.sources.synth import sources_dim_table
+
+    def cfg(out, stream):
+        return PipelineConfig(
+            schema_cls=sequences_schema, input_paths=synth_corpus["dir"],
+            out_dir=str(tmp_path / out), files_per_shard=4,
+            stream_violations=stream,
+            stats=StatsConfig(quantile_column="n_tok",
+                              cardinality_column="doc_id"),
+            ref_sets={"source": ("sources_dim", "source",
+                                 sources_dim_table()["source"].to_pylist())})
+
+    rs = ValidationPipeline(cfg("stream", True)).run()
+    rp = ValidationPipeline(cfg("pull", False)).run()
+    assert rs.violation_counts == rp.violation_counts
+    vs, vp = rs.violations_table(), rp.violations_table()
+    assert sorted(zip(vs["key"].to_pylist(), vs["constraint"].to_pylist())) \
+        == sorted(zip(vp["key"].to_pylist(), vp["constraint"].to_pylist()))
+    assert rs.row_count == rp.row_count == 10_000
