@@ -78,6 +78,7 @@ class ValidationReport:
     violation_counts: dict = field(default_factory=dict)
     partition_verdicts: dict = field(default_factory=dict)
     partition_violations: dict = field(default_factory=dict)
+    partition_drift: dict = field(default_factory=dict)
     global_stats: dict = field(default_factory=dict)
     drift: dict | None = None
     duplicate_count: int = 0
@@ -169,7 +170,22 @@ class ValidationPipeline:
             for k, v in rec["violation_counts"].items():
                 report.violation_counts[k] = report.violation_counts.get(k, 0) + v
             for pid, d in rec.get("partition_digests", {}).items():
-                report.partition_verdicts[pid] = d.get("verdict", "pass")
+                verdict = d.get("verdict", "pass")
+                if cfg.baseline_profile is not None and d.get("hist_hex"):
+                    from ..sketches import GroupedHistogram
+                    ph = GroupedHistogram.from_bytes(
+                        bytes.fromhex(d["hist_hex"]))
+                    pd_drift = drift_mod.score_drift(
+                        ph, cfg.baseline_profile,
+                        cfg.psi_threshold, cfg.kl_threshold)
+                    report.partition_drift[pid] = {
+                        "psi": pd_drift["overall_psi"],
+                        "kl": pd_drift["overall_kl"],
+                        "passed": pd_drift["passed"],
+                    }
+                    if not pd_drift["passed"]:
+                        verdict = "fail"
+                report.partition_verdicts[pid] = verdict
                 report.partition_violations[pid] = sum(
                     d.get("violation_counts", {}).values())
             sd = rec.get("stats_digest", {})
@@ -356,12 +372,19 @@ class ValidationPipeline:
         if shard_total.hll is not None:
             digest["hll_hex"] = shard_total.hll.to_bytes().hex()
         rec.stats_digest = digest
-        rec.partition_digests = {
-            os.path.basename(pid): {
+        rec.partition_digests = {}
+        for pid, ps in per_part.items():
+            d = {
                 "row_count": ps.row_count,
                 "violation_counts": dict(ps.violation_counts),
                 "verdict": "fail" if ps.violation_counts else "pass",
-            } for pid, ps in per_part.items()}
+            }
+            if ps.hist is not None:
+                # per-partition histogram travels in the manifest so the
+                # assembly phase can score PER-PARTITION drift vs the
+                # baseline (a partition fails on violations OR drift)
+                d["hist_hex"] = ps.hist.to_bytes().hex()
+            rec.partition_digests[os.path.basename(pid)] = d
         rec.verdict = "fail" if rec.violation_counts else "pass"
         rec.wall_time_s = time.perf_counter() - t0
         self.manifest.commit(rec)

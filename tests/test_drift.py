@@ -66,3 +66,53 @@ def test_missing_group_is_maximal_drift(baseline):
     result = score_drift(actual, baseline)
     assert "never-seen-source" in result["groups"]
     assert result["groups"]["never-seen-source"]["psi"] > 0.25
+
+
+def test_per_partition_drift_verdicts(baseline, tmp_path):
+    """Pipeline with a baseline profile: a shifted corpus fails drift
+    PER PARTITION even with zero row-constraint violations."""
+    from pyschema_ray import Integer, List, Record, Text, no_auto_store
+    from pyschema_ray.pipelines.validate import (PipelineConfig,
+                                                 ValidationPipeline)
+    from pyschema_ray.stages.validator import StatsConfig
+
+    @no_auto_store
+    class Seqs(Record):
+        doc_id = Text(nullable=False)
+        tokens = List(Integer(size=4), nullable=False)
+        n_tok = Integer(size=4)
+        source = Text(nullable=False)
+        _key_field = "doc_id"
+
+    paths, _ = generate_sequences(8_000, seed=44, n_files=4, inject=False,
+                                  mean_len=320.0,
+                                  out_dir=str(tmp_path / "shifted"))
+    cfg = PipelineConfig(
+        schema_cls=Seqs, input_paths=str(tmp_path / "shifted"),
+        out_dir=str(tmp_path / "out"), files_per_shard=4,
+        baseline_profile=baseline,
+        stats=StatsConfig(histogram_column="n_tok",
+                          histogram_group="source"),
+        check_unique=False)
+    rep = ValidationPipeline(cfg).run()
+    assert rep.violation_counts == {}          # rows themselves are clean
+    assert not rep.passed                      # but drift fails globally
+    assert rep.drift is not None and not rep.drift["passed"]
+    assert len(rep.partition_drift) == 4
+    for pid, d in rep.partition_drift.items():
+        assert not d["passed"], (pid, d)
+        assert rep.partition_verdicts[pid] == "fail"
+
+    # the same-distribution corpus passes per partition
+    paths2, _ = generate_sequences(8_000, seed=45, n_files=4, inject=False,
+                                   out_dir=str(tmp_path / "same"))
+    cfg2 = PipelineConfig(
+        schema_cls=Seqs, input_paths=str(tmp_path / "same"),
+        out_dir=str(tmp_path / "out2"), files_per_shard=4,
+        baseline_profile=baseline,
+        stats=StatsConfig(histogram_column="n_tok",
+                          histogram_group="source"),
+        check_unique=False)
+    rep2 = ValidationPipeline(cfg2).run()
+    assert rep2.passed, (rep2.drift, rep2.partition_drift)
+    assert all(d["passed"] for d in rep2.partition_drift.values())
