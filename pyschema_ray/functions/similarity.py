@@ -166,6 +166,55 @@ def cosine_near_dups_lsh(ds, threshold: float = 0.9, n_planes: int = 12,
     return coded.groupby("bucket").map_groups(emit, batch_format="pandas")
 
 
+def build_ivf_centroids(ds, n_cells: int = 16, sample_size: int = 2048,
+                        seed: int = 1234, iters: int = 10,
+                        embedding_col: str = "embedding") -> np.ndarray:
+    """IVF coarse quantizer: deterministic Lloyd k-means over a sample
+    (driver-side numpy — the sample is small; centroids are then
+    broadcast).  Returns (n_cells, d) normalized centroids."""
+    sample = ds.limit(sample_size)
+    mats = [_as_matrix(t[embedding_col]) for t in
+            sample.iter_batches(batch_format="pyarrow") if t.num_rows]
+    m = _normalize(np.vstack(mats))
+    rng = np.random.default_rng(seed)
+    n_cells = min(n_cells, len(m))
+    cent = m[rng.choice(len(m), n_cells, replace=False)].copy()
+    for _ in range(iters):
+        assign = (m @ cent.T).argmax(axis=1)
+        for c in range(n_cells):
+            members = m[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def ivf_topk(ds, queries: np.ndarray, centroids: np.ndarray, k: int = 10,
+             nprobe: int = 4, embedding_col: str = "embedding",
+             key_col: str = "vec_id") -> pa.Table:
+    """IVF search: each query probes its ``nprobe`` nearest cells; the
+    corpus streams through a cell-assignment filter (centroid matrix
+    broadcast once) and only vectors in probed cells reach the exact
+    scoring matmul.  Scanned fraction ~ nprobe/n_cells at some recall
+    cost — the IVF scale path next to the LSH one."""
+    import ray
+
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    q_cells = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]
+    wanted = np.unique(q_cells)
+    cent_ref = ray.put((centroids.astype(np.float32), set(wanted.tolist())))
+
+    def cell_filter(t: pa.Table) -> pa.Table:
+        cents, want = ray.get(cent_ref)
+        m = _normalize(_as_matrix(t[embedding_col]))
+        assign = (m @ cents.T).argmax(axis=1)
+        keep = np.isin(assign, list(want))
+        return t.filter(pa.array(keep))
+
+    candidates = ds.map_batches(cell_filter, batch_format="pyarrow")
+    return brute_force_topk(candidates, q, k, embedding_col, key_col)
+
+
 def _collect_matrix(ds, embedding_col: str, key_col: str):
     """Materialize (keys, matrix) of a small-enough embedding table."""
     keys, mats = [], []

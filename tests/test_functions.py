@@ -318,3 +318,26 @@ def test_dedup_keep_keys_composed():
     keep = dedup.dedup_keep_keys(ds, jaccard_threshold=0.5, concurrency=2)
     # exact dup 10 (of 2) and near dup 11 (of 4) dropped; rest kept
     assert keep["doc_id"].to_pylist() == [0, 1, 2, 3, 4, 5]
+
+
+def test_ivf_topk_recall():
+    import ray.data
+    from pyschema_ray.functions.similarity import (build_ivf_centroids,
+                                                   brute_force_topk,
+                                                   ivf_topk)
+    ds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = build_ivf_centroids(ds, n_cells=8, sample_size=500)
+    assert cents.shape == (8, 64)
+    first = ds.take(3)
+    q = np.stack([np.asarray(r["embedding"], dtype=np.float32)
+                  for r in first])
+    exact = brute_force_topk(ds, q, k=5)
+    approx = ivf_topk(ds, q, cents, k=5, nprobe=4)
+    for qi, r in enumerate(first):
+        sel = approx.filter(pa.compute.equal(approx["query_id"], qi))
+        top = sel.filter(pa.compute.equal(sel["rank"], 1))
+        assert top["vec_id"][0].as_py() == r["vec_id"]  # self found
+        ex = exact.filter(pa.compute.equal(exact["query_id"], qi))
+        recall = len(set(sel["vec_id"].to_pylist())
+                     & set(ex["vec_id"].to_pylist())) / 5
+        assert recall >= 0.4, (qi, recall)  # half the cells probed
