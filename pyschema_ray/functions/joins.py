@@ -93,6 +93,50 @@ def sessionize(ds, key_col: str, ts_col: str, gap_seconds: float,
              .groupby(key_col).map_groups(per_key, batch_format="pandas")
 
 
+def asof_join(left, right, key_col: str, ts_col: str,
+              right_ts_col: str | None = None,
+              direction: str = "backward", suffix: str = "_right"):
+    """Per-key as-of join: each left row matched to the nearest right
+    row of the SAME key at-or-before (``backward``) / at-or-after
+    (``forward``) its timestamp.
+
+    Ray-Data-first composition: both sides are tagged and unioned, then
+    ONE hash-groupby on the entity key co-locates each key's history;
+    inside the group a pandas ``merge_asof`` (sorted merge) does the
+    time matching.  Partitioning assumption: one key's combined history
+    fits a task — the same assumption as sessionization; keys are
+    entity ids, so the shuffle is skew-free."""
+
+    def tag(side):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column("__side", pa.array([side] * t.num_rows,
+                                                      pa.int8()))
+        return fn
+
+    rts = right_ts_col or ts_col
+    lt = left.map_batches(tag(0), batch_format="pyarrow")
+    rt_named = right.map_batches(tag(1), batch_format="pyarrow")
+
+    def per_key(df):
+        import pandas as pd
+
+        lhs = df[df["__side"] == 0].drop(columns="__side")
+        rhs = df[df["__side"] == 1].drop(columns="__side")
+        lhs = lhs.dropna(axis=1, how="all").sort_values(ts_col,
+                                                        kind="stable")
+        rhs = rhs.dropna(axis=1, how="all")
+        if rhs.empty or lhs.empty:
+            return lhs.assign() if not lhs.empty else lhs
+        rhs = rhs.sort_values(rts, kind="stable")
+        out = pd.merge_asof(lhs, rhs, left_on=ts_col, right_on=rts,
+                            by=key_col, direction=direction,
+                            suffixes=("", suffix))
+        return out
+
+    both = lt.union(rt_named)
+    return both.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
 def session_counts(ds, key_col: str, ts_col: str, gap_seconds: float):
     """(key, n_sessions, n_events) per key — SQL-oracle-friendly
     projection of :func:`sessionize`."""

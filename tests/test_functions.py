@@ -341,3 +341,27 @@ def test_ivf_topk_recall():
         recall = len(set(sel["vec_id"].to_pylist())
                      & set(ex["vec_id"].to_pylist())) / 5
         assert recall >= 0.4, (qi, recall)  # half the cells probed
+
+
+def test_asof_join():
+    import ray.data
+    import datetime as dt
+    from pyschema_ray.functions.joins import asof_join
+    t0 = dt.datetime(2026, 1, 1)
+
+    trades = ray.data.from_items([
+        {"sym": "A", "ts": t0 + dt.timedelta(seconds=s), "qty": q}
+        for s, q in [(10, 1), (35, 2), (70, 3)]
+    ] + [{"sym": "B", "ts": t0 + dt.timedelta(seconds=20), "qty": 9}])
+    quotes = ray.data.from_items([
+        {"sym": "A", "ts": t0 + dt.timedelta(seconds=s), "px": p}
+        for s, p in [(0, 100.0), (30, 101.0), (60, 102.0)]
+    ] + [{"sym": "B", "ts": t0, "px": 50.0}])
+
+    out = pa.concat_tables(
+        asof_join(trades, quotes, "sym", "ts")
+        .iter_batches(batch_format="pyarrow"))
+    rows = sorted(((r["sym"], r["qty"], r["px"])
+                   for r in out.to_pylist()))
+    assert rows == [("A", 1, 100.0), ("A", 2, 101.0), ("A", 3, 102.0),
+                    ("B", 9, 50.0)]
