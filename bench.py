@@ -32,9 +32,10 @@ sys.path.insert(0, REPO)
 
 BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "400000"))
 # scaling runs need a compute-dominated input so the fixed per-pipeline
-# costs (~3-4 s of shuffle/driver coordination) don't mask parallel
-# speedup; ~16M rows ≈ 3.2B tokens ≈ 7.7 GB parquet
-SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "16000000"))
+# costs (~2 s of shuffle/driver coordination) don't mask parallel
+# speedup; ~32M rows ≈ 6.4B tokens ≈ 15 GB parquet (generated once,
+# cached under /tmp; ~6 min first time)
+SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "32000000"))
 BENCH_SEED = 42
 BENCH_FILES = 32
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")

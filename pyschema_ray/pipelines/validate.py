@@ -155,6 +155,31 @@ class ValidationPipeline:
 
         report = ValidationReport(out_dir=cfg.out_dir, shard_count=len(shards),
                                   shards_skipped=len(completed))
+
+        # launch the (independent) global uniqueness pass concurrently
+        # with shard validation: it reads only the key column, so its
+        # shuffle fills CPUs during the validate pipeline's driver-side
+        # gaps instead of serializing after them
+        uniq_thread = None
+        uniq_result: dict = {}
+        if cfg.check_unique and self.manifest.get_global("unique") is None:
+            import threading
+
+            key = cfg.schema_cls.key_field()
+
+            def _uniq():
+                try:
+                    if cfg.fused:
+                        uniq_result["table"] = uniqueness_violations(files, key)
+                    else:
+                        ds_u = ray.data.read_parquet(files, columns=[key])
+                        uniq_result["table"] = uniqueness_violations(ds_u, key)
+                except Exception as e:  # noqa: BLE001
+                    uniq_result["error"] = e
+
+            uniq_thread = threading.Thread(target=_uniq, daemon=True)
+            uniq_thread.start()
+
         for sid, shard_files in enumerate(shards):
             if sid in completed:
                 continue
@@ -222,7 +247,12 @@ class ValidationPipeline:
             key = cfg.schema_cls.key_field()
             uniq = self.manifest.get_global("unique")
             if uniq is None:
-                if self.cfg.fused:
+                if uniq_thread is not None:
+                    uniq_thread.join()
+                    if "error" in uniq_result:
+                        raise uniq_result["error"]
+                    dup_tbl = uniq_result["table"]
+                elif self.cfg.fused:
                     dup_tbl = uniqueness_violations(files, key)
                 else:
                     ds = ray.data.read_parquet(files, columns=[key])
