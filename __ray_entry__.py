@@ -401,6 +401,32 @@ def _q_user_session_counts(sf_dir: str) -> pa.Table:
     return _collect(out).sort_by("user_id")
 
 
+def _q_clean_documents(sf_dir: str) -> pa.Table:
+    """Corpus-cleaning writer: validated copy with violating rows
+    removed; returns the surviving doc_ids (read back from the cleaned
+    parquet output)."""
+    import glob
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from pyschema_ray.pipelines.clean import write_validated
+
+    out = tempfile.mkdtemp(prefix="pyschema_ray_clean_")
+    try:
+        write_validated([os.path.join(sf_dir, "documents.parquet")], out,
+                        _documents_schema(),
+                        ref_sets={"source": ("sources", "source",
+                                             DOC_SOURCES)})
+        cleaned = pa.concat_tables(
+            pq.read_table(p, columns=["doc_id"])
+            for p in sorted(glob.glob(os.path.join(out, "*.parquet"))))
+        return cleaned.sort_by("doc_id")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 # -- rows-only (non-SQL-expressible: sketches, model-ish scoring) -----------
 
 def _q_ndv_user_id_hll(sf_dir: str) -> pa.Table:
@@ -542,6 +568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "orders_by_nation": _q_orders_by_nation,
         "user_session_counts": _q_user_session_counts,
+        "clean_documents": _q_clean_documents,
         "events_hourly": _q_events_hourly,
         # sketches / scoring (rows-only)
         "ndv_user_id_hll": _q_ndv_user_id_hll,
@@ -648,6 +675,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
                         AS BIGINT) AS n_punct
               FROM documents ORDER BY doc_id
+        """,
+        "clean_documents": f"""
+            SELECT doc_id FROM documents
+             WHERE length(text) >= 50
+               AND (lang IS NULL OR lang IN ({lang_list}))
+               AND n_chars BETWEEN 1 AND 500
+               AND n_chars = length(text)
+               AND source IN ({src_list})
+             ORDER BY doc_id
         """,
         "orders_by_nation": """
             SELECT n_name,
