@@ -115,7 +115,14 @@ class MinHasher:
                 sig[nonempty, s] = mins
         flat_sig = pa.array(sig.reshape(-1), pa.uint64())
         col = pa.FixedSizeListArray.from_arrays(flat_sig, self.k)
-        return t.append_column(self.out_col, col)
+        out = t.append_column(self.out_col, col)
+        # flag docs with no shingles (empty/null text): they all share
+        # the identical all-max signature and would otherwise co-bucket
+        # into one giant O(m^2) candidate group
+        has = np.zeros(n, dtype=bool)
+        has[np.diff(offsets) > 0] = True
+        return out.append_column(f"{self.out_col}_empty",
+                                 pa.array(~has, pa.bool_()))
 
 
 def lsh_band_buckets(t: pa.Table, minhash_col: str = "minhash",
@@ -162,6 +169,9 @@ def minhash_lsh_candidates(ds, text_col: str = "text",
         fn_constructor_kwargs=dict(text_col=text_col, num_hashes=num_hashes,
                                    shingle_words=shingle_words),
         batch_format="pyarrow", concurrency=concurrency)
+    sigs = sigs.map_batches(
+        lambda t: t.filter(pc.invert(t["minhash_empty"])),
+        batch_format="pyarrow")
     buckets = sigs.map_batches(
         lambda t: lsh_band_buckets(t, key_col=key_col, bands=bands),
         batch_format="pyarrow")

@@ -114,24 +114,32 @@ def asof_join(left, right, key_col: str, ts_col: str,
         return fn
 
     rts = right_ts_col or ts_col
+    # capture the exact column sets up front so every group emits the
+    # SAME schema (selecting by all-null inference would drop a genuine
+    # left column that happens to be all-null for one key)
+    left_cols = [n for n in left.schema().names]
+    right_cols = [n for n in right.schema().names]
+    out_right = [c for c in right_cols if c != key_col]
+    out_cols = left_cols + [c + suffix if c in left_cols else c
+                            for c in out_right]
     lt = left.map_batches(tag(0), batch_format="pyarrow")
     rt_named = right.map_batches(tag(1), batch_format="pyarrow")
 
     def per_key(df):
         import pandas as pd
 
-        lhs = df[df["__side"] == 0].drop(columns="__side")
-        rhs = df[df["__side"] == 1].drop(columns="__side")
-        lhs = lhs.dropna(axis=1, how="all").sort_values(ts_col,
-                                                        kind="stable")
-        rhs = rhs.dropna(axis=1, how="all")
-        if rhs.empty or lhs.empty:
-            return lhs.assign() if not lhs.empty else lhs
+        lhs = df[df["__side"] == 0][left_cols] \
+            .sort_values(ts_col, kind="stable")
+        rhs = df[df["__side"] == 1][[key_col] + out_right]
+        if lhs.empty:
+            return pd.DataFrame(columns=out_cols)
+        if rhs.empty:
+            return lhs.reindex(columns=out_cols)
         rhs = rhs.sort_values(rts, kind="stable")
         out = pd.merge_asof(lhs, rhs, left_on=ts_col, right_on=rts,
                             by=key_col, direction=direction,
                             suffixes=("", suffix))
-        return out
+        return out.reindex(columns=out_cols)
 
     both = lt.union(rt_named)
     return both.groupby(key_col).map_groups(per_key, batch_format="pandas")

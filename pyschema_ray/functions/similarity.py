@@ -26,7 +26,9 @@ def _as_matrix(col) -> np.ndarray:
         col = col.combine_chunks()
     if pa.types.is_fixed_size_list(col.type):
         d = col.type.list_size
-        flat = col.values  # FixedSizeListArray.values IS slice-adjusted
+        # .values of a (possibly sliced) FixedSizeListArray is the FULL
+        # child buffer — restrict to this slice's range
+        flat = col.values.slice(col.offset * d, len(col) * d)
     else:
         offsets = np.asarray(col.offsets, dtype=np.int64)
         lens = np.diff(offsets)
@@ -266,9 +268,6 @@ def lsh_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 8,
         fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes, seed=seed,
                                    embedding_col=embedding_col),
         batch_format="pyarrow", concurrency=(1, 4))
-    candidates = coded.filter(
-        expr=f"bucket in {sorted(wanted)}") if hasattr(coded, "filter") \
-        else coded
     # restrict to wanted buckets with a vectorized batch filter
     import pyarrow.compute as pc
 

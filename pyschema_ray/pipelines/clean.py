@@ -76,6 +76,8 @@ class FileCleaner:
                     if writer is None:
                         writer = pq.ParquetWriter(tmp, clean.schema)
                     writer.write_table(clean)
+                if writer is None:  # zero-row input: still produce output
+                    pq.write_table(pf.schema_arrow.empty_table(), tmp)
             finally:
                 if writer is not None:
                     writer.close()

@@ -58,6 +58,9 @@ class PipelineConfig:
     psi_threshold: float = 0.25
     kl_threshold: float = 0.5
     check_unique: bool = True
+    #: dimension tables for schema-declared ``references=(dim, col)``
+    #: fields: {dim_name: pyarrow.Table | list_of_values}
+    dim_tables: dict = field(default_factory=dict)
     quantiles: tuple = (0.5, 0.9, 0.99)
     #: fuse parquet read into the validate/uniqueness tasks (one task
     #: per file; the decoded data never transits the object store).
@@ -132,6 +135,21 @@ class ValidationPipeline:
         self.manifest = Manifest(cfg.out_dir)
         self.schema_hash = schema_hash(cfg.schema_cls)
         os.makedirs(os.path.join(cfg.out_dir, "violations"), exist_ok=True)
+        # schema-declared referential fields (Field(references=...)) must
+        # resolve to a broadcast value set — silently ignoring them would
+        # skip a declared check
+        for col, (dim, dim_col) in cfg.schema_cls.referential_fields().items():
+            if col in cfg.ref_sets:
+                continue
+            if dim not in cfg.dim_tables:
+                raise ValueError(
+                    f"field {col!r} declares references=({dim!r}, "
+                    f"{dim_col!r}) but no ref_sets[{col!r}] entry and no "
+                    f"dim_tables[{dim!r}] table was provided")
+            dim_obj = cfg.dim_tables[dim]
+            values = (dim_obj[dim_col].to_pylist()
+                      if isinstance(dim_obj, pa.Table) else list(dim_obj))
+            cfg.ref_sets[col] = (dim, dim_col, values)
 
     # ------------------------------------------------------------------
     def run(self) -> ValidationReport:
@@ -152,6 +170,18 @@ class ValidationPipeline:
                     f"manifest shard {sid} was produced with a different "
                     f"schema ({rec.get('schema_hash')} != {self.schema_hash}); "
                     "refusing to resume")
+            # the shard id is positional over the sorted file list: if the
+            # input set changed, resuming would silently skip the WRONG
+            # files — refuse instead
+            if sid < len(shards) and rec.get("files") != shards[sid]:
+                raise RuntimeError(
+                    f"manifest shard {sid} covers different input files "
+                    "than the current discovery (input set changed?); "
+                    "refusing to resume — use a fresh out_dir")
+            if sid >= len(shards):
+                raise RuntimeError(
+                    f"manifest has shard {sid} beyond the current input's "
+                    f"{len(shards)} shards; refusing to resume")
 
         report = ValidationReport(out_dir=cfg.out_dir, shard_count=len(shards),
                                   shards_skipped=len(completed))
@@ -162,18 +192,26 @@ class ValidationPipeline:
         # gaps instead of serializing after them
         uniq_thread = None
         uniq_result: dict = {}
-        if cfg.check_unique and self.manifest.get_global("unique") is None:
+        # uniqueness targets: every Field(unique=True); default to the
+        # key field when none are declared (legacy behaviour)
+        uniq_cols = (cfg.schema_cls.unique_fields()
+                     or [cfg.schema_cls.key_field()]) if cfg.check_unique             else []
+        uniq_pending = [c for c in uniq_cols
+                        if self.manifest.get_global(f"unique-{c}") is None]
+        if uniq_pending:
             import threading
-
-            key = cfg.schema_cls.key_field()
 
             def _uniq():
                 try:
-                    if cfg.fused:
-                        uniq_result["table"] = uniqueness_violations(files, key)
-                    else:
-                        ds_u = ray.data.read_parquet(files, columns=[key])
-                        uniq_result["table"] = uniqueness_violations(ds_u, key)
+                    for col in uniq_pending:
+                        if cfg.fused:
+                            uniq_result[col] = uniqueness_violations(files,
+                                                                     col)
+                        else:
+                            ds_u = ray.data.read_parquet(files,
+                                                         columns=[col])
+                            uniq_result[col] = uniqueness_violations(ds_u,
+                                                                     col)
                 except Exception as e:  # noqa: BLE001
                     uniq_result["error"] = e
 
@@ -242,30 +280,24 @@ class ValidationPipeline:
         if merged.hll is not None:
             report.global_stats["ndv_estimate"] = merged.hll.estimate()
 
-        # ---- global uniqueness (E6) ----
-        if cfg.check_unique:
-            key = cfg.schema_cls.key_field()
-            uniq = self.manifest.get_global("unique")
+        # ---- global uniqueness (E6), one pass per declared column ----
+        if uniq_thread is not None:
+            uniq_thread.join()
+            if "error" in uniq_result:
+                raise uniq_result["error"]
+        for col in uniq_cols:
+            uniq = self.manifest.get_global(f"unique-{col}")
             if uniq is None:
-                if uniq_thread is not None:
-                    uniq_thread.join()
-                    if "error" in uniq_result:
-                        raise uniq_result["error"]
-                    dup_tbl = uniq_result["table"]
-                elif self.cfg.fused:
-                    dup_tbl = uniqueness_violations(files, key)
-                else:
-                    ds = ray.data.read_parquet(files, columns=[key])
-                    dup_tbl = uniqueness_violations(ds, key)
-                self._write_violations(dup_tbl, "global-unique")
+                dup_tbl = uniq_result[col]
+                self._write_violations(dup_tbl, f"global-unique-{col}")
                 uniq = {"duplicate_keys": dup_tbl.num_rows,
-                        "constraint": f"unique({key})"}
-                self.manifest.commit_global("unique", uniq)
-            report.duplicate_count = uniq["duplicate_keys"]
-            if report.duplicate_count:
+                        "constraint": f"unique({col})"}
+                self.manifest.commit_global(f"unique-{col}", uniq)
+            report.duplicate_count += uniq["duplicate_keys"]
+            if uniq["duplicate_keys"]:
                 report.violation_counts[uniq["constraint"]] = \
                     report.violation_counts.get(uniq["constraint"], 0) \
-                    + report.duplicate_count
+                    + uniq["duplicate_keys"]
 
         # ---- drift (E8) ----
         if cfg.baseline_profile is not None and merged_hist is not None:

@@ -48,7 +48,18 @@ def build_config(cfg: dict):
     baseline = (BaselineProfile.load(cfg["baseline_profile"])
                 if cfg.get("baseline_profile") else None)
     ref_sets = {col: tuple(v) for col, v in cfg.get("ref_sets", {}).items()}
+    # dim tables for schema-declared references=(dim, col): either a
+    # value list inline or a path to a parquet file
+    dim_tables = {}
+    for dim, spec in cfg.get("dim_tables", {}).items():
+        if isinstance(spec, str):
+            import pyarrow.parquet as pq
+
+            dim_tables[dim] = pq.read_table(spec)
+        else:
+            dim_tables[dim] = list(spec)
     return PipelineConfig(
+        dim_tables=dim_tables,
         schema_cls=schema_cls,
         input_paths=cfg["input"],
         out_dir=cfg["out_dir"],

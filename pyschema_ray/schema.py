@@ -662,7 +662,7 @@ def _avro_type(f: Field, state: set) -> Any:
             t = get_avro_schema_dict(f.record_cls, state)
     else:
         t = _AVRO_PRIMITIVES.get(tname, "string")
-    if f.nullable and tname not in ("List", "Map"):
+    if f.nullable:
         return ["null", t]
     return t
 

@@ -96,7 +96,9 @@ def generate_sequences(n_rows: int, seed: int = 42, n_files: int = 16,
             did = doc_ids[i] if doc_ids[i] is not None else "<null>"
             expected.append((did, "element_range(tokens)"))
         for i in bad_ntok:
-            n_tok[i] = lengths[i] + 1
+            # stay inside the [1, 4096] range so ONLY length_eq fires
+            # (a +1 on a max-length row would also violate range(n_tok))
+            n_tok[i] = lengths[i] + 1 if lengths[i] < 4096 else lengths[i] - 1
             did = doc_ids[i] if doc_ids[i] is not None else "<null>"
             expected.append((did, "length_eq(n_tok,tokens)"))
         for i in bad_rng:

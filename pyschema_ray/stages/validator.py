@@ -129,7 +129,10 @@ class StatsAccumulator:
     FileValidator keeps ONE per file so each file ships a single merged
     partial and the driver-side final reduce is O(files)."""
 
-    def __init__(self, cfg: StatsConfig):
+    def __init__(self, cfg: StatsConfig | None):
+        # cfg=None still counts rows/nulls/violations — verdict counts
+        # must flow even when no sketches are configured
+        cfg = cfg if cfg is not None else StatsConfig()
         self.cfg = cfg
         self.row_count = 0
         self.null_counts: dict = {}
@@ -318,22 +321,25 @@ class CompiledValidator:
             blobs.extend([None] * cnt)
             row_counts.extend([0] * cnt)
 
-        if self.stats is not None:
-            all_counts = dict(viol_counts)
-            for cname, _ in schema_rows:
-                all_counts[cname] = all_counts.get(cname, 0) + 1
-            if accumulator is not None:
-                accumulator.update(table, all_counts)
-            else:
-                acc = StatsAccumulator(self.stats)
-                acc.update(table, all_counts)
-                kinds.append("stats")
-                keys.append(None)
-                partitions.append(pid)
-                constraints.append("")
-                details.append("")
-                blobs.append(acc.to_partial().to_bytes())
-                row_counts.append(n)
+        # the stats row is ALWAYS emitted (even with stats=None) — the
+        # per-partition verdicts and report.violation_counts are derived
+        # from these partials, so gating them on sketch config would make
+        # a default-config pipeline silently pass despite violations
+        all_counts = dict(viol_counts)
+        for cname, _ in schema_rows:
+            all_counts[cname] = all_counts.get(cname, 0) + 1
+        if accumulator is not None:
+            accumulator.update(table, all_counts)
+        else:
+            acc = StatsAccumulator(self.stats)
+            acc.update(table, all_counts)
+            kinds.append("stats")
+            keys.append(None)
+            partitions.append(pid)
+            constraints.append("")
+            details.append("")
+            blobs.append(acc.to_partial().to_bytes())
+            row_counts.append(n)
 
         return pa.table({
             "kind": pa.array(kinds, pa.string()),
@@ -398,8 +404,7 @@ class FileValidator:
         outs = []
         for path in batch[PARTITION_COLUMN].to_pylist():
             pf = pq.ParquetFile(path)
-            acc = (StatsAccumulator(self.validator.stats)
-                   if self.validator.stats is not None else None)
+            acc = StatsAccumulator(self.validator.stats)
             for rb in pf.iter_batches(batch_size=self.batch_rows,
                                       columns=self.columns):
                 tbl = pa.Table.from_batches([rb])

@@ -91,7 +91,11 @@ def test_validator_zero_row_batch(sequences_schema):
     v = CompiledValidator(sequences_schema)
     empty = _seq_table([]).schema.empty_table()
     out = v(empty)
-    assert out.num_rows == 0
+    # no violations; exactly the always-emitted stats row (counts must
+    # flow to verdicts even with stats=None)
+    assert out.num_rows == 1
+    assert out["kind"][0].as_py() == "stats"
+    assert out["row_count"][0].as_py() == 0
 
 
 def test_stream_violations_mode_matches_pull_mode(tmp_path, synth_corpus,
@@ -115,3 +119,69 @@ def test_stream_violations_mode_matches_pull_mode(tmp_path, synth_corpus,
     assert sorted(zip(vs["key"].to_pylist(), vs["constraint"].to_pylist())) \
         == sorted(zip(vp["key"].to_pylist(), vp["constraint"].to_pylist()))
     assert rs.row_count == rp.row_count == 10_000
+
+
+def test_default_config_fails_on_violations(tmp_path, synth_corpus,
+                                            sequences_schema):
+    """Regression (review finding): with the DEFAULT config (stats=None)
+    the pipeline must still count violations and fail."""
+    cfg = PipelineConfig(schema_cls=sequences_schema,
+                         input_paths=synth_corpus["dir"],
+                         out_dir=str(tmp_path / "default"))
+    rep = ValidationPipeline(cfg).run()
+    assert not rep.passed
+    assert rep.violation_counts["regex(doc_id)"] == 20
+    assert rep.row_count == 10_000
+
+
+def test_resume_refuses_changed_file_set(tmp_path, synth_corpus,
+                                         sequences_schema):
+    """Regression (review finding): resuming over a different input
+    file set must refuse, not silently skip the wrong files."""
+    import pytest as _pytest
+
+    cfg = PipelineConfig(schema_cls=sequences_schema,
+                         input_paths=synth_corpus["paths"][:4],
+                         out_dir=str(tmp_path / "r1"), files_per_shard=2)
+    ValidationPipeline(cfg).run()
+    cfg2 = PipelineConfig(schema_cls=sequences_schema,
+                          input_paths=synth_corpus["paths"][2:6],
+                          out_dir=str(tmp_path / "r1"), files_per_shard=2)
+    with _pytest.raises(RuntimeError, match="different input files"):
+        ValidationPipeline(cfg2).run()
+
+
+def test_schema_declared_unique_and_references(tmp_path, synth_corpus):
+    """Regression (review finding): Field(unique=True) on a non-key
+    column and Field(references=...) must actually be enforced."""
+    import pytest as _pytest
+
+    from pyschema_ray import Integer, List, Record, Text, no_auto_store
+    from pyschema_ray.sources.synth import VOCAB, sources_dim_table
+
+    @no_auto_store
+    class SeqsRef(Record):
+        doc_id = Text(nullable=False, unique=True)
+        tokens = List(Integer(size=4), nullable=False)
+        n_tok = Integer(size=4, unique=True)     # NOT unique in data
+        source = Text(nullable=False,
+                      references=("sources_dim", "source"))
+        _key_field = "doc_id"
+
+    # declared reference without a dim table -> explicit error
+    with _pytest.raises(ValueError, match="references"):
+        ValidationPipeline(PipelineConfig(
+            schema_cls=SeqsRef, input_paths=synth_corpus["dir"],
+            out_dir=str(tmp_path / "x")))
+
+    cfg = PipelineConfig(
+        schema_cls=SeqsRef, input_paths=synth_corpus["dir"],
+        out_dir=str(tmp_path / "y"), files_per_shard=4,
+        dim_tables={"sources_dim": sources_dim_table()})
+    rep = ValidationPipeline(cfg).run()
+    # the declared reference is enforced (20 injected unknown sources)
+    assert rep.violation_counts[
+        "ref(source->sources_dim.source)"] == 20
+    # BOTH declared unique columns are checked; n_tok is wildly dup'd
+    assert rep.violation_counts["unique(doc_id)"] == 50
+    assert rep.violation_counts["unique(n_tok)"] > 100

@@ -89,17 +89,21 @@ def test_schema_conformance_violations():
         b = Integer(size=4)
         _key_field = "a"
 
+    import pyarrow.compute as _pc
+
+    def viol_rows(t):
+        return t.filter(_pc.equal(t["kind"], "violation")).to_pylist()
+
     v = CompiledValidator(Strict)
     # missing column b
-    out = v(pa.table({"a": pa.array(["x", "y"])}))
-    viol = out.to_pylist()
+    viol = viol_rows(v(pa.table({"a": pa.array(["x", "y"])})))
     assert [r["constraint"] for r in viol] == ["schema(b)"]
     assert viol[0]["key"] == "<schema>"
     assert viol[0]["detail"] == "column missing"
     # un-castable type for b (string), castable int64->int32 for ok case
-    out2 = v(pa.table({"a": pa.array(["x"]),
-                       "b": pa.array(["notint"])}))
-    assert [r["constraint"] for r in out2.to_pylist()] == ["schema(b)"]
-    out3 = v(pa.table({"a": pa.array(["x"]),
-                       "b": pa.array([1], pa.int64())}))
-    assert out3.num_rows == 0  # int64 -> int32 is castable: conforms
+    viol2 = viol_rows(v(pa.table({"a": pa.array(["x"]),
+                                  "b": pa.array(["notint"])})))
+    assert [r["constraint"] for r in viol2] == ["schema(b)"]
+    viol3 = viol_rows(v(pa.table({"a": pa.array(["x"]),
+                                  "b": pa.array([1], pa.int64())})))
+    assert viol3 == []  # int64 -> int32 is castable: conforms
