@@ -333,13 +333,30 @@ class ValidationPipeline:
             baseline_profile=cfg.baseline_profile,
         )
         if cfg.fused:
-            # fused read+validate: one task per file streams its row
-            # groups through the validator locally and ships ONLY the
-            # tiny tagged output — the decoded corpus never transits
-            # the object store (see FileValidator docstring)
+            # fused read+validate: tasks stream row groups through the
+            # validator locally and ship ONLY the tiny tagged output —
+            # the decoded corpus never transits the object store (see
+            # FileValidator docstring).  Big files are split into
+            # row-group chunks so tasks pack tightly onto cores
+            # (~4 tasks per core per shard) instead of leaving a
+            # whole-file straggler tail.
             fctor = dict(batch_rows=cfg.batch_size or 8192, **ctor)
-            ds = ray.data.from_items(
-                [{"path": f} for f in shard_files])
+            cpus = int(ray.cluster_resources().get("CPU", 4))
+            per_file = max(1, (cpus * 4) // max(1, len(shard_files)))
+            items = []
+            for f in shard_files:
+                if per_file <= 1:
+                    items.append({"path": f})
+                    continue
+                n_rg = pq.ParquetFile(f).metadata.num_row_groups
+                chunks = min(per_file, max(1, n_rg))
+                bounds = [round(c * n_rg / chunks)
+                          for c in range(chunks + 1)]
+                for c in range(chunks):
+                    if bounds[c] < bounds[c + 1]:
+                        items.append({"path": f, "rg_start": bounds[c],
+                                      "rg_end": bounds[c + 1]})
+            ds = ray.data.from_items(items)
             kwargs = dict(batch_format="pyarrow", batch_size=1)
             if cfg.concurrency is not None or cfg.baseline_profile is not None:
                 kwargs["concurrency"] = cfg.concurrency or \

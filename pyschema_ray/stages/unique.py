@@ -42,7 +42,7 @@ def _default_buckets() -> int:
     return max(64, cpus * 4)
 
 
-def _bucketize(key: str, num_buckets: int):
+def _bucketize(key: str, num_buckets: int, pre_aggregate: bool):
     def fn(t: pa.Table) -> pa.Table:
         # null keys are handled by not_null(key); also Ray's sort-based
         # groupby cannot order null keys
@@ -52,32 +52,43 @@ def _bucketize(key: str, num_buckets: int):
             key: t[key],
             "bucket": pa.array((h % np.uint64(num_buckets)).astype(np.int64)),
         })
+        if not pre_aggregate:
+            return pre
         g = pre.group_by(["bucket", key]).aggregate([(key, "count")])
         return g.rename_columns(["bucket", key, "cnt"])
     return fn
 
 
-def _find_dups(key: str):
+def _find_dups(key: str, pre_aggregated: bool):
     def fn(t: pa.Table) -> pa.Table:
-        g = t.group_by(key).aggregate([("cnt", "sum")])
+        if pre_aggregated:
+            g = t.group_by(key).aggregate([("cnt", "sum")])
+        else:
+            g = t.group_by(key).aggregate([(key, "count")])
         g = g.rename_columns([key, "dup_count"])
         return g.filter(pc.greater(g["dup_count"], 1))
     return fn
 
 
 def duplicate_keys_from_files(files: list[str], key: str,
-                              num_buckets: int | None = None):
+                              num_buckets: int | None = None,
+                              pre_aggregate: bool = False):
     """Fused variant: each task reads ONLY the key column of its file
     (column-pruned parquet read inside the task — the decoded key data
-    never transits the object store unaggregated) and emits the
-    (bucket, key, cnt) combiner output; then the bucket groupby as in
-    :func:`duplicate_keys`."""
+    never transits the object store unaggregated); then the bucket
+    groupby as in :func:`duplicate_keys`.
+
+    ``pre_aggregate``: run a per-file combiner (group_by count) before
+    the shuffle.  Leave OFF for near-unique keys — the combiner's
+    group_by costs more CPU than the un-collapsed shuffle saves
+    (measured 2.3x at 32M unique-ish ids); turn ON for corpora with
+    heavy within-file duplication, where it shrinks the exchange."""
     import pyarrow.parquet as pq
 
     import ray.data
 
     nb = num_buckets or _default_buckets()
-    bucketize = _bucketize(key, nb)
+    bucketize = _bucketize(key, nb, pre_aggregate)
 
     def per_file(batch: pa.Table) -> pa.Table:
         outs = []
@@ -88,18 +99,20 @@ def duplicate_keys_from_files(files: list[str], key: str,
 
     ds = ray.data.from_items([{"path": f} for f in files])
     pre = ds.map_batches(per_file, batch_format="pyarrow", batch_size=1)
-    return pre.groupby("bucket").map_groups(_find_dups(key),
-                                            batch_format="pyarrow")
+    return pre.groupby("bucket").map_groups(
+        _find_dups(key, pre_aggregate), batch_format="pyarrow")
 
 
-def duplicate_keys(ds, key: str, num_buckets: int | None = None):
+def duplicate_keys(ds, key: str, num_buckets: int | None = None,
+                   pre_aggregate: bool = True):
     """-> Dataset(key, dup_count) with dup_count >= 2.  ``ds`` may be
-    the full table; only (key, bucket, cnt) survives to the shuffle."""
+    the full table; only (key, bucket[, cnt]) survives to the shuffle."""
     nb = num_buckets or _default_buckets()
     pre = (ds.select_columns([key])
-             .map_batches(_bucketize(key, nb), batch_format="pyarrow"))
-    return pre.groupby("bucket").map_groups(_find_dups(key),
-                                            batch_format="pyarrow")
+             .map_batches(_bucketize(key, nb, pre_aggregate),
+                          batch_format="pyarrow"))
+    return pre.groupby("bucket").map_groups(
+        _find_dups(key, pre_aggregate), batch_format="pyarrow")
 
 
 def uniqueness_violations(ds_or_files, key: str,

@@ -401,11 +401,23 @@ class FileValidator:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
 
+        # optional row-group range columns (rg_start/rg_end) let the
+        # planner split big files into several tasks for better packing
+        # (stragglers: N whole-file tasks on C cores leave a long tail);
+        # stats partials per chunk merge downstream keyed by the file
+        rgs = batch["rg_start"].to_pylist() \
+            if "rg_start" in batch.column_names else None
+        rge = batch["rg_end"].to_pylist() \
+            if "rg_end" in batch.column_names else None
         outs = []
-        for path in batch[PARTITION_COLUMN].to_pylist():
+        for i, path in enumerate(batch[PARTITION_COLUMN].to_pylist()):
             pf = pq.ParquetFile(path)
+            row_groups = (list(range(rgs[i], rge[i]))
+                          if rgs is not None
+                          else list(range(pf.metadata.num_row_groups)))
             acc = StatsAccumulator(self.validator.stats)
             for rb in pf.iter_batches(batch_size=self.batch_rows,
+                                      row_groups=row_groups,
                                       columns=self.columns):
                 tbl = pa.Table.from_batches([rb])
                 outs.append(self.validator.validate_table(tbl, path, acc))
