@@ -258,7 +258,13 @@ class Custom(Constraint):
         self.detail = detail or f"custom validator {name} failed"
 
     def mask(self, table):
-        return self.fn(table)
+        # Frozen null contract (module docstring): nulls are valid for
+        # every constraint except NotNull.  Arrow comparison kernels
+        # yield null on null input, so normalize the user expression's
+        # mask the same way the built-ins do — otherwise a custom check
+        # over a nullable column would flag nulls the SQL oracle (where
+        # NULL predicates are not selected) does not.
+        return pc.fill_null(self.fn(table), True)
 
 
 # -- global constraints (need a shuffle / broadcast; evaluated by their own

@@ -160,6 +160,10 @@ class ValidationPipeline:
         files = discover_files(cfg.input_paths)
         if not files:
             raise ValueError(f"no input files under {cfg.input_paths!r}")
+        # lineage ids are relative to the common root of ALL inputs
+        # (stable across shards and resumes — the manifest refuses
+        # changed file sets, so the root cannot move between resumes)
+        self._root = _lineage_root(files)
         shards = [files[i:i + cfg.files_per_shard]
                   for i in range(0, len(files), cfg.files_per_shard)]
 
@@ -325,6 +329,7 @@ class ValidationPipeline:
 
         cfg = self.cfg
         t0 = time.perf_counter()
+        root = getattr(self, "_root", None) or _lineage_root(shard_files)
         ctor = dict(
             schema_cls=cfg.schema_cls,
             stats=cfg.stats,
@@ -394,7 +399,7 @@ class ValidationPipeline:
                 v = t.filter(pc.equal(t["kind"], "violation")) \
                      .select(["key", "partition_id", "constraint",
                               "detail"])
-                return _strip_path_prefix(v, shard_files)
+                return _strip_path_prefix(v, root)
 
             vdir = os.path.join(cfg.out_dir, "violations",
                                 f"shard-{sid:05d}")
@@ -429,7 +434,7 @@ class ValidationPipeline:
             viol = result.filter(pc.equal(result["kind"], "violation")) \
                          .select(["key", "partition_id", "constraint",
                                   "detail"])
-            viol = _strip_path_prefix(viol, shard_files)
+            viol = _strip_path_prefix(viol, root)
             self._write_violations(viol, f"shard-{sid:05d}")
 
             stats_tbl = result.filter(pc.equal(result["kind"], "stats")) \
@@ -440,7 +445,7 @@ class ValidationPipeline:
         rec = ShardRecord(shard_id=sid, files=shard_files,
                           schema_hash=self.schema_hash)
         rec.row_count = shard_total.row_count
-        rec.rows_per_file = {os.path.basename(pid): ps.row_count
+        rec.rows_per_file = {_lineage_id(pid, root): ps.row_count
                              for pid, ps in per_part.items()}
         rec.violation_counts = dict(shard_total.violation_counts)
         digest = shard_total.digest(self.cfg.quantiles)
@@ -463,7 +468,7 @@ class ValidationPipeline:
                 # assembly phase can score PER-PARTITION drift vs the
                 # baseline (a partition fails on violations OR drift)
                 d["hist_hex"] = ps.hist.to_bytes().hex()
-            rec.partition_digests[os.path.basename(pid)] = d
+            rec.partition_digests[_lineage_id(pid, root)] = d
         rec.verdict = "fail" if rec.violation_counts else "pass"
         rec.wall_time_s = time.perf_counter() - t0
         self.manifest.commit(rec)
@@ -479,12 +484,38 @@ class ValidationPipeline:
         os.replace(tmp, final)
 
 
-def _strip_path_prefix(viol: pa.Table, files: list[str]) -> pa.Table:
-    """partition_id = basename of the input file (stable lineage id that
-    does not leak absolute scratch paths into reports)."""
+def _lineage_root(files: list[str]) -> str:
+    """Common directory prefix of the input files.  Lineage partition
+    ids are paths RELATIVE to this root (not basenames): two inputs
+    with the same basename in different subdirectories must stay
+    distinct partitions, or their verdicts and row counts silently
+    merge."""
+    dirs = {os.path.dirname(os.path.abspath(f)) for f in files}
+    return os.path.commonpath(dirs) if dirs else ""
+
+
+def _lineage_id(path: str, root: str) -> str:
+    if root:
+        try:
+            return os.path.relpath(os.path.abspath(path), root)
+        except ValueError:  # different drive (windows) — fall back
+            pass
+    return os.path.basename(path)
+
+
+def _strip_path_prefix(viol: pa.Table, root: str) -> pa.Table:
+    """Rewrite partition_id to the lineage id relative to ``root`` (does
+    not leak absolute scratch paths into reports, keeps subdirectory
+    distinction)."""
     if viol.num_rows == 0:
         return viol
-    pid = pc.replace_substring_regex(viol["partition_id"], r"^.*/", "")
+    # few unique pids (one per input file): map the dictionary, not the
+    # rows — robust to relative vs absolute input paths
+    enc = pc.dictionary_encode(viol["partition_id"]).combine_chunks()
+    mapped = pa.array([_lineage_id(p, root)
+                       for p in enc.dictionary.to_pylist()], pa.string())
+    pid = pa.DictionaryArray.from_arrays(enc.indices, mapped) \
+        .cast(pa.string())
     return viol.set_column(viol.schema.get_field_index("partition_id"),
                            "partition_id", pid)
 

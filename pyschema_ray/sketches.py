@@ -156,6 +156,15 @@ class TDigest:
     def quantiles(self, qs) -> list[float]:
         return [self.quantile(q) for q in qs]
 
+    def clone(self) -> "TDigest":
+        """Deep copy — ``merge`` mutates self, so any holder that stores a
+        sketch it did not create must clone first (aliasing hazard)."""
+        td = TDigest(self.compression)
+        td.means = self.means.copy()
+        td.weights = self.weights.copy()
+        td.count, td.min, td.max = self.count, self.min, self.max
+        return td
+
     # -- serialization ----------------------------------------------------
     def to_bytes(self) -> bytes:
         return pickle.dumps({
@@ -216,6 +225,12 @@ class HyperLogLog:
         assert self.p == other.p
         np.maximum(self.registers, other.registers, out=self.registers)
         return self
+
+    def clone(self) -> "HyperLogLog":
+        """Deep copy — ``merge`` mutates self (see TDigest.clone)."""
+        h = HyperLogLog(self.p)
+        h.registers = self.registers.copy()
+        return h
 
     def estimate(self) -> float:
         m = float(self.m)
@@ -301,6 +316,12 @@ class GroupedHistogram:
         for row in self.groups.values():
             out += row
         return out
+
+    def clone(self) -> "GroupedHistogram":
+        """Deep copy — ``merge`` mutates self (see TDigest.clone)."""
+        h = GroupedHistogram(self.lo, self.hi, self.nbins)
+        h.groups = {k: v.copy() for k, v in self.groups.items()}
+        return h
 
     def to_bytes(self) -> bytes:
         return pickle.dumps({

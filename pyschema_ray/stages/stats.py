@@ -63,14 +63,19 @@ class PartitionStats:
                 (min(cur[0], lo), max(cur[1], hi))
         for k, v in other.violation_counts.items():
             self.violation_counts[k] = self.violation_counts.get(k, 0) + v
+        # Sketch merges mutate self in place, so NEVER alias other's
+        # sketch object: clone when adopting a sketch we didn't create,
+        # otherwise later merges into this object would corrupt `other`
+        # (e.g. global_rollup silently folding every partition into the
+        # first partition's digest/histogram).
         if other.tdigest is not None:
-            self.tdigest = other.tdigest if self.tdigest is None \
+            self.tdigest = other.tdigest.clone() if self.tdigest is None \
                 else self.tdigest.merge(other.tdigest)
         if other.hll is not None:
-            self.hll = other.hll if self.hll is None \
+            self.hll = other.hll.clone() if self.hll is None \
                 else self.hll.merge(other.hll)
         if other.hist is not None:
-            self.hist = other.hist if self.hist is None \
+            self.hist = other.hist.clone() if self.hist is None \
                 else self.hist.merge(other.hist)
         return self
 

@@ -223,12 +223,17 @@ class CompiledValidator:
                 values = ray.get(values)  # broadcast: fetched once per actor
             self.constraints.append(Referential(col, dim, dim_col, values))
         self.constraints.extend(extra_constraints or [])
-        self.stats = stats
         if baseline_profile is not None and stats is not None:
             # align histogram binning with the baseline so KL/PSI compare
-            # identical bins (stages/drift.py BaselineProfile)
-            self.stats.histogram_range = (baseline_profile.lo, baseline_profile.hi)
-            self.stats.histogram_bins = baseline_profile.nbins
+            # identical bins (stages/drift.py BaselineProfile).  Copy the
+            # config — the caller may share one StatsConfig across
+            # pipelines with different (or no) baselines.
+            import dataclasses
+            stats = dataclasses.replace(
+                stats,
+                histogram_range=(baseline_profile.lo, baseline_profile.hi),
+                histogram_bins=baseline_profile.nbins)
+        self.stats = stats
         self.baseline = baseline_profile
 
     # ------------------------------------------------------------------
