@@ -531,6 +531,82 @@ def _q_simhash(sf_dir: str) -> pa.Table:
     }).sort_by("doc_id")
 
 
+def _nonblank_docs(sf_dir: str):
+    """documents rows with at least one word (trim(text) <> '') — the
+    population over which signature-based dup finders operate (docs
+    with no shingles/words are excluded by construction)."""
+    return _read(sf_dir, "documents").map_batches(
+        lambda t: t.filter(pc.not_equal(
+            pc.utf8_trim_whitespace(pc.fill_null(t["text"], "")), "")),
+        batch_format="pyarrow")
+
+
+def _dup_injected_docs(sf_dir: str):
+    """Non-blank documents plus a deterministic exact duplicate of
+    every 10th doc (doc_id + 1_000_000) — the synthetic documents
+    table has no byte-identical texts, so the signature-based dup-pair
+    oracles would otherwise be vacuously empty.  The SQL oracle builds
+    the same derived table with a UNION ALL."""
+    def inject(t: pa.Table) -> pa.Table:
+        base = t.select(["doc_id", "text"])
+        ids = base["doc_id"].to_numpy(zero_copy_only=False)
+        dup = base.filter(pa.array(ids % 10 == 0))
+        dup = dup.set_column(0, "doc_id",
+                             pc.add(dup["doc_id"], 1_000_000))
+        return pa.concat_tables([base, dup])
+
+    return _nonblank_docs(sf_dir).map_batches(inject,
+                                              batch_format="pyarrow")
+
+
+def _q_minhash_dup_pairs(sf_dir: str) -> pa.Table:
+    """Exact-duplicate pairs via the MinHash+LSH machinery: identical
+    texts always co-bucket (identical signatures), so LSH candidates
+    filtered to byte-identical text = ALL exact-dup pairs — which makes
+    this oracle-checkable against a SQL self-join on text."""
+    from pyschema_ray.functions.dedup import (filter_exact_text_pairs,
+                                              minhash_lsh_candidates)
+
+    docs = _dup_injected_docs(sf_dir)
+    cand = minhash_lsh_candidates(docs, concurrency=2)
+    dup = filter_exact_text_pairs(cand, docs)
+    t = _collect(dup)
+    if t.num_rows == 0:
+        return pa.table({"key_a": pa.array([], pa.int64()),
+                         "key_b": pa.array([], pa.int64())})
+    return t.sort_by([("key_a", "ascending"), ("key_b", "ascending")])
+
+
+def _q_simhash_dup_pairs(sf_dir: str) -> pa.Table:
+    """Exact-duplicate pairs via SimHash multi-index candidates at
+    Hamming distance 0, filtered to byte-identical text (identical
+    text => identical 64-bit signature => shares all four 16-bit
+    chunks, so recall is 1) — oracle-checkable like minhash_dup_pairs."""
+    from pyschema_ray.functions.dedup import (filter_exact_text_pairs,
+                                              simhash_near_dups)
+
+    docs = _dup_injected_docs(sf_dir)
+    cand = simhash_near_dups(docs, max_hamming=0, concurrency=2) \
+        .map_batches(lambda t: t.select(["key_a", "key_b"]),
+                     batch_format="pyarrow")
+    dup = filter_exact_text_pairs(cand, docs)
+    t = _collect(dup)
+    if t.num_rows == 0:
+        return pa.table({"key_a": pa.array([], pa.int64()),
+                         "key_b": pa.array([], pa.int64())})
+    return t.sort_by([("key_a", "ascending"), ("key_b", "ascending")])
+
+
+def _q_dedup_keep(sf_dir: str) -> pa.Table:
+    """Composed distributed dedup keep-list (exact -> LSH -> Jaccard
+    verify -> connected components); rows-only (near-dup semantics are
+    not ANSI-SQL-expressible)."""
+    from pyschema_ray.functions.dedup import dedup_keep_keys
+
+    return dedup_keep_keys(_read(sf_dir, "documents"),
+                           jaccard_threshold=0.8, concurrency=2)
+
+
 def _q_lsh_ann_topk(sf_dir: str) -> pa.Table:
     from pyschema_ray.functions.similarity import lsh_topk
 
@@ -570,6 +646,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_session_counts": _q_user_session_counts,
         "clean_documents": _q_clean_documents,
         "events_hourly": _q_events_hourly,
+        "minhash_dup_pairs": _q_minhash_dup_pairs,
+        "simhash_dup_pairs": _q_simhash_dup_pairs,
         # sketches / scoring (rows-only)
         "ndv_user_id_hll": _q_ndv_user_id_hll,
         "value_quantiles_tdigest": _q_value_quantiles_tdigest,
@@ -579,6 +657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup_pairs": _q_minhash_near_dup_pairs,
         "simhash": _q_simhash,
         "lsh_ann_topk": _q_lsh_ann_topk,
+        "dedup_keep": _q_dedup_keep,
     }
 
 
@@ -720,6 +799,32 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
               FROM events GROUP BY event_type, hour
              ORDER BY event_type, hour
+        """,
+        "minhash_dup_pairs": """
+            WITH docs2 AS (
+                SELECT doc_id, text FROM documents
+                 WHERE text IS NOT NULL AND trim(text) <> ''
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents
+                 WHERE text IS NOT NULL AND trim(text) <> ''
+                   AND doc_id % 10 = 0)
+            SELECT a.doc_id AS key_a, b.doc_id AS key_b
+              FROM docs2 a
+              JOIN docs2 b ON a.text = b.text AND a.doc_id < b.doc_id
+             ORDER BY key_a, key_b
+        """,
+        "simhash_dup_pairs": """
+            WITH docs2 AS (
+                SELECT doc_id, text FROM documents
+                 WHERE text IS NOT NULL AND trim(text) <> ''
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents
+                 WHERE text IS NOT NULL AND trim(text) <> ''
+                   AND doc_id % 10 = 0)
+            SELECT a.doc_id AS key_a, b.doc_id AS key_b
+              FROM docs2 a
+              JOIN docs2 b ON a.text = b.text AND a.doc_id < b.doc_id
+             ORDER BY key_a, key_b
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe

@@ -24,6 +24,65 @@ from ..sketches import hash_strings, mix64
 U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR) — numpy has no bit_count."""
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x -= (x >> np.uint64(1)) & np.uint64(0x5555555555555555)
+        x = (x & np.uint64(0x3333333333333333)) \
+            + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+        x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        x = (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+    return x.astype(np.int64)
+
+
+def _key_hash(values, seed: int = 0) -> np.ndarray:
+    """Deterministic uint64 hash of arbitrary key values (string or
+    integer)."""
+    arr = np.asarray(values)
+    if arr.dtype.kind in "iu":
+        return mix64(arr.astype(np.int64).view(np.uint64), seed)
+    return mix64(hash_strings(arr), seed)
+
+
+def _key_shards(values, num_shards: int, seed: int = 0) -> np.ndarray:
+    """Deterministic int64 shard id for arbitrary key values — the
+    small groupby key that co-locates full hash groups on a bounded
+    number of shards instead of shuffling a near-unique raw key."""
+    return (_key_hash(values, seed) % np.uint64(num_shards)).astype(np.int64)
+
+
+def _group_starts(*cols) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, sizes) of equal-value runs over pre-sorted parallel
+    arrays (the group boundaries of a sorted grouping)."""
+    n = len(cols[0])
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    new = np.zeros(n, dtype=bool)
+    new[0] = True
+    for c in cols:
+        a = np.asarray(c)
+        new[1:] |= a[1:] != a[:-1]
+    starts = np.flatnonzero(new)
+    sizes = np.diff(np.append(starts, n))
+    return starts, sizes
+
+
+def _triu_pairs(starts: np.ndarray, sizes: np.ndarray):
+    """All within-group index pairs (i < j) for variable-size sorted
+    groups — the vectorized replacement for a nested Python pair loop.
+    Returns (left_idx, right_idx) into the underlying sorted arrays."""
+    ia, ib = [], []
+    for s, m in zip(starts, sizes):
+        if m >= 2:
+            i, j = np.triu_indices(int(m), 1)
+            ia.append(i + s)
+            ib.append(j + s)
+    if not ia:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(ia), np.concatenate(ib)
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -190,19 +249,44 @@ def minhash_lsh_candidates(ds, text_col: str = "text",
     def emit_pairs(df):
         import pandas as pd
         dup = df[df.duplicated(["band", "bucket"], keep=False)]
-        a_out, b_out = [], []
-        for _, g in dup.groupby(["band", "bucket"], sort=False):
-            keys = sorted(g[key_col].tolist())
-            for i in range(len(keys)):
-                for j in range(i + 1, len(keys)):
-                    a_out.append(keys[i])
-                    b_out.append(keys[j])
-        return pd.DataFrame({"key_a": a_out, "key_b": b_out})
+        if dup.empty:
+            return pd.DataFrame({"key_a": pd.Series([], dtype=df[key_col].dtype),
+                                 "key_b": pd.Series([], dtype=df[key_col].dtype)})
+        # sort by (group, key) so within-group pairs come out ordered
+        # (key_a < key_b); pair emission is a vectorized triangular
+        # cross-join per group, not a nested Python loop
+        dup = dup.sort_values(["band", "bucket", key_col], kind="stable")
+        starts, sizes = _group_starts(dup["band"].to_numpy(),
+                                      dup["bucket"].to_numpy())
+        ia, ib = _triu_pairs(starts, sizes)
+        keys = dup[key_col].to_numpy()
+        return pd.DataFrame({"key_a": keys[ia], "key_b": keys[ib]})
 
     pairs = buckets.map_batches(add_mod, batch_format="pyarrow") \
         .groupby("shard").map_groups(emit_pairs, batch_format="pandas")
-    # same pair can surface from several bands -> distinct
-    return pairs.groupby(["key_a", "key_b"]).count().drop_columns(["count()"])
+    # same pair can surface from several bands -> distinct.  Dedup on a
+    # small integer pair-shard (local drop_duplicates per shard), not a
+    # near-unique (key_a, key_b) string groupby.
+    return distinct_pairs(pairs)
+
+
+def distinct_pairs(pairs, num_shards: int = 64):
+    """Distributed DISTINCT over a (key_a, key_b) pair Dataset: shard by
+    pair hash, drop duplicates locally per shard."""
+    def add_shard(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("pshard", pa.array([], pa.int64()))
+        ha = _key_hash(t["key_a"].to_numpy(zero_copy_only=False), 3)
+        hb = _key_hash(t["key_b"].to_numpy(zero_copy_only=False), 4)
+        shard = ((ha ^ hb) % np.uint64(num_shards)).astype(np.int64)
+        return t.append_column("pshard", pa.array(shard, pa.int64()))
+
+    def local_distinct(df):
+        return df.drop_duplicates(["key_a", "key_b"]) \
+                 .drop(columns=["pshard"])
+
+    return pairs.map_batches(add_shard, batch_format="pyarrow") \
+        .groupby("pshard").map_groups(local_distinct, batch_format="pandas")
 
 
 def jaccard_verify_pairs(pairs_table: pa.Table, docs_table: pa.Table,
@@ -240,70 +324,438 @@ def jaccard_verify_pairs(pairs_table: pa.Table, docs_table: pa.Table,
 
 
 # ---------------------------------------------------------------------------
-# composed dedup pipeline
+# distributed verification + connected components + composed pipeline
 # ---------------------------------------------------------------------------
+
+def jaccard_verify_pairs_ds(pairs, docs, text_col: str = "text",
+                            key_col: str = "doc_id",
+                            shingle_words: int = 3,
+                            threshold: float = 0.7, num_shards: int = 64):
+    """Distributed exact n-gram Jaccard verification of candidate pairs.
+
+    Fully distributed — the driver never holds the pair list or any
+    text:
+
+    1. each pair emits two text requests (one per side), sharded by key
+       hash; the docs Dataset ships (key, text) through the same
+       shuffle (a shuffle semi-join: the corpus text moves ONCE, the
+       unavoidable cost of exact verification when the candidate set is
+       itself too large to broadcast)
+    2. per key-shard, texts attach to requests (``map_groups``)
+    3. requests re-shard by pair hash; both sides of each pair meet on
+       one shard and the shingle-set Jaccard is computed in the worker
+       (per-pair set intersection, with a per-shard shingle cache)
+
+    Returns Dataset(key_a, key_b, jaccard) for pairs >= threshold.
+    """
+    import pandas as pd
+
+    def requests(t: pa.Table) -> pa.Table:
+        def side(which: int, key_chunked) -> pa.Table:
+            keys = key_chunked.combine_chunks() \
+                if isinstance(key_chunked, pa.ChunkedArray) else key_chunked
+            n = len(keys)
+            return pa.table({
+                "kshard": pa.array(_key_shards(
+                    keys.to_numpy(zero_copy_only=False), num_shards, 5),
+                    pa.int64()),
+                "key": keys,
+                "key_a": t["key_a"],
+                "key_b": t["key_b"],
+                "side": pa.array(np.full(n, which, np.int8), pa.int8()),
+                "text": pa.nulls(n, pa.string()),
+            })
+        return pa.concat_tables([side(0, t["key_a"]), side(1, t["key_b"])])
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        keys = t[key_col]
+        n = t.num_rows
+        # side = -1 marks a doc row; key_a/key_b are self placeholders,
+        # NOT nulls — a null int64 column would coerce to float64 in
+        # the pandas map_groups and corrupt large keys
+        return pa.table({
+            "kshard": pa.array(_key_shards(
+                keys.to_numpy(zero_copy_only=False), num_shards, 5),
+                pa.int64()),
+            "key": keys,
+            "key_a": keys,
+            "key_b": keys,
+            "side": pa.array(np.full(n, -1, np.int8), pa.int8()),
+            "text": pc.cast(t[text_col], pa.string()),
+        })
+
+    union = pairs.map_batches(requests, batch_format="pyarrow").union(
+        docs.select_columns([key_col, text_col])
+            .map_batches(doc_rows, batch_format="pyarrow"))
+
+    def attach(df):
+        doc_mask = df["side"].to_numpy() == -1
+        texts = df.loc[doc_mask].drop_duplicates("key") \
+                  .set_index("key")["text"]
+        req = df.loc[~doc_mask]
+        ka = req["key_a"].to_numpy()
+        kb = req["key_b"].to_numpy()
+        shard = ((_key_hash(ka, 6) ^ _key_hash(kb, 7))
+                 % np.uint64(num_shards)).astype(np.int64) \
+            if len(req) else np.empty(0, np.int64)
+        return pd.DataFrame({
+            "pshard": shard,
+            "key_a": ka, "key_b": kb,
+            "side": req["side"].to_numpy(),
+            "text": req["key"].map(texts).to_numpy()
+            if len(req) else np.empty(0, object),
+        })
+
+    routed = union.groupby("kshard").map_groups(attach,
+                                               batch_format="pandas")
+
+    def verify(df):
+        if df.empty:
+            return pd.DataFrame({"key_a": df["key_a"], "key_b": df["key_b"],
+                                 "jaccard": pd.Series([], dtype=np.float64)})
+        df = df.sort_values(["key_a", "key_b", "side"], kind="stable")
+        ka = df["key_a"].to_numpy()
+        kb = df["key_b"].to_numpy()
+        texts = df["text"].to_numpy()
+        sides = df["side"].to_numpy()
+        starts, sizes = _group_starts(ka, kb)
+
+        cache: dict = {}
+
+        def shingle_set(key, s):
+            got = cache.get(key)
+            if got is not None:
+                return got
+            w = (s or "").lower().split() if isinstance(s, str) else []
+            if len(w) < shingle_words:
+                out = {" ".join(w)} if w else set()
+            else:
+                out = {" ".join(w[i:i + shingle_words])
+                       for i in range(len(w) - shingle_words + 1)}
+            cache[key] = out
+            return out
+
+        out_a, out_b, out_j = [], [], []
+        for s0, m in zip(starts, sizes):
+            grp = slice(s0, s0 + m)
+            t_a = t_b = None
+            for off in range(m):
+                if sides[s0 + off] == 0 and t_a is None:
+                    t_a = texts[s0 + off]
+                elif sides[s0 + off] == 1 and t_b is None:
+                    t_b = texts[s0 + off]
+            sa = shingle_set(ka[s0], t_a)
+            sb = shingle_set(kb[s0], t_b)
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= threshold:
+                out_a.append(ka[s0])
+                out_b.append(kb[s0])
+                out_j.append(j)
+        return pd.DataFrame({
+            "key_a": np.asarray(out_a, dtype=ka.dtype)
+            if out_a else np.empty(0, ka.dtype),
+            "key_b": np.asarray(out_b, dtype=kb.dtype)
+            if out_b else np.empty(0, kb.dtype),
+            "jaccard": np.asarray(out_j, dtype=np.float64)})
+
+    return routed.groupby("pshard").map_groups(verify,
+                                               batch_format="pandas")
+
+
+def filter_exact_text_pairs(pairs, docs, text_col: str = "text",
+                            key_col: str = "doc_id",
+                            num_shards: int = 64):
+    """Keep only candidate pairs whose texts are byte-identical —
+    verified via content hashes, fully distributed (same
+    shuffle-semi-join shape as :func:`jaccard_verify_pairs_ds`, but
+    shipping 8-byte hashes instead of text).  Turns a near-dup
+    candidate generator (LSH / SimHash) into an exact-duplicate-pair
+    finder with recall 1 (identical text => identical signature =>
+    co-bucketed), which makes the result SQL-oracle-checkable."""
+    import pandas as pd
+
+    def requests(t: pa.Table) -> pa.Table:
+        def side(which: int, key_chunked) -> pa.Table:
+            keys = key_chunked.combine_chunks() \
+                if isinstance(key_chunked, pa.ChunkedArray) else key_chunked
+            n = len(keys)
+            return pa.table({
+                "kshard": pa.array(_key_shards(
+                    keys.to_numpy(zero_copy_only=False), num_shards, 21),
+                    pa.int64()),
+                "key": keys,
+                "key_a": t["key_a"],
+                "key_b": t["key_b"],
+                "side": pa.array(np.full(n, which, np.int8), pa.int8()),
+                "h": pa.array(np.zeros(n, np.int64), pa.int64()),
+            })
+        return pa.concat_tables([side(0, t["key_a"]), side(1, t["key_b"])])
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        keys = t[key_col]
+        n = t.num_rows
+        h = hash_strings(t[text_col].to_numpy(zero_copy_only=False)) \
+            .view(np.int64)
+        return pa.table({
+            "kshard": pa.array(_key_shards(
+                keys.to_numpy(zero_copy_only=False), num_shards, 21),
+                pa.int64()),
+            "key": keys,
+            "key_a": keys,
+            "key_b": keys,
+            "side": pa.array(np.full(n, -1, np.int8), pa.int8()),
+            "h": pa.array(h, pa.int64()),
+        })
+
+    union = pairs.map_batches(requests, batch_format="pyarrow").union(
+        docs.select_columns([key_col, text_col])
+            .map_batches(doc_rows, batch_format="pyarrow"))
+
+    def attach(df):
+        doc_mask = df["side"].to_numpy() == -1
+        hashes = df.loc[doc_mask].drop_duplicates("key") \
+                   .set_index("key")["h"]
+        req = df.loc[~doc_mask]
+        if len(req):
+            # drop requests whose key has no doc row (the pair can't
+            # verify), THEN look up — a map with missing keys would
+            # coerce the int64 hashes to float64 (NaN) and corrupt
+            # hash values above 2^53
+            req = req.loc[req["key"].isin(hashes.index)]
+            h = hashes.loc[req["key"]].to_numpy() if len(req) \
+                else np.empty(0, np.int64)
+        else:
+            h = np.empty(0, np.int64)
+        ka = req["key_a"].to_numpy()
+        kb = req["key_b"].to_numpy()
+        shard = ((_key_hash(ka, 22) ^ _key_hash(kb, 23))
+                 % np.uint64(num_shards)).astype(np.int64) \
+            if len(req) else np.empty(0, np.int64)
+        return pd.DataFrame({
+            "pshard": shard, "key_a": ka, "key_b": kb,
+            "side": req["side"].to_numpy(), "h": h})
+
+    routed = union.groupby("kshard").map_groups(attach,
+                                               batch_format="pandas")
+
+    def equal_pairs(df):
+        if df.empty:
+            return pd.DataFrame({"key_a": df["key_a"],
+                                 "key_b": df["key_b"]})
+        df = df.sort_values(["key_a", "key_b", "side"], kind="stable")
+        ka = df["key_a"].to_numpy()
+        kb = df["key_b"].to_numpy()
+        sides = df["side"].to_numpy()
+        h = df["h"].to_numpy()
+        starts, sizes = _group_starts(ka, kb)
+        out_a, out_b = [], []
+        for s0, m in zip(starts, sizes):
+            h0 = h1 = None
+            for off in range(m):
+                if sides[s0 + off] == 0 and h0 is None:
+                    h0 = h[s0 + off]
+                elif sides[s0 + off] == 1 and h1 is None:
+                    h1 = h[s0 + off]
+            if h0 is not None and h1 is not None and h0 == h1:
+                out_a.append(ka[s0])
+                out_b.append(kb[s0])
+        return pd.DataFrame({
+            "key_a": np.asarray(out_a, dtype=ka.dtype)
+            if out_a else np.empty(0, ka.dtype),
+            "key_b": np.asarray(out_b, dtype=kb.dtype)
+            if out_b else np.empty(0, kb.dtype)})
+
+    return routed.groupby("pshard").map_groups(equal_pairs,
+                                               batch_format="pandas")
+
+
+def connected_components(pairs, num_shards: int = 64,
+                         max_rounds: int = 50):
+    """Distributed connected components over a (key_a, key_b) edge
+    Dataset by iterative min-label propagation (each node repeatedly
+    adopts the minimum label seen among itself and its neighbors).
+
+    Replaces a driver-side union-find: state lives in a sharded Dataset
+    (rows = node labels + forwarded edges + label messages), each round
+    is one integer-shard groupby, and convergence is detected by an
+    exact per-round changed-label count (labels only decrease, so
+    changed == 0 is a true fixpoint).  Rounds needed = component
+    diameter; near-dup components are near-cliques (LSH co-buckets all
+    members of a dup cluster), so 2–4 rounds is typical.  Raises
+    RuntimeError if ``max_rounds`` is hit.
+
+    Returns a materialized Dataset(node, label) with one row per node,
+    label = the minimum key of the node's component.
+    """
+    import pandas as pd
+    import ray.data  # noqa: F401
+
+    # row kinds: 0 = edge (other = neighbor), 1 = label (other = label)
+    def init_rows(t: pa.Table) -> pa.Table:
+        parts = []
+        for u, v in (("key_a", "key_b"), ("key_b", "key_a")):
+            node = t[u].combine_chunks() \
+                if isinstance(t[u], pa.ChunkedArray) else t[u]
+            other = t[v].combine_chunks() \
+                if isinstance(t[v], pa.ChunkedArray) else t[v]
+            n = len(node)
+            shard = pa.array(_key_shards(
+                node.to_numpy(zero_copy_only=False), num_shards, 9),
+                pa.int64())
+            common = {"nshard": shard, "node": node}
+            # forwarded edge
+            parts.append(pa.table({
+                **common, "kind": pa.array(np.zeros(n, np.int8), pa.int8()),
+                "other": other,
+                "canon": pa.array(np.zeros(n, bool)),
+                "changed": pa.array(np.zeros(n, np.int8), pa.int8())}))
+            # self label (canonical)
+            parts.append(pa.table({
+                **common, "kind": pa.array(np.ones(n, np.int8), pa.int8()),
+                "other": node,
+                "canon": pa.array(np.ones(n, bool)),
+                "changed": pa.array(np.zeros(n, np.int8), pa.int8())}))
+            # initial neighbor message (so round 1 already sees
+            # neighbor ids as candidate labels — otherwise the first
+            # round is a false fixpoint)
+            parts.append(pa.table({
+                **common, "kind": pa.array(np.ones(n, np.int8), pa.int8()),
+                "other": other,
+                "canon": pa.array(np.zeros(n, bool)),
+                "changed": pa.array(np.zeros(n, np.int8), pa.int8())}))
+        return pa.concat_tables(parts)
+
+    def propagate(df):
+        is_edge = df["kind"].to_numpy() == 0
+        edges = df.loc[is_edge]
+        labels = df.loc[~is_edge]
+        m = labels.groupby("node")["other"].min()
+        prev = labels.loc[labels["canon"]].groupby("node")["other"].min()
+        changed = (m.to_numpy() != prev.reindex(m.index).to_numpy()) \
+            .astype(np.int8)
+        nodes = m.index.to_numpy()
+        canon = pd.DataFrame({
+            "node": nodes, "kind": np.int8(1), "other": m.to_numpy(),
+            "canon": True, "changed": changed})
+        msgs = pd.DataFrame({
+            "node": edges["other"].to_numpy(),
+            "kind": np.int8(1),
+            "other": edges["node"].map(m).to_numpy(),
+            "canon": False, "changed": np.int8(0)})
+        fwd = pd.DataFrame({
+            "node": edges["node"].to_numpy(), "kind": np.int8(0),
+            "other": edges["other"].to_numpy(),
+            "canon": False, "changed": np.int8(0)})
+        out = pd.concat([canon, msgs, fwd], ignore_index=True)
+        out["nshard"] = _key_shards(out["node"].to_numpy(), num_shards, 9)
+        return out[["nshard", "node", "kind", "other", "canon", "changed"]]
+
+    state = pairs.map_batches(init_rows, batch_format="pyarrow") \
+        .materialize()
+    if state.count() == 0:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.string()),
+                                       "label": pa.array([], pa.string())}))
+
+    for _ in range(max_rounds):
+        state = state.groupby("nshard").map_groups(
+            propagate, batch_format="pandas").materialize()
+        n_changed = state.map_batches(
+            lambda t: t.filter(pc.and_(pc.equal(t["kind"], 1),
+                                       t["canon"]))
+                       .select(["changed"]),
+            batch_format="pyarrow").sum("changed")
+        if not n_changed:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} "
+            "rounds (pathologically deep component — raise max_rounds)")
+
+    def final_labels(t: pa.Table) -> pa.Table:
+        lab = t.filter(pc.and_(pc.equal(t["kind"], 1), t["canon"]))
+        return pa.table({"node": lab["node"], "label": lab["other"]})
+
+    return state.map_batches(final_labels, batch_format="pyarrow")
+
+
+def dedup_keep_keys_ds(ds, text_col: str = "text", key_col: str = "doc_id",
+                       jaccard_threshold: float = 0.8, num_hashes: int = 64,
+                       shingle_words: int = 3, bands: int = 16,
+                       concurrency=(1, 4), num_shards: int = 64):
+    """End-to-end distributed dedup: exact (content-hash) THEN near-dup
+    (MinHash+LSH candidates -> distributed Jaccard verify ->
+    distributed connected components).  Returns a Dataset(key_col) of
+    kept keys (the minimum key per duplicate component) — every stage
+    streams; the driver holds no key list, pair list, or text.
+
+    A key is dropped when a strictly smaller key exists in its
+    near-dup component (matching union-find-with-min semantics), even
+    if that smaller key was itself removed by exact dedup — its
+    content survives through its own exact-kept representative.
+    """
+    import pandas as pd
+
+    kept_exact = exact_dedup_keys(ds, text_col, key_col)
+    cand = minhash_lsh_candidates(ds, text_col, key_col, num_hashes,
+                                  shingle_words, bands, concurrency)
+    verified = jaccard_verify_pairs_ds(
+        cand, ds, text_col, key_col, shingle_words, jaccard_threshold,
+        num_shards).materialize()  # duplicate-rate sized; read by CC rounds
+
+    if verified.count() == 0:
+        return kept_exact
+
+    cc = connected_components(
+        verified.map_batches(lambda t: t.select(["key_a", "key_b"]),
+                             batch_format="pyarrow"),
+        num_shards)
+    drop = cc.map_batches(
+        lambda t: pa.table({key_col: t.filter(
+            pc.invert(pc.equal(t["node"], t["label"])))["node"]}),
+        batch_format="pyarrow")
+
+    # distributed anti-join: kept_exact MINUS drop, on integer shards
+    def tag(flag: int):
+        def f(t: pa.Table) -> pa.Table:
+            keys = t[key_col]
+            n = t.num_rows
+            return pa.table({
+                "kshard": pa.array(_key_shards(
+                    keys.to_numpy(zero_copy_only=False), num_shards, 13),
+                    pa.int64()),
+                key_col: keys,
+                "is_drop": pa.array(np.full(n, flag, np.int8), pa.int8()),
+            })
+        return f
+
+    union = kept_exact.map_batches(tag(0), batch_format="pyarrow").union(
+        drop.map_batches(tag(1), batch_format="pyarrow"))
+
+    def anti(df):
+        flag = df.groupby(key_col)["is_drop"].max()
+        keep = flag.index[flag.to_numpy() == 0]
+        return pd.DataFrame({key_col: keep.to_numpy()})
+
+    return union.groupby("kshard").map_groups(anti, batch_format="pandas")
+
 
 def dedup_keep_keys(ds, text_col: str = "text", key_col: str = "doc_id",
                     jaccard_threshold: float = 0.8, num_hashes: int = 64,
                     shingle_words: int = 3, bands: int = 16,
                     concurrency=(1, 4)) -> pa.Table:
-    """End-to-end dedup: exact (content-hash) THEN near-dup
-    (MinHash+LSH candidates -> exact Jaccard verify -> union-find) —
-    returns the kept keys (minimum key per duplicate component).
-
-    Distributed stages: exact-dedup groupby, MinHash actor pool, LSH
-    shard groupby.  Driver-side: union-find over the VERIFIED pair list
-    and the Jaccard verification text fetch — both duplicate-rate
-    sized, documented as the small-side assumption."""
-    import pyarrow.compute as pc  # noqa: F401  (local alias clarity)
-
-    kept_exact = pa.concat_tables(
-        exact_dedup_keys(ds, text_col, key_col)
-        .iter_batches(batch_format="pyarrow"))
-    kept_set = set(kept_exact[key_col].to_pylist())
-
-    cand = minhash_lsh_candidates(ds, text_col, key_col, num_hashes,
-                                  shingle_words, bands, concurrency)
-    cand_tbl = pa.concat_tables(
-        [t for t in cand.iter_batches(batch_format="pyarrow")
-         if t.num_rows]
-        or [pa.table({"key_a": pa.array([], pa.int64()),
-                      "key_b": pa.array([], pa.int64())})])
-    # fetch candidate docs (duplicate-rate sized) for exact verification
-    cand_keys = set(cand_tbl["key_a"].to_pylist()) \
-        | set(cand_tbl["key_b"].to_pylist())
-    if cand_keys:
-        key_arr = pa.array(sorted(cand_keys))
-        docs = pa.concat_tables(ds.map_batches(
-            lambda t: t.filter(pc.is_in(t[key_col], value_set=key_arr))
-                       .select([key_col, text_col]),
-            batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
-        verified = jaccard_verify_pairs(cand_tbl, docs, text_col, key_col,
-                                        shingle_words, jaccard_threshold)
-    else:
-        verified = pa.table({"key_a": pa.array([], pa.int64()),
-                             "key_b": pa.array([], pa.int64()),
-                             "jaccard": pa.array([], pa.float64())})
-
-    # union-find over verified near-dup pairs
-    parent: dict = {}
-
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for a, b in zip(verified["key_a"].to_pylist(),
-                    verified["key_b"].to_pylist()):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
-            parent[hi] = lo
-
-    drop = {k for k in kept_set if find(k) != k}
-    keep = sorted(kept_set - drop)
-    return pa.table({key_col: pa.array(keep)})
+    """Small-scale convenience wrapper over :func:`dedup_keep_keys_ds`:
+    materializes the kept-key Dataset to a sorted ``pa.Table``.  Use
+    the ``_ds`` variant (and write the result) when the keep-list
+    itself is large."""
+    keep = dedup_keep_keys_ds(ds, text_col, key_col, jaccard_threshold,
+                              num_hashes, shingle_words, bands, concurrency)
+    tbl = pa.concat_tables(
+        [t for t in keep.iter_batches(batch_format="pyarrow") if t.num_rows]
+        or [pa.table({key_col: pa.array([], pa.int64())})])
+    return tbl.sort_by(key_col)
 
 
 # ---------------------------------------------------------------------------
@@ -384,20 +836,22 @@ def simhash_near_dups(ds, text_col: str = "text", key_col: str = "doc_id",
 
     def emit(df):
         import pandas as pd
-        a_out, b_out, h_out = [], [], []
         dup = df[df.duplicated(["chunk_id", "chunk"], keep=False)]
-        for _, g in dup.groupby(["chunk_id", "chunk"], sort=False):
-            recs = sorted(zip(g[key_col], g["simhash"]))
-            for i in range(len(recs)):
-                for j in range(i + 1, len(recs)):
-                    x = np.uint64(recs[i][1]) ^ np.uint64(recs[j][1])
-                    ham = bin(int(x)).count("1")
-                    if ham <= max_hamming and recs[i][0] != recs[j][0]:
-                        a_out.append(recs[i][0])
-                        b_out.append(recs[j][0])
-                        h_out.append(ham)
-        return pd.DataFrame({"key_a": a_out, "key_b": b_out,
-                             "hamming": h_out})
+        if dup.empty:
+            return pd.DataFrame({
+                "key_a": pd.Series([], dtype=df[key_col].dtype),
+                "key_b": pd.Series([], dtype=df[key_col].dtype),
+                "hamming": pd.Series([], dtype=np.int64)})
+        dup = dup.sort_values(["chunk_id", "chunk", key_col], kind="stable")
+        starts, sizes = _group_starts(dup["chunk_id"].to_numpy(),
+                                      dup["chunk"].to_numpy())
+        ia, ib = _triu_pairs(starts, sizes)
+        keys = dup[key_col].to_numpy()
+        sigs = dup["simhash"].to_numpy().astype(np.uint64)
+        ham = _popcount64(sigs[ia] ^ sigs[ib])
+        ok = (ham <= max_hamming) & (keys[ia] != keys[ib])
+        return pd.DataFrame({"key_a": keys[ia][ok], "key_b": keys[ib][ok],
+                             "hamming": ham[ok]})
 
     pairs = exploded.map_batches(add_mod, batch_format="pyarrow") \
         .groupby("shard").map_groups(emit, batch_format="pandas")

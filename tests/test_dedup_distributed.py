@@ -1,0 +1,175 @@
+"""Distributed dedup machinery: connected components by min-label
+propagation, shuffle-based Jaccard verification, and the composed
+keep-list — all checked against driver-side reference implementations
+(the round-1 union-find semantics)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from pyschema_ray.functions import dedup
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _reference_components(pairs):
+    """Union-find with min-root (the round-1 driver-side semantics)."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+            parent[hi] = lo
+    nodes = {x for p in pairs for x in p}
+    return {n: find(n) for n in nodes}
+
+
+def _cc_labels(pairs_table, **kw):
+    import ray.data
+    ds = ray.data.from_arrow(pairs_table)
+    out = dedup.connected_components(ds, **kw)
+    return {r["node"]: r["label"] for r in out.take_all()}
+
+
+def test_connected_components_cliques_and_chain():
+    # two cliques, one 6-node chain (worst case for propagation), one
+    # isolated pair — int keys
+    edges = [(10, 11), (11, 12), (10, 12),          # clique
+             (20, 21),                              # pair
+             (1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]  # chain
+    t = pa.table({"key_a": pa.array([a for a, _ in edges], pa.int64()),
+                  "key_b": pa.array([b for _, b in edges], pa.int64())})
+    got = _cc_labels(t, num_shards=8)
+    assert got == _reference_components(edges)
+    # chain collapses to min label 1 across all 6 nodes
+    assert all(got[n] == 1 for n in range(1, 7))
+
+
+def test_connected_components_string_keys_random_graph():
+    rng = np.random.default_rng(7)
+    nodes = [f"doc-{i:04d}" for i in range(200)]
+    edges = []
+    for _ in range(150):
+        a, b = rng.choice(200, size=2, replace=False)
+        edges.append((nodes[a], nodes[b]))
+    t = pa.table({"key_a": pa.array([a for a, _ in edges]),
+                  "key_b": pa.array([b for _, b in edges])})
+    got = _cc_labels(t, num_shards=16)
+    assert got == _reference_components(edges)
+
+
+def test_connected_components_raises_on_round_cap():
+    edges = [(i, i + 1) for i in range(20)]  # depth-20 chain
+    t = pa.table({"key_a": pa.array([a for a, _ in edges], pa.int64()),
+                  "key_b": pa.array([b for _, b in edges], pa.int64())})
+    import ray.data
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup.connected_components(ray.data.from_arrow(t), num_shards=4,
+                                   max_rounds=3)
+
+
+def test_jaccard_verify_ds_matches_table_variant():
+    """The distributed shuffle verification must produce exactly the
+    pairs + jaccard values of the driver-side reference."""
+    import ray.data
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(300)]
+    texts, ids = [], []
+    for i in range(30):
+        words = list(rng.choice(vocab, size=25, replace=False))
+        texts.append(" ".join(words))
+        ids.append(i)
+    # overlapping docs
+    texts.append(texts[3]); ids.append(103)                  # identical
+    mod = texts[7].split(); mod[5] = "x"; mod[11] = "y"
+    texts.append(" ".join(mod)); ids.append(107)             # near
+    texts.append(""); ids.append(199)                        # empty text
+    docs = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+    cand = [(3, 103), (7, 107), (0, 1), (5, 199), (42, 3)]  # 42 missing
+    pairs = pa.table({"key_a": pa.array([a for a, _ in cand], pa.int64()),
+                      "key_b": pa.array([b for _, b in cand], pa.int64())})
+
+    ref = dedup.jaccard_verify_pairs(pairs, docs, threshold=0.5)
+    got_ds = dedup.jaccard_verify_pairs_ds(
+        ray.data.from_arrow(pairs), ray.data.from_arrow(docs),
+        threshold=0.5, num_shards=8)
+    got = {(r["key_a"], r["key_b"]): r["jaccard"]
+           for r in got_ds.take_all()}
+    want = {(a, b): j for a, b, j in zip(ref["key_a"].to_pylist(),
+                                         ref["key_b"].to_pylist(),
+                                         ref["jaccard"].to_pylist())}
+    assert got == want
+    assert (3, 103) in got and got[(3, 103)] == 1.0
+
+
+def test_dedup_keep_keys_matches_reference_on_documents():
+    """Composed distributed dedup over the sf0.01 documents table ==
+    the round-1 driver-side algorithm (exact keep-min, LSH candidates,
+    Jaccard verify, union-find drop)."""
+    import ray.data
+    import pyarrow.parquet as pq
+    from pyschema_ray.sketches import hash_strings
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ds = ray.data.from_arrow(docs)
+
+    keep = dedup.dedup_keep_keys(ds, jaccard_threshold=0.8, concurrency=2)
+    got = keep["doc_id"].to_pylist()
+
+    # reference: exact keep-min per content hash
+    h = hash_strings(docs["text"].to_numpy(zero_copy_only=False))
+    kept_exact: dict = {}
+    for key, hh in zip(docs["doc_id"].to_pylist(), h.tolist()):
+        if hh not in kept_exact or key < kept_exact[hh]:
+            kept_exact[hh] = key
+    kept_set = set(kept_exact.values())
+    # reference near-dup: same candidates (deterministic pipeline) +
+    # driver verify + union-find
+    cand = dedup.minhash_lsh_candidates(ds, concurrency=2)
+    cand_tbl = pa.table({
+        "key_a": pa.array([r["key_a"] for r in cand.take_all()], pa.int64()),
+        "key_b": pa.array([r["key_b"] for r in cand.take_all()], pa.int64()),
+    })
+    verified = dedup.jaccard_verify_pairs(cand_tbl, docs, threshold=0.8)
+    labels = _reference_components(list(zip(verified["key_a"].to_pylist(),
+                                            verified["key_b"].to_pylist())))
+    drop = {k for k in kept_set if labels.get(k, k) != k}
+    assert sorted(got) == sorted(kept_set - drop)
+
+
+def test_dedup_keep_keys_high_duplication_bounded():
+    """30%+ duplication at 20k docs: the keep-list must be exact and the
+    whole path distributed (no driver union-find) — this corpus has
+    ~6k duplicate pairs."""
+    import ray.data
+    rng = np.random.default_rng(3)
+    vocab = [f"tok{i}" for i in range(2000)]
+    n_base = 14_000
+    texts = [" ".join(rng.choice(vocab, size=20, replace=False))
+             for _ in range(n_base)]
+    ids = list(range(n_base))
+    # 30% exact duplicates of random base docs
+    n_dup = 6_000
+    dup_of = rng.integers(0, n_base, size=n_dup)
+    for j, src in enumerate(dup_of):
+        texts.append(texts[src])
+        ids.append(n_base + j)
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(t).repartition(8)
+
+    keep = dedup.dedup_keep_keys_ds(ds, jaccard_threshold=0.9,
+                                    concurrency=2)
+    got = sorted(r["doc_id"] for r in keep.take_all())
+    # every base doc survives (duplicates all have larger keys); no
+    # injected duplicate survives
+    assert got == list(range(n_base))
