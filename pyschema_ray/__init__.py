@@ -18,6 +18,8 @@ Never calls ``ray.init()`` — the host (driver, test fixture, bench)
 owns the Ray session.
 """
 
+from .avro_json import (avro_dumps, avro_loads, from_avro_json,
+                        to_avro_json)
 from .schema import (Boolean, Bytes, Date, DateTime, Enum, Field, Float,
                      Integer, List, Map, ParseError, Record, SchemaStore,
                      SubRecord, Text, dumps, get_avro_schema_dict,
@@ -27,9 +29,10 @@ from .schema import (Boolean, Bytes, Date, DateTime, Enum, Field, Float,
 __all__ = [
     "Boolean", "Bytes", "Date", "DateTime", "Enum", "Field", "Float",
     "Integer", "List", "Map", "ParseError", "Record", "SchemaStore",
-    "SubRecord", "Text", "dumps", "get_avro_schema_dict",
-    "get_avro_schema_string", "get_json_schema", "ispyschema", "loads",
-    "no_auto_store", "record_from_arrow", "schema_store",
+    "SubRecord", "Text", "avro_dumps", "avro_loads", "dumps",
+    "from_avro_json", "get_avro_schema_dict", "get_avro_schema_string",
+    "get_json_schema", "ispyschema", "loads", "no_auto_store",
+    "record_from_arrow", "schema_store", "to_avro_json",
 ]
 
 __version__ = "0.1.0"

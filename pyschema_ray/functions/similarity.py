@@ -139,19 +139,23 @@ def cosine_near_dup_pairs(ds, threshold: float = 0.9,
 
 def cosine_near_dups_lsh(ds, threshold: float = 0.9, n_planes: int = 12,
                          seed: int = 1234, embedding_col: str = "embedding",
-                         key_col: str = "vec_id"):
+                         key_col: str = "vec_id", n_tables: int = 1):
     """Scale path for embedding near-dup: random-hyperplane bucketing,
-    exact cosine only within buckets (recall < 1 for pairs split across
-    buckets; raise recall with multi-probe / fewer planes)."""
+    exact cosine only within buckets.
+
+    ``n_tables`` is the recall knob: the corpus is bucketed
+    ``n_tables`` times with independent plane sets (seeds ``seed+i``)
+    and the per-table pair sets are unioned + deduplicated — a pair
+    splits across buckets in ALL tables with probability
+    (1 - (angle-collision prob)^n_planes)^n_tables, so recall rises
+    exponentially in n_tables at n_tables× the bucketing cost.
+    Measured in tests/test_similarity_recall.py."""
     import pandas as pd
+
+    from .dedup import distinct_pairs
 
     probe = ds.take_batch(1, batch_format="pyarrow")
     dim = _as_matrix(probe[embedding_col]).shape[1]
-    coded = ds.map_batches(
-        LshBucketer,
-        fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes, seed=seed,
-                                   embedding_col=embedding_col),
-        batch_format="pyarrow", concurrency=(1, 4))
 
     def emit(df: "pd.DataFrame") -> "pd.DataFrame":
         if len(df) < 2:
@@ -165,7 +169,23 @@ def cosine_near_dups_lsh(ds, threshold: float = 0.9, n_planes: int = 12,
         lo, hi = np.minimum(ka, kb), np.maximum(ka, kb)
         return pd.DataFrame({"key_a": lo, "key_b": hi})
 
-    return coded.groupby("bucket").map_groups(emit, batch_format="pandas")
+    per_table = []
+    for i in range(max(1, n_tables)):
+        # task closure, not an actor pool: the bucketer is stateless
+        # (planes derived from the seed) and n_tables pools would
+        # reserve min-actors x tables CPUs and starve the shuffles
+        coded = ds.map_batches(
+            LshBucketer(dim=dim, n_planes=n_planes, seed=seed + i,
+                        embedding_col=embedding_col),
+            batch_format="pyarrow")
+        per_table.append(
+            coded.groupby("bucket").map_groups(emit, batch_format="pandas"))
+    if len(per_table) == 1:
+        return per_table[0]
+    union = per_table[0]
+    for t in per_table[1:]:
+        union = union.union(t)
+    return distinct_pairs(union)
 
 
 def build_ivf_centroids(ds, n_cells: int = 16, sample_size: int = 2048,
@@ -250,18 +270,68 @@ class LshBucketer:
                                pa.array(self.code(m), pa.int64()))
 
 
+def _multiprobe_codes(code: int, margins: np.ndarray,
+                      multiprobe: int) -> list[int]:
+    """Multi-probe LSH perturbation sequence (Lv et al., VLDB'07):
+    the ``multiprobe`` extra bucket codes most likely to hold missed
+    neighbors, generated by flipping plane bits in increasing order of
+    total |margin| (a small margin means the query sat near that
+    hyperplane, so its neighbors plausibly landed on the other side).
+    Heap-based subset enumeration — O(multiprobe log multiprobe)."""
+    import heapq
+
+    if multiprobe <= 0:
+        return []
+    order = np.argsort(margins)
+    sm = margins[order]
+    heap = [(float(sm[0]), (0,))]
+    out: list[int] = []
+    seen = set()
+    while heap and len(out) < multiprobe:
+        score, subset = heapq.heappop(heap)
+        if subset in seen:
+            continue
+        seen.add(subset)
+        c = code
+        for i in subset:
+            c ^= 1 << int(order[i])
+        out.append(c)
+        last = subset[-1]
+        if last + 1 < len(sm):
+            # "shift": replace the last flipped plane with the next one
+            heapq.heappush(heap, (score - float(sm[last])
+                                  + float(sm[last + 1]),
+                                  subset[:-1] + (last + 1,)))
+            # "expand": additionally flip the next plane
+            heapq.heappush(heap, (score + float(sm[last + 1]),
+                                  subset + (last + 1,)))
+    return out
+
+
 def lsh_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 8,
              seed: int = 1234, embedding_col: str = "embedding",
-             key_col: str = "vec_id") -> pa.Table:
+             key_col: str = "vec_id", multiprobe: int = 0) -> pa.Table:
     """Approximate top-k: bucket the corpus by LSH code, then
     brute-force only inside the buckets the queries land in.  With
     2^n_planes buckets this cuts the scanned fraction to ~2^-n_planes
-    per query at some recall cost — the 100 TB path."""
+    per query at some recall cost — the 100 TB path.
+
+    ``multiprobe``: probe this many ADDITIONAL buckets per query
+    (margin-ordered bit flips, see :func:`_multiprobe_codes`) — the
+    recall knob.  Scanned fraction grows to ~(1 + multiprobe) /
+    2^n_planes per query; measured recall-vs-scan tradeoff in
+    tests/test_similarity_recall.py."""
     q = np.asarray(queries, dtype=np.float32)
     dim = q.shape[1]
     bucketer = LshBucketer(dim, n_planes, seed, embedding_col)
-    q_codes = bucketer.code(_normalize(q))
+    qn = _normalize(q)
+    q_codes = bucketer.code(qn)
     wanted = set(int(c) for c in q_codes)
+    if multiprobe > 0:
+        proj = qn @ bucketer.planes  # signed margins per plane
+        for qi in range(len(qn)):
+            wanted.update(_multiprobe_codes(int(q_codes[qi]),
+                                            np.abs(proj[qi]), multiprobe))
 
     coded = ds.map_batches(
         LshBucketer,

@@ -37,7 +37,7 @@ import pyarrow.parquet as pq
 
 from ..stages import drift as drift_mod
 from ..stages import stats as stats_mod
-from ..stages.unique import uniqueness_violations
+from ..stages.unique import stream_uniqueness_violations
 from ..stages.validator import (CompiledValidator, FileValidator,
                                 StatsConfig, VIOLATION_SCHEMA)
 from ..state.manifest import Manifest, ShardRecord, schema_hash
@@ -70,6 +70,9 @@ class PipelineConfig:
     #: pulling them to the driver — for corpora whose violation volume
     #: is itself large (SCALE.md §7)
     stream_violations: bool = False
+    #: per-shard digest count above which the final sketch merge runs
+    #: as a Ray-task tree reduce instead of a driver loop
+    tree_merge_threshold: int = 256
 
 
 @dataclass
@@ -208,14 +211,19 @@ class ValidationPipeline:
             def _uniq():
                 try:
                     for col in uniq_pending:
+                        # duplicate keys stream to the violations sink
+                        # from workers (never pulled to the driver) —
+                        # only the count comes back
+                        vdir = os.path.join(cfg.out_dir, "violations",
+                                            f"global-unique-{col}")
                         if cfg.fused:
-                            uniq_result[col] = uniqueness_violations(files,
-                                                                     col)
+                            uniq_result[col] = stream_uniqueness_violations(
+                                files, col, vdir)
                         else:
                             ds_u = ray.data.read_parquet(files,
                                                          columns=[col])
-                            uniq_result[col] = uniqueness_violations(ds_u,
-                                                                     col)
+                            uniq_result[col] = stream_uniqueness_violations(
+                                ds_u, col, vdir)
                 except Exception as e:  # noqa: BLE001
                     uniq_result["error"] = e
 
@@ -229,8 +237,10 @@ class ValidationPipeline:
             completed[sid] = json.loads(rec.to_json())
 
         # ---- assemble from manifest (covers resumed + fresh shards) ----
-        merged_hist = None
+        from ..sketches import GroupedHistogram, HyperLogLog, TDigest
+
         merged = stats_mod.PartitionStats(partition_id="<global>")
+        hist_hexes, td_hexes, hll_hexes = [], [], []
         for sid in sorted(completed):
             rec = completed[sid]
             report.row_count += rec["row_count"]
@@ -239,7 +249,6 @@ class ValidationPipeline:
             for pid, d in rec.get("partition_digests", {}).items():
                 verdict = d.get("verdict", "pass")
                 if cfg.baseline_profile is not None and d.get("hist_hex"):
-                    from ..sketches import GroupedHistogram
                     ph = GroupedHistogram.from_bytes(
                         bytes.fromhex(d["hist_hex"]))
                     pd_drift = drift_mod.score_drift(
@@ -256,22 +265,22 @@ class ValidationPipeline:
                 report.partition_violations[pid] = sum(
                     d.get("violation_counts", {}).values())
             sd = rec.get("stats_digest", {})
-            hist_hex = sd.pop("hist_hex", None)
-            if hist_hex:
-                from ..sketches import GroupedHistogram
-                g = GroupedHistogram.from_bytes(bytes.fromhex(hist_hex))
-                merged_hist = g if merged_hist is None else merged_hist.merge(g)
-            td_hex = sd.pop("tdigest_hex", None)
-            if td_hex:
-                from ..sketches import TDigest
-                td = TDigest.from_bytes(bytes.fromhex(td_hex))
-                merged.tdigest = td if merged.tdigest is None \
-                    else merged.tdigest.merge(td)
-            hll_hex = sd.pop("hll_hex", None)
-            if hll_hex:
-                from ..sketches import HyperLogLog
-                h = HyperLogLog.from_bytes(bytes.fromhex(hll_hex))
-                merged.hll = h if merged.hll is None else merged.hll.merge(h)
+            if sd.get("hist_hex"):
+                hist_hexes.append(sd["hist_hex"])
+            if sd.get("tdigest_hex"):
+                td_hexes.append(sd["tdigest_hex"])
+            if sd.get("hll_hex"):
+                hll_hexes.append(sd["hll_hex"])
+        # per-shard digests merge associatively: a driver loop below the
+        # threshold, a two-level Ray-task tree reduce above it (at 10^6
+        # files / 10^5 shards the flat unpickle loop would stall the
+        # driver — SCALE.md §1)
+        merged_hist = stats_mod.tree_merge_hex(
+            hist_hexes, GroupedHistogram, cfg.tree_merge_threshold)
+        merged.tdigest = stats_mod.tree_merge_hex(
+            td_hexes, TDigest, cfg.tree_merge_threshold)
+        merged.hll = stats_mod.tree_merge_hex(
+            hll_hexes, HyperLogLog, cfg.tree_merge_threshold)
 
         report.global_stats = {
             "row_count": report.row_count,
@@ -292,9 +301,7 @@ class ValidationPipeline:
         for col in uniq_cols:
             uniq = self.manifest.get_global(f"unique-{col}")
             if uniq is None:
-                dup_tbl = uniq_result[col]
-                self._write_violations(dup_tbl, f"global-unique-{col}")
-                uniq = {"duplicate_keys": dup_tbl.num_rows,
+                uniq = {"duplicate_keys": uniq_result[col],
                         "constraint": f"unique({col})"}
                 self.manifest.commit_global(f"unique-{col}", uniq)
             report.duplicate_count += uniq["duplicate_keys"]

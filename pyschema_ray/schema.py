@@ -402,6 +402,8 @@ class SubRecord(Field):
         self.record_cls = record_cls
 
     def _load(self, obj):
+        if isinstance(obj, self.record_cls):
+            return obj  # already-validated record passes through
         if not isinstance(obj, dict):
             raise ParseError(f"{self.name}: not a record: {obj!r}")
         return self.record_cls.from_json_compatible(obj)

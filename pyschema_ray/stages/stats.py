@@ -118,3 +118,44 @@ def global_rollup(per_partition: dict[str, PartitionStats]) -> PartitionStats:
     for ps in per_partition.values():
         g.merge(ps)
     return g
+
+
+def tree_merge_hex(hex_blobs: list[str], cls, threshold: int = 256,
+                   fanout: int = 64):
+    """Merge serialized sketches (hex blobs of ``cls`` with
+    ``from_bytes``/``merge``/``to_bytes``).  Below ``threshold`` blobs
+    the merge is a driver loop; above it, chunks of ``fanout`` are
+    merged in parallel Ray tasks and the (fanout×-smaller) results
+    recurse — so merging 10^6 per-shard digests costs the driver
+    O(threshold) unpickles instead of O(shards).
+
+    HLL (register max) and histogram (vector add) merges are exactly
+    associative+commutative, so the tree result is byte-identical to a
+    flat merge; t-digest compression is order-sensitive, so quantiles
+    agree only within sketch accuracy (tested).
+
+    Returns the merged sketch object, or None for an empty list."""
+    if not hex_blobs:
+        return None
+    if len(hex_blobs) <= threshold:
+        out = None
+        for h in hex_blobs:
+            s = cls.from_bytes(bytes.fromhex(h))
+            out = s if out is None else out.merge(s)
+        return out
+
+    import ray
+
+    @ray.remote
+    def merge_chunk(blobs: list[str]) -> str:
+        out = None
+        for h in blobs:
+            s = cls.from_bytes(bytes.fromhex(h))
+            out = s if out is None else out.merge(s)
+        return out.to_bytes().hex()
+
+    while len(hex_blobs) > threshold:
+        chunks = [hex_blobs[i:i + fanout]
+                  for i in range(0, len(hex_blobs), fanout)]
+        hex_blobs = ray.get([merge_chunk.remote(c) for c in chunks])
+    return tree_merge_hex(hex_blobs, cls, threshold, fanout)

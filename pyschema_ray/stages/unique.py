@@ -115,6 +115,52 @@ def duplicate_keys(ds, key: str, num_buckets: int | None = None,
         _find_dups(key, pre_aggregate), batch_format="pyarrow")
 
 
+def _violation_rows(key: str):
+    c = Unique(key)
+
+    def fn(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t[key], pa.string())
+        n = len(keys)
+        return pa.table({
+            "key": keys,
+            "partition_id": pa.array(["<global>"] * n, pa.string()),
+            "constraint": pa.array([c.name] * n, pa.string()),
+            "detail": pa.array([c.detail] * n, pa.string()),
+        })
+    return fn
+
+
+def stream_uniqueness_violations(ds_or_files, key: str, out_dir: str,
+                                 num_buckets: int | None = None) -> int:
+    """Write duplicate-key violation rows as partitioned parquet
+    directly from Ray workers (write-then-rename, idempotent) and
+    return only the count.  This is the DEFAULT pipeline path: unlike
+    :func:`uniqueness_violations` it never pulls the duplicate keys to
+    the driver, so a pathological all-duplicates corpus stays bounded
+    (blocks live in the object store, which may spill)."""
+    import os
+    import shutil
+
+    if isinstance(ds_or_files, (list, tuple)):
+        dups = duplicate_keys_from_files(list(ds_or_files), key, num_buckets)
+    else:
+        dups = duplicate_keys(ds_or_files, key, num_buckets)
+    viol = dups.map_batches(_violation_rows(key),
+                            batch_format="pyarrow").materialize()
+    n = viol.count()
+    tmp = out_dir + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    if n:
+        viol.write_parquet(tmp)
+    else:
+        os.makedirs(tmp, exist_ok=True)
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.rename(tmp, out_dir)
+    return n
+
+
 def uniqueness_violations(ds_or_files, key: str,
                           num_buckets: int | None = None) -> pa.Table:
     """Materialize duplicate keys as frozen violation rows
@@ -123,23 +169,14 @@ def uniqueness_violations(ds_or_files, key: str,
     The duplicate set is assumed small relative to the input
     (defect-rate sized); for a pathological all-duplicates input,
     stream ``duplicate_keys`` to parquet instead."""
-    c = Unique(key)
     if isinstance(ds_or_files, (list, tuple)):
         dups = duplicate_keys_from_files(list(ds_or_files), key, num_buckets)
     else:
         dups = duplicate_keys(ds_or_files, key, num_buckets)
-    parts = []
-    for batch in dups.iter_batches(batch_format="pyarrow", batch_size=65536):
-        if batch.num_rows == 0:
-            continue
-        keys = pc.cast(batch[key], pa.string())
-        n = len(keys)
-        parts.append(pa.table({
-            "key": keys,
-            "partition_id": pa.array(["<global>"] * n, pa.string()),
-            "constraint": pa.array([c.name] * n, pa.string()),
-            "detail": pa.array([c.detail] * n, pa.string()),
-        }))
+    rows = _violation_rows(key)
+    parts = [rows(batch) for batch
+             in dups.iter_batches(batch_format="pyarrow", batch_size=65536)
+             if batch.num_rows]
     if not parts:
         return pa.table({
             "key": pa.array([], pa.string()),

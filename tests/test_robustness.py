@@ -71,6 +71,41 @@ def test_all_duplicates_corpus(tmp_path, sequences_schema):
     assert vt["constraint"][0].as_py() == "unique(doc_id)"
 
 
+def test_stream_uniqueness_all_duplicates_1m(tmp_path):
+    """Pathological corpus: 1M rows, EVERY key duplicated (500k distinct
+    x2).  The streaming sink must produce the full duplicate set as
+    worker-written parquet with only the count returned to the driver."""
+    import pyarrow.parquet as _pq
+
+    from pyschema_ray.stages.unique import stream_uniqueness_violations
+
+    d = tmp_path / "big"
+    d.mkdir()
+    paths = []
+    n_files, rows_per = 4, 250_000
+    for i in range(n_files):
+        # ids repeat across file halves -> every id appears exactly twice
+        base = np.arange(rows_per // 2, dtype=np.int64) \
+            + i * (rows_per // 2)
+        ids = np.concatenate([base, base])
+        p = str(d / f"f{i}.parquet")
+        _pq.write_table(pa.table({"user_id": pa.array(ids, pa.int64())}), p)
+        paths.append(p)
+
+    out_dir = str(tmp_path / "uniq_out")
+    n = stream_uniqueness_violations(paths, "user_id", out_dir)
+    assert n == n_files * rows_per // 2  # 500k duplicated keys
+    import glob
+    written = sorted(glob.glob(os.path.join(out_dir, "*.parquet")))
+    assert written
+    total = sum(_pq.read_metadata(f).num_rows for f in written)
+    assert total == n
+    one = _pq.read_table(written[0])
+    assert one.column_names == ["key", "partition_id", "constraint",
+                                "detail"]
+    assert one["constraint"][0].as_py() == "unique(user_id)"
+
+
 def test_uniqueness_on_single_row_files(tmp_path):
     import ray.data
 

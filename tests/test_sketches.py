@@ -123,3 +123,47 @@ def test_grouped_histogram_skips_nulls():
     g.add(np.array(["a", None, "b"], dtype=object),
           np.array([1.0, 2.0, np.nan]))
     assert int(g.total().sum()) == 1
+
+
+def test_tree_merge_hex_matches_flat():
+    """Tree reduce of many per-shard digests == flat driver merge:
+    byte-identical for HLL (register max) and histogram (vector add);
+    within sketch accuracy for t-digest (compression is
+    order-sensitive).  Uses a tiny threshold so the Ray-task tree path
+    actually runs over the 1000 partials."""
+    from pyschema_ray.stages.stats import tree_merge_hex
+
+    rng = np.random.default_rng(42)
+    hll_hexes, hist_hexes, td_hexes = [], [], []
+    all_vals = []
+    for i in range(1000):
+        vals = rng.normal(100.0, 15.0, 200)
+        all_vals.append(vals)
+        h = HyperLogLog(10)
+        h.add_strings([f"u{i}-{j}" for j in range(50)])
+        hll_hexes.append(h.to_bytes().hex())
+        g = GroupedHistogram(0.0, 200.0, 16)
+        g.add(["s0" if i % 2 else "s1"] * len(vals), vals)
+        hist_hexes.append(g.to_bytes().hex())
+        td = TDigest().add(vals)
+        td_hexes.append(td.to_bytes().hex())
+
+    flat_hll = tree_merge_hex(hll_hexes, HyperLogLog, threshold=2000)
+    tree_hll = tree_merge_hex(hll_hexes, HyperLogLog, threshold=16,
+                              fanout=32)
+    assert tree_hll.to_bytes() == flat_hll.to_bytes()
+
+    flat_hist = tree_merge_hex(hist_hexes, GroupedHistogram, threshold=2000)
+    tree_hist = tree_merge_hex(hist_hexes, GroupedHistogram, threshold=16,
+                               fanout=32)
+    assert set(tree_hist.groups) == set(flat_hist.groups)
+    for k in tree_hist.groups:
+        assert (tree_hist.groups[k] == flat_hist.groups[k]).all()
+
+    tree_td = tree_merge_hex(td_hexes, TDigest, threshold=16, fanout=32)
+    exact = np.concatenate(all_vals)
+    for q in (0.1, 0.5, 0.9):
+        assert abs(tree_td.quantile(q) - np.quantile(exact, q)) \
+            < 0.02 * np.quantile(exact, q)
+
+    assert tree_merge_hex([], HyperLogLog) is None
