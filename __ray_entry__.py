@@ -510,8 +510,7 @@ def _q_fingerprints(sf_dir: str) -> pa.Table:
 def _q_minhash_near_dup_pairs(sf_dir: str) -> pa.Table:
     from pyschema_ray.functions.dedup import minhash_lsh_candidates
 
-    cand = minhash_lsh_candidates(_read(sf_dir, "documents"),
-                                  concurrency=2)
+    cand = minhash_lsh_candidates(_read(sf_dir, "documents"))
     t = _collect(cand)
     if t.num_rows == 0:
         return pa.table({"key_a": pa.array([], pa.int64()),
@@ -523,7 +522,7 @@ def _q_simhash(sf_dir: str) -> pa.Table:
     from pyschema_ray.functions.dedup import SimHasher
 
     ds = _read(sf_dir, "documents").map_batches(
-        SimHasher, batch_format="pyarrow", concurrency=2)
+        SimHasher(), batch_format="pyarrow")
     t = _collect(ds.select_columns(["doc_id", "simhash"]))
     return pa.table({
         "doc_id": t["doc_id"],
@@ -568,7 +567,7 @@ def _q_minhash_dup_pairs(sf_dir: str) -> pa.Table:
                                               minhash_lsh_candidates)
 
     docs = _dup_injected_docs(sf_dir)
-    cand = minhash_lsh_candidates(docs, concurrency=2)
+    cand = minhash_lsh_candidates(docs)
     dup = filter_exact_text_pairs(cand, docs)
     t = _collect(dup)
     if t.num_rows == 0:
@@ -586,7 +585,7 @@ def _q_simhash_dup_pairs(sf_dir: str) -> pa.Table:
                                               simhash_near_dups)
 
     docs = _dup_injected_docs(sf_dir)
-    cand = simhash_near_dups(docs, max_hamming=0, concurrency=2) \
+    cand = simhash_near_dups(docs, max_hamming=0) \
         .map_batches(lambda t: t.select(["key_a", "key_b"]),
                      batch_format="pyarrow")
     dup = filter_exact_text_pairs(cand, docs)
@@ -604,7 +603,7 @@ def _q_dedup_keep(sf_dir: str) -> pa.Table:
     from pyschema_ray.functions.dedup import dedup_keep_keys
 
     return dedup_keep_keys(_read(sf_dir, "documents"),
-                           jaccard_threshold=0.8, concurrency=2)
+                           jaccard_threshold=0.8)
 
 
 def _q_lsh_ann_topk(sf_dir: str) -> pa.Table:

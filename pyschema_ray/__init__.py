@@ -24,14 +24,16 @@ from .schema import (Boolean, Bytes, Date, DateTime, Enum, Field, Float,
                      Integer, List, Map, ParseError, Record, SchemaStore,
                      SubRecord, Text, dumps, get_avro_schema_dict,
                      get_avro_schema_string, get_json_schema, ispyschema,
-                     loads, no_auto_store, record_from_arrow, schema_store)
+                     get_postgres_ddl, loads, no_auto_store,
+                     record_from_arrow, schema_store)
 
 __all__ = [
     "Boolean", "Bytes", "Date", "DateTime", "Enum", "Field", "Float",
     "Integer", "List", "Map", "ParseError", "Record", "SchemaStore",
     "SubRecord", "Text", "avro_dumps", "avro_loads", "dumps",
     "from_avro_json", "get_avro_schema_dict", "get_avro_schema_string",
-    "get_json_schema", "ispyschema", "loads", "no_auto_store",
+    "get_json_schema", "get_postgres_ddl", "ispyschema", "loads",
+    "no_auto_store",
     "record_from_arrow", "schema_store", "to_avro_json",
 ]
 

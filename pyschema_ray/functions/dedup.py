@@ -2,15 +2,22 @@
 
 * exact dedup        — content-hash -> groupby -> keep min key
 * MinHash + LSH      — shingle -> k minhashes -> banded buckets ->
-                       bucket groupby -> candidate pairs -> Jaccard verify
-* SimHash            — 64-bit near-dup signature per doc
-* n-gram Jaccard     — exact pairwise verifier
+                       bucket groupby -> candidate pairs
+* SimHash            — 64-bit near-dup signature + multi-index pairs
+* Jaccard verify     — distributed (shuffle semi-join routes texts to
+                       pair shards) or table-based for small sides
+* connected components — distributed min-label propagation over the
+                       verified-pair Dataset (no driver union-find)
+* composed keep-list — :func:`dedup_keep_keys_ds`: every stage is a
+                       sharded Dataset op; the driver holds no key
+                       list, pair list, or text
 
 The heavy stages are ``map_batches`` with numpy-vectorized inner
-kernels (per-doc reductions via ``reduceat`` over offset arrays, no
-per-token Python); the only shuffles are groupbys on hash/bucket keys,
-which are uniform by construction.  The reference has no dedup — these
-are north-prompt extensions.
+kernels (per-doc reductions via ``reduceat`` over offset arrays,
+triangular-index pair emission — no per-token or per-pair Python in
+hot groups); the only shuffles are groupbys on small integer
+hash-shard keys, which are uniform by construction.  The reference has
+no dedup — these are north-prompt extensions.
 """
 
 from __future__ import annotations
@@ -218,16 +225,24 @@ def lsh_band_buckets(t: pa.Table, minhash_col: str = "minhash",
 def minhash_lsh_candidates(ds, text_col: str = "text",
                            key_col: str = "doc_id", num_hashes: int = 64,
                            shingle_words: int = 3, bands: int = 16,
-                           concurrency=(1, 4)):
+                           concurrency=None):
     """-> Dataset(key_a, key_b) of candidate near-duplicate pairs
     (co-bucketed in >=1 band, deduplicated).  Pipeline:
-    map_batches(MinHasher actor pool) -> band explode -> groupby bucket
-    -> per-group pair emission -> distinct."""
-    sigs = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(text_col=text_col, num_hashes=num_hashes,
-                                   shingle_words=shingle_words),
-        batch_format="pyarrow", concurrency=concurrency)
+    map_batches(MinHasher) -> band explode -> groupby bucket ->
+    per-group pair emission -> distinct.
+
+    ``concurrency=None`` (default) runs the hasher as a task closure —
+    MinHasher holds only parameters, so actor pools would pay slow
+    ramp-up for nothing; pass a concurrency tuple to force an actor
+    pool anyway."""
+    kwargs = dict(text_col=text_col, num_hashes=num_hashes,
+                  shingle_words=shingle_words)
+    if concurrency is None:
+        sigs = ds.map_batches(MinHasher(**kwargs), batch_format="pyarrow")
+    else:
+        sigs = ds.map_batches(
+            MinHasher, fn_constructor_kwargs=kwargs,
+            batch_format="pyarrow", concurrency=concurrency)
     sigs = sigs.map_batches(
         lambda t: t.filter(pc.invert(t["minhash_empty"])),
         batch_format="pyarrow")
@@ -684,7 +699,7 @@ def connected_components(pairs, num_shards: int = 64,
 def dedup_keep_keys_ds(ds, text_col: str = "text", key_col: str = "doc_id",
                        jaccard_threshold: float = 0.8, num_hashes: int = 64,
                        shingle_words: int = 3, bands: int = 16,
-                       concurrency=(1, 4), num_shards: int = 64):
+                       concurrency=None, num_shards: int = 64):
     """End-to-end distributed dedup: exact (content-hash) THEN near-dup
     (MinHash+LSH candidates -> distributed Jaccard verify ->
     distributed connected components).  Returns a Dataset(key_col) of
@@ -745,7 +760,7 @@ def dedup_keep_keys_ds(ds, text_col: str = "text", key_col: str = "doc_id",
 def dedup_keep_keys(ds, text_col: str = "text", key_col: str = "doc_id",
                     jaccard_threshold: float = 0.8, num_hashes: int = 64,
                     shingle_words: int = 3, bands: int = 16,
-                    concurrency=(1, 4)) -> pa.Table:
+                    concurrency=None) -> pa.Table:
     """Small-scale convenience wrapper over :func:`dedup_keep_keys_ds`:
     materializes the kept-key Dataset to a sorted ``pa.Table``.  Use
     the ``_ds`` variant (and write the result) when the keep-list
@@ -795,15 +810,20 @@ class SimHasher:
 
 
 def simhash_near_dups(ds, text_col: str = "text", key_col: str = "doc_id",
-                      max_hamming: int = 3, concurrency=(1, 4)):
+                      max_hamming: int = 3, concurrency=None):
     """Near-dup pairs by SimHash: docs whose signatures agree on all
     four 16-bit chunks after masking ``max_hamming`` bits are candidate
     pairs (standard multi-index trick: any pair within Hamming distance
     3 shares at least one of 4 exact 16-bit chunks).  Returns
-    (key_a, key_b, hamming)."""
-    sigs = ds.map_batches(
-        SimHasher, fn_constructor_kwargs=dict(text_col=text_col),
-        batch_format="pyarrow", concurrency=concurrency)
+    (key_a, key_b, hamming).  ``concurrency=None`` = task closure
+    (SimHasher is stateless — see minhash_lsh_candidates)."""
+    if concurrency is None:
+        sigs = ds.map_batches(SimHasher(text_col=text_col),
+                              batch_format="pyarrow")
+    else:
+        sigs = ds.map_batches(
+            SimHasher, fn_constructor_kwargs=dict(text_col=text_col),
+            batch_format="pyarrow", concurrency=concurrency)
 
     def explode_chunks(t: pa.Table) -> pa.Table:
         s = np.asarray(t["simhash"].to_numpy(zero_copy_only=False),

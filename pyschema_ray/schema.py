@@ -736,6 +736,64 @@ def get_json_schema(cls: type[Record]) -> dict:
     return out
 
 
+_POSTGRES_TYPES = {
+    "Text": "TEXT", "Bytes": "BYTEA", "Boolean": "BOOLEAN",
+    "Date": "DATE", "DateTime": "TIMESTAMP",
+}
+
+
+def _postgres_type(f: Field) -> str:
+    tname = type(f).__name__
+    if tname == "Integer":
+        return "INTEGER" if f.size == 4 else "BIGINT"
+    if tname == "Float":
+        return "REAL" if f.size == 4 else "DOUBLE PRECISION"
+    if tname == "Enum":
+        return "TEXT"
+    if tname == "List":
+        inner = _postgres_type(f.subtype)
+        # postgres arrays only for scalar element types; nested
+        # lists/records fall back to JSONB
+        return f"{inner}[]" if "[" not in inner and inner != "JSONB" \
+            else "JSONB"
+    if tname in ("Map", "SubRecord"):
+        return "JSONB"
+    return _POSTGRES_TYPES.get(tname, "TEXT")
+
+
+def get_postgres_ddl(cls: type[Record], table_name: str | None = None) -> str:
+    """CREATE TABLE statement for a Record class (R18 — the analog of
+    the reference's pyschema_extensions/postgres.py type mapping).
+    Declared semantics carry over where Postgres can express them:
+    NOT NULL for non-nullable fields, PRIMARY KEY on the key field when
+    it is non-nullable+unique, UNIQUE for ``unique=True`` fields, CHECK
+    constraints for Enum domains and Integer ranges."""
+    table = table_name or cls._schema_name.lower()
+    cols = []
+    for n, f in cls._fields.items():
+        parts = [n, _postgres_type(f)]
+        if not f.nullable:
+            parts.append("NOT NULL")
+        if n == cls.key_field() and not f.nullable and f.unique:
+            parts.append("PRIMARY KEY")
+        elif f.unique:
+            parts.append("UNIQUE")
+        tname = type(f).__name__
+        if tname == "Enum":
+            vals = ", ".join(f"'{v}'" for v in sorted(f.values))
+            parts.append(f"CHECK ({n} IN ({vals}))")
+        elif tname == "Integer" and (f.min is not None or f.max is not None):
+            checks = []
+            if f.min is not None:
+                checks.append(f"{n} >= {f.min}")
+            if f.max is not None:
+                checks.append(f"{n} <= {f.max}")
+            parts.append(f"CHECK ({' AND '.join(checks)})")
+        cols.append("    " + " ".join(parts))
+    body = ",\n".join(cols)
+    return f"CREATE TABLE {table} (\n{body}\n);"
+
+
 def record_from_arrow(schema: pa.Schema, name: str = "Inferred",
                       key_field: str | None = None) -> type[Record]:
     """Inverse constructor: build a Record class from a pyarrow.Schema

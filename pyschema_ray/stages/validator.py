@@ -236,6 +236,30 @@ class CompiledValidator:
         self.stats = stats
         self.baseline = baseline_profile
 
+    def read_columns(self) -> list[str] | None:
+        """Columns the validator actually touches — declared fields,
+        key, stats inputs, constraint columns — for column-pruned
+        reads.  Returns None (read everything) when a Custom constraint
+        is present: its mask fn may reference any column."""
+        from ..constraints import Custom
+
+        if any(isinstance(c, Custom) for c in self.constraints):
+            return None
+        cols = {f.name for f in self.expected} | {self.key_field}
+        for c in self.constraints:
+            for attr in ("column", "list_column"):
+                v = getattr(c, attr, None)
+                if v is not None:
+                    cols.add(v)
+        if self.stats is not None:
+            for attr in ("quantile_column", "cardinality_column",
+                         "histogram_column", "histogram_group"):
+                v = getattr(self.stats, attr, None)
+                if v is not None:
+                    cols.add(v)
+            cols.update(self.stats.minmax_columns)
+        return sorted(c for c in cols if c)
+
     # ------------------------------------------------------------------
     def validate_table(self, table: pa.Table, partition_id: str = "",
                        accumulator: "StatsAccumulator | None" = None) -> pa.Table:
@@ -397,11 +421,17 @@ class FileValidator:
     baseline).
     """
 
-    def __init__(self, batch_rows: int = 8192, columns: list | None = None,
+    def __init__(self, batch_rows: int = 8192,
+                 columns: list | str | None = "auto",
                  **validator_kwargs):
         self.validator = CompiledValidator(**validator_kwargs)
         self.batch_rows = batch_rows
-        self.columns = columns
+        # "auto" = prune to the columns the validator touches (per
+        # file, intersected with the file's schema so a MISSING declared
+        # column still surfaces as a schema violation rather than a
+        # read error); None = read everything
+        self.columns = self.validator.read_columns() \
+            if columns == "auto" else columns
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
@@ -420,10 +450,19 @@ class FileValidator:
             row_groups = (list(range(rgs[i], rge[i]))
                           if rgs is not None
                           else list(range(pf.metadata.num_row_groups)))
+            cols = self.columns
+            if cols is not None:
+                avail = set(pf.schema_arrow.names)
+                if avail <= set(cols):
+                    # nothing to prune — keep the (faster) whole-row-
+                    # group read path instead of a column projection
+                    cols = None
+                else:
+                    cols = [c for c in cols if c in avail]
             acc = StatsAccumulator(self.validator.stats)
             for rb in pf.iter_batches(batch_size=self.batch_rows,
                                       row_groups=row_groups,
-                                      columns=self.columns):
+                                      columns=cols):
                 tbl = pa.Table.from_batches([rb])
                 outs.append(self.validator.validate_table(tbl, path, acc))
             if acc is not None:

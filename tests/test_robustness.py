@@ -71,6 +71,38 @@ def test_all_duplicates_corpus(tmp_path, sequences_schema):
     assert vt["constraint"][0].as_py() == "unique(doc_id)"
 
 
+def test_fused_read_prunes_undeclared_columns(tmp_path, sequences_schema):
+    """A fat undeclared column must not change results (it is pruned at
+    the parquet read), and a file MISSING a declared column must still
+    surface as a schema violation, not a read error."""
+    d = str(tmp_path / "fat")
+    os.makedirs(d)
+    base = _seq_table([f"doc-{i:012d}" for i in range(50)])
+    fat = base.append_column(
+        "blob", pa.array(["x" * 10_000] * base.num_rows, pa.string()))
+    pq.write_table(fat, os.path.join(d, "a.parquet"))
+    pq.write_table(base.drop_columns(["source"]),
+                   os.path.join(d, "b.parquet"))
+
+    from pyschema_ray.stages.validator import CompiledValidator
+
+    cv = CompiledValidator(sequences_schema)
+    cols = cv.read_columns()
+    assert cols is not None and "blob" not in cols
+    assert set(cols) >= {"doc_id", "tokens", "n_tok", "source"}
+
+    cfg = PipelineConfig(schema_cls=sequences_schema, input_paths=d,
+                         out_dir=str(tmp_path / "fat_out"),
+                         check_unique=False)
+    rep = ValidationPipeline(cfg).run()
+    vt = rep.violations_table()
+    by_c = dict(zip(*np.unique(vt["constraint"].to_pylist(),
+                               return_counts=True))) if vt.num_rows else {}
+    # only the missing-column schema violation from b.parquet
+    assert by_c == {"schema(source)": 1}
+    assert rep.row_count == 100
+
+
 def test_stream_uniqueness_all_duplicates_1m(tmp_path):
     """Pathological corpus: 1M rows, EVERY key duplicated (500k distinct
     x2).  The streaming sink must produce the full duplicate set as

@@ -107,3 +107,59 @@ def test_schema_conformance_violations():
     viol3 = viol_rows(v(pa.table({"a": pa.array(["x"]),
                                   "b": pa.array([1], pa.int64())})))
     assert viol3 == []  # int64 -> int32 is castable: conforms
+
+
+def test_postgres_ddl():
+    """R18 — postgres DDL generation from a Record class."""
+    from pyschema_ray import (Boolean, Bytes, Date, DateTime, Enum, Float,
+                              Integer, List, Map, Record, SubRecord, Text,
+                              get_postgres_ddl, no_auto_store)
+
+    @no_auto_store
+    class Part(Record):
+        tag = Text(nullable=False)
+
+    @no_auto_store
+    class Item(Record):
+        item_id = Text(nullable=False, unique=True)
+        qty = Integer(size=4, min=0, max=100, nullable=False)
+        big = Integer(size=8)
+        price = Float(size=8)
+        ratio = Float(size=4)
+        ok = Boolean()
+        blob = Bytes()
+        day = Date()
+        ts = DateTime()
+        color = Enum(["red", "blue"])
+        tags = List(Text(nullable=False))
+        attrs = Map(Text(nullable=False))
+        part = SubRecord(Part)
+        _key_field = "item_id"
+
+    ddl = get_postgres_ddl(Item)
+    assert ddl.startswith("CREATE TABLE item (")
+    assert "item_id TEXT NOT NULL PRIMARY KEY" in ddl
+    assert "qty INTEGER NOT NULL CHECK (qty >= 0 AND qty <= 100)" in ddl
+    assert "big BIGINT" in ddl
+    assert "price DOUBLE PRECISION" in ddl
+    assert "ratio REAL" in ddl
+    assert "ok BOOLEAN" in ddl
+    assert "blob BYTEA" in ddl
+    assert "day DATE" in ddl
+    assert "ts TIMESTAMP" in ddl
+    assert "color TEXT CHECK (color IN ('blue', 'red'))" in ddl
+    assert "tags TEXT[]" in ddl
+    assert "attrs JSONB" in ddl
+    assert "part JSONB" in ddl
+    assert ddl.rstrip().endswith(");")
+    # DuckDB speaks enough postgres DDL to parse most of this — use it
+    # as a syntax sanity check with the postgres-specific bits adapted
+    import duckdb
+    con = duckdb.connect()
+    safe = ddl.replace("BYTEA", "BLOB").replace("JSONB", "JSON") \
+              .replace("TEXT[]", "TEXT[]")
+    con.execute(safe)
+    cols = {r[0] for r in con.execute(
+        "SELECT column_name FROM information_schema.columns "
+        "WHERE table_name = 'item'").fetchall()}
+    assert cols == set(Item._fields)
