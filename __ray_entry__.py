@@ -606,7 +606,51 @@ def _q_dedup_keep(sf_dir: str) -> pa.Table:
                            jaccard_threshold=0.8)
 
 
+def _q_sample_documents_mod(sf_dir: str) -> pa.Table:
+    """Deterministic (mod-based) sampling — the SQL-expressible cousin
+    of the hash sampler; oracle-checked exactly."""
+    from pyschema_ray.functions.sample import mod_sample
+
+    out = mod_sample(_read(sf_dir, "documents"), "doc_id",
+                     modulus=10, keep_residues=(0, 7))
+    return _collect(out.select_columns(["doc_id", "source"])) \
+        .sort_by("doc_id")
+
+
+def _q_packed_sequences(sf_dir: str) -> pa.Table:
+    """Sequence packing over whitespace-tokenized documents (rows-only:
+    SipHash token ids are not SQL-expressible; invariants are
+    pytest-covered in tests/test_pack_sample.py)."""
+    from pyschema_ray.functions.pack import pack_sequences
+    from pyschema_ray.sketches import hash_strings
+
+    def tokenize(t: pa.Table) -> pa.Table:
+        toks = []
+        for s in t["text"].to_pylist():
+            words = (s or "").split()
+            ids = (hash_strings(np.asarray(words, dtype=object))
+                   % np.uint64(50_000)).astype(np.int64) if words \
+                else np.empty(0, np.int64)
+            toks.append(ids)
+        return pa.table({"doc_id": t["doc_id"],
+                         "tokens": pa.array([x.tolist() for x in toks],
+                                            pa.list_(pa.int64()))})
+
+    ds = _read(sf_dir, "documents").map_batches(tokenize,
+                                                batch_format="pyarrow")
+    packed = pack_sequences(ds, max_len=128, num_shards=16)
+    out = _collect(packed.map_batches(
+        lambda t: t.select(["pack_id", "n_tokens", "n_docs"]),
+        batch_format="pyarrow"))
+    return out.sort_by("pack_id")
+
+
 def _q_lsh_ann_topk(sf_dir: str) -> pa.Table:
+    """LSH approximate top-k with multi-probe (rows-only: the result
+    is approximate by design, so exact-match SQL is the wrong bar —
+    the measured recall-vs-scan-fraction evidence lives in
+    tests/test_similarity_recall.py, where multiprobe=16 reaches
+    recall 1.0 on the 20-query benchmark)."""
     from pyschema_ray.functions.similarity import lsh_topk
 
     ds = _read(sf_dir, "embeddings")
@@ -616,7 +660,7 @@ def _q_lsh_ann_topk(sf_dir: str) -> pa.Table:
         batch_format="pyarrow")).sort_by("vec_id")
     q = np.stack([np.asarray(v, dtype=np.float32)
                   for v in qrows["embedding"].to_pylist()])
-    out = lsh_topk(ds, q, k=5, n_planes=4)
+    out = lsh_topk(ds, q, k=5, n_planes=6, multiprobe=16)
     return out.select(["query_id", "vec_id", "rank"]) \
         .sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
@@ -647,6 +691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "minhash_dup_pairs": _q_minhash_dup_pairs,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
+        "sample_documents_mod": _q_sample_documents_mod,
         # sketches / scoring (rows-only)
         "ndv_user_id_hll": _q_ndv_user_id_hll,
         "value_quantiles_tdigest": _q_value_quantiles_tdigest,
@@ -657,6 +702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         "lsh_ann_topk": _q_lsh_ann_topk,
         "dedup_keep": _q_dedup_keep,
+        "packed_sequences": _q_packed_sequences,
     }
 
 
@@ -824,6 +870,10 @@ def oracle_sql() -> dict[str, str]:
               FROM docs2 a
               JOIN docs2 b ON a.text = b.text AND a.doc_id < b.doc_id
              ORDER BY key_a, key_b
+        """,
+        "sample_documents_mod": """
+            SELECT doc_id, source FROM documents
+             WHERE doc_id % 10 IN (0, 7) ORDER BY doc_id
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe

@@ -1,0 +1,132 @@
+"""Sequence packing and deterministic sampling operators."""
+
+import numpy as np
+import pyarrow as pa
+
+from pyschema_ray.functions.pack import pack_sequences
+from pyschema_ray.functions.sample import (hash_sample, mod_sample,
+                                           stratified_sample)
+
+
+def _token_corpus(n_docs=200, seed=3):
+    rng = np.random.default_rng(seed)
+    lens = rng.integers(5, 400, size=n_docs)
+    toks = [rng.integers(0, 50_000, size=m).astype(np.int64).tolist()
+            for m in lens]
+    return pa.table({
+        "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+        "tokens": pa.array(toks, pa.list_(pa.int64())),
+    })
+
+
+def test_pack_sequences_invariants():
+    import ray.data
+
+    t = _token_corpus()
+    total = sum(len(x) for x in t["tokens"].to_pylist())
+    ds = ray.data.from_arrow(t).repartition(4)
+    packed = pack_sequences(ds, max_len=512, num_shards=8).take_all()
+
+    # every token is packed exactly once
+    assert sum(r["n_tokens"] for r in packed) == total
+    # every window <= max_len; all but the final window per shard full
+    by_shard: dict = {}
+    for r in packed:
+        assert len(r["tokens"]) == r["n_tokens"] <= 512
+        shard, idx = r["pack_id"].split("-")
+        by_shard.setdefault(int(shard), []).append((int(idx), r))
+    for shard, rows in by_shard.items():
+        rows.sort()
+        assert [i for i, _ in rows] == list(range(len(rows)))
+        for i, r in rows[:-1]:
+            assert r["n_tokens"] == 512
+    # doc lineage covers every doc exactly (windows partition the
+    # concatenated stream, docs overlap adjacent windows)
+    seen = set()
+    for r in packed:
+        assert r["n_docs"] == len(r["doc_ids"])
+        seen.update(r["doc_ids"])
+    assert seen == set(range(200))
+    # token content round-trips per shard
+    shard_stream: dict = {}
+    for shard, rows in by_shard.items():
+        shard_stream[shard] = np.concatenate(
+            [np.asarray(r["tokens"]) for _, r in sorted(rows)])
+    # rebuild expected stream: docs sorted by key within their shard
+    from pyschema_ray.functions.dedup import _key_shards
+    shards = _key_shards(t["doc_id"].to_numpy(), 8, 31)
+    for shard in shard_stream:
+        ids = np.sort(t["doc_id"].to_numpy()[shards == shard])
+        toks = t["tokens"].to_pylist()
+        want = np.concatenate([np.asarray(toks[i], dtype=np.int64)
+                               for i in ids])
+        assert (shard_stream[shard] == want).all()
+
+
+def test_pack_sequences_padding():
+    import ray.data
+
+    t = _token_corpus(n_docs=10, seed=5)
+    ds = ray.data.from_arrow(t)
+    packed = pack_sequences(ds, max_len=256, num_shards=2,
+                            pad_id=-1).take_all()
+    for r in packed:
+        assert len(r["tokens"]) == 256
+        real = r["n_tokens"]
+        win = np.asarray(r["tokens"])
+        assert (win[real:] == -1).all()
+        assert (win[:real] != -1).all() or real == 0
+
+
+def test_hash_sample_deterministic_and_uniform():
+    import ray.data
+
+    n = 20_000
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64))})
+    ds = ray.data.from_arrow(t)
+    s1 = sorted(r["doc_id"] for r in
+                hash_sample(ds, fraction=0.2, seed=7).take_all())
+    s2 = sorted(r["doc_id"] for r in
+                hash_sample(ds.repartition(8), fraction=0.2,
+                            seed=7).take_all())
+    assert s1 == s2  # partitioning-independent
+    assert abs(len(s1) / n - 0.2) < 0.01  # ~binomial(n, .2) 3-sigma
+    # nested fractions are nested samples (same seed)
+    s_small = set(r["doc_id"] for r in
+                  hash_sample(ds, fraction=0.05, seed=7).take_all())
+    assert s_small <= set(s1)
+    # different seeds ~independent
+    s3 = set(r["doc_id"] for r in
+             hash_sample(ds, fraction=0.2, seed=8).take_all())
+    overlap = len(s3 & set(s1)) / n
+    assert abs(overlap - 0.04) < 0.01
+
+
+def test_stratified_sample_fractions():
+    import ray.data
+
+    n = 30_000
+    rng = np.random.default_rng(0)
+    src = rng.choice(["a", "b", "c"], size=n, p=[0.6, 0.3, 0.1])
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "source": pa.array(src)})
+    ds = ray.data.from_arrow(t)
+    out = stratified_sample(ds, "source", {"a": 0.1, "b": 0.5},
+                            default_fraction=1.0).take_all()
+    got = {}
+    for r in out:
+        got[r["source"]] = got.get(r["source"], 0) + 1
+    base = {s: int((src == s).sum()) for s in "abc"}
+    assert abs(got["a"] / base["a"] - 0.1) < 0.02
+    assert abs(got["b"] / base["b"] - 0.5) < 0.02
+    assert got["c"] == base["c"]  # default 1.0 keeps everything
+
+
+def test_mod_sample_matches_filter():
+    import ray.data
+
+    t = pa.table({"doc_id": pa.array(np.arange(1000, dtype=np.int64))})
+    out = sorted(r["doc_id"] for r in
+                 mod_sample(ray.data.from_arrow(t), modulus=7,
+                            keep_residues=(0, 3)).take_all())
+    assert out == [i for i in range(1000) if i % 7 in (0, 3)]
