@@ -643,9 +643,10 @@ def connected_components(pairs, num_shards: int = 64,
         return pa.concat_tables(parts)
 
     def propagate(df):
-        is_edge = df["kind"].to_numpy() == 0
-        edges = df.loc[is_edge]
-        labels = df.loc[~is_edge]
+        kind = df["kind"].to_numpy()
+        edges = df.loc[kind == 0]
+        labels = df.loc[kind == 1]
+        jumps = df.loc[kind == 2]
         m = labels.groupby("node")["other"].min()
         prev = labels.loc[labels["canon"]].groupby("node")["other"].min()
         changed = (m.to_numpy() != prev.reindex(m.index).to_numpy()) \
@@ -663,7 +664,24 @@ def connected_components(pairs, num_shards: int = 64,
             "node": edges["node"].to_numpy(), "kind": np.int8(0),
             "other": edges["other"].to_numpy(),
             "canon": False, "changed": np.int8(0)})
-        out = pd.concat([canon, msgs, fwd], ignore_index=True)
+        # pointer jumping (hash-to-min flavor): each node asks its
+        # current label for THAT node's label, halving pointer-chain
+        # depth per round — deep chains converge in O(log d) rounds
+        # instead of O(d).  A jump row (kind 2, node=x, other=req) is
+        # answered here (x's shard) with a label message m[x] -> req;
+        # fresh requests go to each node's new label.
+        answers = pd.DataFrame({
+            "node": jumps["other"].to_numpy(),
+            "kind": np.int8(1),
+            "other": jumps["node"].map(m).to_numpy(),
+            "canon": False, "changed": np.int8(0)})
+        ptr = m[m.to_numpy() != nodes]  # nodes not yet their own root
+        requests = pd.DataFrame({
+            "node": ptr.to_numpy(), "kind": np.int8(2),
+            "other": ptr.index.to_numpy(),
+            "canon": False, "changed": np.int8(0)})
+        out = pd.concat([canon, msgs, fwd, answers, requests],
+                        ignore_index=True)
         out["nshard"] = _key_shards(out["node"].to_numpy(), num_shards, 9)
         return out[["nshard", "node", "kind", "other", "canon", "changed"]]
 

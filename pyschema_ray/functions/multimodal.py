@@ -125,6 +125,110 @@ def sample_audio_frames(ds, n_frames: int = 4, fake: bool = False,
         concurrency=concurrency)
 
 
+class VideoFrameSampler:
+    """Actor-pool stage: sample ``n_frames`` frames at evenly spaced
+    timestamps from a video payload and EXPLODE one row per frame
+    (media_id, frame_index, timestamp_ms, frame_features) — the
+    one-to-many layout downstream per-frame models consume.  Codec
+    stubbed like ImageDecoder; the real body replaces ``_decode_one``
+    with a seek+decode at each timestamp."""
+
+    def __init__(self, n_frames: int = 8, feature_dim: int = 8,
+                 payload_col: str = "payload", fake: bool = False):
+        self.n_frames = n_frames
+        self.dim = feature_dim
+        self.payload_col = payload_col
+        self.fake = fake
+
+    def _decode_one(self, payload: bytes, frame_idx: int) -> np.ndarray:
+        if not self.fake:
+            raise NotImplementedError(
+                "video codec not available; construct with fake=True")
+        return _det_floats(payload + bytes([frame_idx]), self.dim)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, fidx, ts, feats = [], [], [], []
+        payloads = t[self.payload_col].to_pylist()
+        durations = t["duration_ms"].to_pylist() \
+            if "duration_ms" in t.column_names else [0] * t.num_rows
+        media_ids = t["media_id"].to_pylist()
+        for mid, p, dur in zip(media_ids, payloads, durations):
+            if p is None:
+                continue
+            dur = dur or 0
+            for i in range(self.n_frames):
+                ids.append(mid)
+                fidx.append(i)
+                ts.append(int(dur * i / max(1, self.n_frames)))
+                feats.append(self._decode_one(p, i))
+        flat = pa.array(
+            np.concatenate(feats) if feats else np.empty(0, np.float32),
+            pa.float32())
+        return pa.table({
+            "media_id": pa.array(ids, pa.string()),
+            "frame_index": pa.array(fidx, pa.int32()),
+            "timestamp_ms": pa.array(ts, pa.int32()),
+            "frame_features": pa.FixedSizeListArray.from_arrays(flat,
+                                                                self.dim),
+        })
+
+
+def sample_video_frames(ds, n_frames: int = 8, fake: bool = False,
+                        concurrency=(1, 4),
+                        batch_size: int = RECOMMENDED_MEDIA_BATCH_SIZE):
+    return ds.map_batches(
+        VideoFrameSampler,
+        fn_constructor_kwargs=dict(n_frames=n_frames, fake=fake),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+class EmbeddingModel:
+    """Actor-pool BATCHED-inference stage: feature vectors -> embedding
+    via one whole-batch matrix multiply.  The projection stands in for
+    a real model (load weights once in ``__init__``, never per batch);
+    derived deterministically from ``seed`` so every actor agrees
+    without a broadcast.  Consumes the ``image_features`` /
+    ``frame_features`` columns the decode stages emit."""
+
+    def __init__(self, in_dim: int = 8, out_dim: int = 16,
+                 seed: int = 1234, features_col: str = "image_features",
+                 out_col: str = "embedding"):
+        rng = np.random.default_rng(seed)
+        self.weights = rng.standard_normal((in_dim, out_dim)) \
+            .astype(np.float32)
+        self.features_col = features_col
+        self.out_col = out_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        col = t[self.features_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        d = col.type.list_size
+        flat = col.values.slice(col.offset * d, len(col) * d)
+        m = np.asarray(flat.to_numpy(zero_copy_only=False),
+                       dtype=np.float32).reshape(-1, d)
+        emb = m @ self.weights  # ONE matmul per batch — never per row
+        out_flat = pa.array(emb.reshape(-1), pa.float32())
+        return t.append_column(
+            self.out_col,
+            pa.FixedSizeListArray.from_arrays(out_flat, emb.shape[1]))
+
+
+def embed_features(ds, in_dim: int = 8, out_dim: int = 16,
+                   features_col: str = "image_features",
+                   concurrency=(1, 4), batch_size: int = 256):
+    """Feature -> embedding inference wiring (bigger batches than the
+    decode stages: inputs are small fixed vectors, and batched matmul
+    throughput grows with batch size)."""
+    return ds.map_batches(
+        EmbeddingModel,
+        fn_constructor_kwargs=dict(in_dim=in_dim, out_dim=out_dim,
+                                   features_col=features_col),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
 def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
     """Deterministic fake media table matching MEDIA_SCHEMA (payloads
     are seeded random bytes), for plumbing tests."""

@@ -65,6 +65,16 @@ def test_connected_components_string_keys_random_graph():
     assert got == _reference_components(edges)
 
 
+def test_connected_components_long_chain_log_rounds():
+    """Pointer jumping collapses a 300-deep chain within ~log2(300)
+    rounds — plain neighbor propagation would need ~300."""
+    edges = [(i, i + 1) for i in range(300)]
+    t = pa.table({"key_a": pa.array([a for a, _ in edges], pa.int64()),
+                  "key_b": pa.array([b for _, b in edges], pa.int64())})
+    got = _cc_labels(t, num_shards=8, max_rounds=15)
+    assert got == {n: 0 for n in range(301)}
+
+
 def test_connected_components_raises_on_round_cap():
     edges = [(i, i + 1) for i in range(20)]  # depth-20 chain
     t = pa.table({"key_a": pa.array([a for a, _ in edges], pa.int64()),

@@ -225,6 +225,54 @@ def test_multimodal_real_path_raises():
     dec = multimodal.ImageDecoder(fake=False)
     with pytest.raises(NotImplementedError):
         dec._decode_one(b"\x00\x01")
+    vs = multimodal.VideoFrameSampler(fake=False)
+    with pytest.raises(NotImplementedError):
+        vs._decode_one(b"\x00\x01", 0)
+
+
+def test_video_frame_explode_and_embed():
+    """Video frame-sampling explodes one row per frame; the embedding
+    stage consumes feature columns with one batched matmul."""
+    import ray.data
+
+    t = multimodal.synth_media_table(12)
+    t = t.set_column(t.schema.get_field_index("media_type"), "media_type",
+                     pa.array(["video"] * 12, pa.string()))
+    t = t.set_column(t.schema.get_field_index("duration_ms"), "duration_ms",
+                     pa.array([8000] * 12, pa.int32()))
+    ds = ray.data.from_arrow(t)
+    frames = pa.concat_tables(
+        multimodal.sample_video_frames(ds, n_frames=4, fake=True,
+                                       concurrency=2)
+        .iter_batches(batch_format="pyarrow"))
+    assert frames.num_rows == 12 * 4
+    assert frames["frame_features"].type.list_size == 8
+    by_media = frames.group_by("media_id").aggregate(
+        [("frame_index", "count")])
+    assert set(by_media["frame_index_count"].to_pylist()) == {4}
+    # timestamps evenly spaced over duration
+    import pyarrow.compute as pc
+    one = frames.filter(pc.equal(frames["media_id"], "m-000000")) \
+                .sort_by("frame_index")
+    assert one["timestamp_ms"].to_pylist() == [0, 2000, 4000, 6000]
+
+    emb = pa.concat_tables(
+        multimodal.embed_features(
+            ray.data.from_arrow(frames), in_dim=8, out_dim=16,
+            features_col="frame_features", concurrency=2)
+        .iter_batches(batch_format="pyarrow"))
+    assert emb["embedding"].type.list_size == 16
+    assert emb.num_rows == 48
+    # deterministic: same weights on every actor, no broadcast needed
+    m = multimodal.EmbeddingModel(features_col="frame_features")
+    direct = m(frames.slice(0, 5))
+    got = emb.sort_by([("media_id", "ascending"),
+                       ("frame_index", "ascending")]).slice(0, 5)
+    want = direct.sort_by([("media_id", "ascending"),
+                           ("frame_index", "ascending")])
+    assert np.allclose(np.asarray(got["embedding"].to_pylist()),
+                       np.asarray(want["embedding"].to_pylist()),
+                       rtol=1e-5, atol=1e-5)
 
 
 def test_cosine_near_dup_pairs_and_lsh():
