@@ -97,14 +97,22 @@ def write_validated(files: list[str], out_dir: str, schema_cls,
                     extra_constraints: list | None = None,
                     drop_keys: list | None = None,
                     batch_rows: int = 8192) -> dict:
-    """Clean every input file into ``out_dir`` (same basenames) and
+    """Clean every input file into ``out_dir`` (mirroring the input's
+    directory layout relative to its common root, so same-named files
+    in different subdirectories cannot overwrite each other) and
     return {'rows_in', 'rows_kept', 'files'}.  ``drop_keys``: keys to
     remove regardless (e.g. duplicate ids from the uniqueness pass)."""
     import ray.data
 
+    from .validate import _lineage_id, _lineage_root
+
     os.makedirs(out_dir, exist_ok=True)
-    items = [{"path": f, "out": os.path.join(out_dir, os.path.basename(f))}
-             for f in files]
+    root = _lineage_root(files)
+    items = []
+    for f in files:
+        out = os.path.join(out_dir, _lineage_id(f, root))
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        items.append({"path": f, "out": out})
     cleaner = FileCleaner(drop_keys=drop_keys, batch_rows=batch_rows,
                           schema_cls=schema_cls, ref_sets=ref_sets or {},
                           extra_constraints=extra_constraints or [])
