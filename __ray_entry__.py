@@ -606,6 +606,26 @@ def _q_dedup_keep(sf_dir: str) -> pa.Table:
                            jaccard_threshold=0.8)
 
 
+def _q_winnow_fingerprints(sf_dir: str) -> pa.Table:
+    """Winnowing (rolling-hash) fingerprint counts per document
+    (rows-only: the FNV rolling hash is not SQL-expressible; the
+    substring-sharing guarantee is pytest-covered)."""
+    from pyschema_ray.functions.text import winnow_fingerprints_batch
+
+    ds = _read(sf_dir, "documents").map_batches(
+        lambda t: winnow_fingerprints_batch(t, k=8, window=16),
+        batch_format="pyarrow")
+
+    def count(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_fingerprints": pc.list_value_length(t["fingerprints"]),
+        })
+
+    return _collect(ds.map_batches(count, batch_format="pyarrow")) \
+        .sort_by("doc_id")
+
+
 def _q_sample_documents_mod(sf_dir: str) -> pa.Table:
     """Deterministic (mod-based) sampling — the SQL-expressible cousin
     of the hash sampler; oracle-checked exactly."""
@@ -703,6 +723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_ann_topk": _q_lsh_ann_topk,
         "dedup_keep": _q_dedup_keep,
         "packed_sequences": _q_packed_sequences,
+        "winnow_fingerprints": _q_winnow_fingerprints,
     }
 
 

@@ -121,6 +121,53 @@ class LangIdScorer:
                                pa.array(best, pa.string(), from_pandas=True))
 
 
+_WINNOW_P = np.uint64(1099511628211)  # FNV prime — rolling-hash base
+
+
+def winnow_fingerprints_batch(t: pa.Table, text_col: str = "text",
+                              k: int = 8, window: int = 16,
+                              out_col: str = "fingerprints") -> pa.Table:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS scheme): rolling polynomial hash over byte
+    k-grams, then the minimum hash of every ``window`` consecutive
+    grams is selected; the resulting fingerprint SET is guaranteed to
+    share members between any two documents sharing a substring of
+    length >= window + k - 1.  Emits ``out_col`` as list<int64>
+    (sorted, deduplicated) — substring-level near-dup evidence, where
+    :func:`fingerprint_batch` is whole-document identity.
+
+    Per-doc work is numpy (k shifted-slice fused ops for the rolling
+    hash, one sliding-window min); the Python loop is only over docs
+    in the batch (strings force that boundary)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    out: list = []
+    with np.errstate(over="ignore"):  # uint64 wraparound is the point
+        for s in t[text_col].to_pylist():
+            b = np.frombuffer((s or "").lower().encode("utf-8", "ignore"),
+                              dtype=np.uint8).astype(np.uint64)
+            n = len(b)
+            if n == 0:
+                out.append([])
+                continue
+            if n < k:
+                h = np.zeros(1, np.uint64)
+                for j in range(n):
+                    h = h * _WINNOW_P + b[j]
+                out.append([int(h.view(np.int64)[0])])
+                continue
+            m = n - k + 1
+            h = np.zeros(m, np.uint64)
+            for j in range(k):
+                h = h * _WINNOW_P + b[j:j + m]
+            if m <= window:
+                sel = np.array([h.min()], np.uint64)
+            else:
+                sel = sliding_window_view(h, window).min(axis=1)
+            out.append(np.unique(sel).view(np.int64).tolist())
+    return t.append_column(out_col, pa.array(out, pa.list_(pa.int64())))
+
+
 def fingerprint_batch(t: pa.Table, text_col: str = "text",
                       out_col: str = "fingerprint") -> pa.Table:
     """64-bit content fingerprint (stable SipHash of the full text),

@@ -131,3 +131,44 @@ def test_branch_names_match_emitted_avro_schema():
         if isinstance(t, dict):
             t = t.get("name") or t.get("type")
         assert _branch_name(f) == t, n
+
+
+# -- property-based round-trip ------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+def _maybe(s):
+    return st.one_of(st.none(), s)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    name=st.text(min_size=1, max_size=20),
+    nick=_maybe(st.text(max_size=20)),
+    n=st.integers(-2**31, 2**31 - 1),
+    big=_maybe(st.integers(-2**63, 2**63 - 1)),
+    ratio=_maybe(st.floats(allow_nan=False, allow_infinity=False,
+                           width=64)),
+    ok=_maybe(st.booleans()),
+    blob=_maybe(st.binary(max_size=64)),
+    day=_maybe(st.dates(min_value=dt.date(1900, 1, 1),
+                        max_value=dt.date(2200, 1, 1))),
+    when=_maybe(st.datetimes(min_value=dt.datetime(1900, 1, 1),
+                             max_value=dt.datetime(2200, 1, 1))),
+    color=_maybe(st.sampled_from(["red", "blue"])),
+    tags=st.lists(st.text(max_size=10), max_size=5),
+    counts=_maybe(st.dictionaries(st.text(max_size=8),
+                                  st.integers(-2**40, 2**40), max_size=4)),
+)
+def test_avro_json_round_trip_property(name, nick, n, big, ratio, ok, blob,
+                                       day, when, color, tags, counts):
+    """Any valid Everything record round-trips through the Avro-JSON
+    line exactly (microsecond datetime granularity, arbitrary bytes via
+    latin-1, full int64 range un-mangled by the union wrapping)."""
+    r = Everything(name=name, nick=nick, n=n, big=big, ratio=ratio,
+                   short_ratio=None, ok=ok, blob=blob, day=day, when=when,
+                   color=color, tags=tags, counts=counts,
+                   sub=Inner(tag="t"))
+    back = avro_loads(avro_dumps(r), Everything)
+    assert back == r

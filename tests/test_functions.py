@@ -85,6 +85,39 @@ def test_fingerprint_equal_iff_equal_text():
     assert all(len(f) == 16 for f in fp)
 
 
+def test_winnow_fingerprints_substring_guarantee():
+    """The winnowing guarantee: documents sharing a substring of length
+    >= window + k - 1 share at least one fingerprint; identical docs
+    have identical fingerprint sets; disjoint-alphabet docs share none.
+    Also position-invariant for the shared block."""
+    import numpy as np
+
+    shared = "the quick brown fox jumps over the lazy dog repeatedly"
+    a = "PREFIX AAAA " + shared + " SUFFIX BBBB"
+    b = "zzz 123456 " + shared + " qqq other tail"
+    c = "completely different content with no overlap whatsoever 999"
+    t = pa.table({"text": pa.array([a, b, c, a, "", "x"])})
+    out = text.winnow_fingerprints_batch(t, k=8, window=16)
+    fps = [set(x) for x in out["fingerprints"].to_pylist()]
+    assert fps[0] & fps[1]            # shared substring -> shared prints
+    assert not (fps[0] & fps[2])      # disjoint content -> none shared
+    assert fps[0] == fps[3]           # identical text -> identical set
+    assert fps[4] == set()            # empty text
+    assert len(fps[5]) == 1           # shorter than k: one whole-text hash
+    # sets are sorted unique int64 lists
+    raw = out["fingerprints"].to_pylist()[0]
+    assert raw == sorted(set(raw))
+    assert all(isinstance(v, int) for v in raw)
+    # deterministic across calls
+    out2 = text.winnow_fingerprints_batch(t, k=8, window=16)
+    assert out["fingerprints"].to_pylist() == \
+        out2["fingerprints"].to_pylist()
+    # coverage density ~ 2/(window+1) of grams (winnowing property)
+    n_grams = len(a.encode()) - 8 + 1
+    assert len(fps[0]) <= n_grams
+    assert len(fps[0]) >= n_grams // (16 + 1)
+
+
 # ---------------------------------------------------------------------------
 # dedup
 # ---------------------------------------------------------------------------
