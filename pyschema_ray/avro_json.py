@@ -59,7 +59,10 @@ def _encode(f, v: Any) -> Any:
     if tname == "DateTime":
         if v.tzinfo is not None:
             v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-        return round((v - _EPOCH_DT).total_seconds() * 1_000_000)
+        # integer arithmetic — total_seconds() goes through float64 and
+        # loses sub-microsecond precision past ~2^52 µs (year ~2107)
+        d = v - _EPOCH_DT
+        return (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
     if tname == "Bytes":
         return v.decode("latin-1")
     if tname == "List":

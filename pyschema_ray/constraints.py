@@ -44,7 +44,14 @@ def _true_for_null(mask, col) -> pa.ChunkedArray | pa.Array:
 
 class Constraint:
     """Base.  ``name`` is the frozen identifier that appears in
-    violation rows and the manifest; ``detail`` the frozen human string."""
+    violation rows and the manifest; ``detail`` the frozen human string.
+
+    Column-pruning protocol: a subclass whose ``mask`` reads columns
+    declares them either through the ``column`` / ``list_column``
+    attribute convention (the built-ins) or by defining
+    ``required_columns() -> Iterable[str]``.  A constraint declaring
+    neither disables column-pruned reads for the whole validator
+    (CompiledValidator.read_columns) — safe but slower."""
 
     name: str = "?"
     detail: str = ""

@@ -94,9 +94,14 @@ def _triu_pairs(starts: np.ndarray, sizes: np.ndarray):
 # exact dedup
 # ---------------------------------------------------------------------------
 
-def exact_dedup_keys(ds, text_col: str = "text", key_col: str = "doc_id"):
+def exact_dedup_keys(ds, text_col: str = "text", key_col: str = "doc_id",
+                     num_shards: int = 256):
     """-> Dataset(key_col) of the kept (minimum-key) row per distinct
-    content hash.  Shuffle moves only (hash, key) pairs, never text."""
+    content hash.  Shuffle moves only (hash, key, shard) — never text —
+    and the groupby key is a small integer shard, not the near-unique
+    hash itself (a sort-based exchange on 10^12 distinct hashes is the
+    pattern stages/unique.py exists to avoid); identical hashes always
+    co-shard, and the per-shard min is a C++ Arrow group_by."""
     def add_hash(t: pa.Table) -> pa.Table:
         h = hash_strings(t[text_col].to_numpy(zero_copy_only=False))
         # int64 view (not uint64): Ray's shuffle materializes group keys
@@ -104,29 +109,37 @@ def exact_dedup_keys(ds, text_col: str = "text", key_col: str = "doc_id"):
         return pa.table({
             "content_hash": pa.array(h.view(np.int64), pa.int64()),
             key_col: t[key_col],
+            "cshard": pa.array((h % np.uint64(num_shards))
+                               .astype(np.int64), pa.int64()),
         })
 
-    pairs = ds.map_batches(add_hash, batch_format="pyarrow")
-    kept = pairs.groupby("content_hash").min(key_col)
-    return kept.map_batches(
-        lambda t: t.select([f"min({key_col})"]).rename_columns([key_col]),
-        batch_format="pyarrow")
+    def local_min(t: pa.Table) -> pa.Table:
+        g = t.group_by("content_hash").aggregate([(key_col, "min")])
+        return g.select([f"{key_col}_min"]).rename_columns([key_col])
+
+    return ds.map_batches(add_hash, batch_format="pyarrow") \
+        .groupby("cshard").map_groups(local_min, batch_format="pyarrow")
 
 
 def exact_duplicate_groups(ds, text_col: str = "text",
-                           key_col: str = "doc_id"):
-    """-> Dataset(content_hash, dup_count) for content appearing >1 time."""
+                           key_col: str = "doc_id", num_shards: int = 256):
+    """-> Dataset(content_hash, dup_count) for content appearing >1
+    time.  Same integer-shard shuffle as :func:`exact_dedup_keys`."""
     def add_hash(t: pa.Table) -> pa.Table:
         h = hash_strings(t[text_col].to_numpy(zero_copy_only=False))
-        return pa.table({"content_hash": pa.array(h.view(np.int64),
-                                                  pa.int64())})
+        return pa.table({
+            "content_hash": pa.array(h.view(np.int64), pa.int64()),
+            "cshard": pa.array((h % np.uint64(num_shards))
+                               .astype(np.int64), pa.int64()),
+        })
 
-    counts = ds.map_batches(add_hash, batch_format="pyarrow") \
-               .groupby("content_hash").count()
-    return counts.map_batches(
-        lambda t: t.rename_columns(["content_hash", "dup_count"])
-                   .filter(pc.greater(t["count()"], 1)),
-        batch_format="pyarrow")
+    def local_counts(t: pa.Table) -> pa.Table:
+        g = t.group_by("content_hash").aggregate([("content_hash", "count")])
+        g = g.rename_columns(["content_hash", "dup_count"])
+        return g.filter(pc.greater(g["dup_count"], 1))
+
+    return ds.map_batches(add_hash, batch_format="pyarrow") \
+        .groupby("cshard").map_groups(local_counts, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -285,9 +298,12 @@ def minhash_lsh_candidates(ds, text_col: str = "text",
     return distinct_pairs(pairs)
 
 
-def distinct_pairs(pairs, num_shards: int = 64):
+def distinct_pairs(pairs, num_shards: int = 64, min_col: str | None = None):
     """Distributed DISTINCT over a (key_a, key_b) pair Dataset: shard by
-    pair hash, drop duplicates locally per shard."""
+    pair hash (a 64-way integer shuffle, never a sort-shuffle on the
+    near-unique composite string key), drop duplicates locally per
+    shard.  With ``min_col``, keeps the minimum of that column per pair
+    (e.g. the best Hamming distance) instead of an arbitrary row."""
     def add_shard(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return t.append_column("pshard", pa.array([], pa.int64()))
@@ -297,6 +313,8 @@ def distinct_pairs(pairs, num_shards: int = 64):
         return t.append_column("pshard", pa.array(shard, pa.int64()))
 
     def local_distinct(df):
+        if min_col is not None:
+            df = df.sort_values(min_col, kind="stable")
         return df.drop_duplicates(["key_a", "key_b"]) \
                  .drop(columns=["pshard"])
 
@@ -342,28 +360,27 @@ def jaccard_verify_pairs(pairs_table: pa.Table, docs_table: pa.Table,
 # distributed verification + connected components + composed pipeline
 # ---------------------------------------------------------------------------
 
-def jaccard_verify_pairs_ds(pairs, docs, text_col: str = "text",
-                            key_col: str = "doc_id",
-                            shingle_words: int = 3,
-                            threshold: float = 0.7, num_shards: int = 64):
-    """Distributed exact n-gram Jaccard verification of candidate pairs.
+def _route_pair_payloads(pairs, docs, key_col, doc_payload, req_payload,
+                         num_shards, seeds):
+    """Shared shuffle-semi-join core for pair verification: each pair
+    emits two payload requests (one per side) sharded by key hash; the
+    docs Dataset ships (key, payload) through the same shuffle (the
+    corpus-side payload moves ONCE — the unavoidable cost when the
+    candidate key set is too large to broadcast); per key-shard the
+    payloads attach to requests, which re-shard by pair hash so both
+    sides of every pair meet on one shard.
 
-    Fully distributed — the driver never holds the pair list or any
-    text:
-
-    1. each pair emits two text requests (one per side), sharded by key
-       hash; the docs Dataset ships (key, text) through the same
-       shuffle (a shuffle semi-join: the corpus text moves ONCE, the
-       unavoidable cost of exact verification when the candidate set is
-       itself too large to broadcast)
-    2. per key-shard, texts attach to requests (``map_groups``)
-    3. requests re-shard by pair hash; both sides of each pair meet on
-       one shard and the shingle-set Jaccard is computed in the worker
-       (per-pair set intersection, with a per-shard shingle cache)
-
-    Returns Dataset(key_a, key_b, jaccard) for pairs >= threshold.
+    ``doc_payload(table) -> pa.Array`` builds the per-doc payload
+    column; ``req_payload(n) -> pa.Array`` builds the request-side
+    placeholder (must be NON-NULL for integer payloads — a null int
+    column coerces to float64 through the pandas map_groups and
+    corrupts values above 2^53).  Returns a Dataset with columns
+    (pshard, key_a, key_b, side, payload); requests whose key has no
+    doc row are dropped (their pair cannot verify).
     """
     import pandas as pd
+
+    s_key, s_a, s_b = seeds
 
     def requests(t: pa.Table) -> pa.Table:
         def side(which: int, key_chunked) -> pa.Table:
@@ -372,13 +389,13 @@ def jaccard_verify_pairs_ds(pairs, docs, text_col: str = "text",
             n = len(keys)
             return pa.table({
                 "kshard": pa.array(_key_shards(
-                    keys.to_numpy(zero_copy_only=False), num_shards, 5),
+                    keys.to_numpy(zero_copy_only=False), num_shards, s_key),
                     pa.int64()),
                 "key": keys,
                 "key_a": t["key_a"],
                 "key_b": t["key_b"],
                 "side": pa.array(np.full(n, which, np.int8), pa.int8()),
-                "text": pa.nulls(n, pa.string()),
+                "payload": req_payload(n),
             })
         return pa.concat_tables([side(0, t["key_a"]), side(1, t["key_b"])])
 
@@ -390,51 +407,104 @@ def jaccard_verify_pairs_ds(pairs, docs, text_col: str = "text",
         # the pandas map_groups and corrupt large keys
         return pa.table({
             "kshard": pa.array(_key_shards(
-                keys.to_numpy(zero_copy_only=False), num_shards, 5),
+                keys.to_numpy(zero_copy_only=False), num_shards, s_key),
                 pa.int64()),
             "key": keys,
             "key_a": keys,
             "key_b": keys,
             "side": pa.array(np.full(n, -1, np.int8), pa.int8()),
-            "text": pc.cast(t[text_col], pa.string()),
+            "payload": doc_payload(t),
         })
 
     union = pairs.map_batches(requests, batch_format="pyarrow").union(
-        docs.select_columns([key_col, text_col])
-            .map_batches(doc_rows, batch_format="pyarrow"))
+        docs.map_batches(doc_rows, batch_format="pyarrow"))
 
     def attach(df):
         doc_mask = df["side"].to_numpy() == -1
-        texts = df.loc[doc_mask].drop_duplicates("key") \
-                  .set_index("key")["text"]
+        payload = df.loc[doc_mask].drop_duplicates("key") \
+                    .set_index("key")["payload"]
         req = df.loc[~doc_mask]
+        if len(req):
+            # filter-then-.loc keeps the payload dtype (a .map with
+            # missing keys would detour through NaN/float64)
+            req = req.loc[req["key"].isin(payload.index)]
+        p = payload.loc[req["key"]].to_numpy() if len(req) \
+            else payload.to_numpy()[:0]
         ka = req["key_a"].to_numpy()
         kb = req["key_b"].to_numpy()
-        shard = ((_key_hash(ka, 6) ^ _key_hash(kb, 7))
+        shard = ((_key_hash(ka, s_a) ^ _key_hash(kb, s_b))
                  % np.uint64(num_shards)).astype(np.int64) \
             if len(req) else np.empty(0, np.int64)
         return pd.DataFrame({
-            "pshard": shard,
-            "key_a": ka, "key_b": kb,
-            "side": req["side"].to_numpy(),
-            "text": req["key"].map(texts).to_numpy()
-            if len(req) else np.empty(0, object),
-        })
+            "pshard": shard, "key_a": ka, "key_b": kb,
+            "side": req["side"].to_numpy(), "payload": p})
 
-    routed = union.groupby("kshard").map_groups(attach,
-                                               batch_format="pandas")
+    return union.groupby("kshard").map_groups(attach,
+                                              batch_format="pandas")
+
+
+def _combine_pair_sides(df, emit):
+    """Group a routed frame by pair and call ``emit(ka, kb, p0, p1)``
+    (side-0/side-1 payloads, None when missing) per pair; ``emit``
+    returns a dict of output values or None to skip.  Returns
+    (rows, key_a_dtype, key_b_dtype)."""
+    df = df.sort_values(["key_a", "key_b", "side"], kind="stable")
+    ka = df["key_a"].to_numpy()
+    kb = df["key_b"].to_numpy()
+    payload = df["payload"].to_numpy()
+    sides = df["side"].to_numpy()
+    starts, sizes = _group_starts(ka, kb)
+    rows = []
+    for s0, m in zip(starts, sizes):
+        p0 = p1 = None
+        for off in range(m):
+            if sides[s0 + off] == 0 and p0 is None:
+                p0 = payload[s0 + off]
+            elif sides[s0 + off] == 1 and p1 is None:
+                p1 = payload[s0 + off]
+        r = emit(ka[s0], kb[s0], p0, p1)
+        if r is not None:
+            rows.append(r)
+    return rows, ka.dtype, kb.dtype
+
+
+def _pair_columns(rows, da, db, extra=()):
+    out = {
+        "key_a": np.asarray([r["key_a"] for r in rows], dtype=da)
+        if rows else np.empty(0, da),
+        "key_b": np.asarray([r["key_b"] for r in rows], dtype=db)
+        if rows else np.empty(0, db),
+    }
+    for name, dtype in extra:
+        out[name] = np.asarray([r[name] for r in rows], dtype=dtype) \
+            if rows else np.empty(0, dtype)
+    return out
+
+
+def jaccard_verify_pairs_ds(pairs, docs, text_col: str = "text",
+                            key_col: str = "doc_id",
+                            shingle_words: int = 3,
+                            threshold: float = 0.7, num_shards: int = 64):
+    """Distributed exact n-gram Jaccard verification of candidate pairs
+    over the :func:`_route_pair_payloads` shuffle semi-join (payload =
+    the text itself).  Fully distributed — the driver never holds the
+    pair list or any text; the per-pair shingle-set Jaccard runs in the
+    pair-shard workers with a per-shard shingle cache.
+
+    Returns Dataset(key_a, key_b, jaccard) for pairs >= threshold.
+    """
+    import pandas as pd
+
+    routed = _route_pair_payloads(
+        pairs, docs.select_columns([key_col, text_col]), key_col,
+        doc_payload=lambda t: pc.cast(t[text_col], pa.string()),
+        req_payload=lambda n: pa.nulls(n, pa.string()),
+        num_shards=num_shards, seeds=(5, 6, 7))
 
     def verify(df):
         if df.empty:
             return pd.DataFrame({"key_a": df["key_a"], "key_b": df["key_b"],
                                  "jaccard": pd.Series([], dtype=np.float64)})
-        df = df.sort_values(["key_a", "key_b", "side"], kind="stable")
-        ka = df["key_a"].to_numpy()
-        kb = df["key_b"].to_numpy()
-        texts = df["text"].to_numpy()
-        sides = df["side"].to_numpy()
-        starts, sizes = _group_starts(ka, kb)
-
         cache: dict = {}
 
         def shingle_set(key, s):
@@ -450,30 +520,19 @@ def jaccard_verify_pairs_ds(pairs, docs, text_col: str = "text",
             cache[key] = out
             return out
 
-        out_a, out_b, out_j = [], [], []
-        for s0, m in zip(starts, sizes):
-            grp = slice(s0, s0 + m)
-            t_a = t_b = None
-            for off in range(m):
-                if sides[s0 + off] == 0 and t_a is None:
-                    t_a = texts[s0 + off]
-                elif sides[s0 + off] == 1 and t_b is None:
-                    t_b = texts[s0 + off]
-            sa = shingle_set(ka[s0], t_a)
-            sb = shingle_set(kb[s0], t_b)
+        def emit(a, b, t_a, t_b):
+            sa = shingle_set(a, t_a)
+            sb = shingle_set(b, t_b)
             if not sa or not sb:
-                continue
+                return None
             j = len(sa & sb) / len(sa | sb)
-            if j >= threshold:
-                out_a.append(ka[s0])
-                out_b.append(kb[s0])
-                out_j.append(j)
-        return pd.DataFrame({
-            "key_a": np.asarray(out_a, dtype=ka.dtype)
-            if out_a else np.empty(0, ka.dtype),
-            "key_b": np.asarray(out_b, dtype=kb.dtype)
-            if out_b else np.empty(0, kb.dtype),
-            "jaccard": np.asarray(out_j, dtype=np.float64)})
+            if j < threshold:
+                return None
+            return {"key_a": a, "key_b": b, "jaccard": j}
+
+        rows, da, db = _combine_pair_sides(df, emit)
+        return pd.DataFrame(_pair_columns(rows, da, db,
+                                          [("jaccard", np.float64)]))
 
     return routed.groupby("pshard").map_groups(verify,
                                                batch_format="pandas")
@@ -483,104 +542,37 @@ def filter_exact_text_pairs(pairs, docs, text_col: str = "text",
                             key_col: str = "doc_id",
                             num_shards: int = 64):
     """Keep only candidate pairs whose texts are byte-identical —
-    verified via content hashes, fully distributed (same
-    shuffle-semi-join shape as :func:`jaccard_verify_pairs_ds`, but
-    shipping 8-byte hashes instead of text).  Turns a near-dup
-    candidate generator (LSH / SimHash) into an exact-duplicate-pair
-    finder with recall 1 (identical text => identical signature =>
-    co-bucketed), which makes the result SQL-oracle-checkable."""
+    verified via content hashes over the same
+    :func:`_route_pair_payloads` semi-join (payload = 8-byte hash
+    instead of text).  Turns a near-dup candidate generator (LSH /
+    SimHash) into an exact-duplicate-pair finder with recall 1
+    (identical text => identical signature => co-bucketed), which makes
+    the result SQL-oracle-checkable."""
     import pandas as pd
 
-    def requests(t: pa.Table) -> pa.Table:
-        def side(which: int, key_chunked) -> pa.Table:
-            keys = key_chunked.combine_chunks() \
-                if isinstance(key_chunked, pa.ChunkedArray) else key_chunked
-            n = len(keys)
-            return pa.table({
-                "kshard": pa.array(_key_shards(
-                    keys.to_numpy(zero_copy_only=False), num_shards, 21),
-                    pa.int64()),
-                "key": keys,
-                "key_a": t["key_a"],
-                "key_b": t["key_b"],
-                "side": pa.array(np.full(n, which, np.int8), pa.int8()),
-                "h": pa.array(np.zeros(n, np.int64), pa.int64()),
-            })
-        return pa.concat_tables([side(0, t["key_a"]), side(1, t["key_b"])])
-
-    def doc_rows(t: pa.Table) -> pa.Table:
-        keys = t[key_col]
-        n = t.num_rows
+    def doc_hashes(t: pa.Table) -> pa.Array:
         h = hash_strings(t[text_col].to_numpy(zero_copy_only=False)) \
             .view(np.int64)
-        return pa.table({
-            "kshard": pa.array(_key_shards(
-                keys.to_numpy(zero_copy_only=False), num_shards, 21),
-                pa.int64()),
-            "key": keys,
-            "key_a": keys,
-            "key_b": keys,
-            "side": pa.array(np.full(n, -1, np.int8), pa.int8()),
-            "h": pa.array(h, pa.int64()),
-        })
+        return pa.array(h, pa.int64())
 
-    union = pairs.map_batches(requests, batch_format="pyarrow").union(
-        docs.select_columns([key_col, text_col])
-            .map_batches(doc_rows, batch_format="pyarrow"))
-
-    def attach(df):
-        doc_mask = df["side"].to_numpy() == -1
-        hashes = df.loc[doc_mask].drop_duplicates("key") \
-                   .set_index("key")["h"]
-        req = df.loc[~doc_mask]
-        if len(req):
-            # drop requests whose key has no doc row (the pair can't
-            # verify), THEN look up — a map with missing keys would
-            # coerce the int64 hashes to float64 (NaN) and corrupt
-            # hash values above 2^53
-            req = req.loc[req["key"].isin(hashes.index)]
-            h = hashes.loc[req["key"]].to_numpy() if len(req) \
-                else np.empty(0, np.int64)
-        else:
-            h = np.empty(0, np.int64)
-        ka = req["key_a"].to_numpy()
-        kb = req["key_b"].to_numpy()
-        shard = ((_key_hash(ka, 22) ^ _key_hash(kb, 23))
-                 % np.uint64(num_shards)).astype(np.int64) \
-            if len(req) else np.empty(0, np.int64)
-        return pd.DataFrame({
-            "pshard": shard, "key_a": ka, "key_b": kb,
-            "side": req["side"].to_numpy(), "h": h})
-
-    routed = union.groupby("kshard").map_groups(attach,
-                                               batch_format="pandas")
+    routed = _route_pair_payloads(
+        pairs, docs.select_columns([key_col, text_col]), key_col,
+        doc_payload=doc_hashes,
+        req_payload=lambda n: pa.array(np.zeros(n, np.int64), pa.int64()),
+        num_shards=num_shards, seeds=(21, 22, 23))
 
     def equal_pairs(df):
         if df.empty:
             return pd.DataFrame({"key_a": df["key_a"],
                                  "key_b": df["key_b"]})
-        df = df.sort_values(["key_a", "key_b", "side"], kind="stable")
-        ka = df["key_a"].to_numpy()
-        kb = df["key_b"].to_numpy()
-        sides = df["side"].to_numpy()
-        h = df["h"].to_numpy()
-        starts, sizes = _group_starts(ka, kb)
-        out_a, out_b = [], []
-        for s0, m in zip(starts, sizes):
-            h0 = h1 = None
-            for off in range(m):
-                if sides[s0 + off] == 0 and h0 is None:
-                    h0 = h[s0 + off]
-                elif sides[s0 + off] == 1 and h1 is None:
-                    h1 = h[s0 + off]
+
+        def emit(a, b, h0, h1):
             if h0 is not None and h1 is not None and h0 == h1:
-                out_a.append(ka[s0])
-                out_b.append(kb[s0])
-        return pd.DataFrame({
-            "key_a": np.asarray(out_a, dtype=ka.dtype)
-            if out_a else np.empty(0, ka.dtype),
-            "key_b": np.asarray(out_b, dtype=kb.dtype)
-            if out_b else np.empty(0, kb.dtype)})
+                return {"key_a": a, "key_b": b}
+            return None
+
+        rows, da, db = _combine_pair_sides(df, emit)
+        return pd.DataFrame(_pair_columns(rows, da, db))
 
     return routed.groupby("pshard").map_groups(equal_pairs,
                                                batch_format="pandas")
@@ -689,8 +681,15 @@ def connected_components(pairs, num_shards: int = 64,
         .materialize()
     if state.count() == 0:
         import ray.data as rd
-        return rd.from_arrow(pa.table({"node": pa.array([], pa.string()),
-                                       "label": pa.array([], pa.string())}))
+
+        # preserve the caller's key dtype in the empty result
+        try:
+            ktype = pa.schema(pairs.schema().base_schema) \
+                .field("key_a").type
+        except Exception:  # noqa: BLE001 — schema unknowable on empty
+            ktype = pa.string()
+        return rd.from_arrow(pa.table({"node": pa.array([], ktype),
+                                       "label": pa.array([], ktype)}))
 
     for _ in range(max_rounds):
         state = state.groupby("nshard").map_groups(
@@ -893,4 +892,6 @@ def simhash_near_dups(ds, text_col: str = "text", key_col: str = "doc_id",
 
     pairs = exploded.map_batches(add_mod, batch_format="pyarrow") \
         .groupby("shard").map_groups(emit, batch_format="pandas")
-    return pairs.groupby(["key_a", "key_b"]).min("hamming")
+    # distinct via integer pair-shards keeping the best hamming — NOT a
+    # sort-shuffle groupby on the near-unique (key_a, key_b) pair key
+    return distinct_pairs(pairs, min_col="hamming")

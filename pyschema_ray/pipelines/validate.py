@@ -163,10 +163,19 @@ class ValidationPipeline:
         files = discover_files(cfg.input_paths)
         if not files:
             raise ValueError(f"no input files under {cfg.input_paths!r}")
-        # lineage ids are relative to the common root of ALL inputs
-        # (stable across shards and resumes — the manifest refuses
-        # changed file sets, so the root cannot move between resumes)
-        self._root = _lineage_root(files)
+        # lineage ids are relative to the common root of ALL inputs.
+        # The root is PERSISTED in the manifest on the first run and
+        # reused on resume: appending new input directories (which the
+        # per-shard file-set check alone does not refuse when old
+        # shards still align) must not move the root, or resumed and
+        # fresh shards would record inconsistent partition ids.
+        recorded = self.manifest.get_global("lineage-root")
+        if recorded is not None:
+            self._root = recorded["root"]
+        else:
+            self._root = _lineage_root(files)
+            self.manifest.commit_global("lineage-root",
+                                        {"root": self._root})
         shards = [files[i:i + cfg.files_per_shard]
                   for i in range(0, len(files), cfg.files_per_shard)]
 

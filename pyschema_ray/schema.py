@@ -761,17 +761,42 @@ def _postgres_type(f: Field) -> str:
     return _POSTGRES_TYPES.get(tname, "TEXT")
 
 
+_PG_BARE_IDENT = re.compile(r"^[a-z_][a-z0-9_]*$")
+_PG_RESERVED = frozenset("""
+    all and any array as asc between case cast check collate column
+    constraint create cross current_date current_time default desc
+    distinct do else end except false for foreign from full grant group
+    having in inner intersect into is join leading left like limit
+    localtime natural not null offset on only or order outer primary
+    references right select session_user some table then to trailing
+    true union unique user using when where with
+""".split())
+
+
+def _pg_ident(name: str) -> str:
+    if _PG_BARE_IDENT.match(name) and name not in _PG_RESERVED:
+        return name
+    return '"' + name.replace('"', '""') + '"'
+
+
+def _pg_str(v: str) -> str:
+    return "'" + v.replace("'", "''") + "'"
+
+
 def get_postgres_ddl(cls: type[Record], table_name: str | None = None) -> str:
     """CREATE TABLE statement for a Record class (R18 — the analog of
     the reference's pyschema_extensions/postgres.py type mapping).
     Declared semantics carry over where Postgres can express them:
     NOT NULL for non-nullable fields, PRIMARY KEY on the key field when
     it is non-nullable+unique, UNIQUE for ``unique=True`` fields, CHECK
-    constraints for Enum domains and Integer ranges."""
-    table = table_name or cls._schema_name.lower()
+    constraints for Enum domains and Integer ranges.  Identifiers are
+    quoted when not bare-safe (reserved words, mixed case) and string
+    literals are '' -escaped."""
+    table = _pg_ident(table_name or cls._schema_name.lower())
     cols = []
     for n, f in cls._fields.items():
-        parts = [n, _postgres_type(f)]
+        ident = _pg_ident(n)
+        parts = [ident, _postgres_type(f)]
         if not f.nullable:
             parts.append("NOT NULL")
         if n == cls.key_field() and not f.nullable and f.unique:
@@ -780,14 +805,14 @@ def get_postgres_ddl(cls: type[Record], table_name: str | None = None) -> str:
             parts.append("UNIQUE")
         tname = type(f).__name__
         if tname == "Enum":
-            vals = ", ".join(f"'{v}'" for v in sorted(f.values))
-            parts.append(f"CHECK ({n} IN ({vals}))")
+            vals = ", ".join(_pg_str(v) for v in sorted(f.values))
+            parts.append(f"CHECK ({ident} IN ({vals}))")
         elif tname == "Integer" and (f.min is not None or f.max is not None):
             checks = []
             if f.min is not None:
-                checks.append(f"{n} >= {f.min}")
+                checks.append(f"{ident} >= {f.min}")
             if f.max is not None:
-                checks.append(f"{n} <= {f.max}")
+                checks.append(f"{ident} <= {f.max}")
             parts.append(f"CHECK ({' AND '.join(checks)})")
         cols.append("    " + " ".join(parts))
     body = ",\n".join(cols)

@@ -239,18 +239,24 @@ class CompiledValidator:
     def read_columns(self) -> list[str] | None:
         """Columns the validator actually touches — declared fields,
         key, stats inputs, constraint columns — for column-pruned
-        reads.  Returns None (read everything) when a Custom constraint
-        is present: its mask fn may reference any column."""
-        from ..constraints import Custom
-
-        if any(isinstance(c, Custom) for c in self.constraints):
-            return None
+        reads.  A constraint declares its inputs via a
+        ``required_columns()`` method, or the ``column`` /
+        ``list_column`` attribute convention; any constraint declaring
+        NEITHER (e.g. Custom — its mask fn may read anything) disables
+        pruning entirely (returns None = read everything), so an
+        unconventional extra constraint can never crash on a pruned
+        batch."""
         cols = {f.name for f in self.expected} | {self.key_field}
         for c in self.constraints:
-            for attr in ("column", "list_column"):
-                v = getattr(c, attr, None)
-                if v is not None:
-                    cols.add(v)
+            req = getattr(c, "required_columns", None)
+            if callable(req):
+                cols.update(req())
+                continue
+            declared = [getattr(c, a, None)
+                        for a in ("column", "list_column")]
+            if all(v is None for v in declared):
+                return None  # opaque constraint — cannot prune safely
+            cols.update(v for v in declared if v is not None)
         if self.stats is not None:
             for attr in ("quantile_column", "cardinality_column",
                          "histogram_column", "histogram_group"):

@@ -172,3 +172,13 @@ def test_avro_json_round_trip_property(name, nick, n, big, ratio, ok, blob,
                    sub=Inner(tag="t"))
     back = avro_loads(avro_dumps(r), Everything)
     assert back == r
+
+
+def test_datetime_microseconds_exact_far_future():
+    """Regression: float total_seconds() lost microseconds past ~2107;
+    encoding must be integer-exact across the whole range."""
+    for when in (dt.datetime(2107, 1, 17, 17, 36, 55, 433211),
+                 dt.datetime(2199, 12, 31, 23, 59, 59, 999999),
+                 dt.datetime(1900, 1, 1, 0, 0, 0, 1)):
+        r = Everything(name="a", n=1, tags=[], when=when)
+        assert avro_loads(avro_dumps(r), Everything).when == when

@@ -183,3 +183,17 @@ def test_dedup_keep_keys_high_duplication_bounded():
     # every base doc survives (duplicates all have larger keys); no
     # injected duplicate survives
     assert got == list(range(n_base))
+
+
+def test_connected_components_empty_preserves_key_dtype():
+    """Regression: the empty-input fast path used to hardcode string
+    node/label columns regardless of the key dtype."""
+    import ray.data
+
+    empty = pa.table({"key_a": pa.array([], pa.int64()),
+                      "key_b": pa.array([], pa.int64())})
+    out = dedup.connected_components(ray.data.from_arrow(empty))
+    schema = pa.schema(out.schema().base_schema)
+    assert schema.field("node").type == pa.int64()
+    assert schema.field("label").type == pa.int64()
+    assert out.count() == 0

@@ -252,3 +252,69 @@ def test_schema_declared_unique_and_references(tmp_path, synth_corpus):
     # BOTH declared unique columns are checked; n_tok is wildly dup'd
     assert rep.violation_counts["unique(doc_id)"] == 50
     assert rep.violation_counts["unique(n_tok)"] > 100
+
+
+def test_pruning_disabled_for_opaque_extra_constraints(sequences_schema):
+    """Regression: a non-Custom extra constraint that does not declare
+    its input columns must disable column pruning entirely (its mask
+    may read anything); one that declares required_columns() gets them
+    added to the read set."""
+    from pyschema_ray.constraints import Constraint
+    from pyschema_ray.stages.validator import CompiledValidator
+
+    class Opaque(Constraint):
+        name = "opaque"
+        detail = "opaque"
+
+        def mask(self, table):
+            return pa.array([True] * table.num_rows)
+
+    cv = CompiledValidator(sequences_schema, extra_constraints=[Opaque()])
+    assert cv.read_columns() is None
+
+    class Declared(Constraint):
+        name = "declared"
+        detail = "declared"
+
+        def required_columns(self):
+            return ["aux_a", "aux_b"]
+
+        def mask(self, table):
+            return pa.array([True] * table.num_rows)
+
+    cv2 = CompiledValidator(sequences_schema,
+                            extra_constraints=[Declared()])
+    cols = cv2.read_columns()
+    assert cols is not None and {"aux_a", "aux_b"} <= set(cols)
+
+
+def test_lineage_root_persisted_across_resume(tmp_path, sequences_schema):
+    """Regression: appending a new input directory on resume must not
+    move the lineage root — resumed and fresh shards would otherwise
+    record inconsistent partition ids."""
+    d_a = tmp_path / "in" / "a"
+    os.makedirs(d_a)
+    pq.write_table(_seq_table([f"doc-{i:012d}" for i in range(10)]),
+                   str(d_a / "f1.parquet"))
+    out = str(tmp_path / "out")
+    cfg = PipelineConfig(schema_cls=sequences_schema,
+                         input_paths=str(d_a), out_dir=out,
+                         check_unique=False, files_per_shard=1)
+    rep1 = ValidationPipeline(cfg).run()
+    assert set(rep1.partition_verdicts) == {"f1.parquet"}
+
+    # append a second directory; old shard (f1) still aligns, so the
+    # run resumes — partition ids must keep the ORIGINAL root
+    d_b = tmp_path / "in" / "b"
+    os.makedirs(d_b)
+    pq.write_table(_seq_table([f"doc-{i:012d}" for i in range(10, 20)]),
+                   str(d_b / "f2.parquet"))
+    cfg2 = PipelineConfig(schema_cls=sequences_schema,
+                          input_paths=[str(d_a), str(d_b)], out_dir=out,
+                          check_unique=False, files_per_shard=1)
+    rep2 = ValidationPipeline(cfg2).run()
+    assert rep2.shards_skipped == 1
+    ids = set(rep2.partition_verdicts)
+    assert "f1.parquet" in ids                      # unchanged old id
+    assert any(i.endswith("f2.parquet") and i != "f2.parquet"
+               for i in ids)                        # new id, old root

@@ -163,3 +163,26 @@ def test_postgres_ddl():
         "SELECT column_name FROM information_schema.columns "
         "WHERE table_name = 'item'").fetchall()}
     assert cols == set(Item._fields)
+
+
+def test_postgres_ddl_quoting():
+    """Regression: enum values containing quotes must be ''-escaped and
+    reserved-word / non-bare identifiers must be quoted."""
+    from pyschema_ray import Enum, Integer, Record, Text, get_postgres_ddl, \
+        no_auto_store
+
+    @no_auto_store
+    class Tricky(Record):
+        user = Text(nullable=False)          # reserved word
+        order = Integer(size=8)              # reserved word
+        MixedCase = Text()                   # not bare-safe
+        mood = Enum(["ok", "it's fine"])
+        _key_field = "user"
+
+    ddl = get_postgres_ddl(Tricky)
+    assert '"user" TEXT NOT NULL' in ddl
+    assert '"order" BIGINT' in ddl
+    assert '"MixedCase" TEXT' in ddl
+    assert "CHECK (mood IN ('it''s fine', 'ok'))" in ddl
+    import duckdb
+    duckdb.connect().execute(ddl)  # parses
