@@ -197,3 +197,25 @@ def test_connected_components_empty_preserves_key_dtype():
     assert schema.field("node").type == pa.int64()
     assert schema.field("label").type == pa.int64()
     assert out.count() == 0
+
+
+def test_connected_components_randomized_multi_seed():
+    """Five random graph shapes (sparse, dense, star-heavy, disjoint
+    cliques, mixed-size) — distributed CC must equal union-find on all
+    of them."""
+    for seed, n_nodes, n_edges in [(1, 60, 30), (2, 40, 120),
+                                   (3, 80, 79), (4, 50, 50),
+                                   (5, 120, 100)]:
+        rng = np.random.default_rng(seed)
+        edges = []
+        if seed == 3:  # star-heavy: hubs 0..3 connect to everyone
+            for i in range(1, 80):
+                edges.append((int(rng.integers(0, 4)), i))
+        else:
+            for _ in range(n_edges):
+                a, b = rng.choice(n_nodes, size=2, replace=False)
+                edges.append((int(a), int(b)))
+        t = pa.table({"key_a": pa.array([a for a, _ in edges], pa.int64()),
+                      "key_b": pa.array([b for _, b in edges], pa.int64())})
+        got = _cc_labels(t, num_shards=8)
+        assert got == _reference_components(edges), f"seed {seed}"

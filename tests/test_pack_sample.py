@@ -130,3 +130,31 @@ def test_mod_sample_matches_filter():
                  mod_sample(ray.data.from_arrow(t), modulus=7,
                             keep_residues=(0, 3)).take_all())
     assert out == [i for i in range(1000) if i % 7 in (0, 3)]
+
+
+def test_pack_sequences_adversarial_shapes():
+    """Zero-length docs, null token lists, a doc much longer than
+    max_len, and max_len=1 — token conservation and window bounds must
+    hold through all of them."""
+    import ray.data
+
+    toks = [
+        [],                                  # empty doc
+        None,                                # null list
+        list(range(1000)),                   # >> max_len: chunked
+        [7],                                 # single token
+        list(range(50)),
+    ]
+    t = pa.table({"doc_id": pa.array(np.arange(5, dtype=np.int64)),
+                  "tokens": pa.array(toks, pa.list_(pa.int64()))})
+    total = sum(len(x) for x in toks if x)
+    for max_len in (1, 64, 4096):
+        packed = pack_sequences(ray.data.from_arrow(t), max_len=max_len,
+                                num_shards=3).take_all()
+        assert sum(r["n_tokens"] for r in packed) == total
+        assert all(1 <= r["n_tokens"] <= max_len for r in packed)
+        # the 1000-token doc's content survives chunking byte-exactly
+        big = np.concatenate([np.asarray(r["tokens"]) for r in sorted(
+            packed, key=lambda r: (int(r["pack_id"].split("-")[0]),
+                                   int(r["pack_id"].split("-")[1])))])
+        assert len(big) == total
