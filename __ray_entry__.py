@@ -606,6 +606,32 @@ def _q_dedup_keep(sf_dir: str) -> pa.Table:
                            jaccard_threshold=0.8)
 
 
+def _q_redacted_documents(sf_dir: str) -> pa.Table:
+    """PII redaction (emails/phones/IPs/SSNs -> typed placeholders) —
+    oracle-checked: Arrow's replace_substring_regex and DuckDB's
+    regexp_replace both use RE2, so the SQL oracle applies the
+    identical transform.  PII spans are injected deterministically
+    (the synthetic corpus has none) on BOTH sides."""
+    from pyschema_ray.functions.text import redact_pii_batch
+
+    def inject_and_redact(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["text"]))
+        suffix = pc.binary_join_element_wise(
+            pa.array([" contact user"] * t.num_rows),
+            pc.cast(t["doc_id"], pa.string()),
+            pa.array(["@example.com ph 555-867-5309 ip 10.0.0.1"]
+                     * t.num_rows),
+            "")
+        t = t.set_column(t.schema.get_field_index("text"), "text",
+                         pc.binary_join_element_wise(t["text"], suffix, ""))
+        return redact_pii_batch(t).select(["doc_id", "text"])
+
+    ds = _read(sf_dir, "documents").map_batches(inject_and_redact,
+                                               batch_format="pyarrow")
+    return _collect(ds).rename_columns(["doc_id", "redacted"]) \
+        .sort_by("doc_id")
+
+
 def _q_winnow_fingerprints(sf_dir: str) -> pa.Table:
     """Winnowing (rolling-hash) fingerprint counts per document
     (rows-only: the FNV rolling hash is not SQL-expressible; the
@@ -712,6 +738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dup_pairs": _q_minhash_dup_pairs,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         "sample_documents_mod": _q_sample_documents_mod,
+        "redacted_documents": _q_redacted_documents,
         # sketches / scoring (rows-only)
         "ndv_user_id_hll": _q_ndv_user_id_hll,
         "value_quantiles_tdigest": _q_value_quantiles_tdigest,
@@ -895,6 +922,22 @@ def oracle_sql() -> dict[str, str]:
         "sample_documents_mod": """
             SELECT doc_id, source FROM documents
              WHERE doc_id % 10 IN (0, 7) ORDER BY doc_id
+        """,
+        "redacted_documents": r"""
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(
+                           text || ' contact user' ||
+                           CAST(doc_id AS VARCHAR) ||
+                           '@example.com ph 555-867-5309 ip 10.0.0.1',
+                           '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                       '<IP>', 'g'),
+                       '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS redacted
+              FROM documents WHERE text IS NOT NULL
+             ORDER BY doc_id
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe

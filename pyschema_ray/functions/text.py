@@ -121,6 +121,34 @@ class LangIdScorer:
                                pa.array(best, pa.string(), from_pandas=True))
 
 
+#: PII patterns (RE2 syntax — the SAME dialect pyarrow's
+#: replace_substring_regex and DuckDB's regexp_replace use, so the SQL
+#: oracle can reproduce the transform exactly).  Order matters: email
+#: before the bare-number patterns.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+]
+
+
+def redact_pii_batch(t: pa.Table, text_col: str = "text",
+                     out_col: str | None = None,
+                     patterns: list[tuple[str, str]] | None = None) -> pa.Table:
+    """Redact PII-shaped spans (emails, phone numbers, IPs, SSNs) with
+    typed placeholders — chained vectorized ``replace_substring_regex``
+    kernels, no per-row Python.  ``out_col=None`` replaces the text
+    column in place."""
+    col = t[text_col]
+    for pat, repl in (patterns or PII_PATTERNS):
+        col = pc.replace_substring_regex(col, pat, repl)
+    if out_col is None or out_col == text_col:
+        return t.set_column(t.schema.get_field_index(text_col),
+                            text_col, col)
+    return t.append_column(out_col, col)
+
+
 _WINNOW_P = np.uint64(1099511628211)  # FNV prime — rolling-hash base
 
 

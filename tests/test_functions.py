@@ -446,3 +446,21 @@ def test_asof_join():
                    for r in out.to_pylist()))
     assert rows == [("A", 1, 100.0), ("A", 2, 101.0), ("A", 3, 102.0),
                     ("B", 9, 50.0)]
+
+
+def test_redact_pii_batch():
+    t = pa.table({"text": pa.array([
+        "mail me at jane.doe+x@sub.example.co.uk today",
+        "call 555-867-5309 or 555 123 4567",
+        "server at 192.168.1.100 port 80",
+        "ssn 123-45-6789 leaked",
+        "nothing sensitive here",
+        None,
+    ])})
+    out = text.redact_pii_batch(t)["text"].to_pylist()
+    assert out[0] == "mail me at <EMAIL> today"
+    assert out[1] == "call <PHONE> or <PHONE>"
+    assert out[2] == "server at <IP> port 80"
+    assert out[3] == "ssn <SSN> leaked"
+    assert out[4] == "nothing sensitive here"
+    assert out[5] is None
