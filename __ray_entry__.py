@@ -606,6 +606,28 @@ def _q_dedup_keep(sf_dir: str) -> pa.Table:
                            jaccard_threshold=0.8)
 
 
+def _q_normalized_documents(sf_dir: str) -> pa.Table:
+    """Whitespace-collapse + trim + Unicode NFC normalization —
+    oracle-checked (both engines apply the identical kernel chain).
+    Messy whitespace is injected deterministically on both sides (the
+    synthetic corpus is already clean)."""
+    from pyschema_ray.functions.text import normalize_text_batch
+
+    def messy_then_normalize(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["text"]))
+        messy = pc.replace_substring(t["text"], " ", " \t ")
+        messy = pc.binary_join_element_wise(
+            pa.array(["  \n"] * t.num_rows), messy,
+            pa.array(["\r\n  "] * t.num_rows), "")
+        t = t.set_column(t.schema.get_field_index("text"), "text", messy)
+        return normalize_text_batch(t).select(["doc_id", "text"])
+
+    ds = _read(sf_dir, "documents").map_batches(messy_then_normalize,
+                                                batch_format="pyarrow")
+    return _collect(ds).rename_columns(["doc_id", "normalized"]) \
+        .sort_by("doc_id")
+
+
 def _q_redacted_documents(sf_dir: str) -> pa.Table:
     """PII redaction (emails/phones/IPs/SSNs -> typed placeholders) —
     oracle-checked: Arrow's replace_substring_regex and DuckDB's
@@ -739,6 +761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         "sample_documents_mod": _q_sample_documents_mod,
         "redacted_documents": _q_redacted_documents,
+        "normalized_documents": _q_normalized_documents,
         # sketches / scoring (rows-only)
         "ndv_user_id_hll": _q_ndv_user_id_hll,
         "value_quantiles_tdigest": _q_value_quantiles_tdigest,
@@ -922,6 +945,16 @@ def oracle_sql() -> dict[str, str]:
         "sample_documents_mod": """
             SELECT doc_id, source FROM documents
              WHERE doc_id % 10 IN (0, 7) ORDER BY doc_id
+        """,
+        "normalized_documents": r"""
+            SELECT doc_id,
+                   nfc_normalize(trim(regexp_replace(
+                       '  ' || chr(10) ||
+                       replace(text, ' ', ' ' || chr(9) || ' ') ||
+                       chr(13) || chr(10) || '  ',
+                       '[\t\n\r ]+', ' ', 'g'))) AS normalized
+              FROM documents WHERE text IS NOT NULL
+             ORDER BY doc_id
         """,
         "redacted_documents": r"""
             SELECT doc_id,

@@ -121,6 +121,38 @@ class LangIdScorer:
                                pa.array(best, pa.string(), from_pandas=True))
 
 
+def normalize_text_batch(t: pa.Table, text_col: str = "text",
+                         out_col: str | None = None) -> pa.Table:
+    """Canonical text normalization for corpus cleaning: collapse
+    whitespace runs to single spaces, trim, then Unicode NFC.  The
+    exact pipeline is reproducible in SQL
+    (``nfc_normalize(trim(regexp_replace(text, '[\\t\\n\\r ]+', ' ',
+    'g')))``), so it is oracle-checkable.
+
+    NFC caveat: pyarrow's ``utf8_normalize(form="NFC")`` does NOT
+    compose combining sequences (verified on 16.1: e+U+0301 stays
+    decomposed, while DuckDB/CPython compose to U+00E9), so NFC goes
+    through ``unicodedata`` — with a vectorized ASCII fast path
+    (``string_is_ascii``) that skips the per-string work for the
+    overwhelmingly-ASCII common case."""
+    import unicodedata
+
+    col = pc.replace_substring_regex(t[text_col], r"[\t\n\r ]+", " ")
+    col = pc.utf8_trim_whitespace(col)
+    non_ascii = pc.invert(pc.fill_null(pc.string_is_ascii(col), True))
+    if pc.any(non_ascii).as_py():
+        vals = col.to_pylist()
+        flags = non_ascii.to_pylist() if isinstance(non_ascii, pa.Array) \
+            else non_ascii.combine_chunks().to_pylist()
+        vals = [unicodedata.normalize("NFC", v) if f and v is not None
+                else v for v, f in zip(vals, flags)]
+        col = pa.array(vals, pa.string())
+    if out_col is None or out_col == text_col:
+        return t.set_column(t.schema.get_field_index(text_col),
+                            text_col, col)
+    return t.append_column(out_col, col)
+
+
 #: PII patterns (RE2 syntax — the SAME dialect pyarrow's
 #: replace_substring_regex and DuckDB's regexp_replace use, so the SQL
 #: oracle can reproduce the transform exactly).  Order matters: email

@@ -464,3 +464,17 @@ def test_redact_pii_batch():
     assert out[3] == "ssn <SSN> leaked"
     assert out[4] == "nothing sensitive here"
     assert out[5] is None
+
+
+def test_normalize_text_batch():
+    t = pa.table({"text": pa.array([
+        "  a\t\tb\n c  ",
+        "école",          # decomposed e + combining acute
+        "already clean",
+        None,
+    ])})
+    out = text.normalize_text_batch(t)["text"].to_pylist()
+    assert out[0] == "a b c"
+    assert out[1] == "école"  # precomposed after NFC
+    assert out[2] == "already clean"
+    assert out[3] is None
