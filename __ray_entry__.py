@@ -606,6 +606,34 @@ def _q_dedup_keep(sf_dir: str) -> pa.Table:
                            jaccard_threshold=0.8)
 
 
+def _q_events_sliding(sf_dir: str) -> pa.Table:
+    """2h windows sliding by 1h over events (each event in exactly two
+    windows); exploded + partially aggregated before the shuffle, int
+    cents for exact distributed sums — oracle-checked."""
+    from pyschema_ray.functions.windows import sliding_window_aggregate
+
+    out = sliding_window_aggregate(_read(sf_dir, "events"),
+                                   ts_col="ts", key_col="event_type",
+                                   value_col="value",
+                                   window_s=7200, slide_s=3600)
+    return _collect(out).sort_by([("event_type", "ascending"),
+                                  ("window_start", "ascending")])
+
+
+def _q_top_docs_per_source(sf_dir: str) -> pa.Table:
+    """Top-3 documents by n_chars per source WITHOUT a global sort
+    (per-batch partial top-k, then per-group head on hash shards) —
+    oracle-checked against a row_number() window."""
+    from pyschema_ray.functions.analytics import grouped_topk
+
+    out = grouped_topk(_read(sf_dir, "documents")
+                       .select_columns(["source", "n_chars", "doc_id"]),
+                       group_col="source", order_col="n_chars", k=3,
+                       tiebreak_col="doc_id")
+    t = _collect(out).select(["source", "doc_id", "n_chars"])
+    return t.sort_by([("source", "ascending"), ("doc_id", "ascending")])
+
+
 def _q_normalized_documents(sf_dir: str) -> pa.Table:
     """Whitespace-collapse + trim + Unicode NFC normalization —
     oracle-checked (both engines apply the identical kernel chain).
@@ -762,6 +790,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_documents_mod": _q_sample_documents_mod,
         "redacted_documents": _q_redacted_documents,
         "normalized_documents": _q_normalized_documents,
+        "events_sliding": _q_events_sliding,
+        "top_docs_per_source": _q_top_docs_per_source,
         # sketches / scoring (rows-only)
         "ndv_user_id_hll": _q_ndv_user_id_hll,
         "value_quantiles_tdigest": _q_value_quantiles_tdigest,
@@ -945,6 +975,31 @@ def oracle_sql() -> dict[str, str]:
         "sample_documents_mod": """
             SELECT doc_id, source FROM documents
              WHERE doc_id % 10 IN (0, 7) ORDER BY doc_id
+        """,
+        "events_sliding": """
+            WITH e AS (
+                SELECT event_type,
+                       CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS b,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events),
+            w AS (SELECT event_type, b AS window_start, cents FROM e
+                  UNION ALL
+                  SELECT event_type, b - 3600, cents FROM e)
+            SELECT event_type, window_start,
+                   CAST(sum(cents) AS BIGINT) AS sum_scaled,
+                   count(*) AS n_events
+              FROM w GROUP BY event_type, window_start
+             ORDER BY event_type, window_start
+        """,
+        "top_docs_per_source": """
+            WITH ranked AS (
+                SELECT source, doc_id, n_chars,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY n_chars DESC,
+                                                   doc_id ASC) AS rn
+                  FROM documents)
+            SELECT source, doc_id, n_chars FROM ranked WHERE rn <= 3
+             ORDER BY source, doc_id
         """,
         "normalized_documents": r"""
             SELECT doc_id,

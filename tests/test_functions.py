@@ -478,3 +478,51 @@ def test_normalize_text_batch():
     assert out[1] == "école"  # precomposed after NFC
     assert out[2] == "already clean"
     assert out[3] is None
+
+
+def test_sliding_window_aggregate_invariants():
+    """Each event contributes to exactly window/slide windows; sums are
+    exact int arithmetic."""
+    import datetime as dt
+    import ray.data
+    from pyschema_ray.functions.windows import sliding_window_aggregate
+
+    rows = []
+    base = dt.datetime(2024, 1, 1, 0, 30)
+    for i in range(100):
+        rows.append({"event_type": "a" if i % 2 else "b",
+                     "ts": base + dt.timedelta(minutes=7 * i),
+                     "value": float(i) / 4})
+    ds = ray.data.from_items(rows)
+    out = pa.concat_tables(
+        sliding_window_aggregate(ds, window_s=7200, slide_s=3600)
+        .iter_batches(batch_format="pyarrow"))
+    # every event counted twice (2h window / 1h slide)
+    assert sum(out["n_events"].to_pylist()) == 200
+    assert sum(out["sum_scaled"].to_pylist()) == \
+        2 * sum(round(i / 4 * 100) for i in range(100))
+    # window starts are slide-aligned
+    assert all(w % 3600 == 0 for w in out["window_start"].to_pylist())
+    with pytest.raises(ValueError):
+        sliding_window_aggregate(ds, window_s=5000, slide_s=3600)
+
+
+def test_grouped_topk_matches_pandas():
+    import ray.data
+    from pyschema_ray.functions.analytics import grouped_topk
+
+    rng = np.random.default_rng(9)
+    n = 5000
+    t = pa.table({
+        "grp": pa.array(rng.choice(["x", "y", "z", "w"], size=n)),
+        "score": pa.array(rng.integers(0, 50, size=n), pa.int64()),
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+    })
+    ds = ray.data.from_arrow(t).repartition(8)
+    out = grouped_topk(ds, "grp", "score", k=5, tiebreak_col="id")
+    got = sorted((r["grp"], r["id"], r["score"]) for r in out.take_all())
+    df = t.to_pandas().sort_values(["grp", "score", "id"],
+                                   ascending=[True, False, True])
+    want = sorted(map(tuple, df.groupby("grp").head(5)
+                      [["grp", "id", "score"]].itertuples(index=False)))
+    assert got == want
