@@ -606,6 +606,30 @@ def _q_dedup_keep(sf_dir: str) -> pa.Table:
                            jaccard_threshold=0.8)
 
 
+def _q_range_join_counts(sf_dir: str) -> pa.Table:
+    """Broadcast range join: events counted into 2h windows anchored at
+    the first event of each of users 0..19 (intervals derived the same
+    way in the SQL oracle).  Interval table broadcast once; per batch
+    the count comes from two vectorized searchsorted probes."""
+    from pyschema_ray.functions.joins import broadcast_range_join_count
+
+    ev = _read(sf_dir, "events")
+    firsts = ev.map_batches(
+        lambda t: t.filter(pc.less(t["user_id"], 20))
+                   .select(["user_id", "ts"]),
+        batch_format="pyarrow").groupby("user_id").min("ts")
+    tbl = _collect(firsts)
+    starts = tbl["min(ts)"]
+    intervals = pa.table({
+        "interval_id": tbl["user_id"],
+        "start": starts,
+        "end": pc.add(starts, pa.scalar(7_200_000_000,
+                                        pa.duration("us"))),
+    })
+    out = broadcast_range_join_count(ev, intervals)
+    return out.sort_by("interval_id")
+
+
 def _q_events_sliding(sf_dir: str) -> pa.Table:
     """2h windows sliding by 1h over events (each event in exactly two
     windows); exploded + partially aggregated before the shuffle, int
@@ -792,6 +816,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalized_documents": _q_normalized_documents,
         "events_sliding": _q_events_sliding,
         "top_docs_per_source": _q_top_docs_per_source,
+        "range_join_counts": _q_range_join_counts,
         # sketches / scoring (rows-only)
         "ndv_user_id_hll": _q_ndv_user_id_hll,
         "value_quantiles_tdigest": _q_value_quantiles_tdigest,
@@ -975,6 +1000,16 @@ def oracle_sql() -> dict[str, str]:
         "sample_documents_mod": """
             SELECT doc_id, source FROM documents
              WHERE doc_id % 10 IN (0, 7) ORDER BY doc_id
+        """,
+        "range_join_counts": """
+            WITH iv AS (
+                SELECT user_id AS interval_id, min(ts) AS s
+                  FROM events WHERE user_id < 20 GROUP BY user_id)
+            SELECT iv.interval_id,
+                   CAST(count(e.event_id) AS BIGINT) AS n_events
+              FROM iv LEFT JOIN events e
+                ON e.ts >= iv.s AND e.ts < iv.s + INTERVAL 2 HOUR
+             GROUP BY iv.interval_id ORDER BY interval_id
         """,
         "events_sliding": """
             WITH e AS (

@@ -39,9 +39,9 @@ def sliding_window_aggregate(ds, ts_col: str = "ts",
     k = window_s // slide_s
 
     def explode_partial(t: pa.Table) -> pa.Table:
-        ts = t[ts_col]
-        if not pa.types.is_timestamp(ts.type):
-            ts = pc.cast(ts, pa.timestamp("us"))
+        # ALWAYS normalize to µs — a timestamp[s]/[ms] column would
+        # otherwise feed wrong-unit epochs into the bucket math
+        ts = pc.cast(t[ts_col], pa.timestamp("us"))
         us = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False)
         epoch = us // 1_000_000
         base = (epoch // slide_s) * slide_s

@@ -526,3 +526,28 @@ def test_grouped_topk_matches_pandas():
     want = sorted(map(tuple, df.groupby("grp").head(5)
                       [["grp", "id", "score"]].itertuples(index=False)))
     assert got == want
+
+
+def test_broadcast_range_join_count():
+    import datetime as dt
+    import ray.data
+    from pyschema_ray.functions.joins import broadcast_range_join_count
+
+    base = dt.datetime(2024, 1, 1)
+    ts = [base + dt.timedelta(minutes=m) for m in range(0, 300, 5)]  # 60
+    ds = ray.data.from_items([{"ts": t} for t in ts]).repartition(4)
+    intervals = pa.table({
+        "interval_id": pa.array([0, 1, 2], pa.int64()),
+        "start": pa.array([base, base + dt.timedelta(hours=1),
+                           base + dt.timedelta(hours=10)],
+                          pa.timestamp("us")),
+        "end": pa.array([base + dt.timedelta(hours=1),
+                         base + dt.timedelta(hours=3),
+                         base + dt.timedelta(hours=11)],
+                        pa.timestamp("us")),
+    })
+    out = broadcast_range_join_count(ds, intervals).sort_by("interval_id")
+    # [0,1h): minutes 0..55 -> 12 events; [1h,3h): 60..175 -> 24;
+    # [10h,11h): none (zero-count interval still present)
+    assert out["interval_id"].to_pylist() == [0, 1, 2]
+    assert out["n_events"].to_pylist() == [12, 24, 0]
