@@ -120,3 +120,49 @@ def test_record_repr_and_unknown_kwargs():
     assert "x=3" in repr(r)
     with pytest.raises(ParseError):
         Inner(x=1, nope=2)
+
+
+def test_jsonl_round_trip_into_pipeline(tmp_path):
+    """dumps() lines -> read_jsonl -> CompiledValidator: the reference's
+    wire format flows into the Dataset engine, with $schema verified +
+    dropped and declared columns cast; a wrong $schema raises."""
+    import pyarrow.compute as pc
+
+    from pyschema_ray import Integer, Record, Text, no_auto_store
+    from pyschema_ray.sources.jsonl import read_jsonl, write_jsonl_records
+
+    @no_auto_store
+    class Doc(Record):
+        doc_id = Text(nullable=False, regex=r"^d-\d+$")
+        n = Integer(size=8, min=0, max=100)
+        _key_field = "doc_id"
+
+    recs = [Doc(doc_id=f"d-{i}", n=i * 5) for i in range(20)]
+    recs.append(Doc(doc_id="bad id", n=999))  # two violations
+    p = str(tmp_path / "docs.jsonl")
+    assert write_jsonl_records(recs, p) == 21
+
+    import ray.data  # noqa: F401
+    from pyschema_ray.stages.validator import CompiledValidator
+
+    ds = read_jsonl(p, Doc)
+    t = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+    assert "$schema" not in t.column_names
+    assert t.schema.field("n").type == pa.int64()
+    assert t.num_rows == 21
+
+    out = CompiledValidator(Doc)(t)
+    viol = out.filter(pc.equal(out["kind"], "violation"))
+    assert sorted(viol["constraint"].to_pylist()) == \
+        ["range(n)", "regex(doc_id)"]
+
+    # wrong $schema rejected
+    with open(p) as f:
+        lines = f.read().replace('"Doc"', '"Other"')
+    p2 = str(tmp_path / "other.jsonl")
+    with open(p2, "w") as f:
+        f.write(lines)
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="Other"):
+        pa.concat_tables(read_jsonl(p2, Doc)
+                         .iter_batches(batch_format="pyarrow"))
