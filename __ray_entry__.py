@@ -55,9 +55,10 @@ def _documents_schema():
     return DocumentsSchema
 
 
-def _read(sf_dir: str, table: str):
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     import ray.data
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                                 columns=columns)
 
 
 def _collect(ds, empty_schema: pa.Schema | None = None) -> pa.Table:
@@ -192,7 +193,7 @@ def _q_pricing_summary(sf_dir: str) -> pa.Table:
 
     def prep(t: pa.Table) -> pa.Table:
         qty = pc.cast(t["l_quantity"], pa.int64())
-        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0), round_mode="half_towards_infinity"),
                         pa.int64())
         g = pa.table({
             "l_returnflag": t["l_returnflag"],
@@ -338,7 +339,7 @@ def _q_events_hourly(sf_dir: str) -> pa.Table:
 
     def partial(t: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(t["ts"], unit="hour")
-        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0), round_mode="half_towards_infinity"), pa.int64())
         g = pa.table({
             "event_type": t["event_type"], "hour": hour, "cents": cents,
             "one": pa.array(np.ones(t.num_rows, np.int64)),
@@ -376,7 +377,7 @@ def _q_orders_by_nation(sf_dir: str) -> pa.Table:
                               right_keys="n_nationkey")
 
     def prep(t: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0), round_mode="half_towards_infinity"),
                         pa.int64())
         g = pa.table({
             "n_name": t["n_name"], "cents": cents,
@@ -542,16 +543,20 @@ def _nonblank_docs(sf_dir: str):
 
 def _dup_injected_docs(sf_dir: str):
     """Non-blank documents plus a deterministic exact duplicate of
-    every 10th doc (doc_id + 1_000_000) — the synthetic documents
+    every 10th doc (doc_id + max(doc_id) + 1) — the synthetic documents
     table has no byte-identical texts, so the signature-based dup-pair
     oracles would otherwise be vacuously empty.  The SQL oracle builds
-    the same derived table with a UNION ALL."""
+    the same derived table with a UNION ALL.  The offset is derived
+    from the corpus (one cheap column-pruned max), not a fixed 1e6 —
+    a fixed offset collides with real doc_ids at >=1M-row scale and
+    would silently merge distinct documents."""
+    off = _read(sf_dir, "documents", columns=["doc_id"]).max("doc_id") + 1
+
     def inject(t: pa.Table) -> pa.Table:
         base = t.select(["doc_id", "text"])
         ids = base["doc_id"].to_numpy(zero_copy_only=False)
         dup = base.filter(pa.array(ids % 10 == 0))
-        dup = dup.set_column(0, "doc_id",
-                             pc.add(dup["doc_id"], 1_000_000))
+        dup = dup.set_column(0, "doc_id", pc.add(dup["doc_id"], off))
         return pa.concat_tables([base, dup])
 
     return _nonblank_docs(sf_dir).map_batches(inject,
@@ -976,7 +981,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, text FROM documents
                  WHERE text IS NOT NULL AND trim(text) <> ''
                 UNION ALL
-                SELECT doc_id + 1000000, text FROM documents
+                SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), text
+                  FROM documents
                  WHERE text IS NOT NULL AND trim(text) <> ''
                    AND doc_id % 10 = 0)
             SELECT a.doc_id AS key_a, b.doc_id AS key_b
@@ -989,7 +995,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, text FROM documents
                  WHERE text IS NOT NULL AND trim(text) <> ''
                 UNION ALL
-                SELECT doc_id + 1000000, text FROM documents
+                SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), text
+                  FROM documents
                  WHERE text IS NOT NULL AND trim(text) <> ''
                    AND doc_id % 10 = 0)
             SELECT a.doc_id AS key_a, b.doc_id AS key_b

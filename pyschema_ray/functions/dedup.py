@@ -31,6 +31,21 @@ from ..sketches import hash_strings, mix64
 U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
+def _default_shards() -> int:
+    """Cluster-proportional exchange width (4 tasks per core, floor 64)
+    — the same rule as stages/unique._default_buckets.  Every shuffle
+    in this module groups on a bounded integer shard; a FIXED shard
+    count would cap parallelism on a big cluster and concentrate the
+    exploded bucket rows into worker-OOM-sized groups at 10^12 docs.
+    Resolved lazily at pipeline-construction time on the driver."""
+    import ray
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 16))
+    except Exception:  # noqa: BLE001
+        cpus = 16
+    return max(64, cpus * 4)
+
+
 def _popcount64(x: np.ndarray) -> np.ndarray:
     """Vectorized 64-bit popcount (SWAR) — numpy has no bit_count."""
     x = x.astype(np.uint64, copy=True)
@@ -95,13 +110,15 @@ def _triu_pairs(starts: np.ndarray, sizes: np.ndarray):
 # ---------------------------------------------------------------------------
 
 def exact_dedup_keys(ds, text_col: str = "text", key_col: str = "doc_id",
-                     num_shards: int = 256):
+                     num_shards: int | None = None):
     """-> Dataset(key_col) of the kept (minimum-key) row per distinct
     content hash.  Shuffle moves only (hash, key, shard) — never text —
     and the groupby key is a small integer shard, not the near-unique
     hash itself (a sort-based exchange on 10^12 distinct hashes is the
     pattern stages/unique.py exists to avoid); identical hashes always
     co-shard, and the per-shard min is a C++ Arrow group_by."""
+    num_shards = num_shards or _default_shards()
+
     def add_hash(t: pa.Table) -> pa.Table:
         h = hash_strings(t[text_col].to_numpy(zero_copy_only=False))
         # int64 view (not uint64): Ray's shuffle materializes group keys
@@ -122,9 +139,12 @@ def exact_dedup_keys(ds, text_col: str = "text", key_col: str = "doc_id",
 
 
 def exact_duplicate_groups(ds, text_col: str = "text",
-                           key_col: str = "doc_id", num_shards: int = 256):
+                           key_col: str = "doc_id",
+                           num_shards: int | None = None):
     """-> Dataset(content_hash, dup_count) for content appearing >1
     time.  Same integer-shard shuffle as :func:`exact_dedup_keys`."""
+    num_shards = num_shards or _default_shards()
+
     def add_hash(t: pa.Table) -> pa.Table:
         h = hash_strings(t[text_col].to_numpy(zero_copy_only=False))
         return pa.table({
@@ -238,7 +258,7 @@ def lsh_band_buckets(t: pa.Table, minhash_col: str = "minhash",
 def minhash_lsh_candidates(ds, text_col: str = "text",
                            key_col: str = "doc_id", num_hashes: int = 64,
                            shingle_words: int = 3, bands: int = 16,
-                           concurrency=None):
+                           concurrency=None, num_shards: int | None = None):
     """-> Dataset(key_a, key_b) of candidate near-duplicate pairs
     (co-bucketed in >=1 band, deduplicated).  Pipeline:
     map_batches(MinHasher) -> band explode -> groupby bucket ->
@@ -265,8 +285,11 @@ def minhash_lsh_candidates(ds, text_col: str = "text",
 
     # shuffle on a SMALL mod-bucket (co-locating whole (band, bucket)
     # groups), never on the raw (band, bucket) pair: a groupby with one
-    # tiny group per bucket is pathological in any engine at scale
-    nb = 64
+    # tiny group per bucket is pathological in any engine at scale.
+    # Cluster-proportional by default: each map_groups call holds 1/nb
+    # of the exploded (bands x N) bucket rows, so nb must grow with
+    # both cluster width and corpus size.
+    nb = num_shards or _default_shards()
 
     def add_mod(t: pa.Table) -> pa.Table:
         m = mix64(np.asarray(t["bucket"].to_numpy(zero_copy_only=False),
@@ -295,15 +318,19 @@ def minhash_lsh_candidates(ds, text_col: str = "text",
     # same pair can surface from several bands -> distinct.  Dedup on a
     # small integer pair-shard (local drop_duplicates per shard), not a
     # near-unique (key_a, key_b) string groupby.
-    return distinct_pairs(pairs)
+    return distinct_pairs(pairs, num_shards=nb)
 
 
-def distinct_pairs(pairs, num_shards: int = 64, min_col: str | None = None):
+def distinct_pairs(pairs, num_shards: int | None = None,
+                   min_col: str | None = None):
     """Distributed DISTINCT over a (key_a, key_b) pair Dataset: shard by
-    pair hash (a 64-way integer shuffle, never a sort-shuffle on the
-    near-unique composite string key), drop duplicates locally per
-    shard.  With ``min_col``, keeps the minimum of that column per pair
-    (e.g. the best Hamming distance) instead of an arbitrary row."""
+    pair hash (a bounded integer shuffle — cluster-proportional by
+    default — never a sort-shuffle on the near-unique composite string
+    key), drop duplicates locally per shard.  With ``min_col``, keeps
+    the minimum of that column per pair (e.g. the best Hamming
+    distance) instead of an arbitrary row."""
+    num_shards = num_shards or _default_shards()
+
     def add_shard(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return t.append_column("pshard", pa.array([], pa.int64()))
@@ -484,7 +511,8 @@ def _pair_columns(rows, da, db, extra=()):
 def jaccard_verify_pairs_ds(pairs, docs, text_col: str = "text",
                             key_col: str = "doc_id",
                             shingle_words: int = 3,
-                            threshold: float = 0.7, num_shards: int = 64):
+                            threshold: float = 0.7,
+                            num_shards: int | None = None):
     """Distributed exact n-gram Jaccard verification of candidate pairs
     over the :func:`_route_pair_payloads` shuffle semi-join (payload =
     the text itself).  Fully distributed — the driver never holds the
@@ -495,6 +523,7 @@ def jaccard_verify_pairs_ds(pairs, docs, text_col: str = "text",
     """
     import pandas as pd
 
+    num_shards = num_shards or _default_shards()
     routed = _route_pair_payloads(
         pairs, docs.select_columns([key_col, text_col]), key_col,
         doc_payload=lambda t: pc.cast(t[text_col], pa.string()),
@@ -540,7 +569,7 @@ def jaccard_verify_pairs_ds(pairs, docs, text_col: str = "text",
 
 def filter_exact_text_pairs(pairs, docs, text_col: str = "text",
                             key_col: str = "doc_id",
-                            num_shards: int = 64):
+                            num_shards: int | None = None):
     """Keep only candidate pairs whose texts are byte-identical —
     verified via content hashes over the same
     :func:`_route_pair_payloads` semi-join (payload = 8-byte hash
@@ -549,6 +578,8 @@ def filter_exact_text_pairs(pairs, docs, text_col: str = "text",
     (identical text => identical signature => co-bucketed), which makes
     the result SQL-oracle-checkable."""
     import pandas as pd
+
+    num_shards = num_shards or _default_shards()
 
     def doc_hashes(t: pa.Table) -> pa.Array:
         h = hash_strings(t[text_col].to_numpy(zero_copy_only=False)) \
@@ -578,7 +609,7 @@ def filter_exact_text_pairs(pairs, docs, text_col: str = "text",
                                                batch_format="pandas")
 
 
-def connected_components(pairs, num_shards: int = 64,
+def connected_components(pairs, num_shards: int | None = None,
                          max_rounds: int = 50):
     """Distributed connected components over a (key_a, key_b) edge
     Dataset by iterative min-label propagation (each node repeatedly
@@ -598,6 +629,8 @@ def connected_components(pairs, num_shards: int = 64,
     """
     import pandas as pd
     import ray.data  # noqa: F401
+
+    num_shards = num_shards or _default_shards()
 
     # row kinds: 0 = edge (other = neighbor), 1 = label (other = label)
     def init_rows(t: pa.Table) -> pa.Table:
@@ -716,7 +749,7 @@ def connected_components(pairs, num_shards: int = 64,
 def dedup_keep_keys_ds(ds, text_col: str = "text", key_col: str = "doc_id",
                        jaccard_threshold: float = 0.8, num_hashes: int = 64,
                        shingle_words: int = 3, bands: int = 16,
-                       concurrency=None, num_shards: int = 64):
+                       concurrency=None, num_shards: int | None = None):
     """End-to-end distributed dedup: exact (content-hash) THEN near-dup
     (MinHash+LSH candidates -> distributed Jaccard verify ->
     distributed connected components).  Returns a Dataset(key_col) of
@@ -730,9 +763,11 @@ def dedup_keep_keys_ds(ds, text_col: str = "text", key_col: str = "doc_id",
     """
     import pandas as pd
 
-    kept_exact = exact_dedup_keys(ds, text_col, key_col)
+    num_shards = num_shards or _default_shards()
+    kept_exact = exact_dedup_keys(ds, text_col, key_col, num_shards)
     cand = minhash_lsh_candidates(ds, text_col, key_col, num_hashes,
-                                  shingle_words, bands, concurrency)
+                                  shingle_words, bands, concurrency,
+                                  num_shards)
     verified = jaccard_verify_pairs_ds(
         cand, ds, text_col, key_col, shingle_words, jaccard_threshold,
         num_shards).materialize()  # duplicate-rate sized; read by CC rounds
@@ -827,7 +862,8 @@ class SimHasher:
 
 
 def simhash_near_dups(ds, text_col: str = "text", key_col: str = "doc_id",
-                      max_hamming: int = 3, concurrency=None):
+                      max_hamming: int = 3, concurrency=None,
+                      num_shards: int | None = None):
     """Near-dup pairs by SimHash: docs whose signatures agree on all
     four 16-bit chunks after masking ``max_hamming`` bits are candidate
     pairs (standard multi-index trick: any pair within Hamming distance
@@ -860,8 +896,9 @@ def simhash_near_dups(ds, text_col: str = "text", key_col: str = "doc_id",
     exploded = sigs.map_batches(explode_chunks, batch_format="pyarrow")
 
     # same small-mod-bucket shuffle as MinHash LSH: co-locate whole
-    # (chunk_id, chunk) groups on a few integer shards
-    nb = 64
+    # (chunk_id, chunk) groups on a bounded number of integer shards
+    # (cluster-proportional by default — see _default_shards)
+    nb = num_shards or _default_shards()
 
     def add_mod(t: pa.Table) -> pa.Table:
         base = (np.asarray(t["chunk"].to_numpy(zero_copy_only=False),
@@ -894,4 +931,4 @@ def simhash_near_dups(ds, text_col: str = "text", key_col: str = "doc_id",
         .groupby("shard").map_groups(emit, batch_format="pandas")
     # distinct via integer pair-shards keeping the best hamming — NOT a
     # sort-shuffle groupby on the near-unique (key_a, key_b) pair key
-    return distinct_pairs(pairs, min_col="hamming")
+    return distinct_pairs(pairs, num_shards=nb, min_col="hamming")

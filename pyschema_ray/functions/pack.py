@@ -19,11 +19,11 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .dedup import _key_shards
+from .dedup import _default_shards, _key_shards
 
 
 def pack_sequences(ds, tokens_col: str = "tokens", key_col: str = "doc_id",
-                   max_len: int = 2048, num_shards: int = 64,
+                   max_len: int = 2048, num_shards: int | None = None,
                    pad_id: int | None = None):
     """-> Dataset(pack_id, tokens, n_tokens, n_docs, doc_ids).
 
@@ -33,6 +33,11 @@ def pack_sequences(ds, tokens_col: str = "tokens", key_col: str = "doc_id",
     length (n_tokens still reports the real token count).
     """
     import pandas as pd
+
+    # cluster-proportional default; NOTE the memory rule in the module
+    # docstring still applies — at extreme corpus/worker ratios pass
+    # num_shards explicitly so each shard's token stream fits a worker
+    num_shards = num_shards or _default_shards()
 
     def add_shard(t: pa.Table) -> pa.Table:
         keys = t[key_col].to_numpy(zero_copy_only=False)
@@ -47,12 +52,21 @@ def pack_sequences(ds, tokens_col: str = "tokens", key_col: str = "doc_id",
         doc_lens = np.array([len(p) for p in parts], dtype=np.int64)
         stream = np.concatenate(parts) if parts else np.empty(0, np.int64)
         n = len(stream)
+        doc_keys = pa.Array.from_pandas(df[key_col])
         if n == 0:
-            return pd.DataFrame({"pack_id": [], "tokens": [],
-                                 "n_tokens": [], "n_docs": [],
-                                 "doc_ids": []})
+            # typed empty block — an untyped empty DataFrame would
+            # infer null columns and fail unification with non-empty
+            # shards' list<int64>/string blocks.  doc_ids element type
+            # follows the corpus's actual key type.
+            return pa.table({
+                "pack_id": pa.array([], pa.string()),
+                "tokens": pa.array([], pa.list_(pa.int64())),
+                "n_tokens": pa.array([], pa.int64()),
+                "n_docs": pa.array([], pa.int64()),
+                "doc_ids": pa.array([], pa.list_(doc_keys.type)),
+            })
         doc_ends = np.cumsum(doc_lens)          # exclusive end per doc
-        doc_keys = df[key_col].to_numpy()
+        keys_np = df[key_col].to_numpy()
         starts = np.arange(0, n, max_len)
         out = {"pack_id": [], "tokens": [], "n_tokens": [], "n_docs": [],
                "doc_ids": []}
@@ -71,7 +85,9 @@ def pack_sequences(ds, tokens_col: str = "tokens", key_col: str = "doc_id",
             out["tokens"].append(window)
             out["n_tokens"].append(real)
             out["n_docs"].append(d1 - d0 + 1)
-            out["doc_ids"].append(doc_keys[d0:d1 + 1])
+            # .tolist(): numpy unicode arrays (string keys) are not
+            # Arrow-convertible as object cells
+            out["doc_ids"].append(keys_np[d0:d1 + 1].tolist())
         return pd.DataFrame(out)
 
     return ds.map_batches(add_shard, batch_format="pyarrow") \

@@ -45,8 +45,11 @@ def sliding_window_aggregate(ds, ts_col: str = "ts",
         us = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False)
         epoch = us // 1_000_000
         base = (epoch // slide_s) * slide_s
+        # half_towards_infinity (= half away from zero) matches SQL round(); pc.round's default
+        # half_to_even would disagree by 1 cent on exact binary halves
         cents = pc.cast(pc.round(pc.multiply(
-            pc.cast(t[value_col], pa.float64()), float(value_scale))),
+            pc.cast(t[value_col], pa.float64()), float(value_scale)),
+            round_mode="half_towards_infinity"),
             pa.int64()).to_numpy(zero_copy_only=False)
         keys = t[key_col].to_numpy(zero_copy_only=False)
         n = len(base)

@@ -507,15 +507,29 @@ def _lineage_root(files: list[str]) -> str:
     distinct partitions, or their verdicts and row counts silently
     merge."""
     dirs = {os.path.dirname(os.path.abspath(f)) for f in files}
-    return os.path.commonpath(dirs) if dirs else ""
+    if not dirs:
+        return ""
+    try:
+        return os.path.commonpath(dirs)
+    except ValueError:
+        # mixed drives (windows) / mixed abs-rel inputs have no common
+        # path — fall back to basename lineage ids (root = "")
+        return ""
 
 
 def _lineage_id(path: str, root: str) -> str:
     if root:
         try:
-            return os.path.relpath(os.path.abspath(path), root)
+            rel = os.path.relpath(os.path.abspath(path), root)
         except ValueError:  # different drive (windows) — fall back
-            pass
+            return os.path.basename(path)
+        if not rel.startswith(".."):
+            return rel
+        # input appended on resume from OUTSIDE the persisted root
+        # (the root never moves once recorded): a '../'-chain id is
+        # ambiguous in reports, so normalize to an explicit absolute
+        # marker — unique by construction and visibly external
+        return "ext:" + os.path.abspath(path).lstrip(os.sep)
     return os.path.basename(path)
 
 

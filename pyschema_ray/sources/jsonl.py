@@ -53,8 +53,13 @@ def read_jsonl(paths, schema_cls: type[Record] | None = None):
                 continue
             try:
                 t = t.set_column(idx, f.name, pc.cast(t[f.name], f.type))
-            except pa.ArrowInvalid:
-                pass  # leave for the validator's schema check
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
+                    pa.ArrowTypeError):
+                # ArrowInvalid: bad values; ArrowNotImplementedError /
+                # ArrowTypeError: structurally incompatible casts (JSON
+                # object where Integer declared, string where List
+                # declared).  All defer to the validator's schema check.
+                pass
         return t
 
     return ds.map_batches(conform, batch_format="pyarrow")

@@ -219,3 +219,44 @@ def test_connected_components_randomized_multi_seed():
                       "key_b": pa.array([b for _, b in edges], pa.int64())})
         got = _cc_labels(t, num_shards=8)
         assert got == _reference_components(edges), f"seed {seed}"
+
+
+def test_pair_sets_invariant_across_shard_counts():
+    """The exchange shard count is physical layout only: LSH / SimHash
+    dup-pair sets and the composed keep-list must be IDENTICAL at any
+    ``num_shards`` (regression for the round-2 hardcoded 64-shard
+    exchanges)."""
+    import ray.data
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(400)]
+    ids, texts = [], []
+    for i in range(60):
+        words = list(rng.choice(vocab, size=30, replace=False))
+        ids.append(i)
+        texts.append(" ".join(words))
+        if i % 6 == 0:  # exact duplicate under a fresh id
+            ids.append(1000 + i)
+            texts.append(texts[-1])
+    docs_t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                       "text": pa.array(texts, pa.string())})
+
+    def run(ns):
+        docs = ray.data.from_arrow(docs_t)
+        mh = dedup.filter_exact_text_pairs(
+            dedup.minhash_lsh_candidates(docs, num_shards=ns),
+            docs, num_shards=ns)
+        mh_pairs = {(r["key_a"], r["key_b"]) for r in mh.take_all()}
+        sh = dedup.simhash_near_dups(docs, max_hamming=0, num_shards=ns)
+        sh_pairs = {(r["key_a"], r["key_b"]) for r in sh.take_all()}
+        keep = dedup.dedup_keep_keys_ds(docs, num_shards=ns)
+        kept = {r["doc_id"] for r in keep.take_all()}
+        return mh_pairs, sh_pairs, kept
+
+    a = run(8)
+    b = run(32)
+    assert a == b
+    mh_pairs, sh_pairs, kept = a
+    assert len(mh_pairs) == 10          # one pair per injected dup
+    assert mh_pairs <= sh_pairs         # simhash hamming-0 finds them too
+    assert kept == set(range(60))       # injected ids (1000+) dropped
