@@ -500,10 +500,14 @@ def _q_lang_id(sf_dir: str) -> pa.Table:
 
 
 def _q_fingerprints(sf_dir: str) -> pa.Table:
-    from pyschema_ray.functions.text import fingerprint_batch
+    """MD5 content fingerprints — the cross-engine-checkable variant
+    (oracle: md5(text)); the SipHash fingerprint_batch stays the hot
+    dedup-path default (its equality semantics are oracle-covered via
+    minhash_dup_pairs / dedup_exact)."""
+    from pyschema_ray.functions.text import fingerprint_md5_batch
 
     ds = _read(sf_dir, "documents").map_batches(
-        fingerprint_batch, batch_format="pyarrow")
+        fingerprint_md5_batch, batch_format="pyarrow")
     return _collect(ds.select_columns(["doc_id", "fingerprint"])) \
         .sort_by("doc_id")
 
@@ -822,12 +826,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": _q_events_sliding,
         "top_docs_per_source": _q_top_docs_per_source,
         "range_join_counts": _q_range_join_counts,
+        "lang_id": _q_lang_id,
+        "fingerprints": _q_fingerprints,
         # sketches / scoring (rows-only)
         "ndv_user_id_hll": _q_ndv_user_id_hll,
         "value_quantiles_tdigest": _q_value_quantiles_tdigest,
         "drift_events_self": _q_drift_events_self,
-        "lang_id": _q_lang_id,
-        "fingerprints": _q_fingerprints,
         "minhash_near_dup_pairs": _q_minhash_near_dup_pairs,
         "simhash": _q_simhash,
         "lsh_ann_topk": _q_lsh_ann_topk,
@@ -837,10 +841,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _lang_id_oracle_sql() -> str:
+    """DuckDB twin of LangIdScorer, generated from the SAME marker
+    table so the two sides cannot drift: per-language match counts via
+    len(regexp_extract_all(...)) (RE2, like pc.count_substring_regex)
+    and argmax with numpy's first-max tie-break (langs in sorted
+    order)."""
+    from pyschema_ray.functions.text import _LANG_MARKERS
+
+    langs = sorted(_LANG_MARKERS)
+    cols = []
+    for lang in langs:
+        words = _LANG_MARKERS[lang]
+        pat = "|".join(words) if lang == "zh" \
+            else r"\b(?:" + "|".join(words) + r")\b"
+        cols.append("len(regexp_extract_all(coalesce(lower(text), ''), "
+                    f"'{pat}')) AS c_{lang}")
+    g = "GREATEST(" + ", ".join(f"c_{la}" for la in langs) + ")"
+    whens = " ".join(f"WHEN c_{la} = {g} THEN '{la}'" for la in langs)
+    return f"""
+        WITH scored AS (SELECT doc_id, {", ".join(cols)} FROM documents)
+        SELECT doc_id,
+               CASE WHEN {g} = 0 THEN 'und' {whens} END AS lang_pred
+          FROM scored ORDER BY doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     src_list = ", ".join(f"'{s}'" for s in DOC_SOURCES)
     lang_list = ", ".join(f"'{x}'" for x in DOC_LANGS)
     return {
+        "lang_id": _lang_id_oracle_sql(),
+        "fingerprints": """
+            SELECT doc_id, md5(text) AS fingerprint
+              FROM documents ORDER BY doc_id
+        """,
         "violations_documents": f"""
             SELECT CAST(doc_id AS VARCHAR) AS key,
                    'utf8_length(text)' AS constraint_name

@@ -26,7 +26,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..sketches import hash_strings, mix64
+from ..sketches import hash_strings, hash_strings2, mix64
 
 U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
@@ -110,28 +110,39 @@ def _triu_pairs(starts: np.ndarray, sizes: np.ndarray):
 # ---------------------------------------------------------------------------
 
 def exact_dedup_keys(ds, text_col: str = "text", key_col: str = "doc_id",
-                     num_shards: int | None = None):
+                     num_shards: int | None = None,
+                     _hash_fns=(hash_strings, hash_strings2)):
     """-> Dataset(key_col) of the kept (minimum-key) row per distinct
-    content hash.  Shuffle moves only (hash, key, shard) — never text —
+    content.  Shuffle moves only (hash128, key, shard) — never text —
     and the groupby key is a small integer shard, not the near-unique
     hash itself (a sort-based exchange on 10^12 distinct hashes is the
     pattern stages/unique.py exists to avoid); identical hashes always
-    co-shard, and the per-shard min is a C++ Arrow group_by."""
+    co-shard, and the per-shard min is a C++ Arrow group_by.
+
+    Content identity is a 128-bit hash (two independently-keyed
+    SipHashes): 64 bits alone would produce ~27k silent false merges at
+    10^12 docs (birthday bound), each deleting a non-duplicate.
+    ``_hash_fns`` is a test seam for collision injection."""
     num_shards = num_shards or _default_shards()
+    hf1, hf2 = _hash_fns
 
     def add_hash(t: pa.Table) -> pa.Table:
-        h = hash_strings(t[text_col].to_numpy(zero_copy_only=False))
+        texts = t[text_col].to_numpy(zero_copy_only=False)
+        h = hf1(texts)
+        h2 = hf2(texts)
         # int64 view (not uint64): Ray's shuffle materializes group keys
         # through Python ints, where uint64 > 2^63 overflows
         return pa.table({
             "content_hash": pa.array(h.view(np.int64), pa.int64()),
+            "content_hash2": pa.array(h2.view(np.int64), pa.int64()),
             key_col: t[key_col],
             "cshard": pa.array((h % np.uint64(num_shards))
                                .astype(np.int64), pa.int64()),
         })
 
     def local_min(t: pa.Table) -> pa.Table:
-        g = t.group_by("content_hash").aggregate([(key_col, "min")])
+        g = t.group_by(["content_hash", "content_hash2"]).aggregate(
+            [(key_col, "min")])
         return g.select([f"{key_col}_min"]).rename_columns([key_col])
 
     return ds.map_batches(add_hash, batch_format="pyarrow") \
@@ -142,20 +153,27 @@ def exact_duplicate_groups(ds, text_col: str = "text",
                            key_col: str = "doc_id",
                            num_shards: int | None = None):
     """-> Dataset(content_hash, dup_count) for content appearing >1
-    time.  Same integer-shard shuffle as :func:`exact_dedup_keys`."""
+    time.  Same integer-shard shuffle as :func:`exact_dedup_keys`, and
+    the same 128-bit content identity (dup groups are keyed on both
+    hashes; the emitted content_hash column is the first)."""
     num_shards = num_shards or _default_shards()
 
     def add_hash(t: pa.Table) -> pa.Table:
-        h = hash_strings(t[text_col].to_numpy(zero_copy_only=False))
+        texts = t[text_col].to_numpy(zero_copy_only=False)
+        h = hash_strings(texts)
+        h2 = hash_strings2(texts)
         return pa.table({
             "content_hash": pa.array(h.view(np.int64), pa.int64()),
+            "content_hash2": pa.array(h2.view(np.int64), pa.int64()),
             "cshard": pa.array((h % np.uint64(num_shards))
                                .astype(np.int64), pa.int64()),
         })
 
     def local_counts(t: pa.Table) -> pa.Table:
-        g = t.group_by("content_hash").aggregate([("content_hash", "count")])
-        g = g.rename_columns(["content_hash", "dup_count"])
+        g = t.group_by(["content_hash", "content_hash2"]).aggregate(
+            [("content_hash", "count")])
+        g = g.select(["content_hash", "content_hash_count"]) \
+             .rename_columns(["content_hash", "dup_count"])
         return g.filter(pc.greater(g["dup_count"], 1))
 
     return ds.map_batches(add_hash, batch_format="pyarrow") \
@@ -569,27 +587,36 @@ def jaccard_verify_pairs_ds(pairs, docs, text_col: str = "text",
 
 def filter_exact_text_pairs(pairs, docs, text_col: str = "text",
                             key_col: str = "doc_id",
-                            num_shards: int | None = None):
+                            num_shards: int | None = None,
+                            _hash_fns=(hash_strings, hash_strings2)):
     """Keep only candidate pairs whose texts are byte-identical —
     verified via content hashes over the same
-    :func:`_route_pair_payloads` semi-join (payload = 8-byte hash
-    instead of text).  Turns a near-dup candidate generator (LSH /
-    SimHash) into an exact-duplicate-pair finder with recall 1
-    (identical text => identical signature => co-bucketed), which makes
-    the result SQL-oracle-checkable."""
+    :func:`_route_pair_payloads` semi-join (payload = a 128-bit /
+    32-hex content hash instead of text; 64 bits alone would declare
+    hash-colliding distinct texts "identical" at 10^12-doc scale).
+    Turns a near-dup candidate generator (LSH / SimHash) into an
+    exact-duplicate-pair finder with recall 1 (identical text =>
+    identical signature => co-bucketed), which makes the result
+    SQL-oracle-checkable.  ``_hash_fns`` is a test seam for collision
+    injection."""
     import pandas as pd
 
     num_shards = num_shards or _default_shards()
+    hf1, hf2 = _hash_fns
 
     def doc_hashes(t: pa.Table) -> pa.Array:
-        h = hash_strings(t[text_col].to_numpy(zero_copy_only=False)) \
-            .view(np.int64)
-        return pa.array(h, pa.int64())
+        texts = t[text_col].to_numpy(zero_copy_only=False)
+        h1 = hf1(texts)
+        h2 = hf2(texts)
+        hexes = np.char.add(
+            np.char.zfill(np.char.mod("%x", h1.astype(object)), 16),
+            np.char.zfill(np.char.mod("%x", h2.astype(object)), 16))
+        return pa.array(hexes.astype(object), pa.string())
 
     routed = _route_pair_payloads(
         pairs, docs.select_columns([key_col, text_col]), key_col,
         doc_payload=doc_hashes,
-        req_payload=lambda n: pa.array(np.zeros(n, np.int64), pa.int64()),
+        req_payload=lambda n: pa.array(np.full(n, "", object), pa.string()),
         num_shards=num_shards, seeds=(21, 22, 23))
 
     def equal_pairs(df):

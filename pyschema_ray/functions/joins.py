@@ -10,9 +10,11 @@
   when neither side is broadcastable; choose ``num_partitions`` ~ total
   cores.
 * :func:`sessionize` — per-key event sessionization (gap-based window
-  op): hash-groupby on the entity key, within-group ts sort + gap
-  split.  The per-key event history must fit a task (standard
-  assumption for per-user sessionization).
+  op): events shard by HASH of the entity key (bounded integer
+  exchange, never a groupby on the raw near-unique key — the rule in
+  dedup.py/unique.py), then ONE numpy pass per shard sessionizes ALL
+  keys at once via sorted (key, ts) boundary arrays.  The per-shard
+  history must fit a task; shard count is cluster-proportional.
 """
 
 from __future__ import annotations
@@ -20,6 +22,24 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from .dedup import _default_shards, _group_starts, _key_shards
+
+
+def _with_key_shard(ds, key_col: str, num_shards: int, seed: int = 37,
+                    columns: list[str] | None = None):
+    """Project + attach the bounded integer exchange key.  Null entity
+    keys are dropped (the raw-key groupby they replace could not order
+    them either; null-key rows belong to the not_null constraint)."""
+    def fn(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[key_col]))
+        if columns is not None:
+            t = t.select(columns)
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "kshard", pa.array(_key_shards(keys, num_shards, seed),
+                               pa.int64()))
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def broadcast_join(ds, dim_table: pa.Table, keys, right_keys=None,
@@ -63,61 +83,99 @@ def shuffle_join(left, right, on, right_on=None, join_type: str = "inner",
                      on=on, right_on=right_on)
 
 
+def _session_bounds(df, key_col: str, ts_col: str, gap_seconds: float):
+    """Sort a shard by (key, ts) and return the vectorized session
+    decomposition for ALL keys at once: (sorted df, ts µs int64,
+    new_session mask, key-run starts, key-run sizes)."""
+    df = df.sort_values([key_col, ts_col], kind="stable")
+    keys = df[key_col].to_numpy()
+    us = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+    n = len(us)
+    new_session = np.ones(n, dtype=bool)
+    if n > 1:
+        same_key = keys[1:] == keys[:-1]
+        gaps_ok = (us[1:] - us[:-1]) / 1e6 <= gap_seconds
+        new_session[1:] = ~(same_key & gaps_ok)
+    kstarts, ksizes = _group_starts(keys)
+    return df, us, new_session, kstarts, ksizes
+
+
 def sessionize(ds, key_col: str, ts_col: str, gap_seconds: float,
-               out_prefix: str = "session"):
+               out_prefix: str = "session",
+               num_shards: int | None = None):
     """Gap-based sessionization: events of one key, sorted by time,
     split where the inter-event gap exceeds ``gap_seconds``.  Returns
     one row per (key, session) with start/end/count.
 
-    Partitioning assumption: one key's full event history fits a task
-    (per-user web events: yes).  The shuffle key is the entity key —
-    uniform for user-id-like keys."""
+    Execution shape: ONE bounded integer-shard exchange (hash of the
+    entity key, cluster-proportional width), then a single numpy pass
+    per shard computes every key's sessions together — never one
+    Python/pandas call per key (at 10^8-10^9 entities a per-key group
+    loop is the scale-killer this module's header rule forbids)."""
+    num_shards = num_shards or _default_shards()
 
-    def per_key(df):
+    def per_shard(df):
         import pandas as pd
 
-        df = df.sort_values(ts_col, kind="stable")
-        ts = df[ts_col].to_numpy()
-        gaps = np.diff(ts.astype("datetime64[us]").astype(np.int64)) \
-            / 1e6
-        new_session = np.concatenate([[True], gaps > gap_seconds])
-        sess_id = np.cumsum(new_session) - 1
-        out = df.assign(**{f"{out_prefix}_id": sess_id}) \
-            .groupby(f"{out_prefix}_id", sort=True) \
-            .agg(start=(ts_col, "min"), end=(ts_col, "max"),
-                 n_events=(ts_col, "size")).reset_index()
-        out[key_col] = df[key_col].iloc[0]
-        return out[[key_col, f"{out_prefix}_id", "start", "end",
-                    "n_events"]]
+        df, us, new_session, _, _ = _session_bounds(
+            df, key_col, ts_col, gap_seconds)
+        n = len(us)
+        keys = df[key_col].to_numpy()
+        ts_vals = df[ts_col].to_numpy().astype("datetime64[us]")
+        sstarts = np.flatnonzero(new_session)
+        sends = np.append(sstarts[1:], n) - 1
+        s_keys = keys[sstarts]
+        # per-key session ordinal: session index minus the index of the
+        # key's first session (sessions inherit key-sorted order)
+        ks, kz = _group_starts(s_keys)
+        first_of_key = np.repeat(ks, kz)
+        sess_id = np.arange(len(sstarts)) - first_of_key
+        return pd.DataFrame({
+            key_col: s_keys,
+            f"{out_prefix}_id": sess_id,
+            "start": ts_vals[sstarts],
+            "end": ts_vals[sends],
+            "n_events": np.append(sstarts[1:], n) - sstarts,
+        })
 
-    return ds.select_columns([key_col, ts_col]) \
-             .groupby(key_col).map_groups(per_key, batch_format="pandas")
+    sharded = _with_key_shard(ds, key_col, num_shards,
+                              columns=[key_col, ts_col])
+    return sharded.groupby("kshard").map_groups(per_shard,
+                                                batch_format="pandas")
 
 
 def asof_join(left, right, key_col: str, ts_col: str,
               right_ts_col: str | None = None,
-              direction: str = "backward", suffix: str = "_right"):
+              direction: str = "backward", suffix: str = "_right",
+              num_shards: int | None = None):
     """Per-key as-of join: each left row matched to the nearest right
     row of the SAME key at-or-before (``backward``) / at-or-after
     (``forward``) its timestamp.
 
     Ray-Data-first composition: both sides are tagged and unioned, then
-    ONE hash-groupby on the entity key co-locates each key's history;
-    inside the group a pandas ``merge_asof`` (sorted merge) does the
-    time matching.  Partitioning assumption: one key's combined history
-    fits a task — the same assumption as sessionization; keys are
-    entity ids, so the shuffle is skew-free."""
+    ONE bounded integer-shard exchange (hash of the entity key)
+    co-locates every key's combined history; inside each shard a single
+    sorted-merge ``pd.merge_asof(by=key_col)`` matches ALL keys at once
+    — never one pandas call per key.  Partitioning assumption: one
+    shard's combined history fits a task; the hash shard is skew-free
+    for entity-id keys."""
+    num_shards = num_shards or _default_shards()
 
     def tag(side):
         def fn(t: pa.Table) -> pa.Table:
-            return t.append_column("__side", pa.array([side] * t.num_rows,
-                                                      pa.int8()))
+            t = t.filter(pc.is_valid(t[key_col]))
+            keys = t[key_col].to_numpy(zero_copy_only=False)
+            t = t.append_column(
+                "kshard", pa.array(_key_shards(keys, num_shards, 37),
+                                   pa.int64()))
+            return t.append_column("__side", pa.array(
+                np.full(t.num_rows, side, np.int8), pa.int8()))
         return fn
 
     rts = right_ts_col or ts_col
     # capture the exact column sets up front so every group emits the
     # SAME schema (selecting by all-null inference would drop a genuine
-    # left column that happens to be all-null for one key)
+    # left column that happens to be all-null for one shard)
     left_cols = [n for n in left.schema().names]
     right_cols = [n for n in right.schema().names]
     out_right = [c for c in right_cols if c != key_col]
@@ -126,7 +184,7 @@ def asof_join(left, right, key_col: str, ts_col: str,
     lt = left.map_batches(tag(0), batch_format="pyarrow")
     rt_named = right.map_batches(tag(1), batch_format="pyarrow")
 
-    def per_key(df):
+    def per_shard(df):
         import pandas as pd
 
         lhs = df[df["__side"] == 0][left_cols] \
@@ -143,26 +201,35 @@ def asof_join(left, right, key_col: str, ts_col: str,
         return out.reindex(columns=out_cols)
 
     both = lt.union(rt_named)
-    return both.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    return both.groupby("kshard").map_groups(per_shard,
+                                             batch_format="pandas")
 
 
-def session_counts(ds, key_col: str, ts_col: str, gap_seconds: float):
+def session_counts(ds, key_col: str, ts_col: str, gap_seconds: float,
+                   num_shards: int | None = None):
     """(key, n_sessions, n_events) per key — SQL-oracle-friendly
-    projection of :func:`sessionize`."""
+    projection of :func:`sessionize`.  Same one-numpy-pass-per-shard
+    execution shape (the previous per-key variant emitted a 1-row
+    pandas DataFrame per entity — a Python loop over 10^9 keys)."""
+    num_shards = num_shards or _default_shards()
 
-    def per_key(df):
+    def per_shard(df):
         import pandas as pd
 
-        df = df.sort_values(ts_col, kind="stable")
-        ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
-        gaps = np.diff(ts) / 1e6
-        n_sessions = int(1 + (gaps > gap_seconds).sum()) if len(ts) else 0
-        return pd.DataFrame({key_col: [df[key_col].iloc[0]],
-                             "n_sessions": [n_sessions],
-                             "n_events": [len(df)]})
+        df, _, new_session, kstarts, ksizes = _session_bounds(
+            df, key_col, ts_col, gap_seconds)
+        keys = df[key_col].to_numpy()
+        # per-key session count = number of new_session marks in the
+        # key's run; one reduceat over the whole shard
+        n_sessions = np.add.reduceat(new_session.astype(np.int64), kstarts)
+        return pd.DataFrame({key_col: keys[kstarts],
+                             "n_sessions": n_sessions,
+                             "n_events": ksizes})
 
-    return ds.select_columns([key_col, ts_col]) \
-             .groupby(key_col).map_groups(per_key, batch_format="pandas")
+    sharded = _with_key_shard(ds, key_col, num_shards,
+                              columns=[key_col, ts_col])
+    return sharded.groupby("kshard").map_groups(per_shard,
+                                                batch_format="pandas")
 
 
 def broadcast_range_join_count(ds, intervals: pa.Table, ts_col: str = "ts",

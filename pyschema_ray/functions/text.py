@@ -110,7 +110,9 @@ class LangIdScorer:
         self.langs = sorted(self.patterns)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        lower = pc.utf8_lower(t[self.text_col])
+        # null text scores zero everywhere -> 'und' (deterministic, and
+        # matches the SQL oracle's coalesce(lower(text), ''))
+        lower = pc.utf8_lower(pc.fill_null(t[self.text_col], ""))
         scores = np.zeros((t.num_rows, len(self.langs)), dtype=np.int64)
         for j, lang in enumerate(self.langs):
             c = pc.count_substring_regex(lower, self.patterns[lang])
@@ -237,3 +239,18 @@ def fingerprint_batch(t: pa.Table, text_col: str = "text",
     hexes = np.char.zfill(np.char.mod("%x", h.astype(object)), 16)
     return t.append_column(out_col,
                            pa.array(hexes.astype(object), pa.string()))
+
+
+def fingerprint_md5_batch(t: pa.Table, text_col: str = "text",
+                          out_col: str = "fingerprint") -> pa.Table:
+    """MD5 content fingerprint (32-hex string), null in -> null out.
+    Slower than :func:`fingerprint_batch` (hashlib per row — strings
+    force the boundary anyway) but computable by ANY engine, so the
+    result is SQL-oracle-checkable (``md5(text)``); use the SipHash
+    variant for hot dedup paths."""
+    import hashlib
+
+    vals = [hashlib.md5(s.encode("utf-8")).hexdigest()
+            if s is not None else None
+            for s in t[text_col].to_pylist()]
+    return t.append_column(out_col, pa.array(vals, pa.string()))

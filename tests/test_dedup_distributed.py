@@ -260,3 +260,49 @@ def test_pair_sets_invariant_across_shard_counts():
     assert len(mh_pairs) == 10          # one pair per injected dup
     assert mh_pairs <= sh_pairs         # simhash hamming-0 finds them too
     assert kept == set(range(60))       # injected ids (1000+) dropped
+
+
+def test_exact_dedup_survives_64bit_hash_collision():
+    """Two DISTINCT texts with a forced-equal first 64-bit hash must
+    stay distinct (the 128-bit content identity): a 64-bit-only
+    identity silently merges ~27k non-duplicates at 10^12 docs."""
+    import ray.data
+    from pyschema_ray.sketches import hash_strings2
+
+    def collide(values):
+        arr = np.asarray(values, dtype=object)
+        return np.full(len(arr), 0xDEADBEEF, dtype=np.uint64)
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["alpha bravo", "charlie delta", "alpha bravo"],
+    })
+    kept = dedup.exact_dedup_keys(
+        ray.data.from_arrow(docs), num_shards=4,
+        _hash_fns=(collide, hash_strings2))
+    got = sorted(r["doc_id"] for r in kept.take_all())
+    # doc 3 is a true dup of doc 1 (dropped); doc 2 only collides on
+    # the first hash and must survive
+    assert got == [1, 2]
+
+
+def test_exact_pair_filter_survives_64bit_hash_collision():
+    import ray.data
+    from pyschema_ray.sketches import hash_strings2
+
+    def collide(values):
+        arr = np.asarray(values, dtype=object)
+        return np.full(len(arr), 0xDEADBEEF, dtype=np.uint64)
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["alpha bravo", "charlie delta", "alpha bravo"],
+    })
+    cand = pa.table({"key_a": pa.array([1, 1], pa.int64()),
+                     "key_b": pa.array([2, 3], pa.int64())})
+    out = dedup.filter_exact_text_pairs(
+        ray.data.from_arrow(cand), ray.data.from_arrow(docs),
+        num_shards=4, _hash_fns=(collide, hash_strings2))
+    got = sorted((r["key_a"], r["key_b"]) for r in out.take_all())
+    # (1,2) collides on the 64-bit hash but texts differ -> excluded
+    assert got == [(1, 3)]
