@@ -474,15 +474,14 @@ def _q_value_quantiles_tdigest(sf_dir: str) -> pa.Table:
 
 def _q_drift_events_self(sf_dir: str) -> pa.Table:
     """Drift of events.value against a baseline built from the same
-    table — must pass with ~0 PSI (actor-pool DriftScorer path)."""
-    from pyschema_ray.stages.drift import (build_baseline_profile,
-                                           drift_pipeline)
+    table — must pass with ~0 PSI (actor-pool DriftScorer path).  The
+    partial stream is computed ONCE and reused as both baseline and
+    actual (stages/drift.self_drift) — one scan, not two."""
+    from pyschema_ray.stages.drift import self_drift
 
     ds = _read(sf_dir, "events")
-    baseline = build_baseline_profile(ds, "value", "event_type",
-                                      lo=0.0, hi=500.0, nbins=50)
-    res = drift_pipeline(ds, baseline, "value", "event_type",
-                         concurrency=(1, 2))
+    res, _ = self_drift(ds, "value", "event_type",
+                        lo=0.0, hi=500.0, nbins=50, concurrency=(2, 8))
     return pa.table({
         "overall_psi": pa.array([res["overall_psi"]], pa.float64()),
         "overall_kl": pa.array([res["overall_kl"]], pa.float64()),
@@ -637,6 +636,32 @@ def _q_range_join_counts(sf_dir: str) -> pa.Table:
     })
     out = broadcast_range_join_count(ev, intervals)
     return out.sort_by("interval_id")
+
+
+def _q_range_join_counts_copart(sf_dir: str) -> pa.Table:
+    """Co-partitioned range join (the non-broadcast scale path): a 2h
+    window per EVERY user (interval table ~ user cardinality — the
+    too-big-to-broadcast shape), both sides exchanged once by time
+    bucket, counts summed per interval on an id-shard exchange."""
+    from pyschema_ray.functions.joins import copartition_range_join_count
+
+    ev = _read(sf_dir, "events")
+    firsts = ev.map_batches(
+        lambda t: t.select(["user_id", "ts"]),
+        batch_format="pyarrow").groupby("user_id").min("ts")
+
+    def to_intervals(t: pa.Table) -> pa.Table:
+        starts = pc.cast(t["min(ts)"], pa.timestamp("us"))
+        return pa.table({
+            "interval_id": t["user_id"],
+            "start": starts,
+            "end": pc.add(starts, pa.scalar(7_200_000_000,
+                                            pa.duration("us"))),
+        })
+
+    intervals = firsts.map_batches(to_intervals, batch_format="pyarrow")
+    out = copartition_range_join_count(ev, intervals)
+    return _collect(out).sort_by("interval_id")
 
 
 def _q_events_sliding(sf_dir: str) -> pa.Table:
@@ -826,6 +851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": _q_events_sliding,
         "top_docs_per_source": _q_top_docs_per_source,
         "range_join_counts": _q_range_join_counts,
+        "range_join_counts_copart": _q_range_join_counts_copart,
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
         # sketches / scoring (rows-only)
@@ -1047,6 +1073,16 @@ def oracle_sql() -> dict[str, str]:
             WITH iv AS (
                 SELECT user_id AS interval_id, min(ts) AS s
                   FROM events WHERE user_id < 20 GROUP BY user_id)
+            SELECT iv.interval_id,
+                   CAST(count(e.event_id) AS BIGINT) AS n_events
+              FROM iv LEFT JOIN events e
+                ON e.ts >= iv.s AND e.ts < iv.s + INTERVAL 2 HOUR
+             GROUP BY iv.interval_id ORDER BY interval_id
+        """,
+        "range_join_counts_copart": """
+            WITH iv AS (
+                SELECT user_id AS interval_id, min(ts) AS s
+                  FROM events GROUP BY user_id)
             SELECT iv.interval_id,
                    CAST(count(e.event_id) AS BIGINT) AS n_events
               FROM iv LEFT JOIN events e

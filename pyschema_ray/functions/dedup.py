@@ -754,11 +754,10 @@ def connected_components(pairs, num_shards: int | None = None,
     for _ in range(max_rounds):
         state = state.groupby("nshard").map_groups(
             propagate, batch_format="pandas").materialize()
-        n_changed = state.map_batches(
-            lambda t: t.filter(pc.and_(pc.equal(t["kind"], 1),
-                                       t["canon"]))
-                       .select(["changed"]),
-            batch_format="pyarrow").sum("changed")
+        # every non-canon row carries changed=0, so the convergence
+        # check is ONE column aggregate over the already-materialized
+        # state — no extra filter map_batches pass per round
+        n_changed = state.sum("changed")
         if not n_changed:
             break
     else:

@@ -245,9 +245,9 @@ def broadcast_range_join_count(ds, intervals: pa.Table, ts_col: str = "ts",
     count comes from two vectorized ``searchsorted`` probes, so a batch
     costs O(B log B + I log B) regardless of overlap; per-batch partial
     count vectors merge by addition (tiny: one int per interval).  For
-    interval tables too large to broadcast, co-partition both sides by
-    time bucket (the asof_join pattern) instead — documented
-    assumption, not implemented here.
+    interval tables too large to broadcast, use
+    :func:`copartition_range_join_count` (both sides co-partitioned by
+    time bucket) instead.
 
     Returns a pa.Table(id_col, n_events) — interval ids with zero
     matches included.
@@ -286,3 +286,156 @@ def broadcast_range_join_count(ds, intervals: pa.Table, ts_col: str = "ts",
             b["sum(n)"].to_numpy(zero_copy_only=False)
     return pa.table({id_col: pa.array(ids),
                      "n_events": pa.array(totals, pa.int64())})
+
+
+def copartition_range_join_count(events, intervals, ts_col: str = "ts",
+                                 id_col: str = "interval_id",
+                                 start_col: str = "start",
+                                 end_col: str = "end",
+                                 bucket_s: int = 3600,
+                                 num_shards: int | None = None):
+    """Range join (count form) for interval tables too LARGE to
+    broadcast (e.g. one window per user at corpus scale) — the
+    co-partitioned variant :func:`broadcast_range_join_count` documents.
+
+    Both sides exchange ONCE, co-partitioned by time bucket: an
+    interval [start, end) is replicated to every ``bucket_s``-second
+    bucket it overlaps with bounds CLIPPED to the bucket, so per-bucket
+    counts sum to the exact total without double counting; events go to
+    their own bucket.  The shuffle key is hash(bucket) mod a
+    cluster-proportional shard count (never the raw bucket id — bucket
+    cardinality grows with the time span).  Inside a shard one numpy
+    pass per bucket counts ALL of that bucket's intervals via two
+    searchsorted probes against the bucket's sorted event times; the
+    per-interval partials then sum on an id-hash shard exchange.
+
+    Partitioning assumptions (documented contract): interval length is
+    bounded (replication factor ~ length/bucket_s + 1 — pick bucket_s
+    near the typical interval length) and one time-bucket shard's
+    events fit a task.  Returns Dataset(id_col, n_events) with
+    zero-match intervals included; both inputs are Datasets and stream.
+    """
+    import pandas as pd
+
+    num_shards = num_shards or _default_shards()
+    bus = int(bucket_s) * 1_000_000
+    id_type = pa.schema(intervals.schema().base_schema).field(id_col).type
+
+    def _us(col) -> np.ndarray:
+        return pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+
+    def _bshard(bucket: np.ndarray) -> np.ndarray:
+        from .dedup import _key_hash
+        return (_key_hash(bucket, 41) % np.uint64(num_shards)) \
+            .astype(np.int64)
+
+    def iv_rows(t: pa.Table) -> pa.Table:
+        s = _us(t[start_col])
+        e = _us(t[end_col])
+        ids = pc.cast(t[id_col], pa.string()).to_numpy(zero_copy_only=False)
+        ok = e > s
+        s, e, ids = s[ok], e[ok], ids[ok]
+        first = s // bus
+        last = (e - 1) // bus
+        counts = last - first + 1
+        total = int(counts.sum())
+        # bucket index per replica: first[i] + (0..counts[i]-1)
+        starts = np.zeros(len(counts), np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        bucket = np.repeat(first, counts) \
+            + (np.arange(total) - np.repeat(starts, counts))
+        lo = np.maximum(np.repeat(s, counts), bucket * bus)
+        hi = np.minimum(np.repeat(e, counts), (bucket + 1) * bus)
+        return pa.table({
+            "bshard": pa.array(_bshard(bucket), pa.int64()),
+            "bucket": pa.array(bucket, pa.int64()),
+            "side": pa.array(np.zeros(total, np.int8), pa.int8()),
+            "rid": pa.array(np.repeat(ids, counts)),
+            "a": pa.array(lo, pa.int64()),
+            "b": pa.array(hi, pa.int64()),
+        })
+
+    def ev_rows(t: pa.Table) -> pa.Table:
+        us = _us(t[ts_col])
+        bucket = us // bus
+        n = len(us)
+        return pa.table({
+            "bshard": pa.array(_bshard(bucket), pa.int64()),
+            "bucket": pa.array(bucket, pa.int64()),
+            "side": pa.array(np.ones(n, np.int8), pa.int8()),
+            # non-null placeholder (null object cells degrade pandas
+            # dtypes inside map_groups)
+            "rid": pa.array(np.full(n, "", object), pa.string()),
+            "a": pa.array(us, pa.int64()),
+            "b": pa.array(np.zeros(n, np.int64), pa.int64()),
+        })
+
+    union = intervals.map_batches(iv_rows, batch_format="pyarrow").union(
+        events.select_columns([ts_col])
+              .map_batches(ev_rows, batch_format="pyarrow"))
+
+    def count_shard(df):
+        from .dedup import _key_shards
+
+        side = df["side"].to_numpy()
+        ev = df.loc[side == 1]
+        iv = df.loc[side == 0]
+        if iv.empty:
+            return pd.DataFrame({"idshard": np.empty(0, np.int64),
+                                 "rid": np.empty(0, object),
+                                 "n": np.empty(0, np.int64)})
+        ets = ev["a"].to_numpy()
+        ebk = ev["bucket"].to_numpy()
+        order = np.lexsort((ets, ebk))
+        ets, ebk = ets[order], ebk[order]
+        out_id, out_n = [], []
+        # python loop over DISTINCT buckets only; all of a bucket's
+        # intervals count in one vectorized double-searchsorted
+        ivbk = iv["bucket"].to_numpy()
+        for bk in np.unique(ivbk):
+            m = ivbk == bk
+            seg0, seg1 = np.searchsorted(ebk, [bk, bk + 1])
+            seg = ets[seg0:seg1]
+            lo = iv["a"].to_numpy()[m]
+            hi = iv["b"].to_numpy()[m]
+            n = np.searchsorted(seg, hi, side="left") \
+                - np.searchsorted(seg, lo, side="left")
+            out_id.append(iv["rid"].to_numpy()[m])
+            out_n.append(n)
+        rid = np.concatenate(out_id)
+        nn = np.concatenate(out_n)
+        keep = nn > 0
+        rid, nn = rid[keep], nn[keep]
+        return pd.DataFrame({
+            "idshard": _key_shards(rid, num_shards, 43),
+            "rid": rid, "n": nn.astype(np.int64)})
+
+    partials = union.groupby("bshard").map_groups(count_shard,
+                                                  batch_format="pandas")
+
+    def zero_rows(t: pa.Table):
+        from .dedup import _key_shards
+        ids = pc.cast(t[id_col], pa.string()).to_numpy(zero_copy_only=False)
+        # pandas block to match count_shard's output — Ray's groupby
+        # requires uniform block types across a union
+        return pd.DataFrame({
+            "idshard": _key_shards(ids, num_shards, 43),
+            "rid": ids,
+            "n": np.zeros(len(ids), np.int64),
+        })
+
+    allrows = partials.union(
+        intervals.map_batches(zero_rows, batch_format="pyarrow"))
+
+    def total_per_id(df):
+        g = df.groupby("rid", sort=False)["n"].sum()
+        return pd.DataFrame({id_col: g.index.to_numpy(),
+                             "n_events": g.to_numpy().astype(np.int64)})
+
+    out = allrows.groupby("idshard").map_groups(total_per_id,
+                                                batch_format="pandas")
+    return out.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index(id_col), id_col,
+                               pc.cast(t[id_col], id_type)),
+        batch_format="pyarrow")

@@ -143,12 +143,20 @@ def normalize_text_batch(t: pa.Table, text_col: str = "text",
     col = pc.utf8_trim_whitespace(col)
     non_ascii = pc.invert(pc.fill_null(pc.string_is_ascii(col), True))
     if pc.any(non_ascii).as_py():
-        vals = col.to_pylist()
-        flags = non_ascii.to_pylist() if isinstance(non_ascii, pa.Array) \
-            else non_ascii.combine_chunks().to_pylist()
-        vals = [unicodedata.normalize("NFC", v) if f and v is not None
-                else v for v, f in zip(vals, flags)]
-        col = pa.array(vals, pa.string())
+        # route ONLY the non-ASCII subset through the Python NFC
+        # fallback (take by mask + replace_with_mask) — a mostly-CJK
+        # corpus pays per-string Python, an occasional-unicode corpus
+        # pays almost nothing, and the ASCII bulk never leaves Arrow
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if isinstance(non_ascii, pa.ChunkedArray):
+            non_ascii = non_ascii.combine_chunks()
+        idx = np.flatnonzero(np.asarray(non_ascii.to_numpy(
+            zero_copy_only=False)))
+        fixed = [unicodedata.normalize("NFC", v) if v is not None else v
+                 for v in col.take(pa.array(idx)).to_pylist()]
+        col = pc.replace_with_mask(col, non_ascii,
+                                   pa.array(fixed, pa.string()))
     if out_col is None or out_col == text_col:
         return t.set_column(t.schema.get_field_index(text_col),
                             text_col, col)

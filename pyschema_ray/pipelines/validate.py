@@ -388,8 +388,21 @@ class ValidationPipeline:
                 tagged = ds.map_batches(FileValidator(**fctor), **kwargs)
         else:
             # generic Dataset path (non-file sources, or when downstream
-            # stages also consume the decoded blocks)
-            ds = ray.data.read_parquet(shard_files, include_paths=True)
+            # stages also consume the decoded blocks).  Column-prune the
+            # read with the SAME projection the fused path computes
+            # (CompiledValidator.read_columns) — without it a 2-column
+            # schema over a wide table decodes every column.  Pass
+            # ``columns=`` only when it actually prunes: an explicit
+            # full-width column list measurably slows the parquet read.
+            read_kwargs: dict = {}
+            need = CompiledValidator(**ctor).read_columns()
+            if need is not None:
+                avail = set(pq.read_schema(shard_files[0]).names)
+                use = [c for c in need if c in avail]
+                if use and set(use) < avail:
+                    read_kwargs["columns"] = use
+            ds = ray.data.read_parquet(shard_files, include_paths=True,
+                                       **read_kwargs)
             kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
             if cfg.batch_size is not None:
                 kwargs["batch_size"] = cfg.batch_size

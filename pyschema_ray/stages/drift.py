@@ -139,6 +139,37 @@ def score_drift(actual: GroupedHistogram, baseline: BaselineProfile,
     return out
 
 
+def self_drift(ds, value_column: str, group_column: str,
+               lo: float = 1.0, hi: float = 4096.0, nbins: int = 64,
+               concurrency=(1, 4), psi_threshold: float = 0.25,
+               kl_threshold: float = 0.5) -> tuple[dict, BaselineProfile]:
+    """Drift of a table against ITSELF in ONE scan: the DriftScorer
+    partial-histogram stream is computed once (binning-only profile —
+    the scorer never reads the baseline's counts, only lo/hi/nbins) and
+    the merged result serves as BOTH baseline and actual.  Numerically
+    identical to build_baseline_profile + drift_pipeline on the same
+    input, at half the scan cost — use it for profile bootstrapping /
+    sanity runs; real drift checks against an EXTERNAL baseline use
+    :func:`drift_pipeline`.
+
+    Returns (scores, the profile) so callers can persist the profile
+    as the baseline for subsequent runs."""
+    binning = BaselineProfile(lo, hi, nbins, {})
+    small = ds.select_columns([group_column, value_column]).map_batches(
+        DriftScorer,
+        fn_constructor_kwargs={
+            "profile_json": binning.to_json(),
+            "value_column": value_column,
+            "group_column": group_column,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    merged = merge_partials(small)
+    profile = BaselineProfile(lo, hi, nbins, dict(merged.groups))
+    return score_drift(merged, profile, psi_threshold, kl_threshold), profile
+
+
 def drift_pipeline(ds, profile: BaselineProfile, value_column: str,
                    group_column: str, concurrency=(1, 4),
                    psi_threshold: float = 0.25,

@@ -4,6 +4,7 @@ baseline must fail PSI/KL.  Exercises the actor-pool DriftScorer path
 end to end."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from pyschema_ray.sources.synth import generate_sequences
@@ -116,3 +117,31 @@ def test_per_partition_drift_verdicts(baseline, tmp_path):
     rep2 = ValidationPipeline(cfg2).run()
     assert rep2.passed, (rep2.drift, rep2.partition_drift)
     assert all(d["passed"] for d in rep2.partition_drift.values())
+
+
+def test_self_drift_matches_two_pass_pipeline(tmp_path):
+    """One-scan self_drift must equal build_baseline_profile +
+    drift_pipeline on the same input (zero drift, identical groups)."""
+    import ray.data
+
+    from pyschema_ray.stages.drift import (build_baseline_profile,
+                                           drift_pipeline, self_drift)
+
+    rng = np.random.default_rng(3)
+    t = pa.table({
+        "grp": pa.array(rng.choice(["a", "b", "c"], size=5000)),
+        "val": pa.array(rng.normal(100, 20, size=5000)),
+    })
+    ds = ray.data.from_arrow(t)
+    base = build_baseline_profile(ds, "val", "grp", lo=0, hi=200, nbins=32)
+    want = drift_pipeline(ray.data.from_arrow(t), base, "val", "grp")
+
+    got, profile = self_drift(ray.data.from_arrow(t), "val", "grp",
+                              lo=0, hi=200, nbins=32)
+    assert got["passed"] and want["passed"]
+    assert got["overall_psi"] == want["overall_psi"] == 0.0 or \
+        abs(got["overall_psi"] - want["overall_psi"]) < 1e-12
+    assert got["groups"].keys() == want["groups"].keys()
+    # the returned profile is reusable as a real baseline
+    again = drift_pipeline(ray.data.from_arrow(t), profile, "val", "grp")
+    assert again["passed"]

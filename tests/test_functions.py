@@ -551,3 +551,48 @@ def test_broadcast_range_join_count():
     # [10h,11h): none (zero-count interval still present)
     assert out["interval_id"].to_pylist() == [0, 1, 2]
     assert out["n_events"].to_pylist() == [12, 24, 0]
+
+
+def test_copartition_range_join_matches_broadcast():
+    """The co-partitioned (non-broadcast) range join must produce
+    exactly the broadcast variant's counts — including intervals that
+    span multiple time buckets (clipped replication, no double count)
+    and zero-match intervals."""
+    import ray.data
+
+    from pyschema_ray.functions.joins import (broadcast_range_join_count,
+                                              copartition_range_join_count)
+
+    rng = np.random.default_rng(5)
+    base = 1_700_000_000_000_000  # µs epoch
+    ts = base + rng.integers(0, 48 * 3600, size=2000) * 1_000_000
+    events = pa.table({"ts": pa.array(ts.astype("datetime64[us]"))})
+
+    starts, ends, ids = [], [], []
+    for i in range(40):
+        s = base + int(rng.integers(0, 40 * 3600)) * 1_000_000
+        # lengths from minutes to 9 hours — many span several 1h buckets
+        ln = int(rng.integers(60, 9 * 3600)) * 1_000_000
+        ids.append(i)
+        starts.append(s)
+        ends.append(s + ln)
+    ids.append(999)  # zero-match interval far outside the event range
+    starts.append(base + 400 * 3600 * 1_000_000)
+    ends.append(base + 401 * 3600 * 1_000_000)
+    intervals = pa.table({
+        "interval_id": pa.array(ids, pa.int64()),
+        "start": pa.array(np.array(starts, "datetime64[us]")),
+        "end": pa.array(np.array(ends, "datetime64[us]")),
+    })
+
+    want = broadcast_range_join_count(ray.data.from_arrow(events),
+                                      intervals)
+    got_ds = copartition_range_join_count(
+        ray.data.from_arrow(events), ray.data.from_arrow(intervals),
+        bucket_s=3600, num_shards=8)
+    got = {r["interval_id"]: r["n_events"] for r in got_ds.take_all()}
+    ref = dict(zip(want["interval_id"].to_pylist(),
+                   want["n_events"].to_pylist()))
+    assert got == ref
+    assert got[999] == 0
+    assert sum(got.values()) > 0

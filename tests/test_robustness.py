@@ -318,3 +318,44 @@ def test_lineage_root_persisted_across_resume(tmp_path, sequences_schema):
     assert "f1.parquet" in ids                      # unchanged old id
     assert any(i.endswith("f2.parquet") and i != "f2.parquet"
                for i in ids)                        # new id, old root
+
+
+def test_generic_path_column_prunes_the_read(tmp_path, sequences_schema,
+                                             monkeypatch):
+    """The non-fused validator path must pass the validator's column
+    projection to read_parquet (an extraneous fat column is never
+    decoded) and produce the same violations as the fused path."""
+    import numpy as np
+    import ray.data
+
+    t = _seq_table([f"doc-{i:012d}" for i in range(50)])
+    t = t.append_column(
+        "extra_blob", pa.array([b"x" * 1000] * t.num_rows, pa.binary()))
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "f.parquet"))
+
+    captured = {}
+    real = ray.data.read_parquet
+
+    def spy(*args, **kwargs):
+        captured["columns"] = kwargs.get("columns")
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(ray.data, "read_parquet", spy)
+    cfg = PipelineConfig(schema_cls=sequences_schema, input_paths=d,
+                         out_dir=str(tmp_path / "out1"), fused=False,
+                         check_unique=False)
+    rep = ValidationPipeline(cfg).run()
+    monkeypatch.undo()
+
+    assert captured["columns"] is not None
+    assert "extra_blob" not in captured["columns"]
+    assert {"doc_id", "tokens", "n_tok", "source"} <= set(captured["columns"])
+
+    cfg2 = PipelineConfig(schema_cls=sequences_schema, input_paths=d,
+                          out_dir=str(tmp_path / "out2"), fused=True,
+                          check_unique=False)
+    rep2 = ValidationPipeline(cfg2).run()
+    assert rep.violation_counts == rep2.violation_counts
+    assert rep.row_count == rep2.row_count == 50
