@@ -646,9 +646,16 @@ def _q_range_join_counts_copart(sf_dir: str) -> pa.Table:
     from pyschema_ray.functions.joins import copartition_range_join_count
 
     ev = _read(sf_dir, "events")
-    firsts = ev.map_batches(
-        lambda t: t.select(["user_id", "ts"]),
-        batch_format="pyarrow").groupby("user_id").min("ts")
+
+    def partial_min(t: pa.Table) -> pa.Table:
+        # per-batch combiner: the exchange carries one row per (batch,
+        # user), not one per event
+        g = t.select(["user_id", "ts"]).group_by("user_id") \
+             .aggregate([("ts", "min")])
+        return g.rename_columns(["user_id", "ts"])
+
+    firsts = ev.map_batches(partial_min, batch_format="pyarrow") \
+        .groupby("user_id").min("ts")
 
     def to_intervals(t: pa.Table) -> pa.Table:
         starts = pc.cast(t["min(ts)"], pa.timestamp("us"))

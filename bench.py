@@ -46,7 +46,7 @@ QUERY_SUBSET = [
     "ann_topk", "embedding_near_dups", "orders_by_nation",
     "user_session_counts", "ndv_user_id_hll", "value_quantiles_tdigest",
     "drift_events_self", "minhash_near_dup_pairs", "simhash",
-    "minhash_dup_pairs", "dedup_keep",
+    "minhash_dup_pairs", "dedup_keep", "range_join_counts_copart",
 ]
 
 

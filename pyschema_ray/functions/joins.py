@@ -319,6 +319,12 @@ def copartition_range_join_count(events, intervals, ts_col: str = "ts",
 
     num_shards = num_shards or _default_shards()
     bus = int(bucket_s) * 1_000_000
+    # the interval Dataset feeds TWO branches (bucket replicas + the
+    # zero-count rows); without pinning, Ray re-executes its entire
+    # upstream pipeline once per consumer.  materialize() keeps the
+    # blocks distributed in the object store — it does NOT pull them to
+    # the driver, so "too big to broadcast" is still fine.
+    intervals = intervals.materialize()
     id_type = pa.schema(intervals.schema().base_schema).field(id_col).type
 
     def _us(col) -> np.ndarray:
@@ -403,10 +409,11 @@ def copartition_range_join_count(events, intervals, ts_col: str = "ts",
                 - np.searchsorted(seg, lo, side="left")
             out_id.append(iv["rid"].to_numpy()[m])
             out_n.append(n)
+        # zero-count replicas are kept: every interval has >= 1 bucket
+        # replica, so zero-match intervals surface in the final sum
+        # without a separate zero-row union branch (one less exchange)
         rid = np.concatenate(out_id)
         nn = np.concatenate(out_n)
-        keep = nn > 0
-        rid, nn = rid[keep], nn[keep]
         return pd.DataFrame({
             "idshard": _key_shards(rid, num_shards, 43),
             "rid": rid, "n": nn.astype(np.int64)})
@@ -414,27 +421,13 @@ def copartition_range_join_count(events, intervals, ts_col: str = "ts",
     partials = union.groupby("bshard").map_groups(count_shard,
                                                   batch_format="pandas")
 
-    def zero_rows(t: pa.Table):
-        from .dedup import _key_shards
-        ids = pc.cast(t[id_col], pa.string()).to_numpy(zero_copy_only=False)
-        # pandas block to match count_shard's output — Ray's groupby
-        # requires uniform block types across a union
-        return pd.DataFrame({
-            "idshard": _key_shards(ids, num_shards, 43),
-            "rid": ids,
-            "n": np.zeros(len(ids), np.int64),
-        })
-
-    allrows = partials.union(
-        intervals.map_batches(zero_rows, batch_format="pyarrow"))
-
     def total_per_id(df):
         g = df.groupby("rid", sort=False)["n"].sum()
         return pd.DataFrame({id_col: g.index.to_numpy(),
                              "n_events": g.to_numpy().astype(np.int64)})
 
-    out = allrows.groupby("idshard").map_groups(total_per_id,
-                                                batch_format="pandas")
+    out = partials.groupby("idshard").map_groups(total_per_id,
+                                                 batch_format="pandas")
     return out.map_batches(
         lambda t: t.set_column(t.schema.get_field_index(id_col), id_col,
                                pc.cast(t[id_col], id_type)),
