@@ -402,6 +402,67 @@ def _q_user_session_counts(sf_dir: str) -> pa.Table:
     return _collect(out).sort_by("user_id")
 
 
+def _q_user_sessions(sf_dir: str) -> pa.Table:
+    """Full sessionize output (one row per user session with
+    start/end/count, 30-min gap) — oracle-checked against a DuckDB
+    lag()/cumulative-sum window reconstruction."""
+    from pyschema_ray.functions.joins import sessionize
+
+    out = sessionize(_read(sf_dir, "events"), "user_id", "ts",
+                     gap_seconds=1800.0)
+    t = _collect(out)
+    return pa.table({
+        "user_id": t["user_id"],
+        "session_id": pc.cast(t["session_id"], pa.int64()),
+        "start": pc.cast(t["start"], pa.timestamp("us")),
+        "end": pc.cast(t["end"], pa.timestamp("us")),
+        "n_events": pc.cast(t["n_events"], pa.int64()),
+    }).sort_by([("user_id", "ascending"), ("session_id", "ascending")])
+
+
+def _q_asof_matched_ts(sf_dir: str) -> pa.Table:
+    """Per-key as-of join: every 8th event matched to the most recent
+    OTHER event of the same user at-or-before it.  The matched
+    TIMESTAMP (not an arbitrary row id) keeps the result deterministic
+    under ties, making it SQL-oracle-checkable via a max() subquery."""
+    from pyschema_ray.functions.joins import asof_join
+
+    ev = _read(sf_dir, "events")
+    left = ev.map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.bit_wise_and(t["event_id"], 7), 0))
+                   .select(["event_id", "user_id", "ts"]),
+        batch_format="pyarrow")
+    right = ev.map_batches(
+        lambda t: t.filter(
+            pc.not_equal(pc.bit_wise_and(t["event_id"], 7), 0))
+                   .select(["user_id", "ts"]),
+        batch_format="pyarrow")
+    out = asof_join(left, right, key_col="user_id", ts_col="ts")
+    t = _collect(out)
+    return pa.table({
+        # int64 restore: the tagged union pads right rows' event_id
+        # with nulls, so pandas upcasts the column to float64
+        "event_id": pc.cast(t["event_id"], pa.int64()),
+        "matched_ts": pc.cast(t["ts_right"], pa.timestamp("us")),
+    }).sort_by("event_id")
+
+
+def _q_dup_group_stats(sf_dir: str) -> pa.Table:
+    """exact_duplicate_groups over the dup-injected corpus, projected
+    to SQL-checkable aggregates (group count + total duplicate rows —
+    the SipHash group ids themselves are not SQL-reproducible)."""
+    from pyschema_ray.functions.dedup import exact_duplicate_groups
+
+    g = exact_duplicate_groups(_dup_injected_docs(sf_dir))
+    t = _collect(g)
+    return pa.table({
+        "n_groups": pa.array([t.num_rows], pa.int64()),
+        "total_dups": pa.array(
+            [int(pc.sum(t["dup_count"]).as_py() or 0)], pa.int64()),
+    })
+
+
 def _q_clean_documents(sf_dir: str) -> pa.Table:
     """Corpus-cleaning writer: validated copy with violating rows
     removed; returns the surviving doc_ids (read back from the cleaned
@@ -848,6 +909,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "orders_by_nation": _q_orders_by_nation,
         "user_session_counts": _q_user_session_counts,
+        "user_sessions": _q_user_sessions,
+        "asof_matched_ts": _q_asof_matched_ts,
+        "dup_group_stats": _q_dup_group_stats,
         "clean_documents": _q_clean_documents,
         "events_hourly": _q_events_hourly,
         "minhash_dup_pairs": _q_minhash_dup_pairs,
@@ -1029,6 +1093,53 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_sessions,
                    count(*) AS n_events
               FROM gaps GROUP BY user_id ORDER BY user_id
+        """,
+        "user_sessions": """
+            WITH g AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS new_s
+                  FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (
+                SELECT user_id, ts,
+                       SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) - 1
+                           AS session_id
+                  FROM g)
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   min(ts) AS start, max(ts) AS "end",
+                   count(*) AS n_events
+              FROM s GROUP BY user_id, session_id
+             ORDER BY user_id, session_id
+        """,
+        "asof_matched_ts": """
+            WITH l AS (SELECT event_id, user_id, ts FROM events
+                        WHERE event_id % 8 = 0),
+                 r AS (SELECT user_id, ts FROM events
+                        WHERE event_id % 8 <> 0)
+            SELECT l.event_id,
+                   (SELECT max(r.ts) FROM r
+                     WHERE r.user_id = l.user_id AND r.ts <= l.ts)
+                       AS matched_ts
+              FROM l ORDER BY event_id
+        """,
+        "dup_group_stats": """
+            WITH docs2 AS (
+                SELECT doc_id, text FROM documents
+                 WHERE text IS NOT NULL AND trim(text) <> ''
+                UNION ALL
+                SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents),
+                       text
+                  FROM documents
+                 WHERE text IS NOT NULL AND trim(text) <> ''
+                   AND doc_id % 10 = 0),
+            g AS (SELECT text, count(*) AS c FROM docs2
+                   GROUP BY text HAVING count(*) > 1)
+            SELECT count(*) AS n_groups,
+                   CAST(coalesce(sum(c), 0) AS BIGINT) AS total_dups
+              FROM g
         """,
         "embedding_near_dups": """
             SELECT a.vec_id AS key_a, b.vec_id AS key_b

@@ -194,8 +194,15 @@ def asof_join(left, right, key_col: str, ts_col: str,
             return pd.DataFrame(columns=out_cols)
         if rhs.empty:
             return lhs.reindex(columns=out_cols)
-        rhs = rhs.sort_values(rts, kind="stable")
-        out = pd.merge_asof(lhs, rhs, left_on=ts_col, right_on=rts,
+        # merge_asof emits only the LEFT on-column when the two time
+        # columns share a name — rename the right one up front so the
+        # matched timestamp survives into the output as ts<suffix>
+        r_on = rts
+        if rts == ts_col:
+            r_on = rts + suffix
+            rhs = rhs.rename(columns={rts: r_on})
+        rhs = rhs.sort_values(r_on, kind="stable")
+        out = pd.merge_asof(lhs, rhs, left_on=ts_col, right_on=r_on,
                             by=key_col, direction=direction,
                             suffixes=("", suffix))
         return out.reindex(columns=out_cols)
