@@ -448,6 +448,28 @@ def _q_asof_matched_ts(sf_dir: str) -> pa.Table:
     }).sort_by("event_id")
 
 
+def _q_word_frequencies(sf_dir: str) -> pa.Table:
+    """Corpus word-frequency vocabulary (per-batch value_counts
+    combiner -> word-hash shard exchange) — oracle-checked against a
+    DuckDB unnest/regexp_split reconstruction."""
+    from pyschema_ray.functions.text import word_frequencies
+
+    out = word_frequencies(_read(sf_dir, "documents"))
+    return _collect(out).sort_by("word")
+
+
+def _q_duplicate_user_event_pairs(sf_dir: str) -> pa.Table:
+    """Composite-key uniqueness in one pass: (user_id, event_type)
+    tuples appearing more than once — the multi-column analog of the
+    E6 bucketed hash shuffle."""
+    from pyschema_ray.stages.unique import duplicate_composite_keys
+
+    out = duplicate_composite_keys(_read(sf_dir, "events"),
+                                   ["user_id", "event_type"])
+    return _collect(out).sort_by([("user_id", "ascending"),
+                                  ("event_type", "ascending")])
+
+
 def _q_dup_group_stats(sf_dir: str) -> pa.Table:
     """exact_duplicate_groups over the dup-injected corpus, projected
     to SQL-checkable aggregates (group count + total duplicate rows —
@@ -912,6 +934,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": _q_user_sessions,
         "asof_matched_ts": _q_asof_matched_ts,
         "dup_group_stats": _q_dup_group_stats,
+        "word_frequencies": _q_word_frequencies,
+        "duplicate_user_event_pairs": _q_duplicate_user_event_pairs,
         "clean_documents": _q_clean_documents,
         "events_hourly": _q_events_hourly,
         "minhash_dup_pairs": _q_minhash_dup_pairs,
@@ -1113,6 +1137,22 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
               FROM s GROUP BY user_id, session_id
              ORDER BY user_id, session_id
+        """,
+        "word_frequencies": """
+            WITH w AS (
+                SELECT unnest(regexp_split_to_array(
+                           lower(trim(text)), '\\s+')) AS word
+                  FROM documents
+                 WHERE text IS NOT NULL AND trim(text) <> '')
+            SELECT word, CAST(count(*) AS BIGINT) AS n
+              FROM w WHERE word <> '' GROUP BY word ORDER BY word
+        """,
+        "duplicate_user_event_pairs": """
+            SELECT user_id, event_type, count(*) AS dup_count
+              FROM events
+             WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             GROUP BY user_id, event_type HAVING count(*) > 1
+             ORDER BY user_id, event_type
         """,
         "asof_matched_ts": """
             WITH l AS (SELECT event_id, user_id, ts FROM events

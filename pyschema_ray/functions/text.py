@@ -249,6 +249,47 @@ def fingerprint_batch(t: pa.Table, text_col: str = "text",
                            pa.array(hexes.astype(object), pa.string()))
 
 
+def word_frequencies(ds, text_col: str = "text",
+                     num_shards: int | None = None,
+                     lowercase: bool = True, min_count: int = 1):
+    """Corpus word-frequency table -> Dataset(word, n): the vocabulary
+    builder for tokenizer training / frequency filtering.  Per batch,
+    one Arrow split + flatten + value_counts produces (word, count)
+    partials (the combiner — the exchange carries unique-words-per-
+    batch, never one row per token); partials then sum on a bounded
+    word-hash shard exchange with a C++ group_by per shard.  No raw
+    near-unique word groupby, no Python in the hot path."""
+    from .dedup import _default_shards, _key_shards
+
+    nb = num_shards or _default_shards()
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = pc.utf8_trim_whitespace(pc.fill_null(t[text_col], ""))
+        if lowercase:
+            col = pc.utf8_lower(col)
+        words = pc.list_flatten(
+            pc.split_pattern_regex(col, TOKEN_SPLIT_RE))
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        words = words.filter(pc.not_equal(words, ""))
+        vc = words.value_counts()
+        w = vc.field("values")
+        n = pc.cast(vc.field("counts"), pa.int64())
+        shard = _key_shards(w.to_numpy(zero_copy_only=False), nb, 47)
+        return pa.table({"wshard": pa.array(shard, pa.int64()),
+                         "word": w, "n": n})
+
+    def total(t: pa.Table) -> pa.Table:
+        g = t.group_by("word").aggregate([("n", "sum")])
+        g = g.select(["word", "n_sum"]).rename_columns(["word", "n"])
+        if min_count > 1:
+            g = g.filter(pc.greater_equal(g["n"], min_count))
+        return g
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("wshard").map_groups(total, batch_format="pyarrow")
+
+
 def fingerprint_md5_batch(t: pa.Table, text_col: str = "text",
                           out_col: str = "fingerprint") -> pa.Table:
     """MD5 content fingerprint (32-hex string), null in -> null out.

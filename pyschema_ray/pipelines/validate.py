@@ -37,7 +37,8 @@ import pyarrow.parquet as pq
 
 from ..stages import drift as drift_mod
 from ..stages import stats as stats_mod
-from ..stages.unique import stream_uniqueness_violations
+from ..stages.unique import (stream_uniqueness_violations,
+                             stream_uniqueness_violations_multi)
 from ..stages.validator import (CompiledValidator, FileValidator,
                                 StatsConfig, VIOLATION_SCHEMA)
 from ..state.manifest import Manifest, ShardRecord, schema_hash
@@ -219,20 +220,28 @@ class ValidationPipeline:
 
             def _uniq():
                 try:
-                    for col in uniq_pending:
-                        # duplicate keys stream to the violations sink
-                        # from workers (never pulled to the driver) —
-                        # only the count comes back
-                        vdir = os.path.join(cfg.out_dir, "violations",
-                                            f"global-unique-{col}")
-                        if cfg.fused:
-                            uniq_result[col] = stream_uniqueness_violations(
-                                files, col, vdir)
-                        else:
-                            ds_u = ray.data.read_parquet(files,
-                                                         columns=[col])
-                            uniq_result[col] = stream_uniqueness_violations(
-                                ds_u, col, vdir)
+                    # duplicate keys stream to the violations sink from
+                    # workers (never pulled to the driver) — only the
+                    # counts come back
+                    vdir = {col: os.path.join(cfg.out_dir, "violations",
+                                              f"global-unique-{col}")
+                            for col in uniq_pending}
+                    if len(uniq_pending) > 1:
+                        # several unique columns: ONE pass over the
+                        # input carries every column's keys (tagged)
+                        # through one bucket exchange
+                        src = files if cfg.fused else ray.data \
+                            .read_parquet(files, columns=uniq_pending)
+                        uniq_result.update(
+                            stream_uniqueness_violations_multi(
+                                src, uniq_pending, vdir))
+                    else:
+                        for col in uniq_pending:
+                            src = files if cfg.fused else ray.data \
+                                .read_parquet(files, columns=[col])
+                            uniq_result[col] = \
+                                stream_uniqueness_violations(
+                                    src, col, vdir[col])
                 except Exception as e:  # noqa: BLE001
                     uniq_result["error"] = e
 

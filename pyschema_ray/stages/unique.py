@@ -30,7 +30,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..constraints import Unique
-from ..sketches import hash_strings
+from ..sketches import hash_strings, mix64
 
 
 def _default_buckets() -> int:
@@ -103,6 +103,43 @@ def duplicate_keys_from_files(files: list[str], key: str,
         _find_dups(key, pre_aggregate), batch_format="pyarrow")
 
 
+def duplicate_composite_keys(ds, keys: list[str],
+                             num_buckets: int | None = None):
+    """-> Dataset(*keys, dup_count >= 2): exact uniqueness over a
+    COMPOSITE key in one pass — the multi-column analog of
+    :func:`duplicate_keys`.  The bucket is a mix of every component's
+    hash (identical tuples always co-bucket); dup detection compares
+    the real column values with a C++ Arrow multi-key ``group_by``
+    inside the bucket, so cross-column hash collisions cannot create
+    false duplicates.  Rows with ANY null component are dropped (they
+    belong to not_null, and Ray's sort shuffle cannot order nulls)."""
+    keys = list(keys)
+    nb = num_buckets or _default_buckets()
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        t = t.select(keys)
+        mask = None
+        for k in keys:
+            v = pc.is_valid(t[k])
+            mask = v if mask is None else pc.and_(mask, v)
+        t = t.filter(mask)
+        h = np.zeros(t.num_rows, dtype=np.uint64)
+        for i, k in enumerate(keys):
+            h = mix64(h ^ hash_strings(pc.cast(t[k], pa.string())), i)
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(nb)).astype(np.int64)))
+
+    def find(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate([(keys[0], "count")])
+        g = g.select(keys + [f"{keys[0]}_count"]) \
+             .rename_columns(keys + ["dup_count"])
+        return g.filter(pc.greater(g["dup_count"], 1))
+
+    return ds.select_columns(keys) \
+             .map_batches(bucketize, batch_format="pyarrow") \
+             .groupby("bucket").map_groups(find, batch_format="pyarrow")
+
+
 def duplicate_keys(ds, key: str, num_buckets: int | None = None,
                    pre_aggregate: bool = True):
     """-> Dataset(key, dup_count) with dup_count >= 2.  ``ds`` may be
@@ -130,24 +167,11 @@ def _violation_rows(key: str):
     return fn
 
 
-def stream_uniqueness_violations(ds_or_files, key: str, out_dir: str,
-                                 num_buckets: int | None = None) -> int:
-    """Write duplicate-key violation rows as partitioned parquet
-    directly from Ray workers (write-then-rename, idempotent) and
-    return only the count.  This is the DEFAULT pipeline path: unlike
-    :func:`uniqueness_violations` it never pulls the duplicate keys to
-    the driver, so a pathological all-duplicates corpus stays bounded
-    (blocks live in the object store, which may spill)."""
+def _atomic_write_violations(viol, n: int, out_dir: str) -> None:
+    """Worker-written parquet sink with write-then-rename idempotence."""
     import os
     import shutil
 
-    if isinstance(ds_or_files, (list, tuple)):
-        dups = duplicate_keys_from_files(list(ds_or_files), key, num_buckets)
-    else:
-        dups = duplicate_keys(ds_or_files, key, num_buckets)
-    viol = dups.map_batches(_violation_rows(key),
-                            batch_format="pyarrow").materialize()
-    n = viol.count()
     tmp = out_dir + ".tmp"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
@@ -158,7 +182,103 @@ def stream_uniqueness_violations(ds_or_files, key: str, out_dir: str,
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)
     os.rename(tmp, out_dir)
+
+
+def stream_uniqueness_violations(ds_or_files, key: str, out_dir: str,
+                                 num_buckets: int | None = None) -> int:
+    """Write duplicate-key violation rows as partitioned parquet
+    directly from Ray workers (write-then-rename, idempotent) and
+    return only the count.  This is the DEFAULT pipeline path: unlike
+    :func:`uniqueness_violations` it never pulls the duplicate keys to
+    the driver, so a pathological all-duplicates corpus stays bounded
+    (blocks live in the object store, which may spill)."""
+    if isinstance(ds_or_files, (list, tuple)):
+        dups = duplicate_keys_from_files(list(ds_or_files), key, num_buckets)
+    else:
+        dups = duplicate_keys(ds_or_files, key, num_buckets)
+    viol = dups.map_batches(_violation_rows(key),
+                            batch_format="pyarrow").materialize()
+    n = viol.count()
+    _atomic_write_violations(viol, n, out_dir)
     return n
+
+
+def _multi_bucketize(cols: list[str], nb: int):
+    def fn(t: pa.Table) -> pa.Table:
+        parts = []
+        for ci, col in enumerate(cols):
+            keys = pc.cast(t[col], pa.string())
+            if isinstance(keys, pa.ChunkedArray):
+                keys = keys.combine_chunks()
+            keys = keys.filter(pc.is_valid(keys))
+            h = mix64(hash_strings(keys), ci)
+            parts.append(pa.table({
+                "tag": pa.array(np.full(len(keys), ci, np.int32),
+                                pa.int32()),
+                "key": keys,
+                "bucket": pa.array((h % np.uint64(nb)).astype(np.int64)),
+            }))
+        return pa.concat_tables(parts)
+    return fn
+
+
+def _multi_find(t: pa.Table) -> pa.Table:
+    g = t.group_by(["tag", "key"]).aggregate([("key", "count")])
+    g = g.select(["tag", "key", "key_count"]) \
+         .rename_columns(["tag", "key", "dup_count"])
+    return g.filter(pc.greater(g["dup_count"], 1))
+
+
+def stream_uniqueness_violations_multi(ds_or_files, cols: list[str],
+                                       out_dirs: dict,
+                                       num_buckets: int | None = None
+                                       ) -> dict:
+    """Single-pass uniqueness for MULTIPLE declared-unique columns: the
+    input is read ONCE (fused column-pruned file reads, or one
+    projected Dataset) and every column's keys ride the same bucket
+    exchange as tagged rows; per bucket one multi-key Arrow group_by
+    finds each column's duplicates.  Halves-or-better the scan cost of
+    a schema with several ``unique=True`` fields versus one pass per
+    column.  ``out_dirs`` maps column -> violation sink directory;
+    returns {column: duplicate_row_count}."""
+    import ray.data
+
+    cols = list(cols)
+    nb = num_buckets or _default_buckets()
+    bucketize = _multi_bucketize(cols, nb)
+
+    if isinstance(ds_or_files, (list, tuple)):
+        import pyarrow.parquet as pq
+
+        files = list(ds_or_files)
+
+        def per_file(batch: pa.Table) -> pa.Table:
+            outs = []
+            for path in batch["path"].to_pylist():
+                outs.append(bucketize(pq.read_table(path, columns=cols)))
+            return outs[0] if len(outs) == 1 else pa.concat_tables(outs)
+
+        pre = ray.data.from_items([{"path": f} for f in files]) \
+            .map_batches(per_file, batch_format="pyarrow", batch_size=1)
+    else:
+        pre = ds_or_files.map_batches(bucketize, batch_format="pyarrow")
+
+    dups = pre.groupby("bucket").map_groups(_multi_find,
+                                            batch_format="pyarrow")
+    mat = dups.materialize()
+    counts: dict = {}
+    for ci, col in enumerate(cols):
+        def pick(t: pa.Table, ci=ci, col=col) -> pa.Table:
+            s = t.filter(pc.equal(t["tag"], ci))
+            return pa.table({col: s["key"]})
+
+        viol = mat.map_batches(pick, batch_format="pyarrow") \
+                  .map_batches(_violation_rows(col),
+                               batch_format="pyarrow").materialize()
+        n = viol.count()
+        _atomic_write_violations(viol, n, out_dirs[col])
+        counts[col] = n
+    return counts
 
 
 def uniqueness_violations(ds_or_files, key: str,

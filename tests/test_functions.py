@@ -596,3 +596,43 @@ def test_copartition_range_join_matches_broadcast():
     assert got == ref
     assert got[999] == 0
     assert sum(got.values()) > 0
+
+
+def test_word_frequencies_matches_counter():
+    """Distributed vocab builder == a driver-side Counter on the same
+    texts (including empty/null text and shard-count invariance)."""
+    import collections
+
+    import ray.data
+
+    from pyschema_ray.functions.text import word_frequencies
+
+    texts = ["the cat sat", "THE the dog", None, "", "  cat  runs  ",
+             "dog dog dog"]
+    want = collections.Counter(
+        w for s in texts if s for w in s.lower().split())
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    for ns in (4, 16):
+        out = word_frequencies(ray.data.from_arrow(t), num_shards=ns)
+        got = {r["word"]: r["n"] for r in out.take_all()}
+        assert got == dict(want), ns
+    out2 = word_frequencies(ray.data.from_arrow(t), num_shards=4,
+                            min_count=3)
+    got2 = {r["word"]: r["n"] for r in out2.take_all()}
+    assert got2 == {"the": 3, "dog": 4}
+
+
+def test_duplicate_composite_keys_null_and_counts():
+    import ray.data
+
+    from pyschema_ray.stages.unique import duplicate_composite_keys
+
+    t = pa.table({
+        "a": pa.array([1, 1, 1, 2, 2, None, 3], pa.int64()),
+        "b": pa.array(["x", "x", "y", "x", "x", "x", None], pa.string()),
+    })
+    out = duplicate_composite_keys(ray.data.from_arrow(t), ["a", "b"],
+                                   num_buckets=4)
+    got = {(r["a"], r["b"]): r["dup_count"] for r in out.take_all()}
+    # (1,x) twice, (2,x) twice; null components dropped
+    assert got == {(1, "x"): 2, (2, "x"): 2}

@@ -359,3 +359,64 @@ def test_generic_path_column_prunes_the_read(tmp_path, sequences_schema,
     rep2 = ValidationPipeline(cfg2).run()
     assert rep.violation_counts == rep2.violation_counts
     assert rep.row_count == rep2.row_count == 50
+
+
+def test_multi_column_uniqueness_single_pass(tmp_path):
+    """A schema with several unique columns runs ONE uniqueness pass
+    (tagged keys through one bucket exchange) and reports the same
+    per-column duplicates as independent passes."""
+    import glob
+
+    from pyschema_ray import Integer, List, Record, Text
+    from pyschema_ray.sources.synth import VOCAB
+    from pyschema_ray.stages.unique import (
+        duplicate_keys, stream_uniqueness_violations_multi)
+
+    class TwoUnique(Record):
+        doc_id = Text(nullable=False, unique=True)
+        alt_id = Integer(size=8, unique=True)
+        tokens = List(Integer(size=4), nullable=False)
+        n_tok = Integer(size=4)
+        source = Text(nullable=False)
+        _key_field = "doc_id"
+
+    ids = [f"doc-{i:012d}" for i in range(30)] + ["doc-000000000001"] * 3
+    alt = list(range(30)) + [100, 100, 101]
+    t = pa.table({
+        "doc_id": pa.array(ids, pa.string()),
+        "alt_id": pa.array(alt, pa.int64()),
+        "tokens": pa.array([[1, 2]] * 33, pa.list_(pa.int32())),
+        "n_tok": pa.array([2] * 33, pa.int32()),
+        "source": pa.array(["web"] * 33, pa.string()),
+    })
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "f.parquet"))
+    files = [os.path.join(d, "f.parquet")]
+
+    out_dirs = {c: str(tmp_path / f"v-{c}") for c in ["doc_id", "alt_id"]}
+    counts = stream_uniqueness_violations_multi(files,
+                                                ["doc_id", "alt_id"],
+                                                out_dirs, num_buckets=8)
+    # one violation row per duplicate KEY (the engine contract):
+    # doc-...001 (4 instances) and alt 100 (2 instances) are one each
+    assert counts == {"doc_id": 1, "alt_id": 1}
+    for c, dirpath in out_dirs.items():
+        viol_files = glob.glob(os.path.join(dirpath, "*.parquet"))
+        rows = pa.concat_tables([pq.read_table(f) for f in viol_files])
+        assert rows.num_rows == counts[c]
+        assert set(rows["constraint"].to_pylist()) == {f"unique({c})"}
+
+    # pipeline end-to-end with two unique fields uses the same path
+    cfg = PipelineConfig(schema_cls=TwoUnique, input_paths=d,
+                         out_dir=str(tmp_path / "out"))
+    rep = ValidationPipeline(cfg).run()
+    assert rep.violation_counts["unique(doc_id)"] == 1
+    assert rep.violation_counts["unique(alt_id)"] == 1
+
+    # parity with independent single-column passes
+    import ray.data
+    ds = ray.data.read_parquet(files)
+    solo = {r["doc_id"]: r["dup_count"]
+            for r in duplicate_keys(ds, "doc_id", 8).take_all()}
+    assert solo == {"doc-000000000001": 4}
