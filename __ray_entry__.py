@@ -448,6 +448,86 @@ def _q_asof_matched_ts(sf_dir: str) -> pa.Table:
     }).sort_by("event_id")
 
 
+def _q_top_revenue_orders(sf_dir: str) -> pa.Table:
+    """TPC-H Q3-shaped three-table pipeline: BUILDING-segment customer
+    keys broadcast into an orders filter (small side via ray.put, no
+    shuffle), lineitem revenue pre-aggregated per batch (combiner),
+    then ONE shuffle join on the order key and a final grouped sum —
+    top 10 orders by exact int-cents revenue."""
+    import ray
+    import ray.data.aggregate as A
+
+    from pyschema_ray.functions.joins import shuffle_join
+
+    cutoff = np.datetime64("1998-01-01T00:00:00", "us").astype(np.int64)
+
+    cust = _collect(_read(sf_dir, "customer",
+                          columns=["c_custkey", "c_mktsegment"]))
+    seg_keys = ray.put(
+        cust.filter(pc.equal(cust["c_mktsegment"],
+                             "BUILDING"))["c_custkey"].combine_chunks())
+
+    def orders_f(t: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.is_in(t["o_custkey"], value_set=ray.get(seg_keys)),
+            pc.less(pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                            pa.int64()), cutoff))
+        return t.filter(ok).select(["o_orderkey", "o_orderdate",
+                                    "o_orderpriority"])
+
+    def line_partial(t: pa.Table) -> pa.Table:
+        ship = pc.cast(pc.cast(t["l_shipdate"], pa.timestamp("us")),
+                       pa.int64())
+        t = t.filter(pc.greater(ship, cutoff))
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            100.0), round_mode="half_towards_infinity"), pa.int64())
+        g = pa.table({"l_orderkey": t["l_orderkey"], "cents": cents}) \
+            .group_by("l_orderkey").aggregate([("cents", "sum")])
+        return g.rename_columns(["l_orderkey", "cents"])
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate",
+                            "o_orderpriority"]) \
+        .map_batches(orders_f, batch_format="pyarrow")
+    line = _read(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_extendedprice", "l_discount",
+                          "l_shipdate"]) \
+        .map_batches(line_partial, batch_format="pyarrow")
+
+    joined = shuffle_join(line, orders, on="l_orderkey",
+                          right_on="o_orderkey")
+    agg = joined.groupby(["l_orderkey", "o_orderdate",
+                          "o_orderpriority"]).aggregate(A.Sum("cents"))
+    t = _collect(agg)
+    t = pa.table({
+        "o_orderkey": t["l_orderkey"],
+        "o_orderdate": pc.cast(t["o_orderdate"], pa.timestamp("us")),
+        "o_orderpriority": t["o_orderpriority"],
+        "revenue_cents": pc.cast(t["sum(cents)"], pa.int64()),
+    })
+    return t.sort_by([("revenue_cents", "descending"),
+                      ("o_orderkey", "ascending")]).slice(0, 10)
+
+
+def _q_median_chars_per_source(sf_dir: str) -> pa.Table:
+    """Exact per-source median of n_chars via the bounded-domain
+    count-vector pattern (exchange carries distinct (source, value)
+    pairs, never rows).  Median interpolation lands on exact binary
+    halves, so the float is oracle-reproducible."""
+    from pyschema_ray.functions.analytics import grouped_exact_quantiles
+
+    out = grouped_exact_quantiles(
+        _read(sf_dir, "documents", columns=["source", "n_chars"]),
+        "source", "n_chars", quantiles=(0.5,))
+    t = _collect(out)
+    return pa.table({
+        "source": t["source"],
+        "median_chars": pc.cast(t["q_0.5"], pa.float64()),
+    }).sort_by("source")
+
+
 def _q_word_frequencies(sf_dir: str) -> pa.Table:
     """Corpus word-frequency vocabulary (per-batch value_counts
     combiner -> word-hash shard exchange) — oracle-checked against a
@@ -936,6 +1016,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_group_stats": _q_dup_group_stats,
         "word_frequencies": _q_word_frequencies,
         "duplicate_user_event_pairs": _q_duplicate_user_event_pairs,
+        "median_chars_per_source": _q_median_chars_per_source,
+        "top_revenue_orders": _q_top_revenue_orders,
         "clean_documents": _q_clean_documents,
         "events_hourly": _q_events_hourly,
         "minhash_dup_pairs": _q_minhash_dup_pairs,
@@ -1137,6 +1219,26 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
               FROM s GROUP BY user_id, session_id
              ORDER BY user_id, session_id
+        """,
+        "top_revenue_orders": """
+            SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+                   CAST(sum(CAST(round(l.l_extendedprice
+                                       * (1 - l.l_discount) * 100)
+                                 AS BIGINT)) AS BIGINT) AS revenue_cents
+              FROM customer c
+              JOIN orders o ON o.o_custkey = c.c_custkey
+              JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+             WHERE c.c_mktsegment = 'BUILDING'
+               AND o.o_orderdate < TIMESTAMP '1998-01-01'
+               AND l.l_shipdate > TIMESTAMP '1998-01-01'
+             GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+             ORDER BY revenue_cents DESC, o.o_orderkey
+             LIMIT 10
+        """,
+        "median_chars_per_source": """
+            SELECT source, median(n_chars) AS median_chars
+              FROM documents WHERE n_chars IS NOT NULL
+             GROUP BY source ORDER BY source
         """,
         "word_frequencies": """
             WITH w AS (

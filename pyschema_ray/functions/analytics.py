@@ -33,6 +33,76 @@ def _arrow_group_head(t: pa.Table, group_col: str, order_col: str,
     return t.take(np.flatnonzero(rank < k))
 
 
+def grouped_exact_quantiles(ds, group_col: str, value_col: str,
+                            quantiles=(0.5,)):
+    """EXACT per-group quantiles for bounded-domain integer values —
+    the scalable complement to the t-digest (approximate, any domain):
+    each batch contributes a (group, value, count) combiner table, the
+    exchange carries distinct (group, value) pairs (bounded by groups ×
+    domain, never row count), and per group the quantile is read off
+    the merged cumulative counts.  Matches SQL ``quantile_cont`` /
+    ``median`` semantics (linear interpolation between order
+    statistics).  Groups co-locate whole on the exchange (group
+    cardinality assumed moderate — sources, shards, languages; for
+    near-unique groups use a hash-shard wrapper).
+
+    -> Dataset(group_col, q_<q> float64 columns)."""
+    qs = list(quantiles)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.select([group_col, value_col])
+        # SQL aggregate semantics: null groups/values ignored (also:
+        # Ray's sort shuffle cannot order null keys)
+        t = t.filter(pc.and_(pc.is_valid(t[group_col]),
+                             pc.is_valid(t[value_col])))
+        g = t.group_by([group_col, value_col]) \
+             .aggregate([(value_col, "count")])
+        return g.rename_columns([group_col, value_col, "cnt"])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        t = t.sort_by([(group_col, "ascending"),
+                       (value_col, "ascending")])
+        groups = t[group_col].to_numpy(zero_copy_only=False)
+        vals = t[value_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        starts, sizes = _group_starts(groups)
+        out: dict = {group_col: groups[starts]}
+        per_q = {q: np.empty(len(starts), np.float64) for q in qs}
+        for gi, (s, m) in enumerate(zip(starts, sizes)):
+            v = vals[s:s + m]
+            c = cnt[s:s + m]
+            cum = np.cumsum(c)
+            n = cum[-1]
+            for q in qs:
+                # type-7 (SQL quantile_cont) position on the expanded
+                # sorted sequence, evaluated on the RLE counts
+                pos = q * (n - 1)
+                lo_i = int(np.searchsorted(cum, np.floor(pos) + 1,
+                                           side="left"))
+                hi_i = int(np.searchsorted(cum, np.ceil(pos) + 1,
+                                           side="left"))
+                frac = pos - np.floor(pos)
+                per_q[q][gi] = vals[s + lo_i] * (1 - frac) \
+                    + vals[s + hi_i] * frac
+        for q in qs:
+            out[f"q_{q}"] = per_q[q]
+        return pa.table(out)
+
+    pre = ds.map_batches(partial, batch_format="pyarrow")
+    import ray.data.aggregate as A
+
+    merged = pre.groupby([group_col, value_col]).aggregate(A.Sum("cnt"))
+    merged = merged.map_batches(
+        lambda t: t.rename_columns([group_col, value_col, "cnt"]),
+        batch_format="pyarrow")
+    # group cardinality is moderate by contract: one finalize pass
+    return merged.repartition(1).map_batches(finalize,
+                                             batch_format="pyarrow")
+
+
 def grouped_topk(ds, group_col: str, order_col: str, k: int,
                  tiebreak_col: str, descending: bool = True,
                  num_shards: int | None = None,

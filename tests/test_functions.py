@@ -636,3 +636,27 @@ def test_duplicate_composite_keys_null_and_counts():
     got = {(r["a"], r["b"]): r["dup_count"] for r in out.take_all()}
     # (1,x) twice, (2,x) twice; null components dropped
     assert got == {(1, "x"): 2, (2, "x"): 2}
+
+
+def test_grouped_exact_quantiles_matches_numpy():
+    """Exact grouped quantiles via the bounded-domain count-vector
+    pattern == np.quantile (linear interpolation) per group, at any
+    batch partitioning."""
+    import ray.data
+
+    from pyschema_ray.functions.analytics import grouped_exact_quantiles
+
+    rng = np.random.default_rng(9)
+    groups = rng.choice(["a", "b", "c"], size=4000)
+    vals = rng.integers(0, 120, size=4000)
+    # nulls must be ignored like SQL aggregates
+    gcol = pa.array(list(groups[:-1]) + [None], pa.string())
+    vcol = pa.array(list(vals[:-1]) + [None], pa.int64())
+    ds = ray.data.from_arrow(pa.table({"g": gcol, "v": vcol})) \
+        .repartition(7)
+    out = grouped_exact_quantiles(ds, "g", "v", quantiles=(0.5, 0.9))
+    got = {r["g"]: (r["q_0.5"], r["q_0.9"]) for r in out.take_all()}
+    for g in "abc":
+        sel = vals[:-1][groups[:-1] == g]
+        assert got[g][0] == np.quantile(sel, 0.5), g
+        assert abs(got[g][1] - np.quantile(sel, 0.9)) < 1e-9, g
