@@ -538,6 +538,16 @@ def _q_word_frequencies(sf_dir: str) -> pa.Table:
     return _collect(out).sort_by("word")
 
 
+def _q_bigram_frequencies(sf_dir: str) -> pa.Table:
+    """Word-bigram frequency table over documents (rows-only: the
+    shorter-than-n partial-gram convention is not worth reproducing in
+    SQL; the kernel is Counter-verified in pytest)."""
+    from pyschema_ray.functions.text import ngram_frequencies
+
+    out = ngram_frequencies(_read(sf_dir, "documents"), n=2)
+    return _collect(out).sort_by([("ngram", "ascending")])
+
+
 def _q_duplicate_user_event_pairs(sf_dir: str) -> pa.Table:
     """Composite-key uniqueness in one pass: (user_id, event_type)
     tuples appearing more than once — the multi-column analog of the
@@ -1041,6 +1051,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep": _q_dedup_keep,
         "packed_sequences": _q_packed_sequences,
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "bigram_frequencies": _q_bigram_frequencies,
     }
 
 

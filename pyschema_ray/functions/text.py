@@ -290,6 +290,45 @@ def word_frequencies(ds, text_col: str = "text",
         .groupby("wshard").map_groups(total, batch_format="pyarrow")
 
 
+def ngram_frequencies(ds, text_col: str = "text", n: int = 2,
+                      num_shards: int | None = None,
+                      min_count: int = 1):
+    """Word n-gram frequency table -> Dataset(ngram, count): the
+    bigram/trigram statistics a contamination / memorization audit
+    needs.  Same combiner + word-hash shard exchange as
+    :func:`word_frequencies`; the n-gram assembly reuses the dedup
+    shingle kernel (texts lowercased; documents shorter than ``n``
+    words contribute their whole text as one partial gram — the
+    MinHash convention, documented there)."""
+    from .dedup import _word_shingles, _default_shards, _key_shards
+
+    nb = num_shards or _default_shards()
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, _ = _word_shingles(t[text_col].to_pylist(), n)
+        if not flat:
+            return pa.table({"wshard": pa.array([], pa.int64()),
+                             "ngram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        arr = pa.array(flat, pa.string())
+        vc = arr.value_counts()
+        w = vc.field("values")
+        c = pc.cast(vc.field("counts"), pa.int64())
+        shard = _key_shards(w.to_numpy(zero_copy_only=False), nb, 53)
+        return pa.table({"wshard": pa.array(shard, pa.int64()),
+                         "ngram": w, "n": c})
+
+    def total(t: pa.Table) -> pa.Table:
+        g = t.group_by("ngram").aggregate([("n", "sum")])
+        g = g.select(["ngram", "n_sum"]).rename_columns(["ngram", "n"])
+        if min_count > 1:
+            g = g.filter(pc.greater_equal(g["n"], min_count))
+        return g
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("wshard").map_groups(total, batch_format="pyarrow")
+
+
 def fingerprint_md5_batch(t: pa.Table, text_col: str = "text",
                           out_col: str = "fingerprint") -> pa.Table:
     """MD5 content fingerprint (32-hex string), null in -> null out.

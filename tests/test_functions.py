@@ -660,3 +660,29 @@ def test_grouped_exact_quantiles_matches_numpy():
         sel = vals[:-1][groups[:-1] == g]
         assert got[g][0] == np.quantile(sel, 0.5), g
         assert abs(got[g][1] - np.quantile(sel, 0.9)) < 1e-9, g
+
+
+def test_ngram_frequencies_matches_counter():
+    import collections
+
+    import ray.data
+
+    from pyschema_ray.functions.text import ngram_frequencies
+
+    texts = ["the cat sat on the mat", "the cat ran", "dog", None, ""]
+
+    def grams(s, n=2):
+        w = s.lower().split()
+        if not w:
+            return []
+        if len(w) < n:
+            return [" ".join(w)]
+        return [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+
+    want = collections.Counter(g for s in texts if s for g in grams(s))
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(texts, pa.string())}))
+    out = ngram_frequencies(ds, n=2, num_shards=4)
+    got = {r["ngram"]: r["n"] for r in out.take_all()}
+    assert got == dict(want)
+    assert got["the cat"] == 2
+    assert got["dog"] == 1  # shorter-than-n doc contributes whole text
