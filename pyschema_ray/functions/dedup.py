@@ -787,16 +787,38 @@ def dedup_keep_keys_ds(ds, text_col: str = "text", key_col: str = "doc_id",
     if that smaller key was itself removed by exact dedup — its
     content survives through its own exact-kept representative.
     """
+    import threading
+
     import pandas as pd
 
     num_shards = num_shards or _default_shards()
-    kept_exact = exact_dedup_keys(ds, text_col, key_col, num_shards)
+    # the exact path and the LSH->verify chain are independent until
+    # the final anti-join: materialize the exact keep-list on a
+    # background thread so its shuffle overlaps the (longer) LSH chain
+    # instead of serializing after it
+    kept_box: dict = {}
+
+    def _exact():
+        try:
+            kept_box["ds"] = exact_dedup_keys(
+                ds, text_col, key_col, num_shards).materialize()
+        except Exception as e:  # noqa: BLE001
+            kept_box["err"] = e
+
+    exact_thread = threading.Thread(target=_exact, daemon=True)
+    exact_thread.start()
+
     cand = minhash_lsh_candidates(ds, text_col, key_col, num_hashes,
                                   shingle_words, bands, concurrency,
                                   num_shards)
     verified = jaccard_verify_pairs_ds(
         cand, ds, text_col, key_col, shingle_words, jaccard_threshold,
         num_shards).materialize()  # duplicate-rate sized; read by CC rounds
+
+    exact_thread.join()
+    if "err" in kept_box:
+        raise kept_box["err"]
+    kept_exact = kept_box["ds"]
 
     if verified.count() == 0:
         return kept_exact
