@@ -534,7 +534,7 @@ def _q_word_frequencies(sf_dir: str) -> pa.Table:
     DuckDB unnest/regexp_split reconstruction."""
     from pyschema_ray.functions.text import word_frequencies
 
-    out = word_frequencies(_read(sf_dir, "documents"))
+    out = word_frequencies(_read(sf_dir, "documents", columns=["text"]))
     return _collect(out).sort_by("word")
 
 
@@ -544,7 +544,8 @@ def _q_bigram_frequencies(sf_dir: str) -> pa.Table:
     SQL; the kernel is Counter-verified in pytest)."""
     from pyschema_ray.functions.text import ngram_frequencies
 
-    out = ngram_frequencies(_read(sf_dir, "documents"), n=2)
+    out = ngram_frequencies(_read(sf_dir, "documents", columns=["text"]),
+                            n=2)
     return _collect(out).sort_by([("ngram", "ascending")])
 
 

@@ -26,24 +26,10 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..sketches import hash_strings, hash_strings2, mix64
+from ..sketches import (default_exchange_shards as _default_shards,
+                        hash_strings, hash_strings2, mix64)
 
 U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
-
-
-def _default_shards() -> int:
-    """Cluster-proportional exchange width (4 tasks per core, floor 64)
-    — the same rule as stages/unique._default_buckets.  Every shuffle
-    in this module groups on a bounded integer shard; a FIXED shard
-    count would cap parallelism on a big cluster and concentrate the
-    exploded bucket rows into worker-OOM-sized groups at 10^12 docs.
-    Resolved lazily at pipeline-construction time on the driver."""
-    import ray
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 16))
-    except Exception:  # noqa: BLE001
-        cpus = 16
-    return max(64, cpus * 4)
 
 
 def _popcount64(x: np.ndarray) -> np.ndarray:

@@ -161,10 +161,48 @@ def asof_join(left, right, key_col: str, ts_col: str,
     for entity-id keys."""
     num_shards = num_shards or _default_shards()
 
+    rts = right_ts_col or ts_col
+    # capture the exact column sets up front so every group emits the
+    # SAME schema (selecting by all-null inference would drop a genuine
+    # left column that happens to be all-null for one shard)
+    left_schema = pa.schema(left.schema().base_schema)
+    left_cols = list(left_schema.names)
+    right_cols = [n for n in right.schema().names]
+    out_right = [c for c in right_cols if c != key_col]
+    out_cols = left_cols + [c + suffix if c in left_cols else c
+                            for c in out_right]
+    # side-missing columns are padded with TYPED SENTINELS, not nulls:
+    # a null-padded int64 column coerces to float64 inside the pandas
+    # map_groups and corrupts values above 2^53 (the
+    # _route_pair_payloads rule).  Sentinel values are never read —
+    # per_shard projects each side to its own columns.
+    right_schema = pa.schema(right.schema().base_schema)
+    pad_types = {c: left_schema.field(c).type
+                 for c in left_cols if c != key_col}
+    pad_types_left = {c: right_schema.field(c).type
+                      for c in right_cols
+                      if c != key_col and c not in left_cols}
+
+    def _sentinel(tp, n: int) -> pa.Array:
+        if pa.types.is_integer(tp) or pa.types.is_timestamp(tp) \
+                or pa.types.is_date(tp) or pa.types.is_duration(tp):
+            return pa.array(np.zeros(n, np.int64)).cast(tp)
+        if pa.types.is_floating(tp):
+            return pa.array(np.zeros(n, np.float64)).cast(tp)
+        if pa.types.is_boolean(tp):
+            return pa.array(np.zeros(n, bool))
+        if pa.types.is_string(tp) or pa.types.is_large_string(tp):
+            return pa.array(np.full(n, "", object), tp)
+        return pa.nulls(n, tp)  # nested types: object cells, no coercion
+
     def tag(side):
         def fn(t: pa.Table) -> pa.Table:
             t = t.filter(pc.is_valid(t[key_col]))
             keys = t[key_col].to_numpy(zero_copy_only=False)
+            pads = pad_types if side == 1 else pad_types_left
+            for c, tp in pads.items():
+                if c not in t.column_names:
+                    t = t.append_column(c, _sentinel(tp, t.num_rows))
             t = t.append_column(
                 "kshard", pa.array(_key_shards(keys, num_shards, 37),
                                    pa.int64()))
@@ -172,15 +210,6 @@ def asof_join(left, right, key_col: str, ts_col: str,
                 np.full(t.num_rows, side, np.int8), pa.int8()))
         return fn
 
-    rts = right_ts_col or ts_col
-    # capture the exact column sets up front so every group emits the
-    # SAME schema (selecting by all-null inference would drop a genuine
-    # left column that happens to be all-null for one shard)
-    left_cols = [n for n in left.schema().names]
-    right_cols = [n for n in right.schema().names]
-    out_right = [c for c in right_cols if c != key_col]
-    out_cols = left_cols + [c + suffix if c in left_cols else c
-                            for c in out_right]
     lt = left.map_batches(tag(0), batch_format="pyarrow")
     rt_named = right.map_batches(tag(1), batch_format="pyarrow")
 
@@ -344,6 +373,12 @@ def copartition_range_join_count(events, intervals, ts_col: str = "ts",
             .astype(np.int64)
 
     def iv_rows(t: pa.Table) -> pa.Table:
+        # null bounds/ids cannot bucket (and nullable->to_numpy turns
+        # the int math into NaN floats) — drop them up front, like
+        # every other exchange helper in this package
+        t = t.filter(pc.and_(pc.and_(pc.is_valid(t[start_col]),
+                                     pc.is_valid(t[end_col])),
+                             pc.is_valid(t[id_col])))
         s = _us(t[start_col])
         e = _us(t[end_col])
         ids = pc.cast(t[id_col], pa.string()).to_numpy(zero_copy_only=False)
@@ -364,12 +399,15 @@ def copartition_range_join_count(events, intervals, ts_col: str = "ts",
             "bshard": pa.array(_bshard(bucket), pa.int64()),
             "bucket": pa.array(bucket, pa.int64()),
             "side": pa.array(np.zeros(total, np.int8), pa.int8()),
-            "rid": pa.array(np.repeat(ids, counts)),
+            # explicit string type: an all-filtered batch would infer
+            # Arrow null and fail unification with sibling blocks
+            "rid": pa.array(np.repeat(ids, counts), pa.string()),
             "a": pa.array(lo, pa.int64()),
             "b": pa.array(hi, pa.int64()),
         })
 
     def ev_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[ts_col]))
         us = _us(t[ts_col])
         bucket = us // bus
         n = len(us)
@@ -402,25 +440,29 @@ def copartition_range_join_count(events, intervals, ts_col: str = "ts",
         ebk = ev["bucket"].to_numpy()
         order = np.lexsort((ets, ebk))
         ets, ebk = ets[order], ebk[order]
-        out_id, out_n = [], []
-        # python loop over DISTINCT buckets only; all of a bucket's
-        # intervals count in one vectorized double-searchsorted
-        ivbk = iv["bucket"].to_numpy()
-        for bk in np.unique(ivbk):
-            m = ivbk == bk
+        # ONE pass: sort intervals by bucket too, walk the distinct
+        # interval buckets via run boundaries (no per-bucket rescans
+        # of the whole shard's interval columns)
+        ivbk_raw = iv["bucket"].to_numpy()
+        iorder = np.argsort(ivbk_raw, kind="stable")
+        ivbk = ivbk_raw[iorder]
+        ilo = iv["a"].to_numpy()[iorder]
+        ihi = iv["b"].to_numpy()[iorder]
+        irid = iv["rid"].to_numpy()[iorder]
+        from .dedup import _group_starts
+        istarts, isizes = _group_starts(ivbk)
+        nn = np.empty(len(ivbk), np.int64)
+        for s0, m in zip(istarts, isizes):
+            bk = ivbk[s0]
             seg0, seg1 = np.searchsorted(ebk, [bk, bk + 1])
             seg = ets[seg0:seg1]
-            lo = iv["a"].to_numpy()[m]
-            hi = iv["b"].to_numpy()[m]
-            n = np.searchsorted(seg, hi, side="left") \
-                - np.searchsorted(seg, lo, side="left")
-            out_id.append(iv["rid"].to_numpy()[m])
-            out_n.append(n)
+            nn[s0:s0 + m] = np.searchsorted(seg, ihi[s0:s0 + m],
+                                            side="left") \
+                - np.searchsorted(seg, ilo[s0:s0 + m], side="left")
         # zero-count replicas are kept: every interval has >= 1 bucket
         # replica, so zero-match intervals surface in the final sum
         # without a separate zero-row union branch (one less exchange)
-        rid = np.concatenate(out_id)
-        nn = np.concatenate(out_n)
+        rid = irid
         return pd.DataFrame({
             "idshard": _key_shards(rid, num_shards, 43),
             "rid": rid, "n": nn.astype(np.int64)})

@@ -52,12 +52,13 @@ def pack_sequences(ds, tokens_col: str = "tokens", key_col: str = "doc_id",
         doc_lens = np.array([len(p) for p in parts], dtype=np.int64)
         stream = np.concatenate(parts) if parts else np.empty(0, np.int64)
         n = len(stream)
-        doc_keys = pa.Array.from_pandas(df[key_col])
         if n == 0:
             # typed empty block — an untyped empty DataFrame would
             # infer null columns and fail unification with non-empty
             # shards' list<int64>/string blocks.  doc_ids element type
-            # follows the corpus's actual key type.
+            # follows the corpus's actual key type (conversion only on
+            # this rare branch, not the hot packing path).
+            doc_keys = pa.Array.from_pandas(df[key_col])
             return pa.table({
                 "pack_id": pa.array([], pa.string()),
                 "tokens": pa.array([], pa.list_(pa.int64())),

@@ -404,9 +404,18 @@ class ValidationPipeline:
             # ``columns=`` only when it actually prunes: an explicit
             # full-width column list measurably slows the parquet read.
             read_kwargs: dict = {}
-            need = CompiledValidator(**ctor).read_columns()
+            # compile ONCE; the same instance serves as the stateless
+            # mapper below (the actor branch re-constructs per actor
+            # anyway)
+            compiled = CompiledValidator(**ctor)
+            need = compiled.read_columns()
             if need is not None:
-                avail = set(pq.read_schema(shard_files[0]).names)
+                # available = UNION over the shard's files: a column
+                # missing from one file (that file's schema violation)
+                # must still be READ from the files that have it
+                avail: set = set()
+                for f in shard_files:
+                    avail |= set(pq.read_schema(f).names)
                 use = [c for c in need if c in avail]
                 if use and set(use) < avail:
                     read_kwargs["columns"] = use
@@ -423,9 +432,9 @@ class ValidationPipeline:
                 tagged = ds.map_batches(CompiledValidator,
                                         fn_constructor_kwargs=ctor, **kwargs)
             else:
-                # stateless mode: compile once on the driver, ship the
-                # compiled validator in the (plasma-cached) task closure
-                tagged = ds.map_batches(CompiledValidator(**ctor), **kwargs)
+                # stateless mode: the instance compiled above for the
+                # projection ships as the (plasma-cached) task closure
+                tagged = ds.map_batches(compiled, **kwargs)
 
         if cfg.stream_violations:
             # heavy-violation mode (SCALE.md §7): violations are written

@@ -44,6 +44,20 @@ def hash_strings(values) -> np.ndarray:
     return pd.util.hash_array(arr, categorize=False)
 
 
+def default_exchange_shards() -> int:
+    """Cluster-proportional exchange width (4 tasks per core, floor
+    64) — THE sizing rule for every bounded integer-shard shuffle in
+    this package (dedup exchanges, uniqueness buckets, session shards,
+    range-join buckets).  One definition so the paths cannot diverge.
+    Resolved lazily at pipeline-construction time on the driver."""
+    import ray
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 16))
+    except Exception:  # noqa: BLE001
+        cpus = 16
+    return max(64, cpus * 4)
+
+
 def hash_strings2(values) -> np.ndarray:
     """Second INDEPENDENTLY-KEYED SipHash of the same strings (different
     SipHash key, not a mix of the first hash — mixing would collide

@@ -34,12 +34,8 @@ from ..sketches import hash_strings, mix64
 
 
 def _default_buckets() -> int:
-    import ray
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 16))
-    except Exception:  # noqa: BLE001
-        cpus = 16
-    return max(64, cpus * 4)
+    from ..sketches import default_exchange_shards
+    return default_exchange_shards()
 
 
 def _bucketize(key: str, num_buckets: int, pre_aggregate: bool):

@@ -420,3 +420,29 @@ def test_multi_column_uniqueness_single_pass(tmp_path):
     solo = {r["doc_id"]: r["dup_count"]
             for r in duplicate_keys(ds, "doc_id", 8).take_all()}
     assert solo == {"doc-000000000001": 4}
+
+
+def test_pruning_reads_columns_present_in_any_shard_file(tmp_path,
+                                                         sequences_schema):
+    """A declared column missing from ONE file (that file's schema
+    violation) must still be read and validated from the files that
+    have it — the pruning projection is the union over the shard's
+    files, not file 0's schema."""
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    full = _seq_table([f"doc-{i:012d}" for i in range(20)])
+    # a_missing sorts FIRST so the defective file is file 0
+    missing = full.slice(0, 10).drop_columns(["source"])
+    pq.write_table(missing, os.path.join(d, "a_missing.parquet"))
+    pq.write_table(full, os.path.join(d, "b_full.parquet"))
+
+    cfg = PipelineConfig(schema_cls=sequences_schema, input_paths=d,
+                         out_dir=str(tmp_path / "out"), fused=False,
+                         check_unique=False)
+    rep = ValidationPipeline(cfg).run()
+    # file 0 flags the missing column; file 1 must NOT (its source
+    # column was read and validated)
+    assert rep.partition_verdicts["a_missing.parquet"] == "fail"
+    assert rep.partition_verdicts["b_full.parquet"] == "pass"
+    assert any(k.startswith("schema(source)") or "source" in k
+               for k in rep.violation_counts)
