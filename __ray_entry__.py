@@ -980,6 +980,36 @@ def _q_packed_sequences(sf_dir: str) -> pa.Table:
     return out.sort_by("pack_id")
 
 
+def _q_packing_totals(sf_dir: str) -> pa.Table:
+    """Token-conservation invariant of sequence packing, made
+    oracle-checkable: the sum of real token counts across ALL packed
+    windows must equal the corpus's total word count (which SQL can
+    compute directly) — concat-and-cut loses or duplicates nothing."""
+    from pyschema_ray.functions.pack import pack_sequences
+    from pyschema_ray.sketches import hash_strings
+
+    def tokenize(t: pa.Table) -> pa.Table:
+        toks = []
+        for s in t["text"].to_pylist():
+            words = (s or "").split()
+            ids = (hash_strings(np.asarray(words, dtype=object))
+                   % np.uint64(50_000)).astype(np.int64) if words \
+                else np.empty(0, np.int64)
+            toks.append(ids)
+        return pa.table({"doc_id": t["doc_id"],
+                         "tokens": pa.array([x.tolist() for x in toks],
+                                            pa.list_(pa.int64()))})
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(tokenize, batch_format="pyarrow")
+    packed = pack_sequences(ds, max_len=128, num_shards=16)
+    total = packed.map_batches(
+        lambda t: t.select(["n_tokens"]), batch_format="pyarrow") \
+        .sum("n_tokens")
+    return pa.table({"total_tokens": pa.array([int(total or 0)],
+                                              pa.int64())})
+
+
 def _q_lsh_ann_topk(sf_dir: str) -> pa.Table:
     """LSH approximate top-k with multi-probe (rows-only: the result
     is approximate by design, so exact-match SQL is the wrong bar —
@@ -1029,6 +1059,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_user_event_pairs": _q_duplicate_user_event_pairs,
         "median_chars_per_source": _q_median_chars_per_source,
         "top_revenue_orders": _q_top_revenue_orders,
+        "packing_totals": _q_packing_totals,
         "clean_documents": _q_clean_documents,
         "events_hourly": _q_events_hourly,
         "minhash_dup_pairs": _q_minhash_dup_pairs,
@@ -1231,6 +1262,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
               FROM s GROUP BY user_id, session_id
              ORDER BY user_id, session_id
+        """,
+        "packing_totals": """
+            SELECT CAST(sum(len(regexp_split_to_array(
+                           trim(text), '\\s+'))) AS BIGINT)
+                       AS total_tokens
+              FROM documents
+             WHERE text IS NOT NULL AND trim(text) <> ''
         """,
         "top_revenue_orders": """
             SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
