@@ -778,6 +778,25 @@ def _q_simhash_dup_pairs(sf_dir: str) -> pa.Table:
     return t.sort_by([("key_a", "ascending"), ("key_b", "ascending")])
 
 
+def _q_winnow_dup_pairs(sf_dir: str) -> pa.Table:
+    """Exact-duplicate pairs via the winnowing candidate generator
+    (identical texts share every fingerprint, so recall is 1 at
+    Hamming-0), filtered to byte-identical text — oracle-checkable
+    like minhash_dup_pairs/simhash_dup_pairs; the third independent
+    dup-pair path."""
+    from pyschema_ray.functions.dedup import (filter_exact_text_pairs,
+                                              winnow_candidates)
+
+    docs = _dup_injected_docs(sf_dir)
+    cand = winnow_candidates(docs)
+    dup = filter_exact_text_pairs(cand, docs)
+    t = _collect(dup)
+    if t.num_rows == 0:
+        return pa.table({"key_a": pa.array([], pa.int64()),
+                         "key_b": pa.array([], pa.int64())})
+    return t.sort_by([("key_a", "ascending"), ("key_b", "ascending")])
+
+
 def _q_dedup_keep(sf_dir: str) -> pa.Table:
     """Composed distributed dedup keep-list (exact -> LSH -> Jaccard
     verify -> connected components); rows-only (near-dup semantics are
@@ -1064,6 +1083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "minhash_dup_pairs": _q_minhash_dup_pairs,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
+        "winnow_dup_pairs": _q_winnow_dup_pairs,
         "sample_documents_mod": _q_sample_documents_mod,
         "redacted_documents": _q_redacted_documents,
         "normalized_documents": _q_normalized_documents,
@@ -1348,6 +1368,20 @@ def oracle_sql() -> dict[str, str]:
              ORDER BY event_type, hour
         """,
         "minhash_dup_pairs": """
+            WITH docs2 AS (
+                SELECT doc_id, text FROM documents
+                 WHERE text IS NOT NULL AND trim(text) <> ''
+                UNION ALL
+                SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), text
+                  FROM documents
+                 WHERE text IS NOT NULL AND trim(text) <> ''
+                   AND doc_id % 10 = 0)
+            SELECT a.doc_id AS key_a, b.doc_id AS key_b
+              FROM docs2 a
+              JOIN docs2 b ON a.text = b.text AND a.doc_id < b.doc_id
+             ORDER BY key_a, key_b
+        """,
+        "winnow_dup_pairs": """
             WITH docs2 AS (
                 SELECT doc_id, text FROM documents
                  WHERE text IS NOT NULL AND trim(text) <> ''

@@ -859,6 +859,76 @@ def dedup_keep_keys(ds, text_col: str = "text", key_col: str = "doc_id",
     return tbl.sort_by(key_col)
 
 
+def winnow_candidates(ds, text_col: str = "text", key_col: str = "doc_id",
+                      k: int = 8, window: int = 16,
+                      num_shards: int | None = None,
+                      max_bucket: int = 50):
+    """Substring-level near-dup candidate pairs: documents sharing at
+    least one winnowing fingerprint (text.winnow_fingerprints_batch —
+    the MOSS guarantee: any shared substring of length >= window+k-1
+    surfaces a shared fingerprint).  Complements MinHash (whole-doc
+    set overlap) and SimHash (whole-doc bit profile) with CONTAINMENT
+    detection: a paragraph copied into an otherwise different
+    document.
+
+    Same exchange shape as the LSH generators: fingerprints explode to
+    (fp, key) rows, co-locate on a bounded fp-hash shard, and pairs
+    emit per fingerprint group.  ``max_bucket`` skips fingerprints
+    shared by more than that many docs (boilerplate substrings —
+    O(m^2) pair blowup with no dedup signal); skipped buckets are the
+    standard recall/cost knob, not silent truncation (documented
+    here).  Returns Dataset(key_a, key_b) distinct pairs."""
+    import pandas as pd
+
+    from .text import winnow_fingerprints_batch
+
+    nb = num_shards or _default_shards()
+
+    def explode(t: pa.Table) -> pa.Table:
+        t2 = winnow_fingerprints_batch(t, text_col, k=k, window=window)
+        fps = t2["fingerprints"]
+        if isinstance(fps, pa.ChunkedArray):
+            fps = fps.combine_chunks()
+        flat = fps.flatten()
+        counts = pc.list_value_length(fps).to_numpy(zero_copy_only=False)
+        keys = np.repeat(
+            np.asarray(t2[key_col].to_numpy(zero_copy_only=False)),
+            counts)
+        fp = flat.to_numpy(zero_copy_only=False)
+        shard = (mix64(fp.view(np.uint64), 59) % np.uint64(nb)) \
+            .astype(np.int64)
+        return pa.table({
+            "fshard": pa.array(shard, pa.int64()),
+            "fp": pa.array(fp, pa.int64()),
+            key_col: pa.array(keys),
+        })
+
+    def emit(df):
+        dup = df[df.duplicated(["fp"], keep=False)]
+        if dup.empty:
+            return pd.DataFrame({
+                "key_a": pd.Series([], dtype=df[key_col].dtype),
+                "key_b": pd.Series([], dtype=df[key_col].dtype)})
+        # one key may contribute a fingerprint many times across its
+        # windows only once (fingerprints are per-doc deduplicated by
+        # winnow_fingerprints_batch), so groups are distinct docs
+        dup = dup.sort_values(["fp", key_col], kind="stable")
+        fpv = dup["fp"].to_numpy()
+        starts, sizes = _group_starts(fpv)
+        keep = sizes <= max_bucket
+        if not np.all(keep):
+            starts, sizes = starts[keep], sizes[keep]
+        ia, ib = _triu_pairs(starts, sizes)
+        keys = dup[key_col].to_numpy()
+        ok = keys[ia] != keys[ib]
+        return pd.DataFrame({"key_a": keys[ia][ok],
+                             "key_b": keys[ib][ok]})
+
+    pairs = ds.map_batches(explode, batch_format="pyarrow") \
+        .groupby("fshard").map_groups(emit, batch_format="pandas")
+    return distinct_pairs(pairs, num_shards=nb)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
