@@ -549,6 +549,47 @@ def _q_bigram_frequencies(sf_dir: str) -> pa.Table:
     return _collect(out).sort_by([("ngram", "ascending")])
 
 
+def _q_top_words(sf_dir: str) -> pa.Table:
+    """Exact heavy hitters: top-25 words by frequency (per-shard exact
+    counts -> candidate heads -> final head; deterministic word
+    tie-break)."""
+    from pyschema_ray.functions.text import top_words
+
+    out = top_words(_read(sf_dir, "documents", columns=["text"]), k=25)
+    return _collect(out).sort_by([("n", "descending"),
+                                  ("word", "ascending")])
+
+
+def _q_ndv_users_per_event_type(sf_dir: str) -> pa.Table:
+    """Exact per-group distinct counting (count(DISTINCT user_id) per
+    event_type) via the dedup-combiner + key-shard exchange."""
+    from pyschema_ray.functions.analytics import grouped_ndv
+
+    out = grouped_ndv(_read(sf_dir, "events",
+                            columns=["event_type", "user_id"]),
+                      "event_type", "user_id")
+    t = _collect(out)
+    return pa.table({
+        "event_type": t["event_type"],
+        "ndv": pc.cast(t["ndv"], pa.int64()),
+    }).sort_by("event_type")
+
+
+def _q_ndv_users_per_event_type_hll(sf_dir: str) -> pa.Table:
+    """Per-group HLL distinct estimates (rows-only: sketch values are
+    approximate; 3-sigma tolerance is pytest-asserted against exact)."""
+    from pyschema_ray.functions.analytics import grouped_ndv_hll
+
+    est = grouped_ndv_hll(_read(sf_dir, "events",
+                                columns=["event_type", "user_id"]),
+                          "event_type", "user_id")
+    items = sorted(est.items())
+    return pa.table({
+        "event_type": pa.array([g for g, _ in items], pa.string()),
+        "ndv_est": pa.array([round(v) for _, v in items], pa.int64()),
+    })
+
+
 def _q_duplicate_user_event_pairs(sf_dir: str) -> pa.Table:
     """Composite-key uniqueness in one pass: (user_id, event_type)
     tuples appearing more than once — the multi-column analog of the
@@ -1079,6 +1120,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_chars_per_source": _q_median_chars_per_source,
         "top_revenue_orders": _q_top_revenue_orders,
         "packing_totals": _q_packing_totals,
+        "top_words": _q_top_words,
+        "ndv_users_per_event_type": _q_ndv_users_per_event_type,
         "clean_documents": _q_clean_documents,
         "events_hourly": _q_events_hourly,
         "minhash_dup_pairs": _q_minhash_dup_pairs,
@@ -1104,6 +1147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "packed_sequences": _q_packed_sequences,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "bigram_frequencies": _q_bigram_frequencies,
+        "ndv_users_per_event_type_hll": _q_ndv_users_per_event_type_hll,
     }
 
 
@@ -1282,6 +1326,23 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
               FROM s GROUP BY user_id, session_id
              ORDER BY user_id, session_id
+        """,
+        "top_words": """
+            WITH w AS (
+                SELECT unnest(regexp_split_to_array(
+                           lower(trim(text)), '\\s+')) AS word
+                  FROM documents
+                 WHERE text IS NOT NULL AND trim(text) <> '')
+            SELECT word, CAST(count(*) AS BIGINT) AS n
+              FROM w WHERE word <> '' GROUP BY word
+             ORDER BY n DESC, word LIMIT 25
+        """,
+        "ndv_users_per_event_type": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS ndv
+              FROM events
+             WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+             GROUP BY event_type ORDER BY event_type
         """,
         "packing_totals": """
             SELECT CAST(sum(len(regexp_split_to_array(

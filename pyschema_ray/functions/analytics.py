@@ -103,6 +103,98 @@ def grouped_exact_quantiles(ds, group_col: str, value_col: str,
                                              batch_format="pyarrow")
 
 
+def grouped_ndv(ds, group_col: str, key_col: str,
+                num_shards: int | None = None):
+    """EXACT per-group distinct-key counts (count(DISTINCT key) GROUP
+    BY group) at shuffle-safe scale: per batch an Arrow group_by
+    dedups (group, key) pairs (the combiner), the exchange carries
+    distinct pairs on a bounded KEY-hash shard (a key's duplicates
+    always co-shard, so cross-shard double counting is impossible and
+    the shard key stays integer/uniform even for 10^9 distinct keys),
+    per shard a second dedup + per-group count yields partials, and a
+    final small groupby sums them (group cardinality moderate by
+    contract).  Null groups/keys are ignored (SQL semantics).
+
+    -> Dataset(group_col, ndv int64)."""
+    import pyarrow.compute as pc
+
+    num_shards = num_shards or _default_shards()
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select([group_col, key_col])
+        t = t.filter(pc.and_(pc.is_valid(t[group_col]),
+                             pc.is_valid(t[key_col])))
+        g = t.group_by([group_col, key_col]).aggregate([])
+        keys = g[key_col].to_numpy(zero_copy_only=False)
+        return g.append_column(
+            "kshard", pa.array(_key_shards(keys, num_shards, 61),
+                               pa.int64()))
+
+    def count_shard(t: pa.Table) -> pa.Table:
+        g = t.group_by([group_col, key_col]).aggregate([])
+        c = g.group_by(group_col).aggregate([(key_col, "count")])
+        return c.select([group_col, f"{key_col}_count"]) \
+                .rename_columns([group_col, "ndv"])
+
+    import ray.data.aggregate as A
+
+    partials = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("kshard").map_groups(count_shard, batch_format="pyarrow")
+    out = partials.groupby(group_col).aggregate(A.Sum("ndv"))
+    return out.map_batches(
+        lambda t: t.rename_columns([group_col, "ndv"]),
+        batch_format="pyarrow")
+
+
+def grouped_ndv_hll(ds, group_col: str, key_col: str, p: int = 14):
+    """APPROXIMATE per-group distinct counts — the sketch path for
+    when :func:`grouped_ndv`'s distinct-pair exchange is itself too
+    large (10^9+ distinct keys per group): each batch emits one
+    serialized HLL per group present (p=14 -> 16 KB, ~0.8% error),
+    partials merge by register-max.  No key ever leaves its batch;
+    the exchange carries groups × blocks sketches.
+
+    Returns a driver-side dict {group: estimated_ndv} (group
+    cardinality is moderate by the same contract as grouped stats)."""
+    import pyarrow.compute as pc
+
+    from ..sketches import HyperLogLog, hash_strings, mix64
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select([group_col, key_col])
+        t = t.filter(pc.and_(pc.is_valid(t[group_col]),
+                             pc.is_valid(t[key_col])))
+        groups = t[group_col].to_numpy(zero_copy_only=False)
+        keys = np.asarray(t[key_col].to_numpy(zero_copy_only=False))
+        if keys.dtype.kind in "iu":
+            h = mix64(keys.astype(np.int64).view(np.uint64))
+        else:
+            h = hash_strings(keys)
+        out_g, out_b = [], []
+        order = np.argsort(groups, kind="stable")
+        g_sorted, h_sorted = groups[order], h[order]
+        starts, sizes = _group_starts(g_sorted)
+        for s, m in zip(starts, sizes):
+            hll = HyperLogLog(p).add_hashes(h_sorted[s:s + m])
+            out_g.append(g_sorted[s])
+            out_b.append(hll.to_bytes())
+        return pa.table({group_col: pa.array(out_g),
+                         "blob": pa.array(out_b, pa.binary())})
+
+    merged: dict = {}
+    small = ds.map_batches(partial, batch_format="pyarrow")
+    for b in small.iter_batches(batch_format="pyarrow"):
+        from ..sketches import HyperLogLog as H
+        for g, blob in zip(b[group_col].to_pylist(),
+                           b["blob"].to_pylist()):
+            s = H.from_bytes(blob)
+            if g in merged:
+                merged[g].merge(s)
+            else:
+                merged[g] = s
+    return {g: s.estimate() for g, s in merged.items()}
+
+
 def grouped_topk(ds, group_col: str, order_col: str, k: int,
                  tiebreak_col: str, descending: bool = True,
                  num_shards: int | None = None,

@@ -290,6 +290,29 @@ def word_frequencies(ds, text_col: str = "text",
         .groupby("wshard").map_groups(total, batch_format="pyarrow")
 
 
+def top_words(ds, text_col: str = "text", k: int = 100,
+              num_shards: int | None = None, lowercase: bool = True):
+    """EXACT top-k most frequent words — heavy hitters without a
+    sketch: after :func:`word_frequencies`' word-hash exchange every
+    word's GLOBAL count lives wholly in one shard, so a per-shard
+    head-k followed by a final head-k over the (k × shards)-row
+    candidate set is exact (no Misra-Gries error bound needed).  Ties
+    break ascending on the word so results are deterministic and
+    SQL-oracle-comparable.
+
+    -> Dataset(word, n) of exactly min(k, vocab) rows."""
+    freqs = word_frequencies(ds, text_col, num_shards, lowercase)
+
+    def head(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("n", "descending"), ("word", "ascending")])
+        return t.slice(0, k)
+
+    # per-batch head is superset-safe under any block coalescing:
+    # each word's total is complete within its shard's rows
+    cand = freqs.map_batches(head, batch_format="pyarrow")
+    return cand.repartition(1).map_batches(head, batch_format="pyarrow")
+
+
 def ngram_frequencies(ds, text_col: str = "text", n: int = 2,
                       num_shards: int | None = None,
                       min_count: int = 1):
