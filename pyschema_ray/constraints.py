@@ -42,6 +42,24 @@ def _true_for_null(mask, col) -> pa.ChunkedArray | pa.Array:
     return pc.fill_null(pc.or_kleene(mask, pc.is_null(col)), True)
 
 
+def _col(table: pa.Table, path: str):
+    """Resolve a (possibly dotted) column path: ``'a.b'`` reads struct
+    field ``b`` of column ``a`` via ``pc.struct_field`` — the
+    vectorized access for SubRecord-nested constraints.  A null parent
+    struct yields null children (which non-NotNull constraints treat
+    as valid, matching the row path's skip-children-of-null-record
+    semantics)."""
+    if "." not in path:
+        return table[path]
+    parts = path.split(".")
+    col = table[parts[0]]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    for p in parts[1:]:
+        col = pc.struct_field(col, p)
+    return col
+
+
 class Constraint:
     """Base.  ``name`` is the frozen identifier that appears in
     violation rows and the manifest; ``detail`` the frozen human string.
@@ -60,6 +78,25 @@ class Constraint:
         """Return BooleanArray/ChunkedArray, True where the row is valid."""
         raise NotImplementedError
 
+    def rebind(self, prefix: str) -> "Constraint":
+        """Copy of this constraint with its column path(s) prefixed
+        (``'inner' -> 'parent.inner'``) — how SubRecord hoists its
+        record class's field constraints into vectorized dotted-path
+        checks.  Name/detail strings are rewritten on the first
+        occurrence of each path so violation rows read
+        ``not_null(parent.inner)``."""
+        import copy
+        c = copy.copy(self)
+        for attr in ("column", "list_column"):
+            old = getattr(c, attr, None)
+            if old is None:
+                continue
+            new = f"{prefix}.{old}"
+            setattr(c, attr, new)
+            c.name = c.name.replace(old, new, 1)
+            c.detail = c.detail.replace(old, new, 1)
+        return c
+
     def __repr__(self):
         return f"<{type(self).__name__} {self.name}>"
 
@@ -72,7 +109,14 @@ class NotNull(Constraint):
         self.detail = f"{column} is null"
 
     def mask(self, table):
-        return pc.is_valid(table[self.column])
+        m = pc.is_valid(_col(table, self.column))
+        if "." in self.column:
+            # a null parent record is governed by the PARENT's own
+            # not_null; its absent children are not violations (the
+            # row path never descends into a null record)
+            parent = _col(table, self.column.rsplit(".", 1)[0])
+            m = pc.or_(m, pc.is_null(parent))
+        return m
 
 
 @register_constraint
@@ -88,8 +132,8 @@ class Regex(Constraint):
         self.detail = f"{column} !~ /{pattern}/"
 
     def mask(self, table):
-        m = pc.match_substring_regex(table[self.column], self.pattern)
-        return _true_for_null(m, table[self.column])
+        m = pc.match_substring_regex(_col(table, self.column), self.pattern)
+        return _true_for_null(m, _col(table, self.column))
 
 
 @register_constraint
@@ -104,7 +148,7 @@ class Range(Constraint):
         self.detail = f"{column} not in [{min}, {max}]"
 
     def mask(self, table):
-        col = table[self.column]
+        col = _col(table, self.column)
         m = None
         if self.min is not None:
             m = pc.greater_equal(col, self.min)
@@ -126,9 +170,9 @@ class InSet(Constraint):
         self._value_set = pa.array(self.values)
 
     def mask(self, table):
-        m = pc.is_in(table[self.column], value_set=self._value_set)
+        m = pc.is_in(_col(table, self.column), value_set=self._value_set)
         # is_in returns False (not null) for null inputs; still normalize
-        return _true_for_null(m, table[self.column])
+        return _true_for_null(m, _col(table, self.column))
 
 
 @register_constraint
@@ -141,14 +185,14 @@ class Utf8Length(Constraint):
         self.detail = f"len({column}) not in [{min_length}, {max_length}]"
 
     def mask(self, table):
-        n = pc.utf8_length(table[self.column])
+        n = pc.utf8_length(_col(table, self.column))
         m = None
         if self.min_length is not None:
             m = pc.greater_equal(n, self.min_length)
         if self.max_length is not None:
             hi = pc.less_equal(n, self.max_length)
             m = hi if m is None else pc.and_kleene(m, hi)
-        return _true_for_null(m, table[self.column])
+        return _true_for_null(m, _col(table, self.column))
 
 
 @register_constraint
@@ -161,14 +205,14 @@ class ListLength(Constraint):
         self.detail = f"len({column}) not in [{min_items}, {max_items}]"
 
     def mask(self, table):
-        n = pc.list_value_length(table[self.column])
+        n = pc.list_value_length(_col(table, self.column))
         m = None
         if self.min_items is not None:
             m = pc.greater_equal(n, self.min_items)
         if self.max_items is not None:
             hi = pc.less_equal(n, self.max_items)
             m = hi if m is None else pc.and_kleene(m, hi)
-        return _true_for_null(m, table[self.column])
+        return _true_for_null(m, _col(table, self.column))
 
 
 @register_constraint
@@ -184,11 +228,11 @@ class LengthEquals(Constraint):
         self.detail = f"{column} != len({list_column})"
 
     def mask(self, table):
-        n = pc.list_value_length(table[self.list_column])
-        m = pc.equal(pc.cast(table[self.column], pa.int64()),
+        n = pc.list_value_length(_col(table, self.list_column))
+        m = pc.equal(pc.cast(_col(table, self.column), pa.int64()),
                      pc.cast(n, pa.int64()))
-        m = _true_for_null(m, table[self.column])
-        return pc.fill_null(pc.or_kleene(m, pc.is_null(table[self.list_column])), True)
+        m = _true_for_null(m, _col(table, self.column))
+        return pc.fill_null(pc.or_kleene(m, pc.is_null(_col(table, self.list_column))), True)
 
 
 @register_constraint
@@ -206,7 +250,7 @@ class ElementRange(Constraint):
         self.detail = f"{self.column} has element outside [{min}, {max})"
 
     def mask(self, table):
-        col = table[self.column]
+        col = _col(table, self.column)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         if isinstance(col, pa.ChunkedArray):  # zero-chunk edge
@@ -303,5 +347,5 @@ class Referential(Constraint):
         self._value_set = pa.array(sorted(set(values)))
 
     def mask(self, table):
-        m = pc.is_in(table[self.column], value_set=self._value_set)
-        return _true_for_null(m, table[self.column])
+        m = pc.is_in(_col(table, self.column), value_set=self._value_set)
+        return _true_for_null(m, _col(table, self.column))

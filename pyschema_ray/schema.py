@@ -415,6 +415,18 @@ class SubRecord(Field):
         return pa.struct([pa.field(n, f.arrow_type(), nullable=f.nullable)
                           for n, f in self.record_cls._fields.items()])
 
+    def constraints(self):
+        """Own nullability plus the nested record's field constraints,
+        hoisted to dotted paths (``parent.child``) — the vectorized
+        analog of the reference's recursive ``from_json_compatible``
+        descent (children of a NULL record are skipped on both paths).
+        Nested ``unique``/``references`` declarations are not hoisted
+        (global checks stay top-level by design)."""
+        out = super().constraints()
+        for f in self.record_cls._fields.values():
+            out.extend(c.rebind(self.name) for c in f.constraints())
+        return out
+
 
 # ---------------------------------------------------------------------------
 # SchemaStore + Record metaclass

@@ -256,7 +256,10 @@ class CompiledValidator:
                         for a in ("column", "list_column")]
             if all(v is None for v in declared):
                 return None  # opaque constraint — cannot prune safely
-            cols.update(v for v in declared if v is not None)
+            # dotted nested paths ('parent.child') read the TOP-LEVEL
+            # struct column from parquet
+            cols.update(v.split(".")[0] for v in declared
+                        if v is not None)
         if self.stats is not None:
             for attr in ("quantile_column", "cardinality_column",
                          "histogram_column", "histogram_group"):
@@ -330,7 +333,7 @@ class CompiledValidator:
             row_counts.append(0)
 
         checkable = {c for c in self.constraints
-                     if _columns_present(c, table.column_names)}
+                     if _columns_present(c, table.schema)}
         key_col = (pc.cast(table[self.key_field], pa.string())
                    if self.key_field in table.column_names
                    else pa.nulls(n, pa.string()))
@@ -386,9 +389,27 @@ class CompiledValidator:
             "row_count": pa.array(row_counts, pa.int64()),
         }, schema=RESULT_SCHEMA)
 
-def _columns_present(c: Constraint, names) -> bool:
+def _path_present(schema: pa.Schema, path: str) -> bool:
+    """True when the (possibly dotted) column path resolves in this
+    batch's ACTUAL schema — a struct missing the nested field must
+    surface as the schema-conformance violation, not a crashed task."""
+    parts = path.split(".")
+    if parts[0] not in schema.names:
+        return False
+    t = schema.field(parts[0]).type
+    for p in parts[1:]:
+        if not pa.types.is_struct(t):
+            return False
+        idx = t.get_field_index(p)
+        if idx < 0:
+            return False
+        t = t.field(idx).type
+    return True
+
+
+def _columns_present(c: Constraint, schema: pa.Schema) -> bool:
     cols = [getattr(c, "column", None), getattr(c, "list_column", None)]
-    return all(col is None or col in names for col in cols)
+    return all(col is None or _path_present(schema, col) for col in cols)
 
 
 _CAST_OK = {
