@@ -820,17 +820,22 @@ def _q_simhash_dup_pairs(sf_dir: str) -> pa.Table:
 
 
 def _q_winnow_dup_pairs(sf_dir: str) -> pa.Table:
-    """Exact-duplicate pairs via the winnowing candidate generator
-    (identical texts share every fingerprint, so recall is 1 at
-    Hamming-0), filtered to byte-identical text — oracle-checkable
-    like minhash_dup_pairs/simhash_dup_pairs; the third independent
-    dup-pair path."""
-    from pyschema_ray.functions.dedup import (filter_exact_text_pairs,
+    """Exact-duplicate pairs via the winnowing candidate generator,
+    filtered to byte-identical text, then expanded to the transitive
+    closure's all-pairs (component_all_pairs).  Identical texts share
+    every fingerprint, so each exact-dup cluster is connected in the
+    candidate graph even above winnow_candidates' ``max_bucket`` cap
+    (over-cap buckets emit star pairs); text equality is transitive,
+    so the closure of the exact-filtered graph IS the SQL self-join's
+    all-pairs answer — recall 1 with no cap caveat.  The third
+    independent dup-pair path after minhash/simhash."""
+    from pyschema_ray.functions.dedup import (component_all_pairs,
+                                              filter_exact_text_pairs,
                                               winnow_candidates)
 
     docs = _dup_injected_docs(sf_dir)
     cand = winnow_candidates(docs)
-    dup = filter_exact_text_pairs(cand, docs)
+    dup = component_all_pairs(filter_exact_text_pairs(cand, docs))
     t = _collect(dup)
     if t.num_rows == 0:
         return pa.table({"key_a": pa.array([], pa.int64()),

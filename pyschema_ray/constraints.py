@@ -83,18 +83,30 @@ class Constraint:
         (``'inner' -> 'parent.inner'``) — how SubRecord hoists its
         record class's field constraints into vectorized dotted-path
         checks.  Name/detail strings are rewritten on the first
-        occurrence of each path so violation rows read
-        ``not_null(parent.inner)``."""
+        STANDALONE occurrence of each path (token-bounded, and for
+        ``kind(args)``-shaped names only inside the parentheses), so a
+        short column name like ``'n'`` can never hit the ``not_null``
+        kind prefix: the frozen id stays ``not_null(parent.n)``."""
         import copy
+        import re
         c = copy.copy(self)
+
+        def rewrite(s: str, old: str, new: str, in_args: bool) -> str:
+            # token-bounded: not inside a word or another dotted path
+            pat = re.compile(rf"(?<![\w.]){re.escape(old)}(?![\w.])")
+            if in_args and "(" in s:
+                i = s.index("(") + 1
+                return s[:i] + pat.sub(new, s[i:], count=1)
+            return pat.sub(new, s, count=1)
+
         for attr in ("column", "list_column"):
             old = getattr(c, attr, None)
             if old is None:
                 continue
             new = f"{prefix}.{old}"
             setattr(c, attr, new)
-            c.name = c.name.replace(old, new, 1)
-            c.detail = c.detail.replace(old, new, 1)
+            c.name = rewrite(c.name, old, new, in_args=True)
+            c.detail = rewrite(c.detail, old, new, in_args=False)
         return c
 
     def __repr__(self):

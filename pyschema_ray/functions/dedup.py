@@ -758,6 +758,42 @@ def connected_components(pairs, num_shards: int | None = None,
     return state.map_batches(final_labels, batch_format="pyarrow")
 
 
+def component_all_pairs(pairs, num_shards: int | None = None):
+    """Transitive-closure ALL-pairs of a (key_a, key_b) edge Dataset:
+    run :func:`connected_components`, co-locate each component on one
+    label-hash shard, and emit every (a, b), a < b, within each
+    component.  Turns a connectivity-preserving candidate graph (e.g.
+    :func:`winnow_candidates` star pairs above ``max_bucket``, after
+    :func:`filter_exact_text_pairs`) back into the full pair set a SQL
+    self-join oracle produces — output cardinality is sum m(m-1)/2
+    over components, i.e. exactly what any all-pairs consumer must
+    materialize anyway.  Returns Dataset(key_a, key_b)."""
+    import pandas as pd
+
+    num_shards = num_shards or _default_shards()
+    labels = connected_components(pairs, num_shards=num_shards)
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        lab = t["label"].combine_chunks() \
+            if isinstance(t["label"], pa.ChunkedArray) else t["label"]
+        shard = pa.array(_key_shards(
+            lab.to_numpy(zero_copy_only=False), num_shards, 31), pa.int64())
+        return t.append_column("lshard", shard)
+
+    def emit(df):
+        if len(df) < 2:
+            return pd.DataFrame({"key_a": pd.Series([], dtype=df["node"].dtype),
+                                 "key_b": pd.Series([], dtype=df["node"].dtype)})
+        df = df.sort_values(["label", "node"], kind="stable")
+        starts, sizes = _group_starts(df["label"].to_numpy())
+        ia, ib = _triu_pairs(starts, sizes)
+        nodes = df["node"].to_numpy()
+        return pd.DataFrame({"key_a": nodes[ia], "key_b": nodes[ib]})
+
+    return labels.map_batches(add_shard, batch_format="pyarrow") \
+        .groupby("lshard").map_groups(emit, batch_format="pandas")
+
+
 def dedup_keep_keys_ds(ds, text_col: str = "text", key_col: str = "doc_id",
                        jaccard_threshold: float = 0.8, num_hashes: int = 64,
                        shingle_words: int = 3, bands: int = 16,
@@ -873,11 +909,16 @@ def winnow_candidates(ds, text_col: str = "text", key_col: str = "doc_id",
 
     Same exchange shape as the LSH generators: fingerprints explode to
     (fp, key) rows, co-locate on a bounded fp-hash shard, and pairs
-    emit per fingerprint group.  ``max_bucket`` skips fingerprints
-    shared by more than that many docs (boilerplate substrings —
-    O(m^2) pair blowup with no dedup signal); skipped buckets are the
-    standard recall/cost knob, not silent truncation (documented
-    here).  Returns Dataset(key_a, key_b) distinct pairs."""
+    emit per fingerprint group.  ``max_bucket`` caps the O(m^2) pair
+    blowup of fingerprints shared by more than that many docs
+    (boilerplate substrings): over-cap buckets emit STAR pairs
+    (group-min key to each other member, m-1 edges) instead of being
+    dropped, so every dup cluster — including an exact-dup cluster
+    larger than the cap, whose members share *all* fingerprints —
+    stays connected and recall 1 holds for closure-based consumers
+    (connected components / :func:`component_all_pairs`).  The raw
+    pair list itself is NOT the full pair closure above the cap.
+    Returns Dataset(key_a, key_b) distinct pairs."""
     import pandas as pd
 
     from .text import winnow_fingerprints_batch
@@ -915,14 +956,25 @@ def winnow_candidates(ds, text_col: str = "text", key_col: str = "doc_id",
         dup = dup.sort_values(["fp", key_col], kind="stable")
         fpv = dup["fp"].to_numpy()
         starts, sizes = _group_starts(fpv)
-        keep = sizes <= max_bucket
-        if not np.all(keep):
-            starts, sizes = starts[keep], sizes[keep]
-        ia, ib = _triu_pairs(starts, sizes)
         keys = dup[key_col].to_numpy()
+        keep = sizes <= max_bucket
+        ia, ib = _triu_pairs(starts[keep], sizes[keep])
         ok = keys[ia] != keys[ib]
-        return pd.DataFrame({"key_a": keys[ia][ok],
-                             "key_b": keys[ib][ok]})
+        key_a, key_b = keys[ia][ok], keys[ib][ok]
+        if not np.all(keep):
+            # over-cap buckets degrade to STAR pairs (group-min key to
+            # each other member): m-1 edges instead of m(m-1)/2, but
+            # every member stays connected to the cluster, so recall 1
+            # holds for any closure consumer (connected-components
+            # dedup, component_all_pairs expansion).  Keys are sorted
+            # within the fp group, so index ``start`` is the min key.
+            sa, sz = starts[~keep], sizes[~keep]
+            others = np.concatenate(
+                [np.arange(s + 1, s + m) for s, m in zip(sa, sz)])
+            mins = np.repeat(sa, sz - 1)
+            key_a = np.concatenate([key_a, keys[mins]])
+            key_b = np.concatenate([key_b, keys[others]])
+        return pd.DataFrame({"key_a": key_a, "key_b": key_b})
 
     pairs = ds.map_batches(explode, batch_format="pyarrow") \
         .groupby("fshard").map_groups(emit, batch_format="pandas")

@@ -286,15 +286,25 @@ def broadcast_range_join_count(ds, intervals: pa.Table, ts_col: str = "ts",
     time bucket) instead.
 
     Returns a pa.Table(id_col, n_events) — interval ids with zero
-    matches included.
+    matches included; degenerate (end <= start) and null-bound
+    intervals are included with n_events = 0; null-id intervals are
+    excluded (same contract as the co-partitioned variant).
     """
     import ray
 
+    intervals = intervals.filter(pc.is_valid(intervals[id_col]))
     ids = intervals[id_col].to_numpy(zero_copy_only=False)
     starts = intervals[start_col].to_numpy(zero_copy_only=False) \
         .astype("datetime64[us]").astype(np.int64)
     ends = intervals[end_col].to_numpy(zero_copy_only=False) \
         .astype("datetime64[us]").astype(np.int64)
+    # null bounds arrive as NaT -> int64 min; zero them so the probe
+    # pair is an empty range instead of garbage offsets
+    bounds_ok = pc.and_(pc.is_valid(intervals[start_col]),
+                        pc.is_valid(intervals[end_col])) \
+        .to_numpy(zero_copy_only=False)
+    starts = np.where(bounds_ok, starts, 0)
+    ends = np.where(bounds_ok, ends, 0)
     ref = ray.put((starts, ends))
 
     def partial(t: pa.Table) -> pa.Table:
@@ -304,8 +314,10 @@ def broadcast_range_join_count(ds, intervals: pa.Table, ts_col: str = "ts",
         ts = pc.cast(t[ts_col], pa.timestamp("us"))
         us = np.sort(pc.cast(ts, pa.int64())
                      .to_numpy(zero_copy_only=False))
-        counts = (np.searchsorted(us, e, side="left")
-                  - np.searchsorted(us, s, side="left"))
+        # clamp: a degenerate interval (e <= s) must count 0, not the
+        # negative difference of its two probes
+        counts = np.maximum(np.searchsorted(us, e, side="left")
+                            - np.searchsorted(us, s, side="left"), 0)
         # only intervals this block actually overlaps (usually few):
         # the downstream exchange stays O(overlapping), not blocks × I
         nz = np.flatnonzero(counts)
@@ -349,7 +361,11 @@ def copartition_range_join_count(events, intervals, ts_col: str = "ts",
     bounded (replication factor ~ length/bucket_s + 1 — pick bucket_s
     near the typical interval length) and one time-bucket shard's
     events fit a task.  Returns Dataset(id_col, n_events) with
-    zero-match intervals included; both inputs are Datasets and stream.
+    zero-match intervals included; degenerate (end <= start) and
+    null-bound intervals ride a zero-count side branch so they appear
+    with n_events = 0 exactly like the broadcast variant; null-id
+    intervals are excluded (both variants).  Both inputs are Datasets
+    and stream.
     """
     import pandas as pd
 
@@ -372,16 +388,29 @@ def copartition_range_join_count(events, intervals, ts_col: str = "ts",
         return (_key_hash(bucket, 41) % np.uint64(num_shards)) \
             .astype(np.int64)
 
+    # "rid" travels the exchange in the id's NATIVE type (int ids stay
+    # int64 end-to-end): a cast-to-string column would make every
+    # pandas shard frame carry an object column, which defeats Ray's
+    # cheap block size estimation (and warns on empty blocks)
+    def _rid_sentinel(n: int) -> pa.Array:
+        # placeholder rid for event rows (never read — iv rows only)
+        if pa.types.is_string(id_type) or pa.types.is_large_string(id_type):
+            return pa.array(np.full(n, "", object), id_type)
+        try:
+            return pc.cast(pa.array(np.zeros(n, np.int64)), id_type)
+        except pa.ArrowInvalid:  # exotic id type: nulls, rid unread
+            return pa.nulls(n, id_type)
+
     def iv_rows(t: pa.Table) -> pa.Table:
         # null bounds/ids cannot bucket (and nullable->to_numpy turns
-        # the int math into NaN floats) — drop them up front, like
-        # every other exchange helper in this package
+        # the int math into NaN floats) — drop them up front; valid-id
+        # rows among them re-enter through the zero-count branch below
         t = t.filter(pc.and_(pc.and_(pc.is_valid(t[start_col]),
                                      pc.is_valid(t[end_col])),
                              pc.is_valid(t[id_col])))
         s = _us(t[start_col])
         e = _us(t[end_col])
-        ids = pc.cast(t[id_col], pa.string()).to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
         ok = e > s
         s, e, ids = s[ok], e[ok], ids[ok]
         first = s // bus
@@ -399,9 +428,9 @@ def copartition_range_join_count(events, intervals, ts_col: str = "ts",
             "bshard": pa.array(_bshard(bucket), pa.int64()),
             "bucket": pa.array(bucket, pa.int64()),
             "side": pa.array(np.zeros(total, np.int8), pa.int8()),
-            # explicit string type: an all-filtered batch would infer
-            # Arrow null and fail unification with sibling blocks
-            "rid": pa.array(np.repeat(ids, counts), pa.string()),
+            # explicit type: an all-filtered batch would infer Arrow
+            # null and fail unification with sibling blocks
+            "rid": pa.array(np.repeat(ids, counts), type=id_type),
             "a": pa.array(lo, pa.int64()),
             "b": pa.array(hi, pa.int64()),
         })
@@ -415,9 +444,9 @@ def copartition_range_join_count(events, intervals, ts_col: str = "ts",
             "bshard": pa.array(_bshard(bucket), pa.int64()),
             "bucket": pa.array(bucket, pa.int64()),
             "side": pa.array(np.ones(n, np.int8), pa.int8()),
-            # non-null placeholder (null object cells degrade pandas
-            # dtypes inside map_groups)
-            "rid": pa.array(np.full(n, "", object), pa.string()),
+            # non-null placeholder (null cells would degrade pandas
+            # int64 rid to float64 inside map_groups)
+            "rid": _rid_sentinel(n),
             "a": pa.array(us, pa.int64()),
             "b": pa.array(np.zeros(n, np.int64), pa.int64()),
         })
@@ -433,9 +462,10 @@ def copartition_range_join_count(events, intervals, ts_col: str = "ts",
         ev = df.loc[side == 1]
         iv = df.loc[side == 0]
         if iv.empty:
-            return pd.DataFrame({"idshard": np.empty(0, np.int64),
-                                 "rid": np.empty(0, object),
-                                 "n": np.empty(0, np.int64)})
+            return pd.DataFrame({
+                "idshard": pd.Series([], dtype=np.int64),
+                "rid": pd.Series([], dtype=df["rid"].dtype),
+                "n": pd.Series([], dtype=np.int64)})
         ets = ev["a"].to_numpy()
         ebk = ev["bucket"].to_numpy()
         order = np.lexsort((ets, ebk))
@@ -469,6 +499,30 @@ def copartition_range_join_count(events, intervals, ts_col: str = "ts",
 
     partials = union.groupby("bshard").map_groups(count_shard,
                                                   batch_format="pandas")
+
+    id_is_int = pa.types.is_integer(id_type)
+
+    def zero_rows(df):
+        # degenerate (end <= start) and null-bound intervals with a
+        # valid id: zero-count partials so they surface in the output
+        # exactly like the broadcast variant (NaT comparisons are
+        # False, which routes null bounds here)
+        from .dedup import _key_shards
+        df = df[df[id_col].notna()]
+        live = (df[start_col].notna() & df[end_col].notna()
+                & (df[end_col] > df[start_col]))
+        ids = df.loc[~live, id_col].to_numpy()
+        if id_is_int:
+            # a nullable int id column arrives as float64 in pandas;
+            # restore int64 so blocks unify with count_shard's rid
+            ids = ids.astype(np.int64)
+        return pd.DataFrame({
+            "idshard": _key_shards(ids, num_shards, 43),
+            "rid": ids,
+            "n": np.zeros(len(ids), np.int64)})
+
+    partials = partials.union(
+        intervals.map_batches(zero_rows, batch_format="pandas"))
 
     def total_per_id(df):
         g = df.groupby("rid", sort=False)["n"].sum()

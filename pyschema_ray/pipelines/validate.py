@@ -182,6 +182,7 @@ class ValidationPipeline:
 
         completed = self.manifest.completed_shards()
         for sid, rec in completed.items():
+            _normalize_legacy_lineage_ids(rec, self._root)
             if rec.get("schema_hash") != self.schema_hash:
                 raise RuntimeError(
                     f"manifest shard {sid} was produced with a different "
@@ -562,6 +563,26 @@ def _lineage_id(path: str, root: str) -> str:
         # marker — unique by construction and visibly external
         return "ext:" + os.path.abspath(path).lstrip(os.sep)
     return os.path.basename(path)
+
+
+def _normalize_legacy_lineage_ids(rec: dict, root: str) -> dict:
+    """Manifest shard records written before the ``ext:`` convention
+    recorded out-of-root inputs as ``../``-chain relative ids; rewrite
+    those keys to the current form ON LOAD so a resumed run reports one
+    id per physical file instead of duplicating verdict entries under
+    two styles.  Matching is by reconstructed abspath, so the rewrite
+    is exact, not cosmetic."""
+    if not root:
+        return rec
+    for field in ("rows_per_file", "partition_digests"):
+        m = rec.get(field)
+        if not m or not any(k.startswith("..") for k in m):
+            continue
+        rec[field] = {
+            ("ext:" + os.path.abspath(os.path.join(root, k)).lstrip(os.sep)
+             if k.startswith("..") else k): v
+            for k, v in m.items()}
+    return rec
 
 
 def _strip_path_prefix(viol: pa.Table, root: str) -> pa.Table:
