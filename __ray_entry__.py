@@ -539,9 +539,10 @@ def _q_word_frequencies(sf_dir: str) -> pa.Table:
 
 
 def _q_bigram_frequencies(sf_dir: str) -> pa.Table:
-    """Word-bigram frequency table over documents (rows-only: the
-    shorter-than-n partial-gram convention is not worth reproducing in
-    SQL; the kernel is Counter-verified in pytest)."""
+    """Word-bigram frequency table over documents, oracle-checked:
+    the SQL reproduces the partial-gram convention (a document shorter
+    than n words contributes its whole lowercased text as one gram)
+    with list slicing over regexp_split_to_array."""
     from pyschema_ray.functions.text import ngram_frequencies
 
     out = ngram_frequencies(_read(sf_dir, "documents", columns=["text"]),
@@ -1022,22 +1023,14 @@ def _q_packed_sequences(sf_dir: str) -> pa.Table:
     SipHash token ids are not SQL-expressible; invariants are
     pytest-covered in tests/test_pack_sample.py)."""
     from pyschema_ray.functions.pack import pack_sequences
-    from pyschema_ray.sketches import hash_strings
+    from pyschema_ray.functions.text import tokenize_hash_batch
 
     def tokenize(t: pa.Table) -> pa.Table:
-        toks = []
-        for s in t["text"].to_pylist():
-            words = (s or "").split()
-            ids = (hash_strings(np.asarray(words, dtype=object))
-                   % np.uint64(50_000)).astype(np.int64) if words \
-                else np.empty(0, np.int64)
-            toks.append(ids)
-        return pa.table({"doc_id": t["doc_id"],
-                         "tokens": pa.array([x.tolist() for x in toks],
-                                            pa.list_(pa.int64()))})
+        return tokenize_hash_batch(t, vocab_mod=50_000) \
+            .select(["doc_id", "tokens"])
 
-    ds = _read(sf_dir, "documents").map_batches(tokenize,
-                                                batch_format="pyarrow")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(tokenize, batch_format="pyarrow")
     packed = pack_sequences(ds, max_len=128, num_shards=16)
     out = _collect(packed.map_batches(
         lambda t: t.select(["pack_id", "n_tokens", "n_docs"]),
@@ -1051,19 +1044,11 @@ def _q_packing_totals(sf_dir: str) -> pa.Table:
     windows must equal the corpus's total word count (which SQL can
     compute directly) — concat-and-cut loses or duplicates nothing."""
     from pyschema_ray.functions.pack import pack_sequences
-    from pyschema_ray.sketches import hash_strings
+    from pyschema_ray.functions.text import tokenize_hash_batch
 
     def tokenize(t: pa.Table) -> pa.Table:
-        toks = []
-        for s in t["text"].to_pylist():
-            words = (s or "").split()
-            ids = (hash_strings(np.asarray(words, dtype=object))
-                   % np.uint64(50_000)).astype(np.int64) if words \
-                else np.empty(0, np.int64)
-            toks.append(ids)
-        return pa.table({"doc_id": t["doc_id"],
-                         "tokens": pa.array([x.tolist() for x in toks],
-                                            pa.list_(pa.int64()))})
+        return tokenize_hash_batch(t, vocab_mod=50_000) \
+            .select(["doc_id", "tokens"])
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
         .map_batches(tokenize, batch_format="pyarrow")
@@ -1384,6 +1369,23 @@ def oracle_sql() -> dict[str, str]:
                  WHERE text IS NOT NULL AND trim(text) <> '')
             SELECT word, CAST(count(*) AS BIGINT) AS n
               FROM w WHERE word <> '' GROUP BY word ORDER BY word
+        """,
+        "bigram_frequencies": """
+            WITH docs AS (
+                SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+                  FROM documents
+                 WHERE text IS NOT NULL AND trim(text) <> ''),
+            grams AS (
+                SELECT w[g.i] || ' ' || w[g.i + 1] AS ngram
+                  FROM docs, LATERAL (
+                       SELECT unnest(generate_series(1, len(w) - 1)) AS i) g
+                UNION ALL
+                -- the partial-gram convention: a document shorter than
+                -- n words contributes its whole text as one gram
+                SELECT array_to_string(w, ' ') AS ngram
+                  FROM docs WHERE len(w) < 2)
+            SELECT ngram, CAST(count(*) AS BIGINT) AS n
+              FROM grams GROUP BY ngram ORDER BY ngram
         """,
         "duplicate_user_event_pairs": """
             SELECT user_id, event_type, count(*) AS dup_count

@@ -27,6 +27,41 @@ def token_count_batch(t: pa.Table, text_col: str = "text",
     return t.append_column(out_col, pc.cast(n, pa.int64()))
 
 
+def tokenize_hash_batch(t: pa.Table, text_col: str = "text",
+                        vocab_mod: int = 50_000,
+                        out_col: str = "tokens") -> pa.Table:
+    """Whitespace tokenize + hash each word to an int id in
+    ``[0, vocab_mod)`` — the fully vectorized tokenizer stage for
+    tokenize-then-pack pipelines (semantics identical to the Python
+    ``s.split()`` loop it replaces, verified element-wise in tests).
+    ONE Arrow split over the batch, ONE SipHash pass over the flat
+    word array, and the per-doc lists are rebuilt from offsets — no
+    per-row Python in the hot path."""
+    col = pc.fill_null(t[text_col], "")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    split = pc.utf8_split_whitespace(col)
+    if isinstance(split, pa.ChunkedArray):
+        split = split.combine_chunks()
+    offsets = np.asarray(split.offsets)
+    # rebase: a sliced ListArray's .values is the FULL child array
+    flat = split.values.slice(offsets[0], offsets[-1] - offsets[0])
+    offsets = offsets - offsets[0]
+    words = flat.to_numpy(zero_copy_only=False)
+    # the split emits "" entries at leading/trailing whitespace — drop
+    # them per doc while keeping offsets consistent
+    mask = words != ""
+    csum = np.zeros(len(words) + 1, dtype=np.int64)
+    np.cumsum(mask, out=csum[1:])
+    new_offsets = csum[offsets]
+    kept = words[mask]
+    ids = (hash_strings(kept) % np.uint64(vocab_mod)).astype(np.int64) \
+        if len(kept) else np.empty(0, np.int64)
+    tokens = pa.ListArray.from_arrays(
+        pa.array(new_offsets, pa.int32()), pa.array(ids, pa.int64()))
+    return t.append_column(out_col, tokens)
+
+
 def quality_features_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
     """Integer-exact quality features (SQL-oracle friendly):
     n_chars, n_words, n_digits, n_punct, plus float ratios."""

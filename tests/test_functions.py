@@ -752,3 +752,22 @@ def test_grouped_ndv_hll_within_tolerance():
         .groupby("g")["k"].nunique().to_dict()
     for g, w in want.items():
         assert abs(est[g] - w) / w < 0.03, (g, est[g], w)
+
+
+def test_tokenize_hash_batch_matches_python_split_loop():
+    from pyschema_ray.functions.text import tokenize_hash_batch
+    from pyschema_ray.sketches import hash_strings
+
+    texts = ["a  b", "  lead", "trail  ", "", None, "one",
+             "tab\tx\nnl", "é  ü", "   ", "x " * 500]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    got = tokenize_hash_batch(t)["tokens"].to_pylist()
+
+    want = []
+    for s in texts:
+        words = (s or "").split()
+        ids = (hash_strings(np.asarray(words, dtype=object))
+               % np.uint64(50_000)).astype(np.int64).tolist() if words else []
+        want.append(ids)
+    assert got == want
