@@ -705,6 +705,51 @@ def _q_drift_events_self(sf_dir: str) -> pa.Table:
     })
 
 
+def _q_drift_events_baseline(sf_dir: str) -> pa.Table:
+    """STORED-profile drift — the production shape: a baseline profile
+    is built from the even-user half of events, persisted, and the odd
+    half is scored against it through the actor-pool drift_pipeline.
+    The oracle checks the merged ACTUAL per-(event_type, bin) integer
+    histogram (same bin arithmetic as events_histogram: clip(floor(
+    (v-lo)/(hi-lo)*nbins)+1, 0, nbins+1)); the PSI/KL floats ride the
+    rows-only drift_events_self query."""
+    from pyschema_ray.stages.drift import (build_baseline_profile,
+                                           drift_pipeline)
+
+    lo, hi, nbins = 0.0, 500.0, 50
+
+    def half(parity: int):
+        return _read(sf_dir, "events",
+                     columns=["user_id", "event_type", "value"]) \
+            .map_batches(
+                lambda t, p=parity: t.filter(pc.equal(
+                    pc.bit_wise_and(t["user_id"], 1), p)),
+                batch_format="pyarrow")
+
+    profile = build_baseline_profile(half(0), "value", "event_type",
+                                     lo=lo, hi=hi, nbins=nbins)
+    scores, actual = drift_pipeline(half(1), profile, "value",
+                                    "event_type", concurrency=(2, 8),
+                                    return_actual=True)
+    # the verdict path must have actually run (scored vs the STORED
+    # profile, not self); the pass/fail value itself is sample-size
+    # dependent at tiny scale, so only the scoring keys are asserted
+    assert "passed" in scores and "groups" in scores \
+        and "overall_psi" in scores
+    groups, bins, counts = [], [], []
+    for g in sorted(actual.groups):
+        vec = actual.groups[g]
+        nz = np.flatnonzero(vec)
+        groups.extend([g] * len(nz))
+        bins.extend(nz.tolist())
+        counts.extend(vec[nz].tolist())
+    return pa.table({
+        "event_type": pa.array(groups, pa.string()),
+        "bin": pa.array(bins, pa.int64()),
+        "n": pa.array(counts, pa.int64()),
+    })
+
+
 def _q_lang_id(sf_dir: str) -> pa.Table:
     from pyschema_ray.functions.text import LangIdScorer
 
@@ -1130,6 +1175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ndv_user_id_hll": _q_ndv_user_id_hll,
         "value_quantiles_tdigest": _q_value_quantiles_tdigest,
         "drift_events_self": _q_drift_events_self,
+        "drift_events_baseline": _q_drift_events_baseline,
         "minhash_near_dup_pairs": _q_minhash_near_dup_pairs,
         "simhash": _q_simhash,
         "lsh_ann_topk": _q_lsh_ann_topk,
@@ -1229,6 +1275,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, CAST(floor(value / 50.0) AS INTEGER) AS bin,
                    count(*) AS n
               FROM events GROUP BY event_type, bin
+             ORDER BY event_type, bin
+        """,
+        "drift_events_baseline": """
+            WITH a AS (
+                SELECT event_type,
+                       CAST(LEAST(GREATEST(
+                            floor((value - 0.0) / (500.0 - 0.0) * 50) + 1,
+                            0), 51) AS BIGINT) AS bin
+                  FROM events
+                 WHERE user_id % 2 = 1
+                   AND value IS NOT NULL AND event_type IS NOT NULL)
+            SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n
+              FROM a GROUP BY event_type, bin
              ORDER BY event_type, bin
         """,
         "embedding_lengths": """

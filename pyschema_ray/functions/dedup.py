@@ -392,7 +392,7 @@ def jaccard_verify_pairs(pairs_table: pa.Table, docs_table: pa.Table,
 # ---------------------------------------------------------------------------
 
 def _route_pair_payloads(pairs, docs, key_col, doc_payload, req_payload,
-                         num_shards, seeds):
+                         num_shards, seeds, doc_transform=None):
     """Shared shuffle-semi-join core for pair verification: each pair
     emits two payload requests (one per side) sharded by key hash; the
     docs Dataset ships (key, payload) through the same shuffle (the
@@ -405,9 +405,14 @@ def _route_pair_payloads(pairs, docs, key_col, doc_payload, req_payload,
     column; ``req_payload(n) -> pa.Array`` builds the request-side
     placeholder (must be NON-NULL for integer payloads — a null int
     column coerces to float64 through the pandas map_groups and
-    corrupts values above 2^53).  Returns a Dataset with columns
-    (pshard, key_a, key_b, side, payload); requests whose key has no
-    doc row are dropped (their pair cannot verify).
+    corrupts values above 2^53).  ``doc_transform(list) -> list``, if
+    given, rewrites the payloads of REQUESTED docs only, once per
+    unique doc per key-shard (e.g. text -> packed shingle hashes) —
+    expensive derivations must go here, not in ``doc_payload``, or
+    they run for every corpus doc instead of only the candidate-pair
+    docs.  Returns a Dataset with columns (pshard, key_a, key_b, side,
+    payload); requests whose key has no doc row are dropped (their
+    pair cannot verify).
     """
     import pandas as pd
 
@@ -459,6 +464,13 @@ def _route_pair_payloads(pairs, docs, key_col, doc_payload, req_payload,
             # filter-then-.loc keeps the payload dtype (a .map with
             # missing keys would detour through NaN/float64)
             req = req.loc[req["key"].isin(payload.index)]
+        if doc_transform is not None:
+            # derive only for docs some pair actually requested
+            payload = payload.loc[payload.index.isin(req["key"])] \
+                if len(req) else payload.iloc[:0]
+            if len(payload):
+                payload = pd.Series(doc_transform(payload.tolist()),
+                                    index=payload.index, dtype=object)
         p = payload.loc[req["key"]].to_numpy() if len(req) \
             else payload.to_numpy()[:0]
         ka = req["key_a"].to_numpy()
@@ -474,42 +486,69 @@ def _route_pair_payloads(pairs, docs, key_col, doc_payload, req_payload,
                                               batch_format="pandas")
 
 
-def _combine_pair_sides(df, emit):
-    """Group a routed frame by pair and call ``emit(ka, kb, p0, p1)``
-    (side-0/side-1 payloads, None when missing) per pair; ``emit``
-    returns a dict of output values or None to skip.  Returns
-    (rows, key_a_dtype, key_b_dtype)."""
+def _pair_side_arrays(df):
+    """Align a routed pair-shard frame into parallel arrays — ONE
+    vectorized pass, no per-pair Python loop: sort by (pair, side),
+    take the first row of each (pair, side) run, and intersect the two
+    sides' group ids so only pairs with BOTH payloads survive.
+    Returns (key_a, key_b, payload_side0, payload_side1) numpy arrays
+    of equal length."""
     df = df.sort_values(["key_a", "key_b", "side"], kind="stable")
     ka = df["key_a"].to_numpy()
     kb = df["key_b"].to_numpy()
     payload = df["payload"].to_numpy()
     sides = df["side"].to_numpy()
-    starts, sizes = _group_starts(ka, kb)
-    rows = []
-    for s0, m in zip(starts, sizes):
-        p0 = p1 = None
-        for off in range(m):
-            if sides[s0 + off] == 0 and p0 is None:
-                p0 = payload[s0 + off]
-            elif sides[s0 + off] == 1 and p1 is None:
-                p1 = payload[s0 + off]
-        r = emit(ka[s0], kb[s0], p0, p1)
-        if r is not None:
-            rows.append(r)
-    return rows, ka.dtype, kb.dtype
+    starts, _sizes = _group_starts(ka, kb)
+    gid = np.zeros(len(ka), np.int64)
+    gid[starts] = 1
+    gid = np.cumsum(gid) - 1
+    first = np.ones(len(ka), bool)
+    first[1:] = (gid[1:] != gid[:-1]) | (sides[1:] != sides[:-1])
+    m0 = first & (sides == 0)
+    m1 = first & (sides == 1)
+    g0 = gid[m0]
+    g1 = gid[m1]
+    common, i0, i1 = np.intersect1d(g0, g1, assume_unique=True,
+                                    return_indices=True)
+    idx0 = np.flatnonzero(m0)[i0]
+    idx1 = np.flatnonzero(m1)[i1]
+    anchor = starts[common]
+    return ka[anchor], kb[anchor], payload[idx0], payload[idx1]
 
 
-def _pair_columns(rows, da, db, extra=()):
-    out = {
-        "key_a": np.asarray([r["key_a"] for r in rows], dtype=da)
-        if rows else np.empty(0, da),
-        "key_b": np.asarray([r["key_b"] for r in rows], dtype=db)
-        if rows else np.empty(0, db),
-    }
-    for name, dtype in extra:
-        out[name] = np.asarray([r[name] for r in rows], dtype=dtype) \
-            if rows else np.empty(0, dtype)
-    return out
+def _shingle_hash_bytes(texts: list, shingle_words: int) -> list:
+    """Each text's UNIQUE word-shingle set as a sorted array of 64-bit
+    SipHashes, packed to bytes — ONE hash pass over the flat shingle
+    list, per-doc dedup+sort via a single lexsort.  Used as the
+    ``doc_transform`` of the Jaccard semi-join: runs once per
+    REQUESTED doc per key-shard, and the pair shards then intersect
+    integer arrays instead of rebuilding Python string sets."""
+    flat, offsets = _word_shingles(texts, shingle_words)
+    n = len(texts)
+    h = hash_strings(np.asarray(flat, dtype=object)).view(np.int64) \
+        if flat else np.empty(0, np.int64)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+    order = np.lexsort((h, doc_idx))
+    hs, di = h[order], doc_idx[order]
+    keep = np.ones(len(hs), bool)
+    keep[1:] = (di[1:] != di[:-1]) | (hs[1:] != hs[:-1])
+    hs, di = hs[keep], di[keep]
+    bounds = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(di, minlength=n), out=bounds[1:])
+    buf = hs.tobytes()
+    return [buf[bounds[i] * 8:bounds[i + 1] * 8] for i in range(n)]
+
+
+def _bytes_to_hash_concat(payloads: np.ndarray):
+    """(concatenated int64 hash array, per-item set sizes) from an
+    object array of packed-hash bytes — ONE frombuffer over the joined
+    buffer, no per-item decode loop."""
+    if len(payloads) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    sizes = np.fromiter((len(b) >> 3 for b in payloads), np.int64,
+                        count=len(payloads))
+    vals = np.frombuffer(b"".join(payloads), np.int64)
+    return vals, sizes
 
 
 def jaccard_verify_pairs_ds(pairs, docs, text_col: str = "text",
@@ -517,11 +556,17 @@ def jaccard_verify_pairs_ds(pairs, docs, text_col: str = "text",
                             shingle_words: int = 3,
                             threshold: float = 0.7,
                             num_shards: int | None = None):
-    """Distributed exact n-gram Jaccard verification of candidate pairs
-    over the :func:`_route_pair_payloads` shuffle semi-join (payload =
-    the text itself).  Fully distributed — the driver never holds the
-    pair list or any text; the per-pair shingle-set Jaccard runs in the
-    pair-shard workers with a per-shard shingle cache.
+    """Distributed n-gram Jaccard verification of candidate pairs over
+    the :func:`_route_pair_payloads` shuffle semi-join.  Text ships
+    through the key-shard exchange (once per doc — the unavoidable
+    cost); each key-shard derives the unique-shingle set of the
+    REQUESTED docs only as sorted 64-bit shingle HASHES
+    (:func:`_shingle_hash_bytes`) — identical Jaccard up to a ~2^-64
+    per-shingle collision probability — so the pair shards receive 8
+    bytes/shingle and run zero per-pair Python: concatenate all pairs'
+    hash arrays, one lexsort by (pair, hash), and count within-pair
+    duplicate hashes (each common shingle appears exactly twice in a
+    pair) to get every intersection size in one run-length pass.
 
     Returns Dataset(key_a, key_b, jaccard) for pairs >= threshold.
     """
@@ -532,40 +577,32 @@ def jaccard_verify_pairs_ds(pairs, docs, text_col: str = "text",
         pairs, docs.select_columns([key_col, text_col]), key_col,
         doc_payload=lambda t: pc.cast(t[text_col], pa.string()),
         req_payload=lambda n: pa.nulls(n, pa.string()),
-        num_shards=num_shards, seeds=(5, 6, 7))
+        num_shards=num_shards, seeds=(5, 6, 7),
+        doc_transform=lambda texts: _shingle_hash_bytes(texts,
+                                                        shingle_words))
 
     def verify(df):
         if df.empty:
             return pd.DataFrame({"key_a": df["key_a"], "key_b": df["key_b"],
                                  "jaccard": pd.Series([], dtype=np.float64)})
-        cache: dict = {}
-
-        def shingle_set(key, s):
-            got = cache.get(key)
-            if got is not None:
-                return got
-            w = (s or "").lower().split() if isinstance(s, str) else []
-            if len(w) < shingle_words:
-                out = {" ".join(w)} if w else set()
-            else:
-                out = {" ".join(w[i:i + shingle_words])
-                       for i in range(len(w) - shingle_words + 1)}
-            cache[key] = out
-            return out
-
-        def emit(a, b, t_a, t_b):
-            sa = shingle_set(a, t_a)
-            sb = shingle_set(b, t_b)
-            if not sa or not sb:
-                return None
-            j = len(sa & sb) / len(sa | sb)
-            if j < threshold:
-                return None
-            return {"key_a": a, "key_b": b, "jaccard": j}
-
-        rows, da, db = _combine_pair_sides(df, emit)
-        return pd.DataFrame(_pair_columns(rows, da, db,
-                                          [("jaccard", np.float64)]))
+        ka, kb, p0, p1 = _pair_side_arrays(df)
+        va, sa = _bytes_to_hash_concat(p0)
+        vb, sb = _bytes_to_hash_concat(p1)
+        npairs = len(ka)
+        idx = np.arange(npairs, dtype=np.int64)
+        pid = np.concatenate([np.repeat(idx, sa), np.repeat(idx, sb)])
+        vals = np.concatenate([va, vb])
+        order = np.lexsort((vals, pid))
+        pid, vals = pid[order], vals[order]
+        dup = (pid[1:] == pid[:-1]) & (vals[1:] == vals[:-1])
+        inter = np.bincount(pid[1:][dup], minlength=npairs)
+        union = sa + sb - inter
+        ok = (sa > 0) & (sb > 0)
+        j = np.zeros(npairs, np.float64)
+        j[ok] = inter[ok] / union[ok]
+        keep = ok & (j >= threshold)
+        return pd.DataFrame({"key_a": ka[keep], "key_b": kb[keep],
+                             "jaccard": j[keep]})
 
     return routed.groupby("pshard").map_groups(verify,
                                                batch_format="pandas")
@@ -609,14 +646,9 @@ def filter_exact_text_pairs(pairs, docs, text_col: str = "text",
         if df.empty:
             return pd.DataFrame({"key_a": df["key_a"],
                                  "key_b": df["key_b"]})
-
-        def emit(a, b, h0, h1):
-            if h0 is not None and h1 is not None and h0 == h1:
-                return {"key_a": a, "key_b": b}
-            return None
-
-        rows, da, db = _combine_pair_sides(df, emit)
-        return pd.DataFrame(_pair_columns(rows, da, db))
+        ka, kb, h0, h1 = _pair_side_arrays(df)
+        eq = h0 == h1  # elementwise over the hex-string object arrays
+        return pd.DataFrame({"key_a": ka[eq], "key_b": kb[eq]})
 
     return routed.groupby("pshard").map_groups(equal_pairs,
                                                batch_format="pandas")

@@ -362,20 +362,21 @@ def copartition_range_join_count(events, intervals, ts_col: str = "ts",
     near the typical interval length) and one time-bucket shard's
     events fit a task.  Returns Dataset(id_col, n_events) with
     zero-match intervals included; degenerate (end <= start) and
-    null-bound intervals ride a zero-count side branch so they appear
-    with n_events = 0 exactly like the broadcast variant; null-id
-    intervals are excluded (both variants).  Both inputs are Datasets
-    and stream.
+    null-bound intervals ride a single zero-width replica through the
+    same exchange and appear with n_events = 0 exactly like the
+    broadcast variant; null-id intervals are excluded (both variants).
+    Both inputs are Datasets and stream.
     """
     import pandas as pd
 
     num_shards = num_shards or _default_shards()
     bus = int(bucket_s) * 1_000_000
-    # the interval Dataset feeds TWO branches (bucket replicas + the
-    # zero-count rows); without pinning, Ray re-executes its entire
-    # upstream pipeline once per consumer.  materialize() keeps the
-    # blocks distributed in the object store — it does NOT pull them to
-    # the driver, so "too big to broadcast" is still fine.
+    # pin the interval Dataset: the schema() probe below executes part
+    # of its upstream pipeline, and without materialize() the exchange
+    # would re-execute that whole pipeline a second time (intervals
+    # are often themselves derived through a groupby).  materialize()
+    # keeps the blocks distributed in the object store — it does NOT
+    # pull them to the driver, so "too big to broadcast" is still fine.
     intervals = intervals.materialize()
     id_type = pa.schema(intervals.schema().base_schema).field(id_col).type
 
@@ -402,28 +403,42 @@ def copartition_range_join_count(events, intervals, ts_col: str = "ts",
             return pa.nulls(n, id_type)
 
     def iv_rows(t: pa.Table) -> pa.Table:
-        # null bounds/ids cannot bucket (and nullable->to_numpy turns
-        # the int math into NaN floats) — drop them up front; valid-id
-        # rows among them re-enter through the zero-count branch below
-        t = t.filter(pc.and_(pc.and_(pc.is_valid(t[start_col]),
-                                     pc.is_valid(t[end_col])),
-                             pc.is_valid(t[id_col])))
-        s = _us(t[start_col])
-        e = _us(t[end_col])
+        # null-id intervals are excluded (documented contract); null
+        # bounds would turn the int math into NaN floats, so zero them
+        # behind a mask and route those rows — like degenerate
+        # (end <= start) ones — through a single ZERO-WIDTH replica
+        # (a == b -> both searchsorted probes equal -> count 0): they
+        # surface in the output with n_events = 0 without a separate
+        # union branch or a second pass over the interval Dataset
+        t = t.filter(pc.is_valid(t[id_col]))
+        bounds_ok = pc.and_(pc.is_valid(t[start_col]),
+                            pc.is_valid(t[end_col])) \
+            .to_numpy(zero_copy_only=False)
+        def us_filled(col) -> np.ndarray:
+            # fill nulls BEFORE the int cast: a nullable int64
+            # to_numpy detours through float64/NaN
+            c = pc.fill_null(pc.cast(col, pa.timestamp("us")),
+                             pa.scalar(0, pa.timestamp("us")))
+            return pc.cast(c, pa.int64()).to_numpy(zero_copy_only=False)
+
+        s = np.where(bounds_ok, us_filled(t[start_col]), 0)
+        e = np.where(bounds_ok, us_filled(t[end_col]), 0)
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        ok = e > s
-        s, e, ids = s[ok], e[ok], ids[ok]
-        first = s // bus
-        last = (e - 1) // bus
-        counts = last - first + 1
+        live = e > s
+        first = np.where(live, s // bus, 0)
+        last = np.where(live, (e - 1) // bus, 0)
+        counts = last - first + 1  # dead intervals: exactly 1 replica
         total = int(counts.sum())
         # bucket index per replica: first[i] + (0..counts[i]-1)
         starts = np.zeros(len(counts), np.int64)
         np.cumsum(counts[:-1], out=starts[1:])
         bucket = np.repeat(first, counts) \
             + (np.arange(total) - np.repeat(starts, counts))
-        lo = np.maximum(np.repeat(s, counts), bucket * bus)
-        hi = np.minimum(np.repeat(e, counts), (bucket + 1) * bus)
+        rep_live = np.repeat(live, counts)
+        lo = np.where(rep_live,
+                      np.maximum(np.repeat(s, counts), bucket * bus), 0)
+        hi = np.where(rep_live,
+                      np.minimum(np.repeat(e, counts), (bucket + 1) * bus), 0)
         return pa.table({
             "bshard": pa.array(_bshard(bucket), pa.int64()),
             "bucket": pa.array(bucket, pa.int64()),
@@ -499,30 +514,6 @@ def copartition_range_join_count(events, intervals, ts_col: str = "ts",
 
     partials = union.groupby("bshard").map_groups(count_shard,
                                                   batch_format="pandas")
-
-    id_is_int = pa.types.is_integer(id_type)
-
-    def zero_rows(df):
-        # degenerate (end <= start) and null-bound intervals with a
-        # valid id: zero-count partials so they surface in the output
-        # exactly like the broadcast variant (NaT comparisons are
-        # False, which routes null bounds here)
-        from .dedup import _key_shards
-        df = df[df[id_col].notna()]
-        live = (df[start_col].notna() & df[end_col].notna()
-                & (df[end_col] > df[start_col]))
-        ids = df.loc[~live, id_col].to_numpy()
-        if id_is_int:
-            # a nullable int id column arrives as float64 in pandas;
-            # restore int64 so blocks unify with count_shard's rid
-            ids = ids.astype(np.int64)
-        return pd.DataFrame({
-            "idshard": _key_shards(ids, num_shards, 43),
-            "rid": ids,
-            "n": np.zeros(len(ids), np.int64)})
-
-    partials = partials.union(
-        intervals.map_batches(zero_rows, batch_format="pandas"))
 
     def total_per_id(df):
         g = df.groupby("rid", sort=False)["n"].sum()

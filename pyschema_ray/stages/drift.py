@@ -173,8 +173,14 @@ def self_drift(ds, value_column: str, group_column: str,
 def drift_pipeline(ds, profile: BaselineProfile, value_column: str,
                    group_column: str, concurrency=(1, 4),
                    psi_threshold: float = 0.25,
-                   kl_threshold: float = 0.5) -> dict:
-    """End-to-end drift check: actor-pool scoring -> merge -> verdict."""
+                   kl_threshold: float = 0.5,
+                   return_actual: bool = False):
+    """End-to-end drift check against a STORED baseline profile:
+    actor-pool scoring -> merge -> verdict.  With ``return_actual``,
+    also returns the merged actual GroupedHistogram — its integer
+    per-(group, bin) counts are exactly reproducible by any engine
+    using the same binning, which is what makes the stored-profile
+    path externally checkable even though PSI/KL are floats."""
     small = ds.select_columns([group_column, value_column]).map_batches(
         DriftScorer,
         fn_constructor_kwargs={
@@ -186,4 +192,7 @@ def drift_pipeline(ds, profile: BaselineProfile, value_column: str,
         concurrency=concurrency,
     )
     merged = merge_partials(small)
-    return score_drift(merged, profile, psi_threshold, kl_threshold)
+    scores = score_drift(merged, profile, psi_threshold, kl_threshold)
+    if return_actual:
+        return scores, merged
+    return scores
