@@ -420,6 +420,25 @@ def _q_user_sessions(sf_dir: str) -> pa.Table:
     }).sort_by([("user_id", "ascending"), ("session_id", "ascending")])
 
 
+def _q_user_sessions_split(sf_dir: str) -> pa.Table:
+    """Hot-key-safe sessionize (time-split + boundary stitch — NO
+    one-key-fits-a-task assumption, functions/timesplit.py): same
+    session semantics as user_sessions, identified by start time
+    instead of a per-key ordinal.  Oracle = the same lag()/gap
+    reconstruction grouped on (user, session start)."""
+    from pyschema_ray.functions.timesplit import sessionize_timesplit
+
+    out = sessionize_timesplit(_read(sf_dir, "events"), "user_id", "ts",
+                               gap_seconds=1800.0, bucket_seconds=7200.0)
+    t = _collect(out)
+    return pa.table({
+        "user_id": t["user_id"],
+        "start": pc.cast(t["start"], pa.timestamp("us")),
+        "end": pc.cast(t["end"], pa.timestamp("us")),
+        "n_events": pc.cast(t["n_events"], pa.int64()),
+    }).sort_by([("user_id", "ascending"), ("start", "ascending")])
+
+
 def _q_asof_matched_ts(sf_dir: str) -> pa.Table:
     """Per-key as-of join: every 8th event matched to the most recent
     OTHER event of the same user at-or-before it.  The matched
@@ -443,6 +462,34 @@ def _q_asof_matched_ts(sf_dir: str) -> pa.Table:
     return pa.table({
         # int64 restore: the tagged union pads right rows' event_id
         # with nulls, so pandas upcasts the column to float64
+        "event_id": pc.cast(t["event_id"], pa.int64()),
+        "matched_ts": pc.cast(t["ts_right"], pa.timestamp("us")),
+    }).sort_by("event_id")
+
+
+def _q_asof_matched_ts_split(sf_dir: str) -> pa.Table:
+    """Same as-of semantics as asof_matched_ts, driven through the
+    hot-key-safe time-split + carry-row path (functions/timesplit.py):
+    both sides co-partition by (user, hour bucket) and cross-bucket
+    matches arrive as carry rows — identical oracle SQL, different
+    execution shape."""
+    from pyschema_ray.functions.timesplit import asof_join_timesplit
+
+    ev = _read(sf_dir, "events")
+    left = ev.map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.bit_wise_and(t["event_id"], 7), 0))
+                   .select(["event_id", "user_id", "ts"]),
+        batch_format="pyarrow")
+    right = ev.map_batches(
+        lambda t: t.filter(
+            pc.not_equal(pc.bit_wise_and(t["event_id"], 7), 0))
+                   .select(["user_id", "ts"]),
+        batch_format="pyarrow")
+    out = asof_join_timesplit(left, right, key_col="user_id", ts_col="ts",
+                              bucket_seconds=3600.0)
+    t = _collect(out)
+    return pa.table({
         "event_id": pc.cast(t["event_id"], pa.int64()),
         "matched_ts": pc.cast(t["ts_right"], pa.timestamp("us")),
     }).sort_by("event_id")
@@ -1148,7 +1195,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_nation": _q_orders_by_nation,
         "user_session_counts": _q_user_session_counts,
         "user_sessions": _q_user_sessions,
+        "user_sessions_split": _q_user_sessions_split,
         "asof_matched_ts": _q_asof_matched_ts,
+        "asof_matched_ts_split": _q_asof_matched_ts_split,
         "dup_group_stats": _q_dup_group_stats,
         "word_frequencies": _q_word_frequencies,
         "duplicate_user_event_pairs": _q_duplicate_user_event_pairs,
@@ -1376,6 +1425,25 @@ def oracle_sql() -> dict[str, str]:
               FROM s GROUP BY user_id, session_id
              ORDER BY user_id, session_id
         """,
+        "user_sessions_split": """
+            WITH g AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS new_s
+                  FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (
+                SELECT user_id, ts,
+                       SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING)
+                           AS session_id
+                  FROM g)
+            SELECT user_id, min(ts) AS start, max(ts) AS "end",
+                   count(*) AS n_events
+              FROM s GROUP BY user_id, session_id
+             ORDER BY user_id, start
+        """,
         "top_words": """
             WITH w AS (
                 SELECT unnest(regexp_split_to_array(
@@ -1454,6 +1522,17 @@ def oracle_sql() -> dict[str, str]:
              ORDER BY user_id, event_type
         """,
         "asof_matched_ts": """
+            WITH l AS (SELECT event_id, user_id, ts FROM events
+                        WHERE event_id % 8 = 0),
+                 r AS (SELECT user_id, ts FROM events
+                        WHERE event_id % 8 <> 0)
+            SELECT l.event_id,
+                   (SELECT max(r.ts) FROM r
+                     WHERE r.user_id = l.user_id AND r.ts <= l.ts)
+                       AS matched_ts
+              FROM l ORDER BY event_id
+        """,
+"asof_matched_ts_split": """
             WITH l AS (SELECT event_id, user_id, ts FROM events
                         WHERE event_id % 8 = 0),
                  r AS (SELECT user_id, ts FROM events
