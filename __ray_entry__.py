@@ -752,6 +752,61 @@ def _q_drift_events_self(sf_dir: str) -> pa.Table:
     })
 
 
+def _q_map_violations_events(sf_dir: str) -> pa.Table:
+    """Map-type constraints over a REAL map column: events.props (a
+    JSON object string) is parsed into map<string,int64> per batch
+    (vectorized regex extract + MapArray assembly), then
+    MapRequiredKeys(['k']) and MapValueRange(0, 90) emit one violation
+    row per failing (event_id, constraint).  Oracle: DuckDB
+    json_extract reproduces both predicates."""
+    from pyschema_ray.constraints import MapRequiredKeys, MapValueRange
+
+    req = MapRequiredKeys("props_map", ["k"])
+    rng = MapValueRange("props_map", 0, 90)
+
+    def check(t: pa.Table) -> pa.Table:
+        props = t["props"]
+        ext = pc.extract_regex(props, r'"k":\s*(?P<v>-?\d+)')
+        v = pc.struct_field(ext, "v")
+        has_k = pc.is_valid(v)
+        vals = pc.cast(pc.fill_null(v, "0"), pa.int64())
+        n = t.num_rows
+        # map rows: null props -> null map; present-k -> {'k': v};
+        # json without k -> empty map
+        counts = pc.cast(has_k, pa.int64()).to_numpy(zero_copy_only=False)
+        offsets = np.zeros(n + 1, np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        keys = pa.array(np.full(int(offsets[-1]), "k", object), pa.string())
+        items = vals.filter(has_k)
+        if isinstance(items, pa.ChunkedArray):
+            items = items.combine_chunks()
+        null_mask = pc.is_null(props).to_numpy(zero_copy_only=False)
+        mp = pa.MapArray.from_arrays(
+            pa.array(offsets, pa.int32()), keys, items)
+        if null_mask.any():
+            mp = pa.MapArray.from_arrays(
+                pa.array(offsets, pa.int32()), keys, items,
+                mask=pa.array(null_mask))
+        t2 = pa.table({"event_id": t["event_id"], "props_map": mp})
+        out_ids, out_names = [], []
+        for c in (req, rng):
+            bad = pc.invert(c.mask(t2))
+            ids = t2["event_id"].filter(pc.fill_null(bad, False))
+            out_ids.append(ids)
+            out_names.append(pa.array([c.name] * len(ids), pa.string()))
+        return pa.table({
+            "event_id": pa.concat_arrays([i.combine_chunks()
+                                          if isinstance(i, pa.ChunkedArray)
+                                          else i for i in out_ids]),
+            "constraint": pa.concat_arrays(out_names),
+        })
+
+    out = _read(sf_dir, "events", columns=["event_id", "props"]) \
+        .map_batches(check, batch_format="pyarrow")
+    return _collect(out).sort_by([("event_id", "ascending"),
+                                  ("constraint", "ascending")])
+
+
 def _q_drift_events_baseline(sf_dir: str) -> pa.Table:
     """STORED-profile drift — the production shape: a baseline profile
     is built from the even-user half of events, persisted, and the odd
@@ -1225,6 +1280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_tdigest": _q_value_quantiles_tdigest,
         "drift_events_self": _q_drift_events_self,
         "drift_events_baseline": _q_drift_events_baseline,
+        "map_violations_events": _q_map_violations_events,
         "minhash_near_dup_pairs": _q_minhash_near_dup_pairs,
         "simhash": _q_simhash,
         "lsh_ann_topk": _q_lsh_ann_topk,
@@ -1325,6 +1381,18 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
               FROM events GROUP BY event_type, bin
              ORDER BY event_type, bin
+        """,
+        "map_violations_events": """
+            WITH m AS (
+                SELECT event_id, props,
+                       CAST(json_extract(props, '$.k') AS BIGINT) AS v
+                  FROM events WHERE props IS NOT NULL)
+            SELECT event_id, 'map_required_keys(props_map)' AS "constraint"
+              FROM m WHERE v IS NULL
+            UNION ALL
+            SELECT event_id, 'map_value_range(props_map)' AS "constraint"
+              FROM m WHERE v IS NOT NULL AND (v < 0 OR v >= 90)
+             ORDER BY event_id, "constraint"
         """,
         "drift_events_baseline": """
             WITH a AS (

@@ -308,6 +308,101 @@ class ElementRange(Constraint):
         return pa.array(valid)
 
 
+def _map_parts(col):
+    """(MapArray, rebased offsets, keys-slice, items-slice) of a
+    possibly chunked / sliced map column — the ``.values``-rebase rule
+    (ElementRange) applies to map children identically."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.ChunkedArray):  # zero-chunk edge
+        col = pa.array([], type=col.type) if col.num_chunks == 0 \
+            else col.chunk(0)
+    offsets = np.asarray(col.offsets, dtype=np.int64)
+    if len(col) == 0:
+        empty = pa.array([], type=pa.string())
+        return col, offsets, empty, empty
+    lo, hi = int(offsets[0]), int(offsets[-1])
+    return (col, offsets - lo,
+            col.keys.slice(lo, hi - lo), col.items.slice(lo, hi - lo))
+
+
+def _per_row_counts(mask: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Count of True child slots per row (cumsum-diff — robust to
+    empty rows, unlike reduceat)."""
+    c = np.zeros(len(mask) + 1, dtype=np.int64)
+    np.cumsum(mask, out=c[1:])
+    return c[offsets[1:]] - c[offsets[:-1]]
+
+
+@register_constraint
+class MapRequiredKeys(Constraint):
+    """Every non-null map must contain ALL of ``keys``.  Vectorized:
+    one equality scan over the flattened key child per required key,
+    reduced per row via cumulative counts — no per-row Python."""
+
+    def __init__(self, column: str, keys):
+        self.column = column
+        self.keys = sorted(keys)
+        self.name = f"map_required_keys({column})"
+        self.detail = f"{column} missing required key(s) {self.keys}"
+
+    def mask(self, table):
+        col = _col(table, self.column)
+        col, offsets, keys, _ = _map_parts(col)
+        n = len(col)
+        if n == 0:
+            return pa.array(np.ones(0, dtype=bool))
+        valid = np.ones(n, dtype=bool)
+        for k in self.keys:
+            present = np.asarray(pc.fill_null(pc.equal(keys, k), False)) \
+                if len(keys) else np.zeros(0, dtype=bool)
+            valid &= _per_row_counts(present, offsets) > 0
+        if col.null_count:
+            valid |= ~np.asarray(pc.is_valid(col))  # null map: NotNull's job
+        return pa.array(valid)
+
+
+@register_constraint
+class MapValueRange(Constraint):
+    """Every map VALUE must lie in the half-open range [min, max);
+    null values are skipped (Range semantics).  Same flatten + rebase
+    + sparse row mapping as ElementRange, over the items child."""
+
+    def __init__(self, column: str, min=None, max=None):  # noqa: A002
+        self.column = column
+        self.min = min
+        self.max = max
+        self.name = f"map_value_range({column})"
+        self.detail = f"{column} has map value outside [{min}, {max})"
+
+    def mask(self, table):
+        col = _col(table, self.column)
+        col, offsets, _, items = _map_parts(col)
+        n = len(col)
+        if n == 0:
+            return pa.array(np.ones(0, dtype=bool))
+        vnp = items.to_numpy(zero_copy_only=not items.null_count) \
+            if not items.null_count \
+            else np.asarray(items.to_numpy(zero_copy_only=False),
+                            dtype=np.float64)
+        if self.min is not None and self.max is not None:
+            bad = (vnp < self.min) | (vnp >= self.max)
+        elif self.min is not None:
+            bad = vnp < self.min
+        else:
+            bad = vnp >= self.max
+        if items.null_count:
+            bad &= np.asarray(pc.is_valid(items))
+        valid = np.ones(n, dtype=bool)
+        bad_idx = np.nonzero(bad)[0]
+        if bad_idx.size:
+            rows = np.searchsorted(offsets, bad_idx, side="right") - 1
+            valid[rows] = False
+        if col.null_count:
+            valid |= ~np.asarray(pc.is_valid(col))
+        return pa.array(valid)
+
+
 @register_constraint
 class Custom(Constraint):
     """Escape hatch: arbitrary vectorized validator

@@ -7,7 +7,7 @@ are not available in this environment — each stage raises
 ``NotImplementedError`` unless constructed with ``fake=True``, which
 produces deterministic hash-derived outputs).  The Ray-side plumbing —
 schema, batch sizing, actor signatures, output layout — is real and
-tested (tests/test_multimodal.py): swapping in a real codec changes
+tested (tests/test_functions.py::test_multimodal_*): swapping in a real codec changes
 only the marked ``_decode_one`` bodies.
 
 Scale notes baked in: media batches must be SMALL (payloads are KB–MB

@@ -375,23 +375,57 @@ class List(Field):
 
 
 class Map(Field):
-    """String-keyed map (reference: Map(value_type))."""
+    """String-keyed map (reference: Map(value_type)).  Extra
+    constraints: ``required_keys`` (every map must contain them) and
+    ``value_min``/``value_max`` (numeric half-open range over the map
+    VALUES) — enforced identically by the row path (``_load`` raises
+    ParseError) and the vectorized path (MapRequiredKeys /
+    MapValueRange over the flattened map children)."""
 
-    def __init__(self, value_type: Field, **kw):
+    def __init__(self, value_type: Field, required_keys=None,
+                 value_min=None, value_max=None, **kw):
         super().__init__(**kw)
         self.value_type = value_type
+        self.required_keys = sorted(required_keys) if required_keys else None
+        self.value_min = value_min
+        self.value_max = value_max
 
     def _load(self, obj):
         if not isinstance(obj, dict):
             raise ParseError(f"{self.name}: not a map: {obj!r}")
         self.value_type.name = self.value_type.name or f"{self.name}{{}}"
-        return {str(k): self.value_type.load(v) for k, v in obj.items()}
+        out = {str(k): self.value_type.load(v) for k, v in obj.items()}
+        if self.required_keys:
+            missing = [k for k in self.required_keys if k not in out]
+            if missing:
+                raise ParseError(f"{self.name}: missing required "
+                                 f"key(s) {missing}")
+        if self.value_min is not None or self.value_max is not None:
+            for k, v in out.items():
+                if v is None:
+                    continue
+                if (self.value_min is not None and v < self.value_min) or \
+                        (self.value_max is not None and v >= self.value_max):
+                    raise ParseError(
+                        f"{self.name}: value for {k!r} outside "
+                        f"[{self.value_min}, {self.value_max})")
+        return out
 
     def _dump(self, obj):
         return {k: self.value_type.dump(v) for k, v in obj.items()}
 
     def arrow_type(self):
         return pa.map_(pa.string(), self.value_type.arrow_type())
+
+    def constraints(self):
+        from . import constraints as C
+        out = super().constraints()
+        if self.required_keys:
+            out.append(C.MapRequiredKeys(self.name, self.required_keys))
+        if self.value_min is not None or self.value_max is not None:
+            out.append(C.MapValueRange(self.name, self.value_min,
+                                       self.value_max))
+        return out
 
 
 class SubRecord(Field):
