@@ -551,28 +551,134 @@ def _bytes_to_hash_concat(payloads: np.ndarray):
     return vals, sizes
 
 
+def _jaccard_frame(ka, kb, p0, p1, threshold: float):
+    """Vectorized Jaccard over aligned pair arrays of packed-hash
+    payloads: concatenate all pairs' hash arrays, ONE lexsort by
+    (pair, hash), and count within-pair duplicate hashes (each common
+    shingle appears exactly twice in a pair) — every intersection size
+    in one run-length pass, zero per-pair Python."""
+    import pandas as pd
+
+    va, sa = _bytes_to_hash_concat(p0)
+    vb, sb = _bytes_to_hash_concat(p1)
+    npairs = len(ka)
+    idx = np.arange(npairs, dtype=np.int64)
+    pid = np.concatenate([np.repeat(idx, sa), np.repeat(idx, sb)])
+    vals = np.concatenate([va, vb])
+    order = np.lexsort((vals, pid))
+    pid, vals = pid[order], vals[order]
+    dup = (pid[1:] == pid[:-1]) & (vals[1:] == vals[:-1])
+    inter = np.bincount(pid[1:][dup], minlength=npairs)
+    union = sa + sb - inter
+    ok = (sa > 0) & (sb > 0)
+    j = np.zeros(npairs, np.float64)
+    j[ok] = inter[ok] / union[ok]
+    keep = ok & (j >= threshold)
+    return pd.DataFrame({"key_a": ka[keep], "key_b": kb[keep],
+                         "jaccard": j[keep]})
+
+
+def _broadcast_payload_lookup(pairs_mat, docs, key_col, payload_builder):
+    """Small-pair fast path support: collect the candidate-pair KEY
+    set (bounded by the caller's threshold — the only driver pull),
+    derive payloads for exactly those docs in one streaming filter
+    pass over the corpus, and ``ray.put`` the (key, payload) lookup
+    table.  Returns (object_ref, n_unique_keys) or (None, 0) when no
+    doc matches."""
+    import ray
+
+    key_tbls = [b.select(["key_a", "key_b"]) for b in
+                pairs_mat.iter_batches(batch_format="pyarrow")
+                if b.num_rows]
+    both = pa.concat_tables(key_tbls)
+    uniq = pc.unique(pa.concat_arrays(
+        [both["key_a"].combine_chunks(), both["key_b"].combine_chunks()]))
+    keys_ref = ray.put(uniq)
+
+    def subset(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t[key_col], value_set=ray.get(keys_ref))
+        t = t.filter(m)
+        return pa.table({key_col: t[key_col],
+                         "payload": payload_builder(t)})
+
+    parts = [b for b in docs.map_batches(subset, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow") if b.num_rows]
+    if not parts:
+        return None, len(uniq)
+    return ray.put(pa.concat_tables(parts)), len(uniq)
+
+
+def _verify_pairs_broadcast(pairs_mat, docs, key_col, payload_builder,
+                            emit_frame):
+    """Shared small-pair fast path: payloads of the requested docs are
+    broadcast once; each pair batch aligns both sides by lookup and
+    calls ``emit_frame(ka, kb, p0, p1)``.  ZERO exchanges — the two
+    groupbys of the semi-join route cost ~1 s of fixed overhead each,
+    which dwarfs the work when the candidate set is small."""
+    import pandas as pd
+    import ray
+
+    lookup_ref, _ = _broadcast_payload_lookup(pairs_mat, docs, key_col,
+                                              payload_builder)
+
+    def verify_batch(t: pa.Table):
+        df = t.select(["key_a", "key_b"]).to_pandas()
+        if lookup_ref is None or df.empty:
+            return emit_frame(df["key_a"].to_numpy()[:0],
+                              df["key_b"].to_numpy()[:0],
+                              np.empty(0, object), np.empty(0, object))
+        ptbl = ray.get(lookup_ref)
+        s = pd.Series(ptbl["payload"].to_pylist(),
+                      index=ptbl[key_col].to_pylist(), dtype=object)
+        # drop pairs with a missing doc on either side (semi-join
+        # contract: such a pair cannot verify)
+        ok = df["key_a"].isin(s.index) & df["key_b"].isin(s.index)
+        df = df.loc[ok]
+        return emit_frame(df["key_a"].to_numpy(), df["key_b"].to_numpy(),
+                          s.loc[df["key_a"]].to_numpy(),
+                          s.loc[df["key_b"]].to_numpy())
+
+    return pairs_mat.map_batches(verify_batch, batch_format="pyarrow")
+
+
 def jaccard_verify_pairs_ds(pairs, docs, text_col: str = "text",
                             key_col: str = "doc_id",
                             shingle_words: int = 3,
                             threshold: float = 0.7,
-                            num_shards: int | None = None):
-    """Distributed n-gram Jaccard verification of candidate pairs over
-    the :func:`_route_pair_payloads` shuffle semi-join.  Text ships
-    through the key-shard exchange (once per doc — the unavoidable
-    cost); each key-shard derives the unique-shingle set of the
-    REQUESTED docs only as sorted 64-bit shingle HASHES
-    (:func:`_shingle_hash_bytes`) — identical Jaccard up to a ~2^-64
-    per-shingle collision probability — so the pair shards receive 8
-    bytes/shingle and run zero per-pair Python: concatenate all pairs'
-    hash arrays, one lexsort by (pair, hash), and count within-pair
-    duplicate hashes (each common shingle appears exactly twice in a
-    pair) to get every intersection size in one run-length pass.
+                            num_shards: int | None = None,
+                            small_pairs_threshold: int = 100_000):
+    """Distributed n-gram Jaccard verification of candidate pairs.
+
+    ADAPTIVE: candidate counts are usually tiny relative to the corpus
+    (LSH prunes hard), so when the pair count is at most
+    ``small_pairs_threshold`` the requested docs' shingle-hash sets
+    are broadcast once and pairs verify with ZERO exchanges (driver
+    briefly holds the pair KEY set — bounded by the threshold, never
+    text).  Above the threshold, the :func:`_route_pair_payloads`
+    shuffle semi-join runs: text ships through the key-shard exchange
+    (once per doc — the unavoidable cost), each key-shard derives the
+    unique-shingle hash sets of the REQUESTED docs only
+    (:func:`_shingle_hash_bytes`), and the pair shards intersect
+    integer arrays via :func:`_jaccard_frame`.  Jaccard over 64-bit
+    shingle hashes is exact up to a ~2^-64 per-shingle collision.
 
     Returns Dataset(key_a, key_b, jaccard) for pairs >= threshold.
     """
+    num_shards = num_shards or _default_shards()
+
+    pairs = pairs.materialize()
+    if pairs.count() <= small_pairs_threshold:
+        builder = lambda t: pa.array(  # noqa: E731
+            _shingle_hash_bytes(t[text_col].to_pylist(), shingle_words),
+            pa.binary())
+        return _verify_pairs_broadcast(
+            pairs, docs.select_columns([key_col, text_col]), key_col,
+            builder,
+            lambda ka, kb, p0, p1: _jaccard_frame(ka, kb, p0, p1,
+                                                  threshold))
+
     import pandas as pd
 
-    num_shards = num_shards or _default_shards()
     routed = _route_pair_payloads(
         pairs, docs.select_columns([key_col, text_col]), key_col,
         doc_payload=lambda t: pc.cast(t[text_col], pa.string()),
@@ -586,23 +692,7 @@ def jaccard_verify_pairs_ds(pairs, docs, text_col: str = "text",
             return pd.DataFrame({"key_a": df["key_a"], "key_b": df["key_b"],
                                  "jaccard": pd.Series([], dtype=np.float64)})
         ka, kb, p0, p1 = _pair_side_arrays(df)
-        va, sa = _bytes_to_hash_concat(p0)
-        vb, sb = _bytes_to_hash_concat(p1)
-        npairs = len(ka)
-        idx = np.arange(npairs, dtype=np.int64)
-        pid = np.concatenate([np.repeat(idx, sa), np.repeat(idx, sb)])
-        vals = np.concatenate([va, vb])
-        order = np.lexsort((vals, pid))
-        pid, vals = pid[order], vals[order]
-        dup = (pid[1:] == pid[:-1]) & (vals[1:] == vals[:-1])
-        inter = np.bincount(pid[1:][dup], minlength=npairs)
-        union = sa + sb - inter
-        ok = (sa > 0) & (sb > 0)
-        j = np.zeros(npairs, np.float64)
-        j[ok] = inter[ok] / union[ok]
-        keep = ok & (j >= threshold)
-        return pd.DataFrame({"key_a": ka[keep], "key_b": kb[keep],
-                             "jaccard": j[keep]})
+        return _jaccard_frame(ka, kb, p0, p1, threshold)
 
     return routed.groupby("pshard").map_groups(verify,
                                                batch_format="pandas")
@@ -611,17 +701,21 @@ def jaccard_verify_pairs_ds(pairs, docs, text_col: str = "text",
 def filter_exact_text_pairs(pairs, docs, text_col: str = "text",
                             key_col: str = "doc_id",
                             num_shards: int | None = None,
-                            _hash_fns=(hash_strings, hash_strings2)):
+                            _hash_fns=(hash_strings, hash_strings2),
+                            small_pairs_threshold: int = 100_000):
     """Keep only candidate pairs whose texts are byte-identical —
-    verified via content hashes over the same
-    :func:`_route_pair_payloads` semi-join (payload = a 128-bit /
-    32-hex content hash instead of text; 64 bits alone would declare
-    hash-colliding distinct texts "identical" at 10^12-doc scale).
-    Turns a near-dup candidate generator (LSH / SimHash) into an
-    exact-duplicate-pair finder with recall 1 (identical text =>
+    verified via 128-bit / 32-hex content hashes (64 bits alone would
+    declare hash-colliding distinct texts "identical" at 10^12-doc
+    scale).  Turns a near-dup candidate generator (LSH / SimHash) into
+    an exact-duplicate-pair finder with recall 1 (identical text =>
     identical signature => co-bucketed), which makes the result
     SQL-oracle-checkable.  ``_hash_fns`` is a test seam for collision
-    injection."""
+    injection.
+
+    ADAPTIVE like :func:`jaccard_verify_pairs_ds`: at most
+    ``small_pairs_threshold`` pairs verify against a broadcast of the
+    requested docs' hashes with zero exchanges; larger candidate sets
+    run the :func:`_route_pair_payloads` shuffle semi-join."""
     import pandas as pd
 
     num_shards = num_shards or _default_shards()
@@ -635,6 +729,16 @@ def filter_exact_text_pairs(pairs, docs, text_col: str = "text",
             np.char.zfill(np.char.mod("%x", h1.astype(object)), 16),
             np.char.zfill(np.char.mod("%x", h2.astype(object)), 16))
         return pa.array(hexes.astype(object), pa.string())
+
+    pairs = pairs.materialize()
+    if pairs.count() <= small_pairs_threshold:
+        def equal_frame(ka, kb, h0, h1):
+            eq = h0 == h1
+            return pd.DataFrame({"key_a": ka[eq], "key_b": kb[eq]})
+
+        return _verify_pairs_broadcast(
+            pairs, docs.select_columns([key_col, text_col]), key_col,
+            doc_hashes, equal_frame)
 
     routed = _route_pair_payloads(
         pairs, docs.select_columns([key_col, text_col]), key_col,
@@ -655,19 +759,23 @@ def filter_exact_text_pairs(pairs, docs, text_col: str = "text",
 
 
 def connected_components(pairs, num_shards: int | None = None,
-                         max_rounds: int = 50):
-    """Distributed connected components over a (key_a, key_b) edge
-    Dataset by iterative min-label propagation (each node repeatedly
-    adopts the minimum label seen among itself and its neighbors).
+                         max_rounds: int = 50,
+                         small_edges_threshold: int = 500_000):
+    """Connected components over a (key_a, key_b) edge Dataset.
 
-    Replaces a driver-side union-find: state lives in a sharded Dataset
-    (rows = node labels + forwarded edges + label messages), each round
-    is one integer-shard groupby, and convergence is detected by an
-    exact per-round changed-label count (labels only decrease, so
-    changed == 0 is a true fixpoint).  Rounds needed = component
-    diameter; near-dup components are near-cliques (LSH co-buckets all
-    members of a dup cluster), so 2–4 rounds is typical.  Raises
-    RuntimeError if ``max_rounds`` is hit.
+    ADAPTIVE: dup-pair graphs are usually tiny relative to the corpus,
+    and each distributed round costs ~1 s of fixed exchange overhead —
+    so at most ``small_edges_threshold`` edges (a few MB of keys; the
+    driver briefly holds the edge list, never any text) run a single
+    path-compressed union-find with min-key labels.  Larger graphs run
+    the distributed min-label propagation: state lives in a sharded
+    Dataset (rows = node labels + forwarded edges + label messages),
+    each round is one integer-shard groupby, and convergence is
+    detected by an exact per-round changed-label count (labels only
+    decrease, so changed == 0 is a true fixpoint).  Rounds needed =
+    component diameter; near-dup components are near-cliques (LSH
+    co-buckets all members of a dup cluster), so 2–4 rounds is
+    typical.  Raises RuntimeError if ``max_rounds`` is hit.
 
     Returns a materialized Dataset(node, label) with one row per node,
     label = the minimum key of the node's component.
@@ -676,6 +784,54 @@ def connected_components(pairs, num_shards: int | None = None,
     import ray.data  # noqa: F401
 
     num_shards = num_shards or _default_shards()
+
+    pairs = pairs.materialize()
+    if pairs.count() <= small_edges_threshold:
+        tbls = [b for b in pairs.iter_batches(batch_format="pyarrow")
+                if b.num_rows]
+        if not tbls:
+            try:
+                ktype = pa.schema(pairs.schema().base_schema) \
+                    .field("key_a").type
+            except Exception:  # noqa: BLE001 — schema unknowable
+                ktype = pa.string()
+            return ray.data.from_arrow(pa.table(
+                {"node": pa.array([], ktype),
+                 "label": pa.array([], ktype)}))
+        edges = pa.concat_tables([t.select(["key_a", "key_b"])
+                                  for t in tbls])
+        ka = edges["key_a"].to_pylist()
+        kb = edges["key_b"].to_pylist()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in zip(ka, kb):
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        label_of_root: dict = {}
+        nodes = list(parent)
+        roots = [find(n) for n in nodes]
+        for n, r in zip(nodes, roots):
+            cur = label_of_root.get(r)
+            if cur is None or n < cur:
+                label_of_root[r] = n
+        ktype = edges.schema.field("key_a").type
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(nodes, ktype),
+            "label": pa.array([label_of_root[r] for r in roots], ktype),
+        }))
 
     # row kinds: 0 = edge (other = neighbor), 1 = label (other = label)
     def init_rows(t: pa.Table) -> pa.Table:

@@ -32,10 +32,17 @@ def _reference_components(pairs):
 
 
 def _cc_labels(pairs_table, **kw):
+    """Run BOTH the adaptive small-graph fast path (default) and the
+    distributed propagation path (small_edges_threshold=0) and assert
+    they agree — every CC test covers both."""
     import ray.data
-    ds = ray.data.from_arrow(pairs_table)
-    out = dedup.connected_components(ds, **kw)
-    return {r["node"]: r["label"] for r in out.take_all()}
+    fast = {r["node"]: r["label"] for r in dedup.connected_components(
+        ray.data.from_arrow(pairs_table), **kw).take_all()}
+    dist = {r["node"]: r["label"] for r in dedup.connected_components(
+        ray.data.from_arrow(pairs_table), small_edges_threshold=0,
+        **kw).take_all()}
+    assert fast == dist
+    return fast
 
 
 def test_connected_components_cliques_and_chain():
@@ -82,7 +89,7 @@ def test_connected_components_raises_on_round_cap():
     import ray.data
     with pytest.raises(RuntimeError, match="converge"):
         dedup.connected_components(ray.data.from_arrow(t), num_shards=4,
-                                   max_rounds=3)
+                                   max_rounds=3, small_edges_threshold=0)
 
 
 def test_jaccard_verify_ds_matches_table_variant():
@@ -113,6 +120,12 @@ def test_jaccard_verify_ds_matches_table_variant():
         threshold=0.5, num_shards=8)
     got = {(r["key_a"], r["key_b"]): r["jaccard"]
            for r in got_ds.take_all()}
+    # the shuffle semi-join path must agree with the broadcast fast path
+    dist_ds = dedup.jaccard_verify_pairs_ds(
+        ray.data.from_arrow(pairs), ray.data.from_arrow(docs),
+        threshold=0.5, num_shards=8, small_pairs_threshold=0)
+    assert {(r["key_a"], r["key_b"]): r["jaccard"]
+            for r in dist_ds.take_all()} == got
     want = {(a, b): j for a, b, j in zip(ref["key_a"].to_pylist(),
                                          ref["key_b"].to_pylist(),
                                          ref["jaccard"].to_pylist())}
@@ -300,12 +313,14 @@ def test_exact_pair_filter_survives_64bit_hash_collision():
     })
     cand = pa.table({"key_a": pa.array([1, 1], pa.int64()),
                      "key_b": pa.array([2, 3], pa.int64())})
-    out = dedup.filter_exact_text_pairs(
-        ray.data.from_arrow(cand), ray.data.from_arrow(docs),
-        num_shards=4, _hash_fns=(collide, hash_strings2))
-    got = sorted((r["key_a"], r["key_b"]) for r in out.take_all())
-    # (1,2) collides on the 64-bit hash but texts differ -> excluded
-    assert got == [(1, 3)]
+    for thresh in (100_000, 0):   # broadcast fast path AND semi-join
+        out = dedup.filter_exact_text_pairs(
+            ray.data.from_arrow(cand), ray.data.from_arrow(docs),
+            num_shards=4, _hash_fns=(collide, hash_strings2),
+            small_pairs_threshold=thresh)
+        got = sorted((r["key_a"], r["key_b"]) for r in out.take_all())
+        # (1,2) collides on the 64-bit hash but texts differ -> excluded
+        assert got == [(1, 3)]
 
 
 def test_winnow_candidates_finds_containment():
