@@ -752,6 +752,27 @@ def _q_drift_events_self(sf_dir: str) -> pa.Table:
     })
 
 
+def _q_contamination(sf_dir: str) -> pa.Table:
+    """Benchmark decontamination: per document, its 8-word-gram count
+    and how many grams appear in a simulated benchmark set (every 97th
+    document) broadcast once.  Exact string-gram membership (one Arrow
+    is_in per batch) — SQL reproduces the gram assembly with
+    list_slice over regexp_split_to_array, including the whole-text
+    partial gram for docs shorter than 8 words."""
+    from pyschema_ray.functions.text import ngram_contamination
+
+    def eval_filter(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 97 == 0))
+
+    ev = _collect(_read(sf_dir, "documents", columns=["doc_id", "text"])
+                  .map_batches(eval_filter, batch_format="pyarrow"))
+    out = ngram_contamination(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        ev["text"].to_pylist(), n=8)
+    return _collect(out).sort_by("doc_id")
+
+
 def _q_map_violations_events(sf_dir: str) -> pa.Table:
     """Map-type constraints over a REAL map column: events.props (a
     JSON object string) is parsed into map<string,int64> per batch
@@ -1281,6 +1302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drift_events_self": _q_drift_events_self,
         "drift_events_baseline": _q_drift_events_baseline,
         "map_violations_events": _q_map_violations_events,
+        "contamination": _q_contamination,
         "minhash_near_dup_pairs": _q_minhash_near_dup_pairs,
         "simhash": _q_simhash,
         "lsh_ann_topk": _q_lsh_ann_topk,
@@ -1381,6 +1403,28 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
               FROM events GROUP BY event_type, bin
              ORDER BY event_type, bin
+        """,
+        "contamination": """
+            WITH docs AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+                  FROM documents
+                 WHERE text IS NOT NULL AND trim(text) <> ''),
+            grams AS (
+                SELECT doc_id,
+                       array_to_string(list_slice(w, g.i, g.i + 7), ' ')
+                           AS gram
+                  FROM docs, LATERAL (
+                       SELECT unnest(generate_series(1, len(w) - 7)) AS i) g
+                UNION ALL
+                SELECT doc_id, array_to_string(w, ' ') AS gram
+                  FROM docs WHERE len(w) < 8),
+            eg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0)
+            SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_contaminated
+              FROM grams d LEFT JOIN eg e ON d.gram = e.gram
+             GROUP BY d.doc_id ORDER BY d.doc_id
         """,
         "map_violations_events": """
             WITH m AS (

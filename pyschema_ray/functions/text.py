@@ -400,3 +400,55 @@ def fingerprint_md5_batch(t: pa.Table, text_col: str = "text",
             if s is not None else None
             for s in t[text_col].to_pylist()]
     return t.append_column(out_col, pa.array(vals, pa.string()))
+
+
+def ngram_contamination(ds, eval_texts, text_col: str = "text",
+                        key_col: str = "doc_id", n: int = 8):
+    """Benchmark-decontamination scan: per document, how many of its
+    word n-grams appear in a BROADCAST evaluation set — the standard
+    train/test-overlap check before pretraining.  ``eval_texts`` is a
+    list of benchmark strings (small by contract — benchmarks are KB
+    to MB; the corpus is the big side and streams).
+
+    The eval set's unique n-grams are built ONCE on the driver and
+    ``ray.put`` once; each batch assembles its grams with the shared
+    shingle kernel (lowercase, whitespace words, whole-text partial
+    gram for docs shorter than ``n`` — the MinHash convention) and
+    membership is one vectorized Arrow ``is_in`` against the broadcast
+    value set — exact string comparison, no hash-collision slack.
+    Documents with no grams (null/empty text) are omitted, matching a
+    SQL oracle's non-null filter.
+
+    -> Dataset(key, n_grams, n_contaminated)."""
+    import ray
+
+    from .dedup import _word_shingles
+
+    flat, _ = _word_shingles(list(eval_texts), n)
+    eval_grams = pc.unique(pa.array(flat, pa.string()))
+    ref = ray.put(eval_grams)
+
+    def score(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        flat, offsets = _word_shingles(texts, n)
+        if not flat:
+            return pa.table({
+                key_col: t[key_col].slice(0, 0),
+                "n_grams": pa.array([], pa.int64()),
+                "n_contaminated": pa.array([], pa.int64()),
+            })
+        hit = pc.is_in(pa.array(flat, pa.string()),
+                       value_set=ray.get(ref)) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        c = np.zeros(len(flat) + 1, np.int64)
+        np.cumsum(hit, out=c[1:])
+        n_grams = np.diff(offsets)
+        n_bad = c[offsets[1:]] - c[offsets[:-1]]
+        keep = n_grams > 0
+        return pa.table({
+            key_col: t[key_col].filter(pa.array(keep)),
+            "n_grams": pa.array(n_grams[keep], pa.int64()),
+            "n_contaminated": pa.array(n_bad[keep], pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

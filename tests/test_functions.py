@@ -771,3 +771,46 @@ def test_tokenize_hash_batch_matches_python_split_loop():
                % np.uint64(50_000)).astype(np.int64).tolist() if words else []
         want.append(ids)
     assert got == want
+
+
+def test_ngram_contamination_matches_reference():
+    import collections
+
+    import ray.data
+
+    from pyschema_ray.functions.text import ngram_contamination
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(2, 30)))
+             for _ in range(40)] + ["short one", "", None]
+    ids = list(range(len(texts)))
+    eval_texts = texts[:5]  # first five docs are the "benchmark"
+
+    def grams(s, n=8):
+        w = (s or "").lower().split()
+        if not w:
+            return []
+        if len(w) < n:
+            return [" ".join(w)]
+        return [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+
+    eset = {g for s in eval_texts for g in grams(s)}
+    want = {}
+    for i, s in enumerate(texts):
+        gs = grams(s)
+        if gs:
+            want[i] = (len(gs), sum(g in eset for g in gs))
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}))
+    out = pa.concat_tables(
+        [b for b in ngram_contamination(ds, eval_texts)
+         .iter_batches(batch_format="pyarrow") if b.num_rows])
+    got = {d: (g, c) for d, g, c in zip(out["doc_id"].to_pylist(),
+                                        out["n_grams"].to_pylist(),
+                                        out["n_contaminated"].to_pylist())}
+    assert got == want
+    # the five benchmark docs are fully contaminated
+    for i in range(5):
+        assert got[i][0] == got[i][1]
