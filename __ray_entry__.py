@@ -585,6 +585,38 @@ def _q_word_frequencies(sf_dir: str) -> pa.Table:
     return _collect(out).sort_by("word")
 
 
+def _q_doc_frequencies(sf_dir: str) -> pa.Table:
+    """Document-frequency table (IDF denominator): per-batch (doc,
+    word) dedup combiner -> word-hash shard exchange -> summed df."""
+    from pyschema_ray.functions.text import doc_frequencies
+
+    out = doc_frequencies(_read(sf_dir, "documents",
+                                columns=["doc_id", "text"]))
+    return _collect(out).sort_by("word")
+
+
+def _q_novel_documents(sf_dir: str) -> pa.Table:
+    """Incremental-ingestion dedup: treat every 3rd document as the
+    EXISTING corpus and the rest as a NEW crawl increment; emit the
+    new doc ids whose content is absent from the existing corpus
+    (128-bit content hashes anti-joined on one hash-shard exchange —
+    text never shuffles)."""
+    from pyschema_ray.functions.dedup import novel_keys_vs_existing
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def half(rem_is_zero: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 3 == 0) if rem_is_zero else (ids % 3 != 0)
+            return t.filter(pa.array(m))
+        return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+            .map_batches(fn, batch_format="pyarrow")
+
+    out = novel_keys_vs_existing(half(False), half(True))
+    return _collect(out).sort_by("doc_id")
+
+
 def _q_bigram_frequencies(sf_dir: str) -> pa.Table:
     """Word-bigram frequency table over documents, oracle-checked:
     the SQL reproduces the partial-gram convention (a document shorter
@@ -1003,7 +1035,11 @@ def _q_winnow_dup_pairs(sf_dir: str) -> pa.Table:
                                               winnow_candidates)
 
     docs = _dup_injected_docs(sf_dir)
-    cand = winnow_candidates(docs)
+    # tight max_bucket: common-substring buckets explode O(m^2) pairs
+    # on phrase-heavy corpora; star pairs above the cap + the closure
+    # below keep exact-dup recall at 1 regardless, so the cap is pure
+    # cost control here
+    cand = winnow_candidates(docs, max_bucket=8)
     dup = component_all_pairs(filter_exact_text_pairs(cand, docs))
     t = _collect(dup)
     if t.num_rows == 0:
@@ -1228,6 +1264,30 @@ def _q_packing_totals(sf_dir: str) -> pa.Table:
                                               pa.int64())})
 
 
+def _q_packing_totals_stitched(sf_dir: str) -> pa.Table:
+    """Token conservation through the REMAINDER-STITCHED packer
+    (functions/pack.py::pack_sequences_stitched — the memory-bounded
+    hot-shard guard: per-shard tails re-pack on a second tiny
+    exchange).  Same oracle as packing_totals: the stitch must lose or
+    duplicate nothing."""
+    from pyschema_ray.functions.pack import pack_sequences_stitched
+    from pyschema_ray.functions.text import tokenize_hash_batch
+
+    def tokenize(t: pa.Table) -> pa.Table:
+        return tokenize_hash_batch(t, vocab_mod=50_000) \
+            .select(["doc_id", "tokens"])
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(tokenize, batch_format="pyarrow")
+    packed = pack_sequences_stitched(ds, max_len=128, num_shards=64,
+                                     stitch_shards=4)
+    total = packed.map_batches(
+        lambda t: t.select(["n_tokens"]), batch_format="pyarrow") \
+        .sum("n_tokens")
+    return pa.table({"total_tokens": pa.array([int(total or 0)],
+                                              pa.int64())})
+
+
 def _q_lsh_ann_topk(sf_dir: str) -> pa.Table:
     """LSH approximate top-k with multi-probe (rows-only: the result
     is approximate by design, so exact-match SQL is the wrong bar —
@@ -1276,10 +1336,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_matched_ts_split": _q_asof_matched_ts_split,
         "dup_group_stats": _q_dup_group_stats,
         "word_frequencies": _q_word_frequencies,
+        "doc_frequencies": _q_doc_frequencies,
+        "novel_documents": _q_novel_documents,
         "duplicate_user_event_pairs": _q_duplicate_user_event_pairs,
         "median_chars_per_source": _q_median_chars_per_source,
         "top_revenue_orders": _q_top_revenue_orders,
         "packing_totals": _q_packing_totals,
+        "packing_totals_stitched": _q_packing_totals_stitched,
         "top_words": _q_top_words,
         "ndv_users_per_event_type": _q_ndv_users_per_event_type,
         "clean_documents": _q_clean_documents,
@@ -1580,6 +1643,13 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
              WHERE text IS NOT NULL AND trim(text) <> ''
         """,
+"packing_totals_stitched": """
+            SELECT CAST(sum(len(regexp_split_to_array(
+                           trim(text), '\\s+'))) AS BIGINT)
+                       AS total_tokens
+              FROM documents
+             WHERE text IS NOT NULL AND trim(text) <> ''
+        """,
         "top_revenue_orders": """
             SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
                    CAST(sum(CAST(round(l.l_extendedprice
@@ -1599,6 +1669,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, median(n_chars) AS median_chars
               FROM documents WHERE n_chars IS NOT NULL
              GROUP BY source ORDER BY source
+        """,
+        "doc_frequencies": """
+            WITH w AS (
+                SELECT DISTINCT doc_id, word FROM (
+                    SELECT doc_id, unnest(regexp_split_to_array(
+                               lower(trim(text)), '\\s+')) AS word
+                      FROM documents
+                     WHERE text IS NOT NULL AND trim(text) <> ''))
+            SELECT word, CAST(count(*) AS BIGINT) AS df
+              FROM w WHERE word <> '' GROUP BY word ORDER BY word
+        """,
+        "novel_documents": """
+            SELECT d.doc_id FROM documents d
+             WHERE d.doc_id % 3 <> 0 AND d.text IS NOT NULL
+               AND NOT EXISTS (
+                   SELECT 1 FROM documents e
+                    WHERE e.doc_id % 3 = 0 AND e.text IS NOT NULL
+                      AND e.text = d.text)
+             ORDER BY d.doc_id
         """,
         "word_frequencies": """
             WITH w AS (

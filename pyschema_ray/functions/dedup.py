@@ -702,7 +702,7 @@ def filter_exact_text_pairs(pairs, docs, text_col: str = "text",
                             key_col: str = "doc_id",
                             num_shards: int | None = None,
                             _hash_fns=(hash_strings, hash_strings2),
-                            small_pairs_threshold: int = 100_000):
+                            small_pairs_threshold: int = 1_000_000):
     """Keep only candidate pairs whose texts are byte-identical —
     verified via 128-bit / 32-hex content hashes (64 bits alone would
     declare hash-colliding distinct texts "identical" at 10^12-doc
@@ -715,7 +715,11 @@ def filter_exact_text_pairs(pairs, docs, text_col: str = "text",
     ADAPTIVE like :func:`jaccard_verify_pairs_ds`: at most
     ``small_pairs_threshold`` pairs verify against a broadcast of the
     requested docs' hashes with zero exchanges; larger candidate sets
-    run the :func:`_route_pair_payloads` shuffle semi-join."""
+    run the :func:`_route_pair_payloads` shuffle semi-join.  The
+    default threshold is 10x Jaccard's because the broadcast payload
+    here is 32 bytes per REQUESTED DOC (not per pair) — the only
+    pair-proportional cost is the key-set pull (~16 MB at the
+    threshold)."""
     import pandas as pd
 
     num_shards = num_shards or _default_shards()
@@ -1099,13 +1103,18 @@ def winnow_candidates(ds, text_col: str = "text", key_col: str = "doc_id",
     (fp, key) rows, co-locate on a bounded fp-hash shard, and pairs
     emit per fingerprint group.  ``max_bucket`` caps the O(m^2) pair
     blowup of fingerprints shared by more than that many docs
-    (boilerplate substrings): over-cap buckets emit STAR pairs
-    (group-min key to each other member, m-1 edges) instead of being
-    dropped, so every dup cluster — including an exact-dup cluster
-    larger than the cap, whose members share *all* fingerprints —
-    stays connected and recall 1 holds for closure-based consumers
-    (connected components / :func:`component_all_pairs`).  The raw
-    pair list itself is NOT the full pair closure above the cap.
+    (boilerplate substrings): over-cap buckets emit CHAIN pairs in
+    CONTENT-HASH order (m-1 edges; each member to its neighbour)
+    instead of being dropped.  Identical texts sort adjacent in that
+    order, so an exact-dup cluster of ANY size — whose members share
+    *all* fingerprints and therefore form a contiguous run in every
+    one of its buckets — stays connected through identical-text edges
+    that survive :func:`filter_exact_text_pairs`; recall 1 then holds
+    for closure-based consumers (connected components /
+    :func:`component_all_pairs`) up to a 2^-64 content-hash sort
+    collision.  A min-key STAR would NOT give this: its edges run to a
+    possibly different-content hub and die in the exact filter.  The
+    raw pair list itself is NOT the full pair closure above the cap.
     Returns Dataset(key_a, key_b) distinct pairs."""
     import pandas as pd
 
@@ -1123,12 +1132,19 @@ def winnow_candidates(ds, text_col: str = "text", key_col: str = "doc_id",
         keys = np.repeat(
             np.asarray(t2[key_col].to_numpy(zero_copy_only=False)),
             counts)
+        # content hash rides along as the over-cap chain sort key:
+        # identical texts sort adjacent, keeping exact-dup clusters
+        # connected through identical-text edges (docstring)
+        chash = np.repeat(
+            hash_strings(t2[text_col].to_numpy(zero_copy_only=False))
+            .view(np.int64), counts)
         fp = flat.to_numpy(zero_copy_only=False)
         shard = (mix64(fp.view(np.uint64), 59) % np.uint64(nb)) \
             .astype(np.int64)
         return pa.table({
             "fshard": pa.array(shard, pa.int64()),
             "fp": pa.array(fp, pa.int64()),
+            "chash": pa.array(chash, pa.int64()),
             key_col: pa.array(keys),
         })
 
@@ -1141,27 +1157,32 @@ def winnow_candidates(ds, text_col: str = "text", key_col: str = "doc_id",
         # one key may contribute a fingerprint many times across its
         # windows only once (fingerprints are per-doc deduplicated by
         # winnow_fingerprints_batch), so groups are distinct docs
-        dup = dup.sort_values(["fp", key_col], kind="stable")
+        dup = dup.sort_values(["fp", "chash", key_col], kind="stable")
         fpv = dup["fp"].to_numpy()
         starts, sizes = _group_starts(fpv)
         keys = dup[key_col].to_numpy()
         keep = sizes <= max_bucket
         ia, ib = _triu_pairs(starts[keep], sizes[keep])
         ok = keys[ia] != keys[ib]
-        key_a, key_b = keys[ia][ok], keys[ib][ok]
+        # normalize orientation (key_a < key_b): the group sort is by
+        # (chash, key), so triu order no longer implies key order
+        key_a = np.minimum(keys[ia][ok], keys[ib][ok])
+        key_b = np.maximum(keys[ia][ok], keys[ib][ok])
         if not np.all(keep):
-            # over-cap buckets degrade to STAR pairs (group-min key to
-            # each other member): m-1 edges instead of m(m-1)/2, but
-            # every member stays connected to the cluster, so recall 1
-            # holds for any closure consumer (connected-components
-            # dedup, component_all_pairs expansion).  Keys are sorted
-            # within the fp group, so index ``start`` is the min key.
+            # over-cap buckets degrade to CHAIN pairs in (chash, key)
+            # order: m-1 edges, identical-content members adjacent —
+            # see the docstring for why a min-key star would lose
+            # exact-dup recall through the exact-text filter
             sa, sz = starts[~keep], sizes[~keep]
-            others = np.concatenate(
-                [np.arange(s + 1, s + m) for s, m in zip(sa, sz)])
-            mins = np.repeat(sa, sz - 1)
-            key_a = np.concatenate([key_a, keys[mins]])
-            key_b = np.concatenate([key_b, keys[others]])
+            left = np.concatenate(
+                [np.arange(s, s + m - 1) for s, m in zip(sa, sz)])
+            right = left + 1
+            la, lb = keys[left], keys[right]
+            lo = np.minimum(la, lb)
+            hi = np.maximum(la, lb)
+            ok2 = lo != hi
+            key_a = np.concatenate([key_a, lo[ok2]])
+            key_b = np.concatenate([key_b, hi[ok2]])
         return pd.DataFrame({"key_a": key_a, "key_b": key_b})
 
     pairs = ds.map_batches(explode, batch_format="pyarrow") \
@@ -1276,3 +1297,60 @@ def simhash_near_dups(ds, text_col: str = "text", key_col: str = "doc_id",
     # distinct via integer pair-shards keeping the best hamming — NOT a
     # sort-shuffle groupby on the near-unique (key_a, key_b) pair key
     return distinct_pairs(pairs, num_shards=nb, min_col="hamming")
+
+
+def novel_keys_vs_existing(new_ds, existing_ds, text_col: str = "text",
+                           key_col: str = "doc_id",
+                           num_shards: int | None = None,
+                           _hash_fns=(hash_strings, hash_strings2)):
+    """Incremental-ingestion dedup: the keys of NEW documents whose
+    content does not already exist in the EXISTING corpus — the check
+    every append-only training-data pipeline runs before admitting a
+    crawl increment.
+
+    Shape: both sides ship only (hash128, key) — never text — through
+    ONE bounded hash-shard exchange (identical hashes co-shard by
+    construction, same rule as :func:`exact_dedup_keys`); each shard
+    anti-joins its new rows against its existing hash set with a
+    C-level merge.  Content identity is 128-bit (two keyed SipHashes);
+    null-text rows are excluded on both sides (they have no content to
+    compare).  Returns Dataset(key_col).
+    """
+    import pandas as pd
+
+    num_shards = num_shards or _default_shards()
+    hf1, hf2 = _hash_fns
+
+    def rows(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(t[text_col]))
+            texts = t[text_col].to_numpy(zero_copy_only=False)
+            h1 = hf1(texts).view(np.int64)
+            h2 = hf2(texts).view(np.int64)
+            shard = (h1.view(np.uint64) % np.uint64(num_shards)) \
+                .astype(np.int64)
+            return pa.table({
+                "hshard": pa.array(shard, pa.int64()),
+                "h1": pa.array(h1, pa.int64()),
+                "h2": pa.array(h2, pa.int64()),
+                "side": pa.array(np.full(t.num_rows, side, np.int8),
+                                 pa.int8()),
+                key_col: t[key_col],
+            })
+        return fn
+
+    union = new_ds.select_columns([key_col, text_col]) \
+        .map_batches(rows(0), batch_format="pyarrow").union(
+            existing_ds.select_columns([key_col, text_col])
+            .map_batches(rows(1), batch_format="pyarrow"))
+
+    def anti(df):
+        newdf = df.loc[df["side"] == 0, ["h1", "h2", key_col]]
+        if newdf.empty:
+            return newdf[[key_col]]
+        exist = df.loc[df["side"] == 1, ["h1", "h2"]].drop_duplicates()
+        m = newdf.merge(exist, on=["h1", "h2"], how="left",
+                        indicator=True)
+        return m.loc[m["_merge"] == "left_only", [key_col]]
+
+    return union.groupby("hshard").map_groups(anti, batch_format="pandas")

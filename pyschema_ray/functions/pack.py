@@ -93,3 +93,145 @@ def pack_sequences(ds, tokens_col: str = "tokens", key_col: str = "doc_id",
 
     return ds.map_batches(add_shard, batch_format="pyarrow") \
         .groupby("pshard").map_groups(pack, batch_format="pandas")
+
+
+def pack_sequences_stitched(ds, tokens_col: str = "tokens",
+                            key_col: str = "doc_id", max_len: int = 2048,
+                            num_shards: int | None = None,
+                            pad_id: int | None = None,
+                            stitch_shards: int = 8):
+    """Memory-bounded packing with remainder stitching — the hot-shard
+    guard for :func:`pack_sequences`.
+
+    With plain packing, bounding per-task memory means raising
+    ``num_shards`` (each shard's token stream must fit a worker), and
+    every shard then leaves one partial window — waste grows with the
+    shard count.  Here each shard emits only FULL ``max_len`` windows
+    plus ONE remainder row (its tail tokens + exact doc lineage); the
+    remainders (< max_len tokens each — tiny) ride a second exchange
+    where they concatenate in deterministic shard order and pack
+    again.  Waste drops to at most one partial window per
+    ``stitch_shards`` regardless of ``num_shards``, and the
+    token-conservation invariant (sum of n_tokens == corpus tokens)
+    holds exactly.
+
+    Output schema matches :func:`pack_sequences`; full windows get
+    pack_id "s<shard>-<i>", stitched ones "r<stitch_shard>-<i>".
+    """
+    import pandas as pd
+
+    num_shards = num_shards or _default_shards()
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        return t.select([key_col, tokens_col]).append_column(
+            "pshard", pa.array(_key_shards(keys, num_shards, 31), pa.int64()))
+
+    def pack_full(df):
+        df = df.sort_values(key_col, kind="stable")
+        shard = int(df["pshard"].iloc[0])
+        parts = [np.asarray(v, dtype=np.int64) if v is not None
+                 else np.empty(0, np.int64) for v in df[tokens_col]]
+        doc_lens = np.array([len(p) for p in parts], dtype=np.int64)
+        stream = np.concatenate(parts) if parts else np.empty(0, np.int64)
+        n = len(stream)
+        keys_np = df[key_col].to_numpy()
+        doc_ends = np.cumsum(doc_lens)
+        out = {"pack_id": [], "tokens": [], "n_tokens": [], "n_docs": [],
+               "doc_ids": [], "is_rem": [], "rshard": []}
+
+        def emit(pid, window, real, d0, d1, ends_local, is_rem, rsh):
+            out["pack_id"].append(pid)
+            out["tokens"].append(window)
+            out["n_tokens"].append(real)
+            out["n_docs"].append(d1 - d0 + 1)
+            out["doc_ids"].append(keys_np[d0:d1 + 1].tolist())
+            out["is_rem"].append(is_rem)
+            out["rshard"].append(rsh)
+            # ends_local rides in doc_ids-parallel form only for
+            # remainders; full windows leave it empty
+            out.setdefault("doc_ends_local", []).append(ends_local)
+
+        n_full = n // max_len
+        for i in range(n_full):
+            s, e = i * max_len, (i + 1) * max_len
+            d0 = int(np.searchsorted(doc_ends, s, side="right"))
+            d1 = int(np.searchsorted(doc_ends, e - 1, side="right"))
+            emit(f"s{shard}-{i}", stream[s:e], max_len, d0, d1, [],
+                 np.int8(0), np.int64(-1))
+        if n % max_len:
+            s = n_full * max_len
+            d0 = int(np.searchsorted(doc_ends, s, side="right"))
+            d1 = len(doc_lens) - 1
+            ends_local = (doc_ends[d0:d1 + 1] - s).clip(0, n - s).tolist()
+            emit(f"tail{shard}", stream[s:], n - s, d0, d1, ends_local,
+                 np.int8(1), np.int64(shard % stitch_shards))
+        if not out["pack_id"]:
+            doc_keys = pa.Array.from_pandas(df[key_col])
+            return pa.table({
+                "pack_id": pa.array([], pa.string()),
+                "tokens": pa.array([], pa.list_(pa.int64())),
+                "n_tokens": pa.array([], pa.int64()),
+                "n_docs": pa.array([], pa.int64()),
+                "doc_ids": pa.array([], pa.list_(doc_keys.type)),
+                "is_rem": pa.array([], pa.int8()),
+                "rshard": pa.array([], pa.int64()),
+                "doc_ends_local": pa.array([], pa.list_(pa.int64())),
+            })
+        return pd.DataFrame(out)
+
+    staged = ds.map_batches(add_shard, batch_format="pyarrow") \
+        .groupby("pshard").map_groups(pack_full, batch_format="pandas") \
+        .materialize()  # two consumers below; blocks stay distributed
+
+    strip = ["is_rem", "rshard", "doc_ends_local"]
+
+    def fulls(df):
+        return df.loc[df["is_rem"] == 0,
+                      [c for c in df.columns if c not in strip]]
+
+    def stitch(df):
+        # deterministic order: by originating shard (encoded in pack_id
+        # "tail<shard>")
+        df = df.assign(_s=df["pack_id"].str.slice(4).astype(np.int64)) \
+            .sort_values("_s", kind="stable")
+        streams = [np.asarray(v, np.int64) for v in df["tokens"]]
+        stream = np.concatenate(streams) if streams \
+            else np.empty(0, np.int64)
+        rsh = int(df["rshard"].iloc[0])
+        # rebuild global doc boundaries from each remainder's local ends
+        ends, ids, base = [], [], 0
+        for ends_local, doc_ids, ln in zip(df["doc_ends_local"],
+                                           df["doc_ids"],
+                                           (len(s) for s in streams)):
+            el = np.asarray(ends_local, np.int64)
+            ends.append(base + el)
+            ids.extend(list(doc_ids))
+            base += ln
+        doc_ends = np.concatenate(ends) if ends else np.empty(0, np.int64)
+        keys_np = np.asarray(ids, dtype=object)
+        n = len(stream)
+        out = {"pack_id": [], "tokens": [], "n_tokens": [], "n_docs": [],
+               "doc_ids": []}
+        starts = np.arange(0, n, max_len)
+        for i, s in enumerate(starts):
+            e = min(s + max_len, n)
+            window = stream[s:e]
+            real = e - s
+            if pad_id is not None and real < max_len:
+                window = np.concatenate(
+                    [window, np.full(max_len - real, pad_id, np.int64)])
+            d0 = int(np.searchsorted(doc_ends, s, side="right"))
+            d1 = int(np.searchsorted(doc_ends, e - 1, side="right"))
+            d1 = min(d1, len(keys_np) - 1)
+            out["pack_id"].append(f"r{rsh}-{i}")
+            out["tokens"].append(window)
+            out["n_tokens"].append(real)
+            out["n_docs"].append(d1 - d0 + 1)
+            out["doc_ids"].append(list(keys_np[d0:d1 + 1]))
+        return pd.DataFrame(out)
+
+    rems = staged.map_batches(
+        lambda df: df.loc[df["is_rem"] == 1], batch_format="pandas") \
+        .groupby("rshard").map_groups(stitch, batch_format="pandas")
+    return staged.map_batches(fulls, batch_format="pandas").union(rems)

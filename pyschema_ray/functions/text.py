@@ -452,3 +452,53 @@ def ngram_contamination(ds, eval_texts, text_col: str = "text",
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def doc_frequencies(ds, text_col: str = "text", key_col: str = "doc_id",
+                    num_shards: int | None = None,
+                    lowercase: bool = True, min_df: int = 1):
+    """Document-frequency table -> Dataset(word, df): in how many
+    DOCUMENTS each word appears — the IDF denominator and the standard
+    stopword/rare-word filter input.  Same combiner + word-hash shard
+    exchange as :func:`word_frequencies`, except each batch first
+    dedups (doc, word) pairs (one C-level drop_duplicates over the
+    flattened split), so the exchange carries unique words-per-batch
+    with per-batch document counts."""
+    import pandas as pd
+
+    from .dedup import _default_shards, _key_shards
+
+    nb = num_shards or _default_shards()
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = pc.utf8_trim_whitespace(pc.fill_null(t[text_col], ""))
+        if lowercase:
+            col = pc.utf8_lower(col)
+        parts = pc.split_pattern_regex(col, TOKEN_SPLIT_RE)
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        offsets = np.asarray(parts.offsets)
+        flat = parts.values.slice(offsets[0], offsets[-1] - offsets[0])
+        offsets = offsets - offsets[0]
+        words = flat.to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                            np.diff(offsets))
+        df = pd.DataFrame({"d": doc_idx, "w": words})
+        df = df.loc[df["w"] != ""].drop_duplicates()
+        vc = df["w"].value_counts(sort=False)
+        w = vc.index.to_numpy(dtype=object)
+        return pa.table({
+            "wshard": pa.array(_key_shards(w, nb, 59), pa.int64()),
+            "word": pa.array(w, pa.string()),
+            "df": pa.array(vc.to_numpy().astype(np.int64), pa.int64()),
+        })
+
+    def total(t: pa.Table) -> pa.Table:
+        g = t.group_by("word").aggregate([("df", "sum")])
+        g = g.select(["word", "df_sum"]).rename_columns(["word", "df"])
+        if min_df > 1:
+            g = g.filter(pc.greater_equal(g["df"], min_df))
+        return g
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("wshard").map_groups(total, batch_format="pyarrow")

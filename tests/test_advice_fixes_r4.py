@@ -1,9 +1,10 @@
 """Regression tests for the round-3 ADVICE findings:
 
 1. winnow_candidates' max_bucket cap must not lose exact-dup clusters
-   larger than the cap: over-cap buckets emit star pairs (connectivity
-   preserved), and component_all_pairs restores the full pair closure
-   the SQL self-join oracle produces.
+   larger than the cap: over-cap buckets emit chain pairs in
+   content-hash order (identical docs adjacent, so exact-filter-proof
+   connectivity), and component_all_pairs restores the full pair
+   closure the SQL self-join oracle produces.
 2. Constraint.rebind must rewrite the COLUMN path, never a substring
    of the constraint-kind prefix (column 'n' under parent 'parent'
    previously yielded 'parent.not_null(n)').
@@ -48,7 +49,7 @@ def test_winnow_over_cap_cluster_keeps_recall_via_closure():
     assert got == want
 
 
-def test_winnow_star_pairs_connect_over_cap_buckets():
+def test_winnow_chain_pairs_connect_over_cap_buckets():
     import ray.data
 
     from pyschema_ray.functions.dedup import winnow_candidates
@@ -61,11 +62,11 @@ def test_winnow_star_pairs_connect_over_cap_buckets():
     cand = pa.concat_tables(
         [t for t in winnow_candidates(docs, max_bucket=2)
          .iter_batches(batch_format="pyarrow") if t.num_rows])
-    # raw candidates above the cap are star pairs, not empty: every
-    # doc is connected to doc 0 (the min key)
+    # raw candidates above the cap are chain pairs (content-hash
+    # order), not empty
     got = _pairs_set(cand)
     assert got, "over-cap cluster produced zero candidate pairs"
-    # connectivity: union-find over the star pairs joins all 8 docs
+    # connectivity: union-find over the chain pairs joins all 8 docs
     parent = list(range(200))
 
     def find(x):

