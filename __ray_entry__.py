@@ -1288,6 +1288,45 @@ def _q_packing_totals_stitched(sf_dir: str) -> pa.Table:
                                               pa.int64())})
 
 
+def _q_media_features(sf_dir: str) -> pa.Table:
+    """REAL multimodal decode path (rows-only: decoding has no SQL
+    analog): deterministic PPM/BMP images and PCM WAV audio payloads
+    flow through the actor-pool decode stages with NO fake flag — the
+    pure-numpy codecs (functions/codecs.py) decode them for real, and
+    image features for the same pixels agree across container formats
+    (tests/test_codecs.py)."""
+    import ray.data
+
+    from pyschema_ray.functions.multimodal import (decode_images,
+                                                   sample_audio_frames,
+                                                   synth_real_media_table)
+
+    tbl = synth_real_media_table(48)
+    imgs = ray.data.from_arrow(tbl.filter(
+        pc.equal(tbl["media_type"], "image")))
+    auds = ray.data.from_arrow(tbl.filter(
+        pc.equal(tbl["media_type"], "audio")))
+    feat = _collect(decode_images(imgs, height=16, width=16,
+                                  concurrency=2)
+                    .select_columns(["media_id", "image_features"]))
+    energy = _collect(sample_audio_frames(auds, n_frames=4, concurrency=2)
+                      .select_columns(["media_id", "frame_energy"]))
+    out = pa.table({
+        "media_id": pa.concat_arrays(
+            [feat["media_id"].combine_chunks(),
+             energy["media_id"].combine_chunks()]),
+        "f0": pa.array(
+            [float(v[0]) for v in feat["image_features"].to_pylist()]
+            + [float(v[0]) for v in energy["frame_energy"].to_pylist()],
+            pa.float64()),
+        "n_feats": pa.array(
+            [len(v) for v in feat["image_features"].to_pylist()]
+            + [len(v) for v in energy["frame_energy"].to_pylist()],
+            pa.int64()),
+    })
+    return out.sort_by("media_id")
+
+
 def _q_lsh_ann_topk(sf_dir: str) -> pa.Table:
     """LSH approximate top-k with multi-probe (rows-only: the result
     is approximate by design, so exact-match SQL is the wrong bar —
@@ -1371,6 +1410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_ann_topk": _q_lsh_ann_topk,
         "dedup_keep": _q_dedup_keep,
         "packed_sequences": _q_packed_sequences,
+        "media_features": _q_media_features,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "bigram_frequencies": _q_bigram_frequencies,
         "ndv_users_per_event_type_hll": _q_ndv_users_per_event_type_hll,

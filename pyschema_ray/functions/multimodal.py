@@ -2,13 +2,16 @@
 ``binary`` columns with typed metadata, processed by actor-pool
 ``map_batches`` stages.
 
-The decode kernels themselves are STUBBED (image/audio codec libraries
-are not available in this environment — each stage raises
-``NotImplementedError`` unless constructed with ``fake=True``, which
-produces deterministic hash-derived outputs).  The Ray-side plumbing —
-schema, batch sizing, actor signatures, output layout — is real and
-tested (tests/test_functions.py::test_multimodal_*): swapping in a real codec changes
-only the marked ``_decode_one`` bodies.
+Decode support is REAL for the uncompressed formats (pure-numpy
+codecs, no external library — ``codecs.py``): PPM and 24-bit BMP
+images, PCM WAV audio.  Compressed formats (JPEG/PNG/FLAC/MP4...)
+need codec libraries this environment lacks and raise
+``NotImplementedError`` unless the stage is constructed with
+``fake=True`` (deterministic hash-derived outputs for plumbing
+tests).  Video decode remains fully stubbed.  The Ray-side plumbing —
+schema, batch sizing, actor signatures, output layout — is identical
+on every path (tests/test_functions.py::test_multimodal_*,
+tests/test_codecs.py).
 
 Scale notes baked in: media batches must be SMALL (payloads are KB–MB
 per row; default ``batch_size=32``) and stages should run as actor
@@ -56,15 +59,27 @@ class ImageDecoder:
         self.width = width
         self.payload_col = payload_col
         self.fake = fake
-        # REAL path: load codec / model here, once per actor, e.g.
-        # self.codec = SomeImageLib(); heavy setup amortized over batches
+        # per-actor setup (once, never per batch): bind the codec
+        # table here — a heavier real pipeline would load models too
+        from . import codecs
+        self._codecs = codecs
 
     def _decode_one(self, payload: bytes) -> np.ndarray:
-        if not self.fake:
+        if self.fake:
+            return _det_floats(payload, 8)
+        c = self._codecs
+        fmt = c.sniff_format(payload)
+        if fmt == "ppm":
+            img = c.decode_ppm(payload)
+        elif fmt == "bmp":
+            img = c.decode_bmp(payload)
+        else:
             raise NotImplementedError(
-                "image codec not available in this environment; construct "
-                "with fake=True for deterministic test features")
-        return _det_floats(payload, 8)
+                f"no codec for format {fmt!r} in this environment "
+                "(PPM/BMP decode for real; construct with fake=True "
+                "for plumbing tests of other formats)")
+        return c.image_features(c.resize_nearest(img, self.height,
+                                                 self.width))
 
     def __call__(self, t: pa.Table) -> pa.Table:
         feats = [self._decode_one(p) if p is not None else None
@@ -86,12 +101,25 @@ class AudioFrameSampler:
         self.n_frames = n_frames
         self.payload_col = payload_col
         self.fake = fake
+        from . import codecs
+        self._codecs = codecs
 
     def _decode_one(self, payload: bytes) -> np.ndarray:
-        if not self.fake:
+        if self.fake:
+            return np.abs(_det_floats(payload, self.n_frames))
+        c = self._codecs
+        if c.sniff_format(payload) != "wav":
             raise NotImplementedError(
-                "audio codec not available; construct with fake=True")
-        return np.abs(_det_floats(payload, self.n_frames))
+                "only PCM WAV decodes for real in this environment; "
+                "construct with fake=True for other formats")
+        x, _rate = c.decode_wav(payload)
+        if len(x) == 0:
+            return np.zeros(self.n_frames, np.float32)
+        # per-frame RMS energy over n_frames equal chunks
+        bounds = np.linspace(0, len(x), self.n_frames + 1).astype(np.int64)
+        return np.array(
+            [np.sqrt(np.mean(np.square(x[a:b]))) if b > a else 0.0
+             for a, b in zip(bounds[:-1], bounds[1:])], np.float32)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         feats = [self._decode_one(p) if p is not None
@@ -227,6 +255,54 @@ def embed_features(ds, in_dim: int = 8, out_dim: int = 16,
                                    features_col=features_col),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
+
+
+def synth_real_media_table(n: int = 48, seed: int = 42) -> pa.Table:
+    """Deterministic media table whose payloads are REAL encoded media
+    (PPM / BMP images, PCM WAV audio cycling by row) — decodable by
+    the pure-numpy codecs with no fake flag."""
+    from . import codecs
+
+    rng = np.random.default_rng(seed)
+    payloads, fmts, types, widths, heights, durs = [], [], [], [], [], []
+    for i in range(n):
+        kind = i % 3
+        if kind == 0:
+            h, w = int(rng.integers(8, 40)), int(rng.integers(8, 40))
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payloads.append(codecs.encode_ppm(img))
+            fmts.append("ppm")
+            types.append("image")
+            widths.append(w)
+            heights.append(h)
+            durs.append(0)
+        elif kind == 1:
+            h, w = int(rng.integers(8, 40)), int(rng.integers(8, 40))
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payloads.append(codecs.encode_bmp(img))
+            fmts.append("bmp")
+            types.append("image")
+            widths.append(w)
+            heights.append(h)
+            durs.append(0)
+        else:
+            ns = int(rng.integers(1000, 8000))
+            x = rng.standard_normal(ns).astype(np.float32) * 0.1
+            payloads.append(codecs.encode_wav(x, 8000))
+            fmts.append("wav")
+            types.append("audio")
+            widths.append(0)
+            heights.append(0)
+            durs.append(int(ns * 1000 / 8000))
+    return pa.table({
+        "media_id": pa.array([f"m-{i:06d}" for i in range(n)], pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "media_type": pa.array(types, pa.string()),
+        "format": pa.array(fmts, pa.string()),
+        "width": pa.array(widths, pa.int32()),
+        "height": pa.array(heights, pa.int32()),
+        "duration_ms": pa.array(durs, pa.int32()),
+    }).cast(MEDIA_SCHEMA)
 
 
 def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
