@@ -180,14 +180,35 @@ class ValidationPipeline:
         shards = [files[i:i + cfg.files_per_shard]
                   for i in range(0, len(files), cfg.files_per_shard)]
 
+        # persist the full schema fingerprint once: the hash alone can
+        # refuse a resume but cannot EXPLAIN it after the old Record
+        # class is gone from code
+        if self.manifest.get_global("schema-fingerprint") is None:
+            self.manifest.commit_global(
+                "schema-fingerprint",
+                {"fingerprint": cfg.schema_cls.fingerprint()})
+
         completed = self.manifest.completed_shards()
         for sid, rec in completed.items():
             _normalize_legacy_lineage_ids(rec, self._root)
             if rec.get("schema_hash") != self.schema_hash:
+                # resume stays STRICT (any weaker rule can silently
+                # change verdicts on already-validated shards); the
+                # error carries the Avro-style compatibility report so
+                # the user can decide between re-validating and
+                # migrating
+                detail = ""
+                stored = self.manifest.get_global("schema-fingerprint")
+                if stored is not None:
+                    from ..evolution import check_compatibility
+                    detail = "\n" + check_compatibility(
+                        stored["fingerprint"],
+                        cfg.schema_cls.fingerprint()).summary()
                 raise RuntimeError(
                     f"manifest shard {sid} was produced with a different "
                     f"schema ({rec.get('schema_hash')} != {self.schema_hash}); "
-                    "refusing to resume")
+                    "refusing to resume — use a fresh out_dir or "
+                    "re-validate" + detail)
             # the shard id is positional over the sorted file list: if the
             # input set changed, resuming would silently skip the WRONG
             # files — refuse instead

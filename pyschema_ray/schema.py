@@ -621,7 +621,13 @@ class Record(metaclass=PySchemaMeta):
             "name": cls._schema_name,
             "key_field": cls.key_field(),
             "fields": [f.fingerprint() for f in cls._fields.values()],
-            "constraints": [c.name for c in cls.compiled_constraints()],
+            # name AND detail: the detail string carries the constraint
+            # PARAMETERS (range bounds, regex pattern, ...).  Hashing
+            # names alone let e.g. a Range bounds change keep the same
+            # schema_hash, so a resume would silently skip shards
+            # validated under different bounds — verdict-unsound.
+            "constraints": [{"name": c.name, "detail": c.detail}
+                            for c in cls.compiled_constraints()],
         }
 
 
