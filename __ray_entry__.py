@@ -617,6 +617,18 @@ def _q_novel_documents(sf_dir: str) -> pa.Table:
     return _collect(out).sort_by("doc_id")
 
 
+def _q_top_terms_per_doc(sf_dir: str) -> pa.Table:
+    """Per-doc characteristic terms by the integer-deterministic
+    TF-IDF ordering (tf desc, df asc, term asc) — corpus df broadcast
+    once; SQL reproduces the exact ranking with a window function."""
+    from pyschema_ray.functions.text import top_terms_per_doc
+
+    out = top_terms_per_doc(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), k=3)
+    return _collect(out).sort_by([("doc_id", "ascending"),
+                                  ("rank", "ascending")])
+
+
 def _q_bigram_frequencies(sf_dir: str) -> pa.Table:
     """Word-bigram frequency table over documents, oracle-checked:
     the SQL reproduces the partial-gram convention (a document shorter
@@ -1376,6 +1388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_group_stats": _q_dup_group_stats,
         "word_frequencies": _q_word_frequencies,
         "doc_frequencies": _q_doc_frequencies,
+        "top_terms_per_doc": _q_top_terms_per_doc,
         "novel_documents": _q_novel_documents,
         "duplicate_user_event_pairs": _q_duplicate_user_event_pairs,
         "median_chars_per_source": _q_median_chars_per_source,
@@ -1709,6 +1722,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, median(n_chars) AS median_chars
               FROM documents WHERE n_chars IS NOT NULL
              GROUP BY source ORDER BY source
+        """,
+        "top_terms_per_doc": """
+            WITH w AS (
+                SELECT doc_id, word FROM (
+                    SELECT doc_id, unnest(regexp_split_to_array(
+                               lower(trim(text)), '\\s+')) AS word
+                      FROM documents
+                     WHERE text IS NOT NULL AND trim(text) <> '')
+                 WHERE word <> ''),
+            tf AS (
+                SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+                  FROM w GROUP BY doc_id, word),
+            df AS (
+                SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                  FROM w GROUP BY word),
+            ranked AS (
+                SELECT tf.doc_id, tf.word AS term, tf.tf, df.df,
+                       CAST(row_number() OVER (
+                            PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, df.df ASC, tf.word ASC)
+                            AS BIGINT) AS rank
+                  FROM tf JOIN df ON tf.word = df.word)
+            SELECT doc_id, term, tf, df, rank FROM ranked
+             WHERE rank <= 3 ORDER BY doc_id, rank
         """,
         "doc_frequencies": """
             WITH w AS (

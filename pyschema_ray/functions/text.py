@@ -502,3 +502,79 @@ def doc_frequencies(ds, text_col: str = "text", key_col: str = "doc_id",
 
     return ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("wshard").map_groups(total, batch_format="pyarrow")
+
+
+def top_terms_per_doc(ds, df_table: pa.Table | None = None,
+                      text_col: str = "text", key_col: str = "doc_id",
+                      k: int = 3, min_df: int = 1):
+    """Per-document characteristic terms, TF-IDF-style but with an
+    INTEGER-deterministic ranking — rank terms within each doc by
+    (tf desc, df asc, term asc) — so the result is exactly
+    reproducible by a SQL window function (float idf ties the ranking
+    to log() rounding; the (tf, df) lexicographic order is the same
+    signal without the float).
+
+    ``df_table`` is the corpus document-frequency table
+    (:func:`doc_frequencies` output); computed from ``ds`` when not
+    given, then broadcast ONCE via ray.put.  Partitioning contract:
+    the (pruned) vocabulary must fit the object store — pass
+    ``min_df`` to prune rare words at 100-TB vocabularies.
+
+    -> Dataset(key, term, tf, df, rank), rank in 1..k."""
+    import pandas as pd
+    import ray
+
+    if df_table is None:
+        df_ds = doc_frequencies(ds, text_col=text_col, key_col=key_col,
+                                min_df=min_df)
+        df_table = pa.concat_tables(
+            [b for b in df_ds.iter_batches(batch_format="pyarrow")
+             if b.num_rows] or [pa.table({"word": pa.array([], pa.string()),
+                                          "df": pa.array([], pa.int64())})])
+    ref = ray.put(df_table)
+
+    def per_batch(t: pa.Table):
+        dft = ray.get(ref)
+        lookup = pd.Series(dft["df"].to_numpy(zero_copy_only=False),
+                           index=dft["word"].to_pylist())
+        col = pc.utf8_lower(pc.utf8_trim_whitespace(
+            pc.fill_null(t[text_col], "")))
+        parts = pc.split_pattern_regex(col, TOKEN_SPLIT_RE)
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        offsets = np.asarray(parts.offsets)
+        flat = parts.values.slice(offsets[0], offsets[-1] - offsets[0])
+        offsets = offsets - offsets[0]
+        words = flat.to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                            np.diff(offsets))
+        frame = pd.DataFrame({"d": doc_idx, "term": words})
+        frame = frame.loc[frame["term"] != ""]
+        if frame.empty:
+            keys_empty = t[key_col].slice(0, 0)
+            return pa.table({
+                key_col: keys_empty,
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "df": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64())})
+        tf = frame.groupby(["d", "term"], sort=False).size() \
+            .reset_index(name="tf")
+        tf["df"] = lookup.reindex(tf["term"]).to_numpy()
+        # words absent from a pruned df table: treat as df = 0 (rarest)
+        tf["df"] = np.nan_to_num(tf["df"].to_numpy(), nan=0).astype(np.int64)
+        tf = tf.sort_values(["d", "tf", "df", "term"],
+                            ascending=[True, False, True, True],
+                            kind="stable")
+        tf["rank"] = tf.groupby("d", sort=False).cumcount() + 1
+        tf = tf.loc[tf["rank"] <= k]
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            key_col: pa.array(keys[tf["d"].to_numpy()]),
+            "term": pa.array(tf["term"].to_numpy(), pa.string()),
+            "tf": pa.array(tf["tf"].to_numpy().astype(np.int64)),
+            "df": pa.array(tf["df"].to_numpy().astype(np.int64)),
+            "rank": pa.array(tf["rank"].to_numpy().astype(np.int64)),
+        })
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")

@@ -857,3 +857,29 @@ def test_novel_keys_vs_existing():
          if b.num_rows])
     # 'alpha'/'beta' exist; both 'gamma' copies are novel; null text drops
     assert sorted(out["doc_id"].to_pylist()) == [11, 12]
+
+
+def test_top_terms_per_doc_ranking():
+    import ray.data
+
+    from pyschema_ray.functions.text import top_terms_per_doc
+
+    texts = ["apple apple banana zebra", "banana banana banana apple",
+             None, ""]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts)}))
+    out = pa.concat_tables(
+        [b for b in top_terms_per_doc(ds, k=2)
+         .iter_batches(batch_format="pyarrow") if b.num_rows]) \
+        .sort_by([("doc_id", "ascending"), ("rank", "ascending")])
+    rows = list(zip(out["doc_id"].to_pylist(), out["term"].to_pylist(),
+                    out["tf"].to_pylist(), out["df"].to_pylist(),
+                    out["rank"].to_pylist()))
+    # doc 0: apple tf=2; then zebra beats banana on df (1 < 2)
+    assert rows[0] == (0, "apple", 2, 2, 1)
+    assert rows[1] == (0, "zebra", 1, 1, 2)
+    # doc 1: banana tf=3, apple tf=1
+    assert rows[2] == (1, "banana", 3, 2, 1)
+    assert rows[3] == (1, "apple", 1, 2, 2)
+    assert len(rows) == 4  # null/empty docs emit nothing
