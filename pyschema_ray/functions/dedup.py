@@ -630,6 +630,11 @@ def _verify_pairs_broadcast(pairs_mat, docs, key_col, payload_builder,
         ptbl = ray.get(lookup_ref)
         s = pd.Series(ptbl["payload"].to_pylist(),
                       index=ptbl[key_col].to_pylist(), dtype=object)
+        # duplicate doc keys would fan .loc lookups out row-wise and
+        # misalign the pair arrays — keep the first, like the
+        # semi-join's drop_duplicates("key")
+        if not s.index.is_unique:
+            s = s[~s.index.duplicated()]
         # drop pairs with a missing doc on either side (semi-join
         # contract: such a pair cannot verify)
         ok = df["key_a"].isin(s.index) & df["key_b"].isin(s.index)

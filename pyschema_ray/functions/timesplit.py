@@ -267,6 +267,18 @@ def asof_join_timesplit(left, right, key_col: str, ts_col: str,
         return pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64()) \
             .to_numpy(zero_copy_only=False)
 
+    def _sentinel(tp, n: int) -> pa.Array:
+        if pa.types.is_integer(tp) or pa.types.is_timestamp(tp) \
+                or pa.types.is_date(tp) or pa.types.is_duration(tp):
+            return pa.array(np.zeros(n, np.int64)).cast(tp)
+        if pa.types.is_floating(tp):
+            return pa.array(np.zeros(n, np.float64)).cast(tp)
+        if pa.types.is_boolean(tp):
+            return pa.array(np.zeros(n, bool))
+        if pa.types.is_string(tp) or pa.types.is_large_string(tp):
+            return pa.array(np.full(n, "", object), tp)
+        return pa.nulls(n, tp)
+
     # ---- pass 1a: batch-local last/first right row per (key, bucket)
     keep_last = direction == "backward"
 
@@ -292,9 +304,22 @@ def asof_join_timesplit(left, right, key_col: str, ts_col: str,
         bucket = _us_of(t[ts_col]) // bus
         df = pd.DataFrame({key_col: keys, "__bucket": bucket})
         df = df.drop_duplicates([key_col, "__bucket"])
-        df["__kshard"] = _key_shards(df[key_col].to_numpy(),
-                                     num_shards, 79)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        n = len(df)
+        # SAME schema as right_partials, value columns padded with
+        # TYPED sentinels: a null-padded union would coerce the right
+        # side's int64 carry values to float64 inside the pandas
+        # stitch groups, corrupting values above 2^53 (the
+        # _route_pair_payloads rule)
+        out = pa.table({c: pa.array(df[key_col].to_numpy())
+                        if c == key_col
+                        else _sentinel(right_schema.field(c).type, n)
+                        for c in right_cols})
+        out = out.append_column("__us", pa.array(np.zeros(n, np.int64)))
+        out = out.append_column(
+            "__bucket", pa.array(df["__bucket"].to_numpy(), pa.int64()))
+        return out.append_column(
+            "__kshard", pa.array(_key_shards(df[key_col].to_numpy(),
+                                             num_shards, 79), pa.int64()))
 
     rp = right.map_batches(right_partials, batch_format="pyarrow")
     la = left.select_columns([key_col, ts_col]) \
@@ -361,18 +386,6 @@ def asof_join_timesplit(left, right, key_col: str, ts_col: str,
                  for c in left_cols if c != key_col}
     pad_left = {c: right_schema.field(c).type for c in right_cols
                 if c != key_col and c not in left_cols}
-
-    def _sentinel(tp, n: int) -> pa.Array:
-        if pa.types.is_integer(tp) or pa.types.is_timestamp(tp) \
-                or pa.types.is_date(tp) or pa.types.is_duration(tp):
-            return pa.array(np.zeros(n, np.int64)).cast(tp)
-        if pa.types.is_floating(tp):
-            return pa.array(np.zeros(n, np.float64)).cast(tp)
-        if pa.types.is_boolean(tp):
-            return pa.array(np.zeros(n, bool))
-        if pa.types.is_string(tp) or pa.types.is_large_string(tp):
-            return pa.array(np.full(n, "", object), tp)
-        return pa.nulls(n, tp)
 
     def tag2(side, ts_name):
         def fn(t: pa.Table) -> pa.Table:

@@ -218,3 +218,36 @@ def test_asof_join_timesplit_hot_key_sparse_buckets():
     for c in cols:
         assert pc.all(pc.equal(plain[c], split[c])).as_py() \
             in (True, None), c
+
+
+def test_asof_timesplit_preserves_large_int64_values():
+    """Regression: the stitch-phase union used to null-pad the right
+    value columns for left-active marker rows, coercing carry values
+    to float64 and corrupting ints above 2^53."""
+    import ray.data
+
+    from pyschema_ray.functions.timesplit import asof_join_timesplit
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    big = (1 << 60) + 12345  # not representable in float64
+    left = pa.table({
+        "key": pa.array([1, 1], pa.int64()),
+        "ts": pa.array(base + np.array([7200, 10800]) * np.timedelta64(1, "s"),
+                       pa.timestamp("us")),
+        "lv": pa.array([0, 1], pa.int64()),
+    })
+    right = pa.table({
+        "key": pa.array([1], pa.int64()),
+        "ts": pa.array([base], pa.timestamp("us")),
+        "rv": pa.array([big], pa.int64()),
+    })
+    out = pa.concat_tables(
+        [b for b in asof_join_timesplit(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            "key", "ts", bucket_seconds=3600.0)
+         .iter_batches(batch_format="pyarrow") if b.num_rows])
+    # both left rows match the hour-0 right row via carry; the value
+    # survives exactly
+    assert out.num_rows == 2
+    assert out["rv"].to_pylist() == [big, big]
+    assert pa.types.is_integer(out.schema.field("rv").type)
