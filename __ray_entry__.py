@@ -603,8 +603,6 @@ def _q_novel_documents(sf_dir: str) -> pa.Table:
     text never shuffles)."""
     from pyschema_ray.functions.dedup import novel_keys_vs_existing
 
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-
     def half(rem_is_zero: bool):
         def fn(t: pa.Table) -> pa.Table:
             ids = t["doc_id"].to_numpy(zero_copy_only=False)
@@ -846,12 +844,13 @@ def _q_map_violations_events(sf_dir: str) -> pa.Table:
         if isinstance(items, pa.ChunkedArray):
             items = items.combine_chunks()
         null_mask = pc.is_null(props).to_numpy(zero_copy_only=False)
-        mp = pa.MapArray.from_arrays(
-            pa.array(offsets, pa.int32()), keys, items)
-        if null_mask.any():
-            mp = pa.MapArray.from_arrays(
-                pa.array(offsets, pa.int32()), keys, items,
-                mask=pa.array(null_mask))
+        # null props -> null map rows, encoded as NULL OFFSETS (pyarrow
+        # 16's MapArray.from_arrays has no mask kwarg): a null at
+        # offsets[i] marks row i null
+        off = pa.array(offsets, pa.int32(),
+                       mask=np.append(null_mask, False)) \
+            if null_mask.any() else pa.array(offsets, pa.int32())
+        mp = pa.MapArray.from_arrays(off, keys, items)
         t2 = pa.table({"event_id": t["event_id"], "props_map": mp})
         out_ids, out_names = [], []
         for c in (req, rng):
@@ -1038,7 +1037,8 @@ def _q_winnow_dup_pairs(sf_dir: str) -> pa.Table:
     closure's all-pairs (component_all_pairs).  Identical texts share
     every fingerprint, so each exact-dup cluster is connected in the
     candidate graph even above winnow_candidates' ``max_bucket`` cap
-    (over-cap buckets emit star pairs); text equality is transitive,
+    (over-cap buckets emit CHAIN pairs in content-hash order, so
+    identical texts stay adjacent); text equality is transitive,
     so the closure of the exact-filtered graph IS the SQL self-join's
     all-pairs answer — recall 1 with no cap caveat.  The third
     independent dup-pair path after minhash/simhash."""
@@ -1048,9 +1048,9 @@ def _q_winnow_dup_pairs(sf_dir: str) -> pa.Table:
 
     docs = _dup_injected_docs(sf_dir)
     # tight max_bucket: common-substring buckets explode O(m^2) pairs
-    # on phrase-heavy corpora; star pairs above the cap + the closure
-    # below keep exact-dup recall at 1 regardless, so the cap is pure
-    # cost control here
+    # on phrase-heavy corpora; content-ordered chain pairs above the
+    # cap + the closure below keep exact-dup recall at 1 regardless,
+    # so the cap is pure cost control here
     cand = winnow_candidates(docs, max_bucket=8)
     dup = component_all_pairs(filter_exact_text_pairs(cand, docs))
     t = _collect(dup)

@@ -590,6 +590,8 @@ def _broadcast_payload_lookup(pairs_mat, docs, key_col, payload_builder):
     key_tbls = [b.select(["key_a", "key_b"]) for b in
                 pairs_mat.iter_batches(batch_format="pyarrow")
                 if b.num_rows]
+    if not key_tbls:  # no candidate pairs at all
+        return None, 0
     both = pa.concat_tables(key_tbls)
     uniq = pc.unique(pa.concat_arrays(
         [both["key_a"].combine_chunks(), both["key_b"].combine_chunks()]))
@@ -621,13 +623,9 @@ def _verify_pairs_broadcast(pairs_mat, docs, key_col, payload_builder,
     lookup_ref, _ = _broadcast_payload_lookup(pairs_mat, docs, key_col,
                                               payload_builder)
 
-    def verify_batch(t: pa.Table):
-        df = t.select(["key_a", "key_b"]).to_pandas()
-        if lookup_ref is None or df.empty:
-            return emit_frame(df["key_a"].to_numpy()[:0],
-                              df["key_b"].to_numpy()[:0],
-                              np.empty(0, object), np.empty(0, object))
-        ptbl = ray.get(lookup_ref)
+    from ..sketches import cached_broadcast
+
+    def build_series(ptbl):
         s = pd.Series(ptbl["payload"].to_pylist(),
                       index=ptbl[key_col].to_pylist(), dtype=object)
         # duplicate doc keys would fan .loc lookups out row-wise and
@@ -635,6 +633,17 @@ def _verify_pairs_broadcast(pairs_mat, docs, key_col, payload_builder,
         # semi-join's drop_duplicates("key")
         if not s.index.is_unique:
             s = s[~s.index.duplicated()]
+        return s
+
+    def verify_batch(t: pa.Table):
+        df = t.select(["key_a", "key_b"]).to_pandas()
+        if lookup_ref is None or df.empty:
+            return emit_frame(df["key_a"].to_numpy()[:0],
+                              df["key_b"].to_numpy()[:0],
+                              np.empty(0, object), np.empty(0, object))
+        # built once per WORKER, not per batch (the Series build over
+        # up to 2 x threshold payloads is the expensive part)
+        s = cached_broadcast(lookup_ref, build_series)
         # drop pairs with a missing doc on either side (semi-join
         # contract: such a pair cannot verify)
         ok = df["key_a"].isin(s.index) & df["key_b"].isin(s.index)

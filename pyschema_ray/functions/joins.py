@@ -399,7 +399,11 @@ def copartition_range_join_count(events, intervals, ts_col: str = "ts",
             return pa.array(np.full(n, "", object), id_type)
         try:
             return pc.cast(pa.array(np.zeros(n, np.int64)), id_type)
-        except pa.ArrowInvalid:  # exotic id type: nulls, rid unread
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            # exotic id type (binary/list/...): nulls — rid is unread
+            # on event rows (ArrowNotImplementedError is NOT a subclass
+            # of ArrowInvalid; catching only the latter left this path
+            # dead)
             return pa.nulls(n, id_type)
 
     def iv_rows(t: pa.Table) -> pa.Table:

@@ -533,10 +533,16 @@ def top_terms_per_doc(ds, df_table: pa.Table | None = None,
                                           "df": pa.array([], pa.int64())})])
     ref = ray.put(df_table)
 
+    from ..sketches import cached_broadcast
+
     def per_batch(t: pa.Table):
-        dft = ray.get(ref)
-        lookup = pd.Series(dft["df"].to_numpy(zero_copy_only=False),
-                           index=dft["word"].to_pylist())
+        # vocabulary lookup built once per WORKER (cached_broadcast) —
+        # rebuilding an O(vocab) Series per batch would dominate at
+        # corpus-scale vocabularies
+        lookup = cached_broadcast(
+            ref, lambda dft: pd.Series(
+                dft["df"].to_numpy(zero_copy_only=False),
+                index=dft["word"].to_pylist()))
         col = pc.utf8_lower(pc.utf8_trim_whitespace(
             pc.fill_null(t[text_col], "")))
         parts = pc.split_pattern_regex(col, TOKEN_SPLIT_RE)

@@ -180,14 +180,6 @@ class ValidationPipeline:
         shards = [files[i:i + cfg.files_per_shard]
                   for i in range(0, len(files), cfg.files_per_shard)]
 
-        # persist the full schema fingerprint once: the hash alone can
-        # refuse a resume but cannot EXPLAIN it after the old Record
-        # class is gone from code
-        if self.manifest.get_global("schema-fingerprint") is None:
-            self.manifest.commit_global(
-                "schema-fingerprint",
-                {"fingerprint": cfg.schema_cls.fingerprint()})
-
         completed = self.manifest.completed_shards()
         for sid, rec in completed.items():
             _normalize_legacy_lineage_ids(rec, self._root)
@@ -221,6 +213,18 @@ class ValidationPipeline:
                 raise RuntimeError(
                     f"manifest has shard {sid} beyond the current input's "
                     f"{len(shards)} shards; refusing to resume")
+
+        # persist the full schema fingerprint once the shard-hash checks
+        # PASS: the hash alone can refuse a later resume but cannot
+        # explain it after the old Record class is gone from code.
+        # Committing before the checks would record the NEW schema as
+        # the baseline on a legacy (pre-fingerprint) manifest whose
+        # shards used a different schema — the compat report would then
+        # diff the new schema against itself.
+        if self.manifest.get_global("schema-fingerprint") is None:
+            self.manifest.commit_global(
+                "schema-fingerprint",
+                {"fingerprint": cfg.schema_cls.fingerprint()})
 
         report = ValidationReport(out_dir=cfg.out_dir, shard_count=len(shards),
                                   shards_skipped=len(completed))

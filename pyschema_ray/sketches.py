@@ -389,3 +389,30 @@ def psi(expected_counts: np.ndarray, actual_counts: np.ndarray,
     e = _normalize(np.asarray(expected_counts), eps)
     a = _normalize(np.asarray(actual_counts), eps)
     return float(np.sum((a - e) * np.log(a / e)))
+
+
+# ---------------------------------------------------------------------------
+# per-worker broadcast memo
+# ---------------------------------------------------------------------------
+
+_BROADCAST_CACHE: dict = {}
+_BROADCAST_CACHE_MAX = 8
+
+
+def cached_broadcast(ref, build):
+    """Per-worker memo for derived views of a ``ray.put`` broadcast:
+    ``ray.get`` itself is cheap (plasma-cached), but rebuilding a
+    Python-side lookup (``to_pylist`` + pandas Series/dict) per BATCH
+    turns a broadcast into O(batches x lookup).  ``build(obj)`` runs
+    once per worker per ref; a tiny LRU-ish cap bounds worker memory
+    across many distinct broadcasts."""
+    import ray
+
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    got = _BROADCAST_CACHE.get(key)
+    if got is None:
+        got = build(ray.get(ref))
+        if len(_BROADCAST_CACHE) >= _BROADCAST_CACHE_MAX:
+            _BROADCAST_CACHE.pop(next(iter(_BROADCAST_CACHE)))
+        _BROADCAST_CACHE[key] = got
+    return got

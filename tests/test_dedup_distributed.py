@@ -357,3 +357,19 @@ def test_winnow_candidates_finds_containment():
     assert got[8] == got[32]
     assert (2, 3) in got[8]          # containment found
     assert (1, 4) not in got[8]      # unrelated docs not paired
+
+
+def test_verify_paths_handle_zero_candidate_pairs():
+    """Regression: the broadcast fast path crashed on an empty pair
+    dataset (pa.concat_tables of zero key batches)."""
+    import ray.data
+
+    docs = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                     "text": ["alpha", "beta"]})
+    empty = pa.table({"key_a": pa.array([], pa.int64()),
+                      "key_b": pa.array([], pa.int64())})
+    for fn, extra in ((dedup.jaccard_verify_pairs_ds, {}),
+                      (dedup.filter_exact_text_pairs, {})):
+        out = fn(ray.data.from_arrow(empty), ray.data.from_arrow(docs),
+                 **extra)
+        assert out.count() == 0

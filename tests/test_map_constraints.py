@@ -83,3 +83,34 @@ def test_map_constraints_empty_and_chunked():
     empty = pa.table({"props": pa.array([], MAP_TYPE)})
     assert MapRequiredKeys("props", ["a"]).mask(empty).to_pylist() == []
     assert MapValueRange("props", 0, 1).mask(empty).to_pylist() == []
+
+
+def test_map_violations_query_survives_null_props(tmp_path):
+    """Regression: the null-props branch used MapArray.from_arrays's
+    mask kwarg, which pyarrow 16 rejects; null maps are now encoded
+    via null offsets."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "sf"
+    d.mkdir()
+    for f in ("events.parquet",):
+        t = pq.read_table(f"{src}/{f}")
+        props = t["props"].to_pylist()
+        props[0] = None  # inject a null props row
+        props[1] = "{}"  # and a json object without 'k'
+        t = t.set_column(t.schema.get_field_index("props"), "props",
+                         pa.array(props, pa.string()))
+        pq.write_table(t, str(d / f))
+    out = entrymod.queries()["map_violations_events"](str(d))
+    # row 1 ({} without k) must surface as a required-keys violation;
+    # the null row must not crash and not violate
+    ids = t["event_id"].to_pylist()
+    viol = dict(zip(out["event_id"].to_pylist(),
+                    out["constraint"].to_pylist()))
+    assert viol.get(ids[1]) == "map_required_keys(props_map)"
+    assert ids[0] not in viol
