@@ -585,6 +585,21 @@ def _q_word_frequencies(sf_dir: str) -> pa.Table:
     return _collect(out).sort_by("word")
 
 
+def _q_quality_filtered_docs(sf_dir: str) -> pa.Table:
+    """Percentile-based quality filter: documents at or above the
+    corpus's exact median n_chars — phase 1 computes the quantile on a
+    (value, count) exchange (never rows), phase 2 filters in a
+    streaming scan against the broadcast scalar.  Oracle: a median()
+    subquery."""
+    from pyschema_ray.functions.analytics import quantile_threshold_filter
+
+    out = quantile_threshold_filter(
+        _read(sf_dir, "documents", columns=["doc_id", "n_chars"]),
+        "n_chars", q=0.5, keep="ge")
+    return _collect(out.select_columns(["doc_id", "n_chars"])) \
+        .sort_by("doc_id")
+
+
 def _q_doc_frequencies(sf_dir: str) -> pa.Table:
     """Document-frequency table (IDF denominator): per-batch (doc,
     word) dedup combiner -> word-hash shard exchange -> summed df."""
@@ -1387,6 +1402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_matched_ts_split": _q_asof_matched_ts_split,
         "dup_group_stats": _q_dup_group_stats,
         "word_frequencies": _q_word_frequencies,
+        "quality_filtered_docs": _q_quality_filtered_docs,
         "doc_frequencies": _q_doc_frequencies,
         "top_terms_per_doc": _q_top_terms_per_doc,
         "novel_documents": _q_novel_documents,
@@ -1746,6 +1762,13 @@ def oracle_sql() -> dict[str, str]:
                   FROM tf JOIN df ON tf.word = df.word)
             SELECT doc_id, term, tf, df, rank FROM ranked
              WHERE rank <= 3 ORDER BY doc_id, rank
+        """,
+        "quality_filtered_docs": """
+            SELECT doc_id, n_chars FROM documents
+             WHERE n_chars IS NOT NULL
+               AND n_chars >= (SELECT median(n_chars) FROM documents
+                                WHERE n_chars IS NOT NULL)
+             ORDER BY doc_id
         """,
         "doc_frequencies": """
             WITH w AS (

@@ -220,3 +220,48 @@ def grouped_topk(ds, group_col: str, order_col: str, k: int,
 
     return ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("gshard").map_groups(final, batch_format="pyarrow")
+
+
+def corpus_quantile(ds, value_col: str, q: float = 0.5) -> float:
+    """GLOBAL exact quantile of a bounded-domain integer column (the
+    grouped kernel with a constant group) — the first phase of a
+    quantile-threshold filter: compute once, broadcast the scalar,
+    filter in a streaming scan.  Returns a float (SQL quantile_cont
+    semantics)."""
+    def const_group(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "__g": pa.array(np.zeros(t.num_rows, np.int8), pa.int8()),
+            value_col: t[value_col],
+        })
+
+    out = grouped_exact_quantiles(
+        ds.map_batches(const_group, batch_format="pyarrow"),
+        "__g", value_col, (q,))
+    rows = [b for b in out.iter_batches(batch_format="pyarrow")
+            if b.num_rows]
+    if not rows:
+        raise ValueError(f"no non-null values in {value_col!r}")
+    return float(rows[0][f"q_{q}"][0].as_py())
+
+
+def quantile_threshold_filter(ds, value_col: str, q: float = 0.5,
+                              keep: str = "ge",
+                              threshold: float | None = None):
+    """Keep rows whose ``value_col`` is >= (``keep='ge'``) or <=
+    ('le') the corpus's exact q-quantile — the standard
+    percentile-based quality filter, as TWO streaming phases: an exact
+    distributed quantile (count-vector exchange, never rows), then a
+    broadcast-scalar filter scan.  Pass ``threshold`` to skip phase 1
+    (e.g. a persisted production cut)."""
+    import pyarrow.compute as pc
+
+    if keep not in ("ge", "le"):
+        raise ValueError(keep)
+    thr = corpus_quantile(ds, value_col, q) if threshold is None \
+        else float(threshold)
+    op = pc.greater_equal if keep == "ge" else pc.less_equal
+
+    def filt(t: pa.Table) -> pa.Table:
+        return t.filter(pc.fill_null(op(t[value_col], thr), False))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
