@@ -187,13 +187,91 @@ def _word_shingles(texts: list[str | None], k: int):
     return flat, offsets
 
 
+def _ranges(counts: np.ndarray) -> np.ndarray:
+    """Concatenated ``arange(c)`` per count — the repeat/arange trick
+    for building per-group position indices without a Python loop."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    starts = np.zeros(len(counts), np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+
+
+_SHINGLE_P = np.uint64(0x100000001B3)  # FNV-ish odd multiplier
+
+
+def _shingle_hashes(texts, k: int):
+    """(flat uint64 k-word-shingle hashes, per-doc int64 offsets) with
+    NO per-shingle string assembly: ONE Arrow lowercase+split over the
+    batch, ONE SipHash pass over the flat word array, then each
+    shingle hash is a vectorized polynomial combination of its k word
+    hashes (k tiny strided passes) finished with a mix64.
+
+    Shingle DEFINITION matches :func:`_word_shingles` — lowercased
+    whitespace words; a doc with 1..k-1 words contributes ONE
+    whole-text shingle; empty/null docs contribute none — but identity
+    is by 64-bit hash instead of string (2^-64 per-pair collision,
+    which every consumer here already tolerates).  Replaces the
+    ``" ".join(w[j:j+k])`` string loop that dominated the MinHash
+    chain's CPU."""
+    arr = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) \
+        else pa.array(list(texts), pa.string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    split = pc.utf8_split_whitespace(pc.utf8_lower(pc.fill_null(arr, "")))
+    if isinstance(split, pa.ChunkedArray):
+        split = split.combine_chunks()
+    offs = np.asarray(split.offsets, dtype=np.int64)
+    flat = split.values.slice(offs[0], offs[-1] - offs[0])
+    offs = offs - offs[0]
+    words = flat.to_numpy(zero_copy_only=False)
+    # whitespace split emits "" at leading/trailing runs — drop while
+    # keeping offsets consistent (tokenize_hash_batch trick)
+    mask = words != ""
+    csum = np.zeros(len(words) + 1, np.int64)
+    np.cumsum(mask, out=csum[1:])
+    offs = csum[offs]
+    wh = hash_strings(words[mask]) if mask.any() \
+        else np.empty(0, np.uint64)
+    n_docs = len(arr)
+    wl = np.diff(offs)
+    full = wl >= k
+    npos = np.where(full, wl - k + 1, 0).astype(np.int64)
+    short = (wl > 0) & ~full
+    out_offsets = np.zeros(n_docs + 1, np.int64)
+    np.cumsum(npos + short.astype(np.int64), out=out_offsets[1:])
+    out = np.zeros(int(out_offsets[-1]), np.uint64)
+    starts = offs[:-1]
+    with np.errstate(over="ignore"):
+        if full.any():
+            pos = np.repeat(starts[full], npos[full]) + _ranges(npos[full])
+            dst = np.repeat(out_offsets[:-1][full], npos[full]) \
+                + _ranges(npos[full])
+            acc = np.zeros(len(pos), np.uint64)
+            for i in range(k):
+                acc = acc * _SHINGLE_P + wh[pos + i]
+            out[dst] = acc
+        for L in range(1, k):  # short docs, one pass per length < k
+            sel = short & (wl == L)
+            if not sel.any():
+                continue
+            sb = starts[sel]
+            acc = np.zeros(int(sel.sum()), np.uint64)
+            for i in range(L):
+                acc = acc * _SHINGLE_P + wh[sb + i]
+            out[out_offsets[:-1][sel]] = acc
+    return mix64(out, 7), out_offsets
+
+
 class MinHasher:
     """Actor-pool stage producing k-permutation MinHash signatures.
 
     ``__init__`` fixes (k, shingle width, seeds) once per actor;
-    ``__call__`` computes, per batch: shingle -> one vectorized SipHash
-    pass over all shingles -> per-seed splitmix rehash -> per-doc min
-    via ``np.minimum.reduceat``.  Output adds ``minhash`` as a
+    ``__call__`` computes, per batch: vectorized shingle hashes
+    (:func:`_shingle_hashes` — no per-shingle string assembly) ->
+    per-seed splitmix rehash -> per-doc min via
+    ``np.minimum.reduceat``.  Output adds ``minhash`` as a
     fixed-size-list<uint64> column."""
 
     def __init__(self, text_col: str = "text", num_hashes: int = 64,
@@ -204,12 +282,10 @@ class MinHasher:
         self.out_col = out_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t[self.text_col].to_pylist()
-        flat, offsets = _word_shingles(texts, self.w)
-        n = len(texts)
+        base, offsets = _shingle_hashes(t[self.text_col], self.w)
+        n = t.num_rows
         sig = np.full((n, self.k), U64_MAX, dtype=np.uint64)
-        if flat:
-            base = hash_strings(np.asarray(flat, dtype=object))
+        if len(base):
             nonempty = np.diff(offsets) > 0
             starts = offsets[:-1][nonempty]
             for s in range(self.k):
@@ -518,15 +594,15 @@ def _pair_side_arrays(df):
 
 def _shingle_hash_bytes(texts: list, shingle_words: int) -> list:
     """Each text's UNIQUE word-shingle set as a sorted array of 64-bit
-    SipHashes, packed to bytes — ONE hash pass over the flat shingle
-    list, per-doc dedup+sort via a single lexsort.  Used as the
-    ``doc_transform`` of the Jaccard semi-join: runs once per
-    REQUESTED doc per key-shard, and the pair shards then intersect
-    integer arrays instead of rebuilding Python string sets."""
-    flat, offsets = _word_shingles(texts, shingle_words)
+    shingle hashes (:func:`_shingle_hashes` — the same basis MinHash
+    signs, no per-shingle string assembly), packed to bytes; per-doc
+    dedup+sort via a single lexsort.  Used as the ``doc_transform`` of
+    the Jaccard semi-join: runs once per REQUESTED doc per key-shard,
+    and the pair shards then intersect integer arrays instead of
+    rebuilding Python string sets."""
     n = len(texts)
-    h = hash_strings(np.asarray(flat, dtype=object)).view(np.int64) \
-        if flat else np.empty(0, np.int64)
+    h64, offsets = _shingle_hashes(texts, shingle_words)
+    h = h64.view(np.int64)
     doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
     order = np.lexsort((h, doc_idx))
     hs, di = h[order], doc_idx[order]
