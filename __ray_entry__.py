@@ -600,6 +600,18 @@ def _q_quality_filtered_docs(sf_dir: str) -> pa.Table:
         .sort_by("doc_id")
 
 
+def _q_word_repetition(sf_dir: str) -> pa.Table:
+    """Within-doc repetition signal: (n_words, n_distinct_words) per
+    document — integer-exact, oracle = COUNT vs COUNT(DISTINCT) over
+    the unnested split."""
+    from pyschema_ray.functions.text import word_repetition_batch
+
+    out = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(word_repetition_batch, batch_format="pyarrow")
+    return _collect(out.select_columns(
+        ["doc_id", "n_words", "n_distinct_words"])).sort_by("doc_id")
+
+
 def _q_doc_frequencies(sf_dir: str) -> pa.Table:
     """Document-frequency table (IDF denominator): per-batch (doc,
     word) dedup combiner -> word-hash shard exchange -> summed df."""
@@ -1404,6 +1416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_frequencies": _q_word_frequencies,
         "quality_filtered_docs": _q_quality_filtered_docs,
         "doc_frequencies": _q_doc_frequencies,
+        "word_repetition": _q_word_repetition,
         "top_terms_per_doc": _q_top_terms_per_doc,
         "novel_documents": _q_novel_documents,
         "duplicate_user_event_pairs": _q_duplicate_user_event_pairs,
@@ -1769,6 +1782,22 @@ def oracle_sql() -> dict[str, str]:
                AND n_chars >= (SELECT median(n_chars) FROM documents
                                 WHERE n_chars IS NOT NULL)
              ORDER BY doc_id
+        """,
+        "word_repetition": """
+            WITH w AS (
+                SELECT doc_id, unnest(regexp_split_to_array(
+                           lower(trim(coalesce(text, ''))), '\\s+')) AS word
+                  FROM documents)
+            SELECT d.doc_id,
+                   CAST(coalesce(c.n_words, 0) AS BIGINT) AS n_words,
+                   CAST(coalesce(c.n_distinct, 0) AS BIGINT)
+                       AS n_distinct_words
+              FROM documents d LEFT JOIN (
+                   SELECT doc_id, count(*) AS n_words,
+                          count(DISTINCT word) AS n_distinct
+                     FROM w WHERE word <> '' GROUP BY doc_id) c
+                ON d.doc_id = c.doc_id
+             ORDER BY d.doc_id
         """,
         "doc_frequencies": """
             WITH w AS (

@@ -584,3 +584,32 @@ def top_terms_per_doc(ds, df_table: pa.Table | None = None,
         })
 
     return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def word_repetition_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Within-document repetition signal (Gopher-style quality rule):
+    per doc, total word count and DISTINCT word count — the repetition
+    ratio 1 - distinct/total flags template/spam pages.  One Arrow
+    split + one (doc, word) dedup per batch; integer outputs keep it
+    SQL-oracle-exact."""
+    import pandas as pd
+
+    col = pc.utf8_lower(pc.utf8_trim_whitespace(
+        pc.fill_null(t[text_col], "")))
+    parts = pc.split_pattern_regex(col, TOKEN_SPLIT_RE)
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    offsets = np.asarray(parts.offsets)
+    flat = parts.values.slice(offsets[0], offsets[-1] - offsets[0])
+    offsets = offsets - offsets[0]
+    words = flat.to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                        np.diff(offsets))
+    keep = words != ""
+    doc_idx, words = doc_idx[keep], words[keep]
+    n_words = np.bincount(doc_idx, minlength=t.num_rows)
+    dd = pd.DataFrame({"d": doc_idx, "w": words}).drop_duplicates()
+    n_distinct = np.bincount(dd["d"].to_numpy(), minlength=t.num_rows)
+    out = t.append_column("n_words", pa.array(n_words, pa.int64()))
+    return out.append_column("n_distinct_words",
+                             pa.array(n_distinct, pa.int64()))

@@ -74,6 +74,10 @@ class PipelineConfig:
     #: per-shard digest count above which the final sketch merge runs
     #: as a Ray-task tree reduce instead of a driver loop
     tree_merge_threshold: int = 256
+    #: "fail" (default) aborts on an unreadable/corrupt input file;
+    #: "record" turns it into a corrupt_file violation + failed
+    #: partition verdict and the run continues (fused path)
+    on_corrupt: str = "fail"
 
 
 @dataclass
@@ -396,7 +400,8 @@ class ValidationPipeline:
             # row-group chunks so tasks pack tightly onto cores
             # (~4 tasks per core per shard) instead of leaving a
             # whole-file straggler tail.
-            fctor = dict(batch_rows=cfg.batch_size or 8192, **ctor)
+            fctor = dict(batch_rows=cfg.batch_size or 8192,
+                         on_corrupt=cfg.on_corrupt, **ctor)
             cpus = int(ray.cluster_resources().get("CPU", 4))
             per_file = max(1, (cpus * 4) // max(1, len(shard_files)))
             items = []
@@ -404,7 +409,15 @@ class ValidationPipeline:
                 if per_file <= 1:
                     items.append({"path": f})
                     continue
-                n_rg = pq.ParquetFile(f).metadata.num_row_groups
+                try:
+                    n_rg = pq.ParquetFile(f).metadata.num_row_groups
+                except Exception:  # noqa: BLE001 — planning probe
+                    if cfg.on_corrupt != "record":
+                        raise
+                    # unreadable at planning time: one whole-file item;
+                    # the FileValidator task records the corruption
+                    items.append({"path": f})
+                    continue
                 chunks = min(per_file, max(1, n_rg))
                 bounds = [round(c * n_rg / chunks)
                           for c in range(chunks + 1)]

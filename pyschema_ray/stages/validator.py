@@ -450,15 +450,37 @@ class FileValidator:
 
     def __init__(self, batch_rows: int = 8192,
                  columns: list | str | None = "auto",
+                 on_corrupt: str = "fail",
                  **validator_kwargs):
         self.validator = CompiledValidator(**validator_kwargs)
         self.batch_rows = batch_rows
+        if on_corrupt not in ("fail", "record"):
+            raise ValueError(on_corrupt)
+        #: "fail" (default) re-raises read/decode errors; "record"
+        #: turns an unreadable or mid-file-corrupt input into a
+        #: ``corrupt_file`` violation row + a failed partition verdict
+        #: instead of killing the whole run — at 10^6-file corpora a
+        #: handful of truncated files is routine, and the lineage
+        #: manifest must still account for them
+        self.on_corrupt = on_corrupt
         # "auto" = prune to the columns the validator touches (per
         # file, intersected with the file's schema so a MISSING declared
         # column still surfaces as a schema violation rather than a
         # read error); None = read everything
         self.columns = self.validator.read_columns() \
             if columns == "auto" else columns
+
+    def _corrupt_row(self, path: str, e: Exception) -> pa.Table:
+        return pa.table({
+            "kind": pa.array(["violation"], pa.string()),
+            "key": pa.array(["<file>"], pa.string()),
+            "partition_id": pa.array([path], pa.string()),
+            "constraint": pa.array(["corrupt_file"], pa.string()),
+            "detail": pa.array([f"{type(e).__name__}: {e}"[:300]],
+                               pa.string()),
+            "blob": pa.array([None], pa.binary()),
+            "row_count": pa.array([0], pa.int64()),
+        }, schema=RESULT_SCHEMA)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
@@ -473,25 +495,41 @@ class FileValidator:
             if "rg_end" in batch.column_names else None
         outs = []
         for i, path in enumerate(batch[PARTITION_COLUMN].to_pylist()):
-            pf = pq.ParquetFile(path)
-            row_groups = (list(range(rgs[i], rge[i]))
-                          if rgs is not None
-                          else list(range(pf.metadata.num_row_groups)))
-            cols = self.columns
-            if cols is not None:
-                avail = set(pf.schema_arrow.names)
-                if avail <= set(cols):
-                    # nothing to prune — keep the (faster) whole-row-
-                    # group read path instead of a column projection
-                    cols = None
-                else:
-                    cols = [c for c in cols if c in avail]
-            acc = StatsAccumulator(self.validator.stats)
-            for rb in pf.iter_batches(batch_size=self.batch_rows,
-                                      row_groups=row_groups,
-                                      columns=cols):
-                tbl = pa.Table.from_batches([rb])
-                outs.append(self.validator.validate_table(tbl, path, acc))
+            acc = None
+            try:
+                pf = pq.ParquetFile(path)
+                row_groups = (list(range(rgs[i], rge[i]))
+                              if rgs is not None
+                              else list(range(pf.metadata.num_row_groups)))
+                cols = self.columns
+                if cols is not None:
+                    avail = set(pf.schema_arrow.names)
+                    if avail <= set(cols):
+                        # nothing to prune — keep the (faster) whole-
+                        # row-group read path instead of a projection
+                        cols = None
+                    else:
+                        cols = [c for c in cols if c in avail]
+                acc = StatsAccumulator(self.validator.stats)
+                for rb in pf.iter_batches(batch_size=self.batch_rows,
+                                          row_groups=row_groups,
+                                          columns=cols):
+                    tbl = pa.Table.from_batches([rb])
+                    outs.append(self.validator.validate_table(tbl, path,
+                                                              acc))
+            except (pa.lib.ArrowException, OSError, ValueError) as e:
+                if self.on_corrupt != "record":
+                    raise
+                # rows decoded before the corruption keep their
+                # violations/stats; the file itself fails its verdict.
+                # The count must ALSO ride the stats partial — shard
+                # verdicts and rows_per_file are assembled from stats
+                # rows, not from the violation stream
+                outs.append(self._corrupt_row(path, e))
+                if acc is None:
+                    acc = StatsAccumulator(self.validator.stats)
+                acc.violation_counts["corrupt_file"] = \
+                    acc.violation_counts.get("corrupt_file", 0) + 1
             if acc is not None:
                 # one merged stats row per FILE (not per batch)
                 outs.append(pa.table({

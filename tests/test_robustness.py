@@ -446,3 +446,47 @@ def test_pruning_reads_columns_present_in_any_shard_file(tmp_path,
     assert rep.partition_verdicts["b_full.parquet"] == "pass"
     assert any(k.startswith("schema(source)") or "source" in k
                for k in rep.violation_counts)
+
+
+def test_on_corrupt_record_survives_truncated_file(tmp_path, synth_corpus,
+                                                   sequences_schema):
+    """A truncated parquet file must become a corrupt_file violation +
+    failed partition verdict under on_corrupt='record' (and still
+    abort under the default 'fail')."""
+    import shutil
+
+    import pytest
+
+    from pyschema_ray.pipelines.validate import (PipelineConfig,
+                                                 ValidationPipeline)
+
+    d = tmp_path / "data"
+    d.mkdir()
+    paths = sorted(synth_corpus["paths"])
+    for p in paths:
+        shutil.copy(p, d / os.path.basename(p))
+    # truncate one file to half its bytes (kills footer + row groups)
+    victim = d / os.path.basename(paths[3])
+    raw = victim.read_bytes()
+    victim.write_bytes(raw[:len(raw) // 2])
+
+    cfg = PipelineConfig(schema_cls=sequences_schema, input_paths=str(d),
+                         out_dir=str(tmp_path / "run"), files_per_shard=4,
+                         check_unique=False, on_corrupt="record")
+    import pyarrow.compute as pc
+
+    rep = ValidationPipeline(cfg).run()
+    assert rep.violation_counts.get("corrupt_file") == 1
+    vname = os.path.basename(str(victim))
+    assert rep.partition_verdicts[vname] == "fail"
+    # the other 7 files validated normally (10k rows minus the victim's)
+    assert rep.row_count > 0
+    viol = rep.violations_table()
+    cf = viol.filter(pc.equal(viol["constraint"], "corrupt_file"))
+    assert cf.num_rows == 1 and cf["partition_id"][0].as_py() == vname
+
+    with pytest.raises(Exception):
+        ValidationPipeline(PipelineConfig(
+            schema_cls=sequences_schema, input_paths=str(d),
+            out_dir=str(tmp_path / "run2"), files_per_shard=4,
+            check_unique=False)).run()
