@@ -1295,16 +1295,11 @@ class SimHasher:
         self.bit_masks = (np.uint64(1) << np.arange(64, dtype=np.uint64))
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t[self.text_col].to_pylist()
-        words: list[str] = []
-        offsets = np.zeros(len(texts) + 1, dtype=np.int64)
-        for i, s in enumerate(texts):
-            if s:
-                words.extend(s.lower().split())
-            offsets[i + 1] = len(words)
-        sig = np.zeros(len(texts), dtype=np.uint64)
-        if words:
-            h = hash_strings(np.asarray(words, dtype=object))
+        # k=1 shingles = per-word hashes, via the shared vectorized
+        # split+hash kernel (no Python word loop)
+        h, offsets = _shingle_hashes(t[self.text_col], 1)
+        sig = np.zeros(t.num_rows, dtype=np.uint64)
+        if len(h):
             votes = ((h[:, None] & self.bit_masks) != 0).astype(np.int32) * 2 - 1
             nonempty = np.diff(offsets) > 0
             starts = offsets[:-1][nonempty]
