@@ -1338,6 +1338,7 @@ def _q_media_features(sf_dir: str) -> pa.Table:
 
     from pyschema_ray.functions.multimodal import (decode_images,
                                                    sample_audio_frames,
+                                                   sample_video_frames,
                                                    synth_real_media_table)
 
     tbl = synth_real_media_table(48)
@@ -1350,17 +1351,28 @@ def _q_media_features(sf_dir: str) -> pa.Table:
                     .select_columns(["media_id", "image_features"]))
     energy = _collect(sample_audio_frames(auds, n_frames=4, concurrency=2)
                       .select_columns(["media_id", "frame_energy"]))
+    vids = ray.data.from_arrow(tbl.filter(
+        pc.equal(tbl["media_type"], "video")))
+    vframes = _collect(sample_video_frames(vids, n_frames=2, concurrency=2)
+                       .select_columns(["media_id", "frame_index",
+                                        "frame_features"]))
+    vid_ids = [f"{m}#{i}" for m, i in
+               zip(vframes["media_id"].to_pylist(),
+                   vframes["frame_index"].to_pylist())]
     out = pa.table({
         "media_id": pa.concat_arrays(
             [feat["media_id"].combine_chunks(),
-             energy["media_id"].combine_chunks()]),
+             energy["media_id"].combine_chunks(),
+             pa.array(vid_ids, pa.string())]),
         "f0": pa.array(
             [float(v[0]) for v in feat["image_features"].to_pylist()]
-            + [float(v[0]) for v in energy["frame_energy"].to_pylist()],
+            + [float(v[0]) for v in energy["frame_energy"].to_pylist()]
+            + [float(v[0]) for v in vframes["frame_features"].to_pylist()],
             pa.float64()),
         "n_feats": pa.array(
             [len(v) for v in feat["image_features"].to_pylist()]
-            + [len(v) for v in energy["frame_energy"].to_pylist()],
+            + [len(v) for v in energy["frame_energy"].to_pylist()]
+            + [len(v) for v in vframes["frame_features"].to_pylist()],
             pa.int64()),
     })
     return out.sort_by("media_id")

@@ -5,6 +5,7 @@ environment:
 * PPM (P6 binary)      — decode + encode, RGB uint8
 * BMP (24-bit, BI_RGB) — decode + encode (bottom-up rows, 4-byte pad)
 * WAV (PCM 8/16/32)    — decode via the stdlib ``wave`` module
+* Y4M (YUV4MPEG2)      — uncompressed video, luma-plane frames
 
 Compressed formats (JPEG/PNG/FLAC/MP4...) still require external
 libraries and remain stubbed in ``multimodal.py`` — the format sniffer
@@ -21,13 +22,15 @@ import numpy as np
 
 
 def sniff_format(payload: bytes) -> str:
-    """'ppm' | 'bmp' | 'wav' | 'unknown' from magic bytes."""
+    """'ppm' | 'bmp' | 'wav' | 'y4m' | 'unknown' from magic bytes."""
     if payload[:2] == b"P6":
         return "ppm"
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:9] == b"YUV4MPEG2":
+        return "y4m"
     return "unknown"
 
 
@@ -175,3 +178,69 @@ def image_features(img: np.ndarray) -> np.ndarray:
         means, stds,
         np.array([np.log1p(h * w) / 20.0, h / max(w, 1)], np.float32),
     ]).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2) — uncompressed video
+# ---------------------------------------------------------------------------
+
+def decode_y4m(payload: bytes):
+    """YUV4MPEG2 (uncompressed) -> (frames, width, height, fps) where
+    ``frames`` is a list of (H, W) uint8 LUMA planes (the Y channel —
+    chroma is parsed and skipped).  Supports C420 (default) and C444
+    subsampling.  A REAL standard container decodable with zero codec
+    libraries; compressed video (MP4/WebM...) stays stubbed."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = payload.index(b"\n")
+    header = payload[:nl].decode("ascii", "replace").split(" ")
+    w = h = 0
+    fps = 0.0
+    csp = "420"
+    for tok in header[1:]:
+        if not tok:
+            continue
+        if tok[0] == "W":
+            w = int(tok[1:])
+        elif tok[0] == "H":
+            h = int(tok[1:])
+        elif tok[0] == "F":
+            num, den = tok[1:].split(":")
+            fps = float(num) / float(den)
+        elif tok[0] == "C":
+            csp = tok[1:]
+    if w <= 0 or h <= 0:
+        raise ValueError("missing W/H in y4m header")
+    if csp.startswith("420"):
+        frame_bytes = w * h + 2 * ((w // 2) * (h // 2))
+    elif csp.startswith("444"):
+        frame_bytes = w * h * 3
+    else:
+        raise ValueError(f"unsupported y4m colourspace C{csp}")
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if not payload[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("bad y4m FRAME marker")
+        pos = fnl + 1
+        y = np.frombuffer(payload, np.uint8, count=w * h,
+                          offset=pos).reshape(h, w)
+        frames.append(y.copy())
+        pos += frame_bytes
+    return frames, w, h, fps
+
+
+def encode_y4m(frames, fps: int = 25) -> bytes:
+    """list of (H, W) uint8 luma planes -> YUV4MPEG2 C420 bytes
+    (chroma planes neutral 128)."""
+    h, w = frames[0].shape
+    out = [b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 C420\n" % (w, h, fps)]
+    chroma = np.full(((h // 2) * (w // 2)), 128, np.uint8).tobytes()
+    for f in frames:
+        assert f.shape == (h, w) and f.dtype == np.uint8
+        out.append(b"FRAME\n")
+        out.append(f.tobytes())
+        out.append(chroma)
+        out.append(chroma)
+    return b"".join(out)

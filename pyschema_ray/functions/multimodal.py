@@ -4,11 +4,11 @@
 
 Decode support is REAL for the uncompressed formats (pure-numpy
 codecs, no external library — ``codecs.py``): PPM and 24-bit BMP
-images, PCM WAV audio.  Compressed formats (JPEG/PNG/FLAC/MP4...)
-need codec libraries this environment lacks and raise
-``NotImplementedError`` unless the stage is constructed with
-``fake=True`` (deterministic hash-derived outputs for plumbing
-tests).  Video decode remains fully stubbed.  The Ray-side plumbing —
+images, PCM WAV audio, YUV4MPEG2 (y4m) video.  Compressed formats
+(JPEG/PNG/FLAC/MP4...) need codec libraries this environment lacks
+and raise ``NotImplementedError`` unless the stage is constructed
+with ``fake=True`` (deterministic hash-derived outputs for plumbing
+tests).  The Ray-side plumbing —
 schema, batch sizing, actor signatures, output layout — is identical
 on every path (tests/test_functions.py::test_multimodal_*,
 tests/test_codecs.py).
@@ -157,9 +157,9 @@ class VideoFrameSampler:
     """Actor-pool stage: sample ``n_frames`` frames at evenly spaced
     timestamps from a video payload and EXPLODE one row per frame
     (media_id, frame_index, timestamp_ms, frame_features) — the
-    one-to-many layout downstream per-frame models consume.  Codec
-    stubbed like ImageDecoder; the real body replaces ``_decode_one``
-    with a seek+decode at each timestamp."""
+    one-to-many layout downstream per-frame models consume.  REAL for
+    uncompressed YUV4MPEG2 payloads (luma-plane features per sampled
+    frame); compressed containers stay stubbed behind ``fake=True``."""
 
     def __init__(self, n_frames: int = 8, feature_dim: int = 8,
                  payload_col: str = "payload", fake: bool = False):
@@ -167,12 +167,40 @@ class VideoFrameSampler:
         self.dim = feature_dim
         self.payload_col = payload_col
         self.fake = fake
+        from . import codecs
+        self._codecs = codecs
+        self._y4m_cache: tuple | None = None  # (payload id, frames)
 
     def _decode_one(self, payload: bytes, frame_idx: int) -> np.ndarray:
-        if not self.fake:
+        if self.fake:
+            return _det_floats(payload + bytes([frame_idx]), self.dim)
+        c = self._codecs
+        if c.sniff_format(payload) != "y4m":
             raise NotImplementedError(
-                "video codec not available; construct with fake=True")
-        return _det_floats(payload + bytes([frame_idx]), self.dim)
+                "only uncompressed YUV4MPEG2 decodes for real in this "
+                "environment; construct with fake=True for other formats")
+        # frames decoded once per payload, reused across its samples
+        if self._y4m_cache is None or self._y4m_cache[0] is not payload:
+            frames, _w, _h, _fps = c.decode_y4m(payload)
+            self._y4m_cache = (payload, frames)
+        frames = self._y4m_cache[1]
+        if not frames:
+            return np.zeros(self.dim, np.float32)
+        y = frames[min(int(frame_idx * len(frames) / self.n_frames),
+                       len(frames) - 1)]
+        f = y.astype(np.float32) / 255.0
+        # dim-float luma summary: mean/std + quarter-region means,
+        # padded/truncated to feature_dim
+        q = [f[:f.shape[0] // 2, :f.shape[1] // 2].mean(),
+             f[:f.shape[0] // 2, f.shape[1] // 2:].mean(),
+             f[f.shape[0] // 2:, :f.shape[1] // 2].mean(),
+             f[f.shape[0] // 2:, f.shape[1] // 2:].mean()]
+        feat = np.array([f.mean(), f.std(), *q,
+                         np.log1p(f.size) / 20.0,
+                         f.shape[0] / max(f.shape[1], 1)], np.float32)
+        if len(feat) < self.dim:
+            feat = np.pad(feat, (0, self.dim - len(feat)))
+        return feat[:self.dim]
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids, fidx, ts, feats = [], [], [], []
@@ -259,15 +287,28 @@ def embed_features(ds, in_dim: int = 8, out_dim: int = 16,
 
 def synth_real_media_table(n: int = 48, seed: int = 42) -> pa.Table:
     """Deterministic media table whose payloads are REAL encoded media
-    (PPM / BMP images, PCM WAV audio cycling by row) — decodable by
-    the pure-numpy codecs with no fake flag."""
+    (PPM / BMP images, PCM WAV audio, YUV4MPEG2 video cycling by row)
+    — decodable by the pure-numpy codecs with no fake flag."""
     from . import codecs
+
+    from . import codecs as _c
 
     rng = np.random.default_rng(seed)
     payloads, fmts, types, widths, heights, durs = [], [], [], [], [], []
     for i in range(n):
-        kind = i % 3
-        if kind == 0:
+        kind = i % 4
+        if kind == 3:
+            h, w = 16, 16
+            nframes = int(rng.integers(4, 12))
+            frames = [rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+                      for _ in range(nframes)]
+            payloads.append(_c.encode_y4m(frames, fps=25))
+            fmts.append("y4m")
+            types.append("video")
+            widths.append(w)
+            heights.append(h)
+            durs.append(int(nframes * 1000 / 25))
+        elif kind == 0:
             h, w = int(rng.integers(8, 40)), int(rng.integers(8, 40))
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             payloads.append(codecs.encode_ppm(img))

@@ -115,3 +115,45 @@ def test_unsupported_format_still_raises():
     dec = ImageDecoder()
     with pytest.raises(NotImplementedError, match="no codec"):
         dec._decode_one(b"\xff\xd8\xff\xe0 jpeg-ish bytes")
+
+
+def test_y4m_round_trip_and_colourspaces():
+    rng = np.random.default_rng(21)
+    frames = [rng.integers(0, 256, size=(12, 16), dtype=np.uint8)
+              for _ in range(5)]
+    payload = codecs.encode_y4m(frames, fps=30)
+    assert codecs.sniff_format(payload) == "y4m"
+    got, w, h, fps = codecs.decode_y4m(payload)
+    assert (w, h, fps) == (16, 12, 30.0)
+    assert len(got) == 5
+    for a, b in zip(frames, got):
+        assert np.array_equal(a, b)
+    with pytest.raises(ValueError, match="colourspace"):
+        codecs.decode_y4m(payload.replace(b"C420", b"C422", 1))
+
+
+def test_video_stage_real_path_explodes_frames():
+    import ray.data
+
+    from pyschema_ray.functions.multimodal import sample_video_frames
+
+    # frame i = constant luma 10*i: sampled frame features must track
+    # the frame index
+    frames = [np.full((8, 8), 10 * i, np.uint8) for i in range(16)]
+    tbl = pa.table({
+        "media_id": pa.array(["v"], pa.string()),
+        "payload": pa.array([codecs.encode_y4m(frames)], pa.binary()),
+        "duration_ms": pa.array([640], pa.int32()),
+    })
+    out = pa.concat_tables(
+        [b for b in sample_video_frames(ray.data.from_arrow(tbl),
+                                        n_frames=4, concurrency=1)
+         .iter_batches(batch_format="pyarrow") if b.num_rows])
+    assert out.num_rows == 4
+    means = [v[0] for v in out["frame_features"].to_pylist()]
+    # frames 0, 4, 8, 12 -> lumas 0, 40, 80, 120 (scaled /255)
+    want = [0.0, 40 / 255, 80 / 255, 120 / 255]
+    assert np.allclose(means, want, atol=1e-6)
+    with pytest.raises(Exception):  # compressed formats still stubbed
+        from pyschema_ray.functions.multimodal import VideoFrameSampler
+        VideoFrameSampler()._decode_one(b"\x00\x00\x00 ftypmp42", 0)
