@@ -1398,6 +1398,134 @@ def _q_lsh_ann_topk(sf_dir: str) -> pa.Table:
         .sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def _q_customers_no_urgent_orders(sf_dir: str) -> pa.Table:
+    """Distributed ANTI join (NOT EXISTS): customers with no
+    1-URGENT order.  The probe side (orders, pre-filtered in the
+    scan) is reduced to distinct keys per batch before ONE bounded
+    key-hash shard exchange — no full shuffle join, no broadcast of
+    the big side."""
+    import pyarrow.compute as _pc
+    from pyschema_ray.functions.relational import anti_join
+
+    urgent = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderpriority"]) \
+        .map_batches(lambda t: t.filter(
+            _pc.equal(t["o_orderpriority"], "1-URGENT"))
+            .select(["o_custkey"]), batch_format="pyarrow")
+    out = anti_join(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name"]),
+        urgent, "c_custkey", "o_custkey")
+    return _collect(out).sort_by("c_custkey")
+
+
+def _q_customers_with_big_orders(sf_dir: str) -> pa.Table:
+    """Distributed SEMI join (EXISTS): customers with at least one
+    order above a price threshold — same bounded existence-join
+    exchange as the anti variant, keep side flipped."""
+    import pyarrow.compute as _pc
+    from pyschema_ray.functions.relational import semi_join
+
+    big = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]) \
+        .map_batches(lambda t: t.filter(
+            _pc.greater(t["o_totalprice"], 300000.0)),
+            batch_format="pyarrow")
+    out = semi_join(
+        _read(sf_dir, "customer", columns=["c_custkey"]),
+        big, "c_custkey", "o_custkey")
+    return _collect(out).sort_by("c_custkey")
+
+
+def _q_docs_rollup_counts(sf_dir: str) -> pa.Table:
+    """One-pass GROUP BY ROLLUP(source, lang) document counts: per-
+    batch finest-level combiner, bounded groupby, driver-free level
+    expansion.  Sentinel '[ALL]' marks rolled-up columns; real nulls
+    map to '[NULL]' so the two can't conflate (oracle uses GROUPING()
+    the same way)."""
+    from pyschema_ray.functions.relational import rollup_counts
+
+    out = rollup_counts(
+        _read(sf_dir, "documents", columns=["source", "lang"]),
+        ["source", "lang"])
+    return _collect(out).sort_by([("source", "ascending"),
+                                  ("lang", "ascending")])
+
+
+def _q_order_price_consistency(sf_dir: str) -> pa.Table:
+    """Cross-table VALUE consistency: per-order line-total (exact
+    int64 cents, rounded per LINE so the distributed sum is order-
+    independent) vs the order header total under a 50-cent tolerance.
+    One bounded orderkey-hash co-partition; single global counts
+    row."""
+    from pyschema_ray.functions.relational import order_consistency
+
+    out = order_consistency(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"]),
+        _read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_extendedprice", "l_discount",
+                       "l_tax"]))
+    return _collect(out)
+
+
+def _q_user_max_gap(sf_dir: str) -> pa.Table:
+    """Per-user inter-event gap maximum (µs int64) + event count — the
+    LAG window function family as ONE bounded key-hash exchange and a
+    single numpy pass per shard over all keys at once."""
+    from pyschema_ray.functions.ordered import grouped_max_gap
+
+    out = grouped_max_gap(
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_id"]))
+    return _collect(out).sort_by("user_id")
+
+
+def _q_windowed_event_dups(sf_dir: str) -> pa.Table:
+    """Within-window duplicate detector: events whose previous same-
+    (user, type) event is <= 1 h earlier, counted per event type —
+    the at-least-once-delivery double-fire check."""
+    from pyschema_ray.functions.ordered import windowed_duplicate_counts
+
+    out = windowed_duplicate_counts(
+        _read(sf_dir, "events",
+              columns=["user_id", "event_type", "ts", "event_id"]),
+        window_s=3600.0)
+    return _collect(out).sort_by("event_type")
+
+
+def _q_value_deciles(sf_dir: str) -> pa.Table:
+    """EXACT quantile_disc deciles of an unbounded double column by
+    3-scan distributed selection (min/max -> bounded-bucket histogram
+    -> targeted bucket collect) — never a global sort; each returned
+    value is an actual element so oracle parity is bit-exact."""
+    from pyschema_ray.functions.analytics import exact_value_deciles
+
+    return exact_value_deciles(
+        _read(sf_dir, "events", columns=["value"]), "value")
+
+
+def _q_word_freq_of_freqs(sf_dir: str) -> pa.Table:
+    """Vocabulary frequency-of-frequencies (Zipf / Good-Turing
+    profile): word_frequencies' bounded word-hash exchange plus a
+    second per-shard combiner; the final exchange carries distinct
+    counts only."""
+    from pyschema_ray.functions.text import frequency_of_frequencies
+
+    out = frequency_of_frequencies(
+        _read(sf_dir, "documents", columns=["text"]))
+    return _collect(out).sort_by("n_occurrences")
+
+
+def _q_inverted_index_band(sf_dir: str) -> pa.Table:
+    """Posting-list index for banded-frequency words (5 <= df <=
+    5000 — the df band is the scale guard bounding posting length):
+    batch-distinct (word, doc) pairs -> ONE word-hash exchange ->
+    per-shard df band + sorted comma-joined postings."""
+    from pyschema_ray.functions.text import inverted_index
+
+    out = inverted_index(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        min_df=5, max_df=5000)
+    return _collect(out).sort_by("word")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core validation engine (oracle-checked)
@@ -1452,6 +1580,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_counts_copart": _q_range_join_counts_copart,
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
+        "customers_no_urgent_orders": _q_customers_no_urgent_orders,
+        "customers_with_big_orders": _q_customers_with_big_orders,
+        "docs_rollup_counts": _q_docs_rollup_counts,
+        "order_price_consistency": _q_order_price_consistency,
+        "user_max_gap": _q_user_max_gap,
+        "windowed_event_dups": _q_windowed_event_dups,
+        "value_deciles": _q_value_deciles,
+        "word_freq_of_freqs": _q_word_freq_of_freqs,
+        "inverted_index_band": _q_inverted_index_band,
         # sketches / scoring (rows-only)
         "ndv_user_id_hll": _q_ndv_user_id_hll,
         "value_quantiles_tdigest": _q_value_quantiles_tdigest,
@@ -2048,5 +2185,121 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank
               FROM ranked WHERE rank <= 10
              ORDER BY query_id, rank
+        """,
+        "customers_no_urgent_orders": """
+            SELECT c_custkey, c_name FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_custkey = c.c_custkey
+                                  AND o.o_orderpriority = '1-URGENT')
+             ORDER BY c_custkey
+        """,
+        "customers_with_big_orders": """
+            SELECT c_custkey FROM customer c
+             WHERE EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_custkey = c.c_custkey
+                              AND o.o_totalprice > 300000.0)
+             ORDER BY c_custkey
+        """,
+        "docs_rollup_counts": """
+            SELECT CASE WHEN GROUPING(source) = 1 THEN '[ALL]'
+                        ELSE coalesce(source, '[NULL]') END AS source,
+                   CASE WHEN GROUPING(lang) = 1 THEN '[ALL]'
+                        ELSE coalesce(lang, '[NULL]') END AS lang,
+                   CAST(count(*) AS BIGINT) AS n_rows
+              FROM documents
+             GROUP BY ROLLUP(source, lang)
+             ORDER BY source, lang
+        """,
+        "order_price_consistency": """
+            WITH l AS (
+                SELECT l_orderkey,
+                       SUM(CAST(round(((l_extendedprice
+                                        * (1 - l_discount))
+                                       * (1 + l_tax)) * 100)
+                                AS BIGINT)) AS cents
+                  FROM lineitem WHERE l_orderkey IS NOT NULL
+                 GROUP BY l_orderkey),
+            j AS (
+                SELECT CAST(round(o.o_totalprice * 100) AS BIGINT)
+                           AS total, l.cents
+                  FROM orders o LEFT JOIN l
+                    ON l.l_orderkey = o.o_orderkey
+                 WHERE o.o_orderkey IS NOT NULL)
+            SELECT CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CASE WHEN cents IS NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_without_lines,
+                   CAST(sum(CASE WHEN cents IS NOT NULL
+                                  AND abs(cents - total) > 50
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_mismatched
+              FROM j
+        """,
+        "user_max_gap": """
+            WITH g AS (
+                SELECT user_id,
+                       date_diff('microsecond',
+                                 lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id),
+                                 ts) AS gap
+                  FROM events
+                 WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(max(gap) AS BIGINT) AS max_gap_us
+              FROM g GROUP BY user_id
+            HAVING count(*) >= 2
+             ORDER BY user_id
+        """,
+        "windowed_event_dups": """
+            WITH g AS (
+                SELECT event_type,
+                       date_diff('microsecond',
+                                 lag(ts) OVER (
+                                     PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id),
+                                 ts) AS gap
+                  FROM events
+                 WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                   AND ts IS NOT NULL)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_dups
+              FROM g WHERE gap IS NOT NULL AND gap <= 3600000000
+             GROUP BY event_type
+             ORDER BY event_type
+        """,
+        "value_deciles": "\n            UNION ALL\n".join(
+            f"""SELECT CAST({i} AS BIGINT) AS tenth,
+                       quantile_disc(value, {i / 10.0}) AS value
+                  FROM events
+                 WHERE value IS NOT NULL AND NOT isnan(value)"""
+            for i in range(1, 10)),
+        "word_freq_of_freqs": """
+            WITH w AS (
+                SELECT unnest(regexp_split_to_array(
+                           lower(trim(text)), '\\s+')) AS word
+                  FROM documents
+                 WHERE text IS NOT NULL AND trim(text) <> ''),
+            wf AS (
+                SELECT word, count(*) AS n
+                  FROM w WHERE word <> '' GROUP BY word)
+            SELECT CAST(n AS BIGINT) AS n_occurrences,
+                   CAST(count(*) AS BIGINT) AS n_words
+              FROM wf GROUP BY n ORDER BY n
+        """,
+        "inverted_index_band": """
+            WITH w AS (
+                SELECT doc_id, unnest(regexp_split_to_array(
+                           lower(trim(text)), '\\s+')) AS word
+                  FROM documents
+                 WHERE text IS NOT NULL AND trim(text) <> ''),
+            pairs AS (
+                SELECT DISTINCT word, doc_id
+                  FROM w WHERE word <> ''),
+            agg AS (
+                SELECT word, CAST(count(*) AS BIGINT) AS df,
+                       string_agg(CAST(doc_id AS VARCHAR), ','
+                                  ORDER BY doc_id) AS postings
+                  FROM pairs GROUP BY word)
+            SELECT word, df, postings FROM agg
+             WHERE df BETWEEN 5 AND 5000 ORDER BY word
         """,
     }

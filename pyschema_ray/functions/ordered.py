@@ -1,0 +1,161 @@
+"""Per-key time-ordered scan operators (the window-function family).
+
+SQL window functions with ``PARTITION BY key ORDER BY ts`` — LAG
+deltas, gap maxima, within-window duplicate flags — need every row of
+one key, time-sorted, in one place.  The Ray-Data shape here is the
+sessionize rule from functions/joins.py: ONE bounded integer exchange
+on hash(entity key) (never a groupby on the raw near-unique key), then
+a single vectorized numpy pass per shard that processes ALL keys at
+once via sorted key-run boundary arrays.
+
+* :func:`grouped_max_gap` — per-key event count + max inter-event gap
+  (µs, int64 — exactly reproducible by the SQL oracle's
+  ``date_diff('microsecond', lag(ts), ts)``).
+* :func:`windowed_duplicate_counts` — events whose previous same-
+  (key, type) event lies within a window: the streaming-dedup /
+  double-fire detector.  Output is aggregated per type (partial
+  counts per shard, tiny final groupby), so the exchange result never
+  leaves the cluster row-by-row.
+
+Partitioning contract (same as sessionize/asof): one key-hash shard's
+rows must fit a task; shard count is cluster-proportional
+(`default_exchange_shards`).  For pathological hot keys the
+time-split + stitch machinery in functions/timesplit.py applies — a
+max-gap merge across a cut only needs the boundary rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .dedup import _default_shards, _group_starts, _key_shards
+
+
+def _sorted_shard(t: pa.Table, key_col: str, ts_col: str,
+                  order_col: str, extra: list[str] | None = None):
+    """Sort one shard by (key, ts, order_col) and return numpy views:
+    keys, epoch-µs int64, tiebreak order col, and requested extras."""
+    sort_cols = [key_col, ts_col, order_col]
+    idx = pc.sort_indices(
+        t, sort_keys=[(c, "ascending") for c in sort_cols])
+    t = t.take(idx)
+    keys = t[key_col].to_numpy(zero_copy_only=False)
+    us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    extras = [t[c].to_numpy(zero_copy_only=False) for c in (extra or [])]
+    return t, keys, us, extras
+
+
+def grouped_max_gap(ds, key_col: str = "user_id", ts_col: str = "ts",
+                    order_col: str = "event_id",
+                    num_shards: int | None = None):
+    """-> Dataset(key_col, n_events, max_gap_us) for keys with >= 2
+    events.  Gap = µs between consecutive events of one key ordered by
+    (ts, order_col); ties at equal ts contribute gap 0 regardless of
+    tiebreak order, so the result is deterministic.
+    """
+    nb = num_shards or _default_shards()
+
+    def exchange(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[key_col]),
+                             pc.is_valid(t[ts_col])))
+        t = t.select([key_col, ts_col, order_col])
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "kshard", pa.array(_key_shards(keys, nb, 61), pa.int64()))
+
+    def scan(t: pa.Table) -> pa.Table:
+        t, keys, us, _ = _sorted_shard(t, key_col, ts_col, order_col)
+        n = len(keys)
+        if n == 0:
+            return pa.table({
+                key_col: pa.array([], t.schema.field(key_col).type),
+                "n_events": pa.array([], pa.int64()),
+                "max_gap_us": pa.array([], pa.int64())})
+        starts, sizes = _group_starts(keys)
+        gaps = np.empty(n, np.int64)
+        gaps[0] = 0
+        gaps[1:] = us[1:] - us[:-1]
+        gaps[starts] = 0          # first row of each key: no gap
+        # per-key max over each run (runs with size 1 yield 0 but are
+        # filtered below)
+        maxg = np.maximum.reduceat(gaps, starts)
+        keep = sizes >= 2
+        return pa.table({
+            key_col: pa.array(keys[starts[keep]],
+                              t.schema.field(key_col).type),
+            "n_events": pa.array(sizes[keep].astype(np.int64),
+                                 pa.int64()),
+            "max_gap_us": pa.array(maxg[keep], pa.int64())})
+
+    return ds.map_batches(exchange, batch_format="pyarrow") \
+        .groupby("kshard").map_groups(scan, batch_format="pyarrow")
+
+
+def windowed_duplicate_counts(ds, key_col: str = "user_id",
+                              type_col: str = "event_type",
+                              ts_col: str = "ts",
+                              order_col: str = "event_id",
+                              window_s: float = 60.0,
+                              num_shards: int | None = None):
+    """-> Dataset(type_col, n_dups): count of events whose PREVIOUS
+    event with the same (key, type) happened <= ``window_s`` seconds
+    earlier — the repeated-fire / at-least-once-delivery duplicate
+    detector, aggregated per event type.
+
+    Shards by hash(key) only (all of a key's types co-locate), sorts
+    each shard once by (key, type, ts, order), and flags rows where
+    the predecessor shares (key, type) and the µs delta is within the
+    window.  Per-shard partial counts then sum in a final tiny
+    groupby — output cardinality is the number of event types.
+    """
+    nb = num_shards or _default_shards()
+    win_us = int(round(window_s * 1_000_000))
+
+    def exchange(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.and_(pc.is_valid(t[key_col]), pc.is_valid(t[type_col])),
+            pc.is_valid(t[ts_col])))
+        t = t.select([key_col, type_col, ts_col, order_col])
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "kshard", pa.array(_key_shards(keys, nb, 67), pa.int64()))
+
+    def scan(t: pa.Table) -> pa.Table:
+        sort_cols = [key_col, type_col, ts_col, order_col]
+        idx = pc.sort_indices(
+            t, sort_keys=[(c, "ascending") for c in sort_cols])
+        t = t.take(idx)
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        types = t[type_col].to_numpy(zero_copy_only=False)
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        n = len(keys)
+        if n == 0:
+            return pa.table({type_col: pa.array([], pa.string()),
+                             "n_dups": pa.array([], pa.int64())})
+        dup = np.zeros(n, bool)
+        same = (keys[1:] == keys[:-1]) & (types[1:] == types[:-1])
+        dup[1:] = same & ((us[1:] - us[:-1]) <= win_us)
+        # per-type partial counts for this shard
+        dt = pa.table({type_col: pa.array(types[dup])})
+        if len(dt) == 0:
+            return pa.table({type_col: pa.array([], pa.string()),
+                             "n_dups": pa.array([], pa.int64())})
+        g = dt.group_by([type_col]).aggregate([([], "count_all")])
+        g = g.select([type_col, "count_all"]) \
+            .rename_columns([type_col, "n_dups"])
+        return g.set_column(1, "n_dups", pc.cast(g["n_dups"], pa.int64()))
+
+    def total(t: pa.Table) -> pa.Table:
+        g = t.group_by([type_col]).aggregate([("n_dups", "sum")])
+        g = g.select([type_col, "n_dups_sum"]) \
+            .rename_columns([type_col, "n_dups"])
+        return g.set_column(1, "n_dups", pc.cast(g["n_dups"], pa.int64()))
+
+    per_shard = ds.map_batches(exchange, batch_format="pyarrow") \
+        .groupby("kshard").map_groups(scan, batch_format="pyarrow")
+    return per_shard.repartition(1).map_batches(total,
+                                                batch_format="pyarrow")

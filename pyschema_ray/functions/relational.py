@@ -1,0 +1,281 @@
+"""Relational set and cross-table consistency operators, Ray-Data-first.
+
+* :func:`anti_join` / :func:`semi_join` — existence joins without a
+  full shuffle join: the probe side is reduced to DISTINCT keys per
+  batch (a combiner — the exchange carries unique-keys-per-batch,
+  never probe rows), both sides co-partition on a bounded key-hash
+  shard, and one ``pc.is_in`` per shard resolves every kept row.
+  NOT EXISTS semantics (null probe keys are ignored; null keep-side
+  keys can never match, so anti keeps them and semi drops them) —
+  matching the SQL oracle's NOT EXISTS, not NOT IN.
+* :func:`rollup_counts` — one-pass multi-level GROUP BY ROLLUP
+  counts: per-batch finest-level partials, one bounded groupby, then
+  a driver-free expansion of the (small) aggregated table into every
+  rollup level.  The exchange never carries rows, only distinct
+  finest-level groups.
+* :func:`order_consistency` — cross-table invariant check (the
+  referential analog for VALUES): per-order line totals, computed as
+  exact int64 cents so the distributed sum is order-independent, are
+  co-partitioned with the order header on an orderkey-hash shard and
+  compared under a tolerance; emits one global counts row.
+
+Scale notes (100 TB): every exchange here is a bounded integer-shard
+groupby (`default_exchange_shards`, cluster-proportional); no stage
+materializes row data on the driver; the only driver-held state is
+per-shard count partials (O(shards)) and the rollup's aggregated group
+table (O(distinct groups)).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .dedup import _default_shards, _key_shards
+
+
+def _existence_join(left, right, left_key: str, right_key: str | None,
+                    keep_matched: bool, num_shards: int | None):
+    right_key = right_key or left_key
+    nb = num_shards or _default_shards()
+    lschema = pa.schema(left.schema().base_schema)
+    payload = list(lschema.names)
+
+    def l_rows(t: pa.Table) -> pa.Table:
+        t = t.select(payload)
+        keys = t[left_key]
+        valid = pc.is_valid(keys).to_numpy(zero_copy_only=False)
+        # null keys can't hash — park them on shard 0 (they resolve
+        # by validity, never by value, so co-location is irrelevant).
+        # Filter nulls BEFORE to_numpy: an int64 column with nulls
+        # otherwise converts to float64 and hashes differently than
+        # the (null-free) probe side.
+        shard = np.zeros(len(valid), np.int64)
+        if valid.any():
+            vk = pc.drop_null(keys).to_numpy(zero_copy_only=False)
+            shard[valid] = _key_shards(vk, nb, 53)
+        t = t.append_column("kshard", pa.array(shard, pa.int64()))
+        return t.append_column(
+            "side", pa.array(np.zeros(len(t), np.int8), pa.int8()))
+
+    def r_rows(t: pa.Table) -> pa.Table:
+        col = t[right_key]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        distinct = pc.unique(col)
+        distinct = distinct.filter(pc.is_valid(distinct))
+        n = len(distinct)
+        cols = {}
+        for f in lschema:
+            if f.name == left_key:
+                cols[f.name] = pc.cast(distinct, f.type)
+            else:
+                cols[f.name] = pa.nulls(n, f.type)
+        out = pa.table(cols)
+        shard = _key_shards(distinct.to_numpy(zero_copy_only=False),
+                            nb, 53)
+        out = out.append_column("kshard", pa.array(shard, pa.int64()))
+        return out.append_column(
+            "side", pa.array(np.ones(n, np.int8), pa.int8()))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        side = t["side"]
+        lt = t.filter(pc.equal(side, 0))
+        rt = t.filter(pc.equal(side, 1))
+        rkeys = rt[left_key]
+        if isinstance(rkeys, pa.ChunkedArray):
+            rkeys = rkeys.combine_chunks()
+        rkeys = pc.unique(rkeys)
+        isin = pc.is_in(lt[left_key], value_set=rkeys)
+        # null left key: is_in yields null/false, never true — NOT
+        # EXISTS keeps it on anti, drops it on semi
+        matched = pc.fill_null(isin, False)
+        mask = matched if keep_matched else pc.invert(matched)
+        return lt.filter(mask).drop_columns(["kshard", "side"])
+
+    ds = left.map_batches(l_rows, batch_format="pyarrow") \
+        .union(right.map_batches(r_rows, batch_format="pyarrow"))
+    return ds.groupby("kshard").map_groups(resolve,
+                                           batch_format="pyarrow")
+
+
+def anti_join(left, right, left_key: str, right_key: str | None = None,
+              num_shards: int | None = None):
+    """Rows of ``left`` with NO match in ``right`` (NOT EXISTS).
+
+    ``right`` is reduced to distinct keys per batch before the
+    exchange; select only needed ``left`` columns upstream — the whole
+    left payload rides the shard exchange.
+    """
+    return _existence_join(left, right, left_key, right_key,
+                           keep_matched=False, num_shards=num_shards)
+
+
+def semi_join(left, right, left_key: str, right_key: str | None = None,
+              num_shards: int | None = None):
+    """Rows of ``left`` WITH at least one match in ``right`` (EXISTS)."""
+    return _existence_join(left, right, left_key, right_key,
+                           keep_matched=True, num_shards=num_shards)
+
+
+def rollup_counts(ds, cols: list[str], sentinel: str = "[ALL]",
+                  null_label: str = "[NULL]"):
+    """GROUP BY ROLLUP(*cols) counts in ONE streaming pass.
+
+    Stage 1 (per batch): finest-level ``group_by(cols).count`` partial
+    — the combiner; the exchange carries distinct finest groups per
+    batch, never rows.  Stage 2: one bounded groupby sums partials.
+    Stage 3: the aggregated table (cardinality = distinct finest
+    groups — small by definition of a rollup report) is expanded to
+    every prefix level with ``sentinel`` filling rolled-up columns and
+    re-aggregated in a final (tiny) groupby.
+
+    Real nulls in grouping columns are mapped to ``null_label`` so a
+    rollup ``sentinel`` row is never conflated with a null group (the
+    SQL oracle uses GROUPING() the same way).  Returns
+    Dataset(*cols, n_rows) with all levels including the grand total.
+    """
+    cols = list(cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        sel = {}
+        for c in cols:
+            sel[c] = pc.fill_null(pc.cast(t[c], pa.string()), null_label)
+        g = pa.table(sel).group_by(cols).aggregate([([], "count_all")])
+        return g.select(cols + ["count_all"]) \
+            .rename_columns(cols + ["n_rows"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        # t: globally aggregated finest-level rows (small)
+        g = t.group_by(cols).aggregate([("n_rows", "sum")]) \
+            .select(cols + ["n_rows_sum"]) \
+            .rename_columns(cols + ["n_rows"])
+        pieces = [g]
+        for level in range(len(cols) - 1, -1, -1):
+            keep = cols[:level]
+            if keep:
+                agg = g.group_by(keep).aggregate([("n_rows", "sum")]) \
+                    .select(keep + ["n_rows_sum"]) \
+                    .rename_columns(keep + ["n_rows"])
+            else:
+                agg = pa.table(
+                    {"n_rows": pa.array(
+                        [pc.sum(g["n_rows"]).as_py() or 0], pa.int64())})
+            filled = {}
+            for c in cols:
+                if c in keep:
+                    filled[c] = agg[c]
+                else:
+                    filled[c] = pa.array([sentinel] * len(agg), pa.string())
+            filled["n_rows"] = pc.cast(agg["n_rows"], pa.int64())
+            pieces.append(pa.table(filled))
+        out = pa.concat_tables([p.select(cols + ["n_rows"]) for p in pieces])
+        return out.set_column(out.schema.get_field_index("n_rows"),
+                              "n_rows", pc.cast(out["n_rows"], pa.int64()))
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    # ONE aggregation node: repartition(1) after the per-batch combiner
+    # keeps the final expansion deterministic and single-tasked; the
+    # data entering it is already group-cardinality-bounded
+    return part.repartition(1).map_batches(expand,
+                                           batch_format="pyarrow")
+
+
+def order_consistency(orders, lineitem,
+                      order_key: str = "o_orderkey",
+                      line_key: str = "l_orderkey",
+                      price_col: str = "o_totalprice",
+                      tol_cents: int = 50,
+                      num_shards: int | None = None):
+    """Cross-table VALUE consistency: does the order header total
+    match the sum of its line extensions
+    ``extendedprice * (1 - discount) * (1 + tax)``?
+
+    Float discipline: each LINE value is rounded to int64 cents
+    (half-away-from-zero — SQL ``round()``) BEFORE the distributed
+    sum, so partial-sum order can never change the result; the header
+    total is cents-rounded the same way and compared under
+    ``tol_cents``.  The SQL oracle applies the identical per-line
+    rounding, making the mismatch count bit-reproducible.
+
+    Exchange: lineitem per-batch partials (okshard, key, cents) union
+    the order headers (same schema, side-tagged) on ONE bounded
+    orderkey-hash shard groupby; each shard emits count partials; a
+    final single-row reduce sums them.  Returns one row:
+    (n_orders, n_without_lines, n_mismatched).
+    """
+    nb = num_shards or _default_shards()
+
+    def line_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[line_key]))
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        tax = t["l_tax"].to_numpy(zero_copy_only=False)
+        # fixed association: ext*(1-disc) first, then *(1+tax) — the
+        # oracle SQL writes the same parenthesization
+        v = (ext * (1.0 - disc)) * (1.0 + tax) * 100.0
+        cents = np.trunc(np.abs(v) + 0.5).astype(np.int64) \
+            * np.where(v < 0, -1, 1).astype(np.int64)
+        keys = t[line_key].to_numpy(zero_copy_only=False)
+        # batch-level combiner: partial-sum per orderkey before the
+        # exchange
+        order = np.argsort(keys, kind="stable")
+        sk, sc = keys[order], cents[order]
+        starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+        sums = np.add.reduceat(sc, starts) if len(sc) else \
+            np.zeros(0, np.int64)
+        uk = sk[starts] if len(sk) else np.zeros(0, np.int64)
+        return pa.table({
+            "okshard": pa.array(_key_shards(uk, nb, 59), pa.int64()),
+            "okey": pa.array(uk, pa.int64()),
+            "cents": pa.array(sums, pa.int64()),
+            "side": pa.array(np.zeros(len(uk), np.int8), pa.int8()),
+        })
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[order_key]))
+        keys = t[order_key].to_numpy(zero_copy_only=False)
+        tot = t[price_col].to_numpy(zero_copy_only=False) * 100.0
+        cents = np.trunc(np.abs(tot) + 0.5).astype(np.int64) \
+            * np.where(tot < 0, -1, 1).astype(np.int64)
+        return pa.table({
+            "okshard": pa.array(_key_shards(keys, nb, 59), pa.int64()),
+            "okey": pa.array(keys, pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+            "side": pa.array(np.ones(len(keys), np.int8), pa.int8()),
+        })
+
+    def shard_counts(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        side = t["side"].to_numpy(zero_copy_only=False)
+        okey = t["okey"].to_numpy(zero_copy_only=False)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        lines = pd.DataFrame({"okey": okey[side == 0],
+                              "cents": cents[side == 0]})
+        line_sum = lines.groupby("okey", sort=False)["cents"].sum()
+        heads = pd.DataFrame({"okey": okey[side == 1],
+                              "total": cents[side == 1]})
+        joined = heads.join(line_sum, on="okey")
+        n_orders = len(heads)
+        has = joined["cents"].notna()
+        n_without = int((~has).sum())
+        diff = (joined.loc[has, "cents"].astype(np.int64)
+                - joined.loc[has, "total"]).abs()
+        n_mis = int((diff > tol_cents).sum())
+        return pa.table({"n_orders": pa.array([n_orders], pa.int64()),
+                         "n_without_lines": pa.array([n_without],
+                                                     pa.int64()),
+                         "n_mismatched": pa.array([n_mis], pa.int64())})
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table({
+            c: pa.array([pc.sum(t[c]).as_py() or 0], pa.int64())
+            for c in ("n_orders", "n_without_lines", "n_mismatched")})
+
+    ex = lineitem.map_batches(line_partial, batch_format="pyarrow") \
+        .union(orders.map_batches(order_rows, batch_format="pyarrow"))
+    per_shard = ex.groupby("okshard").map_groups(shard_counts,
+                                                 batch_format="pyarrow")
+    return per_shard.repartition(1).map_batches(final,
+                                                batch_format="pyarrow")

@@ -613,3 +613,105 @@ def word_repetition_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
     out = t.append_column("n_words", pa.array(n_words, pa.int64()))
     return out.append_column("n_distinct_words",
                              pa.array(n_distinct, pa.int64()))
+
+
+def frequency_of_frequencies(ds, text_col: str = "text",
+                             num_shards: int | None = None,
+                             lowercase: bool = True):
+    """Vocabulary frequency-of-frequencies -> Dataset(n_occurrences,
+    n_words): how many distinct words occur exactly n times — the
+    Zipf/Good-Turing profile used to pick tokenizer vocab sizes and
+    min-count cuts.  Builds on :func:`word_frequencies` (per-batch
+    value_counts combiner + bounded word-hash exchange), then a second
+    combiner: per word-shard the (count -> n_words) partial is
+    computed locally, so the second exchange carries distinct counts
+    per shard (tiny), never words."""
+    wf = word_frequencies(ds, text_col=text_col, num_shards=num_shards,
+                          lowercase=lowercase)
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = t["n"].combine_chunks().value_counts() \
+            if isinstance(t["n"], pa.ChunkedArray) \
+            else t["n"].value_counts()
+        return pa.table({
+            "n_occurrences": pc.cast(vc.field("values"), pa.int64()),
+            "n_words": pc.cast(vc.field("counts"), pa.int64())})
+
+    def total(t: pa.Table) -> pa.Table:
+        g = t.group_by(["n_occurrences"]).aggregate([("n_words", "sum")])
+        g = g.select(["n_occurrences", "n_words_sum"]) \
+            .rename_columns(["n_occurrences", "n_words"])
+        return g.set_column(1, "n_words",
+                            pc.cast(g["n_words"], pa.int64()))
+
+    return wf.map_batches(partial, batch_format="pyarrow") \
+        .repartition(1).map_batches(total, batch_format="pyarrow")
+
+
+def inverted_index(ds, text_col: str = "text", key_col: str = "doc_id",
+                   min_df: int = 2, max_df: int | None = None,
+                   num_shards: int | None = None,
+                   lowercase: bool = True):
+    """Posting-list build -> Dataset(word, df, postings): for each
+    word with document frequency in [min_df, max_df], the sorted,
+    comma-joined list of containing doc ids — the search-index /
+    contamination-lookup artifact.
+
+    Shape: per batch, DISTINCT (word, doc) pairs (an Arrow
+    split+flatten with a per-doc repeat, deduped batch-locally — the
+    combiner); pairs exchange ONCE on a bounded word-hash shard;
+    per shard a pandas groupby dedupes cross-batch pairs, counts df,
+    applies the df band (dropping stopword-frequency words BEFORE
+    string assembly bounds posting size), sorts and joins ids.
+    Postings travel as strings so the result is hashable/oracle-
+    comparable; at 100 TB the df band is the documented guard — an
+    unbanded index would make single hot words' postings lists
+    arbitrarily long."""
+    from .dedup import _default_shards, _key_shards
+
+    nb = num_shards or _default_shards()
+
+    def pairs(t: pa.Table) -> pa.Table:
+        col = pc.utf8_trim_whitespace(pc.fill_null(t[text_col], ""))
+        if lowercase:
+            col = pc.utf8_lower(col)
+        parts = pc.split_pattern_regex(col, TOKEN_SPLIT_RE)
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+        words = pc.list_flatten(parts)
+        docs = np.repeat(t[key_col].to_numpy(zero_copy_only=False), lens)
+        keep = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
+        pt = pa.table({"word": words.filter(pa.array(keep)),
+                       "doc": pa.array(docs[keep], pa.int64())})
+        # batch-local distinct: the exchange carries unique pairs
+        pt = pt.group_by(["word", "doc"]).aggregate([]) \
+            .select(["word", "doc"])
+        shard = _key_shards(pt["word"].to_numpy(zero_copy_only=False),
+                            nb, 71)
+        return pt.append_column("wshard", pa.array(shard, pa.int64()))
+
+    def build(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = t.select(["word", "doc"]).to_pandas() \
+            .drop_duplicates(["word", "doc"])
+        counts = df.groupby("word", sort=False)["doc"].nunique()
+        band = counts[counts >= min_df]
+        if max_df is not None:
+            band = band[band <= max_df]
+        if band.empty:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64()),
+                             "postings": pa.array([], pa.string())})
+        sel = df[df["word"].isin(band.index)] \
+            .sort_values(["word", "doc"], kind="stable")
+        posting = sel.groupby("word", sort=True)["doc"] \
+            .agg(lambda s: ",".join(str(x) for x in s))
+        return pa.table({
+            "word": pa.array(posting.index.to_numpy(), pa.string()),
+            "df": pa.array(band.loc[posting.index].to_numpy()
+                           .astype(np.int64), pa.int64()),
+            "postings": pa.array(posting.to_numpy(), pa.string())})
+
+    return ds.map_batches(pairs, batch_format="pyarrow") \
+        .groupby("wshard").map_groups(build, batch_format="pyarrow")
