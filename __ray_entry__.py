@@ -1526,6 +1526,55 @@ def _q_inverted_index_band(sf_dir: str) -> pa.Table:
     return _collect(out).sort_by("word")
 
 
+def _q_running_totals(sf_dir: str) -> pa.Table:
+    """Per-user cumulative window functions (row_number + running sum
+    OVER (PARTITION BY user ORDER BY ts, event_id)) as ONE bounded
+    key-hash exchange and a single per-shard cumsum pass; integer
+    milli-unit accumulation keeps the distributed result bit-equal to
+    the SQL window oracle."""
+    from pyschema_ray.functions.ordered import grouped_running
+
+    out = grouped_running(
+        _read(sf_dir, "events",
+              columns=["user_id", "ts", "event_id", "value"]))
+    return _collect(out).sort_by("event_id")
+
+
+def _q_props_k_stats(sf_dir: str) -> pa.Table:
+    """Flat JSON integer-field extraction from the events ``props``
+    column (one RE2 extract_regex pass — no per-row json.loads) with a
+    per-batch combiner and one bounded final groupby."""
+    from pyschema_ray.functions.jsonx import json_field_stats
+
+    out = json_field_stats(
+        _read(sf_dir, "events", columns=["props", "event_type"]),
+        "props", "k", "event_type")
+    return _collect(out).sort_by("event_type")
+
+
+def _q_label_centroids(sf_dir: str) -> pa.Table:
+    """Per-label embedding centroids (grouped VECTOR aggregate), long
+    form (label, dim, mean_val, n_vectors); ragged-tolerant unnest
+    semantics match the SQL generate_subscripts oracle."""
+    from pyschema_ray.functions.similarity import label_centroids
+
+    out = label_centroids(
+        _read(sf_dir, "embeddings", columns=["label", "embedding"]))
+    return _collect(out).sort_by([("label", "ascending"),
+                                  ("dim", "ascending")])
+
+
+def _q_split_stats(sf_dir: str) -> pa.Table:
+    """Deterministic train/val/test split manifest: Knuth 32-bit
+    multiplicative hash (SQL-reproducible, unlike SipHash) assigns
+    each doc; per-split row/char totals via per-batch combiner."""
+    from pyschema_ray.functions.sample import split_stats
+
+    out = split_stats(
+        _read(sf_dir, "documents", columns=["doc_id", "n_chars"]))
+    return _collect(out).sort_by("split")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core validation engine (oracle-checked)
@@ -1589,6 +1638,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_deciles": _q_value_deciles,
         "word_freq_of_freqs": _q_word_freq_of_freqs,
         "inverted_index_band": _q_inverted_index_band,
+        "running_totals": _q_running_totals,
+        "props_k_stats": _q_props_k_stats,
+        "label_centroids": _q_label_centroids,
+        "split_stats": _q_split_stats,
         # sketches / scoring (rows-only)
         "ndv_user_id_hll": _q_ndv_user_id_hll,
         "value_quantiles_tdigest": _q_value_quantiles_tdigest,
@@ -2301,5 +2354,57 @@ def oracle_sql() -> dict[str, str]:
                   FROM pairs GROUP BY word)
             SELECT word, df, postings FROM agg
              WHERE df BETWEEN 5 AND 5000 ORDER BY word
+        """,
+        "running_totals": """
+            SELECT event_id, user_id,
+                   CAST(row_number() OVER w AS BIGINT) AS row_number,
+                   CAST(sum(CAST(round(coalesce(value, 0) * 1000)
+                                 AS BIGINT)) OVER w AS BIGINT)
+                       AS running_millis
+              FROM events
+             WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)
+             ORDER BY event_id
+        """,
+        "props_k_stats": """
+            SELECT coalesce(event_type, '[NULL]') AS event_type,
+                   CAST(count(*) AS BIGINT) AS n_with_field,
+                   CAST(sum(CAST(regexp_extract(
+                       props, '"k"\\s*:\\s*(-?\\d+)', 1) AS BIGINT))
+                        AS BIGINT) AS sum_field
+              FROM events
+             WHERE regexp_extract(props, '"k"\\s*:\\s*(-?\\d+)', 1)
+                   <> ''
+             GROUP BY 1 ORDER BY 1
+        """,
+        "label_centroids": """
+            WITH x AS (
+                SELECT CAST(label AS BIGINT) AS label,
+                       CAST(generate_subscripts(embedding, 1)
+                            AS BIGINT) AS dim,
+                       CAST(unnest(embedding) AS DOUBLE) AS v
+                  FROM embeddings
+                 WHERE label IS NOT NULL AND embedding IS NOT NULL)
+            SELECT label, dim, avg(v) AS mean_val,
+                   CAST(count(*) AS BIGINT) AS n_vectors
+              FROM x GROUP BY label, dim ORDER BY label, dim
+        """,
+        "split_stats": """
+            WITH h AS (
+                SELECT CAST((CAST(doc_id AS HUGEINT) % 4294967296)
+                            * 2654435761 % 4294967296 AS BIGINT) AS b,
+                       coalesce(n_chars, 0) AS w
+                  FROM documents),
+            s AS (
+                SELECT CASE WHEN b < CAST(floor(0.8 * 4294967296)
+                                          AS BIGINT) THEN 'train'
+                            WHEN b < CAST(floor(0.9 * 4294967296)
+                                          AS BIGINT) THEN 'val'
+                            ELSE 'test' END AS split, w
+                  FROM h)
+            SELECT split, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(w) AS BIGINT) AS total_weight
+              FROM s GROUP BY split ORDER BY split
         """,
     }

@@ -50,6 +50,10 @@ QUERY_SUBSET = [
     # round-4 additions (new operators; absent from earlier BENCH_r* files)
     "user_sessions_split", "asof_matched_ts_split", "drift_events_baseline",
     "map_violations_events", "contamination", "winnow_dup_pairs",
+    "customers_no_urgent_orders", "docs_rollup_counts",
+    "order_price_consistency", "user_max_gap", "windowed_event_dups",
+    "value_deciles", "word_freq_of_freqs", "inverted_index_band",
+    "running_totals", "props_k_stats", "label_centroids", "split_stats",
 ]
 
 

@@ -94,6 +94,70 @@ def grouped_max_gap(ds, key_col: str = "user_id", ts_col: str = "ts",
         .groupby("kshard").map_groups(scan, batch_format="pyarrow")
 
 
+def grouped_running(ds, key_col: str = "user_id", ts_col: str = "ts",
+                    order_col: str = "event_id",
+                    value_col: str = "value",
+                    num_shards: int | None = None):
+    """Per-key cumulative window functions in ONE pass ->
+    Dataset(order_col, key_col, row_number, running_millis):
+
+    * ``row_number`` — 1-based rank within the key ordered by
+      (ts, order_col), i.e. SQL ``row_number() OVER (PARTITION BY key
+      ORDER BY ts, order)``;
+    * ``running_millis`` — cumulative sum of ``round(value * 1000)``
+      as int64 (milli-units), i.e. ``SUM(...) OVER (... ROWS UNBOUNDED
+      PRECEDING)``.  Integer accumulation makes the distributed result
+      bit-identical to the SQL oracle — a float running sum would
+      diverge in the last ulp between engines.
+
+    Null values contribute 0 (state COALESCE in the oracle); null
+    key/ts rows are dropped.  Same exchange contract as
+    :func:`grouped_max_gap`: one bounded key-hash shard, one sorted
+    numpy pass over all keys per shard, cumsum reset at key run
+    boundaries by subtracting the run-start offset.
+    """
+    nb = num_shards or _default_shards()
+
+    def exchange(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[key_col]),
+                             pc.is_valid(t[ts_col])))
+        t = t.select([key_col, ts_col, order_col, value_col])
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "kshard", pa.array(_key_shards(keys, nb, 73), pa.int64()))
+
+    def scan(t: pa.Table) -> pa.Table:
+        t, keys, us, (vals,) = _sorted_shard(
+            t, key_col, ts_col, order_col, extra=[value_col])
+        n = len(keys)
+        ktype = t.schema.field(key_col).type
+        otype = t.schema.field(order_col).type
+        if n == 0:
+            return pa.table({order_col: pa.array([], otype),
+                             key_col: pa.array([], ktype),
+                             "row_number": pa.array([], pa.int64()),
+                             "running_millis": pa.array([], pa.int64())})
+        v = np.asarray(vals, np.float64)
+        v = np.where(np.isnan(v), 0.0, v) * 1000.0
+        millis = np.trunc(np.abs(v) + 0.5).astype(np.int64) \
+            * np.where(v < 0, -1, 1).astype(np.int64)
+        starts, sizes = _group_starts(keys)
+        cum = np.cumsum(millis)
+        # per-run reset: subtract the cumulative total BEFORE each
+        # run's first row (0 for the first run, which starts at 0)
+        shift = np.zeros(len(starts), np.int64)
+        shift[1:] = cum[starts[1:] - 1]
+        running = cum - np.repeat(shift, sizes)
+        rn = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes) + 1
+        return pa.table({order_col: t[order_col],
+                         key_col: t[key_col],
+                         "row_number": pa.array(rn, pa.int64()),
+                         "running_millis": pa.array(running, pa.int64())})
+
+    return ds.map_batches(exchange, batch_format="pyarrow") \
+        .groupby("kshard").map_groups(scan, batch_format="pyarrow")
+
+
 def windowed_duplicate_counts(ds, key_col: str = "user_id",
                               type_col: str = "event_type",
                               ts_col: str = "ts",

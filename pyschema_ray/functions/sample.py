@@ -73,3 +73,76 @@ def stratified_sample(ds, strata_col: str, fractions: dict,
         return t.filter(pa.array(h < thresh))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+_KNUTH = np.uint64(2654435761)
+_M32 = np.uint64(1 << 32)
+
+
+def knuth_bucket(keys: np.ndarray) -> np.ndarray:
+    """SQL-reproducible 32-bit multiplicative hash of integer keys:
+    ``((key % 2^32) * 2654435761) % 2^32`` — Knuth's constant.  The
+    same expression runs in the DuckDB oracle with HUGEINT arithmetic,
+    so a split assignment is bit-identical in both engines (unlike the
+    keyed SipHash used elsewhere, which SQL cannot reproduce).  The
+    uint64 intermediate cannot overflow: (2^32-1) * 2654435761 < 2^64.
+    """
+    k = np.asarray(keys).astype(np.int64).view(np.uint64)
+    return (k % _M32 * _KNUTH) % _M32
+
+
+def split_assign_batch(t: pa.Table, key_col: str = "doc_id",
+                       thresholds: tuple[float, ...] = (0.8, 0.9),
+                       names: tuple[str, ...] = ("train", "val", "test"),
+                       out_col: str = "split") -> pa.Table:
+    """Append a deterministic train/val/test split label.  Row r goes
+    to ``names[i]`` where i is the first threshold with
+    ``knuth_bucket(key) < floor(threshold * 2^32)`` (integer compare —
+    no float boundary ambiguity).  Null keys are labeled
+    ``names[-1]`` (stated in the oracle contract)."""
+    assert len(names) == len(thresholds) + 1
+    keys_col = t[key_col]
+    import pyarrow.compute as pc
+    valid = pc.is_valid(keys_col).to_numpy(zero_copy_only=False)
+    h = np.zeros(len(t), np.uint64)
+    if valid.any():
+        vk = pc.drop_null(keys_col).to_numpy(zero_copy_only=False)
+        h[valid] = knuth_bucket(vk)
+    cuts = np.array([int(th * (1 << 32)) for th in thresholds],
+                    np.uint64)
+    idx = np.searchsorted(cuts, h, side="right")
+    idx[~valid] = len(thresholds)
+    lab = np.asarray(names, object)[idx]
+    return t.append_column(out_col, pa.array(lab, pa.string()))
+
+
+def split_stats(ds, key_col: str = "doc_id", weight_col: str = "n_chars",
+                thresholds: tuple[float, ...] = (0.8, 0.9),
+                names: tuple[str, ...] = ("train", "val", "test")):
+    """-> Dataset(split, n_rows, total_weight): deterministic split
+    assignment + per-split row and weight totals in one pass (per-batch
+    combiner, one bounded 3-row final groupby) — the
+    train/val/test-manifest sanity report."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = split_assign_batch(t, key_col, thresholds, names)
+        w = pc.cast(pc.fill_null(t[weight_col], 0), pa.int64())
+        g = pa.table({"split": t["split"], "w": w}) \
+            .group_by(["split"]).aggregate([([], "count_all"),
+                                            ("w", "sum")])
+        return g.select(["split", "count_all", "w_sum"]) \
+            .rename_columns(["split", "n_rows", "total_weight"])
+
+    def total(t: pa.Table) -> pa.Table:
+        g = t.group_by(["split"]).aggregate(
+            [("n_rows", "sum"), ("total_weight", "sum")])
+        g = g.select(["split", "n_rows_sum", "total_weight_sum"]) \
+            .rename_columns(["split", "n_rows", "total_weight"])
+        for c in ("n_rows", "total_weight"):
+            g = g.set_column(g.schema.get_field_index(c), c,
+                             pc.cast(g[c], pa.int64()))
+        return g
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(1).map_batches(total, batch_format="pyarrow")

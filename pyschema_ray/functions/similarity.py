@@ -346,3 +346,80 @@ def lsh_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 8,
         lambda t: t.filter(pc.is_in(t["bucket"], value_set=wanted_arr)),
         batch_format="pyarrow")
     return brute_force_topk(candidates, q, k, embedding_col, key_col)
+
+
+def label_centroids(ds, label_col: str = "label",
+                    embedding_col: str = "embedding"):
+    """Per-label embedding centroid -> Dataset(label, dim, mean_val):
+    the grouped VECTOR aggregate (class prototypes for IVF seeding,
+    nearest-class-mean classification, drift-by-class monitoring).
+
+    Emitted long-form (one row per (label, dim), dim 1-based to match
+    SQL ``generate_subscripts``) so the result is flat-hashable and
+    oracle-comparable.  Ragged-tolerant: each (label, dim) mean is over
+    the vectors that HAVE that dim — identical to the SQL unnest
+    semantics — so a few violation-length rows don't poison the whole
+    aggregate.
+
+    Shape: per batch, flatten the list column once (offsets -> dim
+    index by ``arange - repeat(starts)``) and reduce to (label, dim,
+    sum, count) partials via one lexsort+reduceat — the combiner; the
+    exchange then carries only labels x dims rows per batch into ONE
+    bounded final groupby.  Sums are float64 regardless of storage
+    dtype so partial-merge order stays in the noise floor.
+    """
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "label": pa.array([], pa.int64()),
+            "dim": pa.array([], pa.int64()),
+            "s": pa.array([], pa.float64()),
+            "c": pa.array([], pa.int64())})
+        t = t.filter(pc.and_(pc.is_valid(t[label_col]),
+                             pc.is_valid(t[embedding_col])))
+        if t.num_rows == 0:
+            return empty
+        col = t[embedding_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_fixed_size_list(col.type):
+            d = col.type.list_size
+            lens = np.full(len(col), d, np.int64)
+            flat = col.values.slice(col.offset * d, len(col) * d)
+        else:
+            offsets = np.asarray(col.offsets, dtype=np.int64)
+            lens = np.diff(offsets)
+            flat = col.values.slice(int(offsets[0]),
+                                    int(offsets[-1]) - int(offsets[0]))
+        vals = np.asarray(flat.to_numpy(zero_copy_only=False),
+                          dtype=np.float64)
+        if len(vals) == 0:
+            return empty
+        labels = np.repeat(
+            t[label_col].to_numpy(zero_copy_only=False).astype(np.int64),
+            lens)
+        starts_per_row = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        dims = (np.arange(len(vals), dtype=np.int64)
+                - np.repeat(starts_per_row, lens)) + 1
+        order = np.lexsort((dims, labels))
+        sl, sd, sv = labels[order], dims[order], vals[order]
+        new = np.r_[True, (sl[1:] != sl[:-1]) | (sd[1:] != sd[:-1])]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.r_[starts, len(sv)])
+        return pa.table({
+            "label": pa.array(sl[starts], pa.int64()),
+            "dim": pa.array(sd[starts], pa.int64()),
+            "s": pa.array(np.add.reduceat(sv, starts), pa.float64()),
+            "c": pa.array(sizes.astype(np.int64), pa.int64())})
+
+    def total(t: pa.Table) -> pa.Table:
+        g = t.group_by(["label", "dim"]).aggregate(
+            [("s", "sum"), ("c", "sum")])
+        mean = pc.divide(g["s_sum"], pc.cast(g["c_sum"], pa.float64()))
+        return pa.table({"label": g["label"], "dim": g["dim"],
+                         "mean_val": mean,
+                         "n_vectors": pc.cast(g["c_sum"], pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(1).map_batches(total, batch_format="pyarrow")
