@@ -1575,6 +1575,67 @@ def _q_split_stats(sf_dir: str) -> pa.Table:
     return _collect(out).sort_by("split")
 
 
+def _q_mode_lang_per_source(sf_dir: str) -> pa.Table:
+    """Most-frequent lang per source (grouped MODE, deterministic
+    lexically-smallest tie-break): per-batch pair-count combiner +
+    one bounded group-hash exchange."""
+    from pyschema_ray.functions.analytics import grouped_mode
+
+    out = grouped_mode(
+        _read(sf_dir, "documents", columns=["source", "lang"]),
+        "source", "lang")
+    return _collect(out).sort_by("source")
+
+
+def _q_funnel_counts(sf_dir: str) -> pa.Table:
+    """view -> click -> purchase funnel: users whose FIRST occurrence
+    times of the steps strictly increase, per prefix.  Per-batch
+    (user, step) min-ts combiner, one bounded user-hash exchange,
+    single-row result."""
+    from pyschema_ray.functions.analytics import funnel_counts
+
+    out = funnel_counts(
+        _read(sf_dir, "events",
+              columns=["user_id", "event_type", "ts"]),
+        steps=["view", "click", "purchase"])
+    return _collect(out)
+
+
+def _q_sample_docs_per_source(sf_dir: str) -> pa.Table:
+    """Deterministic 3-per-source document sample (smallest Knuth
+    hash wins — partition-invariant and SQL-reproducible, unlike
+    reservoir sampling)."""
+    from pyschema_ray.functions.sample import grouped_sample
+
+    out = grouped_sample(
+        _read(sf_dir, "documents", columns=["source", "doc_id"]),
+        "source", "doc_id", k=3)
+    return _collect(out).sort_by([("source", "ascending"),
+                                  ("doc_id", "ascending")])
+
+
+def _q_events_pivot(sf_dir: str) -> pa.Table:
+    """Wide contingency table: per event_type counts pivoted into one
+    column per known category, unknowns folded to 'other' (the fixed-
+    category scale guard); rows keyed by user_id % 10 cohort."""
+    import numpy as _np
+    import pyarrow.compute as _pc
+
+    from pyschema_ray.functions.analytics import pivot_counts
+
+    def cohort(t: pa.Table) -> pa.Table:
+        t = t.filter(_pc.is_valid(t["user_id"]))
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "cohort", pa.array((u % 10).astype(_np.int64), pa.int64()))
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"]) \
+        .map_batches(cohort, batch_format="pyarrow")
+    out = pivot_counts(ds, "cohort", "event_type",
+                       categories=["view", "click", "purchase"])
+    return _collect(out).sort_by("cohort")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core validation engine (oracle-checked)
@@ -1642,6 +1703,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_k_stats": _q_props_k_stats,
         "label_centroids": _q_label_centroids,
         "split_stats": _q_split_stats,
+        "mode_lang_per_source": _q_mode_lang_per_source,
+        "funnel_counts": _q_funnel_counts,
+        "sample_docs_per_source": _q_sample_docs_per_source,
+        "events_pivot": _q_events_pivot,
         # sketches / scoring (rows-only)
         "ndv_user_id_hll": _q_ndv_user_id_hll,
         "value_quantiles_tdigest": _q_value_quantiles_tdigest,
@@ -2406,5 +2471,78 @@ def oracle_sql() -> dict[str, str]:
             SELECT split, CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(sum(w) AS BIGINT) AS total_weight
               FROM s GROUP BY split ORDER BY split
+        """,
+        "mode_lang_per_source": """
+            WITH c AS (
+                SELECT coalesce(source, '[NULL]') AS source,
+                       coalesce(lang, '[NULL]') AS lang,
+                       count(*) AS n
+                  FROM documents GROUP BY 1, 2),
+            r AS (
+                SELECT source, lang, n,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY n DESC, lang ASC)
+                           AS rk
+                  FROM c)
+            SELECT source, lang AS mode_val,
+                   CAST(n AS BIGINT) AS n_occurrences
+              FROM r WHERE rk = 1 ORDER BY source
+        """,
+        "funnel_counts": """
+            WITH m AS (
+                SELECT user_id,
+                       min(CASE WHEN event_type = 'view'
+                                THEN ts END) AS t1,
+                       min(CASE WHEN event_type = 'click'
+                                THEN ts END) AS t2,
+                       min(CASE WHEN event_type = 'purchase'
+                                THEN ts END) AS t3
+                  FROM events
+                 WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                 GROUP BY user_id)
+            SELECT CAST(sum(CASE WHEN t1 IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS completed_1,
+                   CAST(sum(CASE WHEN t1 IS NOT NULL
+                                  AND t2 IS NOT NULL AND t1 < t2
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS completed_2,
+                   CAST(sum(CASE WHEN t1 IS NOT NULL
+                                  AND t2 IS NOT NULL AND t1 < t2
+                                  AND t3 IS NOT NULL AND t2 < t3
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS completed_3
+              FROM m
+        """,
+        "sample_docs_per_source": """
+            WITH h AS (
+                SELECT source, doc_id,
+                       CAST((CAST(doc_id AS HUGEINT) % 4294967296)
+                            * 2654435761 % 4294967296 AS BIGINT) AS hk
+                  FROM documents
+                 WHERE source IS NOT NULL AND doc_id IS NOT NULL),
+            r AS (
+                SELECT source, doc_id,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY hk, doc_id) AS rk
+                  FROM h)
+            SELECT source, doc_id FROM r WHERE rk <= 3
+             ORDER BY source, doc_id
+        """,
+        "events_pivot": """
+            SELECT CAST(user_id % 10 AS VARCHAR) AS cohort,
+                   CAST(sum(CASE WHEN event_type = 'view'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS view,
+                   CAST(sum(CASE WHEN event_type = 'click'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS click,
+                   CAST(sum(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS purchase,
+                   CAST(sum(CASE WHEN event_type NOT IN
+                                 ('view', 'click', 'purchase')
+                                 OR event_type IS NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS other
+              FROM events WHERE user_id IS NOT NULL
+             GROUP BY 1 ORDER BY 1
         """,
     }

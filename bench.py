@@ -54,6 +54,8 @@ QUERY_SUBSET = [
     "order_price_consistency", "user_max_gap", "windowed_event_dups",
     "value_deciles", "word_freq_of_freqs", "inverted_index_band",
     "running_totals", "props_k_stats", "label_centroids", "split_stats",
+    "mode_lang_per_source", "funnel_counts", "sample_docs_per_source",
+    "events_pivot",
 ]
 
 

@@ -402,3 +402,179 @@ def exact_value_deciles(ds, value_col: str,
     return pa.table({"tenth": pa.array(ts, pa.int64()),
                      "value": pa.array([resolved[i] for i in ts],
                                        pa.float64())})
+
+
+def grouped_mode(ds, group_col: str, value_col: str,
+                 num_shards: int | None = None,
+                 null_label: str = "[NULL]"):
+    """Most-frequent value per group -> Dataset(group, mode_val,
+    n_occurrences), deterministic: ties break to the LEXICALLY
+    SMALLEST value (state the same in the SQL oracle's row_number
+    ORDER BY count DESC, value ASC).
+
+    Shape: per-batch (group, value) count partials — the combiner, so
+    the exchange carries distinct pairs per batch, never rows — ONE
+    bounded group-hash shard groupby, then a per-shard argmax over
+    sorted runs.  Scales with distinct (group, value) pairs, not rows.
+    """
+    import pyarrow.compute as pc
+
+    nb = num_shards or _default_shards()
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "g": pc.fill_null(pc.cast(t[group_col], pa.string()),
+                              null_label),
+            "v": pc.fill_null(pc.cast(t[value_col], pa.string()),
+                              null_label)})
+        agg = g.group_by(["g", "v"]).aggregate([([], "count_all")])
+        agg = agg.select(["g", "v", "count_all"]) \
+            .rename_columns(["g", "v", "n"])
+        shard = _key_shards(agg["g"].to_numpy(zero_copy_only=False),
+                            nb, 79)
+        return agg.append_column("gshard", pa.array(shard, pa.int64()))
+
+    def pick(t: pa.Table) -> pa.Table:
+        agg = t.group_by(["g", "v"]).aggregate([("n", "sum")])
+        agg = agg.select(["g", "v", "n_sum"]) \
+            .rename_columns(["g", "v", "n"])
+        # sort: group asc, count desc, value asc -> first row per run
+        # is the deterministic mode
+        agg = agg.sort_by([("g", "ascending"), ("n", "descending"),
+                           ("v", "ascending")])
+        groups = agg["g"].to_numpy(zero_copy_only=False)
+        starts, _ = _group_starts(groups)
+        head = agg.take(starts)
+        return pa.table({
+            group_col: head["g"],
+            "mode_val": head["v"],
+            "n_occurrences": pc.cast(head["n"], pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("gshard").map_groups(pick, batch_format="pyarrow")
+
+
+def funnel_counts(ds, steps: list[str], key_col: str = "user_id",
+                  type_col: str = "event_type", ts_col: str = "ts",
+                  num_shards: int | None = None):
+    """Ordered funnel completion -> one row with, per prefix length
+    k, the number of keys whose FIRST occurrence times of the steps
+    are strictly increasing: first(step1) < ... < first(stepk).
+
+    Columns: ``completed_1 .. completed_N`` (int64).  The SQL oracle
+    is the classic conditional-min formulation (min(CASE WHEN type =
+    step THEN ts END) per user, then strict < chain).
+
+    Shape: per-batch combiner keeps ONE min-ts per (key, step) — the
+    exchange carries at most keys x steps rows per batch — then one
+    bounded key-hash shard groupby computes per-shard completion
+    partials (every key's rows co-locate) and a single-row reduce
+    sums them.  Driver never holds per-key state.
+    """
+    import pyarrow.compute as pc
+
+    nb = num_shards or _default_shards()
+    n_steps = len(steps)
+    cols = [f"completed_{k}" for k in range(1, n_steps + 1)]
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.and_(pc.is_valid(t[key_col]), pc.is_valid(t[ts_col])),
+            pc.is_in(t[type_col], value_set=pa.array(steps))))
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        g = pa.table({"key": t[key_col], "step": t[type_col], "us": us})
+        agg = g.group_by(["key", "step"]).aggregate([("us", "min")])
+        agg = agg.select(["key", "step", "us_min"]) \
+            .rename_columns(["key", "step", "us"])
+        shard = _key_shards(agg["key"].to_numpy(zero_copy_only=False),
+                            nb, 83)
+        return agg.append_column("kshard", pa.array(shard, pa.int64()))
+
+    def shard_counts(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        agg = t.group_by(["key", "step"]).aggregate([("us", "min")])
+        keys = agg["key"].to_numpy(zero_copy_only=False)
+        sidx = _pc.index_in(agg["step"],
+                            value_set=pa.array(steps)) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        us = agg.column("us_min").to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        keys, sidx, us = keys[order], sidx[order], us[order]
+        starts, sizes = _group_starts(keys)
+        nk = len(starts)
+        # first-ts matrix (keys x steps), NaN where the step is absent
+        mat = np.full((nk, n_steps), np.nan)
+        row = np.repeat(np.arange(nk), sizes)
+        mat[row, sidx] = us.astype(np.float64)
+        ok = ~np.isnan(mat[:, 0])
+        counts = np.zeros(n_steps, np.int64)
+        counts[0] = int(ok.sum())
+        for k in range(1, n_steps):
+            ok = ok & ~np.isnan(mat[:, k]) & (mat[:, k - 1] < mat[:, k])
+            counts[k] = int(ok.sum())
+        return pa.table({c: pa.array([int(counts[i])], pa.int64())
+                         for i, c in enumerate(cols)})
+
+    def total(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        return pa.table({c: pa.array([_pc.sum(t[c]).as_py() or 0],
+                                     pa.int64()) for c in cols})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("kshard").map_groups(shard_counts,
+                                      batch_format="pyarrow") \
+        .repartition(1).map_batches(total, batch_format="pyarrow")
+
+
+def pivot_counts(ds, row_col: str, pivot_col: str,
+                 categories: list[str], other_label: str = "other"):
+    """Conditional-aggregation PIVOT -> Dataset(row_col, <one int64
+    count column per category>, other): the wide-format contingency
+    table (SQL ``SUM(CASE WHEN pivot = c THEN 1 END)``).
+
+    ``categories`` must be the FIXED, known column set — a pivot over
+    unbounded categories is a schema explosion, so unknown values
+    fold into ``other`` (the documented scale guard).  Per-batch
+    (row, pivot) count partials make the exchange carry distinct
+    pairs; a single bounded groupby then pivots the (small) pair
+    table vectorized via index_in + (rows x cats) add.at.
+    """
+    import pyarrow.compute as pc
+
+    cats = list(categories)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "r": pc.fill_null(pc.cast(t[row_col], pa.string()),
+                              "[NULL]"),
+            "p": pc.fill_null(pc.cast(t[pivot_col], pa.string()),
+                              "[NULL]")})
+        agg = g.group_by(["r", "p"]).aggregate([([], "count_all")])
+        return agg.select(["r", "p", "count_all"]) \
+            .rename_columns(["r", "p", "n"])
+
+    def pivot(t: pa.Table) -> pa.Table:
+        agg = t.group_by(["r", "p"]).aggregate([("n", "sum")])
+        rows_arr = agg["r"]
+        if isinstance(rows_arr, pa.ChunkedArray):
+            rows_arr = rows_arr.combine_chunks()
+        uniq = pc.unique(rows_arr)
+        uniq = uniq.take(pc.sort_indices(uniq))
+        ridx = pc.index_in(agg["r"], value_set=uniq) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        cidx = pc.index_in(agg["p"], value_set=pa.array(cats)) \
+            .to_numpy(zero_copy_only=False)
+        cidx = np.where(np.isnan(cidx.astype(np.float64)), len(cats),
+                        cidx).astype(np.int64)
+        n = pc.cast(agg["n_sum"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        mat = np.zeros((len(uniq), len(cats) + 1), np.int64)
+        np.add.at(mat, (ridx, cidx), n)
+        out = {row_col: uniq}
+        for j, c in enumerate(cats):
+            out[c] = pa.array(mat[:, j], pa.int64())
+        out[other_label] = pa.array(mat[:, len(cats)], pa.int64())
+        return pa.table(out)
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(1).map_batches(pivot, batch_format="pyarrow")

@@ -146,3 +146,48 @@ def split_stats(ds, key_col: str = "doc_id", weight_col: str = "n_chars",
 
     return ds.map_batches(partial, batch_format="pyarrow") \
         .repartition(1).map_batches(total, batch_format="pyarrow")
+
+
+def grouped_sample(ds, group_col: str, key_col: str = "doc_id",
+                   k: int = 5, num_shards: int | None = None):
+    """Deterministic k-per-group sample -> the k rows of each group
+    with the SMALLEST (knuth_bucket(key), key) — partition-invariant,
+    re-runnable, and SQL-reproducible (row_number() OVER (PARTITION BY
+    group ORDER BY hash, key) <= k), unlike reservoir sampling whose
+    result depends on encounter order.
+
+    Shape: per-batch partial head (each block shrinks to <= k rows per
+    group before the exchange — the combiner), then one bounded
+    group-hash shard groupby takes the global per-group head.  The
+    shuffle carries at most k x groups x blocks rows.
+    """
+    import pyarrow.compute as pc
+
+    from .dedup import _default_shards, _group_starts, _key_shards
+
+    nb = num_shards or _default_shards()
+
+    def _head(t: pa.Table) -> pa.Table:
+        t = t.sort_by([(group_col, "ascending"), ("hkey", "ascending"),
+                       (key_col, "ascending")])
+        groups = t[group_col].to_numpy(zero_copy_only=False)
+        starts, sizes = _group_starts(groups)
+        rank = np.arange(len(groups)) - np.repeat(starts, sizes)
+        return t.take(np.flatnonzero(rank < k))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[group_col]),
+                             pc.is_valid(t[key_col])))
+        h = knuth_bucket(t[key_col].to_numpy(zero_copy_only=False))
+        t = t.append_column("hkey", pa.array(h.astype(np.int64),
+                                             pa.int64()))
+        t = _head(t)
+        shard = _key_shards(t[group_col].to_numpy(zero_copy_only=False),
+                            nb, 89)
+        return t.append_column("gshard", pa.array(shard, pa.int64()))
+
+    def final(t: pa.Table) -> pa.Table:
+        return _head(t).drop_columns(["hkey", "gshard"])
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("gshard").map_groups(final, batch_format="pyarrow")
