@@ -1636,6 +1636,55 @@ def _q_events_pivot(sf_dir: str) -> pa.Table:
     return _collect(out).sort_by("cohort")
 
 
+def _q_bpe_merges(sf_dir: str) -> pa.Table:
+    """BPE vocabulary induction (rows-only — iterative merge loop has
+    no SQL oracle; parity is pytest-enforced vs an independent
+    reference in tests/test_bpe.py).  Corpus streams once through the
+    word-frequency combiner exchange; merges train driver-side over
+    the vocab-sized table."""
+    from pyschema_ray.functions.bpe import bpe_train, merges_table
+
+    model = bpe_train(
+        _read(sf_dir, "documents", columns=["text"]),
+        num_merges=60, min_count=2)
+    return merges_table(model)
+
+
+def _q_bpe_token_totals(sf_dir: str) -> pa.Table:
+    """Corpus encoded with the trained BPE model (actor-pool stage,
+    model shipped once per actor), totals per source (rows-only)."""
+    import pyarrow.compute as _pc
+
+    from pyschema_ray.functions.bpe import bpe_token_counts, bpe_train
+
+    ds = _read(sf_dir, "documents", columns=["text", "source"])
+    model = bpe_train(ds, num_merges=60, min_count=2)
+    enc = bpe_token_counts(ds, model)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"source": _pc.fill_null(t["source"], "[NULL]"),
+                      "n_tokens": t["n_tokens"],
+                      "n_unk": t["n_unk"]})
+        agg = g.group_by(["source"]).aggregate(
+            [("n_tokens", "sum"), ("n_unk", "sum")])
+        return agg.select(["source", "n_tokens_sum", "n_unk_sum"]) \
+            .rename_columns(["source", "n_tokens", "n_unk"])
+
+    def total(t: pa.Table) -> pa.Table:
+        g = t.group_by(["source"]).aggregate(
+            [("n_tokens", "sum"), ("n_unk", "sum")])
+        g = g.select(["source", "n_tokens_sum", "n_unk_sum"]) \
+            .rename_columns(["source", "n_tokens", "n_unk"])
+        for c in ("n_tokens", "n_unk"):
+            g = g.set_column(g.schema.get_field_index(c), c,
+                             _pc.cast(g[c], pa.int64()))
+        return g
+
+    out = enc.map_batches(partial, batch_format="pyarrow") \
+        .repartition(1).map_batches(total, batch_format="pyarrow")
+    return _collect(out).sort_by("source")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core validation engine (oracle-checked)
@@ -1709,6 +1758,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": _q_events_pivot,
         # sketches / scoring (rows-only)
         "ndv_user_id_hll": _q_ndv_user_id_hll,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_token_totals": _q_bpe_token_totals,
         "value_quantiles_tdigest": _q_value_quantiles_tdigest,
         "drift_events_self": _q_drift_events_self,
         "drift_events_baseline": _q_drift_events_baseline,
