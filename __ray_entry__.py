@@ -666,6 +666,22 @@ def _q_bigram_frequencies(sf_dir: str) -> pa.Table:
     return _collect(out).sort_by([("ngram", "ascending")])
 
 
+BM25_TERMS = ("hash", "data", "vector", "spark")
+
+
+def _q_bm25_top_docs(sf_dir: str) -> pa.Table:
+    """BM25 ranked retrieval, oracle-checked: one posting pass over
+    the corpus (stats sentinel rides the same pass), driver-side
+    idf, bounded key-shard exchange for per-doc sums, scores rounded
+    to 6 decimals BEFORE ranking so the ordering is float-robust and
+    reproducible by the SQL window function."""
+    from pyschema_ray.functions.retrieval import bm25_rank
+
+    t = bm25_rank(_read(sf_dir, "documents", columns=["doc_id", "text"]),
+                  terms=BM25_TERMS, top_k=10)
+    return t.sort_by("rank")
+
+
 def _q_top_words(sf_dir: str) -> pa.Table:
     """Exact heavy hitters: top-25 words by frequency (per-shard exact
     counts -> candidate heads -> final head; deterministic word
@@ -1773,6 +1789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "bigram_frequencies": _q_bigram_frequencies,
+        "bm25_top_docs": _q_bm25_top_docs,
         "ndv_users_per_event_type_hll": _q_ndv_users_per_event_type_hll,
     }
 
@@ -2144,6 +2161,39 @@ def oracle_sql() -> dict[str, str]:
                  WHERE text IS NOT NULL AND trim(text) <> '')
             SELECT word, CAST(count(*) AS BIGINT) AS n
               FROM w WHERE word <> '' GROUP BY word ORDER BY word
+        """,
+        "bm25_top_docs": """
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           lower(trim(coalesce(text, ''))), '\\s+'),
+                           x -> x <> '') AS ws
+                  FROM documents),
+            stats AS (
+                SELECT count(*)::DOUBLE AS n,
+                       sum(len(ws))::DOUBLE / count(*) AS avgdl
+                  FROM words),
+            tf AS (
+                SELECT w.doc_id, u.w AS term, count(*)::DOUBLE AS tf,
+                       any_value(len(w.ws))::DOUBLE AS dl
+                  FROM words w, UNNEST(w.ws) AS u(w)
+                 WHERE u.w IN ('hash', 'data', 'vector', 'spark')
+                 GROUP BY w.doc_id, u.w),
+            df AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+                    GROUP BY term),
+            scored AS (
+                SELECT tf.doc_id,
+                       sum(ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                           * tf.tf * (1.2 + 1.0)
+                           / (tf.tf + 1.2 * (1.0 - 0.75
+                                             + 0.75 * tf.dl / s.avgdl)))
+                           AS sc
+                  FROM tf JOIN df USING (term) CROSS JOIN stats s
+                 GROUP BY tf.doc_id)
+            SELECT doc_id, round(sc, 6) AS score,
+                   row_number() OVER (ORDER BY round(sc, 6) DESC,
+                                      doc_id ASC) AS rank
+              FROM scored ORDER BY rank LIMIT 10
         """,
         "bigram_frequencies": """
             WITH docs AS (

@@ -55,7 +55,7 @@ QUERY_SUBSET = [
     "value_deciles", "word_freq_of_freqs", "inverted_index_band",
     "running_totals", "props_k_stats", "label_centroids", "split_stats",
     "mode_lang_per_source", "funnel_counts", "sample_docs_per_source",
-    "events_pivot", "bpe_merges",
+    "events_pivot", "bpe_merges", "bm25_top_docs",
 ]
 
 
