@@ -642,6 +642,31 @@ def _q_novel_documents(sf_dir: str) -> pa.Table:
     return _collect(out).sort_by("doc_id")
 
 
+def _q_novel_documents_bloom(sf_dir: str) -> pa.Table:
+    """Bloom-filter admission gate (rows-only — false positives are
+    hash-deterministic but not SQL-reproducible): same existing/new
+    split as `novel_documents`, but the existing corpus is compiled
+    ONCE into a ~1%-fp Bloom bitset and the increment probes it with
+    a single broadcast map_batches — no shuffle, existing corpus
+    never re-read.  Guarantee direction: output is a SUBSET of the
+    exact `novel_documents` result (nothing seen is admitted);
+    pytest enforces the subset + fp bound."""
+    from pyschema_ray.functions.bloom import (bloom_build,
+                                              novel_keys_vs_bloom)
+
+    def half(rem_is_zero: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 3 == 0) if rem_is_zero else (ids % 3 != 0)
+            return t.filter(pa.array(m))
+        return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+            .map_batches(fn, batch_format="pyarrow")
+
+    bf = bloom_build(half(True), col="text", fp_rate=0.01)
+    out = novel_keys_vs_bloom(half(False), bf)
+    return _collect(out).sort_by("doc_id")
+
+
 def _q_top_terms_per_doc(sf_dir: str) -> pa.Table:
     """Per-doc characteristic terms by the integer-deterministic
     TF-IDF ordering (tf desc, df asc, term asc) — corpus df broadcast
@@ -1776,6 +1801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ndv_user_id_hll": _q_ndv_user_id_hll,
         "bpe_merges": _q_bpe_merges,
         "bpe_token_totals": _q_bpe_token_totals,
+        "novel_documents_bloom": _q_novel_documents_bloom,
         "value_quantiles_tdigest": _q_value_quantiles_tdigest,
         "drift_events_self": _q_drift_events_self,
         "drift_events_baseline": _q_drift_events_baseline,
