@@ -1439,6 +1439,27 @@ def _q_lsh_ann_topk(sf_dir: str) -> pa.Table:
         .sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def _q_pq_ann_topk(sf_dir: str) -> pa.Table:
+    """Product-quantization ADC top-k (rows-only: approximate by
+    design — 64-dim float32 vectors score from 8-byte codes, a 32x
+    compression; cluster-recall evidence lives in tests/test_pq.py).
+    Codebooks train on a deterministic sample, queries are corpus
+    vectors vec_id 0..1."""
+    from pyschema_ray.functions.pq import pq_topk, pq_train
+
+    ds = _read(sf_dir, "embeddings")
+    qrows = _collect(ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["vec_id"],
+                                    value_set=pa.array([0, 1]))),
+        batch_format="pyarrow")).sort_by("vec_id")
+    q = np.stack([np.asarray(v, dtype=np.float32)
+                  for v in qrows["embedding"].to_pylist()])
+    model = pq_train(ds, m=8, ksub=32, sample_size=2048)
+    out = pq_topk(ds, q, model, k=5)
+    return out.select(["query_id", "vec_id", "rank"]) \
+        .sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
 def _q_customers_no_urgent_orders(sf_dir: str) -> pa.Table:
     """Distributed ANTI join (NOT EXISTS): customers with no
     1-URGENT order.  The probe side (orders, pre-filtered in the
@@ -1810,6 +1831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup_pairs": _q_minhash_near_dup_pairs,
         "simhash": _q_simhash,
         "lsh_ann_topk": _q_lsh_ann_topk,
+        "pq_ann_topk": _q_pq_ann_topk,
         "dedup_keep": _q_dedup_keep,
         "packed_sequences": _q_packed_sequences,
         "media_features": _q_media_features,
