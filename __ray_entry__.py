@@ -1676,6 +1676,20 @@ def _q_sample_docs_per_source(sf_dir: str) -> pa.Table:
                                   ("doc_id", "ascending")])
 
 
+def _q_temperature_sampled_docs(sf_dir: str) -> pa.Table:
+    """Temperature-flattened mixture resampling (alpha=0.5, integer
+    isqrt budgets, Knuth-hash ranks): per source keep
+    min(n, 4*isqrt(n)) docs — all-integer arithmetic so the exact
+    keep set is SQL-reproducible."""
+    from pyschema_ray.functions.sample import temperature_sample
+
+    out = temperature_sample(
+        _read(sf_dir, "documents", columns=["source", "doc_id"]),
+        group_col="source", key_col="doc_id", scale=4)
+    return _collect(out).sort_by([("source", "ascending"),
+                                  ("doc_id", "ascending")])
+
+
 def _q_events_pivot(sf_dir: str) -> pa.Table:
     """Wide contingency table: per event_type counts pivoted into one
     column per known category, unknowns folded to 'other' (the fixed-
@@ -1817,6 +1831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_lang_per_source": _q_mode_lang_per_source,
         "funnel_counts": _q_funnel_counts,
         "sample_docs_per_source": _q_sample_docs_per_source,
+        "temperature_sampled_docs": _q_temperature_sampled_docs,
         "events_pivot": _q_events_pivot,
         # sketches / scoring (rows-only)
         "ndv_user_id_hll": _q_ndv_user_id_hll,
@@ -2676,6 +2691,29 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY hk, doc_id) AS rk
                   FROM h)
             SELECT source, doc_id FROM r WHERE rk <= 3
+             ORDER BY source, doc_id
+        """,
+        "temperature_sampled_docs": """
+            WITH base AS (
+                SELECT source, doc_id FROM documents
+                 WHERE source IS NOT NULL AND doc_id IS NOT NULL),
+            c AS (SELECT source, count(*) AS n FROM base
+                   GROUP BY source),
+            k AS (SELECT source,
+                         least(n, 4 * CAST(floor(sqrt(CAST(n AS DOUBLE)))
+                                           AS BIGINT)) AS m
+                    FROM c),
+            h AS (SELECT source, doc_id,
+                         CAST((CAST(doc_id AS HUGEINT) % 4294967296)
+                              * 2654435761 % 4294967296 AS BIGINT) AS hk
+                    FROM base),
+            r AS (SELECT source, doc_id,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY hk, doc_id) AS rk
+                    FROM h)
+            SELECT r.source, r.doc_id
+              FROM r JOIN k USING (source)
+             WHERE rk <= k.m
              ORDER BY source, doc_id
         """,
         "events_pivot": """

@@ -191,3 +191,95 @@ def grouped_sample(ds, group_col: str, key_col: str = "doc_id",
 
     return ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("gshard").map_groups(final, batch_format="pyarrow")
+
+
+def grouped_sample_k_map(ds, group_col: str, k_by_group: dict,
+                         key_col: str = "doc_id",
+                         num_shards: int | None = None):
+    """:func:`grouped_sample` with a PER-GROUP budget: keep the
+    ``k_by_group[g]`` rows of each group with the smallest
+    (knuth_bucket(key), key); groups absent from the map are dropped.
+    Same combiner + bounded group-hash exchange; the budget map is
+    group-cardinality-sized and ships in the task closure (broadcast
+    it via ray.put at 10^6+ groups)."""
+    import pyarrow.compute as pc
+
+    from .dedup import _default_shards, _group_starts, _key_shards
+
+    nb = num_shards or _default_shards()
+    groups_sorted = np.array(sorted(k_by_group), dtype=object)
+    ks_sorted = np.array([k_by_group[g] for g in groups_sorted],
+                         np.int64)
+
+    def _head(t: pa.Table) -> pa.Table:
+        t = t.sort_by([(group_col, "ascending"), ("hkey", "ascending"),
+                       (key_col, "ascending")])
+        groups = t[group_col].to_numpy(zero_copy_only=False)
+        starts, sizes = _group_starts(groups)
+        rank = np.arange(len(groups)) - np.repeat(starts, sizes)
+        gi = np.searchsorted(groups_sorted, groups)
+        gi = np.minimum(gi, len(groups_sorted) - 1)
+        known = groups_sorted[gi] == groups if len(groups_sorted) \
+            else np.zeros(len(groups), bool)
+        kk = np.where(known, ks_sorted[gi], 0)
+        return t.take(np.flatnonzero(rank < kk))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[group_col]),
+                             pc.is_valid(t[key_col])))
+        h = knuth_bucket(t[key_col].to_numpy(zero_copy_only=False))
+        t = t.append_column("hkey", pa.array(h.astype(np.int64),
+                                             pa.int64()))
+        t = _head(t)
+        shard = _key_shards(t[group_col].to_numpy(zero_copy_only=False),
+                            nb, 89)
+        return t.append_column("gshard", pa.array(shard, pa.int64()))
+
+    def final(t: pa.Table) -> pa.Table:
+        return _head(t).drop_columns(["hkey", "gshard"])
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("gshard").map_groups(final, batch_format="pyarrow")
+
+
+def temperature_sample(ds, group_col: str = "source",
+                       key_col: str = "doc_id", scale: int = 4,
+                       num_shards: int | None = None):
+    """Temperature-flattened mixture resampling (alpha = 0.5): keep
+    ``m_g = min(n_g, scale * isqrt(n_g))`` documents of each group —
+    dominant sources are downsampled ~proportionally to sqrt(n) while
+    small sources survive intact, the standard multi-source rebalance
+    before training-data packing (cf. multilingual sampling with
+    p ~ n^alpha).  All arithmetic is INTEGER (``math.isqrt``, Knuth
+    hash ranks), so the selection is bit-reproducible by a SQL window
+    function — no float pow at a keep/drop boundary.
+
+    One counting pass (per-batch value_counts combiner, driver gets
+    the group-cardinality-sized table), then ONE
+    :func:`grouped_sample_k_map` pass.  -> Dataset rows of the kept
+    documents (all input columns)."""
+    import math
+
+    import pyarrow.compute as pc
+
+    def counts(t: pa.Table) -> pa.Table:
+        col = t.filter(pc.and_(pc.is_valid(t[group_col]),
+                               pc.is_valid(t[key_col])))[group_col]
+        vc = col.combine_chunks().value_counts()
+        return pa.table({
+            group_col: vc.field("values"),
+            "n": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    partials = [b for b in
+                ds.map_batches(counts, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow") if b.num_rows]
+    k_map: dict = {}
+    if partials:
+        tot = pa.concat_tables(partials).group_by(group_col) \
+            .aggregate([("n", "sum")])
+        for g, n in zip(tot[group_col].to_pylist(),
+                        tot["n_sum"].to_pylist()):
+            k_map[g] = min(int(n), scale * math.isqrt(int(n)))
+    return grouped_sample_k_map(ds, group_col, k_map, key_col,
+                                num_shards)

@@ -240,3 +240,42 @@ def test_pack_stitched_lineage_tokens_match_docs():
             have = collections.Counter(concat)
             need = collections.Counter(window)
             assert all(have[k] >= v for k, v in need.items()), pid
+
+
+def test_grouped_sample_k_map_budgets():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pyschema_ray.functions.sample import (grouped_sample_k_map,
+                                               temperature_sample)
+
+    n = 300
+    groups = ["a"] * 200 + ["b"] * 90 + ["c"] * 10
+    t = pa.table({"source": pa.array(groups),
+                  "doc_id": pa.array(np.arange(n), pa.int64())})
+    ds = rd.from_arrow(t).repartition(4)
+
+    out = pa.concat_tables(
+        [b for b in grouped_sample_k_map(
+            ds, "source", {"a": 5, "b": 1000}, key_col="doc_id")
+         .iter_batches(batch_format="pyarrow") if b.num_rows])
+    df = out.to_pandas()
+    per = df.groupby("source").size().to_dict()
+    assert per == {"a": 5, "b": 90}  # budget cut / keep-all / dropped
+
+    # partition invariance
+    out2 = pa.concat_tables(
+        [b for b in grouped_sample_k_map(
+            rd.from_arrow(t).repartition(9), "source",
+            {"a": 5, "b": 1000}, key_col="doc_id")
+         .iter_batches(batch_format="pyarrow") if b.num_rows])
+    assert sorted(out["doc_id"].to_pylist()) == \
+        sorted(out2["doc_id"].to_pylist())
+
+    # temperature budgets: min(n, 4*isqrt(n))
+    ts = pa.concat_tables(
+        [b for b in temperature_sample(ds, "source", "doc_id", scale=4)
+         .iter_batches(batch_format="pyarrow") if b.num_rows])
+    per_t = ts.to_pandas().groupby("source").size().to_dict()
+    assert per_t == {"a": 4 * 14, "b": 4 * 9, "c": 10}
