@@ -1676,6 +1676,22 @@ def _q_sample_docs_per_source(sf_dir: str) -> pa.Table:
                                   ("doc_id", "ascending")])
 
 
+def _q_cms_word_estimates(sf_dir: str) -> pa.Table:
+    """Count-Min point estimates for a fixed probe list (rows-only:
+    the one-sided sketch error is hash-deterministic but not SQL-
+    reproducible; never-undercount + eps*N bound are pytest-enforced
+    in tests/test_sketches.py).  Shuffle-free: per-batch counter
+    blocks sum on the driver."""
+    from pyschema_ray.functions.text import cms_word_counts
+
+    cms = cms_word_counts(
+        _read(sf_dir, "documents", columns=["text"]), width=65536)
+    probes = ["hash", "data", "vector", "spark", "zzz_absent"]
+    est = cms.query(np.array(probes, dtype=object))
+    return pa.table({"word": pa.array(probes, pa.string()),
+                     "est": pa.array(est, pa.int64())})
+
+
 def _q_temperature_sampled_docs(sf_dir: str) -> pa.Table:
     """Temperature-flattened mixture resampling (alpha=0.5, integer
     isqrt budgets, Knuth-hash ranks): per source keep
@@ -1838,6 +1854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": _q_bpe_merges,
         "bpe_token_totals": _q_bpe_token_totals,
         "novel_documents_bloom": _q_novel_documents_bloom,
+        "cms_word_estimates": _q_cms_word_estimates,
         "value_quantiles_tdigest": _q_value_quantiles_tdigest,
         "drift_events_self": _q_drift_events_self,
         "drift_events_baseline": _q_drift_events_baseline,

@@ -715,3 +715,40 @@ def inverted_index(ds, text_col: str = "text", key_col: str = "doc_id",
 
     return ds.map_batches(pairs, batch_format="pyarrow") \
         .groupby("wshard").map_groups(build, batch_format="pyarrow")
+
+
+def cms_word_counts(ds, text_col: str = "text", depth: int = 4,
+                    width: int = 65536, lowercase: bool = True):
+    """Corpus-wide Count-Min word-frequency sketch -> CountMinSketch.
+
+    The streaming alternative to :func:`word_frequencies` when the
+    EXACT vocabulary table itself is too hot to exchange or the
+    consumer only needs ad-hoc point lookups: each batch folds its
+    local value_counts into a ``depth x width`` counter block (one
+    ``np.add.at`` per row), and the mergeable partials sum on the
+    driver — NO shuffle at all, fixed O(depth x width) memory
+    regardless of vocabulary size, one-sided error <= e/width * N
+    with prob 1 - e^-depth.  Point estimates never undercount."""
+    from ..sketches import CountMinSketch
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = pc.utf8_trim_whitespace(pc.fill_null(t[text_col], ""))
+        if lowercase:
+            col = pc.utf8_lower(col)
+        words = pc.list_flatten(
+            pc.split_pattern_regex(col, TOKEN_SPLIT_RE))
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        words = words.filter(pc.not_equal(words, ""))
+        vc = words.value_counts()
+        cms = CountMinSketch(depth, width)
+        if len(vc):
+            cms.update(vc.field("values").to_numpy(zero_copy_only=False),
+                       pc.cast(vc.field("counts"), pa.int64())
+                       .to_numpy(zero_copy_only=False))
+        return cms.to_row()
+
+    rows = pa.concat_tables(
+        [b for b in ds.map_batches(partial, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow") if b.num_rows])
+    return CountMinSketch.from_rows(rows)

@@ -416,3 +416,82 @@ def cached_broadcast(ref, build):
             _BROADCAST_CACHE.pop(next(iter(_BROADCAST_CACHE)))
         _BROADCAST_CACHE[key] = got
     return got
+
+
+class CountMinSketch:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005 — public
+    algorithm): approximate frequencies in ``depth x width`` counters.
+    Guarantees (one-sided): estimate >= true count always; estimate
+    <= true + eps*N with probability 1 - delta, for eps = e/width,
+    delta = e^-depth.  MERGEABLE by elementwise addition, which is
+    what makes it a combiner: per-batch sketches sum across any
+    exchange or on the driver without error growth.
+
+    Rows are indexed by double hashing over the two keyed SipHashes
+    (``(h1 + row*h2) mod width`` — same public Kirsch-Mitzenmacher
+    construction as the Bloom filter), so updates and queries are one
+    vectorized ``np.add.at`` / gather per row, no per-item Python.
+    """
+
+    __slots__ = ("depth", "width", "table")
+
+    def __init__(self, depth: int = 4, width: int = 4096,
+                 table: np.ndarray | None = None):
+        self.depth = depth
+        self.width = width
+        self.table = (np.zeros((depth, width), np.int64)
+                      if table is None else table)
+
+    def _cols(self, values) -> np.ndarray:
+        """(depth, n) column indices via double hashing."""
+        values = np.asarray(values, dtype=object)
+        h1 = hash_strings(values)
+        h2 = hash_strings2(values) | np.uint64(1)
+        r = np.arange(self.depth, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + r * h2[None, :])
+                % np.uint64(self.width)).astype(np.int64)
+
+    def update(self, values, counts=None) -> "CountMinSketch":
+        values = np.asarray(values, dtype=object)
+        if len(values) == 0:
+            return self
+        c = (np.ones(len(values), np.int64) if counts is None
+             else np.asarray(counts, np.int64))
+        cols = self._cols(values)
+        for r in range(self.depth):
+            np.add.at(self.table[r], cols[r], c)
+        return self
+
+    def query(self, values) -> np.ndarray:
+        """Vectorized point estimates (min over rows)."""
+        values = np.asarray(values, dtype=object)
+        if len(values) == 0:
+            return np.zeros(0, np.int64)
+        cols = self._cols(values)
+        ests = self.table[np.arange(self.depth)[:, None], cols]
+        return ests.min(axis=0)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert (self.depth, self.width) == (other.depth, other.width)
+        self.table += other.table
+        return self
+
+    def to_row(self) -> "pa.Table":
+        """One-row Arrow table carrying the flattened counters — the
+        exchange format for distributed combines."""
+        return pa.table({
+            "depth": pa.array([self.depth], pa.int64()),
+            "width": pa.array([self.width], pa.int64()),
+            "counters": pa.array([self.table.reshape(-1)],
+                                 pa.list_(pa.int64())),
+        })
+
+    @classmethod
+    def from_rows(cls, t: "pa.Table") -> "CountMinSketch":
+        """Sum any number of ``to_row`` rows back into one sketch."""
+        depth = t["depth"][0].as_py()
+        width = t["width"][0].as_py()
+        out = cls(depth, width)
+        for lst in t["counters"].to_pylist():
+            out.table += np.asarray(lst, np.int64).reshape(depth, width)
+        return out

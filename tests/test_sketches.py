@@ -167,3 +167,61 @@ def test_tree_merge_hex_matches_flat():
             < 0.02 * np.quantile(exact, q)
 
     assert tree_merge_hex([], HyperLogLog) is None
+
+
+def test_count_min_guarantees():
+    import numpy as np
+
+    from pyschema_ray.sketches import CountMinSketch
+
+    rng = np.random.default_rng(5)
+    # zipf-ish corpus of 20k tokens over 500 distinct words
+    words = np.array([f"w{int(i)}" for i in
+                      rng.zipf(1.5, 20_000) % 500], dtype=object)
+    from collections import Counter
+    truth = Counter(words.tolist())
+    cms = CountMinSketch(depth=4, width=2048)
+    # split into chunks and merge, to exercise mergeability
+    parts = np.array_split(words, 7)
+    sk = [CountMinSketch(depth=4, width=2048).update(p) for p in parts]
+    for s in sk[1:]:
+        sk[0].merge(s)
+    cms = sk[0]
+    keys = np.array(list(truth), dtype=object)
+    est = cms.query(keys)
+    true = np.array([truth[k] for k in keys])
+    assert (est >= true).all()            # never undercounts
+    n = len(words)
+    eps = np.e / 2048
+    assert (est - true <= 3 * eps * n).all()
+    assert np.median(est - true) <= eps * n
+
+
+def test_count_min_roundtrip_rows():
+    import numpy as np
+    import pyarrow as pa
+
+    from pyschema_ray.sketches import CountMinSketch
+
+    a = CountMinSketch(2, 64).update(np.array(["x", "y", "x"], object))
+    b = CountMinSketch(2, 64).update(np.array(["y"], object))
+    t = pa.concat_tables([a.to_row(), b.to_row()])
+    m = CountMinSketch.from_rows(t)
+    assert m.query(np.array(["x"], object))[0] >= 2
+    assert m.query(np.array(["y"], object))[0] >= 2
+
+
+def test_cms_word_counts_vs_exact():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pyschema_ray.functions.text import cms_word_counts
+
+    docs = ["the cat sat", "the dog ran", "the cat ran fast"] * 50
+    ds = rd.from_arrow(pa.table({"text": pa.array(docs)})).repartition(4)
+    cms = cms_word_counts(ds, width=1024)
+    est = cms.query(np.array(["the", "cat", "zzz"], object))
+    assert est[0] >= 150 and est[1] >= 100
+    n_tokens = sum(len(d.split()) for d in docs)
+    assert est[2] <= np.e / 1024 * n_tokens * 3
