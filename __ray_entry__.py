@@ -1676,6 +1676,24 @@ def _q_sample_docs_per_source(sf_dir: str) -> pa.Table:
                                   ("doc_id", "ascending")])
 
 
+def _q_customer_order_distribution(sf_dir: str) -> pa.Table:
+    """TPC-H Q13 shape: distribution of URGENT-order counts per
+    customer INCLUDING zero-order customers (left-outer semantics via
+    zero-fill on the key-shard exchange; both exchanges carry only
+    aggregates)."""
+    from pyschema_ray.functions.relational import left_count_distribution
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderpriority"]) \
+        .map_batches(lambda t: t.filter(
+            pc.equal(t["o_orderpriority"], "1-URGENT")),
+            batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    out = left_count_distribution(cust, orders, key_col="c_custkey",
+                                  fact_key_col="o_custkey")
+    return _collect(out).sort_by([("n_facts", "ascending")])
+
+
 def _q_cms_word_estimates(sf_dir: str) -> pa.Table:
     """Count-Min point estimates for a fixed probe list (rows-only:
     the one-sided sketch error is hash-deterministic but not SQL-
@@ -1848,6 +1866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_counts": _q_funnel_counts,
         "sample_docs_per_source": _q_sample_docs_per_source,
         "temperature_sampled_docs": _q_temperature_sampled_docs,
+        "customer_order_distribution": _q_customer_order_distribution,
         "events_pivot": _q_events_pivot,
         # sketches / scoring (rows-only)
         "ndv_user_id_hll": _q_ndv_user_id_hll,
@@ -2709,6 +2728,19 @@ def oracle_sql() -> dict[str, str]:
                   FROM h)
             SELECT source, doc_id FROM r WHERE rk <= 3
              ORDER BY source, doc_id
+        """,
+        "customer_order_distribution": """
+            WITH per_cust AS (
+                SELECT c.c_custkey,
+                       count(o.o_orderkey) AS n_facts
+                  FROM customer c
+                  LEFT OUTER JOIN orders o
+                    ON c.c_custkey = o.o_custkey
+                   AND o.o_orderpriority = '1-URGENT'
+                 WHERE c.c_custkey IS NOT NULL
+                 GROUP BY c.c_custkey)
+            SELECT n_facts, count(*) AS n_keys
+              FROM per_cust GROUP BY n_facts ORDER BY n_facts
         """,
         "temperature_sampled_docs": """
             WITH base AS (

@@ -279,3 +279,74 @@ def order_consistency(orders, lineitem,
                                                  batch_format="pyarrow")
     return per_shard.repartition(1).map_batches(final,
                                                 batch_format="pyarrow")
+
+
+def left_count_distribution(keys_ds, fact_ds, key_col: str,
+                            fact_key_col: str | None = None,
+                            num_shards: int | None = None):
+    """TPC-H Q13 shape: for every key in ``keys_ds`` count its rows in
+    ``fact_ds`` (ZERO included — the left-outer-join semantics a plain
+    groupby cannot express), then return the DISTRIBUTION
+    Dataset(n_facts, n_keys).
+
+    Shape: the fact side collapses to per-batch (key, count) partials
+    (combiner — the exchange carries distinct keys per batch, never
+    fact rows); the key side ships bare keys; both co-partition on a
+    bounded key-hash shard where counts sum and missing keys zero-fill;
+    each shard then emits its local (n_facts, n_keys) histogram and a
+    final tiny bounded groupby sums shard histograms — two exchanges,
+    both carrying aggregates only, no full join anywhere."""
+    fact_key_col = fact_key_col or key_col
+    num_shards = num_shards or _default_shards()
+
+    def fact_partial(t: pa.Table) -> pa.Table:
+        col = t.filter(pc.is_valid(t[fact_key_col]))[fact_key_col]
+        vc = col.combine_chunks().value_counts()
+        keys = vc.field("values")
+        kn = keys.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "kshard": pa.array(_key_shards(kn, num_shards, 97),
+                               pa.int64()),
+            "k": keys,
+            "n": pc.cast(vc.field("counts"), pa.int64()),
+            "side": pa.array(np.zeros(len(keys), np.int8), pa.int8()),
+        })
+
+    def key_rows(t: pa.Table) -> pa.Table:
+        col = t.filter(pc.is_valid(t[key_col]))[key_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        kn = col.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "kshard": pa.array(_key_shards(kn, num_shards, 97),
+                               pa.int64()),
+            "k": col,
+            "n": pa.array(np.zeros(len(col), np.int64), pa.int64()),
+            "side": pa.array(np.ones(len(col), np.int8), pa.int8()),
+        })
+
+    union = fact_ds.map_batches(fact_partial, batch_format="pyarrow") \
+        .union(keys_ds.map_batches(key_rows, batch_format="pyarrow"))
+
+    def shard_hist(df):
+        import pandas as pd
+
+        keys = df.loc[df["side"] == 1, ["k"]].drop_duplicates()
+        counts = df.loc[df["side"] == 0].groupby("k", sort=False)["n"] \
+            .sum()
+        per_key = keys.merge(counts.rename("n_facts"), left_on="k",
+                             right_index=True, how="left")
+        per_key["n_facts"] = per_key["n_facts"].fillna(0).astype("int64")
+        hist = per_key.groupby("n_facts", sort=False).size() \
+            .rename("n_keys").reset_index()
+        hist["n_keys"] = hist["n_keys"].astype("int64")
+        return hist
+
+    def total(t: pa.Table) -> pa.Table:
+        g = t.group_by("n_facts").aggregate([("n_keys", "sum")])
+        return g.select(["n_facts", "n_keys_sum"]) \
+            .rename_columns(["n_facts", "n_keys"])
+
+    return union.groupby("kshard") \
+        .map_groups(shard_hist, batch_format="pandas") \
+        .repartition(1).map_batches(total, batch_format="pyarrow")

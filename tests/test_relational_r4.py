@@ -198,3 +198,24 @@ def test_inverted_index_postings():
         .sort_by("word").to_pandas()
     got = {r.word: (r.df, r.postings) for r in out.itertuples()}
     assert got == {"cat": (2, "5,10"), "dog": (3, "2,5,10")}
+
+
+def test_left_count_distribution():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pyschema_ray.functions.relational import left_count_distribution
+
+    keys = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4, None], pa.int64())}))
+    facts = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1, 2, None, 99], pa.int64())})) \
+        .repartition(3)
+    out = pa.concat_tables(
+        [b for b in left_count_distribution(keys, facts, "k")
+         .iter_batches(batch_format="pyarrow") if b.num_rows]) \
+        .sort_by("n_facts")
+    # k=3,4 -> 0 facts; k=2 -> 1; k=1 -> 3; null key dropped;
+    # fact key 99 (absent from keys) ignored
+    assert out.to_pydict() == {"n_facts": [0, 1, 3],
+                               "n_keys": [2, 1, 1]}
