@@ -1676,6 +1676,20 @@ def _q_sample_docs_per_source(sf_dir: str) -> pa.Table:
                                   ("doc_id", "ascending")])
 
 
+def _q_epoch_shuffle(sf_dir: str) -> pa.Table:
+    """Deterministic epoch-3 shuffle order for the document corpus:
+    every doc gets a global position under the seeded Knuth-hash
+    permutation; range-partitioned hash shards + broadcast base
+    offsets replace a global sort (exchanges carry (key, hash) pairs
+    only)."""
+    from pyschema_ray.functions.sample import epoch_shuffle_positions
+
+    out = epoch_shuffle_positions(
+        _read(sf_dir, "documents", columns=["doc_id"]),
+        key_col="doc_id", seed=3)
+    return _collect(out).sort_by("position")
+
+
 def _q_customer_order_distribution(sf_dir: str) -> pa.Table:
     """TPC-H Q13 shape: distribution of URGENT-order counts per
     customer INCLUDING zero-order customers (left-outer semantics via
@@ -1867,6 +1881,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs_per_source": _q_sample_docs_per_source,
         "temperature_sampled_docs": _q_temperature_sampled_docs,
         "customer_order_distribution": _q_customer_order_distribution,
+        "epoch_shuffle": _q_epoch_shuffle,
         "events_pivot": _q_events_pivot,
         # sketches / scoring (rows-only)
         "ndv_user_id_hll": _q_ndv_user_id_hll,
@@ -2728,6 +2743,17 @@ def oracle_sql() -> dict[str, str]:
                   FROM h)
             SELECT source, doc_id FROM r WHERE rk <= 3
              ORDER BY source, doc_id
+        """,
+        "epoch_shuffle": """
+            WITH h AS (
+                SELECT doc_id,
+                       CAST(((CAST(doc_id AS HUGEINT) + 3) % 4294967296)
+                            * 2654435761 % 4294967296 AS BIGINT) AS hk
+                  FROM documents WHERE doc_id IS NOT NULL)
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY hk, doc_id) - 1
+                       AS position
+              FROM h ORDER BY position
         """,
         "customer_order_distribution": """
             WITH per_cust AS (

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .dedup import _key_hash
 
@@ -283,3 +284,76 @@ def temperature_sample(ds, group_col: str = "source",
             k_map[g] = min(int(n), scale * math.isqrt(int(n)))
     return grouped_sample_k_map(ds, group_col, k_map, key_col,
                                 num_shards)
+
+
+def epoch_shuffle_positions(ds, key_col: str = "doc_id",
+                            seed: int = 0,
+                            num_shards: int | None = None):
+    """Deterministic epoch shuffle: assign every key a GLOBAL shuffled
+    position (0..n-1) for epoch ``seed`` — the reproducible
+    alternative to ``random_shuffle`` a training loader needs (same
+    seed -> same order on any cluster size; different seed -> a fresh
+    permutation).  Order key is the seeded Knuth hash
+    ``((key + seed) mod 2^32) * 2654435761 mod 2^32`` broken by the
+    key itself, so the full order is SQL-reproducible
+    (``row_number() OVER (ORDER BY hk, key) - 1``).
+
+    NO global sort operator: the hash's HIGH bits range-partition the
+    corpus into ``num_shards`` contiguous hash intervals, so global
+    rank = (sum of lower-shard counts) + local rank.  Pass 1 counts
+    per shard (O(shards) to the driver); pass 2 sorts WITHIN each
+    shard only and adds the broadcast base offsets.  Each exchange
+    carries (key, hash) pairs, never payload columns.
+
+    -> Dataset(key_col, position).  Null keys are dropped.
+    """
+    from .dedup import _default_shards
+
+    nb = num_shards or _default_shards()
+    width = (int(_M32) + nb - 1) // nb
+
+    def hashed(t: pa.Table) -> pa.Table:
+        col = t.filter(pc.is_valid(t[key_col]))[key_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        k = np.asarray(col.to_numpy(zero_copy_only=False)) \
+            .astype(np.int64)
+        h = (((k.view(np.uint64) + np.uint64(seed)) % _M32)
+             * _KNUTH % _M32)
+        return pa.table({
+            "rshard": pa.array((h // np.uint64(width)).astype(np.int64),
+                               pa.int64()),
+            "hk": pa.array(h.astype(np.int64), pa.int64()),
+            key_col: col,
+        })
+
+    hashed_ds = ds.map_batches(hashed, batch_format="pyarrow")
+
+    def shard_counts(t: pa.Table) -> pa.Table:
+        vc = t["rshard"].combine_chunks().value_counts()
+        return pa.table({
+            "rshard": vc.field("values"),
+            "n": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    counts = np.zeros(nb, np.int64)
+    for b in hashed_ds.map_batches(shard_counts,
+                                   batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            # np.add.at: a block may repeat an rshard (one row per
+            # upstream batch) and fancy += drops duplicate indices
+            np.add.at(counts,
+                      b["rshard"].to_numpy(zero_copy_only=False),
+                      b["n"].to_numpy(zero_copy_only=False))
+    bases = np.r_[np.int64(0), np.cumsum(counts)[:-1]]
+
+    def rank_shard(t: pa.Table) -> pa.Table:
+        sid = int(t["rshard"][0].as_py())
+        t = t.sort_by([("hk", "ascending"), (key_col, "ascending")])
+        pos = bases[sid] + np.arange(t.num_rows, dtype=np.int64)
+        return pa.table({key_col: t[key_col],
+                         "position": pa.array(pos, pa.int64())})
+
+    return hashed_ds.groupby("rshard") \
+        .map_groups(rank_shard, batch_format="pyarrow")

@@ -279,3 +279,32 @@ def test_grouped_sample_k_map_budgets():
          .iter_batches(batch_format="pyarrow") if b.num_rows])
     per_t = ts.to_pandas().groupby("source").size().to_dict()
     assert per_t == {"a": 4 * 14, "b": 4 * 9, "c": 10}
+
+
+def test_epoch_shuffle_positions():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pyschema_ray.functions.sample import epoch_shuffle_positions
+
+    t = pa.table({"doc_id": pa.array(
+        list(range(200)) + [None], pa.int64())})
+
+    def run(seed, parts):
+        out = pa.concat_tables(
+            [b for b in epoch_shuffle_positions(
+                rd.from_arrow(t).repartition(parts), seed=seed)
+             .iter_batches(batch_format="pyarrow") if b.num_rows])
+        return out.to_pandas().sort_values("doc_id")
+
+    a = run(3, 4)
+    # exact permutation of 0..199, null dropped
+    assert sorted(a["position"]) == list(range(200))
+    # partition-invariant
+    b = run(3, 9)
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    # a different seed is a different permutation
+    c = run(4, 4)
+    assert not a["position"].reset_index(drop=True).equals(
+        c["position"].reset_index(drop=True))
