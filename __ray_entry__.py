@@ -1676,6 +1676,32 @@ def _q_sample_docs_per_source(sf_dir: str) -> pa.Table:
                                   ("doc_id", "ascending")])
 
 
+def _q_snapshot_diff(sf_dir: str) -> pa.Table:
+    """Corpus snapshot diff (added/removed/changed): two synthetic
+    versions of the documents table (mod-filters; every 11th doc
+    uppercased in the new version) classified on one key-shard
+    exchange; unchanged keys die inside their shard task."""
+    from pyschema_ray.functions.relational import snapshot_diff
+
+    def version(drop_mod: int, mutate: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array(ids % drop_mod != 0))
+            if mutate:
+                ids = t["doc_id"].to_numpy(zero_copy_only=False)
+                up = pc.utf8_upper(t["text"])
+                txt = pc.if_else(pa.array(ids % 11 == 0), up,
+                                 t["text"])
+                t = t.set_column(t.schema.get_field_index("text"),
+                                 "text", txt)
+            return t
+        return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+            .map_batches(fn, batch_format="pyarrow")
+
+    out = snapshot_diff(version(5, False), version(7, True))
+    return _collect(out).sort_by("doc_id")
+
+
 def _q_epoch_shuffle(sf_dir: str) -> pa.Table:
     """Deterministic epoch-3 shuffle order for the document corpus:
     every doc gets a global position under the seeded Knuth-hash
@@ -1882,6 +1908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_sampled_docs": _q_temperature_sampled_docs,
         "customer_order_distribution": _q_customer_order_distribution,
         "epoch_shuffle": _q_epoch_shuffle,
+        "snapshot_diff": _q_snapshot_diff,
         "events_pivot": _q_events_pivot,
         # sketches / scoring (rows-only)
         "ndv_user_id_hll": _q_ndv_user_id_hll,
@@ -2743,6 +2770,31 @@ def oracle_sql() -> dict[str, str]:
                   FROM h)
             SELECT source, doc_id FROM r WHERE rk <= 3
              ORDER BY source, doc_id
+        """,
+        "snapshot_diff": """
+            WITH old_v AS (
+                SELECT doc_id, text FROM documents
+                 WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                   AND doc_id % 5 <> 0),
+            new_v AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 11 = 0 THEN upper(text)
+                            ELSE text END AS text
+                  FROM documents
+                 WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                   AND doc_id % 7 <> 0),
+            m AS (
+                SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                       o.text AS t_old, n.text AS t_new
+                  FROM old_v o FULL OUTER JOIN new_v n
+                    ON o.doc_id = n.doc_id)
+            SELECT doc_id,
+                   CASE WHEN t_old IS NULL THEN 'added'
+                        WHEN t_new IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+              FROM m
+             WHERE t_old IS NULL OR t_new IS NULL OR t_old <> t_new
+             ORDER BY doc_id
         """,
         "epoch_shuffle": """
             WITH h AS (

@@ -350,3 +350,74 @@ def left_count_distribution(keys_ds, fact_ds, key_col: str,
     return union.groupby("kshard") \
         .map_groups(shard_hist, batch_format="pandas") \
         .repartition(1).map_batches(total, batch_format="pyarrow")
+
+
+def snapshot_diff(old_ds, new_ds, key_col: str = "doc_id",
+                  text_col: str = "text",
+                  num_shards: int | None = None,
+                  hash_batch=None):
+    """Corpus snapshot diff: Dataset(key, status) with status in
+    {'added', 'removed', 'changed'} — what an append/refresh audit
+    between two corpus versions reports.  UNCHANGED keys (the
+    overwhelming majority at 100 TB) are classified and dropped
+    INSIDE their shard task and never reach the driver or the output.
+
+    Shape: each side collapses to (key, content_hash, side) rows —
+    text never leaves its reading task — then ONE bounded key-hash
+    shard exchange co-locates both versions of every key; a C-level
+    merge classifies per shard.  Duplicate keys within a side keep
+    the lexicographically smallest hash (deterministic).
+
+    ``hash_batch`` defaults to the md5 fingerprint so the oracle can
+    recompute it in SQL; swap in ``fingerprint_batch`` (keyed
+    SipHash) for hot production paths."""
+    import pandas as pd
+
+    from .text import fingerprint_md5_batch
+
+    hash_batch = hash_batch or fingerprint_md5_batch
+    num_shards = num_shards or _default_shards()
+
+    def rows(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.and_(pc.is_valid(t[key_col]),
+                                 pc.is_valid(t[text_col])))
+            t = hash_batch(t, text_col=text_col, out_col="h")
+            kn = t[key_col].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "kshard": pa.array(_key_shards(kn, num_shards, 101),
+                                   pa.int64()),
+                key_col: t[key_col],
+                "h": t["h"],
+                "side": pa.array(np.full(t.num_rows, side, np.int8),
+                                 pa.int8()),
+            })
+        return fn
+
+    union = old_ds.select_columns([key_col, text_col]) \
+        .map_batches(rows(0), batch_format="pyarrow").union(
+            new_ds.select_columns([key_col, text_col])
+            .map_batches(rows(1), batch_format="pyarrow"))
+
+    def classify(df):
+        import pandas as pd
+
+        sides = []
+        for s in (0, 1):
+            part = df.loc[df["side"] == s, [key_col, "h"]] \
+                .sort_values([key_col, "h"], kind="stable") \
+                .drop_duplicates(key_col, keep="first")
+            sides.append(part)
+        m = sides[0].merge(sides[1], on=key_col, how="outer",
+                           suffixes=("_old", "_new"))
+        status = np.where(
+            m["h_old"].isna(), "added",
+            np.where(m["h_new"].isna(), "removed",
+                     np.where(m["h_old"] != m["h_new"], "changed",
+                              "")))
+        m = m.assign(status=status)
+        m = m.loc[m["status"] != "", [key_col, "status"]]
+        return m
+
+    return union.groupby("kshard") \
+        .map_groups(classify, batch_format="pandas")

@@ -219,3 +219,29 @@ def test_left_count_distribution():
     # fact key 99 (absent from keys) ignored
     assert out.to_pydict() == {"n_facts": [0, 1, 3],
                                "n_keys": [2, 1, 1]}
+
+
+def test_snapshot_diff_classification():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pyschema_ray.functions.relational import snapshot_diff
+
+    old = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, None], pa.int64()),
+        "text": pa.array(["a", "b", "c", "d", None, "x"]),
+    }))
+    new = rd.from_arrow(pa.table({
+        "doc_id": pa.array([2, 3, 6, 7], pa.int64()),
+        "text": pa.array(["b", "C", "f", None]),
+    })).repartition(2)
+    out = pa.concat_tables(
+        [b for b in snapshot_diff(old, new)
+         .iter_batches(batch_format="pyarrow") if b.num_rows]) \
+        .sort_by("doc_id")
+    # 1,4 removed; 3 changed; 6 added; 2 unchanged (absent);
+    # null-key and null-text rows on either side ignored
+    assert out.to_pydict() == {
+        "doc_id": [1, 3, 4, 6],
+        "status": ["removed", "changed", "removed", "added"],
+    }
