@@ -1676,6 +1676,34 @@ def _q_sample_docs_per_source(sf_dir: str) -> pa.Table:
                                   ("doc_id", "ascending")])
 
 
+def _q_kmeans_cluster_sizes(sf_dir: str) -> pa.Table:
+    """Full-corpus distributed Lloyd k-means over the embeddings
+    (rows-only: iterative refinement has no SQL oracle; exact parity
+    with a local Lloyd reference is pytest-enforced in
+    tests/test_pq.py).  Per iteration the corpus reduces to k x d
+    partial sums per batch — no shuffle."""
+    from pyschema_ray.functions.similarity import (kmeans_assign,
+                                                   kmeans_fit)
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent = kmeans_fit(ds, k=8, iters=5, seed=42)
+    out = kmeans_assign(ds, cent)
+
+    def counts(t: pa.Table) -> pa.Table:
+        vc = t["cluster"].combine_chunks().value_counts()
+        return pa.table({"cluster": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    def total(t: pa.Table) -> pa.Table:
+        g = t.group_by("cluster").aggregate([("n", "sum")])
+        return g.select(["cluster", "n_sum"]) \
+            .rename_columns(["cluster", "n"])
+
+    agg = out.map_batches(counts, batch_format="pyarrow") \
+        .repartition(1).map_batches(total, batch_format="pyarrow")
+    return _collect(agg).sort_by("cluster")
+
+
 def _q_snapshot_diff(sf_dir: str) -> pa.Table:
     """Corpus snapshot diff (added/removed/changed): two synthetic
     versions of the documents table (mod-filters; every 11th doc
@@ -1916,6 +1944,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_totals": _q_bpe_token_totals,
         "novel_documents_bloom": _q_novel_documents_bloom,
         "cms_word_estimates": _q_cms_word_estimates,
+        "kmeans_cluster_sizes": _q_kmeans_cluster_sizes,
         "value_quantiles_tdigest": _q_value_quantiles_tdigest,
         "drift_events_self": _q_drift_events_self,
         "drift_events_baseline": _q_drift_events_baseline,

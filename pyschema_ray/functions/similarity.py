@@ -423,3 +423,82 @@ def label_centroids(ds, label_col: str = "label",
 
     return ds.map_batches(partial, batch_format="pyarrow") \
         .repartition(1).map_batches(total, batch_format="pyarrow")
+
+
+def kmeans_fit(ds, k: int = 8, iters: int = 10, seed: int = 1234,
+               embedding_col: str = "embedding",
+               init_sample: int = 4096) -> np.ndarray:
+    """FULL-corpus Lloyd k-means (L2), distributed: unlike
+    :func:`build_ivf_centroids` (sample-only), every iteration
+    streams the whole dataset once — per batch, ONE matmul assigns
+    vectors and a bincount/add.at reduces them to (k, d) partial sums
+    + (k,) counts, so the exchange to the driver is k x d floats per
+    BATCH regardless of corpus size (the mergeable-combiner shape;
+    no shuffle).  Initialization is a deterministic sample;
+    empty clusters keep their previous centroid.  Returns (k, d)
+    float32 centroids (unnormalized means — pass through
+    ``_normalize`` for cosine use)."""
+    import ray
+
+    mats = [_as_matrix(t[embedding_col]) for t in
+            ds.limit(init_sample).iter_batches(batch_format="pyarrow")
+            if t.num_rows]
+    x0 = np.vstack(mats).astype(np.float32)
+    rng = np.random.default_rng(seed)
+    k = min(k, len(x0))
+    cent = x0[rng.choice(len(x0), k, replace=False)].copy()
+
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+
+        def partial(t: pa.Table, _ref=cent_ref) -> pa.Table:
+            c = ray.get(_ref)
+            m = _as_matrix(t[embedding_col]).astype(np.float32)
+            d2 = (m * m).sum(1)[:, None] - 2.0 * (m @ c.T) \
+                + (c * c).sum(1)[None, :]
+            assign = d2.argmin(axis=1)
+            sums = np.zeros_like(c, dtype=np.float64)
+            np.add.at(sums, assign, m.astype(np.float64))
+            counts = np.bincount(assign, minlength=len(c)) \
+                .astype(np.int64)
+            return pa.table({
+                "cell": pa.array(np.arange(len(c)), pa.int64()),
+                "n": pa.array(counts, pa.int64()),
+                "s": pa.array(sums.tolist(), pa.list_(pa.float64())),
+            })
+
+        tot_n = np.zeros(k, np.int64)
+        tot_s = np.zeros((k, cent.shape[1]), np.float64)
+        for b in ds.map_batches(partial, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow"):
+            if b.num_rows:
+                cells = b["cell"].to_numpy(zero_copy_only=False)
+                np.add.at(tot_n, cells,
+                          b["n"].to_numpy(zero_copy_only=False))
+                s = np.stack(b["s"].to_pylist())
+                np.add.at(tot_s, cells, s)
+        nz = tot_n > 0
+        cent = cent.astype(np.float64)
+        cent[nz] = tot_s[nz] / tot_n[nz, None]
+        cent = cent.astype(np.float32)
+    return cent
+
+
+def kmeans_assign(ds, centroids: np.ndarray,
+                  embedding_col: str = "embedding",
+                  out_col: str = "cluster"):
+    """Append the nearest-centroid (L2) id; centroid matrix broadcast
+    once via ray.put."""
+    import ray
+
+    ref = ray.put(centroids.astype(np.float32))
+
+    def fn(t: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _as_matrix(t[embedding_col]).astype(np.float32)
+        d2 = (m * m).sum(1)[:, None] - 2.0 * (m @ c.T) \
+            + (c * c).sum(1)[None, :]
+        return t.append_column(out_col,
+                               pa.array(d2.argmin(axis=1), pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -90,3 +90,49 @@ def test_pq_train_rejects_bad_m():
     import pytest
     with pytest.raises(ValueError):
         pq_train(_ds(x), m=8, sample_size=50)
+
+
+def test_kmeans_fit_matches_local_reference():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pyschema_ray.functions.similarity import (kmeans_assign,
+                                                   kmeans_fit)
+
+    x = _clustered(n=400, d=16, n_clusters=6)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(len(x)), pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(x.reshape(-1), pa.float32()), x.shape[1]),
+    }))
+    got = kmeans_fit(ds.repartition(4), k=6, iters=5, seed=9,
+                     init_sample=400)
+
+    # independent local Lloyd with identical init
+    rng = np.random.default_rng(9)
+    cent = x[rng.choice(len(x), 6, replace=False)].astype(np.float32)
+    for _ in range(5):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        nxt = cent.astype(np.float64).copy()
+        for c in range(6):
+            if (a == c).any():
+                nxt[c] = x[a == c].astype(np.float64).mean(axis=0)
+        cent = nxt.astype(np.float32)
+    assert np.allclose(got, cent, atol=1e-4), \
+        np.abs(got - cent).max()
+
+    # assignment recovers the 6 generating clusters cleanly
+    out = pa.concat_tables(
+        kmeans_assign(ds, got).iter_batches(batch_format="pyarrow"))
+    clusters = np.asarray(out["cluster"].to_numpy(
+        zero_copy_only=False))
+    rng2 = np.random.default_rng(7)
+    rng2.normal(size=(6, 16))
+    truth = rng2.integers(0, 6, 400)
+    # same generating cluster -> mostly same learned cluster; random
+    # init can merge two tight clusters (a local optimum), so the bar
+    # is cluster-structure recovery, not perfection
+    import pandas as pd
+    purity = pd.crosstab(truth, clusters).max(axis=1).sum() / 400
+    assert purity > 0.85, purity
