@@ -1676,6 +1676,40 @@ def _q_sample_docs_per_source(sf_dir: str) -> pa.Table:
                                   ("doc_id", "ascending")])
 
 
+def _q_bpe_packed_totals(sf_dir: str) -> pa.Table:
+    """End-to-end tokenizer-to-training-batches composition: BPE
+    vocabulary induction -> actor-pool corpus encoding (token-id
+    lists) -> sequence packing.  Emits the encoder-side and
+    packed-side token totals in one row; their equality IS the
+    conservation invariant (rows-only — BPE token counts are not
+    SQL-computable; the equality is also asserted here)."""
+    from pyschema_ray.functions.bpe import BpeEncoder, bpe_train
+    from pyschema_ray.functions.pack import pack_sequences
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    model = bpe_train(ds, num_merges=60, min_count=2)
+    enc = ds.map_batches(
+        BpeEncoder,
+        fn_constructor_kwargs=dict(model=model, return_ids=True),
+        batch_format="pyarrow", concurrency=(1, 8)).map_batches(
+        lambda t: t.select(["doc_id", "token_ids", "n_tokens"]),
+        batch_format="pyarrow")
+    enc_total = enc.map_batches(
+        lambda t: t.select(["n_tokens"]), batch_format="pyarrow") \
+        .sum("n_tokens")
+    packed = pack_sequences(enc, tokens_col="token_ids",
+                            max_len=128, num_shards=16)
+    packed_total = packed.map_batches(
+        lambda t: t.select(["n_tokens"]), batch_format="pyarrow") \
+        .sum("n_tokens")
+    assert int(enc_total or 0) == int(packed_total or 0)
+    return pa.table({
+        "encoded_tokens": pa.array([int(enc_total or 0)], pa.int64()),
+        "packed_tokens": pa.array([int(packed_total or 0)],
+                                  pa.int64()),
+    })
+
+
 def _q_kmeans_cluster_sizes(sf_dir: str) -> pa.Table:
     """Full-corpus distributed Lloyd k-means over the embeddings
     (rows-only: iterative refinement has no SQL oracle; exact parity
@@ -1945,6 +1979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "novel_documents_bloom": _q_novel_documents_bloom,
         "cms_word_estimates": _q_cms_word_estimates,
         "kmeans_cluster_sizes": _q_kmeans_cluster_sizes,
+        "bpe_packed_totals": _q_bpe_packed_totals,
         "value_quantiles_tdigest": _q_value_quantiles_tdigest,
         "drift_events_self": _q_drift_events_self,
         "drift_events_baseline": _q_drift_events_baseline,
