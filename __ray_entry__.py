@@ -1676,6 +1676,61 @@ def _q_sample_docs_per_source(sf_dir: str) -> pa.Table:
                                   ("doc_id", "ascending")])
 
 
+def _q_corpus_report(sf_dir: str) -> pa.Table:
+    """One-pass corpus summary (docs / null texts / total words /
+    longest doc / vocabulary size): scalar totals ride sentinel rows
+    through the same word-shard exchange that counts the vocabulary —
+    the corpus is read exactly once."""
+    from pyschema_ray.functions.text import corpus_report
+
+    return corpus_report(_read(sf_dir, "documents", columns=["text"]))
+
+
+def _q_customer_urgent_left_join(sf_dir: str) -> pa.Table:
+    """Ray-native LARGE-to-large shuffle LEFT OUTER join (both sides
+    hash-partition; unmatched customers null-fill), then per-segment
+    aggregate: customers per market segment with their URGENT-order
+    counts and revenue (0 for order-less customers)."""
+    from pyschema_ray.functions.joins import shuffle_join
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderpriority",
+                            "o_totalprice"]) \
+        .map_batches(lambda t: t.filter(
+            pc.equal(t["o_orderpriority"], "1-URGENT")),
+            batch_format="pyarrow")
+    joined = shuffle_join(cust, orders, on="c_custkey",
+                          right_on="o_custkey", join_type="left_outer")
+
+    def partial(t: pa.Table) -> pa.Table:
+        seg = pc.fill_null(t["c_mktsegment"], "[NULL]")
+        matched = pc.is_valid(t["o_totalprice"])
+        price = pc.fill_null(t["o_totalprice"], 0.0)
+        g = pa.table({"c_mktsegment": seg,
+                      "n_orders": pc.cast(matched, pa.int64()),
+                      "revenue": price})
+        agg = g.group_by("c_mktsegment").aggregate(
+            [("n_orders", "sum"), ("revenue", "sum")])
+        return agg.select(["c_mktsegment", "n_orders_sum",
+                           "revenue_sum"]) \
+            .rename_columns(["c_mktsegment", "n_orders", "revenue"])
+
+    def total(t: pa.Table) -> pa.Table:
+        g = t.group_by("c_mktsegment").aggregate(
+            [("n_orders", "sum"), ("revenue", "sum")])
+        g = g.select(["c_mktsegment", "n_orders_sum", "revenue_sum"]) \
+            .rename_columns(["c_mktsegment", "n_orders", "revenue"])
+        return g.set_column(
+            g.schema.get_field_index("revenue"), "revenue",
+            pc.round(g["revenue"], 2))
+
+    out = joined.map_batches(partial, batch_format="pyarrow") \
+        .repartition(1).map_batches(total, batch_format="pyarrow")
+    return _collect(out).sort_by("c_mktsegment")
+
+
 def _q_bpe_packed_totals(sf_dir: str) -> pa.Table:
     """End-to-end tokenizer-to-training-batches composition: BPE
     vocabulary induction -> actor-pool corpus encoding (token-id
@@ -1971,6 +2026,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_distribution": _q_customer_order_distribution,
         "epoch_shuffle": _q_epoch_shuffle,
         "snapshot_diff": _q_snapshot_diff,
+        "customer_urgent_left_join": _q_customer_urgent_left_join,
+        "corpus_report": _q_corpus_report,
         "events_pivot": _q_events_pivot,
         # sketches / scoring (rows-only)
         "ndv_user_id_hll": _q_ndv_user_id_hll,
@@ -2834,6 +2891,37 @@ def oracle_sql() -> dict[str, str]:
                   FROM h)
             SELECT source, doc_id FROM r WHERE rk <= 3
              ORDER BY source, doc_id
+        """,
+        "corpus_report": """
+            WITH words AS (
+                SELECT text,
+                       list_filter(regexp_split_to_array(
+                           lower(trim(coalesce(text, ''))), '\\s+'),
+                           x -> x <> '') AS ws
+                  FROM documents),
+            vocab AS (
+                SELECT count(DISTINCT u.w) AS v
+                  FROM words, UNNEST(ws) AS u(w))
+            SELECT count(*) AS n_docs,
+                   CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null_text,
+                   CAST(sum(len(ws)) AS BIGINT) AS total_words,
+                   CAST(max(len(ws)) AS BIGINT) AS max_doc_words,
+                   (SELECT v FROM vocab) AS vocab_size
+              FROM words
+        """,
+        "customer_urgent_left_join": """
+            SELECT coalesce(c.c_mktsegment, '[NULL]') AS c_mktsegment,
+                   count(o.o_totalprice) AS n_orders,
+                   round(coalesce(sum(o.o_totalprice), 0), 2)
+                       AS revenue
+              FROM customer c
+              LEFT OUTER JOIN (
+                   SELECT o_custkey, o_totalprice FROM orders
+                    WHERE o_orderpriority = '1-URGENT') o
+                ON c.c_custkey = o.o_custkey
+             GROUP BY coalesce(c.c_mktsegment, '[NULL]')
+             ORDER BY c_mktsegment
         """,
         "snapshot_diff": """
             WITH old_v AS (

@@ -752,3 +752,94 @@ def cms_word_counts(ds, text_col: str = "text", depth: int = 4,
         [b for b in ds.map_batches(partial, batch_format="pyarrow")
          .iter_batches(batch_format="pyarrow") if b.num_rows])
     return CountMinSketch.from_rows(rows)
+
+
+def corpus_report(ds, text_col: str = "text",
+                  num_shards: int | None = None) -> pa.Table:
+    """One-pass corpus summary -> one-row
+    pa.Table(n_docs, n_null_text, total_words, max_doc_words,
+    vocab_size).
+
+    The corpus streams ONCE: each batch's partial emits its distinct
+    (word, count) rows for the vocabulary exchange (the
+    word_frequencies combiner) PLUS four sentinel rows (wshard = -1)
+    carrying the batch's doc/null/word/max counters; scalar totals
+    and per-shard distinct-word counts both reduce through the same
+    bounded groupby, so the driver sees O(shards) rows."""
+    from .dedup import _default_shards, _key_shards
+
+    nb = num_shards or _default_shards()
+
+    def partial(t: pa.Table) -> pa.Table:
+        raw = t[text_col]
+        n_null = pc.sum(pc.cast(pc.is_null(raw), pa.int64()),
+                        min_count=0).as_py() or 0
+        col = pc.utf8_lower(pc.utf8_trim_whitespace(
+            pc.fill_null(raw, "")))
+        parts = pc.split_pattern_regex(col, TOKEN_SPLIT_RE)
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        offs = np.asarray(parts.offsets).astype(np.int64)
+        flat = parts.values.slice(offs[0], offs[-1] - offs[0])
+        offs = offs - offs[0]
+        words = flat.to_numpy(zero_copy_only=False)
+        nonempty = words != ""
+        cum = np.r_[np.int64(0), np.cumsum(nonempty)]
+        per_doc = cum[offs[1:]] - cum[offs[:-1]]
+        # explicit string type: an all-empty batch would otherwise
+        # infer a null-typed array that cannot concat with the
+        # string sentinel labels
+        vc = pa.array(words[nonempty], type=pa.string()).value_counts()
+        w = vc.field("values")
+        n = pc.cast(vc.field("counts"), pa.int64())
+        shard = _key_shards(w.to_numpy(zero_copy_only=False), nb, 47)
+        sent_labels = ["#docs", "#nulls", "#words", "#maxw"]
+        sent_vals = [t.num_rows, int(n_null), int(per_doc.sum()),
+                     int(per_doc.max()) if len(per_doc) else 0]
+        return pa.table({
+            "wshard": pa.concat_arrays([
+                pa.array(shard, pa.int64()),
+                pa.array([-1] * 4, pa.int64())]),
+            "word": pa.concat_arrays([
+                w.combine_chunks() if isinstance(w, pa.ChunkedArray)
+                else w, pa.array(sent_labels, pa.string())]),
+            "n": pa.concat_arrays([
+                n.combine_chunks() if isinstance(n, pa.ChunkedArray)
+                else n, pa.array(sent_vals, pa.int64())]),
+        })
+
+    def reduce_shard(t: pa.Table) -> pa.Table:
+        sid = int(t["wshard"][0].as_py())
+        if sid == -1:
+            is_max = pc.equal(t["word"], "#maxw")
+            g = t.filter(pc.invert(is_max)) \
+                .group_by("word").aggregate([("n", "sum")]) \
+                .select(["word", "n_sum"]) \
+                .rename_columns(["word", "n"])
+            mx = pc.max(t.filter(is_max)["n"], min_count=0).as_py()
+            return pa.concat_tables([g, pa.table({
+                "word": pa.array(["#maxw"], pa.string()),
+                "n": pa.array([int(mx or 0)], pa.int64())})])
+        n_distinct = len(t.group_by("word").aggregate([("n", "sum")]))
+        return pa.table({"word": pa.array(["#vocab"], pa.string()),
+                         "n": pa.array([n_distinct], pa.int64())})
+
+    rows = pa.concat_tables(
+        [b for b in ds.map_batches(partial, batch_format="pyarrow")
+         .groupby("wshard")
+         .map_groups(reduce_shard, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow") if b.num_rows])
+    vals = {"#docs": 0, "#nulls": 0, "#words": 0, "#maxw": 0,
+            "#vocab": 0}
+    for lbl, n in zip(rows["word"].to_pylist(), rows["n"].to_pylist()):
+        if lbl == "#maxw":
+            vals[lbl] = max(vals[lbl], int(n))
+        else:
+            vals[lbl] += int(n)
+    return pa.table({
+        "n_docs": pa.array([vals["#docs"]], pa.int64()),
+        "n_null_text": pa.array([vals["#nulls"]], pa.int64()),
+        "total_words": pa.array([vals["#words"]], pa.int64()),
+        "max_doc_words": pa.array([vals["#maxw"]], pa.int64()),
+        "vocab_size": pa.array([vals["#vocab"]], pa.int64()),
+    })

@@ -87,3 +87,18 @@ def test_bm25_integer_keys():
 def test_bm25_requires_terms():
     with pytest.raises(ValueError):
         bm25_rank(_ds(), [])
+
+
+def test_corpus_report_one_pass():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pyschema_ray.functions.text import corpus_report
+
+    ds = rd.from_arrow(pa.table({"text": pa.array(
+        ["a b c", "b b", None, "", "  d  ", "a " * 50])})) \
+        .repartition(3)
+    t = corpus_report(ds)
+    assert t.to_pydict() == {
+        "n_docs": [6], "n_null_text": [1], "total_words": [56],
+        "max_doc_words": [50], "vocab_size": [4]}
