@@ -1676,6 +1676,25 @@ def _q_sample_docs_per_source(sf_dir: str) -> pa.Table:
                                   ("doc_id", "ascending")])
 
 
+def _q_fuzzy_part_pairs(sf_dir: str) -> pa.Table:
+    """Record linkage on part names: word-blocked candidates (shared
+    word => same block, triangular pairs, distributed pair DISTINCT),
+    verified with a pairs-vectorized Levenshtein <= 1.  SQL
+    reproduces it with list_has_any blocking + levenshtein()."""
+    from pyschema_ray.functions.linkage import fuzzy_name_pairs
+
+    out = fuzzy_name_pairs(
+        _read(sf_dir, "part", columns=["p_partkey", "p_name"]),
+        name_col="p_name", key_col="p_partkey", max_dist=1,
+        max_block=10**9)
+    t = _collect(out)
+    return pa.table({
+        "key_a": pc.cast(t["key_a"], pa.int64()),
+        "key_b": pc.cast(t["key_b"], pa.int64()),
+        "dist": pc.cast(t["dist"], pa.int64()),
+    }).sort_by([("key_a", "ascending"), ("key_b", "ascending")])
+
+
 def _q_corpus_report(sf_dir: str) -> pa.Table:
     """One-pass corpus summary (docs / null texts / total words /
     longest doc / vocabulary size): scalar totals ride sentinel rows
@@ -2028,6 +2047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": _q_snapshot_diff,
         "customer_urgent_left_join": _q_customer_urgent_left_join,
         "corpus_report": _q_corpus_report,
+        "fuzzy_part_pairs": _q_fuzzy_part_pairs,
         "events_pivot": _q_events_pivot,
         # sketches / scoring (rows-only)
         "ndv_user_id_hll": _q_ndv_user_id_hll,
@@ -2891,6 +2911,21 @@ def oracle_sql() -> dict[str, str]:
                   FROM h)
             SELECT source, doc_id FROM r WHERE rk <= 3
              ORDER BY source, doc_id
+        """,
+        "fuzzy_part_pairs": """
+            WITH p AS (
+                SELECT p_partkey, lower(trim(p_name)) AS nm,
+                       list_filter(regexp_split_to_array(
+                           lower(trim(p_name)), '\\s+'),
+                           x -> x <> '') AS ws
+                  FROM part
+                 WHERE p_partkey IS NOT NULL AND p_name IS NOT NULL)
+            SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+                   CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+              FROM p a JOIN p b ON a.p_partkey < b.p_partkey
+             WHERE list_has_any(a.ws, b.ws)
+               AND levenshtein(a.nm, b.nm) <= 1
+             ORDER BY key_a, key_b
         """,
         "corpus_report": """
             WITH words AS (

@@ -1,0 +1,71 @@
+"""Record linkage: vectorized Levenshtein parity with a classic DP
+reference, blocking recall (shared-word pairs only), max_block cap."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from pyschema_ray.functions.linkage import (fuzzy_name_pairs,
+                                            levenshtein_pairs)
+
+
+def _ref_lev(a, b):
+    dp = list(range(len(b) + 1))
+    for i in range(len(a)):
+        nxt = [i + 1] + [0] * len(b)
+        for j in range(len(b)):
+            nxt[j + 1] = min(dp[j] + (a[i] != b[j]), dp[j + 1] + 1,
+                             nxt[j] + 1)
+        dp = nxt
+    return dp[len(b)]
+
+
+def test_levenshtein_pairs_parity():
+    import random
+
+    random.seed(2)
+    a, b = [], []
+    for _ in range(300):
+        a.append("".join(random.choices("abcd ", k=random.randint(0, 10))))
+        b.append("".join(random.choices("abcd ", k=random.randint(0, 10))))
+    a += ["", "kitten", "flaw", "résumé"]
+    b += ["", "sitting", "lawn", "resume"]
+    got = levenshtein_pairs(np.array(a, object), np.array(b, object))
+    want = [_ref_lev(x, y) for x, y in zip(a, b)]
+    assert got.tolist() == want
+
+
+def _names_ds(rows):
+    return rd.from_arrow(pa.table({
+        "key": pa.array([k for k, _ in rows], pa.int64()),
+        "name": pa.array([n for _, n in rows], pa.string()),
+    })).repartition(2)
+
+
+def test_fuzzy_name_pairs_blocking_and_verify():
+    rows = [(1, "red widget"), (2, "red widgets"), (3, "red gear"),
+            (4, "blue gear"), (5, "xyz thing"), (6, None)]
+    ds = _names_ds(rows)
+    out = pa.concat_tables(
+        [b for b in fuzzy_name_pairs(ds, name_col="name",
+                                     key_col="key", max_dist=2)
+         .iter_batches(batch_format="pyarrow") if b.num_rows]) \
+        .sort_by([("key_a", "ascending"), ("key_b", "ascending")])
+    got = list(zip(out["key_a"].to_pylist(), out["key_b"].to_pylist(),
+                   out["dist"].to_pylist()))
+    # (1,2): 1 edit; (3,4) share 'gear', dist 3 -> dropped;
+    # (1,3)/(2,3) share 'red' but dist > 2; 5 shares no word with
+    # anything; null name ignored
+    assert got == [(1, 2, 1)]
+
+
+def test_fuzzy_max_block_cap_drops_boilerplate():
+    rows = [(i, f"common name{i}") for i in range(20)]
+    ds = _names_ds(rows)
+    # 'common' block has 20 members > cap 5; 'nameN' blocks are
+    # singletons -> no pairs at all
+    out = [b for b in fuzzy_name_pairs(ds, name_col="name",
+                                       key_col="key", max_dist=2,
+                                       max_block=5)
+           .iter_batches(batch_format="pyarrow") if b.num_rows]
+    assert not out
