@@ -1676,6 +1676,18 @@ def _q_sample_docs_per_source(sf_dir: str) -> pa.Table:
                                   ("doc_id", "ascending")])
 
 
+def _q_hot_users_by_events(sf_dir: str) -> pa.Table:
+    """Skew diagnostic: exact top-10 hottest user_ids by event count
+    (value_counts combiner -> key-shard exact sums -> heads;
+    deterministic tie-break)."""
+    from pyschema_ray.functions.analytics import top_keys
+
+    out = top_keys(_read(sf_dir, "events", columns=["user_id"]),
+                   "user_id", k=10)
+    return _collect(out).sort_by([("n", "descending"),
+                                  ("user_id", "ascending")])
+
+
 def _q_fuzzy_part_pairs(sf_dir: str) -> pa.Table:
     """Record linkage on part names: word-blocked candidates (shared
     word => same block, triangular pairs, distributed pair DISTINCT),
@@ -2048,6 +2060,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_urgent_left_join": _q_customer_urgent_left_join,
         "corpus_report": _q_corpus_report,
         "fuzzy_part_pairs": _q_fuzzy_part_pairs,
+        "hot_users_by_events": _q_hot_users_by_events,
         "events_pivot": _q_events_pivot,
         # sketches / scoring (rows-only)
         "ndv_user_id_hll": _q_ndv_user_id_hll,
@@ -2911,6 +2924,12 @@ def oracle_sql() -> dict[str, str]:
                   FROM h)
             SELECT source, doc_id FROM r WHERE rk <= 3
              ORDER BY source, doc_id
+        """,
+        "hot_users_by_events": """
+            SELECT user_id, count(*) AS n
+              FROM events WHERE user_id IS NOT NULL
+             GROUP BY user_id
+             ORDER BY n DESC, user_id ASC LIMIT 10
         """,
         "fuzzy_part_pairs": """
             WITH p AS (

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .dedup import _default_shards, _group_starts, _key_shards
 
@@ -578,3 +579,45 @@ def pivot_counts(ds, row_col: str, pivot_col: str,
 
     return ds.map_batches(partial, batch_format="pyarrow") \
         .repartition(1).map_batches(pivot, batch_format="pyarrow")
+
+
+def top_keys(ds, key_col: str, k: int = 10,
+             num_shards: int | None = None):
+    """EXACT top-k hottest keys by row count — the skew diagnostic
+    run before choosing a partitioning key (a key this returns is a
+    salting candidate).  Same exact-heavy-hitter shape as
+    ``text.top_words``: per-batch value_counts combiner (the exchange
+    carries distinct keys per batch, never rows), bounded key-hash
+    shard sum (each key's GLOBAL count lives wholly in one shard, so
+    per-shard head-k then final head-k is exact), deterministic
+    ascending-key tie-break.  -> Dataset(key_col, n), min(k, ndv)
+    rows."""
+
+    nb = num_shards or _default_shards()
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.filter(pc.is_valid(t[key_col]))[key_col]
+        vc = col.combine_chunks().value_counts()
+        keys = vc.field("values")
+        kn = keys.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "kshard": pa.array(_key_shards(kn, nb, 149), pa.int64()),
+            key_col: keys,
+            "n": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    def shard_head(t: pa.Table) -> pa.Table:
+        g = t.group_by(key_col).aggregate([("n", "sum")])
+        g = g.select([key_col, "n_sum"]).rename_columns([key_col, "n"])
+        g = g.sort_by([("n", "descending"), (key_col, "ascending")])
+        return g.slice(0, k)
+
+    def final_head(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("n", "descending"), (key_col, "ascending")])
+        return t.slice(0, k)
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("kshard") \
+        .map_groups(lambda t: shard_head(t.drop_columns(["kshard"])),
+                    batch_format="pyarrow") \
+        .repartition(1).map_batches(final_head, batch_format="pyarrow")

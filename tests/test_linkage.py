@@ -69,3 +69,15 @@ def test_fuzzy_max_block_cap_drops_boilerplate():
                                        max_block=5)
            .iter_batches(batch_format="pyarrow") if b.num_rows]
     assert not out
+
+
+def test_top_keys_exact():
+    from pyschema_ray.functions.analytics import top_keys
+
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([1] * 7 + [2] * 7 + [3] * 5 + [4] * 2 + [None],
+                      pa.int64())})).repartition(4)
+    out = pa.concat_tables(
+        top_keys(ds, "k", k=3).iter_batches(batch_format="pyarrow"))
+    # tie between 1 and 2 breaks ascending; null dropped
+    assert out.to_pydict() == {"k": [1, 2, 3], "n": [7, 7, 5]}
