@@ -56,6 +56,11 @@ QUERY_SUBSET = [
     "running_totals", "props_k_stats", "label_centroids", "split_stats",
     "mode_lang_per_source", "funnel_counts", "sample_docs_per_source",
     "events_pivot", "bpe_merges", "bm25_top_docs",
+    # round-4 late tranche
+    "novel_documents_bloom", "temperature_sampled_docs",
+    "customer_order_distribution", "epoch_shuffle", "snapshot_diff",
+    "cms_word_estimates", "kmeans_cluster_sizes",
+    "customer_urgent_left_join", "corpus_report", "hot_users_by_events",
 ]
 
 
