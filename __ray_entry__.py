@@ -1128,6 +1128,49 @@ def _q_winnow_dup_pairs(sf_dir: str) -> pa.Table:
     return t.sort_by([("key_a", "ascending"), ("key_b", "ascending")])
 
 
+def _q_ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
+    """EXACT inverted-index word-trigram Jaccard similarity self-join
+    (functions/dedup.ngram_jaccard_pairs — recall 1, NO LSH/candidate
+    pruning, no posting cap) at threshold 0.35 over the corpus plus
+    injected exact (%10, +off) and 5-word-truncated (%7, +2*off)
+    copies, so the output exercises the full jaccard range instead of
+    only 1.0.  Returns (key_a, key_b, n_common, n_union, jaccard);
+    the oracle reproduces the identical join in SQL via shingle
+    unnest + self-join + per-doc distinct-shingle counts."""
+    from pyschema_ray.functions.dedup import ngram_jaccard_pairs
+
+    off = _read(sf_dir, "documents", columns=["doc_id"]).max("doc_id") + 1
+
+    def inject(t: pa.Table) -> pa.Table:
+        base = t.select(["doc_id", "text"])
+        ids = base["doc_id"].to_numpy(zero_copy_only=False)
+        dup = base.filter(pa.array(ids % 10 == 0))
+        dup = dup.set_column(0, "doc_id", pc.add(dup["doc_id"], off))
+        # truncated near-dup: drop the first 5 lowercased words and
+        # rejoin — all Arrow kernels (split/slice/binary_join), the
+        # same derivation the SQL oracle does with list slicing
+        tr = base.filter(pa.array(ids % 7 == 0))
+        words = pc.utf8_split_whitespace(pc.utf8_lower(
+            pc.utf8_trim_whitespace(pc.cast(tr["text"], pa.string()))))
+        cut_text = pc.binary_join(pc.list_slice(words, 5), " ")
+        tr = pa.table({"doc_id": pc.add(tr["doc_id"], 2 * off),
+                       "text": pc.cast(cut_text, pa.string())})
+        tr = tr.filter(pc.not_equal(pc.fill_null(tr["text"], ""), ""))
+        return pa.concat_tables([base, dup, tr])
+
+    docs = _nonblank_docs(sf_dir).map_batches(inject,
+                                              batch_format="pyarrow")
+    out = ngram_jaccard_pairs(docs, shingle_words=3, threshold=0.35)
+    t = _collect(out)
+    if t.num_rows == 0:
+        return pa.table({"key_a": pa.array([], pa.int64()),
+                         "key_b": pa.array([], pa.int64()),
+                         "n_common": pa.array([], pa.int64()),
+                         "n_union": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    return t.sort_by([("key_a", "ascending"), ("key_b", "ascending")])
+
+
 def _q_dedup_keep(sf_dir: str) -> pa.Table:
     """Composed distributed dedup keep-list (exact -> LSH -> Jaccard
     verify -> connected components); rows-only (near-dup semantics are
@@ -2028,6 +2071,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dup_pairs": _q_minhash_dup_pairs,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         "winnow_dup_pairs": _q_winnow_dup_pairs,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "sample_documents_mod": _q_sample_documents_mod,
         "redacted_documents": _q_redacted_documents,
         "normalized_documents": _q_normalized_documents,
@@ -2606,6 +2650,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS key_a, b.doc_id AS key_b
               FROM docs2 a
               JOIN docs2 b ON a.text = b.text AND a.doc_id < b.doc_id
+             ORDER BY key_a, key_b
+        """,
+        "ngram_jaccard_pairs": """
+            WITH base AS (
+                SELECT doc_id, text FROM documents
+                 WHERE text IS NOT NULL AND trim(text) <> ''),
+            mx AS (SELECT MAX(doc_id) + 1 AS off FROM documents),
+            docs2 AS (
+                SELECT doc_id, text FROM base
+                UNION ALL
+                SELECT b.doc_id + mx.off, b.text FROM base b, mx
+                 WHERE b.doc_id % 10 = 0
+                UNION ALL
+                SELECT b.doc_id + 2 * mx.off,
+                       array_to_string(
+                           list_filter(
+                               regexp_split_to_array(lower(trim(b.text)),
+                                                     '\\s+'),
+                               w -> w <> '')[6:], ' ')
+                  FROM base b, mx
+                 WHERE b.doc_id % 7 = 0),
+            words AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(lower(trim(text)),
+                                                 '\\s+'),
+                           w -> w <> '') AS w
+                  FROM docs2 WHERE trim(text) <> ''),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       w[g.i] || ' ' || w[g.i + 1] || ' ' || w[g.i + 2]
+                           AS sh
+                  FROM words, LATERAL (
+                       SELECT unnest(generate_series(1, len(w) - 2)) AS i) g
+                 WHERE len(w) >= 3
+                UNION
+                SELECT doc_id, array_to_string(w, ' ') AS sh
+                  FROM words WHERE len(w) BETWEEN 1 AND 2),
+            sizes AS (
+                SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+                       count(*) AS n_common
+                  FROM grams a
+                  JOIN grams b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+            SELECT i.key_a, i.key_b,
+                   CAST(i.n_common AS BIGINT) AS n_common,
+                   CAST(sa.sz + sb.sz - i.n_common AS BIGINT) AS n_union,
+                   CAST(i.n_common AS DOUBLE)
+                       / (sa.sz + sb.sz - i.n_common) AS jaccard
+              FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.key_a
+              JOIN sizes sb ON sb.doc_id = i.key_b
+             WHERE CAST(i.n_common AS DOUBLE)
+                       / (sa.sz + sb.sz - i.n_common) >= 0.35
              ORDER BY key_a, key_b
         """,
         "sample_documents_mod": """

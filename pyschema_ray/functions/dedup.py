@@ -1439,3 +1439,255 @@ def novel_keys_vs_existing(new_ds, existing_ds, text_col: str = "text",
         return m.loc[m["_merge"] == "left_only", [key_col]]
 
     return union.groupby("hshard").map_groups(anti, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard similarity self-join (no candidate pruning)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(ds, text_col: str = "text",
+                        key_col: str = "doc_id",
+                        shingle_words: int = 3, threshold: float = 0.5,
+                        num_shards: int | None = None,
+                        max_df: int | None = None):
+    """EXACT word-n-gram Jaccard similarity self-join over the whole
+    corpus — the classic inverted-index similarity join, with no
+    LSH/candidate pruning and therefore recall 1 by construction
+    (the guarantee the LSH paths trade away for speed).
+
+    Returns a Dataset of ``(key_a, key_b, n_common, n_union,
+    jaccard)`` for every unordered pair with ``jaccard >= threshold``
+    (``key_a < key_b``; docs with no shingles — null/blank text —
+    cannot pair).
+
+    Dataflow (every exchange a bounded integer-shard groupby, the
+    module's standard shape):
+
+    1. ``map_batches``: vectorized shingle hashing
+       (:func:`_shingle_hashes` — one Arrow split + one SipHash pass
+       per batch), per-doc DISTINCT via one lexsort -> the posting
+       rows ``(key, sh, sshard)``.
+    2. ``groupby(sshard)``: postings sorted by (shingle, key); each
+       posting list emits its triangular pairs
+       (:func:`_triu_pairs`), immediately pre-aggregated per
+       ``(key_a, key_b)`` (combiner) before the pair exchange.
+    3. ``groupby(pshard)``: per-pair sum = exact ``|A ∩ B|``.
+    4. Per-doc set sizes (one extra tokenize pass, O(docs) rows,
+       materialized distributed — never on the driver) are attached
+       with two native hash-shuffle joins; ``jaccard =
+       inter / (|A| + |B| - inter)`` and the threshold filter run
+       vectorized per batch.
+
+    ``max_df`` drops shingles whose per-corpus posting list exceeds
+    it (a stop-shingle knob: pair-generation work is
+    ``sum_s df(s)^2``, and web-scale corpora have power-law shingle
+    frequencies).  With the default ``None`` the join is exact —
+    callers that cap MUST treat the result as "Jaccard over
+    non-stop shingles" (the winnow-cap lesson: a silent cap breaks
+    the recall contract).
+
+    Shingle identity is the module's 64-bit hash (2^-64 per-pair
+    collision tolerance); the shingle definition matches
+    :func:`_word_shingles` (lowercased whitespace words, short docs
+    contribute one whole-text shingle).
+    """
+    num_shards = num_shards or _default_shards()
+    key_type_holder: dict = {}
+
+    def postings(t: pa.Table) -> pa.Table:
+        keys = t[key_col]
+        if t.num_rows == 0:
+            return pa.table({
+                "key": pa.array([], keys.type),
+                "sh": pa.array([], pa.int64()),
+                "sshard": pa.array([], pa.int64())})
+        sh, offs = _shingle_hashes(t[text_col], shingle_words)
+        n = t.num_rows
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64),
+                            np.diff(offs))
+        order = np.lexsort((sh, doc_idx))
+        d, h = doc_idx[order], sh[order]
+        first = np.ones(len(d), bool)
+        if len(d) > 1:
+            first[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+        d, h = d[first], h[first]
+        shard = (h % np.uint64(num_shards)).astype(np.int64)
+        return pa.table({
+            "key": pc.take(keys, pa.array(d, pa.int64())),
+            "sh": pa.array(h.view(np.int64), pa.int64()),
+            "sshard": pa.array(shard, pa.int64())})
+
+    def doc_sizes(t: pa.Table) -> pa.Table:
+        keys = t[key_col]
+        if t.num_rows == 0:
+            return pa.table({"key": pa.array([], keys.type),
+                             "sz": pa.array([], pa.int64())})
+        sh, offs = _shingle_hashes(t[text_col], shingle_words)
+        n = t.num_rows
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64),
+                            np.diff(offs))
+        order = np.lexsort((sh, doc_idx))
+        d, h = doc_idx[order], sh[order]
+        first = np.ones(len(d), bool)
+        if len(d) > 1:
+            first[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+        sz = np.bincount(d[first], minlength=n).astype(np.int64)
+        nz = sz > 0
+        return pa.table({
+            "key": pc.take(keys, pa.array(np.flatnonzero(nz))),
+            "sz": pa.array(sz[nz], pa.int64())})
+
+    def shard_pairs(df):
+        import pandas as pd
+        df = df.sort_values(["sh", "key"], kind="stable")
+        h = df["sh"].to_numpy()
+        starts, sizes = _group_starts(h)
+        if max_df is not None:
+            keep = sizes <= max_df
+            starts, sizes = starts[keep], sizes[keep]
+        ia, ib = _triu_pairs(starts, sizes)
+        kcol = df["key"]
+        empty_k = kcol.iloc[:0]
+        if len(ia) == 0:
+            return pd.DataFrame({
+                "key_a": empty_k, "key_b": empty_k.copy(),
+                "c": pd.Series([], dtype=np.int64),
+                "pshard": pd.Series([], dtype=np.int64)})
+        k = kcol.to_numpy()
+        out = pd.DataFrame({"key_a": k[ia], "key_b": k[ib]})
+        out = out.groupby(["key_a", "key_b"], sort=False) \
+                 .size().reset_index(name="c")
+        out["c"] = out["c"].astype(np.int64)
+        ph = _key_hash(out["key_a"].to_numpy(), 3) \
+            ^ _key_hash(out["key_b"].to_numpy(), 4)
+        out["pshard"] = (ph % np.uint64(num_shards)).astype(np.int64)
+        return out
+
+    def pair_sums(df):
+        g = df.groupby(["key_a", "key_b"], sort=False, as_index=False) \
+              .agg(n_common=("c", "sum"))
+        g["n_common"] = g["n_common"].astype(np.int64)
+        return g
+
+    key_type = None
+    for name, typ in zip(ds.schema().names, ds.schema().types):
+        if name == key_col:
+            key_type = typ
+    if key_type is None:
+        raise ValueError(f"{key_col!r} not in dataset schema")
+
+    def norm_pairs(t: pa.Table) -> pa.Table:
+        # empty input partitions surface as column-less blocks out of
+        # groupby/map_groups; the native hash-shuffle join rejects any
+        # block missing its key column, so pin the schema here
+        if t.num_rows == 0 or "key_a" not in t.column_names:
+            return pa.table({"key_a": pa.array([], key_type),
+                             "key_b": pa.array([], key_type),
+                             "n_common": pa.array([], pa.int64())})
+        return pa.table({"key_a": pc.cast(t["key_a"], key_type),
+                         "key_b": pc.cast(t["key_b"], key_type),
+                         "n_common": pc.cast(t["n_common"], pa.int64())})
+
+    postings_ds = ds.map_batches(postings, batch_format="pyarrow")
+    inter = postings_ds.groupby("sshard") \
+        .map_groups(shard_pairs, batch_format="pandas") \
+        .groupby("pshard").map_groups(pair_sums, batch_format="pandas") \
+        .map_batches(norm_pairs, batch_format="pyarrow")
+
+    # sizes: O(docs) x 16 B rows, materialized DISTRIBUTED (object
+    # store blocks, never the driver) so the two exchange side-inputs
+    # below don't re-run the tokenize lineage.
+    #
+    # The sizes are attached with the module's sentinel-row
+    # integer-shard exchange, NOT Dataset.join: Ray's hash-shuffle
+    # join finalizes a zero-input-block partition as a SCHEMA-LESS
+    # empty table and pa.Table.join then fails with "No match ...
+    # for key field reference" whenever the pair side is sparse
+    # relative to num_partitions (few distinct keys -> some
+    # partitions receive no left blocks at all).  Sentinel rows
+    # carry int64 zeros (never nulls) in the off-side columns so no
+    # dtype is corrupted in the pandas groups (the as-of-join
+    # float64-key lesson).
+    sizes = ds.map_batches(doc_sizes, batch_format="pyarrow") \
+        .materialize()
+
+    def _attach(pairs_ds, side_key, carry: list[str], out_col: str):
+        carry_t = {c: pa.int64() for c in carry}
+        all_cols = ["kshard", "side", "key_a", "key_b"] + carry \
+            + ["szv"]
+
+        def tag_pairs(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "key_a" not in t.column_names:
+                return pa.table(
+                    {"kshard": pa.array([], pa.int64()),
+                     "side": pa.array([], pa.int8()),
+                     "key_a": pa.array([], key_type),
+                     "key_b": pa.array([], key_type),
+                     **{c: pa.array([], carry_t[c]) for c in carry},
+                     "szv": pa.array([], pa.int64())})
+            shard = _key_shards(
+                t[side_key].to_numpy(zero_copy_only=False), num_shards)
+            return pa.table(
+                {"kshard": pa.array(shard, pa.int64()),
+                 "side": pa.array(np.zeros(t.num_rows, np.int8)),
+                 "key_a": t["key_a"], "key_b": t["key_b"],
+                 **{c: pc.cast(t[c], pa.int64()) for c in carry},
+                 "szv": pa.array(np.zeros(t.num_rows, np.int64))})
+
+        def tag_sizes(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return tag_pairs(t.drop_columns(list(t.column_names)))
+            shard = _key_shards(
+                t["key"].to_numpy(zero_copy_only=False), num_shards)
+            zeros = pa.array(np.zeros(t.num_rows, np.int64))
+            return pa.table(
+                {"kshard": pa.array(shard, pa.int64()),
+                 "side": pa.array(np.ones(t.num_rows, np.int8)),
+                 "key_a": t["key"], "key_b": t["key"],
+                 **{c: zeros for c in carry},
+                 "szv": pc.cast(t["sz"], pa.int64())})
+
+        def merge(df):
+            p = df.loc[df["side"] == 0,
+                       ["key_a", "key_b"] + carry].copy()
+            s = df.loc[df["side"] == 1, [side_key, "szv"]] \
+                .drop_duplicates(side_key) \
+                .rename(columns={"szv": out_col})
+            if p.empty:
+                out = p
+                out[out_col] = df["szv"].iloc[:0]
+                return out
+            return p.merge(s, on=side_key, how="inner")
+
+        union = pairs_ds.map_batches(tag_pairs, batch_format="pyarrow") \
+            .union(sizes.map_batches(tag_sizes, batch_format="pyarrow"))
+        assert union.schema().names is not None  # keep lineage eager-safe
+        del all_cols
+        return union.groupby("kshard").map_groups(
+            merge, batch_format="pandas")
+
+    with_a = _attach(inter, "key_a", ["n_common"], "sz_a")
+    with_b = _attach(with_a, "key_b", ["n_common", "sz_a"], "sz_b")
+
+    def finish(df):
+        import pandas as pd
+        need = ["key_a", "key_b", "n_common", "sz_a", "sz_b"]
+        if df.shape[0] == 0 or any(c not in df.columns for c in need):
+            return pd.DataFrame({
+                "key_a": pd.Series([], dtype=object),
+                "key_b": pd.Series([], dtype=object),
+                "n_common": pd.Series([], dtype=np.int64),
+                "n_union": pd.Series([], dtype=np.int64),
+                "jaccard": pd.Series([], dtype=np.float64)})
+        inter_n = df["n_common"].to_numpy().astype(np.int64)
+        uni = df["sz_a"].to_numpy().astype(np.int64) \
+            + df["sz_b"].to_numpy().astype(np.int64) - inter_n
+        jac = inter_n / np.maximum(uni, 1)
+        keep = jac >= threshold
+        out = df.loc[keep, ["key_a", "key_b"]].copy()
+        out["n_common"] = inter_n[keep]
+        out["n_union"] = uni[keep]
+        out["jaccard"] = jac[keep]
+        return out
+
+    return with_b.map_batches(finish, batch_format="pandas")
