@@ -558,6 +558,141 @@ def _q_top_revenue_orders(sf_dir: str) -> pa.Table:
                       ("o_orderkey", "ascending")]).slice(0, 10)
 
 
+def _q_regional_supplier_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q5-shaped SIX-table pipeline: region -> nation resolved on
+    the driver (25 rows), customer filtered to the region's nations by
+    a broadcast key set, orders date-windowed at the read, supplier's
+    (suppkey -> nationkey) map broadcast once (``ray.put`` sorted
+    arrays, searchsorted probe per batch) so lineitem rows gain their
+    supplier nation WITHOUT a shuffle and pre-aggregate to
+    (orderkey, supp_nation) cents per batch (combiner).  Only TWO
+    all-to-all exchanges remain — the orders x customer and
+    lineitem x (orders x customer) native hash-shuffle joins — with
+    the c_nationkey = s_nationkey Q5 predicate applied vectorized
+    after the second.  A schema-pinning map between the chained
+    native joins guards the known schema-less-empty-partition
+    failure (see ngram_jaccard_pairs' sizes-attach note)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data.aggregate as A
+
+    from pyschema_ray.functions.joins import shuffle_join
+
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    rkeys = region.filter(pc.equal(region["r_name"], "ASIA"))
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name",
+                                    "n_regionkey"])
+    nation = nation.filter(pc.is_in(
+        pc.cast(nation["n_regionkey"], pa.int64()),
+        value_set=pc.cast(rkeys["r_regionkey"],
+                          pa.int64()).combine_chunks()))
+    nat_keys = ray.put(
+        pc.cast(nation["n_nationkey"], pa.int64()).combine_chunks())
+
+    supplier = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                             columns=["s_suppkey", "s_nationkey"])
+    supplier = supplier.filter(pc.is_in(
+        pc.cast(supplier["s_nationkey"], pa.int64()),
+        value_set=pc.cast(nation["n_nationkey"],
+                          pa.int64()).combine_chunks()))
+    sk = pc.cast(supplier["s_suppkey"], pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    sn = pc.cast(supplier["s_nationkey"], pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    so = np.argsort(sk, kind="stable")
+    sup_ref = ray.put((sk[so], sn[so]))
+
+    lo = np.datetime64("1996-01-01T00:00:00", "us").astype(np.int64)
+    hi = np.datetime64("1998-01-01T00:00:00", "us").astype(np.int64)
+
+    def cust_f(t: pa.Table) -> pa.Table:
+        nk = pc.cast(t["c_nationkey"], pa.int64())
+        t = t.filter(pc.is_in(nk, value_set=ray.get(nat_keys)))
+        return pa.table({
+            "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+            "c_nationkey": pc.cast(t["c_nationkey"], pa.int64())})
+
+    def orders_f(t: pa.Table) -> pa.Table:
+        d = pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                    pa.int64())
+        t = t.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+        return pa.table({
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "o_custkey": pc.cast(t["o_custkey"], pa.int64())})
+
+    def line_partial(t: pa.Table) -> pa.Table:
+        keys_arr, nats_arr = ray.get(sup_ref)
+        ls = pc.cast(t["l_suppkey"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(keys_arr, ls), 0,
+                      max(len(keys_arr) - 1, 0))
+        found = (keys_arr[pos] == ls) if len(keys_arr) else \
+            np.zeros(len(ls), bool)
+        t = t.filter(pa.array(found))
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            100.0), round_mode="half_towards_infinity"), pa.int64())
+        g = pa.table({
+            "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+            "s_nationkey": pa.array(nats_arr[pos[found]], pa.int64()),
+            "cents": cents}) \
+            .group_by(["l_orderkey", "s_nationkey"]) \
+            .aggregate([("cents", "sum")])
+        return g.rename_columns(["l_orderkey", "s_nationkey", "cents"])
+
+    def pin_oc(t: pa.Table) -> pa.Table:
+        # chained native joins: a partition that received zero blocks
+        # finalizes schema-less and the next join rejects it
+        if t.num_rows == 0 or "o_orderkey" not in t.column_names:
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "c_nationkey": pa.array([], pa.int64())})
+        return pa.table({
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "c_nationkey": pc.cast(t["c_nationkey"], pa.int64())})
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"]) \
+        .map_batches(cust_f, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(orders_f, batch_format="pyarrow")
+    oc = shuffle_join(orders, cust, on="o_custkey",
+                      right_on="c_custkey") \
+        .map_batches(pin_oc, batch_format="pyarrow")
+    line = _read(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                          "l_discount"]) \
+        .map_batches(line_partial, batch_format="pyarrow")
+    j = shuffle_join(line, oc, on="l_orderkey", right_on="o_orderkey")
+
+    def match_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "s_nationkey" not in t.column_names:
+            return pa.table({"n_nationkey": pa.array([], pa.int64()),
+                             "cents": pa.array([], pa.int64())})
+        t = t.filter(pc.equal(pc.cast(t["s_nationkey"], pa.int64()),
+                              pc.cast(t["c_nationkey"], pa.int64())))
+        g = pa.table({"n_nationkey": pc.cast(t["s_nationkey"],
+                                             pa.int64()),
+                      "cents": pc.cast(t["cents"], pa.int64())}) \
+            .group_by("n_nationkey").aggregate([("cents", "sum")])
+        return g.rename_columns(["n_nationkey", "cents"])
+
+    agg = j.map_batches(match_partial, batch_format="pyarrow") \
+        .groupby("n_nationkey").aggregate(A.Sum("cents"))
+    t = _collect(agg)
+    name_map = dict(zip(
+        pc.cast(nation["n_nationkey"], pa.int64()).to_pylist(),
+        nation["n_name"].to_pylist()))
+    names = [name_map[int(k)] for k in t["n_nationkey"].to_pylist()]
+    return pa.table({
+        "n_name": pa.array(names, pa.string()),
+        "revenue_cents": pc.cast(t["sum(cents)"], pa.int64()),
+    }).sort_by([("revenue_cents", "descending"),
+                ("n_name", "ascending")])
+
+
 def _q_median_chars_per_source(sf_dir: str) -> pa.Table:
     """Exact per-source median of n_chars via the bounded-domain
     count-vector pattern (exchange carries distinct (source, value)
@@ -1252,6 +1387,29 @@ def _q_events_sliding(sf_dir: str) -> pa.Table:
                                   ("window_start", "ascending")])
 
 
+def _q_windowed_active_users(sf_dir: str) -> pa.Table:
+    """EXACT distinct active users per (event_type, 2h window sliding
+    1h) — count(DISTINCT user) over overlapping windows via the
+    distinct-triple combiner + unit-hash shard exchange
+    (functions/windows.sliding_window_ndv); no sketch error, no
+    per-event exchange rows."""
+    from pyschema_ray.functions.windows import sliding_window_ndv
+
+    out = sliding_window_ndv(_read(sf_dir, "events",
+                                   columns=["ts", "event_type",
+                                            "user_id"]),
+                             ts_col="ts", key_col="event_type",
+                             unit_col="user_id",
+                             window_s=7200, slide_s=3600)
+    t = _collect(out)
+    return pa.table({
+        "event_type": t["event_type"],
+        "window_start": pc.cast(t["window_start"], pa.int64()),
+        "ndv": pc.cast(t["ndv"], pa.int64()),
+    }).sort_by([("event_type", "ascending"),
+                ("window_start", "ascending")])
+
+
 def _q_top_docs_per_source(sf_dir: str) -> pa.Table:
     """Top-3 documents by n_chars per source WITHOUT a global sort
     (per-batch partial top-k, then per-group head on hash shards) —
@@ -1779,26 +1937,32 @@ def _q_customer_urgent_left_join(sf_dir: str) -> pa.Table:
                           right_on="o_custkey", join_type="left_outer")
 
     def partial(t: pa.Table) -> pa.Table:
+        # exact int-cents accumulation: double sums depend on
+        # partition order and intermittently diverge from the SQL
+        # oracle at the 9th decimal (observed: ...147.549999999 vs
+        # ...147.55), so per-row round-to-cents happens BEFORE any sum
         seg = pc.fill_null(t["c_mktsegment"], "[NULL]")
         matched = pc.is_valid(t["o_totalprice"])
-        price = pc.fill_null(t["o_totalprice"], 0.0)
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.fill_null(t["o_totalprice"], 0.0), 100.0),
+            round_mode="half_towards_infinity"), pa.int64())
         g = pa.table({"c_mktsegment": seg,
                       "n_orders": pc.cast(matched, pa.int64()),
-                      "revenue": price})
+                      "revenue_cents": cents})
         agg = g.group_by("c_mktsegment").aggregate(
-            [("n_orders", "sum"), ("revenue", "sum")])
+            [("n_orders", "sum"), ("revenue_cents", "sum")])
         return agg.select(["c_mktsegment", "n_orders_sum",
-                           "revenue_sum"]) \
-            .rename_columns(["c_mktsegment", "n_orders", "revenue"])
+                           "revenue_cents_sum"]) \
+            .rename_columns(["c_mktsegment", "n_orders",
+                             "revenue_cents"])
 
     def total(t: pa.Table) -> pa.Table:
         g = t.group_by("c_mktsegment").aggregate(
-            [("n_orders", "sum"), ("revenue", "sum")])
-        g = g.select(["c_mktsegment", "n_orders_sum", "revenue_sum"]) \
-            .rename_columns(["c_mktsegment", "n_orders", "revenue"])
-        return g.set_column(
-            g.schema.get_field_index("revenue"), "revenue",
-            pc.round(g["revenue"], 2))
+            [("n_orders", "sum"), ("revenue_cents", "sum")])
+        return g.select(["c_mktsegment", "n_orders_sum",
+                         "revenue_cents_sum"]) \
+            .rename_columns(["c_mktsegment", "n_orders",
+                             "revenue_cents"])
 
     out = joined.map_batches(partial, batch_format="pyarrow") \
         .repartition(1).map_batches(total, batch_format="pyarrow")
@@ -2062,6 +2226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_user_event_pairs": _q_duplicate_user_event_pairs,
         "median_chars_per_source": _q_median_chars_per_source,
         "top_revenue_orders": _q_top_revenue_orders,
+        "regional_supplier_revenue": _q_regional_supplier_revenue,
         "packing_totals": _q_packing_totals,
         "packing_totals_stitched": _q_packing_totals_stitched,
         "top_words": _q_top_words,
@@ -2076,6 +2241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redacted_documents": _q_redacted_documents,
         "normalized_documents": _q_normalized_documents,
         "events_sliding": _q_events_sliding,
+        "windowed_active_users": _q_windowed_active_users,
         "top_docs_per_source": _q_top_docs_per_source,
         "range_join_counts": _q_range_join_counts,
         "range_join_counts_copart": _q_range_join_counts_copart,
@@ -2421,6 +2587,24 @@ def oracle_sql() -> dict[str, str]:
              ORDER BY revenue_cents DESC, o.o_orderkey
              LIMIT 10
         """,
+        "regional_supplier_revenue": """
+            SELECT n.n_name,
+                   CAST(sum(CAST(round(l.l_extendedprice
+                                       * (1 - l.l_discount) * 100)
+                                 AS BIGINT)) AS BIGINT) AS revenue_cents
+              FROM customer c
+              JOIN orders o   ON o.o_custkey = c.c_custkey
+              JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+              JOIN supplier s ON s.s_suppkey = l.l_suppkey
+              JOIN nation n   ON n.n_nationkey = s.s_nationkey
+              JOIN region r   ON r.r_regionkey = n.n_regionkey
+             WHERE r.r_name = 'ASIA'
+               AND c.c_nationkey = s.s_nationkey
+               AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+               AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+             GROUP BY n.n_name
+             ORDER BY revenue_cents DESC, n.n_name
+        """,
         "median_chars_per_source": """
             SELECT source, median(n_chars) AS median_chars
               FROM documents WHERE n_chars IS NOT NULL
@@ -2747,6 +2931,21 @@ def oracle_sql() -> dict[str, str]:
               FROM w GROUP BY event_type, window_start
              ORDER BY event_type, window_start
         """,
+        "windowed_active_users": """
+            WITH e AS (
+                SELECT event_type, user_id,
+                       CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS b
+                  FROM events
+                 WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+                   AND ts IS NOT NULL),
+            w AS (SELECT event_type, user_id, b AS window_start FROM e
+                  UNION ALL
+                  SELECT event_type, user_id, b - 3600 FROM e)
+            SELECT event_type, window_start,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS ndv
+              FROM w GROUP BY event_type, window_start
+             ORDER BY event_type, window_start
+        """,
         "top_docs_per_source": """
             WITH ranked AS (
                 SELECT source, doc_id, n_chars,
@@ -3067,8 +3266,9 @@ def oracle_sql() -> dict[str, str]:
         "customer_urgent_left_join": """
             SELECT coalesce(c.c_mktsegment, '[NULL]') AS c_mktsegment,
                    count(o.o_totalprice) AS n_orders,
-                   round(coalesce(sum(o.o_totalprice), 0), 2)
-                       AS revenue
+                   CAST(coalesce(sum(CAST(round(o.o_totalprice * 100)
+                                          AS BIGINT)), 0) AS BIGINT)
+                       AS revenue_cents
               FROM customer c
               LEFT OUTER JOIN (
                    SELECT o_custkey, o_totalprice FROM orders

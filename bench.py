@@ -61,6 +61,7 @@ QUERY_SUBSET = [
     "customer_order_distribution", "epoch_shuffle", "snapshot_diff",
     "cms_word_estimates", "kmeans_cluster_sizes",
     "customer_urgent_left_join", "corpus_report", "hot_users_by_events",
+    "regional_supplier_revenue", "windowed_active_users",
 ]
 
 

@@ -74,3 +74,71 @@ def sliding_window_aggregate(ds, ts_col: str = "ts",
         lambda t: t.rename_columns([key_col, "window_start",
                                     "sum_scaled", "n_events"]),
         batch_format="pyarrow")
+
+
+def sliding_window_ndv(ds, ts_col: str = "ts",
+                       key_col: str = "event_type",
+                       unit_col: str = "user_id",
+                       window_s: int = 7200, slide_s: int = 3600,
+                       num_shards: int | None = None):
+    """EXACT distinct-``unit_col`` count per (key, sliding window) —
+    "active users per 2h window sliding hourly", the streaming-metrics
+    staple SQL writes as ``count(DISTINCT user) GROUP BY key,
+    window``.
+
+    Same scale discipline as :func:`sliding_window_aggregate` plus
+    :func:`~pyschema_ray.functions.analytics.grouped_ndv`'s
+    distinct-pair exchange: each batch explodes events into their
+    ``window_s // slide_s`` windows and immediately dedups
+    (key, window, unit) triples (combiner — the exchange carries
+    DISTINCT triples, never events), triples co-shard on a bounded
+    UNIT-hash shard (a unit's duplicates always land together, so
+    cross-shard double counting is impossible), each shard dedups
+    again and counts per (key, window), and a final small groupby
+    sums partials (windows x keys cardinality moderate by contract).
+    Null keys/units are ignored (SQL semantics).
+
+    -> Dataset(key_col, window_start int64 epoch-s, ndv int64).
+    """
+    from .dedup import _default_shards, _key_shards
+
+    if window_s % slide_s:
+        raise ValueError("window_s must be a multiple of slide_s")
+    k = window_s // slide_s
+    num_shards = num_shards or _default_shards()
+
+    def explode_distinct(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.and_(pc.is_valid(t[key_col]),
+                                     pc.is_valid(t[unit_col])),
+                             pc.is_valid(t[ts_col])))
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        base = (us // 1_000_000 // slide_s) * slide_s
+        ws = np.concatenate([base - i * slide_s for i in range(k)])
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        units = t[unit_col].to_numpy(zero_copy_only=False)
+        g = pa.table({
+            key_col: pa.array(np.tile(keys, k)),
+            "window_start": pa.array(ws, pa.int64()),
+            unit_col: pa.array(np.tile(units, k)),
+        }).group_by([key_col, "window_start", unit_col]).aggregate([])
+        shard = _key_shards(
+            g[unit_col].to_numpy(zero_copy_only=False), num_shards, 67)
+        return g.append_column("ushard", pa.array(shard, pa.int64()))
+
+    def count_shard(t: pa.Table) -> pa.Table:
+        g = t.group_by([key_col, "window_start", unit_col]).aggregate([])
+        c = g.group_by([key_col, "window_start"]).aggregate(
+            [(unit_col, "count")])
+        return c.select([key_col, "window_start", f"{unit_col}_count"]) \
+                .rename_columns([key_col, "window_start", "ndv"])
+
+    import ray.data.aggregate as A
+
+    partials = ds.map_batches(explode_distinct, batch_format="pyarrow") \
+        .groupby("ushard").map_groups(count_shard, batch_format="pyarrow")
+    out = partials.groupby([key_col, "window_start"]) \
+        .aggregate(A.Sum("ndv"))
+    return out.map_batches(
+        lambda t: t.rename_columns([key_col, "window_start", "ndv"]),
+        batch_format="pyarrow")
