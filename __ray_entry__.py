@@ -558,20 +558,27 @@ def _q_top_revenue_orders(sf_dir: str) -> pa.Table:
                       ("o_orderkey", "ascending")]).slice(0, 10)
 
 
-def _q_regional_supplier_revenue(sf_dir: str) -> pa.Table:
+def _q_regional_supplier_revenue(
+        sf_dir: str, customer_broadcast_bytes: int = 256 << 20
+) -> pa.Table:
     """TPC-H Q5-shaped SIX-table pipeline: region -> nation resolved on
     the driver (25 rows), customer filtered to the region's nations by
     a broadcast key set, orders date-windowed at the read, supplier's
     (suppkey -> nationkey) map broadcast once (``ray.put`` sorted
     arrays, searchsorted probe per batch) so lineitem rows gain their
     supplier nation WITHOUT a shuffle and pre-aggregate to
-    (orderkey, supp_nation) cents per batch (combiner).  Only TWO
-    all-to-all exchanges remain — the orders x customer and
-    lineitem x (orders x customer) native hash-shuffle joins — with
-    the c_nationkey = s_nationkey Q5 predicate applied vectorized
-    after the second.  A schema-pinning map between the chained
-    native joins guards the known schema-less-empty-partition
-    failure (see ngram_jaccard_pairs' sizes-attach note)."""
+    (orderkey, supp_nation) cents per batch (combiner).
+
+    The orders x customer side is ADAPTIVE (the engine-standard
+    small-side rule): when customer.parquet is under
+    ``customer_broadcast_bytes`` its (custkey -> nationkey) map also
+    broadcasts (sorted-array searchsorted, zero exchanges on that
+    edge); above it, the plan chains TWO native hash-shuffle joins —
+    orders x customer, then lineitem x that — with a schema-pinning
+    map between them guarding the known schema-less-empty-partition
+    failure (see ngram_jaccard_pairs' sizes-attach note).  Both paths
+    produce identical oracle-checked output; tests force each via the
+    threshold."""
     import pyarrow.parquet as pq
     import ray
     import ray.data.aggregate as A
@@ -652,15 +659,44 @@ def _q_regional_supplier_revenue(sf_dir: str) -> pa.Table:
             "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
             "c_nationkey": pc.cast(t["c_nationkey"], pa.int64())})
 
-    cust = _read(sf_dir, "customer",
-                 columns=["c_custkey", "c_nationkey"]) \
-        .map_batches(cust_f, batch_format="pyarrow")
     orders = _read(sf_dir, "orders",
                    columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
         .map_batches(orders_f, batch_format="pyarrow")
-    oc = shuffle_join(orders, cust, on="o_custkey",
-                      right_on="c_custkey") \
-        .map_batches(pin_oc, batch_format="pyarrow")
+    cust_bytes = os.path.getsize(os.path.join(sf_dir, "customer.parquet"))
+    if cust_bytes <= customer_broadcast_bytes:
+        # small side fits: broadcast (custkey -> nationkey) for the
+        # region's customers; orders probe it per batch — ONE
+        # all-to-all (the lineitem join) in the whole plan
+        ct = _collect(_read(sf_dir, "customer",
+                            columns=["c_custkey", "c_nationkey"])
+                      .map_batches(cust_f, batch_format="pyarrow"))
+        ck = ct["c_custkey"].to_numpy(zero_copy_only=False)
+        cn = ct["c_nationkey"].to_numpy(zero_copy_only=False)
+        co = np.argsort(ck, kind="stable")
+        cust_ref = ray.put((ck[co], cn[co]))
+
+        def orders_enrich(t: pa.Table) -> pa.Table:
+            keys_arr, nats_arr = ray.get(cust_ref)
+            oc_k = pc.cast(t["o_custkey"], pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(keys_arr, oc_k), 0,
+                          max(len(keys_arr) - 1, 0))
+            found = (keys_arr[pos] == oc_k) if len(keys_arr) else \
+                np.zeros(len(oc_k), bool)
+            t = t.filter(pa.array(found))
+            return pa.table({
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "c_nationkey": pa.array(nats_arr[pos[found]],
+                                        pa.int64())})
+
+        oc = orders.map_batches(orders_enrich, batch_format="pyarrow")
+    else:
+        cust = _read(sf_dir, "customer",
+                     columns=["c_custkey", "c_nationkey"]) \
+            .map_batches(cust_f, batch_format="pyarrow")
+        oc = shuffle_join(orders, cust, on="o_custkey",
+                          right_on="c_custkey") \
+            .map_batches(pin_oc, batch_format="pyarrow")
     line = _read(sf_dir, "lineitem",
                  columns=["l_orderkey", "l_suppkey", "l_extendedprice",
                           "l_discount"]) \
@@ -1385,6 +1421,28 @@ def _q_events_sliding(sf_dir: str) -> pa.Table:
                                    window_s=7200, slide_s=3600)
     return _collect(out).sort_by([("event_type", "ascending"),
                                   ("window_start", "ascending")])
+
+
+def _q_lm_doc_scores(sf_dir: str) -> pa.Table:
+    """CCNet-style bigram-LM quality scores: an add-one-smoothed
+    bigram LM is trained on the corpus itself (functions/lm.py — one
+    count exchange, vocabulary-bounded model broadcast once) and every
+    document scored by its EXACT int64 sum of per-bigram milli-nat
+    log-probs, so the result is order-independent and the SQL oracle
+    reproduces the identical smoothing/quantization with ln()/round().
+    Per-pair 64-bit hash collisions (2^-64) are the only tolerance."""
+    from pyschema_ray.functions.lm import bigram_lm_scores
+
+    out = bigram_lm_scores(_read(sf_dir, "documents",
+                                 columns=["doc_id", "text"]),
+                           text_col="text", key_col="doc_id")
+    t = _collect(out)
+    return pa.table({
+        "doc_id": pc.cast(t["doc_id"], pa.int64()),
+        "n_tokens": pc.cast(t["n_tokens"], pa.int64()),
+        "n_bigrams": pc.cast(t["n_bigrams"], pa.int64()),
+        "sum_mlogp": pc.cast(t["sum_mlogp"], pa.int64()),
+    }).sort_by("doc_id")
 
 
 def _q_windowed_active_users(sf_dir: str) -> pa.Table:
@@ -2242,6 +2300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalized_documents": _q_normalized_documents,
         "events_sliding": _q_events_sliding,
         "windowed_active_users": _q_windowed_active_users,
+        "lm_doc_scores": _q_lm_doc_scores,
         "top_docs_per_source": _q_top_docs_per_source,
         "range_join_counts": _q_range_join_counts,
         "range_join_counts_copart": _q_range_join_counts_copart,
@@ -2945,6 +3004,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT user_id) AS BIGINT) AS ndv
               FROM w GROUP BY event_type, window_start
              ORDER BY event_type, window_start
+        """,
+        "lm_doc_scores": """
+            WITH docs AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(
+                               lower(trim(coalesce(text, ''))), '\\s+'),
+                           x -> x <> '') AS w
+                  FROM documents),
+            grams AS (
+                SELECT doc_id, w[g.i] AS w1, w[g.i + 1] AS w2
+                  FROM docs, LATERAL (
+                       SELECT unnest(generate_series(1, len(w) - 1)) AS i) g),
+            c12 AS (SELECT w1, w2, count(*) AS n12
+                      FROM grams GROUP BY 1, 2),
+            c1 AS (SELECT w1, sum(n12) AS n1 FROM c12 GROUP BY 1),
+            v AS (SELECT count(DISTINCT word) AS vsz
+                    FROM (SELECT unnest(w) AS word FROM docs)),
+            mlp AS (
+                SELECT g.doc_id,
+                       CAST(round(ln((x.n12 + 1.0) / (c1.n1 + v.vsz))
+                                  * 1000) AS BIGINT) AS m
+                  FROM grams g
+                  JOIN c12 x ON x.w1 = g.w1 AND x.w2 = g.w2
+                  JOIN c1 ON c1.w1 = g.w1
+                  CROSS JOIN v)
+            SELECT d.doc_id,
+                   CAST(len(d.w) AS BIGINT) AS n_tokens,
+                   CAST(greatest(len(d.w) - 1, 0) AS BIGINT)
+                       AS n_bigrams,
+                   CAST(coalesce(sum(s.m), 0) AS BIGINT) AS sum_mlogp
+              FROM docs d LEFT JOIN mlp s ON s.doc_id = d.doc_id
+             GROUP BY d.doc_id, len(d.w)
+             ORDER BY d.doc_id
         """,
         "top_docs_per_source": """
             WITH ranked AS (

@@ -1,0 +1,251 @@
+"""N-gram language-model quality scoring (the CCNet-style LM filter).
+
+A bigram LM is trained ON the corpus (or a reference corpus) and every
+document is scored by its total log-probability — the classic
+perplexity-based quality signal for pretraining-data curation: docs
+whose word transitions are unlike the reference distribution (boiler-
+plate, gibberish, wrong language) score low.
+
+Float discipline: per-token log-probabilities are quantized to INTEGER
+milli-nats (``round(ln(p) * 1000)``, half away from zero) BEFORE the
+per-document sum, so the distributed result is exact, order-
+independent, and SQL-oracle-reproducible (the same rule all the
+``*_cents`` aggregates follow).  A boundary flip requires ``ln(p)*1000``
+to sit within one float ulp of an exact ``.5`` — ~2^-40 per distinct
+bigram, tolerated like the module-wide 2^-64 hash collisions.
+
+Scale shape:
+
+* TRAIN: one ``map_batches`` pass builds per-batch (first-word-hash,
+  bigram-hash) count partials (value-count combiner — the exchange
+  carries unique bigrams per batch, never one row per token), partials
+  sum on a bounded bigram-hash shard exchange.  Vocabulary size (the
+  smoothing denominator) comes from a distinct-word-hash count on the
+  same kind of exchange.
+* The finished LM is vocabulary-bounded, NOT corpus-bounded; it is
+  collected once and broadcast via ``ray.put`` as sorted uint64 key
+  arrays (binary-search probes, no dict).  At web scale prune with
+  ``min_count`` (counts below it are dropped; their probes fall back
+  to the unseen path) — the knob is loud, not silent: smoothing makes
+  the score well-defined either way and the docstring IS the contract.
+* SCORE: one ``map_batches`` pass per corpus — two ``searchsorted``
+  probes per bigram, one exact int64 per-doc reduction.  No shuffle.
+
+Word identity matches the repo convention (lowercased whitespace
+tokens, empty tokens dropped) so the SQL oracle can reproduce it with
+``regexp_split_to_array(lower(trim(text)), '\\s+')``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sketches import hash_strings, mix64
+from .dedup import _default_shards
+
+_BIGRAM_P = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _word_hashes(texts):
+    """(flat uint64 word hashes, per-doc int64 offsets): ONE Arrow
+    lowercase+split over the batch, one SipHash pass, empty tokens
+    dropped with offsets kept consistent (the _shingle_hashes
+    convention, k=1, no polynomial/mix — raw word identity)."""
+    arr = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) \
+        else pa.array(list(texts), pa.string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    split = pc.utf8_split_whitespace(pc.utf8_lower(pc.fill_null(arr, "")))
+    if isinstance(split, pa.ChunkedArray):
+        split = split.combine_chunks()
+    offs = np.asarray(split.offsets, dtype=np.int64)
+    flat = split.values.slice(offs[0], offs[-1] - offs[0])
+    offs = offs - offs[0]
+    words = flat.to_numpy(zero_copy_only=False)
+    mask = words != ""
+    csum = np.zeros(len(words) + 1, np.int64)
+    np.cumsum(mask, out=csum[1:])
+    offs = csum[offs]
+    wh = hash_strings(words[mask]) if mask.any() else np.empty(0, np.uint64)
+    return wh, offs
+
+
+def _doc_bigrams(wh: np.ndarray, offs: np.ndarray):
+    """(h1, h2, bigram-hash, per-bigram doc index) for all ADJACENT
+    word pairs that do not cross a document boundary."""
+    n_docs = len(offs) - 1
+    wl = np.diff(offs)
+    if len(wh) < 2:
+        e = np.empty(0, np.uint64)
+        return e, e, e, np.empty(0, np.int64)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), wl)
+    valid = doc_idx[:-1] == doc_idx[1:]
+    h1 = wh[:-1][valid]
+    h2 = wh[1:][valid]
+    with np.errstate(over="ignore"):
+        b = mix64(h1 * _BIGRAM_P + h2, 73)
+    return h1, h2, b, doc_idx[:-1][valid]
+
+
+def bigram_lm_counts(ds, text_col: str = "text",
+                     num_shards: int | None = None, min_count: int = 1):
+    """Distributed bigram counts -> Dataset(h1 uint64-as-int64,
+    b uint64-as-int64, n int64): ``b`` identifies the (w1, w2) pair,
+    ``h1`` its first word (so first-word totals — the conditional-
+    probability denominator — are derivable by grouping on h1)."""
+    num_shards = num_shards or _default_shards()
+
+    def partial(t: pa.Table) -> pa.Table:
+        wh, offs = _word_hashes(t[text_col])
+        h1, _h2, b, _d = _doc_bigrams(wh, offs)
+        if len(b) == 0:
+            return pa.table({"bshard": pa.array([], pa.int64()),
+                             "h1": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        # combiner: unique bigrams per batch with counts
+        order = np.argsort(b, kind="stable")
+        bs, h1s = b[order], h1[order]
+        first = np.ones(len(bs), bool)
+        first[1:] = bs[1:] != bs[:-1]
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, len(bs))).astype(np.int64)
+        ub, uh1 = bs[starts], h1s[starts]
+        shard = (mix64(ub, 79) % np.uint64(num_shards)).astype(np.int64)
+        return pa.table({"bshard": pa.array(shard, pa.int64()),
+                         "h1": pa.array(uh1.view(np.int64), pa.int64()),
+                         "b": pa.array(ub.view(np.int64), pa.int64()),
+                         "n": pa.array(counts, pa.int64())})
+
+    def total(t: pa.Table) -> pa.Table:
+        g = t.group_by(["h1", "b"]).aggregate([("n", "sum")])
+        g = g.select(["h1", "b", "n_sum"]).rename_columns(["h1", "b", "n"])
+        if min_count > 1:
+            g = g.filter(pc.greater_equal(g["n"], min_count))
+        return g
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bshard").map_groups(total, batch_format="pyarrow")
+
+
+def distinct_word_count(ds, text_col: str = "text",
+                        num_shards: int | None = None) -> int:
+    """EXACT corpus vocabulary size (distinct lowercased whitespace
+    words, 64-bit hash identity): per-batch unique word hashes
+    (combiner), hash-shard exchange, per-shard distinct count, driver
+    sums ``num_shards`` integers."""
+    num_shards = num_shards or _default_shards()
+
+    def partial(t: pa.Table) -> pa.Table:
+        wh, _offs = _word_hashes(t[text_col])
+        u = np.unique(wh)
+        shard = (mix64(u, 83) % np.uint64(num_shards)).astype(np.int64)
+        return pa.table({"wshard": pa.array(shard, pa.int64()),
+                         "wh": pa.array(u.view(np.int64), pa.int64())})
+
+    def cnt(t: pa.Table) -> pa.Table:
+        n = len(np.unique(t["wh"].to_numpy(zero_copy_only=False)))
+        return pa.table({"n_distinct": pa.array([n], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("wshard").map_groups(cnt, batch_format="pyarrow")
+    return int(parts.sum("n_distinct") or 0)
+
+
+def _round_half_away(x: np.ndarray) -> np.ndarray:
+    """SQL round() semantics (half away from zero) — numpy's
+    half-to-even would disagree on exact .5 boundaries."""
+    return np.copysign(np.floor(np.abs(x) + 0.5), x)
+
+
+def bigram_lm_scores(ds, text_col: str = "text", key_col: str = "doc_id",
+                     train_ds=None, num_shards: int | None = None,
+                     min_count: int = 1):
+    """Score every document of ``ds`` under an add-one-smoothed bigram
+    LM trained on ``train_ds`` (default: ``ds`` itself — self-scoring,
+    the corpus-outlier signal).  Per bigram ``(w1, w2)``::
+
+        p = (c(w1, w2) + 1) / (c1(w1) + V)
+
+    where ``c1(w1) = sum_w2 c(w1, w2)`` (so the conditional
+    distribution normalizes) and ``V`` is the training vocabulary
+    size; unseen words/bigrams probe to count 0 and take the smoothed
+    fallback.  -> Dataset(key_col, n_tokens, n_bigrams, sum_mlogp) —
+    ``sum_mlogp`` is the exact int64 sum of per-bigram milli-nat
+    log-probs; mean log-prob / perplexity are one division away and
+    deliberately not materialized as floats.
+    """
+    import ray
+
+    num_shards = num_shards or _default_shards()
+    train = train_ds if train_ds is not None else ds
+
+    lm = _collect_lm(bigram_lm_counts(train, text_col, num_shards,
+                                      min_count))
+    vocab = distinct_word_count(train, text_col, num_shards)
+    lm_ref = ray.put(lm)
+
+    def score(t: pa.Table) -> pa.Table:
+        b_keys, b_n, w_keys, w_n = ray.get(lm_ref)
+        wh, offs = _word_hashes(t[text_col])
+        h1, _h2, b, bdoc = _doc_bigrams(wh, offs)
+        n_docs = t.num_rows
+        wl = np.diff(offs)
+        if len(b):
+            if len(b_keys):
+                pos = np.clip(np.searchsorted(b_keys, b), 0,
+                              len(b_keys) - 1)
+                c12 = np.where(b_keys[pos] == b, b_n[pos], 0)
+            else:
+                c12 = np.zeros(len(b), np.int64)
+            if len(w_keys):
+                wpos = np.clip(np.searchsorted(w_keys, h1), 0,
+                               len(w_keys) - 1)
+                c1 = np.where(w_keys[wpos] == h1, w_n[wpos], 0)
+            else:
+                c1 = np.zeros(len(h1), np.int64)
+            p = (c12 + 1.0) / (c1 + float(max(vocab, 1)))
+            mlp = _round_half_away(np.log(p) * 1000.0)
+            # float-weight bincount is EXACT here: integer-valued
+            # weights, per-doc sums far below 2^53
+            sums = np.bincount(bdoc, weights=mlp,
+                               minlength=n_docs).astype(np.int64)
+        else:
+            sums = np.zeros(n_docs, np.int64)
+        return pa.table({
+            key_col: t[key_col],
+            "n_tokens": pa.array(wl, pa.int64()),
+            "n_bigrams": pa.array(np.maximum(wl - 1, 0), pa.int64()),
+            "sum_mlogp": pa.array(sums, pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _collect_lm(counts_ds):
+    """Materialize the vocabulary-bounded LM once: sorted bigram-hash
+    keys + counts, and first-word-hash keys + totals (the c1 table,
+    derived by one driver groupby over unique-bigram rows)."""
+    tables = [b for b in counts_ds.iter_batches(batch_format="pyarrow")
+              if b.num_rows]
+    if not tables:
+        e = np.empty(0, np.uint64)
+        z = np.empty(0, np.int64)
+        return e, z, e, z
+    t = pa.concat_tables(tables)
+    b = t["b"].to_numpy(zero_copy_only=False).view(np.uint64)
+    h1 = t["h1"].to_numpy(zero_copy_only=False).view(np.uint64)
+    n = t["n"].to_numpy(zero_copy_only=False)
+    bo = np.argsort(b, kind="stable")
+    b_keys, b_n = b[bo], n[bo].astype(np.int64)
+    ho = np.argsort(h1, kind="stable")
+    h1s, ns = h1[ho], n[ho]
+    first = np.ones(len(h1s), bool)
+    if len(h1s) > 1:
+        first[1:] = h1s[1:] != h1s[:-1]
+    starts = np.flatnonzero(first)
+    w_keys = h1s[starts]
+    w_n = np.add.reduceat(ns, starts).astype(np.int64) if len(ns) \
+        else np.empty(0, np.int64)
+    return b_keys, b_n, w_keys, w_n

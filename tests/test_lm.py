@@ -1,0 +1,100 @@
+"""Bigram-LM quality scoring (functions/lm.py): exact parity against
+a pure-Python reference (same smoothing, same milli-nat quantization),
+cross-corpus OOV behavior, and edge docs."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from pyschema_ray.functions.lm import (bigram_lm_counts, bigram_lm_scores,
+                                       distinct_word_count)
+
+
+def _tbl(ds):
+    tables = [b for b in ds.iter_batches(batch_format="pyarrow")
+              if b.num_rows]
+    return pa.concat_tables(tables) if tables else None
+
+
+def _ref_model(texts):
+    c12, c1, vocab = {}, {}, set()
+    for t in texts:
+        w = (t or "").lower().split()
+        vocab.update(w)
+        for a, b in zip(w, w[1:]):
+            c12[(a, b)] = c12.get((a, b), 0) + 1
+            c1[a] = c1.get(a, 0) + 1
+    return c12, c1, len(vocab)
+
+
+def _round_half_away(x):
+    return math.floor(abs(x) + 0.5) * (1 if x >= 0 else -1)
+
+
+def _ref_scores(texts, train_texts):
+    c12, c1, v = _ref_model(train_texts)
+    out = []
+    for t in texts:
+        w = (t or "").lower().split()
+        s = 0
+        for a, b in zip(w, w[1:]):
+            p = (c12.get((a, b), 0) + 1) / (c1.get(a, 0) + max(v, 1))
+            s += _round_half_away(math.log(p) * 1000.0)
+        out.append((len(w), max(len(w) - 1, 0), s))
+    return out
+
+
+DOCS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox naps",
+    "the dog jumps the fox",
+    "completely different words entirely",
+    "one",                     # 1 word -> 0 bigrams
+    "",                        # blank -> 0 tokens
+    None,                      # null -> 0 tokens
+    "the the the the",         # repetition
+]
+
+
+def _ds(texts):
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())})).repartition(3)
+
+
+def test_self_scores_match_reference():
+    got_t = _tbl(bigram_lm_scores(_ds(DOCS), num_shards=4)) \
+        .sort_by("doc_id")
+    exp = _ref_scores(DOCS, DOCS)
+    got = list(zip(got_t["n_tokens"].to_pylist(),
+                   got_t["n_bigrams"].to_pylist(),
+                   got_t["sum_mlogp"].to_pylist()))
+    assert got == exp
+
+
+def test_cross_corpus_oov():
+    train = DOCS[:3]
+    got_t = _tbl(bigram_lm_scores(_ds(DOCS), train_ds=_ds(train),
+                                  num_shards=4)).sort_by("doc_id")
+    exp = _ref_scores(DOCS, train)
+    got = list(zip(got_t["n_tokens"].to_pylist(),
+                   got_t["n_bigrams"].to_pylist(),
+                   got_t["sum_mlogp"].to_pylist()))
+    assert got == exp
+
+
+def test_counts_and_vocab():
+    c12, c1, v = _ref_model(DOCS)
+    assert distinct_word_count(_ds(DOCS), num_shards=4) == v
+    t = _tbl(bigram_lm_counts(_ds(DOCS), num_shards=4))
+    assert t.num_rows == len(c12)
+    assert sorted(t["n"].to_pylist()) == sorted(c12.values())
+
+
+def test_min_count_prunes():
+    t = _tbl(bigram_lm_counts(_ds(DOCS), num_shards=4, min_count=2))
+    c12, _c1, _v = _ref_model(DOCS)
+    assert t.num_rows == sum(1 for n in c12.values() if n >= 2)
