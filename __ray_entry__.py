@@ -1445,6 +1445,28 @@ def _q_lm_doc_scores(sf_dir: str) -> pa.Table:
     }).sort_by("doc_id")
 
 
+def _q_ngram_novelty(sf_dir: str) -> pa.Table:
+    """Boilerplate/memorization audit: per document, distinct
+    word-trigram count and how many of those trigrams appear in >= 2
+    documents corpus-wide (functions/lm.ngram_novelty_scores — df by
+    DISTINCT docs via a value-counts combiner on the gram-hash
+    exchange, boilerplate set broadcast once).  Gram convention =
+    the dedup shingle kernel, mirrored by the SQL oracle's
+    ngram_jaccard gram CTE."""
+    from pyschema_ray.functions.lm import ngram_novelty_scores
+
+    out = ngram_novelty_scores(_read(sf_dir, "documents",
+                                     columns=["doc_id", "text"]),
+                               text_col="text", key_col="doc_id",
+                               n=3, min_df=2)
+    t = _collect(out)
+    return pa.table({
+        "doc_id": pc.cast(t["doc_id"], pa.int64()),
+        "n_grams": pc.cast(t["n_grams"], pa.int64()),
+        "n_common": pc.cast(t["n_common"], pa.int64()),
+    }).sort_by("doc_id")
+
+
 def _q_windowed_active_users(sf_dir: str) -> pa.Table:
     """EXACT distinct active users per (event_type, 2h window sliding
     1h) — count(DISTINCT user) over overlapping windows via the
@@ -2301,6 +2323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": _q_events_sliding,
         "windowed_active_users": _q_windowed_active_users,
         "lm_doc_scores": _q_lm_doc_scores,
+        "ngram_novelty": _q_ngram_novelty,
         "top_docs_per_source": _q_top_docs_per_source,
         "range_join_counts": _q_range_join_counts,
         "range_join_counts_copart": _q_range_join_counts_copart,
@@ -3038,6 +3061,39 @@ def oracle_sql() -> dict[str, str]:
               FROM docs d LEFT JOIN mlp s ON s.doc_id = d.doc_id
              GROUP BY d.doc_id, len(d.w)
              ORDER BY d.doc_id
+        """,
+        "ngram_novelty": """
+            WITH base AS (SELECT doc_id, text FROM documents),
+            words AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(
+                               lower(trim(coalesce(text, ''))), '\\s+'),
+                           w -> w <> '') AS w
+                  FROM base),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       w[g.i] || ' ' || w[g.i + 1] || ' ' || w[g.i + 2]
+                           AS sh
+                  FROM words, LATERAL (
+                       SELECT unnest(generate_series(1, len(w) - 2)) AS i) g
+                 WHERE len(w) >= 3
+                UNION
+                SELECT doc_id, array_to_string(w, ' ') AS sh
+                  FROM words WHERE len(w) BETWEEN 1 AND 2),
+            df AS (SELECT sh, count(*) AS df FROM grams GROUP BY sh),
+            per AS (
+                SELECT g.doc_id,
+                       count(*) AS n_grams,
+                       sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END)
+                           AS n_common
+                  FROM grams g JOIN df ON df.sh = g.sh
+                 GROUP BY g.doc_id)
+            SELECT b.doc_id,
+                   CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(p.n_common, 0) AS BIGINT) AS n_common
+              FROM base b LEFT JOIN per p ON p.doc_id = b.doc_id
+             ORDER BY b.doc_id
         """,
         "top_docs_per_source": """
             WITH ranked AS (

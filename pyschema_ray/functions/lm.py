@@ -249,3 +249,104 @@ def _collect_lm(counts_ds):
     w_n = np.add.reduceat(ns, starts).astype(np.int64) if len(ns) \
         else np.empty(0, np.int64)
     return b_keys, b_n, w_keys, w_n
+
+
+def ngram_novelty_scores(ds, text_col: str = "text",
+                         key_col: str = "doc_id", n: int = 3,
+                         min_df: int = 2,
+                         num_shards: int | None = None):
+    """Boilerplate / memorization audit: for every document, how many
+    of its DISTINCT word n-grams also appear in at least ``min_df``
+    documents corpus-wide.  High ``n_common / n_grams`` flags
+    template-heavy or duplicated prose; the inverse is a novelty
+    signal for curriculum/dedup decisions.
+
+    Document frequency is by DISTINCT documents (a doc repeating its
+    own n-gram does not make that n-gram "shared").  The n-gram
+    definition matches the dedup shingle convention
+    (:func:`~pyschema_ray.functions.dedup._shingle_hashes` —
+    lowercased whitespace words; a doc with 1..n-1 words contributes
+    ONE whole-text gram; empty/null docs contribute none), so the SQL
+    oracle reproduces it with the ngram_jaccard_pairs gram CTE.
+
+    Scale shape: per batch one vectorized shingle pass + per-doc
+    dedup (lexsort), then a value-counts COMBINER (each doc's grams
+    appear once, so per-batch gram counts sum to exact distinct-doc
+    df across batches — rows are whole documents); partial dfs sum on
+    a bounded gram-hash shard exchange.  Grams with ``df >= min_df``
+    (the corpus-bounded boilerplate set — at web scale raise
+    ``min_df``; the set SHRINKS as the corpus grows noisier) are
+    collected once and broadcast as a sorted uint64 membership array;
+    the scoring pass is searchsorted probes, no shuffle.
+
+    -> Dataset(key_col, n_grams int64, n_common int64).
+    """
+    import ray
+
+    from .dedup import _shingle_hashes
+
+    num_shards = num_shards or _default_shards()
+
+    def _doc_distinct(t: pa.Table):
+        """(distinct gram hashes per doc, per-doc counts) — the
+        ngram_jaccard postings dedup (one lexsort per batch)."""
+        sh, offs = _shingle_hashes(t[text_col], n)
+        n_docs = t.num_rows
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64),
+                            np.diff(offs))
+        order = np.lexsort((sh, doc_idx))
+        d, h = doc_idx[order], sh[order]
+        first = np.ones(len(d), bool)
+        if len(d) > 1:
+            first[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+        return d[first], h[first], n_docs
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        _d, h, _n = _doc_distinct(t)
+        if len(h) == 0:
+            return pa.table({"gshard": pa.array([], pa.int64()),
+                             "g": pa.array([], pa.int64()),
+                             "df": pa.array([], pa.int64())})
+        order = np.argsort(h, kind="stable")
+        hs = h[order]
+        first = np.ones(len(hs), bool)
+        first[1:] = hs[1:] != hs[:-1]
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, len(hs))).astype(np.int64)
+        ug = hs[starts]
+        shard = (mix64(ug, 89) % np.uint64(num_shards)).astype(np.int64)
+        return pa.table({"gshard": pa.array(shard, pa.int64()),
+                         "g": pa.array(ug.view(np.int64), pa.int64()),
+                         "df": pa.array(counts, pa.int64())})
+
+    def df_total(t: pa.Table) -> pa.Table:
+        g = t.group_by("g").aggregate([("df", "sum")])
+        g = g.select(["g", "df_sum"]).rename_columns(["g", "df"])
+        return g.filter(pc.greater_equal(g["df"], min_df))
+
+    common_ds = ds.map_batches(df_partial, batch_format="pyarrow") \
+        .groupby("gshard").map_groups(df_total, batch_format="pyarrow")
+    tables = [b for b in common_ds.iter_batches(batch_format="pyarrow")
+              if b.num_rows]
+    common = np.sort(pa.concat_tables(tables)["g"]
+                     .to_numpy(zero_copy_only=False)
+                     .view(np.uint64)) if tables else np.empty(0, np.uint64)
+    common_ref = ray.put(common)
+
+    def score(t: pa.Table) -> pa.Table:
+        keys = ray.get(common_ref)
+        d, h, n_docs = _doc_distinct(t)
+        n_grams = np.bincount(d, minlength=n_docs).astype(np.int64)
+        if len(h) and len(keys):
+            pos = np.clip(np.searchsorted(keys, h), 0, len(keys) - 1)
+            hit = keys[pos] == h
+            n_common = np.bincount(d[hit], minlength=n_docs) \
+                .astype(np.int64)
+        else:
+            n_common = np.zeros(n_docs, np.int64)
+        return pa.table({
+            key_col: t[key_col],
+            "n_grams": pa.array(n_grams, pa.int64()),
+            "n_common": pa.array(n_common, pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")

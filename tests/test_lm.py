@@ -98,3 +98,38 @@ def test_min_count_prunes():
     t = _tbl(bigram_lm_counts(_ds(DOCS), num_shards=4, min_count=2))
     c12, _c1, _v = _ref_model(DOCS)
     assert t.num_rows == sum(1 for n in c12.values() if n >= 2)
+
+
+def _ref_novelty(texts, n=3, min_df=2):
+    def grams(t):
+        w = (t or "").lower().split()
+        if not w:
+            return set()
+        if len(w) < n:
+            return {" ".join(w)}
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+    gsets = [grams(t) for t in texts]
+    df = {}
+    for gs in gsets:
+        for g in gs:
+            df[g] = df.get(g, 0) + 1
+    return [(len(gs), sum(1 for g in gs if df[g] >= min_df))
+            for gs in gsets]
+
+
+def test_ngram_novelty_matches_reference():
+    from pyschema_ray.functions.lm import ngram_novelty_scores
+    texts = DOCS + ["the quick brown fox jumps over the lazy dog",
+                    "short doc", "short doc"]
+    ds = _ds(texts)
+    got_t = _tbl(ngram_novelty_scores(ds, num_shards=4)) \
+        .sort_by("doc_id")
+    exp = _ref_novelty(texts)
+    got = list(zip(got_t["n_grams"].to_pylist(),
+                   got_t["n_common"].to_pylist()))
+    assert got == exp
+    # every exact-duplicated doc's grams are all shared
+    dup_rows = [i for i, t in enumerate(texts)
+                if texts.count(t) > 1 and t]
+    for i in dup_rows:
+        assert exp[i][0] == exp[i][1]
