@@ -1467,6 +1467,24 @@ def _q_ngram_novelty(sf_dir: str) -> pa.Table:
     }).sort_by("doc_id")
 
 
+def _q_bigram_collocations(sf_dir: str) -> pa.Table:
+    """Top-50 bigram collocations by EXACT integer milli-nat PMI
+    (functions/text.top_bigram_pmi — word counts broadcast once,
+    bigram counts on the ngram exchange, per-shard head exact).
+    min_count=5 prunes noise-PMI rare pairs (stated contract)."""
+    from pyschema_ray.functions.text import top_bigram_pmi
+
+    out = top_bigram_pmi(_read(sf_dir, "documents",
+                               columns=["doc_id", "text"]),
+                         text_col="text", k=50, min_count=5)
+    t = _collect(out)
+    return pa.table({
+        "ngram": pc.cast(t["ngram"], pa.string()),
+        "n": pc.cast(t["n"], pa.int64()),
+        "milli_pmi": pc.cast(t["milli_pmi"], pa.int64()),
+    }).sort_by([("milli_pmi", "descending"), ("ngram", "ascending")])
+
+
 def _q_windowed_active_users(sf_dir: str) -> pa.Table:
     """EXACT distinct active users per (event_type, 2h window sliding
     1h) — count(DISTINCT user) over overlapping windows via the
@@ -2324,6 +2342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_active_users": _q_windowed_active_users,
         "lm_doc_scores": _q_lm_doc_scores,
         "ngram_novelty": _q_ngram_novelty,
+        "bigram_collocations": _q_bigram_collocations,
         "top_docs_per_source": _q_top_docs_per_source,
         "range_join_counts": _q_range_join_counts,
         "range_join_counts_copart": _q_range_join_counts_copart,
@@ -3094,6 +3113,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(p.n_common, 0) AS BIGINT) AS n_common
               FROM base b LEFT JOIN per p ON p.doc_id = b.doc_id
              ORDER BY b.doc_id
+        """,
+        "bigram_collocations": """
+            WITH docs AS (
+                SELECT list_filter(
+                           regexp_split_to_array(
+                               lower(trim(coalesce(text, ''))), '\\s+'),
+                           x -> x <> '') AS w
+                  FROM documents),
+            allw AS (SELECT unnest(w) AS word FROM docs),
+            wc AS (SELECT word, count(*) AS c FROM allw GROUP BY word),
+            wtot AS (SELECT count(*) AS wsum FROM allw),
+            grams AS (
+                SELECT w[g.i] AS w1, w[g.i + 1] AS w2
+                  FROM docs, LATERAL (
+                       SELECT unnest(generate_series(1, len(w) - 1)) AS i) g),
+            bc AS (SELECT w1, w2, count(*) AS n FROM grams GROUP BY 1, 2),
+            btot AS (SELECT count(*) AS bsum FROM grams)
+            SELECT b.w1 || ' ' || b.w2 AS ngram,
+                   CAST(b.n AS BIGINT) AS n,
+                   CAST(round(ln(CAST(b.n AS DOUBLE) * wtot.wsum
+                                 * wtot.wsum / btot.bsum / c1.c / c2.c)
+                              * 1000) AS BIGINT) AS milli_pmi
+              FROM bc b
+              JOIN wc c1 ON c1.word = b.w1
+              JOIN wc c2 ON c2.word = b.w2
+              CROSS JOIN wtot CROSS JOIN btot
+             WHERE b.n >= 5
+             ORDER BY milli_pmi DESC, ngram ASC
+             LIMIT 50
         """,
         "top_docs_per_source": """
             WITH ranked AS (

@@ -62,7 +62,7 @@ QUERY_SUBSET = [
     "cms_word_estimates", "kmeans_cluster_sizes",
     "customer_urgent_left_join", "corpus_report", "hot_users_by_events",
     "regional_supplier_revenue", "windowed_active_users",
-    "lm_doc_scores", "ngram_novelty",
+    "lm_doc_scores", "ngram_novelty", "bigram_collocations",
 ]
 
 

@@ -843,3 +843,95 @@ def corpus_report(ds, text_col: str = "text",
         "max_doc_words": pa.array([vals["#maxw"]], pa.int64()),
         "vocab_size": pa.array([vals["#vocab"]], pa.int64()),
     })
+
+
+def top_bigram_pmi(ds, text_col: str = "text", k: int = 100,
+                   min_count: int = 5, num_shards: int | None = None):
+    """EXACT top-k bigram collocations by pointwise mutual
+    information — the corpus-linguistics staple ("new york"-style
+    fixed phrases score high; chance co-occurrences score ~0).
+
+    PMI is quantized to INTEGER milli-nats before ranking (the
+    repo-wide float discipline)::
+
+        milli_pmi = round(ln(c12·W·W / T / c1 / c2) · 1000)
+
+    with ``c12`` the bigram count, ``c1``/``c2`` the unigram counts,
+    ``W`` total words, ``T`` total bigrams — evaluated in the same
+    left-associative double expression the SQL oracle writes, so the
+    two agree bit-for-bit away from half-ulp boundaries.
+
+    Scale shape: bigram counts come from :func:`ngram_frequencies`'
+    combiner+exchange (partial whole-text grams of 1-word docs are
+    excluded — a real bigram contains a space); the vocabulary-bounded
+    word-count table broadcasts once as sorted-hash arrays
+    (``ray.put`` + searchsorted probes, the LM-module contract);
+    ``min_count`` prunes rare bigrams (PMI is noise below a handful of
+    observations — the standard collocation practice, stated, not
+    silent).  Each bigram's GLOBAL count lives wholly in one exchange
+    shard, and PMI is per-row, so per-batch head-k -> final head-k is
+    exact (the :func:`top_words` argument).  Ties break ascending on
+    the bigram string.
+
+    -> Dataset(ngram, n, milli_pmi) of at most k rows.
+    """
+    import ray
+
+    from ..sketches import hash_strings
+
+    freqs = word_frequencies(ds, text_col, num_shards)
+    wtables = [b for b in freqs.iter_batches(batch_format="pyarrow")
+               if b.num_rows]
+    if wtables:
+        wt = pa.concat_tables(wtables)
+        wh = hash_strings(wt["word"].to_numpy(zero_copy_only=False))
+        wn = wt["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(wh, kind="stable")
+        wh, wn = wh[order], wn[order]
+        total_words = int(wn.sum())
+    else:
+        wh = np.empty(0, np.uint64)
+        wn = np.empty(0, np.int64)
+        total_words = 0
+    words_ref = ray.put((wh, wn))
+
+    bigrams = ngram_frequencies(ds, text_col, 2, num_shards) \
+        .map_batches(
+            lambda t: t.filter(pc.match_substring(t["ngram"], " ")),
+            batch_format="pyarrow").materialize()
+    total_bigrams = int(bigrams.sum("n") or 0)
+
+    def score_head(t: pa.Table) -> pa.Table:
+        keys, counts = ray.get(words_ref)
+        t = t.filter(pc.greater_equal(t["n"], min_count))
+        if t.num_rows == 0 or total_bigrams == 0 or len(keys) == 0:
+            return pa.table({"ngram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "milli_pmi": pa.array([], pa.int64())})
+        parts = pc.split_pattern(t["ngram"], " ", max_splits=1)
+        w1 = pc.list_element(parts, 0).to_numpy(zero_copy_only=False)
+        w2 = pc.list_element(parts, 1).to_numpy(zero_copy_only=False)
+
+        def probe(wsarr):
+            h = hash_strings(wsarr)
+            pos = np.clip(np.searchsorted(keys, h), 0, len(keys) - 1)
+            return np.where(keys[pos] == h, counts[pos], 1)
+
+        c1 = probe(w1).astype(np.float64)
+        c2 = probe(w2).astype(np.float64)
+        c12 = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        W, T = float(total_words), float(total_bigrams)
+        # left-associative, matching the oracle's expression exactly
+        p = c12 * W * W / T / c1 / c2
+        mp = np.copysign(np.floor(np.abs(np.log(p) * 1000.0) + 0.5),
+                         np.log(p) * 1000.0).astype(np.int64)
+        out = pa.table({"ngram": t["ngram"],
+                        "n": pc.cast(t["n"], pa.int64()),
+                        "milli_pmi": pa.array(mp, pa.int64())})
+        out = out.sort_by([("milli_pmi", "descending"),
+                           ("ngram", "ascending")])
+        return out.slice(0, k)
+
+    cand = bigrams.map_batches(score_head, batch_format="pyarrow")
+    return cand.repartition(1).map_batches(score_head,
+                                           batch_format="pyarrow")
