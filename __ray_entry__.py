@@ -57,8 +57,12 @@ def _documents_schema():
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     import ray.data
+    kw = {}
+    nb = os.environ.get("PSR_NUM_BLOCKS")  # block-count stress knob
+    if nb:
+        kw["override_num_blocks"] = int(nb)
     return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
-                                 columns=columns)
+                                 columns=columns, **kw)
 
 
 def _collect(ds, empty_schema: pa.Schema | None = None) -> pa.Table:

@@ -18,8 +18,11 @@ Never calls ``ray.init()`` — the host (driver, test fixture, bench)
 owns the Ray session.
 """
 
+from . import _raypatch
 from .avro_json import (avro_dumps, avro_loads, from_avro_json,
                         to_avro_json)
+
+_raypatch.install()
 from .schema import (Boolean, Bytes, Date, DateTime, Enum, Field, Float,
                      Integer, List, Map, ParseError, Record, SchemaStore,
                      SubRecord, Text, dumps, get_avro_schema_dict,

@@ -817,12 +817,17 @@ def filter_exact_text_pairs(pairs, docs, text_col: str = "text",
 
     def doc_hashes(t: pa.Table) -> pa.Array:
         texts = t[text_col].to_numpy(zero_copy_only=False)
+        if len(texts) == 0:
+            # np.char.mod on an EMPTY object array infers float64 and
+            # the subsequent zfill raises TypeError — this is exactly
+            # the intermittent driver failure when a block's rows are
+            # all filtered out by the candidate-key subset
+            return pa.array([], pa.string())
         h1 = hf1(texts)
         h2 = hf2(texts)
-        hexes = np.char.add(
-            np.char.zfill(np.char.mod("%x", h1.astype(object)), 16),
-            np.char.zfill(np.char.mod("%x", h2.astype(object)), 16))
-        return pa.array(hexes.astype(object), pa.string())
+        hexes = np.char.add(np.char.mod("%016x", h1),
+                            np.char.mod("%016x", h2))
+        return pa.array(hexes, pa.string())
 
     pairs = pairs.materialize()
     if pairs.count() <= small_pairs_threshold:

@@ -279,9 +279,12 @@ def fingerprint_batch(t: pa.Table, text_col: str = "text",
     returned as a 16-hex-digit string.  Equal texts -> equal
     fingerprints across processes/machines; the exact-dedup key."""
     h = hash_strings(t[text_col].to_numpy(zero_copy_only=False))
-    hexes = np.char.zfill(np.char.mod("%x", h.astype(object)), 16)
-    return t.append_column(out_col,
-                           pa.array(hexes.astype(object), pa.string()))
+    if len(h) == 0:
+        # np.char.mod on empty object input infers float64 and zfill
+        # then raises — guard like dedup.filter_exact_text_pairs
+        return t.append_column(out_col, pa.array([], pa.string()))
+    hexes = np.char.mod("%016x", h)
+    return t.append_column(out_col, pa.array(hexes, pa.string()))
 
 
 def word_frequencies(ds, text_col: str = "text",
