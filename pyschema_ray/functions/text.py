@@ -694,27 +694,42 @@ def inverted_index(ds, text_col: str = "text", key_col: str = "doc_id",
                             nb, 71)
         return pt.append_column("wshard", pa.array(shard, pa.int64()))
 
+    empty = pa.table({"word": pa.array([], pa.string()),
+                      "df": pa.array([], pa.int64()),
+                      "postings": pa.array([], pa.string())})
+
     def build(t: pa.Table) -> pa.Table:
-        import pandas as pd
-        df = t.select(["word", "doc"]).to_pandas() \
-            .drop_duplicates(["word", "doc"])
-        counts = df.groupby("word", sort=False)["doc"].nunique()
-        band = counts[counts >= min_df]
+        if t.num_rows == 0:
+            return empty
+        # cross-batch distinct + C++ sort; all run detection and the
+        # posting-string assembly below are vectorized (no per-word
+        # Python lambda — binary_join over one LargeListArray)
+        pt = t.select(["word", "doc"]).group_by(["word", "doc"]) \
+            .aggregate([]) \
+            .sort_by([("word", "ascending"), ("doc", "ascending")])
+        w = pt["word"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, w[1:] != w[:-1]])
+        sizes = np.diff(np.r_[starts, len(w)])
+        band = sizes >= min_df
         if max_df is not None:
-            band = band[band <= max_df]
-        if band.empty:
-            return pa.table({"word": pa.array([], pa.string()),
-                             "df": pa.array([], pa.int64()),
-                             "postings": pa.array([], pa.string())})
-        sel = df[df["word"].isin(band.index)] \
-            .sort_values(["word", "doc"], kind="stable")
-        posting = sel.groupby("word", sort=True)["doc"] \
-            .agg(lambda s: ",".join(str(x) for x in s))
+            band &= sizes <= max_df
+        if not band.any():
+            return empty
+        keep = np.repeat(band, sizes)
+        docs = pt["doc"].combine_chunks().filter(pa.array(keep))
+        doc_str = pc.cast(docs, pa.string())
+        kept = sizes[band].astype(np.int64)
+        offsets = np.zeros(len(kept) + 1, np.int64)
+        np.cumsum(kept, out=offsets[1:])
+        lst = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()),
+            doc_str.combine_chunks() if isinstance(doc_str,
+                                                   pa.ChunkedArray)
+            else doc_str)
         return pa.table({
-            "word": pa.array(posting.index.to_numpy(), pa.string()),
-            "df": pa.array(band.loc[posting.index].to_numpy()
-                           .astype(np.int64), pa.int64()),
-            "postings": pa.array(posting.to_numpy(), pa.string())})
+            "word": pa.array(w[starts][band], pa.string()),
+            "df": pa.array(kept, pa.int64()),
+            "postings": pc.cast(pc.binary_join(lst, ","), pa.string())})
 
     return ds.map_batches(pairs, batch_format="pyarrow") \
         .groupby("wshard").map_groups(build, batch_format="pyarrow")
@@ -728,10 +743,19 @@ def cms_word_counts(ds, text_col: str = "text", depth: int = 4,
     EXACT vocabulary table itself is too hot to exchange or the
     consumer only needs ad-hoc point lookups: each batch folds its
     local value_counts into a ``depth x width`` counter block (one
-    ``np.add.at`` per row), and the mergeable partials sum on the
-    driver — NO shuffle at all, fixed O(depth x width) memory
-    regardless of vocabulary size, one-sided error <= e/width * N
-    with prob 1 - e^-depth.  Point estimates never undercount."""
+    ``np.add.at`` per row) — NO shuffle at all, fixed
+    O(depth x width) memory regardless of vocabulary size, one-sided
+    error <= e/width * N with prob 1 - e^-depth.  Point estimates
+    never undercount.
+
+    The per-batch partials (depth*width int64 each — ~2 MB at the
+    defaults) reduce through ``levels`` chained in-plane fold stages,
+    each summing up to ``fanout`` partial rows inside a task
+    (vectorized reshape+sum — CMS merge is exact elementwise
+    addition, so fold order is irrelevant): the driver receives at
+    most n_batches / fanout^levels rows instead of concatenating
+    every partial (64^3 ≈ 2.6e5x reduction at the defaults — one
+    row on the driver for anything below ~10^7 batches)."""
     from ..sketches import CountMinSketch
 
     def partial(t: pa.Table) -> pa.Table:
@@ -751,10 +775,32 @@ def cms_word_counts(ds, text_col: str = "text", depth: int = 4,
                        .to_numpy(zero_copy_only=False))
         return cms.to_row()
 
-    rows = pa.concat_tables(
-        [b for b in ds.map_batches(partial, batch_format="pyarrow")
-         .iter_batches(batch_format="pyarrow") if b.num_rows])
-    return CountMinSketch.from_rows(rows)
+    def fold(t: pa.Table) -> pa.Table:
+        counters = t["counters"].combine_chunks()
+        # flatten() respects slice offsets; .values would not
+        flat = np.asarray(counters.flatten().to_numpy(zero_copy_only=False),
+                          dtype=np.int64)
+        summed = flat.reshape(t.num_rows, depth * width).sum(axis=0)
+        return pa.table({
+            "depth": pa.array([depth], pa.int64()),
+            "width": pa.array([width], pa.int64()),
+            "counters": pa.array([summed], pa.list_(pa.int64())),
+        })
+
+    # distinct per-level concurrency caps keep the fold stages from
+    # FUSING with the partial stage (or each other) — fused, each fold
+    # would see only its own task's rows and never re-bundle across
+    # tasks, collapsing the tree back into one-row-per-task
+    rows = ds.map_batches(partial, batch_format="pyarrow")
+    fanout = 64
+    for cap in (16, 4, 1):
+        rows = rows.map_batches(fold, batch_format="pyarrow",
+                                batch_size=fanout, concurrency=cap)
+    tail = [b for b in rows.iter_batches(batch_format="pyarrow")
+            if b.num_rows]
+    if not tail:
+        return CountMinSketch(depth, width)
+    return CountMinSketch.from_rows(pa.concat_tables(tail))
 
 
 def corpus_report(ds, text_col: str = "text",
