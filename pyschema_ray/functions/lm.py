@@ -176,6 +176,17 @@ def bigram_lm_scores(ds, text_col: str = "text", key_col: str = "doc_id",
     ``sum_mlogp`` is the exact int64 sum of per-bigram milli-nat
     log-probs; mean log-prob / perplexity are one division away and
     deliberately not materialized as floats.
+
+    PRUNED-DENOMINATOR SEMANTICS with ``min_count > 1``: the c1
+    totals are derived from the PRUNED bigram table (bigrams below
+    ``min_count`` are dropped before totalling), so
+    ``c1(w1) = sum_w2 [c(w1, w2) >= min_count] * c(w1, w2)`` — the
+    conditional probabilities then normalize over the RETAINED
+    bigrams plus smoothing mass, not the raw distribution.  This is
+    deliberate: the pruned table is the only artifact shipped to
+    scorers (shipping unpruned totals would defeat the pruning's
+    memory bound).  The default ``min_count=1`` (and the
+    oracle-checked query) is exactly the formula above.
     """
     import ray
 

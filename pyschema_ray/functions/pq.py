@@ -57,8 +57,13 @@ def pq_train(ds, m: int = 8, ksub: int = 16, sample_size: int = 2048,
              embedding_col: str = "embedding") -> dict:
     """Train per-subspace codebooks on a corpus sample.
 
-    ``d`` must be divisible by ``m``.  Returns
+    ``d`` must be divisible by ``m``; ``ksub`` must fit the uint8 code
+    width (<= 256 — a larger ksub would silently wrap code ids in
+    :func:`_assign_codes` and corrupt every encoding).  Returns
     ``{"codebooks": (m, ksub, d//m) float32, "m": m, "d": d}``."""
+    if ksub > 256:
+        raise ValueError(f"ksub={ksub} exceeds the uint8 code width "
+                         "(max 256 centroids per subspace)")
     sample = ds.limit(sample_size)
     mats = [_as_matrix(t[embedding_col]) for t in
             sample.iter_batches(batch_format="pyarrow") if t.num_rows]
@@ -79,6 +84,9 @@ def _assign_codes(x: np.ndarray, books: np.ndarray) -> np.ndarray:
     """(n, d) vectors -> (n, m) uint8 codes; nearest centroid per
     subspace via the expanded-norm trick (no n×k×d temporary)."""
     m, ksub, dsub = books.shape
+    if ksub > 256:
+        raise ValueError(f"codebook ksub={ksub} cannot be coded in "
+                         "uint8 (max 256)")
     codes = np.empty((len(x), m), np.uint8)
     for j in range(m):
         sub = x[:, j * dsub:(j + 1) * dsub]
@@ -158,9 +166,14 @@ def pq_topk(ds, queries: np.ndarray, model: dict, k: int = 10,
         })
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    merged = pa.concat_tables(
-        partials.iter_batches(batch_format="pyarrow",
-                              batch_size=65536))
+    parts = list(partials.iter_batches(batch_format="pyarrow",
+                                       batch_size=65536))
+    if not parts:  # empty corpus: zero batches, nothing to rank
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         key_col: pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64()),
+                         "rank": pa.array([], pa.int64())})
+    merged = pa.concat_tables(parts)
     qid = np.asarray(merged["query_id"].to_numpy(zero_copy_only=False))
     score = np.asarray(merged["score"].to_numpy(zero_copy_only=False))
     keys = merged[key_col].to_numpy(zero_copy_only=False)

@@ -129,13 +129,30 @@ def bm25_rank(ds, terms, text_col: str = "text", key_col: str = "doc_id",
                                 pa.int64()),
         })
 
-    stats = pa.concat_tables(
-        [x for x in tf.map_batches(partial_stats, batch_format="pyarrow")
-         .iter_batches(batch_format="pyarrow") if x.num_rows])
-    n_total = pc.sum(stats["n_docs"]).as_py() or 0
-    tot_len = pc.sum(stats["tot_len"]).as_py() or 0
+    stat_parts = [x for x in
+                  tf.map_batches(partial_stats, batch_format="pyarrow")
+                  .iter_batches(batch_format="pyarrow") if x.num_rows]
+    if stat_parts:
+        stats = pa.concat_tables(stat_parts)
+        n_total = pc.sum(stats["n_docs"]).as_py() or 0
+        tot_len = pc.sum(stats["tot_len"]).as_py() or 0
+    else:  # empty corpus: zero stats batches
+        n_total = tot_len = 0
+    def _key_type() -> pa.DataType:
+        # derive the key type from the tf (or, when tf is all
+        # fabricated empty blocks, the input) schema — hardcoding
+        # string would mismatch int64 doc-id corpora
+        for d in (tf, ds):
+            sch = d.schema()
+            if sch is None:
+                continue
+            base = pa.schema(sch.base_schema)
+            if key_col in base.names:
+                return base.field(key_col).type
+        return pa.string()
+
     if n_total == 0:
-        return pa.table({key_col: pa.array([], pa.string()),
+        return pa.table({key_col: pa.array([], _key_type()),
                          "score": pa.array([], pa.float64()),
                          "rank": pa.array([], pa.int64())})
     avgdl = tot_len / n_total
@@ -184,7 +201,7 @@ def bm25_rank(ds, terms, text_col: str = "text", key_col: str = "doc_id",
     parts = [x for x in cand.iter_batches(batch_format="pyarrow")
              if x.num_rows]
     if not parts:
-        key_type = tf.schema().base_schema.field(key_col).type
+        key_type = _key_type()
         return pa.table({key_col: pa.array([], key_type),
                          "score": pa.array([], pa.float64()),
                          "rank": pa.array([], pa.int64())})

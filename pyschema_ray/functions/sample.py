@@ -82,11 +82,17 @@ _M32 = np.uint64(1 << 32)
 
 def knuth_bucket(keys: np.ndarray) -> np.ndarray:
     """SQL-reproducible 32-bit multiplicative hash of integer keys:
-    ``((key % 2^32) * 2654435761) % 2^32`` — Knuth's constant.  The
-    same expression runs in the DuckDB oracle with HUGEINT arithmetic,
-    so a split assignment is bit-identical in both engines (unlike the
-    keyed SipHash used elsewhere, which SQL cannot reproduce).  The
-    uint64 intermediate cannot overflow: (2^32-1) * 2654435761 < 2^64.
+    ``(((key % 2^32) + 2^32) % 2^32 * 2654435761) % 2^32`` — Knuth's
+    constant with a SIGN-NORMALIZED mod.  The numpy path below views
+    negative keys through two's complement, which equals the
+    nonnegative ``key mod 2^32``; SQL's ``%`` returns NEGATIVE
+    remainders for negative keys, so the oracle expression must use
+    the double-mod form above (for nonnegative keys the two agree and
+    the plain ``(key % 2^32) * C % 2^32`` suffices).  Runs in DuckDB
+    with HUGEINT arithmetic, so a split assignment is bit-identical
+    in both engines (unlike the keyed SipHash used elsewhere, which
+    SQL cannot reproduce).  The uint64 intermediate cannot overflow:
+    (2^32-1) * 2654435761 < 2^64.
     """
     k = np.asarray(keys).astype(np.int64).view(np.uint64)
     return (k % _M32 * _KNUTH) % _M32

@@ -76,8 +76,14 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     # merge partial top-k on the driver: Q × k × num_batches rows, tiny
-    merged = pa.concat_tables(
-        partials.iter_batches(batch_format="pyarrow", batch_size=65536))
+    parts = list(partials.iter_batches(batch_format="pyarrow",
+                                       batch_size=65536))
+    if not parts:  # empty corpus: zero batches, nothing to rank
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         key_col: pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64()),
+                         "rank": pa.array([], pa.int32())})
+    merged = pa.concat_tables(parts)
     qid = np.asarray(merged["query_id"].to_numpy(zero_copy_only=False))
     score = np.asarray(merged["score"].to_numpy(zero_copy_only=False))
     keys = merged[key_col].to_numpy(zero_copy_only=False)
