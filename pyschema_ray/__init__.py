@@ -28,7 +28,7 @@ from .schema import (Boolean, Bytes, Date, DateTime, Enum, Field, Float,
                      SubRecord, Text, dumps, get_avro_schema_dict,
                      get_avro_schema_string, get_json_schema, ispyschema,
                      get_postgres_ddl, loads, no_auto_store,
-                     record_from_arrow, schema_store)
+                     record_from_arrow, record_from_avro, schema_store)
 
 __all__ = [
     "Boolean", "Bytes", "Date", "DateTime", "Enum", "Field", "Float",
@@ -37,7 +37,8 @@ __all__ = [
     "from_avro_json", "get_avro_schema_dict", "get_avro_schema_string",
     "get_json_schema", "get_postgres_ddl", "ispyschema", "loads",
     "no_auto_store",
-    "record_from_arrow", "schema_store", "to_avro_json",
+    "record_from_arrow", "record_from_avro", "schema_store",
+    "to_avro_json",
 ]
 
 __version__ = "0.1.0"

@@ -116,6 +116,30 @@ class Field:
             "nullable": self.nullable,
         }
 
+    @classmethod
+    def mixin(cls, mixin_cls: type | None = None):
+        """Extension hook (R12 — the analog of the reference's
+        ``pyschema/core.py`` ``Field.mixin``): inject every public
+        attribute of ``mixin_cls`` into THIS field type (and, through
+        inheritance, its subclasses unless they override).  Usable as
+        a plain call ``Text.mixin(MyMethods)`` or as a decorator::
+
+            @Field.mixin
+            class AvroMethods:
+                def avro_type(self): ...
+
+        This is how exporter extensions attach per-field methods the
+        way the reference's avro/jsonschema extensions do upstream.
+        Returns ``mixin_cls`` so decorator stacking works.
+        """
+        def apply(m: type) -> type:
+            for attr, val in vars(m).items():
+                if attr.startswith("__") and attr.endswith("__"):
+                    continue
+                setattr(cls, attr, val)
+            return m
+        return apply(mixin_cls) if mixin_cls is not None else apply
+
 
 class Text(Field):
     """Unicode string.  Extra constraints: ``regex``, ``min_length``,
@@ -910,3 +934,107 @@ def _field_from_arrow(t: pa.DataType, nullable: bool) -> Field:
         sub = record_from_arrow(pa.schema(list(t)), name="InferredStruct")
         return SubRecord(sub, nullable=nullable)
     return Text(nullable=nullable)  # conservative fallback
+
+
+def record_from_avro(schema: str | dict,
+                     name: str | None = None) -> type[Record]:
+    """Build a Record class from an avro record schema document — the
+    analog of the reference's ``pyschema_extensions/avro_to_pyschema``
+    codegen; like :func:`record_from_arrow` the class is constructed
+    directly instead of emitting source text.  Round-trips
+    :func:`get_avro_schema_dict` over its full type matrix: primitives
+    (string/bytes/boolean/int/long/float/double), date and
+    timestamp-micros/millis logical types, enum, array, map, nested
+    records, and named-type references to already-parsed
+    records/enums.  ``["null", T]`` unions map to ``nullable=True``;
+    any other multi-type union raises (same limitation as the
+    upstream codegen)."""
+    import json as _json
+
+    if isinstance(schema, str):
+        schema = _json.loads(schema)
+    if not isinstance(schema, dict) or schema.get("type") != "record":
+        raise ValueError("top-level avro schema must be a record")
+    return _record_from_avro_dict(schema, {}, override_name=name)
+
+
+def _record_from_avro_dict(d: dict, named: dict,
+                           override_name: str | None = None) -> type[Record]:
+    rname = override_name or d.get("name", "Inferred")
+    ns: dict[str, Any] = {"_schema_name": rname}
+    for fd in d.get("fields", []):
+        ns[fd["name"]] = _field_from_avro(fd["type"], named)
+    cls = PySchemaMeta(rname, (Record,), ns)
+    named[d.get("name", rname)] = cls
+    return cls
+
+
+def _field_from_avro(t: Any, named: dict, nullable: bool = False) -> Field:
+    if isinstance(t, list):  # union
+        branches = [b for b in t if b != "null"]
+        if len(branches) != 1:
+            raise ValueError(f"unsupported avro union: {t!r}")
+        return _field_from_avro(branches[0], named,
+                                nullable=len(branches) != len(t))
+    if isinstance(t, str):
+        if t in named:  # named-type reference (record or enum)
+            ref = named[t]
+            if isinstance(ref, type):
+                return SubRecord(ref, nullable=nullable)
+            return Enum(ref, nullable=nullable)
+        maker = {
+            "string": lambda: Text(nullable=nullable),
+            "bytes": lambda: Bytes(nullable=nullable),
+            "boolean": lambda: Boolean(nullable=nullable),
+            "int": lambda: Integer(size=4, nullable=nullable),
+            "long": lambda: Integer(size=8, nullable=nullable),
+            "float": lambda: Float(size=4, nullable=nullable),
+            "double": lambda: Float(size=8, nullable=nullable),
+        }.get(t)
+        if maker is None:
+            raise ValueError(f"unknown avro type: {t!r}")
+        return maker()
+    if isinstance(t, dict):
+        tt = t.get("type")
+        lt = t.get("logicalType")
+        if lt == "date" and tt == "int":
+            return Date(nullable=nullable)
+        if lt in ("timestamp-micros", "timestamp-millis") and tt == "long":
+            return DateTime(nullable=nullable)
+        if tt == "enum":
+            symbols = tuple(t["symbols"])
+            if t.get("name"):
+                named[t["name"]] = symbols
+            return Enum(symbols, nullable=nullable)
+        if tt == "array":
+            # element nullability is carried by the items type itself
+            # (a ["null", T] union), so no default is imposed here
+            return List(_field_from_avro(t["items"], named),
+                        nullable=nullable)
+        if tt == "map":
+            return Map(_field_from_avro(t["values"], named),
+                       nullable=nullable)
+        if tt == "record":
+            return SubRecord(_record_from_avro_dict(t, named),
+                             nullable=nullable)
+        # wrapped primitive, e.g. {"type": "string"}
+        return _field_from_avro(tt, named, nullable=nullable)
+    raise ValueError(f"unparseable avro type: {t!r}")
+
+
+# ---------------------------------------------------------------------------
+# mixin-installed exporter methods (R12 usage parity): the module
+# functions above remain the primary API; these mirror how the
+# reference's avro/jsonschema extensions attach per-field/per-record
+# methods via Field.mixin when their module is imported.
+# ---------------------------------------------------------------------------
+
+@Field.mixin
+class _FieldExportMethods:
+    def avro_type(self, _state: set | None = None):
+        """This field's avro schema fragment (mixin-installed)."""
+        return _avro_type(self, _state if _state is not None else set())
+
+    def jsonschema_type(self) -> dict:
+        """This field's JSON-Schema fragment (mixin-installed)."""
+        return _jsonschema_type(self)

@@ -21,6 +21,11 @@ class Inner(Record):
 
 @no_auto_store
 class Everything(Record):
+    # distinct registry name: tests/test_schema.py auto-registers its
+    # own "Everything"; without this, class creation here would
+    # overwrite that entry and no_auto_store would then DELETE it
+    # whenever this module imports second (explicit-file-order runs)
+    _schema_name = "EverythingAvroJson"
     name = Text(nullable=False)
     nick = Text()                       # nullable -> union-wrapped
     n = Integer(size=4, nullable=False)
