@@ -63,6 +63,21 @@ QUERY_SUBSET = [
     "customer_urgent_left_join", "corpus_report", "hot_users_by_events",
     "regional_supplier_revenue", "windowed_active_users",
     "lm_doc_scores", "ngram_novelty", "bigram_collocations",
+    # round 5: every remaining oracle-checked query, so the driver's
+    # CORRECTNESS sample can reach the full oracle surface
+    "asof_matched_ts", "bigram_frequencies", "clean_documents",
+    "customers_with_big_orders", "doc_frequencies", "dup_group_stats",
+    "duplicate_user_event_pairs", "embedding_element_range_violations",
+    "embedding_lengths", "events_sliding", "fingerprints",
+    "fuzzy_part_pairs", "lang_id", "median_chars_per_source",
+    "ndv_doc_id_exact", "ndv_users_per_event_type", "ngram_jaccard_pairs",
+    "normalized_documents", "novel_documents", "packing_totals",
+    "packing_totals_stitched", "quality_features", "quality_filtered_docs",
+    "range_join_counts", "redacted_documents",
+    "ref_violations_documents_source", "sample_documents_mod",
+    "simhash_dup_pairs", "stats_per_source", "top_docs_per_source",
+    "top_revenue_orders", "top_sources_by_chars", "top_terms_per_doc",
+    "top_words", "user_sessions", "word_frequencies", "word_repetition",
 ]
 
 

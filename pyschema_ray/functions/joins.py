@@ -220,7 +220,10 @@ def asof_join(left, right, key_col: str, ts_col: str,
             .sort_values(ts_col, kind="stable")
         rhs = df[df["__side"] == 1][[key_col] + out_right]
         if lhs.empty:
-            return pd.DataFrame(columns=out_cols)
+            # dtype-preserving empty (an all-object pd.DataFrame
+            # would emit a wrongly-typed block schema); matches the
+            # rhs.empty branch's shape
+            return lhs.reindex(columns=out_cols)
         if rhs.empty:
             return lhs.reindex(columns=out_cols)
         # merge_asof emits only the LEFT on-column when the two time
@@ -474,31 +477,39 @@ def copartition_range_join_count(events, intervals, ts_col: str = "ts",
         events.select_columns([ts_col])
               .map_batches(ev_rows, batch_format="pyarrow"))
 
-    def count_shard(df):
-        from .dedup import _key_shards
+    def count_shard(t: pa.Table) -> pa.Table:
+        # pyarrow-format exchange (round-5 A/B winner): the group
+        # logic was already pure numpy, so skipping the
+        # Arrow->pandas->Arrow hop removes both the conversion cost
+        # and the object-dtype coercion hazards
+        from .dedup import _group_starts, _key_shards
 
-        side = df["side"].to_numpy()
-        ev = df.loc[side == 1]
-        iv = df.loc[side == 0]
-        if iv.empty:
-            return pd.DataFrame({
-                "idshard": pd.Series([], dtype=np.int64),
-                "rid": pd.Series([], dtype=df["rid"].dtype),
-                "n": pd.Series([], dtype=np.int64)})
-        ets = ev["a"].to_numpy()
-        ebk = ev["bucket"].to_numpy()
+        rid_type = t.schema.field("rid").type
+        empty = pa.table({"idshard": pa.array([], pa.int64()),
+                          "rid": pa.array([], rid_type),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        side = t["side"].to_numpy(zero_copy_only=False)
+        a = t["a"].to_numpy(zero_copy_only=False)
+        bucket = t["bucket"].to_numpy(zero_copy_only=False)
+        ivmask = side == 0
+        if not ivmask.any():
+            return empty
+        evmask = ~ivmask
+        ets = a[evmask]
+        ebk = bucket[evmask]
         order = np.lexsort((ets, ebk))
         ets, ebk = ets[order], ebk[order]
         # ONE pass: sort intervals by bucket too, walk the distinct
         # interval buckets via run boundaries (no per-bucket rescans
         # of the whole shard's interval columns)
-        ivbk_raw = iv["bucket"].to_numpy()
+        ivbk_raw = bucket[ivmask]
         iorder = np.argsort(ivbk_raw, kind="stable")
         ivbk = ivbk_raw[iorder]
-        ilo = iv["a"].to_numpy()[iorder]
-        ihi = iv["b"].to_numpy()[iorder]
-        irid = iv["rid"].to_numpy()[iorder]
-        from .dedup import _group_starts
+        ilo = a[ivmask][iorder]
+        ihi = t["b"].to_numpy(zero_copy_only=False)[ivmask][iorder]
+        irid = t["rid"].to_numpy(zero_copy_only=False)[ivmask][iorder]
         istarts, isizes = _group_starts(ivbk)
         nn = np.empty(len(ivbk), np.int64)
         for s0, m in zip(istarts, isizes):
@@ -511,21 +522,22 @@ def copartition_range_join_count(events, intervals, ts_col: str = "ts",
         # zero-count replicas are kept: every interval has >= 1 bucket
         # replica, so zero-match intervals surface in the final sum
         # without a separate zero-row union branch (one less exchange)
-        rid = irid
-        return pd.DataFrame({
-            "idshard": _key_shards(rid, num_shards, 43),
-            "rid": rid, "n": nn.astype(np.int64)})
+        return pa.table({
+            "idshard": pa.array(_key_shards(irid, num_shards, 43),
+                                pa.int64()),
+            "rid": pa.array(irid, type=rid_type),
+            "n": pa.array(nn.astype(np.int64), pa.int64())})
 
     partials = union.groupby("bshard").map_groups(count_shard,
-                                                  batch_format="pandas")
+                                                  batch_format="pyarrow")
 
-    def total_per_id(df):
-        g = df.groupby("rid", sort=False)["n"].sum()
-        return pd.DataFrame({id_col: g.index.to_numpy(),
-                             "n_events": g.to_numpy().astype(np.int64)})
+    def total_per_id(t: pa.Table) -> pa.Table:
+        g = t.group_by("rid").aggregate([("n", "sum")])
+        return pa.table({id_col: g["rid"],
+                         "n_events": pc.cast(g["n_sum"], pa.int64())})
 
     out = partials.groupby("idshard").map_groups(total_per_id,
-                                                 batch_format="pandas")
+                                                 batch_format="pyarrow")
     return out.map_batches(
         lambda t: t.set_column(t.schema.get_field_index(id_col), id_col,
                                pc.cast(t[id_col], id_type)),

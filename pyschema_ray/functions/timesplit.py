@@ -333,7 +333,7 @@ def asof_join_timesplit(left, right, key_col: str, ts_col: str,
         r = df.loc[is_right]
         l = df.loc[~is_right]
         if r.empty or l.empty:
-            return pd.DataFrame(columns=list(df.columns))
+            return df.iloc[0:0]  # dtype-preserving empty
         # re-reduce batch partials to the true per-(key,bucket) row
         r = r.sort_values("__us", kind="stable")
         r = r.drop_duplicates([key_col, "__bucket"],
@@ -441,7 +441,9 @@ def asof_join_timesplit(left, right, key_col: str, ts_col: str,
         # distinct same-timestamp right rows the plain variant keeps)
         rhs = rhs[[key_col] + out_right].drop_duplicates()
         if lhs.empty:
-            return pd.DataFrame(columns=out_cols)
+            # dtype-preserving empty, same shape as the rhs.empty
+            # branch (an all-object frame would mistype the block)
+            return lhs.reindex(columns=out_cols)
         if rhs.empty:
             return lhs.reindex(columns=out_cols)
         r_on = rts
