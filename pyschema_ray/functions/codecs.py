@@ -7,9 +7,12 @@ environment:
 * WAV (PCM 8/16/32)    — decode via the stdlib ``wave`` module
 * Y4M (YUV4MPEG2)      — uncompressed video, luma-plane frames
 
-Compressed formats (JPEG/PNG/FLAC/MP4...) still require external
-libraries and remain stubbed in ``multimodal.py`` — the format sniffer
-here tells the stages which payloads they can decode for real.
+Baseline JPEG additionally decodes/encodes for REAL via the
+pure-numpy T.81 codec in :mod:`.jpeg` (round-trip tested, no external
+library).  Remaining compressed formats (PNG/FLAC/MP4...) still
+require external libraries and stay stubbed in ``multimodal.py`` —
+the format sniffer here tells the stages which payloads they can
+decode for real.
 """
 
 from __future__ import annotations
@@ -22,7 +25,8 @@ import numpy as np
 
 
 def sniff_format(payload: bytes) -> str:
-    """'ppm' | 'bmp' | 'wav' | 'y4m' | 'unknown' from magic bytes."""
+    """'ppm' | 'bmp' | 'wav' | 'y4m' | 'jpeg' | 'unknown' from magic
+    bytes."""
     if payload[:2] == b"P6":
         return "ppm"
     if payload[:2] == b"BM":
@@ -31,6 +35,8 @@ def sniff_format(payload: bytes) -> str:
         return "wav"
     if payload[:9] == b"YUV4MPEG2":
         return "y4m"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return "unknown"
 
 

@@ -73,11 +73,16 @@ class ImageDecoder:
             img = c.decode_ppm(payload)
         elif fmt == "bmp":
             img = c.decode_bmp(payload)
+        elif fmt == "jpeg":
+            from .jpeg import decode_jpeg
+            img = decode_jpeg(payload)
+            if img.ndim == 2:  # greyscale -> 3-channel for features
+                img = np.repeat(img[:, :, None], 3, axis=2)
         else:
             raise NotImplementedError(
                 f"no codec for format {fmt!r} in this environment "
-                "(PPM/BMP decode for real; construct with fake=True "
-                "for plumbing tests of other formats)")
+                "(PPM/BMP/baseline-JPEG decode for real; construct "
+                "with fake=True for plumbing tests of other formats)")
         return c.image_features(c.resize_nearest(img, self.height,
                                                  self.width))
 
@@ -287,8 +292,9 @@ def embed_features(ds, in_dim: int = 8, out_dim: int = 16,
 
 def synth_real_media_table(n: int = 48, seed: int = 42) -> pa.Table:
     """Deterministic media table whose payloads are REAL encoded media
-    (PPM / BMP images, PCM WAV audio, YUV4MPEG2 video cycling by row)
-    — decodable by the pure-numpy codecs with no fake flag."""
+    (PPM / BMP / baseline-JPEG images, PCM WAV audio, YUV4MPEG2 video
+    cycling by row) — decodable by the pure-numpy codecs with no fake
+    flag."""
     from . import codecs
 
     from . import codecs as _c
@@ -296,7 +302,19 @@ def synth_real_media_table(n: int = 48, seed: int = 42) -> pa.Table:
     rng = np.random.default_rng(seed)
     payloads, fmts, types, widths, heights, durs = [], [], [], [], [], []
     for i in range(n):
-        kind = i % 4
+        kind = i % 5
+        if kind == 4:
+            from .jpeg import encode_jpeg
+            h, w = int(rng.integers(8, 40)), int(rng.integers(8, 40))
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payloads.append(encode_jpeg(img, quality=90,
+                                        subsampling="420"))
+            fmts.append("jpeg")
+            types.append("image")
+            widths.append(w)
+            heights.append(h)
+            durs.append(0)
+            continue
         if kind == 3:
             h, w = 16, 16
             nframes = int(rng.integers(4, 12))

@@ -113,8 +113,9 @@ def test_unsupported_format_still_raises():
     from pyschema_ray.functions.multimodal import ImageDecoder
 
     dec = ImageDecoder()
+    # PNG is still stubbed (JPEG now decodes for real via jpeg.py)
     with pytest.raises(NotImplementedError, match="no codec"):
-        dec._decode_one(b"\xff\xd8\xff\xe0 jpeg-ish bytes")
+        dec._decode_one(b"\x89PNG\r\n\x1a\n png-ish bytes")
 
 
 def test_y4m_round_trip_and_colourspaces():
