@@ -7,12 +7,13 @@ environment:
 * WAV (PCM 8/16/32)    — decode via the stdlib ``wave`` module
 * Y4M (YUV4MPEG2)      — uncompressed video, luma-plane frames
 
-Baseline JPEG additionally decodes/encodes for REAL via the
-pure-numpy T.81 codec in :mod:`.jpeg` (round-trip tested, no external
-library).  Remaining compressed formats (PNG/FLAC/MP4...) still
-require external libraries and stay stubbed in ``multimodal.py`` —
-the format sniffer here tells the stages which payloads they can
-decode for real.
+Baseline JPEG (pure-numpy T.81 codec, :mod:`.jpeg`) and 8-bit PNG
+(stdlib zlib + numpy unfiltering, :mod:`.png`) additionally
+decode/encode for REAL — round-trip tested, no external library.
+Remaining compressed formats (FLAC/MP4/WEBP...) still require
+external libraries and stay stubbed in ``multimodal.py`` — the format
+sniffer here tells the stages which payloads they can decode for
+real.
 """
 
 from __future__ import annotations
@@ -25,8 +26,8 @@ import numpy as np
 
 
 def sniff_format(payload: bytes) -> str:
-    """'ppm' | 'bmp' | 'wav' | 'y4m' | 'jpeg' | 'unknown' from magic
-    bytes."""
+    """'ppm' | 'bmp' | 'wav' | 'y4m' | 'jpeg' | 'png' | 'unknown'
+    from magic bytes."""
     if payload[:2] == b"P6":
         return "ppm"
     if payload[:2] == b"BM":
@@ -37,6 +38,8 @@ def sniff_format(payload: bytes) -> str:
         return "y4m"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
     return "unknown"
 
 

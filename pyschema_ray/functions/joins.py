@@ -206,8 +206,12 @@ def asof_join(left, right, key_col: str, ts_col: str,
             t = t.append_column(
                 "kshard", pa.array(_key_shards(keys, num_shards, 37),
                                    pa.int64()))
-            return t.append_column("__side", pa.array(
+            t = t.append_column("__side", pa.array(
                 np.full(t.num_rows, side, np.int8), pa.int8()))
+            # canonical column order: both union sides carry the same
+            # column SET but in side-specific order, which the
+            # executor reports as schema divergence
+            return t.select(sorted(t.column_names))
         return fn
 
     lt = left.map_batches(tag(0), batch_format="pyarrow")

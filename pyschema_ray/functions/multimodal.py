@@ -78,11 +78,14 @@ class ImageDecoder:
             img = decode_jpeg(payload)
             if img.ndim == 2:  # greyscale -> 3-channel for features
                 img = np.repeat(img[:, :, None], 3, axis=2)
+        elif fmt == "png":
+            from .png import decode_png
+            img = decode_png(payload)
         else:
             raise NotImplementedError(
                 f"no codec for format {fmt!r} in this environment "
-                "(PPM/BMP/baseline-JPEG decode for real; construct "
-                "with fake=True for plumbing tests of other formats)")
+                "(PPM/BMP/JPEG/PNG decode for real; construct with "
+                "fake=True for plumbing tests of other formats)")
         return c.image_features(c.resize_nearest(img, self.height,
                                                  self.width))
 
@@ -302,7 +305,7 @@ def synth_real_media_table(n: int = 48, seed: int = 42) -> pa.Table:
     rng = np.random.default_rng(seed)
     payloads, fmts, types, widths, heights, durs = [], [], [], [], [], []
     for i in range(n):
-        kind = i % 5
+        kind = i % 6
         if kind == 4:
             from .jpeg import encode_jpeg
             h, w = int(rng.integers(8, 40)), int(rng.integers(8, 40))
@@ -310,6 +313,17 @@ def synth_real_media_table(n: int = 48, seed: int = 42) -> pa.Table:
             payloads.append(encode_jpeg(img, quality=90,
                                         subsampling="420"))
             fmts.append("jpeg")
+            types.append("image")
+            widths.append(w)
+            heights.append(h)
+            durs.append(0)
+            continue
+        if kind == 5:
+            from .png import encode_png
+            h, w = int(rng.integers(8, 40)), int(rng.integers(8, 40))
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payloads.append(encode_png(img))
+            fmts.append("png")
             types.append("image")
             widths.append(w)
             heights.append(h)

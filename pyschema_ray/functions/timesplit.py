@@ -366,14 +366,19 @@ def asof_join_timesplit(left, right, key_col: str, ts_col: str,
         # carry rows adopt the LEFT bucket so exchange 2 co-locates
         # them with the left rows they serve
         carry["__bucket"] = lbk[ok]
+        # reset the iloc-inherited index: downstream pandas assigns
+        # align by index, and a non-range index would misalign them
+        # into NaN (coercing int64 value columns to float64)
         return carry.drop(columns=["__kshard"]) \
             .assign(__kshard=_key_shards(carry[key_col].to_numpy(),
-                                         num_shards, 79))
+                                         num_shards, 79)) \
+            .reset_index(drop=True)
 
     def tag_side(side):
         def fn(t: pa.Table) -> pa.Table:
-            return t.append_column("__side", pa.array(
+            t = t.append_column("__side", pa.array(
                 np.full(t.num_rows, side, np.int8), pa.int8()))
+            return t.select(sorted(t.column_names))  # canonical order
         return fn
 
     stitch_in = rp.map_batches(tag_side(1), batch_format="pyarrow").union(
@@ -401,8 +406,11 @@ def asof_join_timesplit(left, right, key_col: str, ts_col: str,
             t = t.append_column("__kbshard", pa.array(
                 _bucket_shards(keys, bucket, num_shards, 83), pa.int64()))
             t = t.append_column("__bucket", pa.array(bucket, pa.int64()))
-            return t.append_column("__side", pa.array(
+            t = t.append_column("__side", pa.array(
                 np.full(t.num_rows, side, np.int8), pa.int8()))
+            # canonical order: the three union branches carry the same
+            # column set in branch-specific order otherwise
+            return t.select(sorted(t.column_names))
         return fn
 
     def carry_tag(df):
@@ -414,7 +422,10 @@ def asof_join_timesplit(left, right, key_col: str, ts_col: str,
         pads = pad_right
         for c, tp in pads.items():
             if c not in df.columns:
-                df = df.assign(**{c: _sentinel(tp, len(df)).to_pandas()})
+                # positional numpy assign — a pandas Series here would
+                # align by index and NaN-coerce on non-range indices
+                df = df.assign(**{c: _sentinel(tp, len(df))
+                                  .to_numpy(zero_copy_only=False)})
         return df.assign(
             __kbshard=_bucket_shards(keys, bucket, num_shards, 83),
             __side=np.full(len(df), 1, np.int8))
@@ -423,9 +434,10 @@ def asof_join_timesplit(left, right, key_col: str, ts_col: str,
     rt = right.map_batches(tag2(1, rts), batch_format="pyarrow")
 
     def to_arrow_like(df):
-        # align carry frames to the tagged-right arrow schema
-        cols = [c for c in df.columns
-                if c not in ("__us", "__kshard")]
+        # align carry frames to the tagged-right arrow schema, in the
+        # same canonical (sorted) column order as tag2's output
+        cols = sorted(c for c in df.columns
+                      if c not in ("__us", "__kshard"))
         return pa.Table.from_pandas(df[cols], preserve_index=False)
 
     ct = carries.map_batches(carry_tag, batch_format="pandas") \

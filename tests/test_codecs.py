@@ -113,9 +113,9 @@ def test_unsupported_format_still_raises():
     from pyschema_ray.functions.multimodal import ImageDecoder
 
     dec = ImageDecoder()
-    # PNG is still stubbed (JPEG now decodes for real via jpeg.py)
+    # WEBP remains stubbed (JPEG/PNG now decode for real)
     with pytest.raises(NotImplementedError, match="no codec"):
-        dec._decode_one(b"\x89PNG\r\n\x1a\n png-ish bytes")
+        dec._decode_one(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
 
 def test_y4m_round_trip_and_colourspaces():
