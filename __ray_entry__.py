@@ -61,8 +61,14 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     nb = os.environ.get("PSR_NUM_BLOCKS")  # block-count stress knob
     if nb:
         kw["override_num_blocks"] = int(nb)
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
-                                 columns=columns, **kw)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                               columns=columns, **kw)
+    # strip the files' pandas metadata: pa.Schema with metadata is
+    # unhashable in pyarrow 16.1, and every downstream schema-dedupe
+    # in Ray then logs "Failed to hash the schemas".  Metadata-only
+    # table op, fuses with the read task.
+    return ds.map_batches(lambda t: t.replace_schema_metadata(None),
+                          batch_format="pyarrow")
 
 
 def _collect(ds, empty_schema: pa.Schema | None = None) -> pa.Table:

@@ -69,5 +69,65 @@ def install() -> bool:
                         enforce_schemas=enforce_schemas)
 
     ses.dedupe_schemas_with_validation = dedupe_schemas_with_validation
+    _install_unify_hash_fix()
+    _install_pandas_meta_strip()
     _installed = True
+    return True
+
+
+def _install_pandas_meta_strip() -> bool:
+    """Strip the ``b'pandas'`` schema metadata that
+    ``pa.Table.from_pandas`` attaches when Ray converts a pandas block
+    to Arrow (``PandasBlockAccessor.to_arrow``).  That metadata makes
+    the schema unhashable (see :func:`_install_unify_hash_fix`) and
+    tells downstream nothing — Ray rebuilds pandas frames
+    column-by-column and never consults it.  Patching the conversion
+    is worker-effective: the conversion always runs inside the task
+    that executes one of our UDFs, and unpickling the UDF imports this
+    package, which installs the patch."""
+    try:
+        from ray.data._internal.pandas_block import PandasBlockAccessor
+        original = PandasBlockAccessor.to_arrow
+    except (ImportError, AttributeError):
+        return False
+    if getattr(original, "__psr_patched__", False):
+        return True
+
+    def to_arrow(self):
+        t = original(self)
+        if t.schema.metadata:
+            t = t.replace_schema_metadata(None)
+        return t
+
+    to_arrow.__psr_patched__ = True
+    PandasBlockAccessor.to_arrow = to_arrow
+    return True
+
+
+def _install_unify_hash_fix() -> bool:
+    """Ray's ``unify_schemas`` dedupes input schemas via ``set(...)``,
+    but ``hash(pa.Schema)`` raises ``unhashable type: 'dict'`` whenever
+    the schema carries key-value metadata (pyarrow 16.1) — and every
+    Arrow block converted from a pandas ``map_groups`` output carries
+    ``b'pandas'`` metadata.  Each shuffle-reduce over such blocks then
+    logs "Failed to hash the schemas (for deduplication)" and skips the
+    early exit.  Stripping metadata before unification restores both
+    the silence and the fast path; the metadata is block-lineage trivia
+    Ray never reads."""
+    try:
+        from ray.data._internal.arrow_ops import transform_pyarrow as tp
+        original = tp.unify_schemas
+    except (ImportError, AttributeError):
+        return False
+    if getattr(original, "__psr_patched__", False):
+        return True
+
+    def unify_schemas(schemas, *, promote_types=False):
+        schemas = [s.remove_metadata()
+                   if getattr(s, "metadata", None) else s
+                   for s in schemas]
+        return original(schemas, promote_types=promote_types)
+
+    unify_schemas.__psr_patched__ = True
+    tp.unify_schemas = unify_schemas
     return True

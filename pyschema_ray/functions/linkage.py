@@ -46,20 +46,7 @@ def levenshtein_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     n = len(a)
     if n == 0:
         return np.zeros(0, np.int64)
-
-    def to_mat(arr):
-        lens = np.fromiter((len(s) for s in arr), np.int64, n)
-        lmax = int(lens.max()) if n else 0
-        m = np.zeros((n, max(lmax, 1)), np.uint32)
-        cat = "".join(arr)
-        flat = np.frombuffer(cat.encode("utf-32-le"), np.uint32)
-        pos = np.arange(len(flat)) - np.repeat(
-            np.cumsum(lens) - lens, lens)
-        m[np.repeat(np.arange(n), lens), pos] = flat
-        return m, lens
-
-    ma, la = to_mat(a)
-    mb, lb = to_mat(b)
+    ma, la, mb, lb = _codepoint_mats(a, b)
     L1, L2 = ma.shape[1], mb.shape[1]
     # dp[j] = edit distance between a[:i] and b[:j], per pair —
     # int64 so the prefix-min rewrite below may go negative safely
@@ -82,6 +69,59 @@ def levenshtein_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         nxt[:, 1:] = np.minimum(run, (d0 + 1)[:, None] + jb)
         dp = np.where(alive[:, None], nxt, prev)
     return dp[np.arange(n), lb].astype(np.int64)
+
+
+def _codepoint_mats(a: np.ndarray, b: np.ndarray):
+    """Aligned object-string arrays -> padded uint32 codepoint
+    matrices + length vectors (shared by both verifiers)."""
+    n = len(a)
+
+    def to_mat(arr):
+        lens = np.fromiter((len(s) for s in arr), np.int64, n)
+        lmax = int(lens.max()) if n else 0
+        m = np.zeros((n, max(lmax, 1)), np.uint32)
+        cat = "".join(arr)
+        flat = np.frombuffer(cat.encode("utf-32-le"), np.uint32)
+        pos = np.arange(len(flat)) - np.repeat(
+            np.cumsum(lens) - lens, lens)
+        m[np.repeat(np.arange(n), lens), pos] = flat
+        return m, lens
+
+    ma, la = to_mat(a)
+    mb, lb = to_mat(b)
+    return ma, la, mb, lb
+
+
+def one_edit_distance_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Exact edit distances CLAMPED at 2 (0, 1, or 2 meaning ">1"),
+    vectorized across pairs in O(n x Lmax) — no DP.  Uses the classic
+    one-edit characterization: ED <= 1 iff |la-lb| <= 1 and
+    longest-common-prefix + longest-common-suffix covers all but at
+    most the one edited position."""
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    ma, la, mb, lb = _codepoint_mats(a, b)
+    lmin = np.minimum(la, lb)
+    width = max(int(lmin.max()), 1)
+    j = np.arange(width, dtype=np.int64)[None, :]
+    valid = j < lmin[:, None]
+    # lcp = length of the leading all-equal run over VALID positions
+    # (rows whose whole overlap matches have an all-True masked row,
+    # where argmin would wrongly return 0 — map them to lmin)
+    eq_f = (ma[:, :width] == mb[:, :width]) | ~valid
+    lcp = np.where(eq_f.all(axis=1), lmin, np.argmin(eq_f, axis=1))
+    rows = np.arange(n)[:, None]
+    ra = ma[rows, np.maximum(la[:, None] - 1 - j, 0)]
+    rb = mb[rows, np.maximum(lb[:, None] - 1 - j, 0)]
+    eq_b = (ra == rb) | ~valid
+    lcs = np.where(eq_b.all(axis=1), lmin, np.argmin(eq_b, axis=1))
+    diff = np.abs(la - lb)
+    zero = (diff == 0) & (lcp == la) & (la == lb)
+    one = ~zero & (
+        ((diff == 1) & (lcp + lcs >= lmin))
+        | ((diff == 0) & (lcp + lcs >= la - 1)))
+    return np.where(zero, 0, np.where(one, 1, 2)).astype(np.int64)
 
 
 def fuzzy_name_pairs(ds, name_col: str = "p_name",
@@ -125,35 +165,78 @@ def fuzzy_name_pairs(ds, name_col: str = "p_name",
             "name": pa.array(names[r].astype(object), pa.string()),
         })
 
+    def _verify(na: np.ndarray, nb: np.ndarray) -> np.ndarray:
+        """Edit distances for aligned name arrays; max_dist == 1 uses
+        the O(L) one-edit check instead of the full DP, and a length
+        prefilter skips the DP for pairs it cannot accept."""
+        if max_dist == 1:
+            return one_edit_distance_pairs(na, nb)
+        la = np.fromiter((len(s) for s in na), np.int64, len(na))
+        lb = np.fromiter((len(s) for s in nb), np.int64, len(nb))
+        d = np.full(len(na), max_dist + 1, np.int64)
+        m = np.abs(la - lb) <= max_dist
+        if m.any():
+            d[m] = levenshtein_pairs(na[m], nb[m])
+        return d
+
     def emit_pairs(df):
+        # pairs are emitted AND verified inside the word-shard group
+        # (the names are already co-located here), so the pair
+        # DISTINCT exchange below carries only surviving
+        # (key_a, key_b, dist) rows — never name payloads.  A pair
+        # sharing several words is verified once per word (<= words
+        # per name), the price of collapsing the candidate exchange.
+        #
+        # LENGTH BAND (exact): |len(a) - len(b)| > max_dist implies
+        # dist > max_dist, so each block is sorted by name length and
+        # only in-band pairs are generated at all — on natural-text
+        # blocks this cuts the candidate count several-fold before
+        # any verification runs.
         import pandas as pd
 
-        df = df.sort_values(["word", "key"], kind="stable") \
-            .drop_duplicates(["word", "key"])
+        df = df.drop_duplicates(["word", "key"]).copy()
+        df["__len"] = df["name"].str.len()
+        df = df.sort_values(["word", "__len", "key"], kind="stable")
         w = df["word"].to_numpy(dtype=object)
+        lens = df["__len"].to_numpy().astype(np.int64)
         starts, sizes = _group_starts(w)
         ok = sizes <= max_block
         starts, sizes = starts[ok], sizes[ok]
-        ia, ib = _triu_pairs(starts, sizes)
+        ia_parts, ib_parts = [], []
+        for s, m in zip(starts, sizes):  # one iteration per WORD
+            gl = lens[s:s + m]
+            jj = np.arange(m, dtype=np.int64)
+            lo = np.searchsorted(gl, gl - max_dist, side="left")
+            counts = jj - lo
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            off = np.zeros(m, np.int64)
+            np.cumsum(counts[:-1], out=off[1:])
+            ib_l = np.repeat(jj, counts)
+            ia_l = np.repeat(lo, counts) \
+                + (np.arange(total) - np.repeat(off, counts))
+            ia_parts.append(ia_l + s)
+            ib_parts.append(ib_l + s)
+        if not ia_parts:
+            kd = df["key"].dtype  # pinned: key may be int or string
+            return pd.DataFrame({"key_a": pd.Series([], dtype=kd),
+                                 "key_b": pd.Series([], dtype=kd),
+                                 "dist": pd.Series([], dtype=np.int64)})
+        ia = np.concatenate(ia_parts)
+        ib = np.concatenate(ib_parts)
         keys = df["key"].to_numpy()
         names = df["name"].to_numpy(dtype=object)
+        d = _verify(names[ia], names[ib])
+        keep = d <= max_dist
+        ka, kb = keys[ia][keep], keys[ib][keep]
         return pd.DataFrame({
-            "key_a": keys[ia], "key_b": keys[ib],
-            "name_a": names[ia], "name_b": names[ib],
+            "key_a": np.minimum(ka, kb), "key_b": np.maximum(ka, kb),
+            "dist": d[keep],
         })
 
     cand = ds.map_batches(block_rows, batch_format="pyarrow") \
         .groupby("wshard").map_groups(emit_pairs, batch_format="pandas")
-    cand = distinct_pairs(cand)
-
-    def verify(df):
-        if df.empty:
-            return df[["key_a", "key_b"]].assign(
-                dist=np.zeros(0, np.int64))
-        d = levenshtein_pairs(df["name_a"].to_numpy(dtype=object),
-                              df["name_b"].to_numpy(dtype=object))
-        out = df.loc[d <= max_dist, ["key_a", "key_b"]].copy()
-        out["dist"] = d[d <= max_dist]
-        return out
-
-    return cand.map_batches(verify, batch_format="pandas")
+    # dist is a pure function of the pair, so any duplicate row
+    # carries the same value; min_col just fixes the kept row
+    return distinct_pairs(cand, min_col="dist")

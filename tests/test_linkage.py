@@ -35,6 +35,37 @@ def test_levenshtein_pairs_parity():
     assert got.tolist() == want
 
 
+def test_one_edit_distance_pairs_parity():
+    """O(L) clamped-at-2 fast path agrees with min(DP, 2) over an
+    edit-heavy random mix (many true 0/1-distance pairs)."""
+    import random
+
+    from pyschema_ray.functions.linkage import one_edit_distance_pairs
+
+    random.seed(7)
+    a, b = [], []
+    for _ in range(600):
+        s = "".join(random.choices("abc", k=random.randint(0, 8)))
+        t = list(s)
+        op = random.randrange(4)
+        if op == 0 and t:                      # substitute
+            t[random.randrange(len(t))] = random.choice("abc")
+        elif op == 1:                          # insert
+            t.insert(random.randint(0, len(t)), random.choice("abc"))
+        elif op == 2 and t:                    # delete
+            del t[random.randrange(len(t))]
+        # op == 3: identical
+        a.append(s)
+        b.append("".join(t))
+    # adversarial exact cases for the lcp+lcs characterization
+    a += ["", "", "a", "ab", "abc", "abc", "abcd", "aaa", "aba"]
+    b += ["", "a", "", "ba", "abc", "acb", "abc", "aaaa", "bab"]
+    got = one_edit_distance_pairs(np.array(a, object),
+                                  np.array(b, object))
+    want = [min(_ref_lev(x, y), 2) for x, y in zip(a, b)]
+    assert got.tolist() == want
+
+
 def _names_ds(rows):
     return rd.from_arrow(pa.table({
         "key": pa.array([k for k, _ in rows], pa.int64()),
@@ -57,6 +88,24 @@ def test_fuzzy_name_pairs_blocking_and_verify():
     # (1,3)/(2,3) share 'red' but dist > 2; 5 shares no word with
     # anything; null name ignored
     assert got == [(1, 2, 1)]
+
+
+def test_fuzzy_name_pairs_max_dist_one_fast_path():
+    rows = [(1, "red widget"), (2, "red widgets"), (3, "red widgett"),
+            (4, "red gadget"), (5, "red widge")]
+    ds = _names_ds(rows)
+    out = pa.concat_tables(
+        [b for b in fuzzy_name_pairs(ds, name_col="name",
+                                     key_col="key", max_dist=1)
+         .iter_batches(batch_format="pyarrow") if b.num_rows]) \
+        .sort_by([("key_a", "ascending"), ("key_b", "ascending")])
+    got = list(zip(out["key_a"].to_pylist(), out["key_b"].to_pylist(),
+                   out["dist"].to_pylist()))
+    # widget~widgets~widgett are one edit apart pairwise except
+    # widgets/widgett (substitution at last char: also 1);
+    # widge is 1 delete from widget, 2 from widgets/widgett;
+    # gadget is 2+ from all
+    assert got == [(1, 2, 1), (1, 3, 1), (1, 5, 1), (2, 3, 1)]
 
 
 def test_fuzzy_max_block_cap_drops_boilerplate():
