@@ -200,31 +200,31 @@ def fuzzy_name_pairs(ds, name_col: str = "p_name",
         w = df["word"].to_numpy(dtype=object)
         lens = df["__len"].to_numpy().astype(np.int64)
         starts, sizes = _group_starts(w)
-        ok = sizes <= max_block
-        starts, sizes = starts[ok], sizes[ok]
-        ia_parts, ib_parts = [], []
-        for s, m in zip(starts, sizes):  # one iteration per WORD
-            gl = lens[s:s + m]
-            jj = np.arange(m, dtype=np.int64)
-            lo = np.searchsorted(gl, gl - max_dist, side="left")
-            counts = jj - lo
-            total = int(counts.sum())
-            if total == 0:
-                continue
-            off = np.zeros(m, np.int64)
-            np.cumsum(counts[:-1], out=off[1:])
-            ib_l = np.repeat(jj, counts)
-            ia_l = np.repeat(lo, counts) \
-                + (np.arange(total) - np.repeat(off, counts))
-            ia_parts.append(ia_l + s)
-            ib_parts.append(ib_l + s)
-        if not ia_parts:
+        n = len(w)
+        # banded pairing vectorized ACROSS word groups: a composite
+        # sort key (group_id * K + len, K > len_max + max_dist) keeps
+        # every searchsorted probe inside its own group (the probe is
+        # clamped at the group floor), so one global searchsorted
+        # replaces a per-word Python loop — word groups are
+        # vocabulary-many on natural text
+        gid = np.repeat(np.arange(len(starts), dtype=np.int64), sizes)
+        K = (int(lens.max()) if n else 0) + max_dist + 2
+        ckey = gid * K + lens
+        lo = np.searchsorted(
+            ckey, gid * K + np.maximum(lens - max_dist, 0), side="left")
+        counts = np.arange(n, dtype=np.int64) - lo
+        counts[np.repeat(sizes > max_block, sizes)] = 0
+        total = int(counts.sum())
+        if total == 0:
             kd = df["key"].dtype  # pinned: key may be int or string
             return pd.DataFrame({"key_a": pd.Series([], dtype=kd),
                                  "key_b": pd.Series([], dtype=kd),
                                  "dist": pd.Series([], dtype=np.int64)})
-        ia = np.concatenate(ia_parts)
-        ib = np.concatenate(ib_parts)
+        off = np.zeros(n, np.int64)
+        np.cumsum(counts[:-1], out=off[1:])
+        ib = np.repeat(np.arange(n, dtype=np.int64), counts)
+        ia = np.repeat(lo, counts) + (np.arange(total) -
+                                      np.repeat(off, counts))
         keys = df["key"].to_numpy()
         names = df["name"].to_numpy(dtype=object)
         d = _verify(names[ia], names[ib])
