@@ -108,6 +108,47 @@ def test_fuzzy_name_pairs_max_dist_one_fast_path():
     assert got == [(1, 2, 1), (1, 3, 1), (1, 5, 1), (2, 3, 1)]
 
 
+def test_fuzzy_duplicate_heavy_expansion():
+    """Dedup-first path: identical names expand to within-group
+    pairs (dist 0) and group-pair cross products (dist 1), exactly
+    matching the instance-level brute force."""
+    rows = [(1, "red widget"), (2, "red widget"), (3, "red widget"),
+            (4, "red widgets"), (5, "red widgets"), (6, "blue gear")]
+    ds = _names_ds(rows)
+    out = pa.concat_tables(
+        [b for b in fuzzy_name_pairs(ds, name_col="name",
+                                     key_col="key", max_dist=1)
+         .iter_batches(batch_format="pyarrow") if b.num_rows]) \
+        .sort_by([("key_a", "ascending"), ("key_b", "ascending")])
+    got = list(zip(out["key_a"].to_pylist(), out["key_b"].to_pylist(),
+                   out["dist"].to_pylist()))
+    # brute force over instances sharing a word
+    names = dict(rows)
+    want = []
+    for i in range(1, 7):
+        for j in range(i + 1, 7):
+            a, b = names[i], names[j]
+            if not set(a.split()) & set(b.split()):
+                continue
+            d = _ref_lev(a, b)
+            if d <= 1:
+                want.append((i, j, d))
+    assert got == sorted(want)
+
+
+def test_fuzzy_max_block_counts_instances():
+    # 6 instances of ONE distinct name: the block holds 6 INSTANCES
+    # (> 5 -> dropped, so no dist-0 pairs) though only 1 distinct
+    # name (<= 5) — the cap must count instances
+    rows = [(i, "widget") for i in range(6)]
+    ds = _names_ds(rows)
+    out = [b for b in fuzzy_name_pairs(ds, name_col="name",
+                                       key_col="key", max_dist=1,
+                                       max_block=5)
+           .iter_batches(batch_format="pyarrow") if b.num_rows]
+    assert not out
+
+
 def test_fuzzy_max_block_cap_drops_boilerplate():
     rows = [(i, f"common name{i}") for i in range(20)]
     ds = _names_ds(rows)
