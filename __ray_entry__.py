@@ -2298,6 +2298,166 @@ def _q_bpe_token_totals(sf_dir: str) -> pa.Table:
     return _collect(out).sort_by("source")
 
 
+def _q_returned_item_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q10-shaped pipeline: lineitem filtered to returned rows
+    with revenue pre-aggregated per (orderkey) per batch (combiner),
+    ONE shuffle join against the date-windowed orders, a second
+    combiner to (custkey, cents), exact distributed top-20 customers
+    by revenue — and ONLY THEN are the 20 winners enriched with
+    customer/nation attributes on the driver (a 20-row join; the
+    full customer table never enters an exchange)."""
+    import ray.data.aggregate as A
+    import pyarrow.parquet as pq
+
+    from pyschema_ray.functions.joins import shuffle_join
+
+    lo = np.datetime64("1996-01-01T00:00:00", "us").astype(np.int64)
+    hi = np.datetime64("1996-07-01T00:00:00", "us").astype(np.int64)
+
+    def li_f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        cents = pc.cast(pc.round(pc.multiply(pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"])), 100.0),
+            round_mode="half_towards_infinity"), pa.int64())
+        g = pa.table({"l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                      "cents": cents}) \
+            .group_by("l_orderkey").aggregate([("cents", "sum")])
+        return g.rename_columns(["l_orderkey", "cents"])
+
+    def ord_f(t: pa.Table) -> pa.Table:
+        dt = pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                     pa.int64())
+        t = t.filter(pc.and_(pc.greater_equal(dt, lo), pc.less(dt, hi)))
+        return pa.table({"o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                         "o_custkey": pc.cast(t["o_custkey"], pa.int64())})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_returnflag"]) \
+        .map_batches(li_f, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(ord_f, batch_format="pyarrow")
+    joined = shuffle_join(li, orders, on="l_orderkey",
+                          right_on="o_orderkey")
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"c_custkey": t["o_custkey"], "cents": t["cents"]}) \
+            .group_by("c_custkey").aggregate([("cents", "sum")])
+        return g.rename_columns(["c_custkey", "revenue_cents"])
+
+    per_cust = joined.map_batches(cust_partial, batch_format="pyarrow") \
+        .groupby("c_custkey").aggregate(
+            A.Sum("revenue_cents", alias_name="revenue_cents"))
+
+    # exact distributed top-20: per-block heads, then one tiny final head
+    def head20(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("revenue_cents", "descending"),
+                       ("c_custkey", "ascending")])
+        return t.slice(0, 20)
+
+    top = _collect(per_cust.map_batches(head20, batch_format="pyarrow")
+                   .repartition(1)
+                   .map_batches(head20, batch_format="pyarrow"))
+    top = pa.table({"c_custkey": pc.cast(top["c_custkey"], pa.int64()),
+                    "revenue_cents": pc.cast(top["revenue_cents"],
+                                             pa.int64())})
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_name", "c_acctbal",
+                                  "c_nationkey"])
+    cust = pa.table({"c_custkey": pc.cast(cust["c_custkey"], pa.int64()),
+                     "c_name": cust["c_name"],
+                     "c_acctbal": cust["c_acctbal"],
+                     "c_nationkey": pc.cast(cust["c_nationkey"],
+                                            pa.int64())})
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    nation = pa.table({"n_nationkey": pc.cast(nation["n_nationkey"],
+                                              pa.int64()),
+                       "n_name": nation["n_name"]})
+    out = top.join(cust, keys="c_custkey") \
+        .join(nation, keys="c_nationkey", right_keys="n_nationkey") \
+        .select(["c_custkey", "c_name", "n_name", "c_acctbal",
+                 "revenue_cents"])
+    return out.sort_by([("revenue_cents", "descending"),
+                        ("c_custkey", "ascending")])
+
+
+def _q_large_volume_customers(sf_dir: str) -> pa.Table:
+    """TPC-H Q18-shaped pipeline: per-order quantity totals via
+    per-batch combiner + groupby-sum, HAVING sum > 200 leaves a rare
+    key set (the point of the query), which broadcasts back as a
+    filter on the orders read (ray.put key set, no shuffle); the
+    few surviving orders enrich with customer names driver-side.
+    Quantities are integral-valued doubles -> exact int64 math."""
+    import ray
+    import ray.data.aggregate as A
+    import pyarrow.parquet as pq
+
+    def li_f(t: pa.Table) -> pa.Table:
+        g = pa.table({"l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                      "qty": pc.cast(t["l_quantity"], pa.int64())}) \
+            .group_by("l_orderkey").aggregate([("qty", "sum")])
+        return g.rename_columns(["l_orderkey", "qty"])
+
+    per_order = _read(sf_dir, "lineitem",
+                      columns=["l_orderkey", "l_quantity"]) \
+        .map_batches(li_f, batch_format="pyarrow") \
+        .groupby("l_orderkey").aggregate(A.Sum("qty", alias_name="qty"))
+    big = _collect(per_order.map_batches(
+        lambda t: t.filter(pc.greater(t["qty"], 200)),
+        batch_format="pyarrow"))
+    big = pa.table({"l_orderkey": pc.cast(big["l_orderkey"], pa.int64()),
+                    "sum_qty": pc.cast(big["qty"], pa.int64())})
+    okeys = ray.put(big["l_orderkey"].combine_chunks())
+
+    def ord_f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(pc.cast(t["o_orderkey"], pa.int64()),
+                              value_set=ray.get(okeys)))
+        return pa.table({
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+            "o_orderdate": pc.cast(t["o_orderdate"], pa.timestamp("us")),
+            "o_totalprice_cents": pc.cast(pc.round(
+                pc.multiply(t["o_totalprice"], 100.0),
+                round_mode="half_towards_infinity"), pa.int64())})
+
+    orders = _collect(_read(sf_dir, "orders").map_batches(
+        ord_f, batch_format="pyarrow"))
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_name"])
+    cust = pa.table({"c_custkey": pc.cast(cust["c_custkey"], pa.int64()),
+                     "c_name": cust["c_name"]})
+    out = big.join(orders, keys="l_orderkey", right_keys="o_orderkey") \
+        .join(cust, keys="o_custkey", right_keys="c_custkey")
+    out = pa.table({"c_name": out["c_name"],
+                    "c_custkey": out["o_custkey"],
+                    "o_orderkey": out["l_orderkey"],
+                    "o_orderdate": out["o_orderdate"],
+                    "o_totalprice_cents": out["o_totalprice_cents"],
+                    "sum_qty": out["sum_qty"]})
+    return out.sort_by([("o_totalprice_cents", "descending"),
+                        ("o_orderkey", "ascending")])
+
+
+def _q_doc_ntile_buckets(sf_dir: str) -> pa.Table:
+    """Global window function: ntile(10) over the corpus-wide order
+    (n_chars, doc_id) — histogram-based range partitioning, per-shard
+    rank + broadcast base offsets (functions/ordered.py)."""
+    from pyschema_ray.functions.ordered import global_ntile
+
+    out = global_ntile(_read(sf_dir, "documents",
+                             columns=["doc_id", "n_chars"]),
+                       value_col="n_chars", key_col="doc_id",
+                       n_buckets=10)
+    t = _collect(out)
+    return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                     "n_chars": pc.cast(t["n_chars"], pa.int64()),
+                     "bucket": pc.cast(t["bucket"], pa.int64())}) \
+        .sort_by("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core validation engine (oracle-checked)
@@ -2382,6 +2542,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_report": _q_corpus_report,
         "fuzzy_part_pairs": _q_fuzzy_part_pairs,
         "hot_users_by_events": _q_hot_users_by_events,
+        "returned_item_revenue": _q_returned_item_revenue,
+        "large_volume_customers": _q_large_volume_customers,
+        "doc_ntile_buckets": _q_doc_ntile_buckets,
         "events_pivot": _q_events_pivot,
         # sketches / scoring (rows-only)
         "ndv_user_id_hll": _q_ndv_user_id_hll,
@@ -2600,6 +2763,47 @@ def oracle_sql() -> dict[str, str]:
               JOIN customer ON o_custkey = c_custkey
               JOIN nation ON c_nationkey = n_nationkey
              GROUP BY n_name ORDER BY n_name
+        """,
+        "returned_item_revenue": """
+            WITH rev AS (
+                SELECT o_custkey AS c_custkey,
+                       CAST(sum(CAST(round(
+                           l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS revenue_cents
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                 WHERE l_returnflag = 'R'
+                   AND o_orderdate >= TIMESTAMP '1996-01-01'
+                   AND o_orderdate <  TIMESTAMP '1996-07-01'
+                 GROUP BY 1),
+            top AS (SELECT * FROM rev
+                     ORDER BY revenue_cents DESC, c_custkey LIMIT 20)
+            SELECT c.c_custkey, c_name, n_name, c_acctbal, revenue_cents
+              FROM top t
+              JOIN customer c ON t.c_custkey = c.c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+             ORDER BY revenue_cents DESC, c.c_custkey
+        """,
+        "large_volume_customers": """
+            WITH big AS (
+                SELECT l_orderkey,
+                       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                           AS sum_qty
+                  FROM lineitem GROUP BY l_orderkey
+                HAVING sum(CAST(l_quantity AS BIGINT)) > 200)
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   CAST(round(o_totalprice * 100) AS BIGINT)
+                       AS o_totalprice_cents,
+                   sum_qty
+              FROM big
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+             ORDER BY o_totalprice_cents DESC, o_orderkey
+        """,
+        "doc_ntile_buckets": """
+            SELECT doc_id, n_chars,
+                   CAST(ntile(10) OVER (ORDER BY n_chars, doc_id)
+                        AS BIGINT) AS bucket
+              FROM documents ORDER BY doc_id
         """,
         "user_session_counts": """
             WITH gaps AS (

@@ -78,6 +78,8 @@ QUERY_SUBSET = [
     "simhash_dup_pairs", "stats_per_source", "top_docs_per_source",
     "top_revenue_orders", "top_sources_by_chars", "top_terms_per_doc",
     "top_words", "user_sessions", "word_frequencies", "word_repetition",
+    # round-5 additions
+    "returned_item_revenue", "large_volume_customers", "doc_ntile_buckets",
 ]
 
 

@@ -223,3 +223,87 @@ def windowed_duplicate_counts(ds, key_col: str = "user_id",
         .groupby("kshard").map_groups(scan, batch_format="pyarrow")
     return per_shard.repartition(1).map_batches(total,
                                                 batch_format="pyarrow")
+
+
+def global_ntile(ds, value_col: str, key_col: str, n_buckets: int,
+                 num_shards: int | None = None):
+    """GLOBAL ntile: every row's bucket (1..n_buckets) under the total
+    order ``ORDER BY value_col, key_col`` — the one window shape that
+    cannot be decomposed per key (SQL: ``ntile(k) OVER (ORDER BY v,
+    key)``).
+
+    NO global sort operator.  Pass 1 exchanges per-VALUE counts (a
+    bounded-cardinality histogram — counts, never rows); the driver
+    packs contiguous distinct values into ``num_shards`` range shards
+    of near-even row weight (O(distinct values) driver work) and
+    computes each shard's cumulative base offset.  Pass 2 tags rows
+    with their range shard (searchsorted over broadcast boundaries),
+    groups by shard, sorts WITHIN the shard only and emits
+    ``bucket = ntile(shard_base + local_rank)``.
+
+    Partitioning contract: rows of ONE distinct value co-locate (their
+    relative rank is decided by key order inside the value run), so a
+    single pathologically hot value is a hot shard — inherent to exact
+    rank; the histogram pass is where a planner would detect it and
+    split on (value, key-range) with base offsets per key range.
+    """
+    import ray
+    import ray.data.aggregate as A
+
+    nb = num_shards or _default_shards()
+
+    counts = ds.select_columns([value_col]) \
+        .map_batches(lambda t: t.group_by([value_col]).aggregate(
+            [([], "count_all")]).rename_columns([value_col, "n"]),
+            batch_format="pyarrow") \
+        .groupby(value_col).aggregate(A.Sum("n", alias_name="n"))
+    parts = [b for b in counts.iter_batches(batch_format="pyarrow")
+             if b.num_rows]
+    if not parts:
+        return ray.data.from_arrow(pa.table({
+            key_col: pa.array([], pa.int64()),
+            value_col: pa.array([], pa.int64()),
+            "bucket": pa.array([], pa.int64())}))
+    hist = pa.concat_tables(parts).sort_by(value_col)
+    vals = hist[value_col].to_numpy(zero_copy_only=False)
+    ns = hist["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    total = int(ns.sum())
+    # greedy pack: split the cumulative row weight at nb even targets
+    cum = np.cumsum(ns)
+    targets = (np.arange(1, nb) * total) // nb
+    splits = np.unique(np.searchsorted(cum, targets, side="left"))
+    splits = splits[splits < len(vals) - 1]
+    shard_start_idx = np.r_[np.int64(0), splits + 1]
+    bases = np.r_[np.int64(0), cum[:-1]][shard_start_idx]
+    # boundary value of each shard (first distinct value it owns)
+    bound_vals = vals[shard_start_idx]
+    bref = ray.put((bound_vals, bases))
+    q, rem = divmod(total, n_buckets)
+    cutoff = rem * (q + 1)
+
+    def tag(t: pa.Table) -> pa.Table:
+        bounds, _ = ray.get(bref)
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        sid = np.searchsorted(bounds, v, side="right") - 1
+        return t.append_column(
+            "rshard", pa.array(sid.astype(np.int64), pa.int64()))
+
+    def rank_shard(t: pa.Table) -> pa.Table:
+        _, base_arr = ray.get(bref)
+        sid = int(t["rshard"][0].as_py())
+        t = t.sort_by([(value_col, "ascending"),
+                       (key_col, "ascending")])
+        r = base_arr[sid] + np.arange(t.num_rows, dtype=np.int64)
+        if q == 0:
+            bucket = r + 1
+        else:
+            bucket = np.where(r < cutoff, r // (q + 1),
+                              rem + (r - cutoff) // q) + 1
+        return pa.table({key_col: t[key_col], value_col: t[value_col],
+                         "bucket": pa.array(bucket.astype(np.int64),
+                                            pa.int64())})
+
+    return ds.select_columns([value_col, key_col]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("rshard").map_groups(rank_shard,
+                                      batch_format="pyarrow")

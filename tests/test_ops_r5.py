@@ -1,0 +1,118 @@
+"""Round-5 operators: global ntile (window-function rank), Q10/Q18
+shaped pipelines."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+
+def _tbl(ds):
+    tables = [b for b in ds.iter_batches(batch_format="pyarrow")
+              if b.num_rows]
+    return pa.concat_tables(tables) if tables else None
+
+
+def _ref_ntile(vals, keys, k):
+    """Reference ntile: sort by (val, key), split n rows into k buckets
+    with the first n%k buckets one row larger (SQL ntile semantics)."""
+    order = np.lexsort((keys, vals))
+    n = len(vals)
+    q, rem = divmod(n, k)
+    out = np.empty(n, np.int64)
+    r = np.arange(n)
+    cutoff = rem * (q + 1)
+    if q == 0:
+        b = r + 1
+    else:
+        b = np.where(r < cutoff, r // (q + 1),
+                     rem + (r - cutoff) // q) + 1
+    out[order] = b
+    return out
+
+
+def _check(vals, keys, k, num_shards):
+    from pyschema_ray.functions.ordered import global_ntile
+
+    t = pa.table({"v": pa.array(vals, pa.int64()),
+                  "key": pa.array(keys, pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(4)
+    out = _tbl(global_ntile(ds, "v", "key", k, num_shards=num_shards))
+    got = {int(r["key"]): int(r["bucket"])
+           for r in out.to_pylist()}
+    ref = _ref_ntile(np.asarray(vals), np.asarray(keys), k)
+    want = {int(kk): int(b) for kk, b in zip(keys, ref)}
+    assert got == want
+    # cross-check the reference itself against DuckDB's ntile
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    sql = con.execute(
+        f"SELECT key, ntile({k}) OVER (ORDER BY v, key) b FROM t"
+    ).fetchall()
+    assert {int(a): int(b) for a, b in sql} == want
+
+
+def test_global_ntile_matches_sql_with_ties():
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 40, size=500)          # heavy ties
+    keys = rng.permutation(500)
+    _check(vals, keys, 10, num_shards=8)
+
+
+def test_global_ntile_n_smaller_than_k():
+    _check([5, 3, 3], [1, 2, 3], 10, num_shards=4)
+
+
+def test_global_ntile_single_hot_value():
+    # one distinct value: rank is decided purely by key inside one shard
+    vals = np.zeros(100, np.int64)
+    keys = np.arange(100)[::-1].copy()
+    _check(vals, keys, 7, num_shards=8)
+
+
+def test_global_ntile_more_shards_than_values():
+    _check([1, 1, 2, 2, 3, 3], [6, 5, 4, 3, 2, 1], 3, num_shards=64)
+
+
+def test_global_ntile_empty():
+    from pyschema_ray.functions.ordered import global_ntile
+
+    t = pa.table({"v": pa.array([], pa.int64()),
+                  "key": pa.array([], pa.int64())})
+    out = _tbl(global_ntile(ray.data.from_arrow(t), "v", "key", 4))
+    assert out is None or out.num_rows == 0
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    for tname in ("lineitem", "orders", "customer", "nation",
+                  "documents"):
+        con.execute(
+            f"CREATE VIEW {tname} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{tname}.parquet')")
+    return con
+
+
+def test_returned_item_revenue_vs_duckdb():
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    got = e.queries()["returned_item_revenue"](sf).to_pandas()
+    want = _duck(sf).execute(e.oracle_sql()["returned_item_revenue"]).df()
+    assert list(got.columns) == list(want.columns)
+    assert got["c_custkey"].tolist() == want["c_custkey"].tolist()
+    assert got["revenue_cents"].tolist() == want["revenue_cents"].tolist()
+
+
+def test_large_volume_customers_vs_duckdb():
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    got = e.queries()["large_volume_customers"](sf).to_pandas()
+    want = _duck(sf).execute(e.oracle_sql()["large_volume_customers"]).df()
+    assert list(got.columns) == list(want.columns)
+    assert got["o_orderkey"].tolist() == want["o_orderkey"].tolist()
+    assert got["sum_qty"].tolist() == want["sum_qty"].tolist()
+    assert (got["o_totalprice_cents"].tolist()
+            == want["o_totalprice_cents"].tolist())
