@@ -71,6 +71,14 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
                           batch_format="pyarrow")
 
 
+def _tables_bytes(sf_dir: str, *tables: str) -> int:
+    """Combined on-disk size of the named parquet tables — the
+    size hint that drives shuffle-join partition counts (bytes-
+    proportional at scale, floor of 8 locally)."""
+    return sum(os.path.getsize(os.path.join(sf_dir, f"{t}.parquet"))
+               for t in tables)
+
+
 def _collect(ds, empty_schema: pa.Schema | None = None) -> pa.Table:
     tables = [t for t in ds.iter_batches(batch_format="pyarrow",
                                          batch_size=65536) if t.num_rows]
@@ -554,7 +562,9 @@ def _q_top_revenue_orders(sf_dir: str) -> pa.Table:
         .map_batches(line_partial, batch_format="pyarrow")
 
     joined = shuffle_join(line, orders, on="l_orderkey",
-                          right_on="o_orderkey")
+                          right_on="o_orderkey",
+                          size_hint_bytes=_tables_bytes(
+                              sf_dir, "lineitem", "orders"))
     agg = joined.groupby(["l_orderkey", "o_orderdate",
                           "o_orderpriority"]).aggregate(A.Sum("cents"))
     t = _collect(agg)
@@ -705,13 +715,17 @@ def _q_regional_supplier_revenue(
                      columns=["c_custkey", "c_nationkey"]) \
             .map_batches(cust_f, batch_format="pyarrow")
         oc = shuffle_join(orders, cust, on="o_custkey",
-                          right_on="c_custkey") \
+                          right_on="c_custkey",
+                          size_hint_bytes=_tables_bytes(
+                              sf_dir, "orders", "customer")) \
             .map_batches(pin_oc, batch_format="pyarrow")
     line = _read(sf_dir, "lineitem",
                  columns=["l_orderkey", "l_suppkey", "l_extendedprice",
                           "l_discount"]) \
         .map_batches(line_partial, batch_format="pyarrow")
-    j = shuffle_join(line, oc, on="l_orderkey", right_on="o_orderkey")
+    j = shuffle_join(line, oc, on="l_orderkey", right_on="o_orderkey",
+                     size_hint_bytes=_tables_bytes(
+                         sf_dir, "lineitem", "orders"))
 
     def match_partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "s_nationkey" not in t.column_names:
@@ -2042,7 +2056,9 @@ def _q_customer_urgent_left_join(sf_dir: str) -> pa.Table:
             pc.equal(t["o_orderpriority"], "1-URGENT")),
             batch_format="pyarrow")
     joined = shuffle_join(cust, orders, on="c_custkey",
-                          right_on="o_custkey", join_type="left_outer")
+                          right_on="o_custkey", join_type="left_outer",
+                          size_hint_bytes=_tables_bytes(
+                              sf_dir, "customer", "orders"))
 
     def partial(t: pa.Table) -> pa.Table:
         # exact int-cents accumulation: double sums depend on
@@ -2340,7 +2356,9 @@ def _q_returned_item_revenue(sf_dir: str) -> pa.Table:
                    columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
         .map_batches(ord_f, batch_format="pyarrow")
     joined = shuffle_join(li, orders, on="l_orderkey",
-                          right_on="o_orderkey")
+                          right_on="o_orderkey",
+                          size_hint_bytes=_tables_bytes(
+                              sf_dir, "lineitem", "orders"))
 
     def cust_partial(t: pa.Table) -> pa.Table:
         g = pa.table({"c_custkey": t["o_custkey"], "cents": t["cents"]}) \
@@ -2386,30 +2404,51 @@ def _q_returned_item_revenue(sf_dir: str) -> pa.Table:
 
 def _q_large_volume_customers(sf_dir: str) -> pa.Table:
     """TPC-H Q18-shaped pipeline: per-order quantity totals via
-    per-batch combiner + groupby-sum, HAVING sum > 200 leaves a rare
-    key set (the point of the query), which broadcasts back as a
-    filter on the orders read (ray.put key set, no shuffle); the
-    few surviving orders enrich with customer names driver-side.
-    Quantities are integral-valued doubles -> exact int64 math."""
+    per-batch combiner + ONE bounded key-shard exchange (hash of the
+    orderkey onto `_default_shards()` integer shards, sorted-run sums
+    for all keys of a shard in one numpy pass — never a groupby on
+    the near-unique raw key), HAVING sum > 200 leaves a rare key set
+    (the point of the query), which broadcasts back as a filter on
+    the orders read (ray.put key set, no shuffle); the few surviving
+    orders enrich with customer names driver-side.  Quantities are
+    integral-valued doubles -> exact int64 math."""
     import ray
-    import ray.data.aggregate as A
     import pyarrow.parquet as pq
+
+    from pyschema_ray.functions.dedup import (_default_shards,
+                                              _group_starts, _key_shards)
+
+    nb = _default_shards()
 
     def li_f(t: pa.Table) -> pa.Table:
         g = pa.table({"l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
                       "qty": pc.cast(t["l_quantity"], pa.int64())}) \
             .group_by("l_orderkey").aggregate([("qty", "sum")])
-        return g.rename_columns(["l_orderkey", "qty"])
+        g = g.rename_columns(["l_orderkey", "qty"])
+        keys = g["l_orderkey"].to_numpy(zero_copy_only=False)
+        return g.append_column(
+            "kshard", pa.array(_key_shards(keys, nb), pa.int64()))
 
-    per_order = _read(sf_dir, "lineitem",
-                      columns=["l_orderkey", "l_quantity"]) \
-        .map_batches(li_f, batch_format="pyarrow") \
-        .groupby("l_orderkey").aggregate(A.Sum("qty", alias_name="qty"))
-    big = _collect(per_order.map_batches(
-        lambda t: t.filter(pc.greater(t["qty"], 200)),
-        batch_format="pyarrow"))
-    big = pa.table({"l_orderkey": pc.cast(big["l_orderkey"], pa.int64()),
-                    "sum_qty": pc.cast(big["qty"], pa.int64())})
+    def shard_sum(t: pa.Table) -> pa.Table:
+        # all partials of one orderkey land on this shard: sorted-run
+        # sums for EVERY key at once, then the HAVING filter
+        t = t.sort_by("l_orderkey")
+        keys = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        qty = t["qty"].to_numpy(zero_copy_only=False)
+        starts, sizes = _group_starts(keys)
+        sums = np.add.reduceat(qty, starts) if len(starts) else \
+            np.empty(0, np.int64)
+        keep = sums > 200
+        return pa.table({
+            "l_orderkey": pa.array(keys[starts][keep], pa.int64()),
+            "sum_qty": pa.array(sums[keep].astype(np.int64), pa.int64())})
+
+    big = _collect(
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+        .map_batches(li_f, batch_format="pyarrow")
+        .groupby("kshard").map_groups(shard_sum, batch_format="pyarrow"),
+        empty_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("sum_qty", pa.int64())]))
     okeys = ray.put(big["l_orderkey"].combine_chunks())
 
     def ord_f(t: pa.Table) -> pa.Table:

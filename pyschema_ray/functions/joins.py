@@ -64,13 +64,31 @@ def broadcast_join(ds, dim_table: pa.Table, keys, right_keys=None,
 
 
 def shuffle_join(left, right, on, right_on=None, join_type: str = "inner",
-                 num_partitions: int | None = None):
+                 num_partitions: int | None = None,
+                 size_hint_bytes: int | None = None,
+                 target_partition_bytes: int = 256 << 20):
     """Large-to-large hash-partitioned join via Ray Data's native
-    ``Dataset.join`` (both sides shuffle by key)."""
+    ``Dataset.join`` (both sides shuffle by key).
+
+    Partition count is SIZE-driven when the caller supplies
+    ``size_hint_bytes`` (combined input bytes, e.g. from parquet
+    metadata): ``ceil(bytes / target_partition_bytes)`` with a floor
+    of 8 and no CPU cap — at 100 TB the count must track data volume
+    so one partition's build side fits a task's heap, while a
+    CPU-proportional count (the fallback) would OOM.  Locally the
+    floor keeps small inputs from paying the per-partition actor
+    startup of a wide join (measured 2x on sub-10 MB joins)."""
+    import math
+
     import ray
 
     if num_partitions is None:
-        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        if size_hint_bytes is not None:
+            num_partitions = max(
+                8, math.ceil(size_hint_bytes / target_partition_bytes))
+        else:
+            num_partitions = max(
+                8, int(ray.cluster_resources().get("CPU", 8)))
     on = (on,) if isinstance(on, str) else tuple(on)
     if right_on is None:
         right_on = on
