@@ -56,13 +56,28 @@ def _documents_schema():
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    import ray
     import ray.data
+    path = os.path.join(sf_dir, f"{table}.parquet")
     kw = {}
     nb = os.environ.get("PSR_NUM_BLOCKS")  # block-count stress knob
     if nb:
         kw["override_num_blocks"] = int(nb)
-    ds = ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
-                               columns=columns, **kw)
+    else:
+        # SIZE-based block count: ~1 MB blocks locally (floor 8 for
+        # parallelism), ~128 MB blocks once the data is big enough to
+        # feed 2 tasks per core.  Ray's own default instead splits for
+        # fixed parallelism, shredding small files into dozens of
+        # KB-sized blocks whose per-task/per-sort-partition overhead
+        # dominates every downstream exchange (measured 3-9x on the
+        # sf0.1 suite); at 100 TB the cap term ceil(bytes/128MB)
+        # governs and the count tracks data volume as it must.
+        sz = os.path.getsize(path)
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        small = max(8, -(-sz // (1 << 20)))
+        cap = max(2 * cpus, -(-sz // (128 << 20)))
+        kw["override_num_blocks"] = min(small, cap)
+    ds = ray.data.read_parquet(path, columns=columns, **kw)
     # strip the files' pandas metadata: pa.Schema with metadata is
     # unhashable in pyarrow 16.1, and every downstream schema-dedupe
     # in Ray then logs "Failed to hash the schemas".  Metadata-only
@@ -2497,6 +2512,28 @@ def _q_doc_ntile_buckets(sf_dir: str) -> pa.Table:
         .sort_by("doc_id")
 
 
+def _q_duplicated_spans(sf_dir: str) -> pa.Table:
+    """Substring-level exact dedup: maximal word spans whose 3-word
+    windows all appear in >= 2 distinct documents (the cross-document
+    boilerplate a training pipeline cuts).  One bounded gram-hash
+    exchange + broadcast membership probe; span merge is a single
+    vectorized pass per batch (functions/dedup.duplicated_spans)."""
+    from pyschema_ray.functions.dedup import duplicated_spans
+
+    out = duplicated_spans(_read(sf_dir, "documents",
+                                 columns=["doc_id", "text"]),
+                           text_col="text", key_col="doc_id",
+                           k=3, min_docs=2)
+    t = _collect(out, empty_schema=pa.schema([
+        ("doc_id", pa.int64()), ("span_start", pa.int64()),
+        ("span_end", pa.int64())]))
+    return pa.table({
+        "doc_id": pc.cast(t["doc_id"], pa.int64()),
+        "span_start": pc.cast(t["span_start"], pa.int64()),
+        "span_end": pc.cast(t["span_end"], pa.int64()),
+    }).sort_by([("doc_id", "ascending"), ("span_start", "ascending")])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core validation engine (oracle-checked)
@@ -2584,6 +2621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returned_item_revenue": _q_returned_item_revenue,
         "large_volume_customers": _q_large_volume_customers,
         "doc_ntile_buckets": _q_doc_ntile_buckets,
+        "duplicated_spans": _q_duplicated_spans,
         "events_pivot": _q_events_pivot,
         # sketches / scoring (rows-only)
         "ndv_user_id_hll": _q_ndv_user_id_hll,
@@ -2837,6 +2875,51 @@ def oracle_sql() -> dict[str, str]:
               JOIN orders ON l_orderkey = o_orderkey
               JOIN customer ON o_custkey = c_custkey
              ORDER BY o_totalprice_cents DESC, o_orderkey
+        """,
+        "duplicated_spans": """
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(lower(trim(text)),
+                                                 '\\s+'),
+                           w -> w <> '') AS w
+                  FROM documents
+                 WHERE text IS NOT NULL AND trim(text) <> ''),
+            grams AS (
+                SELECT doc_id, g.i AS s,
+                       g.i + 2 AS e,
+                       w[g.i] || ' ' || w[g.i + 1] || ' ' || w[g.i + 2]
+                           AS sh
+                  FROM words, LATERAL (
+                       SELECT unnest(generate_series(1, len(w) - 2)) AS i) g
+                 WHERE len(w) >= 3
+                UNION ALL
+                SELECT doc_id, 1 AS s, len(w) AS e,
+                       array_to_string(w, ' ') AS sh
+                  FROM words WHERE len(w) BETWEEN 1 AND 2),
+            dup AS (
+                SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM grams)
+                 GROUP BY sh HAVING count(*) >= 2),
+            hits AS (
+                SELECT doc_id, s, e FROM grams JOIN dup USING (sh)),
+            marked AS (
+                SELECT doc_id, s, e,
+                       CASE WHEN s > coalesce(max(e) OVER (
+                                PARTITION BY doc_id ORDER BY s
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), -1)
+                            THEN 1 ELSE 0 END AS brk
+                  FROM hits),
+            isl AS (
+                SELECT doc_id, s, e,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY s)
+                           AS grp
+                  FROM marked)
+            SELECT doc_id,
+                   CAST(min(s) - 1 AS BIGINT) AS span_start,
+                   CAST(max(e) - 1 AS BIGINT) AS span_end
+              FROM isl GROUP BY doc_id, grp
+             ORDER BY doc_id, span_start
         """,
         "doc_ntile_buckets": """
             SELECT doc_id, n_chars,

@@ -201,7 +201,7 @@ def _ranges(counts: np.ndarray) -> np.ndarray:
 _SHINGLE_P = np.uint64(0x100000001B3)  # FNV-ish odd multiplier
 
 
-def _shingle_hashes(texts, k: int):
+def _shingle_hashes(texts, k: int, return_word_lengths: bool = False):
     """(flat uint64 k-word-shingle hashes, per-doc int64 offsets) with
     NO per-shingle string assembly: ONE Arrow lowercase+split over the
     batch, ONE SipHash pass over the flat word array, then each
@@ -261,6 +261,8 @@ def _shingle_hashes(texts, k: int):
             for i in range(L):
                 acc = acc * _SHINGLE_P + wh[sb + i]
             out[out_offsets[:-1][sel]] = acc
+    if return_word_lengths:
+        return mix64(out, 7), out_offsets, wl
     return mix64(out, 7), out_offsets
 
 
@@ -1696,3 +1698,116 @@ def ngram_jaccard_pairs(ds, text_col: str = "text",
         return out
 
     return with_b.map_batches(finish, batch_format="pandas")
+
+
+def duplicated_spans(ds, text_col: str = "text", key_col: str = "doc_id",
+                     k: int = 3, min_docs: int = 2,
+                     num_shards: int | None = None):
+    """Substring-level exact dedup (the Lee et al. 2022 "Deduplicating
+    Training Data" shape, fixed-width variant): for every document,
+    the MAXIMAL word spans all of whose k-word windows also appear in
+    at least ``min_docs`` distinct documents corpus-wide — the spans a
+    training-data pipeline would cut as cross-document boilerplate.
+
+    Window convention = the dedup shingle kernel
+    (:func:`_shingle_hashes` — lowercased whitespace words; a doc with
+    1..k-1 words contributes ONE whole-text window covering all its
+    words; empty/null docs none), identity by 64-bit hash.
+
+    Scale shape: pass 1 is the ngram-novelty df machinery — per batch
+    one vectorized shingle pass + per-doc distinct (lexsort), a
+    value-counts COMBINER, partial dfs summed on a bounded gram-hash
+    shard exchange; windows with df >= ``min_docs`` broadcast once as
+    a sorted uint64 membership array (the set is corpus-bounded and
+    SHRINKS as min_docs rises).  Pass 2 never exchanges at all: each
+    batch probes the broadcast set (searchsorted), and merges each
+    doc's overlapping hit windows [p, p+k-1] into maximal spans in one
+    numpy pass across ALL docs of the batch (break where the next hit
+    starts beyond the running end, or the doc changes).
+
+    -> Dataset(key_col, span_start int64, span_end int64), word
+    positions 0-based inclusive.
+    """
+    import ray
+
+    nb = num_shards or _default_shards()
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        sh, offs = _shingle_hashes(t[text_col], k)
+        doc_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                            np.diff(offs))
+        if len(sh) == 0:
+            return pa.table({"gshard": pa.array([], pa.int64()),
+                             "g": pa.array([], pa.int64()),
+                             "df": pa.array([], pa.int64())})
+        order = np.lexsort((sh, doc_idx))
+        d, h = doc_idx[order], sh[order]
+        first = np.ones(len(d), bool)
+        if len(d) > 1:
+            first[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+        h = h[first]                      # distinct (doc, gram)
+        hs = np.sort(h, kind="stable")
+        starts, sizes = _group_starts(hs)
+        ug = hs[starts]
+        shard = (mix64(ug, 89) % np.uint64(nb)).astype(np.int64)
+        return pa.table({"gshard": pa.array(shard, pa.int64()),
+                         "g": pa.array(ug.view(np.int64), pa.int64()),
+                         "df": pa.array(sizes, pa.int64())})
+
+    def df_total(t: pa.Table) -> pa.Table:
+        g = t.group_by("g").aggregate([("df", "sum")])
+        g = g.select(["g", "df_sum"]).rename_columns(["g", "df"])
+        g = g.filter(pc.greater_equal(g["df"], min_docs))
+        return g.select(["g"])
+
+    dup_ds = ds.map_batches(df_partial, batch_format="pyarrow") \
+        .groupby("gshard").map_groups(df_total, batch_format="pyarrow")
+    parts = [b for b in dup_ds.iter_batches(batch_format="pyarrow")
+             if b.num_rows]
+    dup = np.sort(pa.concat_tables(parts)["g"]
+                  .to_numpy(zero_copy_only=False).view(np.uint64)) \
+        if parts else np.empty(0, np.uint64)
+    dup_ref = ray.put(dup)
+
+    def spans(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            key_col: pa.array([], t.schema.field(key_col).type),
+            "span_start": pa.array([], pa.int64()),
+            "span_end": pa.array([], pa.int64())})
+        member = ray.get(dup_ref)
+        sh, offs, wl = _shingle_hashes(t[text_col], k,
+                                       return_word_lengths=True)
+        if len(sh) == 0 or len(member) == 0:
+            return empty
+        n_wins = np.diff(offs)
+        doc_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                            n_wins)
+        # window start positions (0-based) and inclusive end positions;
+        # a short doc's single whole-text window covers [0, wl-1]
+        pos = _ranges(n_wins[n_wins > 0]) if n_wins.any() \
+            else np.empty(0, np.int64)
+        ends = pos + k - 1
+        short = np.repeat(wl < k, n_wins)
+        ends[short] = np.repeat(wl, n_wins)[short] - 1
+        idx = np.searchsorted(member, sh)
+        hit = (idx < len(member)) & (member[np.minimum(
+            idx, len(member) - 1)] == sh)
+        if not hit.any():
+            return empty
+        d, p, e = doc_idx[hit], pos[hit], ends[hit]
+        # merge runs: hits are doc-major, position-ascending, and ends
+        # ascend with positions, so a span breaks exactly where the
+        # next hit starts STRICTLY past the previous end (the SQL
+        # islands rule: s > max(e) over preceding; touching merges)
+        brk = np.ones(len(d), bool)
+        if len(d) > 1:
+            brk[1:] = (d[1:] != d[:-1]) | (p[1:] > e[:-1])
+        starts = np.flatnonzero(brk)
+        last = np.append(starts[1:], len(d)) - 1
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            key_col: pa.array(keys[d[starts]]),
+            "span_start": pa.array(p[starts], pa.int64()),
+            "span_end": pa.array(e[last], pa.int64())})
+
+    return ds.map_batches(spans, batch_format="pyarrow")

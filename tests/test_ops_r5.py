@@ -116,3 +116,50 @@ def test_large_volume_customers_vs_duckdb():
     assert got["sum_qty"].tolist() == want["sum_qty"].tolist()
     assert (got["o_totalprice_cents"].tolist()
             == want["o_totalprice_cents"].tolist())
+
+
+def _spans(rows, k=3, min_docs=2):
+    from pyschema_ray.functions.dedup import duplicated_spans
+
+    t = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "text": pa.array([r[1] for r in rows], pa.string())})
+    out = _tbl(duplicated_spans(ray.data.from_arrow(t).repartition(3),
+                                k=k, min_docs=min_docs, num_shards=4))
+    if out is None:
+        return []
+    return sorted(zip(out["doc_id"].to_pylist(),
+                      out["span_start"].to_pylist(),
+                      out["span_end"].to_pylist()))
+
+
+def test_duplicated_spans_overlap_merges_touch_breaks():
+    # docs 1/2 share "a b c d" (windows at 0,1 overlap -> one span
+    # [0,3]); docs 3/4 share "p q r" and "x y z" with a non-shared
+    # word between -> two spans that touch but do not merge
+    rows = [(1, "a b c d e"), (2, "z a b c d"),
+            (3, "p q r w x y z"), (4, "p q r v x y z")]
+    got = _spans(rows)
+    assert (1, 0, 3) in got
+    assert (2, 1, 4) in got
+    assert (3, 0, 2) in got and (3, 4, 6) in got
+    assert (4, 0, 2) in got and (4, 4, 6) in got
+    assert (3, 0, 6) not in got
+
+
+def test_duplicated_spans_same_doc_repeat_not_dup():
+    # the trigram repeats WITHIN doc 1 only: df by distinct docs = 1
+    rows = [(1, "a b c q a b c"), (2, "unrelated words here")]
+    assert _spans(rows) == []
+
+
+def test_duplicated_spans_short_doc_whole_text():
+    # 2-word docs share their whole-text window -> span covers [0,1]
+    rows = [(1, "hi there"), (2, "hi there"), (3, "solo doc words")]
+    got = _spans(rows)
+    assert (1, 0, 1) in got and (2, 0, 1) in got
+    assert all(d != 3 for d, _, _ in got)
+
+
+def test_duplicated_spans_empty_and_null():
+    rows = [(1, ""), (2, None), (3, "one two three")]
+    assert _spans(rows) == []
