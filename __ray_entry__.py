@@ -2534,6 +2534,26 @@ def _q_duplicated_spans(sf_dir: str) -> pa.Table:
     }).sort_by([("doc_id", "ascending"), ("span_start", "ascending")])
 
 
+def _q_despanned_documents(sf_dir: str) -> pa.Table:
+    """Boilerplate removal composition: every duplicated span (the
+    duplicated_spans inventory) cut out of its document, rewrite fully
+    vectorized (Arrow list rebuild + binary_join, no per-doc Python).
+    """
+    from pyschema_ray.functions.dedup import remove_duplicated_spans
+
+    out = remove_duplicated_spans(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        text_col="text", key_col="doc_id", k=3, min_docs=2)
+    t = _collect(out, empty_schema=pa.schema([
+        ("doc_id", pa.int64()), ("clean_text", pa.string()),
+        ("n_removed", pa.int64())]))
+    return pa.table({
+        "doc_id": pc.cast(t["doc_id"], pa.int64()),
+        "clean_text": t["clean_text"],
+        "n_removed": pc.cast(t["n_removed"], pa.int64()),
+    }).sort_by("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core validation engine (oracle-checked)
@@ -2622,6 +2642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_volume_customers": _q_large_volume_customers,
         "doc_ntile_buckets": _q_doc_ntile_buckets,
         "duplicated_spans": _q_duplicated_spans,
+        "despanned_documents": _q_despanned_documents,
         "events_pivot": _q_events_pivot,
         # sketches / scoring (rows-only)
         "ndv_user_id_hll": _q_ndv_user_id_hll,
@@ -2920,6 +2941,72 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(e) - 1 AS BIGINT) AS span_end
               FROM isl GROUP BY doc_id, grp
              ORDER BY doc_id, span_start
+        """,
+        "despanned_documents": """
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(trim(text), '\\s+'),
+                           w -> w <> '') AS wo
+                  FROM documents
+                 WHERE text IS NOT NULL AND trim(text) <> ''),
+            words AS (
+                SELECT doc_id, wo,
+                       list_transform(wo, x -> lower(x)) AS w
+                  FROM base),
+            grams AS (
+                SELECT doc_id, g.i AS s, g.i + 2 AS e,
+                       w[g.i] || ' ' || w[g.i + 1] || ' ' || w[g.i + 2]
+                           AS sh
+                  FROM words, LATERAL (
+                       SELECT unnest(generate_series(1, len(w) - 2)) AS i) g
+                 WHERE len(w) >= 3
+                UNION ALL
+                SELECT doc_id, 1 AS s, len(w) AS e,
+                       array_to_string(w, ' ') AS sh
+                  FROM words WHERE len(w) BETWEEN 1 AND 2),
+            dup AS (
+                SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM grams)
+                 GROUP BY sh HAVING count(*) >= 2),
+            hits AS (
+                SELECT doc_id, s, e FROM grams JOIN dup USING (sh)),
+            marked AS (
+                SELECT doc_id, s, e,
+                       CASE WHEN s > coalesce(max(e) OVER (
+                                PARTITION BY doc_id ORDER BY s
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), -1)
+                            THEN 1 ELSE 0 END AS brk
+                  FROM hits),
+            isl AS (
+                SELECT doc_id, s, e,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY s)
+                           AS grp
+                  FROM marked),
+            spans AS (
+                SELECT doc_id, min(s) AS ss, max(e) AS ee
+                  FROM isl GROUP BY doc_id, grp),
+            wpos AS (
+                SELECT doc_id, g.i AS pos, wo[g.i] AS word
+                  FROM words, LATERAL (
+                       SELECT unnest(generate_series(1, len(wo))) AS i) g),
+            kept AS (
+                SELECT w.doc_id,
+                       array_to_string(list(w.word ORDER BY w.pos), ' ')
+                           AS clean_text,
+                       count(*) AS n_kept
+                  FROM wpos w
+                 WHERE NOT EXISTS (
+                       SELECT 1 FROM spans s
+                        WHERE s.doc_id = w.doc_id
+                          AND w.pos BETWEEN s.ss AND s.ee)
+                 GROUP BY w.doc_id)
+            SELECT b.doc_id,
+                   coalesce(k.clean_text, '') AS clean_text,
+                   CAST(len(b.wo) - coalesce(k.n_kept, 0) AS BIGINT)
+                       AS n_removed
+              FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id
+             ORDER BY b.doc_id
         """,
         "doc_ntile_buckets": """
             SELECT doc_id, n_chars,

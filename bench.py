@@ -80,7 +80,7 @@ QUERY_SUBSET = [
     "top_words", "user_sessions", "word_frequencies", "word_repetition",
     # round-5 additions
     "returned_item_revenue", "large_volume_customers", "doc_ntile_buckets",
-    "duplicated_spans",
+    "duplicated_spans", "despanned_documents",
 ]
 
 

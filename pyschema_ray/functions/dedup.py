@@ -1728,6 +1728,35 @@ def duplicated_spans(ds, text_col: str = "text", key_col: str = "doc_id",
     -> Dataset(key_col, span_start int64, span_end int64), word
     positions 0-based inclusive.
     """
+    spans_fn, _ = _span_pass(ds, text_col, key_col, k, min_docs,
+                             num_shards)
+
+    def spans(t: pa.Table) -> pa.Table:
+        d, p, e, _keys, _wl, starts, last = spans_fn(t)
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        if len(starts) == 0:
+            return pa.table({
+                key_col: pa.array([], t.schema.field(key_col).type),
+                "span_start": pa.array([], pa.int64()),
+                "span_end": pa.array([], pa.int64())})
+        return pa.table({
+            key_col: pa.array(keys[d[starts]]),
+            "span_start": pa.array(p[starts], pa.int64()),
+            "span_end": pa.array(e[last], pa.int64())})
+
+    return ds.map_batches(spans, batch_format="pyarrow")
+
+
+def _span_pass(ds, text_col: str, key_col: str, k: int, min_docs: int,
+               num_shards: int | None):
+    """Shared machinery of :func:`duplicated_spans` /
+    :func:`remove_duplicated_spans`: builds the duplicated-window
+    membership set (one bounded gram-hash exchange, broadcast once)
+    and returns ``(per_batch, dup_size)`` where ``per_batch(t)`` ->
+    ``(d, p, e, keys, wl, starts, last)``: per-hit doc row index /
+    start / inclusive end arrays, batch keys, per-doc word lengths,
+    and the merged-span run boundaries (starts/last index into the
+    hit arrays)."""
     import ray
 
     nb = num_shards or _default_shards()
@@ -1769,16 +1798,15 @@ def duplicated_spans(ds, text_col: str = "text", key_col: str = "doc_id",
         if parts else np.empty(0, np.uint64)
     dup_ref = ray.put(dup)
 
-    def spans(t: pa.Table) -> pa.Table:
-        empty = pa.table({
-            key_col: pa.array([], t.schema.field(key_col).type),
-            "span_start": pa.array([], pa.int64()),
-            "span_end": pa.array([], pa.int64())})
+    none = (np.empty(0, np.int64),) * 3
+
+    def per_batch(t: pa.Table):
         member = ray.get(dup_ref)
         sh, offs, wl = _shingle_hashes(t[text_col], k,
                                        return_word_lengths=True)
+        keys = t[key_col].to_numpy(zero_copy_only=False)
         if len(sh) == 0 or len(member) == 0:
-            return empty
+            return (*none, keys, wl, *none[:2])
         n_wins = np.diff(offs)
         doc_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64),
                             n_wins)
@@ -1793,7 +1821,7 @@ def duplicated_spans(ds, text_col: str = "text", key_col: str = "doc_id",
         hit = (idx < len(member)) & (member[np.minimum(
             idx, len(member) - 1)] == sh)
         if not hit.any():
-            return empty
+            return (*none, keys, wl, *none[:2])
         d, p, e = doc_idx[hit], pos[hit], ends[hit]
         # merge runs: hits are doc-major, position-ascending, and ends
         # ascend with positions, so a span breaks exactly where the
@@ -1804,10 +1832,76 @@ def duplicated_spans(ds, text_col: str = "text", key_col: str = "doc_id",
             brk[1:] = (d[1:] != d[:-1]) | (p[1:] > e[:-1])
         starts = np.flatnonzero(brk)
         last = np.append(starts[1:], len(d)) - 1
-        keys = t[key_col].to_numpy(zero_copy_only=False)
-        return pa.table({
-            key_col: pa.array(keys[d[starts]]),
-            "span_start": pa.array(p[starts], pa.int64()),
-            "span_end": pa.array(e[last], pa.int64())})
+        return d, p, e, keys, wl, starts, last
 
-    return ds.map_batches(spans, batch_format="pyarrow")
+    return per_batch, len(dup)
+
+
+def remove_duplicated_spans(ds, text_col: str = "text",
+                            key_col: str = "doc_id", k: int = 3,
+                            min_docs: int = 2,
+                            num_shards: int | None = None):
+    """Boilerplate removal: rewrite each document with every
+    :func:`duplicated_spans` span CUT OUT (all occurrences — the
+    policy for cross-document template noise; near-dup keep-one
+    policies live in the keep-list machinery instead).
+
+    Same two-phase shape as :func:`duplicated_spans`; the rewrite is
+    batch-local and fully vectorized — original-case whitespace words
+    as an Arrow list array, a flat keep mask from the merged spans,
+    offset rebuild, then ``pc.binary_join`` reassembles every doc in
+    one kernel (no per-doc Python).  Docs with null/blank text are
+    excluded (they have no words); docs with no duplicated span pass
+    through verbatim up to whitespace normalization (single spaces).
+
+    -> Dataset(key_col, clean_text string, n_removed int64).
+    """
+    spans_fn, _dup_size = _span_pass(ds, text_col, key_col, k,
+                                     min_docs, num_shards)
+
+    def clean(t: pa.Table) -> pa.Table:
+        d, p, e, keys_np, wl, runs, last = spans_fn(t)
+        # merged spans only: (doc, start, end) one row per maximal span
+        d, p, e = d[runs], p[runs], e[last]
+        # original-case word lists (same split convention as the
+        # shingle kernel: whitespace split, "" dropped)
+        split = pc.utf8_split_whitespace(
+            pc.fill_null(t[text_col], ""))
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        offs = np.asarray(split.offsets, dtype=np.int64)
+        flat = split.values.slice(offs[0], offs[-1] - offs[0])
+        offs = offs - offs[0]
+        words = flat.to_numpy(zero_copy_only=False)
+        mask = words != ""
+        csum = np.zeros(len(words) + 1, np.int64)
+        np.cumsum(mask, out=csum[1:])
+        offs = csum[offs]
+        words = words[mask]
+        keep = np.ones(len(words), bool)
+        if len(d):
+            starts = offs[:-1]
+            # flat indices covered by each span [p, e] of doc d
+            lens = e - p + 1
+            flat_idx = np.repeat(starts[d] + p, lens) + _ranges(lens)
+            keep[flat_idx] = False
+        n_words = np.diff(offs)
+        has_text = n_words > 0
+        kept_counts = np.add.reduceat(
+            keep.astype(np.int64), offs[:-1][has_text]) \
+            if has_text.any() and len(keep) else np.empty(0, np.int64)
+        kept_words = pa.array(words[keep], pa.string())
+        new_offs = np.zeros(int(has_text.sum()) + 1, np.int64)
+        np.cumsum(kept_counts, out=new_offs[1:])
+        lst = pa.ListArray.from_arrays(
+            pa.array(new_offs, pa.int32()), kept_words)
+        joined = pc.binary_join(
+            lst, pa.scalar(" ", pa.string()))
+        removed = (n_words[has_text] - kept_counts).astype(np.int64)
+        ktype = t.schema.field(key_col).type
+        return pa.table({
+            key_col: pa.array(list(keys_np[has_text]), ktype),
+            "clean_text": joined,
+            "n_removed": pa.array(removed, pa.int64())})
+
+    return ds.map_batches(clean, batch_format="pyarrow")

@@ -163,3 +163,33 @@ def test_duplicated_spans_short_doc_whole_text():
 def test_duplicated_spans_empty_and_null():
     rows = [(1, ""), (2, None), (3, "one two three")]
     assert _spans(rows) == []
+
+
+def test_remove_duplicated_spans_rewrite():
+    from pyschema_ray.functions.dedup import remove_duplicated_spans
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": ["a b c d e", "z a b c d", "Solo Words Here now",
+                 "", None]})
+    out = _tbl(remove_duplicated_spans(
+        ray.data.from_arrow(t).repartition(3), num_shards=4))
+    rows = {r["doc_id"]: (r["clean_text"], r["n_removed"])
+            for r in out.to_pylist()}
+    assert rows[1] == ("e", 4)
+    assert rows[2] == ("z", 4)
+    # original case survives the rewrite; matching is lowercased
+    assert rows[3] == ("Solo Words Here now", 0)
+    assert 4 not in rows and 5 not in rows
+
+
+def test_remove_duplicated_spans_whole_doc_removed():
+    from pyschema_ray.functions.dedup import remove_duplicated_spans
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": ["same tiny doc", "same tiny doc"]})
+    out = _tbl(remove_duplicated_spans(ray.data.from_arrow(t),
+                                       num_shards=4))
+    rows = {r["doc_id"]: (r["clean_text"], r["n_removed"])
+            for r in out.to_pylist()}
+    assert rows == {1: ("", 3), 2: ("", 3)}
