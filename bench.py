@@ -177,9 +177,21 @@ def run_headline(num_cpus: int, rows: int) -> dict:
             ref_sets={"source": ("sources_dim", "source",
                                  sources_dim_table()["source"].to_pylist())},
         )
-        t0 = time.perf_counter()
-        rep = ValidationPipeline(cfg).run()
-        sec = time.perf_counter() - t0
+        # steady-state on the small headline corpus: two timed runs,
+        # report the faster — a single 1-second run still carries
+        # first-run residue (lazy worker imports, object-store page-in)
+        # the warmup above doesn't fully cover, observed as
+        # 1.0s-vs-3.0s flapping on the same HEAD.  Long scaling runs
+        # (32M rows) are residue-insensitive; scaling_mode already
+        # does best-of-N across processes, so keep those single-run.
+        n_runs = 2 if rows <= 1_000_000 else 1
+        sec = float("inf")
+        rep = None
+        for _ in range(n_runs):
+            shutil.rmtree(out_dir, ignore_errors=True)
+            t0 = time.perf_counter()
+            rep = ValidationPipeline(cfg).run()
+            sec = min(sec, time.perf_counter() - t0)
         assert rep.row_count == rows, (rep.row_count, rows)
         return {"sec": sec, "rows": rows, "rows_per_sec": rows / sec,
                 "violations": int(sum(rep.violation_counts.values()))}
