@@ -81,6 +81,11 @@ QUERY_SUBSET = [
     # round-5 additions
     "returned_item_revenue", "large_volume_customers", "doc_ntile_buckets",
     "duplicated_spans", "despanned_documents",
+    # rows-only stragglers, so the driver's CORRECTNESS sample can
+    # reach the complete queries() surface (all cheap at sf0.1)
+    "bpe_packed_totals", "bpe_token_totals", "lsh_ann_topk",
+    "media_features", "ndv_users_per_event_type_hll", "packed_sequences",
+    "pq_ann_topk", "winnow_fingerprints",
 ]
 
 
