@@ -193,3 +193,56 @@ def test_remove_duplicated_spans_whole_doc_removed():
     rows = {r["doc_id"]: (r["clean_text"], r["n_removed"])
             for r in out.to_pylist()}
     assert rows == {1: ("", 3), 2: ("", 3)}
+
+
+def _brute_spans(docs, k=3, min_docs=2):
+    """Pure-Python reference: gram df by distinct docs, positional
+    hits, strict s > prev_end island merge."""
+    words = {d: t.lower().split() for d, t in docs.items() if t}
+    grams = {}   # gram -> set(doc)
+    doc_grams = {}
+    for d, w in words.items():
+        gs = []
+        if len(w) >= k:
+            for i in range(len(w) - k + 1):
+                gs.append((i, i + k - 1, " ".join(w[i:i + k])))
+        elif w:
+            gs.append((0, len(w) - 1, " ".join(w)))
+        doc_grams[d] = gs
+        for _, _, g in gs:
+            grams.setdefault(g, set()).add(d)
+    dup = {g for g, s in grams.items() if len(s) >= min_docs}
+    out = []
+    for d, gs in doc_grams.items():
+        hits = [(s, e) for s, e, g in gs if g in dup]
+        cur = None
+        for s, e in hits:
+            if cur is not None and s <= cur[1]:
+                cur = (cur[0], max(cur[1], e))
+            else:
+                if cur:
+                    out.append((d, *cur))
+                cur = (s, e)
+        if cur:
+            out.append((d, *cur))
+    return sorted(out)
+
+
+def test_duplicated_spans_random_parity():
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(12)]  # small vocab -> many dups
+    docs = {i: " ".join(rng.choice(vocab,
+                                   size=rng.integers(0, 15)).tolist())
+            for i in range(80)}
+    got = _spans(sorted(docs.items()))
+    assert got == _brute_spans(docs)
+
+
+def test_duplicated_spans_random_parity_k5_min3():
+    rng = np.random.default_rng(23)
+    vocab = [f"t{i}" for i in range(8)]
+    docs = {i: " ".join(rng.choice(vocab,
+                                   size=rng.integers(0, 25)).tolist())
+            for i in range(60)}
+    got = _spans(sorted(docs.items()), k=5, min_docs=3)
+    assert got == _brute_spans(docs, k=5, min_docs=3)
