@@ -2554,6 +2554,90 @@ def _q_despanned_documents(sf_dir: str) -> pa.Table:
     }).sort_by("doc_id")
 
 
+def _q_small_quantity_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q17-shaped aggregate-then-rejoin-fact pipeline: per-part
+    quantity (sum, count) via per-batch combiner + ONE bounded
+    key-shard exchange (dimension-sized result), broadcast back as a
+    sorted-array filter over a SECOND lineitem pass — rows with
+    qty below half their part's mean, compared in EXACT int64
+    (qty * 2 * cnt < total, no float division).  The broadcast
+    assumes the per-part aggregate fits the object store (it is
+    dimension-sized); above that the same map chains through a
+    shuffle join like regional_supplier_revenue's big path."""
+    import ray
+
+    from pyschema_ray.functions.dedup import (_default_shards,
+                                              _group_starts, _key_shards)
+
+    nb = _default_shards()
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                      "qty": pc.cast(t["l_quantity"], pa.int64()),
+                      "one": pa.array(np.ones(t.num_rows, np.int64))}) \
+            .group_by("l_partkey").aggregate([("qty", "sum"),
+                                              ("one", "sum")])
+        g = g.rename_columns(["l_partkey", "total", "cnt"])
+        keys = g["l_partkey"].to_numpy(zero_copy_only=False)
+        return g.append_column(
+            "kshard", pa.array(_key_shards(keys, nb), pa.int64()))
+
+    def shard_sum(t: pa.Table) -> pa.Table:
+        t = t.sort_by("l_partkey")
+        keys = t["l_partkey"].to_numpy(zero_copy_only=False)
+        starts, _ = _group_starts(keys)
+        tot = np.add.reduceat(
+            t["total"].to_numpy(zero_copy_only=False), starts) \
+            if len(starts) else np.empty(0, np.int64)
+        cnt = np.add.reduceat(
+            t["cnt"].to_numpy(zero_copy_only=False), starts) \
+            if len(starts) else np.empty(0, np.int64)
+        return pa.table({"l_partkey": pa.array(keys[starts], pa.int64()),
+                         "total": pa.array(tot, pa.int64()),
+                         "cnt": pa.array(cnt, pa.int64())})
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+    agg = _collect(li.map_batches(li_partial, batch_format="pyarrow")
+                   .groupby("kshard")
+                   .map_groups(shard_sum, batch_format="pyarrow"),
+                   empty_schema=pa.schema([("l_partkey", pa.int64()),
+                                           ("total", pa.int64()),
+                                           ("cnt", pa.int64())]))
+    pk = agg["l_partkey"].to_numpy(zero_copy_only=False)
+    order = np.argsort(pk, kind="stable")
+    pavg = ray.put((pk[order],
+                    agg["total"].to_numpy(zero_copy_only=False)[order],
+                    agg["cnt"].to_numpy(zero_copy_only=False)[order]))
+
+    def low_qty(t: pa.Table) -> pa.Table:
+        keys, total, cnt = ray.get(pavg)
+        k = pc.cast(t["l_partkey"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(keys, k)
+        # every fact key exists in the aggregate by construction
+        q = pc.cast(t["l_quantity"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        keep = q * 2 * cnt[idx] < total[idx]
+        cents = pc.cast(pc.round(
+            pc.multiply(t["l_extendedprice"], 100.0),
+            round_mode="half_towards_infinity"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "revenue_cents": pa.array([int(cents[keep].sum())],
+                                      pa.int64()),
+            "n_rows": pa.array([int(keep.sum())], pa.int64())})
+
+    li2 = _read(sf_dir, "lineitem",
+                columns=["l_partkey", "l_quantity", "l_extendedprice"])
+    parts = _collect(li2.map_batches(low_qty, batch_format="pyarrow"))
+    return pa.table({
+        "revenue_cents": pa.array(
+            [int(pc.sum(parts["revenue_cents"]).as_py() or 0)],
+            pa.int64()),
+        "n_rows": pa.array([int(pc.sum(parts["n_rows"]).as_py() or 0)],
+                           pa.int64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core validation engine (oracle-checked)
@@ -2643,6 +2727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ntile_buckets": _q_doc_ntile_buckets,
         "duplicated_spans": _q_duplicated_spans,
         "despanned_documents": _q_despanned_documents,
+        "small_quantity_revenue": _q_small_quantity_revenue,
         "events_pivot": _q_events_pivot,
         # sketches / scoring (rows-only)
         "ndv_user_id_hll": _q_ndv_user_id_hll,
@@ -3007,6 +3092,20 @@ def oracle_sql() -> dict[str, str]:
                        AS n_removed
               FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id
              ORDER BY b.doc_id
+        """,
+        "small_quantity_revenue": """
+            WITH pavg AS (
+                SELECT l_partkey,
+                       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                           AS total,
+                       count(*) AS cnt
+                  FROM lineitem GROUP BY l_partkey)
+            SELECT CAST(coalesce(sum(CAST(round(l_extendedprice * 100)
+                                          AS BIGINT)), 0) AS BIGINT)
+                       AS revenue_cents,
+                   count(*) AS n_rows
+              FROM lineitem JOIN pavg USING (l_partkey)
+             WHERE CAST(l_quantity AS BIGINT) * 2 * cnt < total
         """,
         "doc_ntile_buckets": """
             SELECT doc_id, n_chars,

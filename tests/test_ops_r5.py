@@ -246,3 +246,16 @@ def test_duplicated_spans_random_parity_k5_min3():
             for i in range(60)}
     got = _spans(sorted(docs.items()), k=5, min_docs=3)
     assert got == _brute_spans(docs, k=5, min_docs=3)
+
+
+def test_small_quantity_revenue_vs_duckdb():
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    got = e.queries()["small_quantity_revenue"](sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{sf}/lineitem.parquet')")
+    want = con.execute(e.oracle_sql()["small_quantity_revenue"]).df()
+    assert got["revenue_cents"].tolist() == want["revenue_cents"].tolist()
+    assert got["n_rows"].tolist() == want["n_rows"].tolist()
