@@ -309,6 +309,21 @@ def _q_top_sources_by_chars(sf_dir: str) -> pa.Table:
     return _collect(top)
 
 
+def _q_dedup_keep_best(sf_dir: str) -> pa.Table:
+    """Quality-aware exact dedup: the kept representative per distinct
+    content is the max-n_chars (tie: min doc_id) row — SQL row_number
+    over (PARTITION BY text ORDER BY n_chars DESC, doc_id)."""
+    from pyschema_ray.functions.dedup import exact_dedup_best_keys
+
+    kept = exact_dedup_best_keys(
+        _read(sf_dir, "documents",
+              columns=["doc_id", "text", "n_chars"]),
+        text_col="text", key_col="doc_id", score_col="n_chars")
+    t = _collect(kept)
+    return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                     "n_chars": pc.cast(t["n_chars"], pa.int64())})         .sort_by("doc_id")
+
+
 def _q_dedup_exact(sf_dir: str) -> pa.Table:
     from pyschema_ray.functions.dedup import exact_dedup_keys
 
@@ -2654,6 +2669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_sources_by_chars": _q_top_sources_by_chars,
         # training-data ops (oracle-checked)
         "dedup_exact": _q_dedup_exact,
+        "dedup_keep_best": _q_dedup_keep_best,
         "token_counts": _q_token_counts,
         "quality_features": _q_quality_features,
         "ann_topk": _q_ann_topk,
@@ -3106,6 +3122,15 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_rows
               FROM lineitem JOIN pavg USING (l_partkey)
              WHERE CAST(l_quantity AS BIGINT) * 2 * cnt < total
+        """,
+        "dedup_keep_best": """
+            SELECT doc_id, n_chars FROM (
+                SELECT doc_id, n_chars,
+                       row_number() OVER (
+                           PARTITION BY text
+                           ORDER BY n_chars DESC, doc_id) AS rn
+                  FROM documents) WHERE rn = 1
+             ORDER BY doc_id
         """,
         "doc_ntile_buckets": """
             SELECT doc_id, n_chars,

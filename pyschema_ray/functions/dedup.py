@@ -135,6 +135,49 @@ def exact_dedup_keys(ds, text_col: str = "text", key_col: str = "doc_id",
         .groupby("cshard").map_groups(local_min, batch_format="pyarrow")
 
 
+def exact_dedup_best_keys(ds, text_col: str = "text",
+                          key_col: str = "doc_id",
+                          score_col: str = "n_chars",
+                          num_shards: int | None = None):
+    """Quality-aware exact dedup: -> Dataset(key_col, score_col) of
+    the BEST-scoring row per distinct content (max ``score_col``, ties
+    to the minimum key) — the keep policy a curation pipeline wants
+    when duplicates differ in metadata quality.  Same shuffle shape as
+    :func:`exact_dedup_keys` (128-bit content identity, integer-shard
+    exchange carrying only (hash128, key, score), never text); the
+    per-shard argmax is one Arrow sort + run-boundary take for ALL
+    groups at once."""
+    num_shards = num_shards or _default_shards()
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_numpy(zero_copy_only=False)
+        h = hash_strings(texts)
+        h2 = hash_strings2(texts)
+        return pa.table({
+            "content_hash": pa.array(h.view(np.int64), pa.int64()),
+            "content_hash2": pa.array(h2.view(np.int64), pa.int64()),
+            key_col: t[key_col],
+            score_col: t[score_col],
+            "cshard": pa.array((h % np.uint64(num_shards))
+                               .astype(np.int64), pa.int64()),
+        })
+
+    def local_best(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[
+            ("content_hash", "ascending"),
+            ("content_hash2", "ascending"),
+            (score_col, "descending"), (key_col, "ascending")])
+        t = t.take(idx)
+        starts, _ = _group_starts(
+            t["content_hash"].to_numpy(zero_copy_only=False),
+            t["content_hash2"].to_numpy(zero_copy_only=False))
+        return t.take(pa.array(starts, pa.int64())) \
+            .select([key_col, score_col])
+
+    return ds.map_batches(add_hash, batch_format="pyarrow") \
+        .groupby("cshard").map_groups(local_best, batch_format="pyarrow")
+
+
 def exact_duplicate_groups(ds, text_col: str = "text",
                            key_col: str = "doc_id",
                            num_shards: int | None = None):

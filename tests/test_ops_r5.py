@@ -259,3 +259,18 @@ def test_small_quantity_revenue_vs_duckdb():
     want = con.execute(e.oracle_sql()["small_quantity_revenue"]).df()
     assert got["revenue_cents"].tolist() == want["revenue_cents"].tolist()
     assert got["n_rows"].tolist() == want["n_rows"].tolist()
+
+
+def test_exact_dedup_best_keys_policy():
+    from pyschema_ray.functions.dedup import exact_dedup_best_keys
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": ["same", "same", "same", "other", "other"],
+        "q": pa.array([10, 30, 30, 5, 5], pa.int64())})
+    out = _tbl(exact_dedup_best_keys(
+        ray.data.from_arrow(t).repartition(3), text_col="text",
+        key_col="doc_id", score_col="q", num_shards=4))
+    got = sorted(zip(out["doc_id"].to_pylist(), out["q"].to_pylist()))
+    # "same": max q=30 tie between 2,3 -> min key 2; "other": tie -> 4
+    assert got == [(2, 30), (4, 5)]
