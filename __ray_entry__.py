@@ -309,6 +309,24 @@ def _q_top_sources_by_chars(sf_dir: str) -> pa.Table:
     return _collect(top)
 
 
+def _q_lang_rank_per_source(sf_dir: str) -> pa.Table:
+    """Tie-aware RANK() window family: languages ranked by doc count
+    within each source (ties share a rank, next rank skips), rows
+    with rank <= 3 — functions/analytics.grouped_rank_topk."""
+    from pyschema_ray.functions.analytics import grouped_rank_topk
+
+    out = grouped_rank_topk(
+        _read(sf_dir, "documents", columns=["source", "lang"]),
+        group_col="source", item_col="lang", k=3)
+    t = _collect(out)
+    return pa.table({
+        "source": t["source"], "lang": t["lang"],
+        "n": pc.cast(t["n"], pa.int64()),
+        "rnk": pc.cast(t["rnk"], pa.int64()),
+    }).sort_by([("source", "ascending"), ("rnk", "ascending"),
+                ("lang", "ascending")])
+
+
 def _q_dedup_keep_best(sf_dir: str) -> pa.Table:
     """Quality-aware exact dedup: the kept representative per distinct
     content is the max-n_chars (tie: min doc_id) row — SQL row_number
@@ -2670,6 +2688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data ops (oracle-checked)
         "dedup_exact": _q_dedup_exact,
         "dedup_keep_best": _q_dedup_keep_best,
+        "lang_rank_per_source": _q_lang_rank_per_source,
         "token_counts": _q_token_counts,
         "quality_features": _q_quality_features,
         "ann_topk": _q_ann_topk,
@@ -3131,6 +3150,16 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY n_chars DESC, doc_id) AS rn
                   FROM documents) WHERE rn = 1
              ORDER BY doc_id
+        """,
+        "lang_rank_per_source": """
+            WITH c AS (
+                SELECT source, lang, count(*) AS n
+                  FROM documents GROUP BY source, lang)
+            SELECT source, lang, n,
+                   CAST(rank() OVER (PARTITION BY source
+                                     ORDER BY n DESC) AS BIGINT) AS rnk
+              FROM c QUALIFY rnk <= 3
+             ORDER BY source, rnk, lang
         """,
         "doc_ntile_buckets": """
             SELECT doc_id, n_chars,

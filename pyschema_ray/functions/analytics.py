@@ -621,3 +621,61 @@ def top_keys(ds, key_col: str, k: int = 10,
         .map_groups(lambda t: shard_head(t.drop_columns(["kshard"])),
                     batch_format="pyarrow") \
         .repartition(1).map_batches(final_head, batch_format="pyarrow")
+
+
+def grouped_rank_topk(ds, group_col: str, item_col: str, k: int = 3,
+                      num_shards: int | None = None):
+    """Tie-aware RANK() per group: items ranked by row count within
+    their group under ``ORDER BY n DESC`` ONLY — ties share a rank and
+    the next rank skips (SQL ``rank()``, vs the row_number semantics
+    of ``top_per_group``) — returning every row with ``rank <= k``
+    (ties included, so a group can return more than k items).
+
+    Scale shape: per-batch (group, item) value-counts combiner, ONE
+    bounded group-hash shard exchange (a group's counts co-locate
+    wholly), then a single vectorized pass ranks ALL groups of a
+    shard at once: sort by (group, n desc, item), rank = first index
+    of the row's (group, n) tie-run minus its group's first index + 1.
+    Output is deterministic regardless of tie order because ties by
+    construction share (group, n, rank).
+
+    -> Dataset(group_col, item_col, n int64, rnk int64).
+    """
+    from .dedup import _default_shards, _group_starts, _key_shards
+
+    nb = num_shards or _default_shards()
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([group_col, item_col]) \
+            .group_by([group_col, item_col]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns([group_col, item_col, "n"])
+        keys = g[group_col].to_numpy(zero_copy_only=False)
+        return g.append_column(
+            "kshard", pa.array(_key_shards(keys, nb), pa.int64()))
+
+    def shard_rank(t: pa.Table) -> pa.Table:
+        g = t.group_by([group_col, item_col]).aggregate([("n", "sum")])
+        g = g.rename_columns([group_col, item_col, "n"])
+        idx = pc.sort_indices(g, sort_keys=[
+            (group_col, "ascending"), ("n", "descending"),
+            (item_col, "ascending")])
+        g = g.take(idx)
+        grp = g[group_col].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        sg, zg = _group_starts(grp)
+        st, zt = _group_starts(grp, n)
+        first_of_tie = np.repeat(st, zt)
+        group_first = np.repeat(sg, zg)
+        rnk = (first_of_tie - group_first + 1).astype(np.int64)
+        keep = rnk <= k
+        out = g.filter(pa.array(keep))
+        return pa.table({
+            group_col: out[group_col], item_col: out[item_col],
+            "n": pc.cast(out["n"], pa.int64()),
+            "rnk": pa.array(rnk[keep], pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("kshard").map_groups(
+            lambda t: shard_rank(t.drop_columns(["kshard"])),
+            batch_format="pyarrow")

@@ -274,3 +274,29 @@ def test_exact_dedup_best_keys_policy():
     got = sorted(zip(out["doc_id"].to_pylist(), out["q"].to_pylist()))
     # "same": max q=30 tie between 2,3 -> min key 2; "other": tie -> 4
     assert got == [(2, 30), (4, 5)]
+
+
+def test_grouped_rank_topk_tie_semantics():
+    from pyschema_ray.functions.analytics import grouped_rank_topk
+
+    # group a: x:3, y:3 (both rank 1), z:1 (rank 3 -- rank SKIPS 2)
+    t = pa.table({
+        "g": ["a"] * 7 + ["b"] * 2,
+        "i": ["x", "x", "x", "y", "y", "y", "z", "p", "q"]})
+    out = _tbl(grouped_rank_topk(ray.data.from_arrow(t).repartition(3),
+                                 "g", "i", k=3, num_shards=4))
+    got = sorted(zip(out["g"].to_pylist(), out["i"].to_pylist(),
+                     out["n"].to_pylist(), out["rnk"].to_pylist()))
+    assert got == [("a", "x", 3, 1), ("a", "y", 3, 1), ("a", "z", 1, 3),
+                   ("b", "p", 1, 1), ("b", "q", 1, 1)]
+
+
+def test_grouped_rank_topk_k_cut_keeps_ties():
+    from pyschema_ray.functions.analytics import grouped_rank_topk
+
+    # three items tied at rank 1, k=1 -> ALL three kept
+    t = pa.table({"g": ["a"] * 3, "i": ["x", "y", "z"]})
+    out = _tbl(grouped_rank_topk(ray.data.from_arrow(t), "g", "i",
+                                 k=1, num_shards=2))
+    assert sorted(out["i"].to_pylist()) == ["x", "y", "z"]
+    assert out["rnk"].to_pylist() == [1, 1, 1]
