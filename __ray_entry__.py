@@ -309,6 +309,37 @@ def _q_top_sources_by_chars(sf_dir: str) -> pa.Table:
     return _collect(top)
 
 
+def _q_document_chunks(sf_dir: str) -> pa.Table:
+    """RAG/pretraining chunker: 24-word windows every 16 words per
+    document (8-word overlap, tail truncated) — pure flat-map, no
+    exchange (functions/text.chunk_documents).  Returns one row per
+    chunk with its word count; text itself is hashed to keep the
+    compare payload bounded (md5 matches the SQL twin)."""
+    from pyschema_ray.functions.text import chunk_documents
+
+    out = chunk_documents(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        text_col="text", key_col="doc_id", width=24, stride=16)
+
+    def digest(t: pa.Table) -> pa.Table:
+        import hashlib
+        h = [hashlib.md5(x.encode()).hexdigest()
+             for x in t["chunk_text"].to_pylist()]
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "chunk_id": pc.cast(t["chunk_id"], pa.int64()),
+            "n_words": pc.cast(t["n_words"], pa.int64()),
+            "chunk_md5": pa.array(h, pa.string())})
+
+    t = _collect(out.map_batches(digest, batch_format="pyarrow"),
+                 empty_schema=pa.schema([
+                     ("doc_id", pa.int64()), ("chunk_id", pa.int64()),
+                     ("n_words", pa.int64()),
+                     ("chunk_md5", pa.string())]))
+    return t.sort_by([("doc_id", "ascending"),
+                      ("chunk_id", "ascending")])
+
+
 def _q_lang_rank_per_source(sf_dir: str) -> pa.Table:
     """Tie-aware RANK() window family: languages ranked by doc count
     within each source (ties share a rank, next rank skips), rows
@@ -2689,6 +2720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_keep_best": _q_dedup_keep_best,
         "lang_rank_per_source": _q_lang_rank_per_source,
+        "document_chunks": _q_document_chunks,
         "token_counts": _q_token_counts,
         "quality_features": _q_quality_features,
         "ann_topk": _q_ann_topk,
@@ -3160,6 +3192,26 @@ def oracle_sql() -> dict[str, str]:
                                      ORDER BY n DESC) AS BIGINT) AS rnk
               FROM c QUALIFY rnk <= 3
              ORDER BY source, rnk, lang
+        """,
+        "document_chunks": """
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(trim(text), '\\s+'),
+                           w -> w <> '') AS wo
+                  FROM documents
+                 WHERE text IS NOT NULL AND trim(text) <> ''),
+            chunks AS (
+                SELECT doc_id, g.i AS chunk_id,
+                       wo[g.i * 16 + 1 :
+                          least(g.i * 16 + 24, len(wo))] AS cw
+                  FROM words, LATERAL (
+                       SELECT unnest(generate_series(
+                           0, (len(wo) - 1) // 16)) AS i) g)
+            SELECT doc_id, chunk_id,
+                   CAST(len(cw) AS BIGINT) AS n_words,
+                   md5(array_to_string(cw, ' ')) AS chunk_md5
+              FROM chunks ORDER BY doc_id, chunk_id
         """,
         "doc_ntile_buckets": """
             SELECT doc_id, n_chars,

@@ -86,7 +86,7 @@ QUERY_SUBSET = [
     "bpe_packed_totals", "bpe_token_totals", "lsh_ann_topk",
     "media_features", "ndv_users_per_event_type_hll", "packed_sequences",
     "pq_ann_topk", "winnow_fingerprints", "small_quantity_revenue",
-    "dedup_keep_best", "lang_rank_per_source",
+    "dedup_keep_best", "lang_rank_per_source", "document_chunks",
 ]
 
 

@@ -984,3 +984,70 @@ def top_bigram_pmi(ds, text_col: str = "text", k: int = 100,
     cand = bigrams.map_batches(score_head, batch_format="pyarrow")
     return cand.repartition(1).map_batches(score_head,
                                            batch_format="pyarrow")
+
+
+def chunk_documents(ds, text_col: str = "text", key_col: str = "doc_id",
+                    width: int = 64, stride: int = 48):
+    """Sliding-window document chunking — the RAG/pretraining splitter:
+    each document becomes chunks of ``width`` whitespace words starting
+    every ``stride`` words (``width - stride`` words of overlap; the
+    tail chunk truncates).  Chunk ``cid`` covers words
+    ``[cid*stride, min(cid*stride+width, n_words))``; a doc emits
+    ``floor((n_words-1)/stride) + 1`` chunks (>=1 for any non-blank
+    doc), so every word belongs to at least one chunk.
+
+    Pure flat-map shape — NO exchange: one Arrow whitespace split per
+    batch, chunk ranges materialized as flat word-index gathers, list
+    offsets rebuilt, ``binary_join`` reassembles every chunk in one
+    kernel (no per-doc Python).  Blank/null docs emit nothing.
+
+    -> Dataset(key_col, chunk_id int64, n_words int64, chunk_text).
+    """
+    if stride <= 0 or width <= 0 or stride > width:
+        raise ValueError("need 0 < stride <= width")
+
+    def chunks(t: pa.Table) -> pa.Table:
+        split = pc.utf8_split_whitespace(pc.fill_null(t[text_col], ""))
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        offs = np.asarray(split.offsets, dtype=np.int64)
+        flat = split.values.slice(offs[0], offs[-1] - offs[0])
+        offs = offs - offs[0]
+        words = flat.to_numpy(zero_copy_only=False)
+        mask = words != ""
+        csum = np.zeros(len(words) + 1, np.int64)
+        np.cumsum(mask, out=csum[1:])
+        offs = csum[offs]
+        words = words[mask]
+        wl = np.diff(offs)
+        n_chunks = np.where(wl > 0, (wl - 1) // stride + 1, 0)
+        total = int(n_chunks.sum())
+        ktype = t.schema.field(key_col).type
+        if total == 0:
+            return pa.table({
+                key_col: pa.array([], ktype),
+                "chunk_id": pa.array([], pa.int64()),
+                "n_words": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string())})
+        doc_of = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                           n_chunks)
+        from .dedup import _ranges
+        cid = _ranges(n_chunks[n_chunks > 0])
+        cstart = cid * stride
+        clen = np.minimum(cstart + width, wl[doc_of]) - cstart
+        flat_idx = np.repeat(offs[:-1][doc_of] + cstart, clen) \
+            + _ranges(clen)
+        chunk_words = pa.array(words[flat_idx], pa.string())
+        new_offs = np.zeros(total + 1, np.int64)
+        np.cumsum(clen, out=new_offs[1:])
+        lst = pa.LargeListArray.from_arrays(
+            pa.array(new_offs, pa.int64()), chunk_words)
+        joined = pc.binary_join(lst, pa.scalar(" ", pa.string()))
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            key_col: pa.array(list(keys[doc_of]), ktype),
+            "chunk_id": pa.array(cid, pa.int64()),
+            "n_words": pa.array(clen.astype(np.int64), pa.int64()),
+            "chunk_text": pc.cast(joined, pa.string())})
+
+    return ds.map_batches(chunks, batch_format="pyarrow")

@@ -300,3 +300,39 @@ def test_grouped_rank_topk_k_cut_keeps_ties():
                                  k=1, num_shards=2))
     assert sorted(out["i"].to_pylist()) == ["x", "y", "z"]
     assert out["rnk"].to_pylist() == [1, 1, 1]
+
+
+def test_chunk_documents_windows_and_tail():
+    from pyschema_ray.functions.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "text": [words, "a b", "", None]})
+    out = _tbl(chunk_documents(ray.data.from_arrow(t).repartition(2),
+                               width=4, stride=3))
+    rows = sorted((r["doc_id"], r["chunk_id"], r["n_words"],
+                   r["chunk_text"]) for r in out.to_pylist())
+    # doc1: 10 words, starts 0,3,6,9 -> lens 4,4,4,1
+    assert rows == [
+        (1, 0, 4, "w0 w1 w2 w3"), (1, 1, 4, "w3 w4 w5 w6"),
+        (1, 2, 4, "w6 w7 w8 w9"), (1, 3, 1, "w9"),
+        (2, 0, 2, "a b")]
+
+
+def test_chunk_documents_every_word_covered():
+    from pyschema_ray.functions.text import chunk_documents
+
+    rng = np.random.default_rng(5)
+    texts = [" ".join(f"x{i}" for i in range(n))
+             for n in rng.integers(1, 200, size=50)]
+    t = pa.table({"doc_id": pa.array(range(50), pa.int64()),
+                  "text": texts})
+    out = _tbl(chunk_documents(ray.data.from_arrow(t),
+                               width=64, stride=48))
+    covered = {}
+    for r in out.to_pylist():
+        s = r["chunk_id"] * 48
+        covered.setdefault(r["doc_id"], set()).update(
+            range(s, s + r["n_words"]))
+    for d, txt in enumerate(texts):
+        assert covered[d] == set(range(len(txt.split())))
