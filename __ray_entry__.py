@@ -309,6 +309,46 @@ def _q_top_sources_by_chars(sf_dir: str) -> pa.Table:
     return _collect(top)
 
 
+def _q_curated_documents(sf_dir: str) -> pa.Table:
+    """Flagship curation COMPOSITION, fully oracle-checked end to end:
+    (1) cut cross-document duplicated spans
+    (functions/dedup.remove_duplicated_spans), (2) quality-gate the
+    survivors (>= 3 remaining words), (3) exact dedup on the CLEANED
+    text keeping the minimum doc_id.  The despanned intermediate is
+    ``materialize()``d once — it is corpus-bounded and consumed twice
+    (dedup key pass + final filter); at 100 TB the same seam is a
+    partitioned parquet checkpoint instead of object-store cache."""
+    import ray
+
+    from pyschema_ray.functions.dedup import (exact_dedup_keys,
+                                              remove_duplicated_spans)
+
+    clean = remove_duplicated_spans(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        text_col="text", key_col="doc_id", k=3, min_docs=2)
+
+    def gate(t: pa.Table) -> pa.Table:
+        words = pc.utf8_split_whitespace(t["clean_text"])
+        n = pc.list_value_length(words)
+        return t.filter(pc.greater_equal(n, 3))             .select(["doc_id", "clean_text"])
+
+    gated = clean.map_batches(gate, batch_format="pyarrow")         .materialize()
+    kept = _collect(exact_dedup_keys(gated, text_col="clean_text",
+                                     key_col="doc_id"))
+    keep_ref = ray.put(pc.cast(kept["doc_id"],
+                               pa.int64()).combine_chunks())
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(pc.cast(t["doc_id"], pa.int64()),
+                                 value_set=ray.get(keep_ref)))
+
+    t = _collect(gated.map_batches(pick, batch_format="pyarrow"),
+                 empty_schema=pa.schema([("doc_id", pa.int64()),
+                                         ("clean_text", pa.string())]))
+    return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                     "clean_text": t["clean_text"]}).sort_by("doc_id")
+
+
 def _q_document_chunks(sf_dir: str) -> pa.Table:
     """RAG/pretraining chunker: 24-word windows every 16 words per
     document (8-word overlap, tail truncated) — pure flat-map, no
@@ -2721,6 +2761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "lang_rank_per_source": _q_lang_rank_per_source,
         "document_chunks": _q_document_chunks,
+        "curated_documents": _q_curated_documents,
         "token_counts": _q_token_counts,
         "quality_features": _q_quality_features,
         "ann_topk": _q_ann_topk,
@@ -3212,6 +3253,72 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(cw) AS BIGINT) AS n_words,
                    md5(array_to_string(cw, ' ')) AS chunk_md5
               FROM chunks ORDER BY doc_id, chunk_id
+        """,
+        "curated_documents": """
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(trim(text), '\\s+'),
+                           w -> w <> '') AS wo
+                  FROM documents
+                 WHERE text IS NOT NULL AND trim(text) <> ''),
+            words AS (
+                SELECT doc_id, wo,
+                       list_transform(wo, x -> lower(x)) AS w
+                  FROM base),
+            grams AS (
+                SELECT doc_id, g.i AS s, g.i + 2 AS e,
+                       w[g.i] || ' ' || w[g.i + 1] || ' ' || w[g.i + 2]
+                           AS sh
+                  FROM words, LATERAL (
+                       SELECT unnest(generate_series(1, len(w) - 2)) AS i) g
+                 WHERE len(w) >= 3
+                UNION ALL
+                SELECT doc_id, 1 AS s, len(w) AS e,
+                       array_to_string(w, ' ') AS sh
+                  FROM words WHERE len(w) BETWEEN 1 AND 2),
+            dup AS (
+                SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM grams)
+                 GROUP BY sh HAVING count(*) >= 2),
+            hits AS (
+                SELECT doc_id, s, e FROM grams JOIN dup USING (sh)),
+            marked AS (
+                SELECT doc_id, s, e,
+                       CASE WHEN s > coalesce(max(e) OVER (
+                                PARTITION BY doc_id ORDER BY s
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), -1)
+                            THEN 1 ELSE 0 END AS brk
+                  FROM hits),
+            isl AS (
+                SELECT doc_id, s, e,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY s)
+                           AS grp
+                  FROM marked),
+            spans AS (
+                SELECT doc_id, min(s) AS ss, max(e) AS ee
+                  FROM isl GROUP BY doc_id, grp),
+            wpos AS (
+                SELECT doc_id, g.i AS pos, wo[g.i] AS word
+                  FROM words, LATERAL (
+                       SELECT unnest(generate_series(1, len(wo))) AS i) g),
+            kept AS (
+                SELECT w.doc_id,
+                       array_to_string(list(w.word ORDER BY w.pos), ' ')
+                           AS clean_text,
+                       count(*) AS n_kept
+                  FROM wpos w
+                 WHERE NOT EXISTS (
+                       SELECT 1 FROM spans s
+                        WHERE s.doc_id = w.doc_id
+                          AND w.pos BETWEEN s.ss AND s.ee)
+                 GROUP BY w.doc_id)
+            SELECT doc_id, clean_text FROM (
+                SELECT doc_id, clean_text,
+                       row_number() OVER (PARTITION BY clean_text
+                                          ORDER BY doc_id) AS rn
+                  FROM kept WHERE n_kept >= 3)
+             WHERE rn = 1 ORDER BY doc_id
         """,
         "doc_ntile_buckets": """
             SELECT doc_id, n_chars,
