@@ -309,6 +309,53 @@ def _q_top_sources_by_chars(sf_dir: str) -> pa.Table:
     return _collect(top)
 
 
+def _q_chunk_ann_topk(sf_dir: str) -> pa.Table:
+    """RAG retrieval COMPOSITION (rows-only — float cosine scores):
+    documents -> sliding-window chunks (text.chunk_documents) ->
+    hashing-trick vectors (text.hash_vectorize, no vocabulary pass)
+    -> exact cosine top-5 against the first three documents' head
+    chunks (query matrix built driver-side with the same pure kernel,
+    broadcast once).  Self-chunks must surface at rank 1 (asserted in
+    pytest)."""
+    import pyarrow.parquet as pq
+
+    from pyschema_ray.functions.similarity import brute_force_topk
+    from pyschema_ray.functions.text import (_hash_vector_matrix,
+                                             chunk_documents,
+                                             hash_vectorize)
+
+    chunks = chunk_documents(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        text_col="text", key_col="doc_id", width=24, stride=16)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ck = pc.add(pc.multiply(pc.cast(t["doc_id"], pa.int64()),
+                                pa.scalar(100000, pa.int64())),
+                    pc.cast(t["chunk_id"], pa.int64()))
+        return t.append_column("ckey", ck)
+
+    vecs = hash_vectorize(
+        chunks.map_batches(add_key, batch_format="pyarrow"),
+        text_col="chunk_text", key_col="ckey", dim=64)
+
+    # query matrix: head chunk (first 24 words) of the 3 lowest
+    # doc_ids, derived driver-side with the same pure kernel
+    doc = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])         .sort_by("doc_id").slice(0, 3)
+    heads = [" ".join((x or "").split()[:24])
+             for x in doc["text"].to_pylist()]
+    qm = _hash_vector_matrix(heads, dim=64, seed=7)
+    out = brute_force_topk(vecs, qm, k=5, embedding_col="embedding",
+                           key_col="ckey")
+    return pa.table({
+        "query_id": pc.cast(out["query_id"], pa.int64()),
+        "ckey": pc.cast(out["ckey"], pa.int64()),
+        "rank": pc.cast(out["rank"], pa.int64()),
+        "score_milli": pc.cast(pc.round(pc.multiply(
+            out["score"], 1000.0)), pa.int64()),
+    }).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
 def _q_curated_documents(sf_dir: str) -> pa.Table:
     """Flagship curation COMPOSITION, fully oracle-checked end to end:
     (1) cut cross-document duplicated spans
@@ -2762,6 +2809,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_rank_per_source": _q_lang_rank_per_source,
         "document_chunks": _q_document_chunks,
         "curated_documents": _q_curated_documents,
+        "chunk_ann_topk": _q_chunk_ann_topk,
         "token_counts": _q_token_counts,
         "quality_features": _q_quality_features,
         "ann_topk": _q_ann_topk,

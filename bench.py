@@ -87,7 +87,7 @@ QUERY_SUBSET = [
     "media_features", "ndv_users_per_event_type_hll", "packed_sequences",
     "pq_ann_topk", "winnow_fingerprints", "small_quantity_revenue",
     "dedup_keep_best", "lang_rank_per_source", "document_chunks",
-    "curated_documents",
+    "curated_documents", "chunk_ann_topk",
 ]
 
 

@@ -1051,3 +1051,58 @@ def chunk_documents(ds, text_col: str = "text", key_col: str = "doc_id",
             "chunk_text": pc.cast(joined, pa.string())})
 
     return ds.map_batches(chunks, batch_format="pyarrow")
+
+
+def _hash_vector_matrix(texts, dim: int, seed: int) -> np.ndarray:
+    """(n, dim) float32 L2-normalized hashing-trick vectors for a
+    local list/array of texts — the pure kernel behind
+    :func:`hash_vectorize`, reused driver-side to build query
+    matrices so both sides agree bit-for-bit."""
+    from ..sketches import mix64
+
+    arr = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) \
+        else pa.array(list(texts), pa.string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    split = pc.utf8_split_whitespace(pc.utf8_lower(pc.fill_null(arr, "")))
+    if isinstance(split, pa.ChunkedArray):
+        split = split.combine_chunks()
+    offs = np.asarray(split.offsets, dtype=np.int64)
+    flat = split.values.slice(offs[0], offs[-1] - offs[0])
+    offs = offs - offs[0]
+    words = flat.to_numpy(zero_copy_only=False)
+    mask = words != ""
+    csum = np.zeros(len(words) + 1, np.int64)
+    np.cumsum(mask, out=csum[1:])
+    offs = csum[offs]
+    words = words[mask]
+    n = len(arr)
+    if len(words) == 0:
+        return np.zeros((n, dim), np.float32)
+    wh = mix64(hash_strings(words), seed)
+    bucket = (wh % np.uint64(dim)).astype(np.int64)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+    mat = np.bincount(doc_idx * dim + bucket,
+                      minlength=n * dim).reshape(n, dim) \
+        .astype(np.float32)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    return mat / np.maximum(norms, 1e-12)
+
+
+def hash_vectorize(ds, text_col: str = "text", key_col: str = "doc_id",
+                   dim: int = 64, seed: int = 7,
+                   out_col: str = "embedding"):
+    """Feature-hashing (hashing-trick) text vectorizer: each text
+    becomes an L2-normalized ``dim``-bucket word-count vector
+    (bucket = hash(word) mod dim) — the classic no-vocabulary
+    featurizer that needs NO training pass, no broadcast, and no
+    exchange: one Arrow split + one hash pass + one bincount per
+    batch.  Pairs with the ANN operators for cheap lexical
+    similarity search.  -> adds ``out_col`` fixed_size_list<float32>.
+    """
+    def vec(t: pa.Table) -> pa.Table:
+        mat = _hash_vector_matrix(t[text_col], dim, seed)
+        return t.append_column(out_col, pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.reshape(-1), pa.float32()), dim))
+
+    return ds.map_batches(vec, batch_format="pyarrow")

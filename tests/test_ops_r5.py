@@ -336,3 +336,41 @@ def test_chunk_documents_every_word_covered():
             range(s, s + r["n_words"]))
     for d, txt in enumerate(texts):
         assert covered[d] == set(range(len(txt.split())))
+
+
+def test_hash_vectorize_matches_pure_kernel_and_normalizes():
+    from pyschema_ray.functions.text import (_hash_vector_matrix,
+                                             hash_vectorize)
+
+    texts = ["alpha beta beta gamma", "alpha", "", None,
+             "delta epsilon zeta eta theta"]
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": texts})
+    out = _tbl(hash_vectorize(ray.data.from_arrow(t).repartition(2),
+                              dim=16))
+    got = {r["doc_id"]: np.array(r["embedding"], np.float32)
+           for r in out.to_pylist()}
+    ref = _hash_vector_matrix(texts, dim=16, seed=7)
+    for i in range(5):
+        assert np.allclose(got[i], ref[i], atol=1e-6)
+    norms = np.linalg.norm(ref, axis=1)
+    assert np.allclose(norms[[0, 1, 4]], 1.0, atol=1e-5)
+    assert norms[2] == 0.0 and norms[3] == 0.0
+
+
+def test_chunk_ann_topk_self_match_rank1():
+    import __ray_entry__ as e
+
+    out = e.queries()["chunk_ann_topk"]("/root/testdata/sf0.001") \
+        .to_pandas()
+    # each query is the head chunk of doc q -> its own ckey
+    # (doc_id*100000 + 0) must be the rank-1 hit with cosine ~1
+    doc_ids = sorted(out["query_id"].unique())
+    import pyarrow.parquet as pq
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id"]).sort_by("doc_id")
+    first3 = docs["doc_id"].to_pylist()[:3]
+    for q in doc_ids:
+        top = out[(out.query_id == q) & (out["rank"] == 1)]
+        assert top["ckey"].iloc[0] == first3[q] * 100000
+        assert top["score_milli"].iloc[0] == 1000
