@@ -341,7 +341,8 @@ def _q_chunk_ann_topk(sf_dir: str) -> pa.Table:
     # query matrix: head chunk (first 24 words) of the 3 lowest
     # doc_ids, derived driver-side with the same pure kernel
     doc = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                        columns=["doc_id", "text"])         .sort_by("doc_id").slice(0, 3)
+                        columns=["doc_id", "text"]) \
+        .sort_by("doc_id").slice(0, 3)
     heads = [" ".join((x or "").split()[:24])
              for x in doc["text"].to_pylist()]
     qm = _hash_vector_matrix(heads, dim=64, seed=7)
@@ -372,16 +373,22 @@ def _q_curated_documents(sf_dir: str) -> pa.Table:
 
     clean = remove_duplicated_spans(
         _read(sf_dir, "documents", columns=["doc_id", "text"]),
-        text_col="text", key_col="doc_id", k=3, min_docs=2)
+        text_col="text", key_col="doc_id", k=3, min_docs=10)
 
     def gate(t: pa.Table) -> pa.Table:
         words = pc.utf8_split_whitespace(t["clean_text"])
         n = pc.list_value_length(words)
-        return t.filter(pc.greater_equal(n, 3))             .select(["doc_id", "clean_text"])
+        return t.filter(pc.greater_equal(n, 3)) \
+            .select(["doc_id", "clean_text"])
 
-    gated = clean.map_batches(gate, batch_format="pyarrow")         .materialize()
+    gated = clean.map_batches(gate, batch_format="pyarrow") \
+        .materialize()
+    # at aggressive min_docs the WHOLE corpus can be boilerplate (the
+    # synthetic sf0.1 word-soup is), so the kept-key collect pins its
+    # schema for the zero-survivor case
     kept = _collect(exact_dedup_keys(gated, text_col="clean_text",
-                                     key_col="doc_id"))
+                                     key_col="doc_id"),
+                    empty_schema=pa.schema([("doc_id", pa.int64())]))
     keep_ref = ray.put(pc.cast(kept["doc_id"],
                                pa.int64()).combine_chunks())
 
@@ -457,7 +464,8 @@ def _q_dedup_keep_best(sf_dir: str) -> pa.Table:
         text_col="text", key_col="doc_id", score_col="n_chars")
     t = _collect(kept)
     return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
-                     "n_chars": pc.cast(t["n_chars"], pa.int64())})         .sort_by("doc_id")
+                     "n_chars": pc.cast(t["n_chars"], pa.int64())}) \
+        .sort_by("doc_id")
 
 
 def _q_dedup_exact(sf_dir: str) -> pa.Table:
@@ -3327,7 +3335,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM words WHERE len(w) BETWEEN 1 AND 2),
             dup AS (
                 SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM grams)
-                 GROUP BY sh HAVING count(*) >= 2),
+                 GROUP BY sh HAVING count(*) >= 10),
             hits AS (
                 SELECT doc_id, s, e FROM grams JOIN dup USING (sh)),
             marked AS (
