@@ -374,3 +374,21 @@ def test_chunk_ann_topk_self_match_rank1():
         top = out[(out.query_id == q) & (out["rank"] == 1)]
         assert top["ckey"].iloc[0] == first3[q] * 100000
         assert top["score_milli"].iloc[0] == 1000
+
+
+def test_curated_documents_zero_survivor_path(tmp_path):
+    """Whole-corpus-boilerplate regression: every word cut -> the
+    composition must return an empty, correctly-typed table instead
+    of crashing on a schemaless kept-key collect."""
+    import pyarrow.parquet as pq
+    import __ray_entry__ as e
+
+    t = pa.table({
+        "doc_id": pa.array(range(12), pa.int64()),
+        "text": ["the same boilerplate paragraph again"] * 12,
+        "lang": ["en"] * 12, "source": ["web"] * 12,
+        "n_chars": pa.array([36] * 12, pa.int64())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = e.queries()["curated_documents"](str(tmp_path))
+    assert out.num_rows == 0
+    assert out.schema.names == ["doc_id", "clean_text"]
