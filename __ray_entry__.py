@@ -1375,6 +1375,28 @@ def _q_fingerprints(sf_dir: str) -> pa.Table:
         .sort_by("doc_id")
 
 
+def _q_avro_roundtrip_documents(sf_dir: str) -> pa.Table:
+    """Binary Avro container round-trip of the documents table: the
+    Dataset is exported to spec-compliant `.avro` part files (one per
+    block, vectorized numpy encode, deflate codec) and read back via
+    the block-parallel reader (sources/avro_io.py) — value-exact
+    against the parquet original, which makes the whole codec
+    oracle-checkable with a trivial identity SQL."""
+    import shutil
+    import tempfile
+
+    from pyschema_ray.sources.avro_io import read_avro, write_avro
+
+    out = tempfile.mkdtemp(prefix="psr_avro_")
+    try:
+        write_avro(_read(sf_dir, "documents"), out).materialize()
+        t = _collect(read_avro(out))
+        return t.select(["doc_id", "text", "lang", "source", "n_chars"]) \
+            .sort_by("doc_id")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _q_minhash_near_dup_pairs(sf_dir: str) -> pa.Table:
     from pyschema_ray.functions.dedup import minhash_lsh_candidates
 
@@ -2862,6 +2884,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_counts_copart": _q_range_join_counts_copart,
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
+        "avro_roundtrip_documents": _q_avro_roundtrip_documents,
         "customers_no_urgent_orders": _q_customers_no_urgent_orders,
         "customers_with_big_orders": _q_customers_with_big_orders,
         "docs_rollup_counts": _q_docs_rollup_counts,
@@ -2953,6 +2976,10 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_oracle_sql(),
         "fingerprints": """
             SELECT doc_id, md5(text) AS fingerprint
+              FROM documents ORDER BY doc_id
+        """,
+        "avro_roundtrip_documents": """
+            SELECT doc_id, text, lang, source, n_chars
               FROM documents ORDER BY doc_id
         """,
         "violations_documents": f"""
