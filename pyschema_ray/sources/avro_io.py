@@ -644,7 +644,7 @@ def read_avro_file(path: str) -> pa.Table:
     return pa.concat_tables(tbls)
 
 
-def read_avro(paths) -> "ray.data.Dataset":  # noqa: F821
+def read_avro(paths, schema_cls=None) -> "ray.data.Dataset":  # noqa: F821
     """`.avro` files/dirs -> Dataset, parallel over BLOCKS: stage 1
     flat_maps files into block descriptors via the header-seek scan
     (bytes read ~ 20/block); stage 2 map_batches decodes each block.
@@ -690,5 +690,15 @@ def read_avro(paths) -> "ray.data.Dataset":  # noqa: F821
         return pa.concat_tables(out)
 
     ds = ray.data.from_items([{"path": f} for f in files])
-    return ds.flat_map(descriptors).map_batches(decode,
-                                                batch_format="pyarrow")
+    out = ds.flat_map(descriptors).map_batches(decode,
+                                               batch_format="pyarrow")
+    if schema_cls is not None:
+        # same Record-typed conformance as read_jsonl: declared
+        # columns cast to their Arrow types where clean, everything
+        # else left for the validator's schema check
+        from .jsonl import cast_columns
+
+        arrow = schema_cls.to_arrow()
+        out = out.map_batches(lambda t: cast_columns(t, arrow),
+                              batch_format="pyarrow")
+    return out

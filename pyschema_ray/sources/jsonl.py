@@ -45,24 +45,31 @@ def read_jsonl(paths, schema_cls: type[Record] | None = None):
                     f"jsonl rows claim $schema {sorted(seen)} but "
                     f"{expected_name!r} was expected")
             t = t.drop_columns([SCHEMA_FIELD_NAME])
-        for f in arrow:
-            if f.name not in t.column_names:
-                continue
-            idx = t.schema.get_field_index(f.name)
-            if t.schema.field(idx).type == f.type:
-                continue
-            try:
-                t = t.set_column(idx, f.name, pc.cast(t[f.name], f.type))
-            except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
-                    pa.ArrowTypeError):
-                # ArrowInvalid: bad values; ArrowNotImplementedError /
-                # ArrowTypeError: structurally incompatible casts (JSON
-                # object where Integer declared, string where List
-                # declared).  All defer to the validator's schema check.
-                pass
-        return t
+        return cast_columns(t, arrow)
 
     return ds.map_batches(conform, batch_format="pyarrow")
+
+
+def cast_columns(t: pa.Table, arrow: pa.Schema) -> pa.Table:
+    """Best-effort cast of declared columns to their Record Arrow
+    types; structurally incompatible or invalid casts are left as-is
+    (schema conformance violations are the validator's job)."""
+    for f in arrow:
+        if f.name not in t.column_names:
+            continue
+        idx = t.schema.get_field_index(f.name)
+        if t.schema.field(idx).type == f.type:
+            continue
+        try:
+            t = t.set_column(idx, f.name, pc.cast(t[f.name], f.type))
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
+                pa.ArrowTypeError):
+            # ArrowInvalid: bad values; ArrowNotImplementedError /
+            # ArrowTypeError: structurally incompatible casts (JSON
+            # object where Integer declared, string where List
+            # declared).  All defer to the validator's schema check.
+            pass
+    return t
 
 
 def write_jsonl_records(records, path: str) -> int:

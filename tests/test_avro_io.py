@@ -170,3 +170,47 @@ def test_block_parallel_descriptors(tmp_path):
     _schema, _codec, blocks = scan_avro_file(path)
     assert len(blocks) == 10
     assert sum(b[2] for b in blocks) == 1000
+
+
+def test_read_avro_record_conform_and_validate(ray_session, tmp_path):
+    """Full avro -> engine flow: an exported corpus is read back with
+    Record-typed conformance (int64 -> declared int32 via cast) and
+    validated by the standard constraint stage — the same path a user
+    migrating an Avro corpus onto this engine would run."""
+    import ray.data
+
+    from pyschema_ray import Integer, List, Record, Text
+    from pyschema_ray.stages.validator import CompiledValidator
+
+    class Seq(Record):
+        doc_id = Text(nullable=False)
+        tokens = List(Integer(size=4), nullable=False)
+        n_tok = Integer(size=4, min=1)
+        source = Text(nullable=False)
+
+    t = pa.table({
+        "doc_id": pa.array(["a", "b", None], pa.string()),
+        "tokens": pa.array([[1, 2], [3], [4, 5, 6]], pa.list_(pa.int64())),
+        "n_tok": pa.array([2, 0, 3], pa.int64()),
+        "source": pa.array(["s1", "s1", "s2"], pa.string()),
+    })
+    out = str(tmp_path / "seq")
+    man = write_avro(ray.data.from_arrow(t), out).materialize()
+    assert sum(r["rows"] for r in man.take_all()) == 3
+
+    ds = read_avro(out, schema_cls=Seq)
+    got = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+    arrow = Seq.to_arrow()
+    assert got.schema.field("tokens").type == arrow.field("tokens").type
+    assert got.schema.field("n_tok").type == arrow.field("n_tok").type
+
+    v = CompiledValidator(Seq)
+    checked = ds.map_batches(v, batch_format="pyarrow")
+    flat = pa.concat_tables(checked.iter_batches(batch_format="pyarrow"))
+    viol = flat.filter(pa.compute.equal(flat["kind"], "violation"))
+    counts: dict = {}
+    for name in viol["constraint"].to_pylist():
+        counts[name] = counts.get(name, 0) + 1
+    # exactly one null doc_id and one out-of-range n_tok were injected
+    assert counts.get("not_null(doc_id)") == 1
+    assert counts.get("range(n_tok)") == 1

@@ -38,7 +38,9 @@ def value_hash(df: pd.DataFrame) -> str:
 def main():
     import ray
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=16, include_dashboard=False,
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("ORACLE_CPUS", "16")),
+                 include_dashboard=False,
                  logging_level="ERROR")
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
