@@ -1397,6 +1397,30 @@ def _q_avro_roundtrip_documents(sf_dir: str) -> pa.Table:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _q_jsonl_roundtrip_documents(sf_dir: str) -> pa.Table:
+    """JSON-lines round-trip of the documents table through the
+    reference's wire format (sources/jsonl.py): Dataset -> write_json
+    part files -> read_jsonl with Record-typed conformance -> value-
+    exact against the parquet original (identity SQL oracle)."""
+    import shutil
+    import tempfile
+
+    from pyschema_ray.schema import record_from_arrow
+    from pyschema_ray.sources.jsonl import read_jsonl
+
+    out = tempfile.mkdtemp(prefix="psr_jsonl_")
+    try:
+        ds = _read(sf_dir, "documents")
+        cls = record_from_arrow(pa.schema(ds.schema().base_schema),
+                                name="DocumentsJl")
+        ds.write_json(out)
+        t = _collect(read_jsonl(out, cls))
+        return t.select(["doc_id", "text", "lang", "source", "n_chars"]) \
+            .sort_by("doc_id")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _q_minhash_near_dup_pairs(sf_dir: str) -> pa.Table:
     from pyschema_ray.functions.dedup import minhash_lsh_candidates
 
@@ -2885,6 +2909,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
         "avro_roundtrip_documents": _q_avro_roundtrip_documents,
+        "jsonl_roundtrip_documents": _q_jsonl_roundtrip_documents,
         "customers_no_urgent_orders": _q_customers_no_urgent_orders,
         "customers_with_big_orders": _q_customers_with_big_orders,
         "docs_rollup_counts": _q_docs_rollup_counts,
@@ -2979,6 +3004,10 @@ def oracle_sql() -> dict[str, str]:
               FROM documents ORDER BY doc_id
         """,
         "avro_roundtrip_documents": """
+            SELECT doc_id, text, lang, source, n_chars
+              FROM documents ORDER BY doc_id
+        """,
+        "jsonl_roundtrip_documents": """
             SELECT doc_id, text, lang, source, n_chars
               FROM documents ORDER BY doc_id
         """,

@@ -46,7 +46,7 @@ QUERY_SUBSET = [
     "ann_topk", "embedding_near_dups", "orders_by_nation",
     "user_session_counts", "ndv_user_id_hll", "value_quantiles_tdigest",
     "drift_events_self", "minhash_near_dup_pairs", "simhash",
-    "avro_roundtrip_documents",
+    "avro_roundtrip_documents", "jsonl_roundtrip_documents",
     "minhash_dup_pairs", "dedup_keep", "range_join_counts_copart",
     # round-4 additions (new operators; absent from earlier BENCH_r* files)
     "user_sessions_split", "asof_matched_ts_split", "drift_events_baseline",
