@@ -360,9 +360,16 @@ def _arrow_type_for_avro(t) -> pa.DataType:
             return pa.date32()
         if lt == "timestamp-micros":
             return pa.timestamp("us")
-        if t.get("type") == "array":
+        kind = t.get("type")
+        if kind == "array":
             return pa.list_(_arrow_type_for_avro(t["items"]))
-        return _arrow_type_for_avro(t["type"])
+        if kind == "map":
+            return pa.map_(pa.string(), _arrow_type_for_avro(t["values"]))
+        if kind == "enum":
+            return pa.string()
+        if kind == "fixed":
+            return pa.binary(t["size"])
+        return _arrow_type_for_avro(kind)
     return {"string": pa.string(), "bytes": pa.binary(),
             "boolean": pa.bool_(), "int": pa.int32(), "long": pa.int64(),
             "float": pa.float32(), "double": pa.float64()}[t]
@@ -596,7 +603,8 @@ def decode_avro_block(raw: bytes, schema_dict: dict, nrows: int) -> pa.Table:
         if t == "boolean":
             return mv[p] != 0, p + 1
         if isinstance(t, dict):
-            if t.get("type") == "array":
+            kind = t.get("type")
+            if kind == "array":
                 items = t["items"]
                 out = []
                 cnt, p = rd_varlong(p)
@@ -609,7 +617,29 @@ def decode_avro_block(raw: bytes, schema_dict: dict, nrows: int) -> pa.Table:
                         out.append(v)
                     cnt, p = rd_varlong(p)
                 return out, p
-            return rd_value(t["type"], p)
+            if kind == "map":  # interop: we never write maps
+                vals_t = t["values"]
+                m = {}
+                cnt, p = rd_varlong(p)
+                while cnt != 0:
+                    if cnt < 0:
+                        _sz, p = rd_varlong(p)
+                        cnt = -cnt
+                    for _ in range(cnt):
+                        kln, p = rd_varlong(p)
+                        k = str(mv[p:p + kln], "utf-8")
+                        p += kln
+                        v, p = rd_value(vals_t, p)
+                        m[k] = v
+                    cnt, p = rd_varlong(p)
+                return m, p
+            if kind == "enum":  # interop: symbol index -> symbol
+                i, p = rd_varlong(p)
+                return t["symbols"][i], p
+            if kind == "fixed":  # interop: size raw bytes
+                sz = t["size"]
+                return bytes(mv[p:p + sz]), p + sz
+            return rd_value(kind, p)
         raise NotImplementedError(f"avro decode for {t}")
 
     for _ in range(nrows):

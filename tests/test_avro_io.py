@@ -214,3 +214,27 @@ def test_read_avro_record_conform_and_validate(ray_session, tmp_path):
     # exactly one null doc_id and one out-of-range n_tok were injected
     assert counts.get("not_null(doc_id)") == 1
     assert counts.get("range(n_tok)") == 1
+
+
+def test_decode_foreign_enum_fixed_map():
+    """Interop: enum/fixed/map values our writer never emits, decoded
+    from a hand-encoded byte stream built straight from the spec."""
+    schema = {"type": "record", "name": "F", "fields": [
+        {"name": "color", "type": {"type": "enum", "name": "C",
+                                   "symbols": ["RED", "GREEN", "BLUE"]}},
+        {"name": "tag", "type": {"type": "fixed", "name": "T",
+                                 "size": 2}},
+        {"name": "attrs", "type": {"type": "map", "values": "long"}},
+    ]}
+    raw = bytes([
+        0x02,              # enum index 1 -> GREEN (zigzag varint)
+        0xAB, 0xCD,        # fixed(2) raw bytes
+        0x02,              # map block count 1
+        0x02, ord("k"),    # key "k"
+        0x0E,              # long 7 (zigzag 14)
+        0x00,              # map terminator
+    ])
+    t = decode_avro_block(raw, schema, 1)
+    assert t["color"].to_pylist() == ["GREEN"]
+    assert t["tag"].to_pylist() == [b"\xab\xcd"]
+    assert t["attrs"].to_pylist() == [[("k", 7)]]
