@@ -1397,6 +1397,49 @@ def _q_avro_roundtrip_documents(sf_dir: str) -> pa.Table:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _q_bloom_semijoin_revenue(sf_dir: str) -> pa.Table:
+    """Per-customer order revenue for one market segment via the Bloom
+    semi-join pushdown (functions/bloom.py::bloom_semi_join): a Bloom
+    filter of the ~1/5-selective dimension's keys prunes the orders
+    fact BEFORE the join shuffle (broadcast probe, no exchange); the
+    exact inner join then removes any false positives, so the result
+    is value-exact and the SQL oracle is a plain join.  Money kept as
+    int cents (round-half-away per row before summing)."""
+    from ray.data.aggregate import Sum
+
+    from pyschema_ray.functions.bloom import bloom_semi_join
+
+    dim = _read(sf_dir, "customer",
+                columns=["c_custkey", "c_mktsegment"]) \
+        .map_batches(lambda t: t.filter(pc.equal(
+            t["c_mktsegment"], "BUILDING")).select(["c_custkey"]),
+            batch_format="pyarrow")
+    fact = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    j = bloom_semi_join(fact, dim, on="o_custkey", right_on="c_custkey")
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        # Ray's join coalesces right_on into the left key column
+        key = t["c_custkey"] if "c_custkey" in t.column_names \
+            else t["o_custkey"]
+        return pa.table({
+            "c_custkey": key,
+            "cents": cents,
+            "one": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+        })
+
+    agg = j.map_batches(to_cents, batch_format="pyarrow") \
+        .groupby("c_custkey").aggregate(Sum("cents"), Sum("one"))
+    t = _collect(agg)
+    return pa.table({
+        "c_custkey": t["c_custkey"],
+        "total_cents": t["sum(cents)"],
+        "n_orders": t["sum(one)"],
+    }).sort_by("c_custkey")
+
+
 def _q_jsonl_roundtrip_documents(sf_dir: str) -> pa.Table:
     """JSON-lines round-trip of the documents table through the
     reference's wire format (sources/jsonl.py): Dataset -> write_json
@@ -2910,6 +2953,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": _q_fingerprints,
         "avro_roundtrip_documents": _q_avro_roundtrip_documents,
         "jsonl_roundtrip_documents": _q_jsonl_roundtrip_documents,
+        "bloom_semijoin_revenue": _q_bloom_semijoin_revenue,
         "customers_no_urgent_orders": _q_customers_no_urgent_orders,
         "customers_with_big_orders": _q_customers_with_big_orders,
         "docs_rollup_counts": _q_docs_rollup_counts,
@@ -3010,6 +3054,16 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_roundtrip_documents": """
             SELECT doc_id, text, lang, source, n_chars
               FROM documents ORDER BY doc_id
+        """,
+        "bloom_semijoin_revenue": """
+            SELECT c.c_custkey,
+                   CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents,
+                   COUNT(*) AS n_orders
+              FROM orders o
+              JOIN customer c ON o.o_custkey = c.c_custkey
+             WHERE c.c_mktsegment = 'BUILDING'
+             GROUP BY c.c_custkey ORDER BY c.c_custkey
         """,
         "violations_documents": f"""
             SELECT CAST(doc_id AS VARCHAR) AS key,
