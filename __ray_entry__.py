@@ -55,7 +55,14 @@ def _documents_schema():
     return DocumentsSchema
 
 
-def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+def _read(sf_dir: str, table: str, columns: list[str] | None = None,
+          pred=None):
+    """Column- and predicate-pruned parquet read.  ``pred`` is a
+    pyarrow.dataset expression pushed into the scan: row groups whose
+    min/max statistics exclude the predicate are SKIPPED at the
+    source (at 100 TB a selective predicate avoids reading most of
+    the file, not just most of the rows), and surviving fragments are
+    filtered exactly before the batch ever reaches a UDF."""
     import ray
     import ray.data
     path = os.path.join(sf_dir, f"{table}.parquet")
@@ -77,6 +84,8 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
         small = max(8, -(-sz // (1 << 20)))
         cap = max(2 * cpus, -(-sz // (128 << 20)))
         kw["override_num_blocks"] = min(small, cap)
+    if pred is not None:
+        kw["filter"] = pred
     ds = ray.data.read_parquet(path, columns=columns, **kw)
     # strip the files' pandas metadata: pa.Schema with metadata is
     # unhashable in pyarrow 16.1, and every downstream schema-dedupe
@@ -2070,13 +2079,14 @@ def _q_customers_with_big_orders(sf_dir: str) -> pa.Table:
     """Distributed SEMI join (EXISTS): customers with at least one
     order above a price threshold — same bounded existence-join
     exchange as the anti variant, keep side flipped."""
-    import pyarrow.compute as _pc
+    import pyarrow.dataset as _pads
+
     from pyschema_ray.functions.relational import semi_join
 
-    big = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]) \
-        .map_batches(lambda t: t.filter(
-            _pc.greater(t["o_totalprice"], 300000.0)),
-            batch_format="pyarrow")
+    # predicate pushed INTO the parquet scan: row groups whose
+    # max(o_totalprice) <= 300000 never leave storage
+    big = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"],
+                pred=_pads.field("o_totalprice") > 300000.0)
     out = semi_join(
         _read(sf_dir, "customer", columns=["c_custkey"]),
         big, "c_custkey", "o_custkey")
