@@ -1406,6 +1406,38 @@ def _q_avro_roundtrip_documents(sf_dir: str) -> pa.Table:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _q_partitioned_source_readback(sf_dir: str) -> pa.Table:
+    """Resumable partitioned output + partition-pruned re-read: the
+    documents table is written as hive-partitioned parquet (one
+    directory per source — the brief's resumable-output layout, a
+    failed run re-does only missing partitions) and ONE partition
+    directory is read back by path.  Path-level pruning is the
+    strongest prune there is: bytes of the other 19 partitions are
+    never opened, let alone filtered.  Null sources land in the hive
+    null partition and stay out of the selected directory; n_chars
+    survives the round-trip value-exact (oracle: WHERE source =
+    'src7')."""
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    out = tempfile.mkdtemp(prefix="psr_part_")
+    try:
+        _read(sf_dir, "documents",
+              columns=["doc_id", "source", "n_chars"]) \
+            .write_parquet(out, partition_cols=["source"])
+        part = os.path.join(out, "source=src7")
+        t = _collect(ray.data.read_parquet(
+            part, columns=["doc_id", "n_chars"]))
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_chars": pc.cast(t["n_chars"], pa.int64()),
+        }).sort_by("doc_id")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _q_bloom_semijoin_revenue(sf_dir: str) -> pa.Table:
     """Per-customer order revenue for one market segment via the Bloom
     semi-join pushdown (functions/bloom.py::bloom_semi_join): a Bloom
@@ -2964,6 +2996,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "avro_roundtrip_documents": _q_avro_roundtrip_documents,
         "jsonl_roundtrip_documents": _q_jsonl_roundtrip_documents,
         "bloom_semijoin_revenue": _q_bloom_semijoin_revenue,
+        "partitioned_source_readback": _q_partitioned_source_readback,
         "customers_no_urgent_orders": _q_customers_no_urgent_orders,
         "customers_with_big_orders": _q_customers_with_big_orders,
         "docs_rollup_counts": _q_docs_rollup_counts,
@@ -3064,6 +3097,10 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_roundtrip_documents": """
             SELECT doc_id, text, lang, source, n_chars
               FROM documents ORDER BY doc_id
+        """,
+        "partitioned_source_readback": """
+            SELECT doc_id, n_chars FROM documents
+             WHERE source = 'src7' ORDER BY doc_id
         """,
         "bloom_semijoin_revenue": """
             SELECT c.c_custkey,
