@@ -258,8 +258,14 @@ def bloom_semi_join(fact, dim, on: str, right_on: str | None = None,
     ktype = fact_schema.field(on).type
     sent_key = None
     for i in range(64):
-        cand = (-(2 ** 62) - i) if pa.types.is_integer(ktype) \
-            else f"\x00__psr_bloom_sentinel_{i}__"
+        if pa.types.is_integer(ktype):
+            # stay inside the key type's range (an int32 key column
+            # rejects a 2^62 sentinel)
+            lo = 0 if pa.types.is_unsigned_integer(ktype) \
+                else -(2 ** (ktype.bit_width - 1))
+            cand = lo + i
+        else:
+            cand = f"\x00__psr_bloom_sentinel_{i}__"
         if not bloom.contains(np.array([cand], dtype=object))[0]:
             sent_key = cand
             break

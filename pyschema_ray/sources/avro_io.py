@@ -484,8 +484,14 @@ class AvroBatchWriter:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         import hashlib
-        body = encode_avro_block(t.slice(0, min(t.num_rows, 1024)))
-        tag = hashlib.md5(body + str(t.num_rows).encode()).hexdigest()[:16]
+        # name by content: head + tail slices + count — two distinct
+        # blocks sharing a 1k-row prefix must not collide on one path
+        h = hashlib.md5(encode_avro_block(t.slice(0, min(t.num_rows,
+                                                         1024))))
+        if t.num_rows > 1024:
+            h.update(encode_avro_block(t.slice(t.num_rows - 1024)))
+        h.update(str(t.num_rows).encode())
+        tag = h.hexdigest()[:16]
         path = os.path.join(self.out_dir, f"part-{tag}.avro")
         nbytes = write_avro_table(t, path, schema_dict=self.schema_dict,
                                   codec=self.codec)

@@ -73,3 +73,32 @@ def test_semijoin_empty_dim(ray_session):
     }))
     out = _collect(bloom_semi_join(fact, dim, on="k", right_on="dk"))
     assert out.num_rows == 0
+
+
+def test_semijoin_int32_keys(ray_session):
+    """The sentinel must respect the key type's range (int32 keys
+    reject a 2^62 sentinel)."""
+    import ray.data
+
+    from pyschema_ray.functions.bloom import bloom_semi_join
+
+    fact = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int32()),
+        "v": pa.array([1, 2, 3, 4], pa.int64()),
+    }))
+    dim = ray.data.from_arrow(pa.table({
+        "dk": pa.array([2, 4], pa.int32()),
+        "w": pa.array([20, 40], pa.int64()),
+    }))
+    out = _collect(bloom_semi_join(fact, dim, on="k", right_on="dk")) \
+        .sort_by("v")
+    assert out["v"].to_pylist() == [2, 4]
+    assert out["w"].to_pylist() == [20, 40]
+
+    # fully-pruned corner with int32 keys: empty result, no error
+    dim2 = ray.data.from_arrow(pa.table({
+        "dk": pa.array([99], pa.int32()),
+        "w": pa.array([0], pa.int64()),
+    }))
+    assert _collect(bloom_semi_join(fact, dim2, on="k",
+                                    right_on="dk")).num_rows == 0
