@@ -1456,7 +1456,14 @@ def _q_bloom_semijoin_revenue(sf_dir: str) -> pa.Table:
             t["c_mktsegment"], "BUILDING")).select(["c_custkey"]),
             batch_format="pyarrow")
     fact = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    j = bloom_semi_join(fact, dim, on="o_custkey", right_on="c_custkey")
+    # capacity from parquet metadata (no count() pass): the unfiltered
+    # customer row count upper-bounds the dim — oversizing the filter
+    # only lowers the fp rate
+    import pyarrow.parquet as _pq
+    cap = _pq.ParquetFile(
+        os.path.join(sf_dir, "customer.parquet")).metadata.num_rows
+    j = bloom_semi_join(fact, dim, on="o_custkey", right_on="c_custkey",
+                        dim_capacity=cap)
 
     def to_cents(t: pa.Table) -> pa.Table:
         cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0),
