@@ -484,6 +484,9 @@ class AvroBatchWriter:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         import hashlib
+        # idempotent: the task may land on a node that hasn't seen the
+        # directory yet
+        os.makedirs(self.out_dir, exist_ok=True)
         # name by content: head + tail slices + count — two distinct
         # blocks sharing a 1k-row prefix must not collide on one path
         h = hashlib.md5(encode_avro_block(t.slice(0, min(t.num_rows,
@@ -503,11 +506,11 @@ class AvroBatchWriter:
 def write_avro(ds, out_dir: str, codec: str = "deflate"):
     """Dataset -> directory of `.avro` part files; returns the manifest
     Dataset(path, rows, bytes).  One file per input block — at 100 TB
-    the write fans out with the block count, no driver funnel."""
-    return ds.map_batches(AvroBatchWriter, batch_format="pyarrow",
-                          fn_constructor_kwargs=dict(out_dir=out_dir,
-                                                     codec=codec),
-                          concurrency=(1, 8))
+    the write fans out with the block count, no driver funnel.  The
+    writer is stateless, so it runs as TASKS (no actor-pool spin-up;
+    ``makedirs`` per task is an idempotent no-op)."""
+    writer = AvroBatchWriter(out_dir, codec=codec)
+    return ds.map_batches(writer, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
