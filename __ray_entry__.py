@@ -1406,6 +1406,19 @@ def _q_avro_roundtrip_documents(sf_dir: str) -> pa.Table:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _q_heavy_hitter_words(sf_dir: str) -> pa.Table:
+    """EXACT phi-heavy-hitter words via Misra-Gries sketch-prune +
+    broadcast exact-verify (functions/text.py::heavy_hitter_words):
+    no vocabulary-wide shuffle — per-batch MG summaries (<= k+1 rows)
+    fold on the driver, the <= k candidate words broadcast once, and
+    a second streaming pass counts exactly those words, so the output
+    matches the SQL GROUP BY ... HAVING answer byte-for-byte."""
+    from pyschema_ray.functions.text import heavy_hitter_words
+
+    return heavy_hitter_words(
+        _read(sf_dir, "documents", columns=["text"]), phi=0.002)
+
+
 def _q_partitioned_source_readback(sf_dir: str) -> pa.Table:
     """Resumable partitioned output + partition-pruned re-read: the
     documents table is written as hive-partitioned parquet (one
@@ -3004,6 +3017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip_documents": _q_jsonl_roundtrip_documents,
         "bloom_semijoin_revenue": _q_bloom_semijoin_revenue,
         "partitioned_source_readback": _q_partitioned_source_readback,
+        "heavy_hitter_words": _q_heavy_hitter_words,
         "customers_no_urgent_orders": _q_customers_no_urgent_orders,
         "customers_with_big_orders": _q_customers_with_big_orders,
         "docs_rollup_counts": _q_docs_rollup_counts,
@@ -3108,6 +3122,20 @@ def oracle_sql() -> dict[str, str]:
         "partitioned_source_readback": """
             SELECT doc_id, n_chars FROM documents
              WHERE source = 'src7' ORDER BY doc_id
+        """,
+        "heavy_hitter_words": """
+            WITH w AS (
+                SELECT unnest(regexp_split_to_array(
+                           lower(trim(text)), '\\s+')) AS word
+                  FROM documents
+                 WHERE text IS NOT NULL AND trim(text) <> ''),
+            nz AS (SELECT word FROM w WHERE word <> ''),
+            tot AS (SELECT COUNT(*) AS n FROM nz),
+            c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM nz GROUP BY word)
+            SELECT c.word, c.n FROM c, tot
+             WHERE c.n >= CAST(CEIL(0.002 * tot.n) AS BIGINT)
+             ORDER BY c.word
         """,
         "bloom_semijoin_revenue": """
             SELECT c.c_custkey,

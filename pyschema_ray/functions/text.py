@@ -7,6 +7,8 @@ north-prompt "text analysis" extensions, built Ray-Data-first.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -1106,3 +1108,116 @@ def hash_vectorize(ds, text_col: str = "text", key_col: str = "doc_id",
             pa.array(mat.reshape(-1), pa.float32()), dim))
 
     return ds.map_batches(vec, batch_format="pyarrow")
+
+
+def _mg_compress(words: np.ndarray, counts: np.ndarray, k: int):
+    """Misra-Gries compression to <= k counters (Misra & Gries 1982;
+    mergeable form per Agarwal et al. 2012 — public algorithms):
+    subtract the (k+1)-th largest count from every counter, keep
+    positives.  Each compression undercounts any item by at most the
+    subtracted value, and across an entire stream of n items the
+    total undercount per item is <= n/(k+1)."""
+    if len(words) <= k:
+        return words, counts
+    kth = np.partition(counts, len(counts) - (k + 1))[len(counts) - (k + 1)]
+    dec = counts - kth
+    keep = dec > 0
+    return words[keep], dec[keep]
+
+
+def heavy_hitter_words(ds, text_col: str = "text", phi: float = 0.002,
+                       k: int | None = None):
+    """EXACT phi-heavy-hitters (words with frequency >= phi * total)
+    without a vocabulary-wide shuffle — the sketch-prune + exact-verify
+    pattern:
+
+    1. Per batch: one Arrow split + value_counts, then Misra-Gries
+       compression to ``k`` counters — the stream to the driver is
+       <= k rows per batch, never vocabulary-sized.
+    2. Driver fold: merge partials (sum matching counters, compress
+       back to k).  Mergeable-summaries bound: any word's total
+       undercount <= n/(k+1).  With ``k = ceil(2/phi)`` (default),
+       n/(k+1) < phi*n/2, so every true heavy hitter survives with a
+       positive count — candidate recall is 1 by construction, and
+       MG itself guarantees <= k candidates.
+    3. Exact verify: the candidate list broadcasts once; one more
+       streaming pass counts EXACTLY those words (is_in filter +
+       value_counts per batch) and the phi threshold is applied to
+       exact counts — so the output is byte-identical to the
+       SQL GROUP BY ... HAVING answer, at sketch cost.
+
+    Driver traffic: O(batches * k) counter rows + one k-row broadcast
+    — at 100 TB with k=1000 that is ~8 MB per thousand batches,
+    vs a full word-frequency exchange.  Returns pa.Table(word, n)
+    sorted by word."""
+    import ray
+
+    if k is None:
+        k = int(math.ceil(2.0 / phi))
+
+    def split_words(t: pa.Table):
+        col = pc.utf8_lower(pc.utf8_trim_whitespace(
+            pc.fill_null(t[text_col], "")))
+        words = pc.list_flatten(
+            pc.split_pattern_regex(col, TOKEN_SPLIT_RE))
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        return words.filter(pc.not_equal(words, ""))
+
+    def partial(t: pa.Table) -> pa.Table:
+        words = split_words(t)
+        vc = words.value_counts()
+        w = vc.field("values").to_numpy(zero_copy_only=False)
+        n = pc.cast(vc.field("counts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        w, n = _mg_compress(w, n, k)
+        # sentinel "" row carries the batch's token total (the split
+        # drops empty words, so "" can never be a real counter)
+        return pa.table({
+            "word": pa.array(np.append(w, ""), pa.string()),
+            "n": pa.array(np.append(n, len(words)), pa.int64()),
+        })
+
+    # fold the (<= k+1 row) partials on the driver; "" row = batch total
+    acc_w = np.empty(0, object)
+    acc_n = np.empty(0, np.int64)
+    total = 0
+    import pandas as pd
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
+        w = b["word"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False)
+        is_tot = w == ""
+        total += int(n[is_tot].sum())
+        s = pd.Series(np.concatenate([acc_n, n[~is_tot]]),
+                      index=np.concatenate([acc_w, w[~is_tot]]))
+        s = s.groupby(level=0, sort=False).sum()
+        acc_w = s.index.to_numpy(dtype=object)
+        acc_n = s.to_numpy(np.int64)
+        acc_w, acc_n = _mg_compress(acc_w, acc_n, k)
+
+    threshold = int(math.ceil(phi * total)) if total else 0
+    # every true heavy hitter survives the fold (undercount < phi*n/2)
+    cand = acc_w[acc_n > 0]
+    if len(cand) == 0 or total == 0:
+        return pa.table({"word": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    cand_ref = ray.put(pa.array(sorted(cand.tolist()), pa.string()))
+
+    def exact(t: pa.Table) -> pa.Table:
+        words = split_words(t)
+        words = words.filter(pc.is_in(words, value_set=ray.get(cand_ref)))
+        vc = words.value_counts()
+        return pa.table({"word": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    ex: dict = {}
+    for b in ds.map_batches(exact, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        for w, n in zip(b["word"].to_pylist(), b["n"].to_pylist()):
+            ex[w] = ex.get(w, 0) + n
+    out = sorted((w, n) for w, n in ex.items() if n >= threshold)
+    return pa.table({"word": pa.array([w for w, _ in out], pa.string()),
+                     "n": pa.array([n for _, n in out], pa.int64())})
