@@ -1406,6 +1406,32 @@ def _q_avro_roundtrip_documents(sf_dir: str) -> pa.Table:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _q_csv_roundtrip_documents(sf_dir: str) -> pa.Table:
+    """CSV round-trip of the documents table (Arrow CSV writer/reader
+    under Ray's write_csv/read_csv — quoting handles embedded
+    delimiters; identity SQL oracle).  Completes the source-format
+    matrix: parquet (native), JSON-lines ($schema wire format), Avro
+    container (binary), hive-partitioned parquet, CSV."""
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    out = tempfile.mkdtemp(prefix="psr_csv_")
+    try:
+        _read(sf_dir, "documents").write_csv(out)
+        t = _collect(ray.data.read_csv(out))
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "text": pc.cast(t["text"], pa.string()),
+            "lang": pc.cast(t["lang"], pa.string()),
+            "source": pc.cast(t["source"], pa.string()),
+            "n_chars": pc.cast(t["n_chars"], pa.int64()),
+        }).sort_by("doc_id")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _q_heavy_hitter_words(sf_dir: str) -> pa.Table:
     """EXACT phi-heavy-hitter words via Misra-Gries sketch-prune +
     broadcast exact-verify (functions/text.py::heavy_hitter_words):
@@ -3018,6 +3044,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semijoin_revenue": _q_bloom_semijoin_revenue,
         "partitioned_source_readback": _q_partitioned_source_readback,
         "heavy_hitter_words": _q_heavy_hitter_words,
+        "csv_roundtrip_documents": _q_csv_roundtrip_documents,
         "customers_no_urgent_orders": _q_customers_no_urgent_orders,
         "customers_with_big_orders": _q_customers_with_big_orders,
         "docs_rollup_counts": _q_docs_rollup_counts,
@@ -3122,6 +3149,10 @@ def oracle_sql() -> dict[str, str]:
         "partitioned_source_readback": """
             SELECT doc_id, n_chars FROM documents
              WHERE source = 'src7' ORDER BY doc_id
+        """,
+        "csv_roundtrip_documents": """
+            SELECT doc_id, text, lang, source, n_chars
+              FROM documents ORDER BY doc_id
         """,
         "heavy_hitter_words": """
             WITH w AS (

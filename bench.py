@@ -48,7 +48,7 @@ QUERY_SUBSET = [
     "drift_events_self", "minhash_near_dup_pairs", "simhash",
     "avro_roundtrip_documents", "jsonl_roundtrip_documents",
     "bloom_semijoin_revenue", "partitioned_source_readback",
-    "heavy_hitter_words",
+    "heavy_hitter_words", "csv_roundtrip_documents",
     "minhash_dup_pairs", "dedup_keep", "range_join_counts_copart",
     # round-4 additions (new operators; absent from earlier BENCH_r* files)
     "user_sessions_split", "asof_matched_ts_split", "drift_events_baseline",
