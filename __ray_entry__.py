@@ -1501,8 +1501,10 @@ def _q_bloom_semijoin_revenue(sf_dir: str) -> pa.Table:
     import pyarrow.parquet as _pq
     cap = _pq.ParquetFile(
         os.path.join(sf_dir, "customer.parquet")).metadata.num_rows
+    sz = os.path.getsize(os.path.join(sf_dir, "orders.parquet")) \
+        + os.path.getsize(os.path.join(sf_dir, "customer.parquet"))
     j = bloom_semi_join(fact, dim, on="o_custkey", right_on="c_custkey",
-                        dim_capacity=cap)
+                        dim_capacity=cap, size_hint_bytes=sz)
 
     def to_cents(t: pa.Table) -> pa.Table:
         cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0),
