@@ -683,13 +683,19 @@ def read_avro_file(path: str) -> pa.Table:
     return pa.concat_tables(tbls)
 
 
-def read_avro(paths, schema_cls=None) -> "ray.data.Dataset":  # noqa: F821
+def read_avro(paths, schema_cls=None,
+              reader_schema: dict | None = None) -> "ray.data.Dataset":  # noqa: F821
     """`.avro` files/dirs -> Dataset, parallel over BLOCKS: stage 1
     flat_maps files into block descriptors via the header-seek scan
     (bytes read ~ 20/block); stage 2 map_batches decodes each block.
     A 100 TB corpus of 64 MB blocks yields ~1.6 M descriptor rows —
     trivially small — while decode work spreads over every core in
-    the cluster."""
+    the cluster.
+
+    ``reader_schema`` applies spec schema resolution per block (see
+    :func:`resolve_to_reader`) — files written with older schemas
+    promote / fill defaults / drop fields; mixed-schema directories
+    resolve per file, so the stream is uniformly reader-shaped."""
     import ray.data
 
     if isinstance(paths, str):
@@ -720,8 +726,12 @@ def read_avro(paths, schema_cls=None) -> "ray.data.Dataset":  # noqa: F821
                 raw = f.read(row["nbytes"])
             if row["codec"] == "deflate":
                 raw = zlib.decompress(raw, -15)
-            out.append(decode_avro_block(raw, json.loads(row["schema"]),
-                                         row["nrows"]))
+            writer_schema = json.loads(row["schema"])
+            blk = decode_avro_block(raw, writer_schema, row["nrows"])
+            if reader_schema is not None:
+                blk = resolve_to_reader(blk, writer_schema,
+                                        reader_schema)
+            out.append(blk)
         if not out:
             # dtype-pinned empty branch (schema-less empty RefBundle
             # discipline — see VERDICT r4 "What's wrong" #2)
@@ -741,3 +751,74 @@ def read_avro(paths, schema_cls=None) -> "ray.data.Dataset":  # noqa: F821
         out = out.map_batches(lambda t: cast_columns(t, arrow),
                               batch_format="pyarrow")
     return out
+
+
+_PROMOTIONS = {  # Avro 1.11 schema-resolution promotion lattice
+    "int": {"long", "float", "double"},
+    "long": {"float", "double"},
+    "float": {"double"},
+    "string": {"bytes"},
+    "bytes": {"string"},
+}
+
+
+def _base_name(t) -> str:
+    if isinstance(t, list):
+        return "union"
+    if isinstance(t, dict):
+        return t.get("type")
+    return t
+
+
+def resolve_to_reader(table: pa.Table, writer_schema: dict,
+                      reader_schema: dict) -> pa.Table:
+    """Avro schema resolution (spec "Schema Resolution" section):
+    project a decoded table onto the READER schema — reader-only
+    fields fill from their declared ``default`` (required by the spec
+    when the writer lacks the field), writer-only fields are dropped,
+    and matching fields promote along int -> long -> float -> double
+    (and string <-> bytes).  The columnar analog of per-record
+    resolution: one cast / one constant column per field, no row
+    work."""
+    writer_fields = {f["name"]: f for f in writer_schema["fields"]}
+    out_cols = []
+    out_fields = []
+    arrow = arrow_schema_for_avro(reader_schema)
+    for rf in reader_schema["fields"]:
+        name = rf["name"]
+        target = arrow.field(name)
+        if name in writer_fields and name in table.column_names:
+            wt = writer_fields[name]["type"]
+            rt = rf["type"]
+            wb, rb = _base_name(wt), _base_name(rt)
+            if wb != rb and rb != "union" and wb != "union" \
+                    and rb not in _PROMOTIONS.get(wb, ()):
+                raise ValueError(
+                    f"field {name!r}: writer type {wb} does not "
+                    f"resolve to reader type {rb}")
+            col = table[name]
+            if col.type != target.type:
+                col = pa.compute.cast(col, target.type)
+            out_cols.append(col)
+        elif "default" in rf:
+            d = rf["default"]
+            out_cols.append(pa.array([d] * table.num_rows, target.type)
+                            if d is not None
+                            else pa.nulls(table.num_rows, target.type))
+        elif target.nullable:
+            out_cols.append(pa.nulls(table.num_rows, target.type))
+        else:
+            raise ValueError(
+                f"reader field {name!r} missing from writer schema "
+                f"and has no default")
+        out_fields.append(target)
+    return pa.table(dict(zip([f.name for f in out_fields], out_cols)),
+                    schema=pa.schema(out_fields))
+
+
+def read_avro_file_resolved(path: str, reader_schema: dict) -> pa.Table:
+    """Whole-file read resolved onto ``reader_schema`` (see
+    :func:`resolve_to_reader`)."""
+    writer_schema, _codec, _blocks = scan_avro_file(path)
+    return resolve_to_reader(read_avro_file(path), writer_schema,
+                             reader_schema)

@@ -238,3 +238,78 @@ def test_decode_foreign_enum_fixed_map():
     assert t["color"].to_pylist() == ["GREEN"]
     assert t["tag"].to_pylist() == [b"\xab\xcd"]
     assert t["attrs"].to_pylist() == [[("k", 7)]]
+
+
+def test_schema_resolution_promotions_defaults_drops(tmp_path):
+    """Avro schema resolution: reader promotes int->long and
+    float->double, fills a reader-only field from its default, drops
+    a writer-only field; a missing default and an illegal demotion
+    raise."""
+    from pyschema_ray.sources.avro_io import (read_avro_file_resolved,
+                                              resolve_to_reader)
+
+    t = pa.table({
+        "a": pa.array([1, 2], pa.int32()),
+        "b": pa.array([1.5, 2.5], pa.float32()),
+        "gone": pa.array(["x", "y"], pa.string()),
+    })
+    t = t.cast(pa.schema([pa.field("a", pa.int32(), nullable=False),
+                          pa.field("b", pa.float32(), nullable=False),
+                          pa.field("gone", pa.string(),
+                                   nullable=False)]))
+    path = str(tmp_path / "v1.avro")
+    write_avro_table(t, path)
+
+    reader = {"type": "record", "name": "V2", "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "b", "type": "double"},
+        {"name": "c", "type": "string", "default": "dflt"},
+        {"name": "d", "type": ["null", "long"]},
+    ]}
+    got = read_avro_file_resolved(path, reader)
+    assert got.column_names == ["a", "b", "c", "d"]
+    assert got["a"].type == pa.int64()
+    assert got["a"].to_pylist() == [1, 2]
+    assert got["b"].type == pa.float64()
+    assert got["b"].to_pylist() == [1.5, 2.5]
+    assert got["c"].to_pylist() == ["dflt", "dflt"]
+    assert got["d"].to_pylist() == [None, None]
+    assert "gone" not in got.column_names
+
+    writer_schema = {"type": "record", "name": "V1", "fields": [
+        {"name": "a", "type": "int"},
+        {"name": "b", "type": "float"},
+        {"name": "gone", "type": "string"}]}
+    with pytest.raises(ValueError, match="no default"):
+        resolve_to_reader(read_avro_file(path), writer_schema, {
+            "type": "record", "name": "Bad", "fields": [
+                {"name": "nope", "type": "string"}]})
+    with pytest.raises(ValueError, match="does not resolve"):
+        resolve_to_reader(read_avro_file(path), writer_schema, {
+            "type": "record", "name": "Bad2", "fields": [
+                {"name": "b", "type": "int"}]})  # float -/-> int
+
+
+def test_read_avro_mixed_schema_dir_resolution(ray_session, tmp_path):
+    """A directory holding files written under TWO schema versions
+    reads back uniformly reader-shaped via per-file resolution."""
+    d = tmp_path / "mixed"
+    d.mkdir()
+    v1 = pa.table({"a": pa.array([1, 2], pa.int32())})
+    v1 = v1.cast(pa.schema([pa.field("a", pa.int32(), nullable=False)]))
+    v2 = pa.table({"a": pa.array([3], pa.int64()),
+                   "c": pa.array(["real"], pa.string())})
+    v2 = v2.cast(pa.schema([pa.field("a", pa.int64(), nullable=False),
+                            pa.field("c", pa.string(),
+                                     nullable=False)]))
+    write_avro_table(v1, str(d / "old.avro"))
+    write_avro_table(v2, str(d / "new.avro"))
+
+    reader = {"type": "record", "name": "R", "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "c", "type": "string", "default": "dflt"},
+    ]}
+    got = read_avro(str(d), reader_schema=reader).to_pandas() \
+        .sort_values("a").reset_index(drop=True)
+    assert got["a"].tolist() == [1, 2, 3]
+    assert got["c"].tolist() == ["dflt", "dflt", "real"]
