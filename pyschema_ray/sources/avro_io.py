@@ -822,3 +822,47 @@ def read_avro_file_resolved(path: str, reader_schema: dict) -> pa.Table:
     writer_schema, _codec, _blocks = scan_avro_file(path)
     return resolve_to_reader(read_avro_file(path), writer_schema,
                              reader_schema)
+
+
+def avro_to_parquet(paths, out_dir: str,
+                    reader_schema: dict | None = None) -> list[str]:
+    """Migration bridge into the (parquet-deep) validation pipeline:
+    convert `.avro` files to parquet, ONE OUTPUT FILE PER INPUT FILE
+    with a deterministic name — so a re-run skips files whose output
+    already exists (the same atomic write-then-rename resumability
+    contract as the pipeline's own sinks), and per-file lineage is
+    preserved for the pipeline's manifest.  Conversion is a Ray task
+    per file (decode blocks -> one parquet write); 100 TB converts
+    with file-level parallelism.  Returns the output paths."""
+    import ray
+
+    if isinstance(paths, str):
+        paths = [paths]
+    files = []
+    for p in paths:
+        if os.path.isdir(p):
+            files += sorted(os.path.join(p, f) for f in os.listdir(p)
+                            if f.endswith(".avro"))
+        else:
+            files.append(p)
+    if not files:
+        raise FileNotFoundError(f"no .avro files in {paths}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    @ray.remote
+    def convert(path: str) -> str:
+        import pyarrow.parquet as pq
+        base = os.path.splitext(os.path.basename(path))[0]
+        dst = os.path.join(out_dir, f"{base}.parquet")
+        if os.path.exists(dst):  # resumable skip
+            return dst
+        t = read_avro_file(path)
+        if reader_schema is not None:
+            writer_schema, _c, _b = scan_avro_file(path)
+            t = resolve_to_reader(t, writer_schema, reader_schema)
+        tmp = f"{dst}.tmp.{os.getpid()}"
+        pq.write_table(t, tmp)
+        os.replace(tmp, dst)
+        return dst
+
+    return ray.get([convert.remote(f) for f in files])

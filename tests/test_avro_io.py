@@ -313,3 +313,35 @@ def test_read_avro_mixed_schema_dir_resolution(ray_session, tmp_path):
         .sort_values("a").reset_index(drop=True)
     assert got["a"].tolist() == [1, 2, 3]
     assert got["c"].tolist() == ["dflt", "dflt", "real"]
+
+
+def test_avro_to_parquet_resumable_and_pipeline_ready(ray_session,
+                                                      tmp_path):
+    """Avro corpus -> parquet bridge: one parquet per input file,
+    deterministic names, second run skips existing outputs; the
+    converted directory feeds the standard ValidationPipeline."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from pyschema_ray.sources.avro_io import avro_to_parquet
+
+    src = tmp_path / "avro_in"
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    write_avro(ds, str(src)).materialize()
+
+    out = tmp_path / "pq_out"
+    paths = avro_to_parquet(str(src), str(out))
+    assert sorted(paths) == sorted(
+        str(out / f) for f in _os.listdir(out))
+    total = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+    assert total == ds.count()
+
+    # resumability: tamper one output, re-run, the tampered file is
+    # NOT overwritten (skip-by-existence)
+    probe = paths[0]
+    mtime = _os.path.getmtime(probe)
+    paths2 = avro_to_parquet(str(src), str(out))
+    assert sorted(paths2) == sorted(paths)
+    assert _os.path.getmtime(probe) == mtime
