@@ -60,6 +60,32 @@ def _key_shards(values, num_shards: int, seed: int = 0) -> np.ndarray:
     return (_key_hash(values, seed) % np.uint64(num_shards)).astype(np.int64)
 
 
+def _pa_key_type(series) -> pa.DataType:
+    """Arrow type for a pandas key Series: numeric dtypes map via
+    numpy; object dtype means string keys (the only object-dtype keys
+    these pipelines carry)."""
+    if series.dtype == object:
+        return pa.string()
+    return pa.from_numpy_dtype(series.dtype)
+
+
+def _pairs_table(ka, kb, key_type: pa.DataType, **extra) -> pa.Table:
+    """(key_a, key_b[, extras]) as an Arrow table with a PINNED key
+    type.  Every pair emitter returns Arrow — never pandas — so a
+    stage's data blocks and Ray's empty-input passthrough blocks
+    (which skip the UDF and keep the upstream Arrow type) are the SAME
+    block type with the SAME schema; a stream that mixes pandas and
+    Arrow blocks trips ``TableBlockBuilder.add_block``'s type check in
+    any downstream batcher/sort, which was the round-4 driver failure
+    mode for the dup-pair queries.  ``extra`` maps column name ->
+    ``(values, pa.DataType)``."""
+    cols = {"key_a": pa.array(ka, type=key_type, from_pandas=True),
+            "key_b": pa.array(kb, type=key_type, from_pandas=True)}
+    for name, (vals, typ) in extra.items():
+        cols[name] = pa.array(vals, type=typ, from_pandas=True)
+    return pa.table(cols)
+
+
 def _group_starts(*cols) -> tuple[np.ndarray, np.ndarray]:
     """(starts, sizes) of equal-value runs over pre-sorted parallel
     arrays (the group boundaries of a sorted grouping)."""
@@ -423,11 +449,10 @@ def minhash_lsh_candidates(ds, text_col: str = "text",
         return t.append_column("shard", pa.array(m.astype(np.int64)))
 
     def emit_pairs(df):
-        import pandas as pd
+        kt = _pa_key_type(df[key_col])
         dup = df[df.duplicated(["band", "bucket"], keep=False)]
         if dup.empty:
-            return pd.DataFrame({"key_a": pd.Series([], dtype=df[key_col].dtype),
-                                 "key_b": pd.Series([], dtype=df[key_col].dtype)})
+            return _pairs_table([], [], kt)
         # sort by (group, key) so within-group pairs come out ordered
         # (key_a < key_b); pair emission is a vectorized triangular
         # cross-join per group, not a nested Python loop
@@ -436,7 +461,7 @@ def minhash_lsh_candidates(ds, text_col: str = "text",
                                       dup["bucket"].to_numpy())
         ia, ib = _triu_pairs(starts, sizes)
         keys = dup[key_col].to_numpy()
-        return pd.DataFrame({"key_a": keys[ia], "key_b": keys[ib]})
+        return _pairs_table(keys[ia], keys[ib], kt)
 
     pairs = buckets.map_batches(add_mod, batch_format="pyarrow") \
         .groupby("shard").map_groups(emit_pairs, batch_format="pandas")
@@ -467,8 +492,14 @@ def distinct_pairs(pairs, num_shards: int | None = None,
     def local_distinct(df):
         if min_col is not None:
             df = df.sort_values(min_col, kind="stable")
-        return df.drop_duplicates(["key_a", "key_b"]) \
-                 .drop(columns=["pshard"])
+        df = df.drop_duplicates(["key_a", "key_b"]) \
+               .drop(columns=["pshard"])
+        kt = _pa_key_type(df["key_a"])
+        extra = {} if min_col is None else \
+            {min_col: (df[min_col].to_numpy(),
+                       pa.from_numpy_dtype(df[min_col].dtype))}
+        return _pairs_table(df["key_a"].to_numpy(),
+                            df["key_b"].to_numpy(), kt, **extra)
 
     return pairs.map_batches(add_shard, batch_format="pyarrow") \
         .groupby("pshard").map_groups(local_distinct, batch_format="pandas")
@@ -513,7 +544,8 @@ def jaccard_verify_pairs(pairs_table: pa.Table, docs_table: pa.Table,
 # ---------------------------------------------------------------------------
 
 def _route_pair_payloads(pairs, docs, key_col, doc_payload, req_payload,
-                         num_shards, seeds, doc_transform=None):
+                         num_shards, seeds, doc_transform=None,
+                         payload_type: pa.DataType | None = None):
     """Shared shuffle-semi-join core for pair verification: each pair
     emits two payload requests (one per side) sharded by key hash; the
     docs Dataset ships (key, payload) through the same shuffle (the
@@ -599,9 +631,17 @@ def _route_pair_payloads(pairs, docs, key_col, doc_payload, req_payload,
         shard = ((_key_hash(ka, s_a) ^ _key_hash(kb, s_b))
                  % np.uint64(num_shards)).astype(np.int64) \
             if len(req) else np.empty(0, np.int64)
-        return pd.DataFrame({
-            "pshard": shard, "key_a": ka, "key_b": kb,
-            "side": req["side"].to_numpy(), "payload": p})
+        kt = _np_key_type(ka) if len(ka) else _pa_key_type(df["key"])
+        # payload type is pinned by the caller: mixed pandas/Arrow (or
+        # object-dtype-inferred) blocks out of this exchange were the
+        # round-4 driver failure mode
+        ptype = payload_type if payload_type is not None else pa.string()
+        return pa.table({
+            "pshard": pa.array(shard, pa.int64()),
+            "key_a": pa.array(ka, type=kt, from_pandas=True),
+            "key_b": pa.array(kb, type=kt, from_pandas=True),
+            "side": pa.array(req["side"].to_numpy(), pa.int8()),
+            "payload": pa.array(p, type=ptype, from_pandas=True)})
 
     return union.groupby("kshard").map_groups(attach,
                                               batch_format="pandas")
@@ -672,14 +712,20 @@ def _bytes_to_hash_concat(payloads: np.ndarray):
     return vals, sizes
 
 
+def _np_key_type(arr: np.ndarray) -> pa.DataType:
+    """Arrow type for a numpy key array (object dtype = string keys)."""
+    if arr.dtype == object:
+        return pa.string()
+    return pa.from_numpy_dtype(arr.dtype)
+
+
 def _jaccard_frame(ka, kb, p0, p1, threshold: float):
     """Vectorized Jaccard over aligned pair arrays of packed-hash
     payloads: concatenate all pairs' hash arrays, ONE lexsort by
     (pair, hash), and count within-pair duplicate hashes (each common
     shingle appears exactly twice in a pair) — every intersection size
-    in one run-length pass, zero per-pair Python."""
-    import pandas as pd
-
+    in one run-length pass, zero per-pair Python.  Returns an Arrow
+    table (pinned key type — see :func:`_pairs_table`)."""
     va, sa = _bytes_to_hash_concat(p0)
     vb, sb = _bytes_to_hash_concat(p1)
     npairs = len(ka)
@@ -695,8 +741,8 @@ def _jaccard_frame(ka, kb, p0, p1, threshold: float):
     j = np.zeros(npairs, np.float64)
     j[ok] = inter[ok] / union[ok]
     keep = ok & (j >= threshold)
-    return pd.DataFrame({"key_a": ka[keep], "key_b": kb[keep],
-                         "jaccard": j[keep]})
+    return _pairs_table(ka[keep], kb[keep], _np_key_type(ka),
+                        jaccard=(j[keep], pa.float64()))
 
 
 def _broadcast_payload_lookup(pairs_mat, docs, key_col, payload_builder):
@@ -820,12 +866,13 @@ def jaccard_verify_pairs_ds(pairs, docs, text_col: str = "text",
         req_payload=lambda n: pa.nulls(n, pa.string()),
         num_shards=num_shards, seeds=(5, 6, 7),
         doc_transform=lambda texts: _shingle_hash_bytes(texts,
-                                                        shingle_words))
+                                                        shingle_words),
+        payload_type=pa.binary())
 
     def verify(df):
         if df.empty:
-            return pd.DataFrame({"key_a": df["key_a"], "key_b": df["key_b"],
-                                 "jaccard": pd.Series([], dtype=np.float64)})
+            return _pairs_table([], [], _pa_key_type(df["key_a"]),
+                                jaccard=([], pa.float64()))
         ka, kb, p0, p1 = _pair_side_arrays(df)
         return _jaccard_frame(ka, kb, p0, p1, threshold)
 
@@ -877,8 +924,8 @@ def filter_exact_text_pairs(pairs, docs, text_col: str = "text",
     pairs = pairs.materialize()
     if pairs.count() <= small_pairs_threshold:
         def equal_frame(ka, kb, h0, h1):
-            eq = h0 == h1
-            return pd.DataFrame({"key_a": ka[eq], "key_b": kb[eq]})
+            eq = h0 == h1 if len(ka) else np.zeros(0, bool)
+            return _pairs_table(ka[eq], kb[eq], _np_key_type(ka))
 
         return _verify_pairs_broadcast(
             pairs, docs.select_columns([key_col, text_col]), key_col,
@@ -888,15 +935,15 @@ def filter_exact_text_pairs(pairs, docs, text_col: str = "text",
         pairs, docs.select_columns([key_col, text_col]), key_col,
         doc_payload=doc_hashes,
         req_payload=lambda n: pa.array(np.full(n, "", object), pa.string()),
-        num_shards=num_shards, seeds=(21, 22, 23))
+        num_shards=num_shards, seeds=(21, 22, 23),
+        payload_type=pa.string())
 
     def equal_pairs(df):
         if df.empty:
-            return pd.DataFrame({"key_a": df["key_a"],
-                                 "key_b": df["key_b"]})
+            return _pairs_table([], [], _pa_key_type(df["key_a"]))
         ka, kb, h0, h1 = _pair_side_arrays(df)
         eq = h0 == h1  # elementwise over the hex-string object arrays
-        return pd.DataFrame({"key_a": ka[eq], "key_b": kb[eq]})
+        return _pairs_table(ka[eq], kb[eq], _np_key_type(ka))
 
     return routed.groupby("pshard").map_groups(equal_pairs,
                                                batch_format="pandas")
@@ -1053,7 +1100,19 @@ def connected_components(pairs, num_shards: int | None = None,
         out = pd.concat([canon, msgs, fwd, answers, requests],
                         ignore_index=True)
         out["nshard"] = _key_shards(out["node"].to_numpy(), num_shards, 9)
-        return out[["nshard", "node", "kind", "other", "canon", "changed"]]
+        kt = _pa_key_type(out["node"])
+        return pa.table({
+            "nshard": pa.array(out["nshard"].to_numpy(), pa.int64()),
+            "node": pa.array(out["node"].to_numpy(), type=kt,
+                             from_pandas=True),
+            "kind": pa.array(out["kind"].to_numpy().astype(np.int8),
+                             pa.int8()),
+            "other": pa.array(out["other"].to_numpy(), type=kt,
+                              from_pandas=True),
+            "canon": pa.array(out["canon"].to_numpy().astype(bool),
+                              pa.bool_()),
+            "changed": pa.array(out["changed"].to_numpy().astype(np.int8),
+                                pa.int8())})
 
     state = pairs.map_batches(init_rows, batch_format="pyarrow") \
         .materialize()
@@ -1113,14 +1172,14 @@ def component_all_pairs(pairs, num_shards: int | None = None):
         return t.append_column("lshard", shard)
 
     def emit(df):
+        kt = _pa_key_type(df["node"])
         if len(df) < 2:
-            return pd.DataFrame({"key_a": pd.Series([], dtype=df["node"].dtype),
-                                 "key_b": pd.Series([], dtype=df["node"].dtype)})
+            return _pairs_table([], [], kt)
         df = df.sort_values(["label", "node"], kind="stable")
         starts, sizes = _group_starts(df["label"].to_numpy())
         ia, ib = _triu_pairs(starts, sizes)
         nodes = df["node"].to_numpy()
-        return pd.DataFrame({"key_a": nodes[ia], "key_b": nodes[ib]})
+        return _pairs_table(nodes[ia], nodes[ib], kt)
 
     return labels.map_batches(add_shard, batch_format="pyarrow") \
         .groupby("lshard").map_groups(emit, batch_format="pandas")
@@ -1205,8 +1264,9 @@ def dedup_keep_keys_ds(ds, text_col: str = "text", key_col: str = "doc_id",
 
     def anti(df):
         flag = df.groupby(key_col)["is_drop"].max()
-        keep = flag.index[flag.to_numpy() == 0]
-        return pd.DataFrame({key_col: keep.to_numpy()})
+        keep = flag.index[flag.to_numpy() == 0].to_numpy()
+        return pa.table({key_col: pa.array(
+            keep, type=_pa_key_type(df[key_col]), from_pandas=True)})
 
     return union.groupby("kshard").map_groups(anti, batch_format="pandas")
 
@@ -1289,11 +1349,10 @@ def winnow_candidates(ds, text_col: str = "text", key_col: str = "doc_id",
         })
 
     def emit(df):
+        kt = _pa_key_type(df[key_col])
         dup = df[df.duplicated(["fp"], keep=False)]
         if dup.empty:
-            return pd.DataFrame({
-                "key_a": pd.Series([], dtype=df[key_col].dtype),
-                "key_b": pd.Series([], dtype=df[key_col].dtype)})
+            return _pairs_table([], [], kt)
         # one key may contribute a fingerprint many times across its
         # windows only once (fingerprints are per-doc deduplicated by
         # winnow_fingerprints_batch), so groups are distinct docs
@@ -1323,7 +1382,7 @@ def winnow_candidates(ds, text_col: str = "text", key_col: str = "doc_id",
             ok2 = lo != hi
             key_a = np.concatenate([key_a, lo[ok2]])
             key_b = np.concatenate([key_b, hi[ok2]])
-        return pd.DataFrame({"key_a": key_a, "key_b": key_b})
+        return _pairs_table(key_a, key_b, kt)
 
     pairs = ds.map_batches(explode, batch_format="pyarrow") \
         .groupby("fshard").map_groups(emit, batch_format="pandas")
@@ -1409,13 +1468,11 @@ def simhash_near_dups(ds, text_col: str = "text", key_col: str = "doc_id",
         return t.append_column("shard", pa.array(m.astype(np.int64)))
 
     def emit(df):
-        import pandas as pd
+        kt = _pa_key_type(df[key_col])
         dup = df[df.duplicated(["chunk_id", "chunk"], keep=False)]
         if dup.empty:
-            return pd.DataFrame({
-                "key_a": pd.Series([], dtype=df[key_col].dtype),
-                "key_b": pd.Series([], dtype=df[key_col].dtype),
-                "hamming": pd.Series([], dtype=np.int64)})
+            return _pairs_table([], [], kt,
+                                hamming=([], pa.int64()))
         dup = dup.sort_values(["chunk_id", "chunk", key_col], kind="stable")
         starts, sizes = _group_starts(dup["chunk_id"].to_numpy(),
                                       dup["chunk"].to_numpy())
@@ -1424,8 +1481,8 @@ def simhash_near_dups(ds, text_col: str = "text", key_col: str = "doc_id",
         sigs = dup["simhash"].to_numpy().astype(np.uint64)
         ham = _popcount64(sigs[ia] ^ sigs[ib])
         ok = (ham <= max_hamming) & (keys[ia] != keys[ib])
-        return pd.DataFrame({"key_a": keys[ia][ok], "key_b": keys[ib][ok],
-                             "hamming": ham[ok]})
+        return _pairs_table(keys[ia][ok], keys[ib][ok], kt,
+                            hamming=(ham[ok], pa.int64()))
 
     pairs = exploded.map_batches(add_mod, batch_format="pyarrow") \
         .groupby("shard").map_groups(emit, batch_format="pandas")
@@ -1480,13 +1537,16 @@ def novel_keys_vs_existing(new_ds, existing_ds, text_col: str = "text",
             .map_batches(rows(1), batch_format="pyarrow"))
 
     def anti(df):
+        kt = _pa_key_type(df[key_col])
         newdf = df.loc[df["side"] == 0, ["h1", "h2", key_col]]
         if newdf.empty:
-            return newdf[[key_col]]
+            return pa.table({key_col: pa.array([], kt)})
         exist = df.loc[df["side"] == 1, ["h1", "h2"]].drop_duplicates()
         m = newdf.merge(exist, on=["h1", "h2"], how="left",
                         indicator=True)
-        return m.loc[m["_merge"] == "left_only", [key_col]]
+        keep = m.loc[m["_merge"] == "left_only", key_col].to_numpy()
+        return pa.table({key_col: pa.array(keep, type=kt,
+                                           from_pandas=True)})
 
     return union.groupby("hshard").map_groups(anti, batch_format="pandas")
 
@@ -1596,28 +1656,30 @@ def ngram_jaccard_pairs(ds, text_col: str = "text",
             keep = sizes <= max_df
             starts, sizes = starts[keep], sizes[keep]
         ia, ib = _triu_pairs(starts, sizes)
-        kcol = df["key"]
-        empty_k = kcol.iloc[:0]
+        kt = _pa_key_type(df["key"])
         if len(ia) == 0:
-            return pd.DataFrame({
-                "key_a": empty_k, "key_b": empty_k.copy(),
-                "c": pd.Series([], dtype=np.int64),
-                "pshard": pd.Series([], dtype=np.int64)})
-        k = kcol.to_numpy()
+            return _pairs_table([], [], kt, c=([], pa.int64()),
+                                pshard=([], pa.int64()))
+        k = df["key"].to_numpy()
         out = pd.DataFrame({"key_a": k[ia], "key_b": k[ib]})
         out = out.groupby(["key_a", "key_b"], sort=False) \
                  .size().reset_index(name="c")
-        out["c"] = out["c"].astype(np.int64)
         ph = _key_hash(out["key_a"].to_numpy(), 3) \
             ^ _key_hash(out["key_b"].to_numpy(), 4)
-        out["pshard"] = (ph % np.uint64(num_shards)).astype(np.int64)
-        return out
+        pshard = (ph % np.uint64(num_shards)).astype(np.int64)
+        return _pairs_table(
+            out["key_a"].to_numpy(), out["key_b"].to_numpy(), kt,
+            c=(out["c"].to_numpy().astype(np.int64), pa.int64()),
+            pshard=(pshard, pa.int64()))
 
     def pair_sums(df):
         g = df.groupby(["key_a", "key_b"], sort=False, as_index=False) \
               .agg(n_common=("c", "sum"))
-        g["n_common"] = g["n_common"].astype(np.int64)
-        return g
+        return _pairs_table(
+            g["key_a"].to_numpy(), g["key_b"].to_numpy(),
+            _pa_key_type(g["key_a"]),
+            n_common=(g["n_common"].to_numpy().astype(np.int64),
+                      pa.int64()))
 
     key_type = None
     for name, typ in zip(ds.schema().names, ds.schema().types):
@@ -1698,16 +1760,25 @@ def ngram_jaccard_pairs(ds, text_col: str = "text",
                  "szv": pc.cast(t["sz"], pa.int64())})
 
         def merge(df):
+            def to_arrow(frame):
+                return pa.table({
+                    "key_a": pa.array(frame["key_a"].to_numpy(),
+                                      type=key_type, from_pandas=True),
+                    "key_b": pa.array(frame["key_b"].to_numpy(),
+                                      type=key_type, from_pandas=True),
+                    **{c: pa.array(
+                        frame[c].to_numpy().astype(np.int64), pa.int64())
+                       for c in carry + [out_col]}})
+
             p = df.loc[df["side"] == 0,
                        ["key_a", "key_b"] + carry].copy()
             s = df.loc[df["side"] == 1, [side_key, "szv"]] \
                 .drop_duplicates(side_key) \
                 .rename(columns={"szv": out_col})
             if p.empty:
-                out = p
-                out[out_col] = df["szv"].iloc[:0]
-                return out
-            return p.merge(s, on=side_key, how="inner")
+                p[out_col] = df["szv"].iloc[:0]
+                return to_arrow(p)
+            return to_arrow(p.merge(s, on=side_key, how="inner"))
 
         union = pairs_ds.map_batches(tag_pairs, batch_format="pyarrow") \
             .union(sizes.map_batches(tag_sizes, batch_format="pyarrow"))
@@ -1720,25 +1791,23 @@ def ngram_jaccard_pairs(ds, text_col: str = "text",
     with_b = _attach(with_a, "key_b", ["n_common", "sz_a"], "sz_b")
 
     def finish(df):
-        import pandas as pd
         need = ["key_a", "key_b", "n_common", "sz_a", "sz_b"]
         if df.shape[0] == 0 or any(c not in df.columns for c in need):
-            return pd.DataFrame({
-                "key_a": pd.Series([], dtype=object),
-                "key_b": pd.Series([], dtype=object),
-                "n_common": pd.Series([], dtype=np.int64),
-                "n_union": pd.Series([], dtype=np.int64),
-                "jaccard": pd.Series([], dtype=np.float64)})
+            return _pairs_table([], [], key_type,
+                                n_common=([], pa.int64()),
+                                n_union=([], pa.int64()),
+                                jaccard=([], pa.float64()))
         inter_n = df["n_common"].to_numpy().astype(np.int64)
         uni = df["sz_a"].to_numpy().astype(np.int64) \
             + df["sz_b"].to_numpy().astype(np.int64) - inter_n
         jac = inter_n / np.maximum(uni, 1)
         keep = jac >= threshold
-        out = df.loc[keep, ["key_a", "key_b"]].copy()
-        out["n_common"] = inter_n[keep]
-        out["n_union"] = uni[keep]
-        out["jaccard"] = jac[keep]
-        return out
+        out = df.loc[keep]
+        return _pairs_table(out["key_a"].to_numpy(),
+                            out["key_b"].to_numpy(), key_type,
+                            n_common=(inter_n[keep], pa.int64()),
+                            n_union=(uni[keep], pa.int64()),
+                            jaccard=(jac[keep], pa.float64()))
 
     return with_b.map_batches(finish, batch_format="pandas")
 
