@@ -60,13 +60,7 @@ def _key_shards(values, num_shards: int, seed: int = 0) -> np.ndarray:
     return (_key_hash(values, seed) % np.uint64(num_shards)).astype(np.int64)
 
 
-def _pa_key_type(series) -> pa.DataType:
-    """Arrow type for a pandas key Series: numeric dtypes map via
-    numpy; object dtype means string keys (the only object-dtype keys
-    these pipelines carry)."""
-    if series.dtype == object:
-        return pa.string()
-    return pa.from_numpy_dtype(series.dtype)
+from ..sketches import pa_key_type as _pa_key_type  # noqa: E402
 
 
 def _pairs_table(ka, kb, key_type: pa.DataType, **extra) -> pa.Table:
@@ -712,11 +706,7 @@ def _bytes_to_hash_concat(payloads: np.ndarray):
     return vals, sizes
 
 
-def _np_key_type(arr: np.ndarray) -> pa.DataType:
-    """Arrow type for a numpy key array (object dtype = string keys)."""
-    if arr.dtype == object:
-        return pa.string()
-    return pa.from_numpy_dtype(arr.dtype)
+_np_key_type = _pa_key_type  # numpy arrays and Series share the rule
 
 
 def _jaccard_frame(ka, kb, p0, p1, threshold: float):

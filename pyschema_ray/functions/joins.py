@@ -23,6 +23,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..sketches import pa_key_type as _pa_key_type
 from .dedup import _default_shards, _group_starts, _key_shards
 
 
@@ -133,8 +134,7 @@ def sessionize(ds, key_col: str, ts_col: str, gap_seconds: float,
     num_shards = num_shards or _default_shards()
 
     def per_shard(df):
-        import pandas as pd
-
+        kt = _pa_key_type(df[key_col])
         df, us, new_session, _, _ = _session_bounds(
             df, key_col, ts_col, gap_seconds)
         n = len(us)
@@ -147,13 +147,16 @@ def sessionize(ds, key_col: str, ts_col: str, gap_seconds: float,
         # key's first session (sessions inherit key-sorted order)
         ks, kz = _group_starts(s_keys)
         first_of_key = np.repeat(ks, kz)
-        sess_id = np.arange(len(sstarts)) - first_of_key
-        return pd.DataFrame({
-            key_col: s_keys,
-            f"{out_prefix}_id": sess_id,
-            "start": ts_vals[sstarts],
-            "end": ts_vals[sends],
-            "n_events": np.append(sstarts[1:], n) - sstarts,
+        sess_id = np.arange(len(sstarts), dtype=np.int64) - first_of_key
+        # Arrow output with pinned types — see sketches.pa_key_type
+        return pa.table({
+            key_col: pa.array(s_keys, type=kt, from_pandas=True),
+            f"{out_prefix}_id": pa.array(sess_id, pa.int64()),
+            "start": pa.array(ts_vals[sstarts], pa.timestamp("us")),
+            "end": pa.array(ts_vals[sends], pa.timestamp("us")),
+            "n_events": pa.array(
+                (np.append(sstarts[1:], n) - sstarts).astype(np.int64),
+                pa.int64()),
         })
 
     sharded = _with_key_shard(ds, key_col, num_shards,
@@ -275,17 +278,17 @@ def session_counts(ds, key_col: str, ts_col: str, gap_seconds: float,
     num_shards = num_shards or _default_shards()
 
     def per_shard(df):
-        import pandas as pd
-
+        kt = _pa_key_type(df[key_col])
         df, _, new_session, kstarts, ksizes = _session_bounds(
             df, key_col, ts_col, gap_seconds)
         keys = df[key_col].to_numpy()
         # per-key session count = number of new_session marks in the
         # key's run; one reduceat over the whole shard
         n_sessions = np.add.reduceat(new_session.astype(np.int64), kstarts)
-        return pd.DataFrame({key_col: keys[kstarts],
-                             "n_sessions": n_sessions,
-                             "n_events": ksizes})
+        return pa.table({
+            key_col: pa.array(keys[kstarts], type=kt, from_pandas=True),
+            "n_sessions": pa.array(n_sessions, pa.int64()),
+            "n_events": pa.array(ksizes.astype(np.int64), pa.int64())})
 
     sharded = _with_key_shard(ds, key_col, num_shards,
                               columns=[key_col, ts_col])

@@ -229,15 +229,20 @@ def fuzzy_name_pairs(ds, name_col: str = "p_name",
     def global_distinct(df):
         import pandas as pd
         if df.shape[0] == 0:
-            return pd.DataFrame({
-                "g1": pd.Series([], dtype=np.int64),
-                "g2": pd.Series([], dtype=np.int64),
-                "name": pd.Series([], dtype=object),
-                "cnt": pd.Series([], dtype=np.int64)})
+            return pa.table({
+                "g1": pa.array([], pa.int64()),
+                "g2": pa.array([], pa.int64()),
+                "name": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64())})
         g = df.groupby(["g1", "g2"], sort=False, as_index=False) \
               .agg(name=("name", "first"), cnt=("cnt", "sum"))
-        g["cnt"] = g["cnt"].astype(np.int64)
-        return g[["g1", "g2", "name", "cnt"]]
+        return pa.table({
+            "g1": pa.array(g["g1"].to_numpy(), pa.int64()),
+            "g2": pa.array(g["g2"].to_numpy(), pa.int64()),
+            "name": pa.array(g["name"].to_numpy(), pa.string(),
+                             from_pandas=True),
+            "cnt": pa.array(g["cnt"].to_numpy().astype(np.int64),
+                            pa.int64())})
 
     # ---- phase 2: word blocking over DISTINCT names ----
 
@@ -303,12 +308,8 @@ def fuzzy_name_pairs(ds, name_col: str = "p_name",
         # (<= words per name), the price of collapsing the exchange.
         import pandas as pd
 
-        out_empty = pd.DataFrame({
-            "g1a": pd.Series([], dtype=np.int64),
-            "g2a": pd.Series([], dtype=np.int64),
-            "g1b": pd.Series([], dtype=np.int64),
-            "g2b": pd.Series([], dtype=np.int64),
-            "dist": pd.Series([], dtype=np.int64)})
+        out_empty = pa.table({c: pa.array([], pa.int64()) for c in
+                              ("g1a", "g2a", "g1b", "g2b", "dist")})
         if df.shape[0] == 0:
             return out_empty
         df = df.copy()
@@ -373,7 +374,10 @@ def fuzzy_name_pairs(ds, name_col: str = "p_name",
                 "g1b": g1[b], "g2b": g2[b], "dist": d}))
         if not parts_out:
             return out_empty
-        return pd.concat(parts_out, ignore_index=True)
+        allp = pd.concat(parts_out, ignore_index=True)
+        return pa.table({c: pa.array(
+            allp[c].to_numpy().astype(np.int64), pa.int64())
+            for c in ("g1a", "g2a", "g1b", "g2b", "dist")})
 
     # ---- phase 3: gid-pair DISTINCT + two-hop expansion ----
 
@@ -391,8 +395,11 @@ def fuzzy_name_pairs(ds, name_col: str = "p_name",
         # dist is a pure function of the (unordered) name pair, so
         # duplicates across word shards carry equal values
         df = df.sort_values("dist", kind="stable")
-        return df.drop_duplicates(["g1a", "g2a", "g1b", "g2b"]) \
-                 .drop(columns=["pshard"])
+        df = df.drop_duplicates(["g1a", "g2a", "g1b", "g2b"]) \
+               .drop(columns=["pshard"])
+        return pa.table({c: pa.array(
+            df[c].to_numpy().astype(np.int64), pa.int64())
+            for c in ("g1a", "g2a", "g1b", "g2b", "dist")})
 
     X1 = ["xshard", "side", "g1", "g2", "og1", "og2", "dist", "key"]
 
@@ -429,15 +436,25 @@ def fuzzy_name_pairs(ds, name_col: str = "p_name",
             "key": t["key"]})
 
     def merge1(df):
+        def to_arrow(frame):
+            return pa.table({
+                "og1": pa.array(frame["og1"].to_numpy().astype(np.int64),
+                                pa.int64()),
+                "og2": pa.array(frame["og2"].to_numpy().astype(np.int64),
+                                pa.int64()),
+                "dist": pa.array(frame["dist"].to_numpy().astype(np.int64),
+                                 pa.int64()),
+                "key_a": pa.array(frame["key_a"].to_numpy(),
+                                  type=key_type, from_pandas=True)})
+
         p = df.loc[df["side"] == 0, ["g1", "g2", "og1", "og2", "dist"]]
         m = df.loc[df["side"] == 1, ["g1", "g2", "key"]]
         if p.empty or m.empty:
             out = p.iloc[:0][["og1", "og2", "dist"]].copy()
             out["key_a"] = m["key"].iloc[:0]
-            return out
-        return p.merge(m, on=["g1", "g2"], how="inner") \
-                .rename(columns={"key": "key_a"}) \
-                [["og1", "og2", "dist", "key_a"]]
+            return to_arrow(out)
+        return to_arrow(p.merge(m, on=["g1", "g2"], how="inner")
+                        .rename(columns={"key": "key_a"}))
 
     X2 = ["xshard", "side", "g1", "g2", "dist", "key_a", "key"]
 
@@ -474,15 +491,23 @@ def fuzzy_name_pairs(ds, name_col: str = "p_name",
             "key_a": _zero_keys(t.num_rows), "key": t["key"]})
 
     def merge2(df):
+        def to_arrow(frame):
+            return pa.table({
+                "key_a": pa.array(frame["key_a"].to_numpy(),
+                                  type=key_type, from_pandas=True),
+                "key_b": pa.array(frame["key_b"].to_numpy(),
+                                  type=key_type, from_pandas=True),
+                "dist": pa.array(frame["dist"].to_numpy().astype(np.int64),
+                                 pa.int64())})
+
         p = df.loc[df["side"] == 0, ["g1", "g2", "dist", "key_a"]]
         m = df.loc[df["side"] == 1, ["g1", "g2", "key"]]
         if p.empty or m.empty:
             out = p.iloc[:0][["key_a", "dist"]].copy()
             out["key_b"] = m["key"].iloc[:0]
-            return out[["key_a", "key_b", "dist"]]
-        return p.merge(m, on=["g1", "g2"], how="inner") \
-                .rename(columns={"key": "key_b"}) \
-                [["key_a", "key_b", "dist"]]
+            return to_arrow(out)
+        return to_arrow(p.merge(m, on=["g1", "g2"], how="inner")
+                        .rename(columns={"key": "key_b"}))
 
     def finalize(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "key_a" not in t.column_names:

@@ -22,6 +22,42 @@ import pyarrow as pa
 from .dedup import _default_shards, _key_shards
 
 
+def _list_array(values, elem_type: pa.DataType) -> pa.ListArray:
+    """list<elem_type> array from a python list of sequences — one
+    concatenate + one offsets array, no per-cell Arrow conversion."""
+    offsets = np.zeros(len(values) + 1, np.int64)
+    np.cumsum([len(v) for v in values], out=offsets[1:])
+    if elem_type == pa.int64():
+        flat = np.concatenate([np.asarray(v, np.int64) for v in values]) \
+            if values else np.empty(0, np.int64)
+        flat_arr = pa.array(flat, pa.int64())
+    else:
+        flat_arr = pa.array([x for v in values for x in v], elem_type)
+    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                    flat_arr)
+
+
+def _pack_table(out: dict, key_type: pa.DataType, **extra) -> pa.Table:
+    """Pack-window rows as an Arrow table with pinned schema (the
+    sketches.pa_key_type rule: pandas/Arrow-mixed or value-inferred
+    block schemas out of an exchange are the round-4 failure mode).
+    ``extra`` maps column -> (values, type); list types assemble via
+    :func:`_list_array`."""
+    cols = {
+        "pack_id": pa.array(out["pack_id"], pa.string()),
+        "tokens": _list_array(out["tokens"], pa.int64()),
+        "n_tokens": pa.array(
+            np.asarray(out["n_tokens"], np.int64), pa.int64()),
+        "n_docs": pa.array(np.asarray(out["n_docs"], np.int64),
+                           pa.int64()),
+        "doc_ids": _list_array(out["doc_ids"], key_type),
+    }
+    for name, (vals, typ) in extra.items():
+        cols[name] = _list_array(vals, typ.value_type) \
+            if pa.types.is_list(typ) else pa.array(vals, typ)
+    return pa.table(cols)
+
+
 def pack_sequences(ds, tokens_col: str = "tokens", key_col: str = "doc_id",
                    max_len: int = 2048, num_shards: int | None = None,
                    pad_id: int | None = None):
@@ -45,6 +81,8 @@ def pack_sequences(ds, tokens_col: str = "tokens", key_col: str = "doc_id",
             "pshard", pa.array(_key_shards(keys, num_shards, 31), pa.int64()))
 
     def pack(df):
+        from ..sketches import pa_key_type
+        kt = pa_key_type(df[key_col])
         df = df.sort_values(key_col, kind="stable")
         shard = int(df["pshard"].iloc[0])
         parts = [np.asarray(v, dtype=np.int64) if v is not None
@@ -55,16 +93,13 @@ def pack_sequences(ds, tokens_col: str = "tokens", key_col: str = "doc_id",
         if n == 0:
             # typed empty block — an untyped empty DataFrame would
             # infer null columns and fail unification with non-empty
-            # shards' list<int64>/string blocks.  doc_ids element type
-            # follows the corpus's actual key type (conversion only on
-            # this rare branch, not the hot packing path).
-            doc_keys = pa.Array.from_pandas(df[key_col])
+            # shards' list<int64>/string blocks.
             return pa.table({
                 "pack_id": pa.array([], pa.string()),
                 "tokens": pa.array([], pa.list_(pa.int64())),
                 "n_tokens": pa.array([], pa.int64()),
                 "n_docs": pa.array([], pa.int64()),
-                "doc_ids": pa.array([], pa.list_(doc_keys.type)),
+                "doc_ids": pa.array([], pa.list_(kt)),
             })
         doc_ends = np.cumsum(doc_lens)          # exclusive end per doc
         keys_np = df[key_col].to_numpy()
@@ -89,7 +124,7 @@ def pack_sequences(ds, tokens_col: str = "tokens", key_col: str = "doc_id",
             # .tolist(): numpy unicode arrays (string keys) are not
             # Arrow-convertible as object cells
             out["doc_ids"].append(keys_np[d0:d1 + 1].tolist())
-        return pd.DataFrame(out)
+        return _pack_table(out, kt)
 
     return ds.map_batches(add_shard, batch_format="pyarrow") \
         .groupby("pshard").map_groups(pack, batch_format="pandas")
@@ -128,6 +163,8 @@ def pack_sequences_stitched(ds, tokens_col: str = "tokens",
             "pshard", pa.array(_key_shards(keys, num_shards, 31), pa.int64()))
 
     def pack_full(df):
+        from ..sketches import pa_key_type
+        kt = pa_key_type(df[key_col])
         df = df.sort_values(key_col, kind="stable")
         shard = int(df["pshard"].iloc[0])
         parts = [np.asarray(v, dtype=np.int64) if v is not None
@@ -166,29 +203,28 @@ def pack_sequences_stitched(ds, tokens_col: str = "tokens",
             ends_local = (doc_ends[d0:d1 + 1] - s).clip(0, n - s).tolist()
             emit(f"tail{shard}", stream[s:], n - s, d0, d1, ends_local,
                  np.int8(1), np.int64(shard % stitch_shards))
-        if not out["pack_id"]:
-            doc_keys = pa.Array.from_pandas(df[key_col])
-            return pa.table({
-                "pack_id": pa.array([], pa.string()),
-                "tokens": pa.array([], pa.list_(pa.int64())),
-                "n_tokens": pa.array([], pa.int64()),
-                "n_docs": pa.array([], pa.int64()),
-                "doc_ids": pa.array([], pa.list_(doc_keys.type)),
-                "is_rem": pa.array([], pa.int8()),
-                "rshard": pa.array([], pa.int64()),
-                "doc_ends_local": pa.array([], pa.list_(pa.int64())),
-            })
-        return pd.DataFrame(out)
+        return _pack_table(
+            out, kt,
+            is_rem=(np.asarray(out["is_rem"], np.int8), pa.int8()),
+            rshard=(np.asarray(out["rshard"], np.int64), pa.int64()),
+            doc_ends_local=(out.get("doc_ends_local", []),
+                            pa.list_(pa.int64())))
 
     staged = ds.map_batches(add_shard, batch_format="pyarrow") \
         .groupby("pshard").map_groups(pack_full, batch_format="pandas") \
         .materialize()  # two consumers below; blocks stay distributed
 
     strip = ["is_rem", "rshard", "doc_ends_local"]
+    key_type = None
+    for name, typ in zip(ds.schema().names, ds.schema().types):
+        if name == key_col:
+            key_type = typ
+    if key_type is None:
+        raise ValueError(f"{key_col!r} not in dataset schema")
 
-    def fulls(df):
-        return df.loc[df["is_rem"] == 0,
-                      [c for c in df.columns if c not in strip]]
+    def fulls(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.equal(t["is_rem"], 0)).drop_columns(strip)
 
     def stitch(df):
         # deterministic order: by originating shard (encoded in pack_id
@@ -229,9 +265,12 @@ def pack_sequences_stitched(ds, tokens_col: str = "tokens",
             out["n_tokens"].append(real)
             out["n_docs"].append(d1 - d0 + 1)
             out["doc_ids"].append(list(keys_np[d0:d1 + 1]))
-        return pd.DataFrame(out)
+        return _pack_table(out, key_type)
 
-    rems = staged.map_batches(
-        lambda df: df.loc[df["is_rem"] == 1], batch_format="pandas") \
+    def rems_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.equal(t["is_rem"], 1))
+
+    rems = staged.map_batches(rems_only, batch_format="pyarrow") \
         .groupby("rshard").map_groups(stitch, batch_format="pandas")
-    return staged.map_batches(fulls, batch_format="pandas").union(rems)
+    return staged.map_batches(fulls, batch_format="pyarrow").union(rems)

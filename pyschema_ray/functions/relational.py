@@ -339,8 +339,10 @@ def left_count_distribution(keys_ds, fact_ds, key_col: str,
         per_key["n_facts"] = per_key["n_facts"].fillna(0).astype("int64")
         hist = per_key.groupby("n_facts", sort=False).size() \
             .rename("n_keys").reset_index()
-        hist["n_keys"] = hist["n_keys"].astype("int64")
-        return hist
+        return pa.table({
+            "n_facts": pa.array(hist["n_facts"].to_numpy(), pa.int64()),
+            "n_keys": pa.array(hist["n_keys"].to_numpy().astype(np.int64),
+                               pa.int64())})
 
     def total(t: pa.Table) -> pa.Table:
         g = t.group_by("n_facts").aggregate([("n_keys", "sum")])
@@ -417,7 +419,13 @@ def snapshot_diff(old_ds, new_ds, key_col: str = "doc_id",
                               "")))
         m = m.assign(status=status)
         m = m.loc[m["status"] != "", [key_col, "status"]]
-        return m
+        from ..sketches import pa_key_type
+        return pa.table({
+            key_col: pa.array(m[key_col].to_numpy(),
+                              type=pa_key_type(df[key_col]),
+                              from_pandas=True),
+            "status": pa.array(m["status"].to_numpy(), pa.string(),
+                               from_pandas=True)})
 
     return union.groupby("kshard") \
         .map_groups(classify, batch_format="pandas")

@@ -163,9 +163,12 @@ def cosine_near_dups_lsh(ds, threshold: float = 0.9, n_planes: int = 12,
     probe = ds.take_batch(1, batch_format="pyarrow")
     dim = _as_matrix(probe[embedding_col]).shape[1]
 
-    def emit(df: "pd.DataFrame") -> "pd.DataFrame":
+    def emit(df: "pd.DataFrame") -> pa.Table:
+        from ..sketches import pa_key_type
+        kt = pa_key_type(df[key_col])
         if len(df) < 2:
-            return pd.DataFrame({"key_a": [], "key_b": []})
+            return pa.table({"key_a": pa.array([], kt),
+                             "key_b": pa.array([], kt)})
         m = _normalize(np.stack(
             [np.asarray(v, dtype=np.float32) for v in df[embedding_col]]))
         keys = df[key_col].to_numpy()
@@ -173,7 +176,9 @@ def cosine_near_dups_lsh(ds, threshold: float = 0.9, n_planes: int = 12,
         ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
         ka, kb = keys[ai], keys[bi]
         lo, hi = np.minimum(ka, kb), np.maximum(ka, kb)
-        return pd.DataFrame({"key_a": lo, "key_b": hi})
+        return pa.table({
+            "key_a": pa.array(lo, type=kt, from_pandas=True),
+            "key_b": pa.array(hi, type=kt, from_pandas=True)})
 
     per_table = []
     for i in range(max(1, n_tables)):

@@ -31,6 +31,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..sketches import pa_key_type as _pa_key_type
 from .dedup import _default_shards, _group_starts, _key_hash, _key_shards
 
 
@@ -114,11 +115,14 @@ def sessionize_timesplit(ds, key_col: str, ts_col: str,
         is_last = np.zeros(len(sstart), dtype=bool)
         is_last[rs + rz - 1] = True
         boundary = is_first | is_last
-        return pd.DataFrame({
-            key_col: s_key,
-            "start_us": s_lo, "end_us": s_hi,
-            "n_events": s_n.astype(np.int64),
-            "boundary": boundary,
+        # Arrow output with pinned types (sketches.pa_key_type rule)
+        return pa.table({
+            key_col: pa.array(s_key, type=_pa_key_type(df[key_col]),
+                              from_pandas=True),
+            "start_us": pa.array(s_lo, pa.int64()),
+            "end_us": pa.array(s_hi, pa.int64()),
+            "n_events": pa.array(s_n.astype(np.int64), pa.int64()),
+            "boundary": pa.array(boundary, pa.bool_()),
         })
 
     phase_a = ds.map_batches(tag, batch_format="pyarrow") \
@@ -130,23 +134,32 @@ def sessionize_timesplit(ds, key_col: str, ts_col: str,
     # once to avoid re-running phase A per consumer.
     phase_a = phase_a.materialize()
 
-    def interior(df):
-        d = df.loc[~df["boundary"], [key_col, "start_us", "end_us",
-                                     "n_events"]]
-        return d
+    def _session_rows(kt, keys, lo, hi, ne) -> pa.Table:
+        return pa.table({
+            key_col: pa.array(keys, type=kt, from_pandas=True),
+            "start_us": pa.array(lo, pa.int64()),
+            "end_us": pa.array(hi, pa.int64()),
+            "n_events": pa.array(ne.astype(np.int64), pa.int64()),
+        })
 
-    def to_stitch(df):
-        d = df.loc[df["boundary"]]
-        keys = d[key_col].to_numpy()
-        return pd.DataFrame({
-            "kshard": _key_shards(keys, num_shards, 71),
-            key_col: keys,
-            "start_us": d["start_us"].to_numpy(),
-            "end_us": d["end_us"].to_numpy(),
-            "n_events": d["n_events"].to_numpy(),
+    def interior(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(t["boundary"])) \
+                .select([key_col, "start_us", "end_us", "n_events"])
+
+    def to_stitch(t: pa.Table) -> pa.Table:
+        d = t.filter(t["boundary"])
+        keys = d[key_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "kshard": pa.array(_key_shards(keys, num_shards, 71),
+                               pa.int64()),
+            key_col: d[key_col],
+            "start_us": d["start_us"],
+            "end_us": d["end_us"],
+            "n_events": d["n_events"],
         })
 
     def stitch(df):
+        kt = _pa_key_type(df[key_col])
         df = df.sort_values([key_col, "start_us"], kind="stable")
         keys = df[key_col].to_numpy()
         lo = df["start_us"].to_numpy()
@@ -159,30 +172,26 @@ def sessionize_timesplit(ds, key_col: str, ts_col: str,
             new_c[1:] = ~(same & (lo[1:] - hi[:-1] <= gap_us))
         cs = np.flatnonzero(new_c)
         ce = np.append(cs[1:], n) - 1
-        return pd.DataFrame({
-            key_col: keys[cs],
-            "start_us": lo[cs],
-            "end_us": hi[ce],
-            "n_events": np.add.reduceat(ne, cs).astype(np.int64),
-        })
+        return _session_rows(kt, keys[cs], lo[cs], hi[ce],
+                             np.add.reduceat(ne, cs))
 
-    stitched = phase_a.map_batches(to_stitch, batch_format="pandas") \
+    stitched = phase_a.map_batches(to_stitch, batch_format="pyarrow") \
         .groupby("kshard").map_groups(stitch, batch_format="pandas") \
-        .map_batches(lambda d: d[[key_col, "start_us", "end_us",
-                                  "n_events"]], batch_format="pandas")
-    out = phase_a.map_batches(interior, batch_format="pandas") \
+        .map_batches(lambda t: t.select([key_col, "start_us", "end_us",
+                                         "n_events"]),
+                     batch_format="pyarrow")
+    out = phase_a.map_batches(interior, batch_format="pyarrow") \
         .union(stitched)
 
-    def finalize(df):
-        import pandas as pd
-        return pd.DataFrame({
-            key_col: df[key_col].to_numpy(),
-            "start": df["start_us"].to_numpy().astype("datetime64[us]"),
-            "end": df["end_us"].to_numpy().astype("datetime64[us]"),
-            "n_events": df["n_events"].to_numpy().astype(np.int64),
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: t[key_col],
+            "start": pc.cast(t["start_us"], pa.timestamp("us")),
+            "end": pc.cast(t["end_us"], pa.timestamp("us")),
+            "n_events": t["n_events"],
         })
 
-    return out.map_batches(finalize, batch_format="pandas")
+    return out.map_batches(finalize, batch_format="pyarrow")
 
 
 def session_counts_timesplit(ds, key_col: str, ts_col: str,
@@ -201,26 +210,29 @@ def session_counts_timesplit(ds, key_col: str, ts_col: str,
     sessions = sessionize_timesplit(ds, key_col, ts_col, gap_seconds,
                                     bucket_seconds, num_shards)
 
-    def tag(df):
-        keys = df[key_col].to_numpy()
-        return pd.DataFrame({
-            "kshard": _key_shards(keys, num_shards, 73),
-            key_col: keys,
-            "n_events": df["n_events"].to_numpy(),
+    def tag(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "kshard": pa.array(_key_shards(keys, num_shards, 73),
+                               pa.int64()),
+            key_col: t[key_col],
+            "n_events": t["n_events"],
         })
 
     def per_key(df):
+        kt = _pa_key_type(df[key_col])
         df = df.sort_values(key_col, kind="stable")
         keys = df[key_col].to_numpy()
         ks, kz = _group_starts(keys)
-        return pd.DataFrame({
-            key_col: keys[ks],
-            "n_sessions": kz.astype(np.int64),
-            "n_events": np.add.reduceat(
+        return pa.table({
+            key_col: pa.array(keys[ks], type=kt, from_pandas=True),
+            "n_sessions": pa.array(kz.astype(np.int64), pa.int64()),
+            "n_events": pa.array(np.add.reduceat(
                 df["n_events"].to_numpy(), ks).astype(np.int64),
+                pa.int64()),
         })
 
-    return sessions.map_batches(tag, batch_format="pandas") \
+    return sessions.map_batches(tag, batch_format="pyarrow") \
         .groupby("kshard").map_groups(per_key, batch_format="pandas")
 
 

@@ -44,6 +44,20 @@ def hash_strings(values) -> np.ndarray:
     return pd.util.hash_array(arr, categorize=False)
 
 
+def pa_key_type(series_or_array) -> pa.DataType:
+    """Arrow type for a pandas Series / numpy key array: numeric
+    dtypes map via numpy; object dtype means string keys (the only
+    object-dtype keys these pipelines carry).  Every pandas-format
+    ``map_groups`` emitter derives its output key type through this
+    so empty and non-empty group outputs share ONE pinned schema —
+    mixed or value-inferred schemas out of an exchange are the
+    round-4 driver failure mode."""
+    dt = series_or_array.dtype
+    if dt == object:
+        return pa.string()
+    return pa.from_numpy_dtype(dt)
+
+
 def default_exchange_shards() -> int:
     """Cluster-proportional exchange width (4 tasks per core, floor
     64) — THE sizing rule for every bounded integer-shard shuffle in
