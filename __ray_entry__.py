@@ -105,7 +105,7 @@ def _tables_bytes(sf_dir: str, *tables: str) -> int:
 
 def _collect(ds, empty_schema: pa.Schema | None = None) -> pa.Table:
     tables = [t for t in ds.iter_batches(batch_format="pyarrow",
-                                         batch_size=65536) if t.num_rows]
+                                         batch_size=None) if t.num_rows]
     if not tables:
         if empty_schema is not None:
             return empty_schema.empty_table()
@@ -1193,7 +1193,7 @@ def _q_ndv_user_id_hll(sf_dir: str) -> pa.Table:
 
     merged = HyperLogLog(14)
     for b in ds.map_batches(partial, batch_format="pyarrow") \
-               .iter_batches(batch_format="pyarrow"):
+               .iter_batches(batch_format="pyarrow", batch_size=None):
         for blob in b["blob"].to_pylist():
             merged.merge(HyperLogLog.from_bytes(blob))
     return pa.table({"ndv_estimate": pa.array([merged.estimate()],
@@ -1212,7 +1212,7 @@ def _q_value_quantiles_tdigest(sf_dir: str) -> pa.Table:
 
     merged = None
     for b in ds.map_batches(partial, batch_format="pyarrow") \
-               .iter_batches(batch_format="pyarrow"):
+               .iter_batches(batch_format="pyarrow", batch_size=None):
         for blob in b["blob"].to_pylist():
             td = TDigest.from_bytes(blob)
             merged = td if merged is None else merged.merge(td)

@@ -184,7 +184,7 @@ def grouped_ndv_hll(ds, group_col: str, key_col: str, p: int = 14):
 
     merged: dict = {}
     small = ds.map_batches(partial, batch_format="pyarrow")
-    for b in small.iter_batches(batch_format="pyarrow"):
+    for b in small.iter_batches(batch_format="pyarrow", batch_size=None):
         from ..sketches import HyperLogLog as H
         for g, blob in zip(b[group_col].to_pylist(),
                            b["blob"].to_pylist()):
@@ -238,7 +238,7 @@ def corpus_quantile(ds, value_col: str, q: float = 0.5) -> float:
     out = grouped_exact_quantiles(
         ds.map_batches(const_group, batch_format="pyarrow"),
         "__g", value_col, (q,))
-    rows = [b for b in out.iter_batches(batch_format="pyarrow")
+    rows = [b for b in out.iter_batches(batch_format="pyarrow", batch_size=None)
             if b.num_rows]
     if not rows:
         raise ValueError(f"no non-null values in {value_col!r}")
@@ -316,7 +316,7 @@ def exact_value_deciles(ds, value_col: str,
                          "n": pa.array([len(v)], pa.int64())})
 
     parts = [b for b in ds.map_batches(minmax, batch_format="pyarrow")
-             .iter_batches(batch_format="pyarrow") if b.num_rows]
+             .iter_batches(batch_format="pyarrow", batch_size=None) if b.num_rows]
     if not parts:
         raise ValueError(f"no non-null values in {value_col!r}")
     mm = pa.concat_tables(parts)
@@ -357,7 +357,7 @@ def exact_value_deciles(ds, value_col: str,
         [b for b in ds.map_batches(hist_partial, batch_format="pyarrow")
          .groupby("bucket").map_groups(hist_merge,
                                        batch_format="pyarrow")
-         .iter_batches(batch_format="pyarrow") if b.num_rows])
+         .iter_batches(batch_format="pyarrow", batch_size=None) if b.num_rows])
     hist = hist.sort_by("bucket")
     buckets = hist["bucket"].to_numpy()
     cnts = hist["cnt"].to_numpy()
@@ -391,7 +391,7 @@ def exact_value_deciles(ds, value_col: str,
 
         got = pa.concat_tables(
             [b for b in ds.map_batches(collect, batch_format="pyarrow")
-             .iter_batches(batch_format="pyarrow") if b.num_rows])
+             .iter_batches(batch_format="pyarrow", batch_size=None) if b.num_rows])
         gb = got["bucket"].to_numpy()
         gv = got["value"].to_numpy()
         for bucket, targets in need.items():

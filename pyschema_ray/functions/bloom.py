@@ -148,7 +148,7 @@ def bloom_build(ds, col: str = "text", capacity: int | None = None,
         .map_groups(lambda t: reduce_shard(t.drop_columns(["wshard"])),
                     batch_format="pyarrow")
     dense = np.zeros(m_bits // 64, np.uint64)
-    for b in merged.iter_batches(batch_format="pyarrow"):
+    for b in merged.iter_batches(batch_format="pyarrow", batch_size=None):
         if b.num_rows:
             wi = b["word_idx"].to_numpy(zero_copy_only=False)
             mk = b["mask"].to_numpy(zero_copy_only=False) \

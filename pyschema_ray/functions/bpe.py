@@ -170,7 +170,7 @@ def bpe_train(ds, text_col: str = "text", num_merges: int = 200,
     from .text import word_frequencies
 
     wf = word_frequencies(ds, text_col=text_col, lowercase=lowercase)
-    tables = [b for b in wf.iter_batches(batch_format="pyarrow")
+    tables = [b for b in wf.iter_batches(batch_format="pyarrow", batch_size=None)
               if b.num_rows]
     if not tables:
         return {"merges": [], "id_to_str": [], "char_to_id": {},

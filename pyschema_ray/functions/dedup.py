@@ -745,7 +745,7 @@ def _broadcast_payload_lookup(pairs_mat, docs, key_col, payload_builder):
     import ray
 
     key_tbls = [b.select(["key_a", "key_b"]) for b in
-                pairs_mat.iter_batches(batch_format="pyarrow")
+                pairs_mat.iter_batches(batch_format="pyarrow", batch_size=None)
                 if b.num_rows]
     if not key_tbls:  # no candidate pairs at all
         return None, 0
@@ -761,7 +761,7 @@ def _broadcast_payload_lookup(pairs_mat, docs, key_col, payload_builder):
                          "payload": payload_builder(t)})
 
     parts = [b for b in docs.map_batches(subset, batch_format="pyarrow")
-             .iter_batches(batch_format="pyarrow") if b.num_rows]
+             .iter_batches(batch_format="pyarrow", batch_size=None) if b.num_rows]
     if not parts:
         return None, len(uniq)
     return ray.put(pa.concat_tables(parts)), len(uniq)
@@ -968,7 +968,7 @@ def connected_components(pairs, num_shards: int | None = None,
 
     pairs = pairs.materialize()
     if pairs.count() <= small_edges_threshold:
-        tbls = [b for b in pairs.iter_batches(batch_format="pyarrow")
+        tbls = [b for b in pairs.iter_batches(batch_format="pyarrow", batch_size=None)
                 if b.num_rows]
         if not tbls:
             try:
@@ -1272,7 +1272,7 @@ def dedup_keep_keys(ds, text_col: str = "text", key_col: str = "doc_id",
     keep = dedup_keep_keys_ds(ds, text_col, key_col, jaccard_threshold,
                               num_hashes, shingle_words, bands, concurrency)
     tbl = pa.concat_tables(
-        [t for t in keep.iter_batches(batch_format="pyarrow") if t.num_rows]
+        [t for t in keep.iter_batches(batch_format="pyarrow", batch_size=None) if t.num_rows]
         or [pa.table({key_col: pa.array([], pa.int64())})])
     return tbl.sort_by(key_col)
 
@@ -1893,7 +1893,7 @@ def _span_pass(ds, text_col: str, key_col: str, k: int, min_docs: int,
 
     dup_ds = ds.map_batches(df_partial, batch_format="pyarrow") \
         .groupby("gshard").map_groups(df_total, batch_format="pyarrow")
-    parts = [b for b in dup_ds.iter_batches(batch_format="pyarrow")
+    parts = [b for b in dup_ds.iter_batches(batch_format="pyarrow", batch_size=None)
              if b.num_rows]
     dup = np.sort(pa.concat_tables(parts)["g"]
                   .to_numpy(zero_copy_only=False).view(np.uint64)) \

@@ -357,7 +357,7 @@ def broadcast_range_join_count(ds, intervals: pa.Table, ts_col: str = "ts",
     agg = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("idx").aggregate(A.Sum("n"))
     totals = np.zeros(len(ids), dtype=np.int64)
-    for b in agg.iter_batches(batch_format="pyarrow"):
+    for b in agg.iter_batches(batch_format="pyarrow", batch_size=None):
         totals[b["idx"].to_numpy(zero_copy_only=False)] = \
             b["sum(n)"].to_numpy(zero_copy_only=False)
     return pa.table({id_col: pa.array(ids),

@@ -238,7 +238,7 @@ def _collect_lm(counts_ds):
     """Materialize the vocabulary-bounded LM once: sorted bigram-hash
     keys + counts, and first-word-hash keys + totals (the c1 table,
     derived by one driver groupby over unique-bigram rows)."""
-    tables = [b for b in counts_ds.iter_batches(batch_format="pyarrow")
+    tables = [b for b in counts_ds.iter_batches(batch_format="pyarrow", batch_size=None)
               if b.num_rows]
     if not tables:
         e = np.empty(0, np.uint64)
@@ -337,7 +337,7 @@ def ngram_novelty_scores(ds, text_col: str = "text",
 
     common_ds = ds.map_batches(df_partial, batch_format="pyarrow") \
         .groupby("gshard").map_groups(df_total, batch_format="pyarrow")
-    tables = [b for b in common_ds.iter_batches(batch_format="pyarrow")
+    tables = [b for b in common_ds.iter_batches(batch_format="pyarrow", batch_size=None)
               if b.num_rows]
     common = np.sort(pa.concat_tables(tables)["g"]
                      .to_numpy(zero_copy_only=False)

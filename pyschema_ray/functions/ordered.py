@@ -257,7 +257,7 @@ def global_ntile(ds, value_col: str, key_col: str, n_buckets: int,
             [([], "count_all")]).rename_columns([value_col, "n"]),
             batch_format="pyarrow") \
         .groupby(value_col).aggregate(A.Sum("n", alias_name="n"))
-    parts = [b for b in counts.iter_batches(batch_format="pyarrow")
+    parts = [b for b in counts.iter_batches(batch_format="pyarrow", batch_size=None)
              if b.num_rows]
     if not parts:
         return ray.data.from_arrow(pa.table({

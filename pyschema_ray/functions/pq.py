@@ -66,7 +66,7 @@ def pq_train(ds, m: int = 8, ksub: int = 16, sample_size: int = 2048,
                          "(max 256 centroids per subspace)")
     sample = ds.limit(sample_size)
     mats = [_as_matrix(t[embedding_col]) for t in
-            sample.iter_batches(batch_format="pyarrow") if t.num_rows]
+            sample.iter_batches(batch_format="pyarrow", batch_size=None) if t.num_rows]
     x = _normalize(np.vstack(mats).astype(np.float32))
     d = x.shape[1]
     if d % m != 0:
@@ -167,7 +167,7 @@ def pq_topk(ds, queries: np.ndarray, model: dict, k: int = 10,
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     parts = list(partials.iter_batches(batch_format="pyarrow",
-                                       batch_size=65536))
+                                       batch_size=None))
     if not parts:  # empty corpus: zero batches, nothing to rank
         return pa.table({"query_id": pa.array([], pa.int64()),
                          key_col: pa.array([], pa.int64()),

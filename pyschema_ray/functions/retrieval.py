@@ -131,7 +131,7 @@ def bm25_rank(ds, terms, text_col: str = "text", key_col: str = "doc_id",
 
     stat_parts = [x for x in
                   tf.map_batches(partial_stats, batch_format="pyarrow")
-                  .iter_batches(batch_format="pyarrow") if x.num_rows]
+                  .iter_batches(batch_format="pyarrow", batch_size=None) if x.num_rows]
     if stat_parts:
         stats = pa.concat_tables(stat_parts)
         n_total = pc.sum(stats["n_docs"]).as_py() or 0
@@ -198,7 +198,7 @@ def bm25_rank(ds, terms, text_col: str = "text", key_col: str = "doc_id",
         .groupby("kshard") \
         .map_groups(lambda t: reduce_shard(t.drop_columns(["kshard"])),
                     batch_format="pyarrow")
-    parts = [x for x in cand.iter_batches(batch_format="pyarrow")
+    parts = [x for x in cand.iter_batches(batch_format="pyarrow", batch_size=None)
              if x.num_rows]
     if not parts:
         key_type = _key_type()

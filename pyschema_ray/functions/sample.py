@@ -280,7 +280,7 @@ def temperature_sample(ds, group_col: str = "source",
 
     partials = [b for b in
                 ds.map_batches(counts, batch_format="pyarrow")
-                .iter_batches(batch_format="pyarrow") if b.num_rows]
+                .iter_batches(batch_format="pyarrow", batch_size=None) if b.num_rows]
     k_map: dict = {}
     if partials:
         tot = pa.concat_tables(partials).group_by(group_col) \
@@ -345,7 +345,7 @@ def epoch_shuffle_positions(ds, key_col: str = "doc_id",
     counts = np.zeros(nb, np.int64)
     for b in hashed_ds.map_batches(shard_counts,
                                    batch_format="pyarrow") \
-            .iter_batches(batch_format="pyarrow"):
+            .iter_batches(batch_format="pyarrow", batch_size=None):
         if b.num_rows:
             # np.add.at: a block may repeat an rshard (one row per
             # upstream batch) and fancy += drops duplicate indices

@@ -77,7 +77,7 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
     partials = ds.map_batches(partial, batch_format="pyarrow")
     # merge partial top-k on the driver: Q × k × num_batches rows, tiny
     parts = list(partials.iter_batches(batch_format="pyarrow",
-                                       batch_size=65536))
+                                       batch_size=None))
     if not parts:  # empty corpus: zero batches, nothing to rank
         return pa.table({"query_id": pa.array([], pa.int64()),
                          key_col: pa.array([], pa.int64()),
@@ -137,7 +137,7 @@ def cosine_near_dup_pairs(ds, threshold: float = 0.9,
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
     out = pa.concat_tables(
-        [t for t in parts.iter_batches(batch_format="pyarrow") if t.num_rows]
+        [t for t in parts.iter_batches(batch_format="pyarrow", batch_size=None) if t.num_rows]
         or [pa.table({"key_a": pa.array([], pa.int64()),
                       "key_b": pa.array([], pa.int64())})])
     return out.sort_by([("key_a", "ascending"), ("key_b", "ascending")])
@@ -207,7 +207,7 @@ def build_ivf_centroids(ds, n_cells: int = 16, sample_size: int = 2048,
     broadcast).  Returns (n_cells, d) normalized centroids."""
     sample = ds.limit(sample_size)
     mats = [_as_matrix(t[embedding_col]) for t in
-            sample.iter_batches(batch_format="pyarrow") if t.num_rows]
+            sample.iter_batches(batch_format="pyarrow", batch_size=None) if t.num_rows]
     m = _normalize(np.vstack(mats))
     rng = np.random.default_rng(seed)
     n_cells = min(n_cells, len(m))
@@ -252,7 +252,7 @@ def _collect_matrix(ds, embedding_col: str, key_col: str):
     """Materialize (keys, matrix) of a small-enough embedding table."""
     keys, mats = [], []
     for t in ds.select_columns([key_col, embedding_col]) \
-              .iter_batches(batch_format="pyarrow"):
+              .iter_batches(batch_format="pyarrow", batch_size=None):
         keys.append(np.asarray(t[key_col].to_numpy(zero_copy_only=False)))
         mats.append(_as_matrix(t[embedding_col]))
     return np.concatenate(keys), np.vstack(mats)
@@ -452,7 +452,7 @@ def kmeans_fit(ds, k: int = 8, iters: int = 10, seed: int = 1234,
     import ray
 
     mats = [_as_matrix(t[embedding_col]) for t in
-            ds.limit(init_sample).iter_batches(batch_format="pyarrow")
+            ds.limit(init_sample).iter_batches(batch_format="pyarrow", batch_size=None)
             if t.num_rows]
     x0 = np.vstack(mats).astype(np.float32)
     rng = np.random.default_rng(seed)
@@ -481,7 +481,7 @@ def kmeans_fit(ds, k: int = 8, iters: int = 10, seed: int = 1234,
         tot_n = np.zeros(k, np.int64)
         tot_s = np.zeros((k, cent.shape[1]), np.float64)
         for b in ds.map_batches(partial, batch_format="pyarrow") \
-                .iter_batches(batch_format="pyarrow"):
+                .iter_batches(batch_format="pyarrow", batch_size=None):
             if b.num_rows:
                 cells = b["cell"].to_numpy(zero_copy_only=False)
                 np.add.at(tot_n, cells,

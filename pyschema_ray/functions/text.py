@@ -533,7 +533,7 @@ def top_terms_per_doc(ds, df_table: pa.Table | None = None,
         df_ds = doc_frequencies(ds, text_col=text_col, key_col=key_col,
                                 min_df=min_df)
         df_table = pa.concat_tables(
-            [b for b in df_ds.iter_batches(batch_format="pyarrow")
+            [b for b in df_ds.iter_batches(batch_format="pyarrow", batch_size=None)
              if b.num_rows] or [pa.table({"word": pa.array([], pa.string()),
                                           "df": pa.array([], pa.int64())})])
     ref = ray.put(df_table)
@@ -798,7 +798,7 @@ def cms_word_counts(ds, text_col: str = "text", depth: int = 4,
     for cap in (16, 4, 1):
         rows = rows.map_batches(fold, batch_format="pyarrow",
                                 batch_size=fanout, concurrency=cap)
-    tail = [b for b in rows.iter_batches(batch_format="pyarrow")
+    tail = [b for b in rows.iter_batches(batch_format="pyarrow", batch_size=None)
             if b.num_rows]
     if not tail:
         return CountMinSketch(depth, width)
@@ -879,7 +879,7 @@ def corpus_report(ds, text_col: str = "text",
         [b for b in ds.map_batches(partial, batch_format="pyarrow")
          .groupby("wshard")
          .map_groups(reduce_shard, batch_format="pyarrow")
-         .iter_batches(batch_format="pyarrow") if b.num_rows])
+         .iter_batches(batch_format="pyarrow", batch_size=None) if b.num_rows])
     vals = {"#docs": 0, "#nulls": 0, "#words": 0, "#maxw": 0,
             "#vocab": 0}
     for lbl, n in zip(rows["word"].to_pylist(), rows["n"].to_pylist()):
@@ -931,7 +931,7 @@ def top_bigram_pmi(ds, text_col: str = "text", k: int = 100,
     from ..sketches import hash_strings
 
     freqs = word_frequencies(ds, text_col, num_shards)
-    wtables = [b for b in freqs.iter_batches(batch_format="pyarrow")
+    wtables = [b for b in freqs.iter_batches(batch_format="pyarrow", batch_size=None)
                if b.num_rows]
     if wtables:
         wt = pa.concat_tables(wtables)
@@ -1184,7 +1184,7 @@ def heavy_hitter_words(ds, text_col: str = "text", phi: float = 0.002,
     total = 0
     import pandas as pd
     for b in ds.map_batches(partial, batch_format="pyarrow") \
-               .iter_batches(batch_format="pyarrow"):
+               .iter_batches(batch_format="pyarrow", batch_size=None):
         if b.num_rows == 0:
             continue
         w = b["word"].to_numpy(zero_copy_only=False)
@@ -1215,7 +1215,7 @@ def heavy_hitter_words(ds, text_col: str = "text", phi: float = 0.002,
 
     ex: dict = {}
     for b in ds.map_batches(exact, batch_format="pyarrow") \
-               .iter_batches(batch_format="pyarrow"):
+               .iter_batches(batch_format="pyarrow", batch_size=None):
         for w, n in zip(b["word"].to_pylist(), b["n"].to_pylist()):
             ex[w] = ex.get(w, 0) + n
     out = sorted((w, n) for w, n in ex.items() if n >= threshold)

@@ -120,7 +120,7 @@ def write_validated(files: list[str], out_dir: str, schema_cls,
     summary = ds.map_batches(cleaner, batch_format="pyarrow", batch_size=1)
     rows_in = rows_kept = 0
     n_files = 0
-    for b in summary.iter_batches(batch_format="pyarrow"):
+    for b in summary.iter_batches(batch_format="pyarrow", batch_size=None):
         for r_in, r_kept in zip(b["rows_in"].to_pylist(),
                                 b["rows_kept"].to_pylist()):
             if r_in >= 0:

@@ -505,7 +505,7 @@ class ValidationPipeline:
                                .select(["partition_id", "blob",
                                         "row_count"]),
                     batch_format="pyarrow")
-                    .iter_batches(batch_format="pyarrow"))
+                    .iter_batches(batch_format="pyarrow", batch_size=None))
                 or [pa.table({"partition_id": pa.array([], pa.string()),
                               "blob": pa.array([], pa.binary()),
                               "row_count": pa.array([], pa.int64())})])
@@ -513,7 +513,7 @@ class ValidationPipeline:
             # tagged stream is tiny (violations + 1 stats row per file);
             # pull to the driver
             batches = list(tagged.iter_batches(batch_format="pyarrow",
-                                               batch_size=65536))
+                                               batch_size=None))
             result = (pa.concat_tables(batches) if batches
                       else _empty_result_table())
 

@@ -77,7 +77,7 @@ def build_baseline_profile(ds, value_column: str, group_column: str,
     merged = GroupedHistogram(lo, hi, nbins)
     small = ds.select_columns([group_column, value_column]) \
               .map_batches(partial, batch_format="pyarrow")
-    for b in small.iter_batches(batch_format="pyarrow"):
+    for b in small.iter_batches(batch_format="pyarrow", batch_size=None):
         for blob in b["blob"].to_pylist():
             merged.merge(GroupedHistogram.from_bytes(blob))
     return BaselineProfile(lo, hi, nbins,
@@ -108,7 +108,7 @@ class DriftScorer:
 def merge_partials(blob_ds) -> GroupedHistogram:
     """Merge the tiny partial stream (one row per batch)."""
     merged: GroupedHistogram | None = None
-    for b in blob_ds.iter_batches(batch_format="pyarrow"):
+    for b in blob_ds.iter_batches(batch_format="pyarrow", batch_size=None):
         for blob in b["blob"].to_pylist():
             g = GroupedHistogram.from_bytes(blob)
             merged = g if merged is None else merged.merge(g)

@@ -291,7 +291,7 @@ def uniqueness_violations(ds_or_files, key: str,
         dups = duplicate_keys(ds_or_files, key, num_buckets)
     rows = _violation_rows(key)
     parts = [rows(batch) for batch
-             in dups.iter_batches(batch_format="pyarrow", batch_size=65536)
+             in dups.iter_batches(batch_format="pyarrow", batch_size=None)
              if batch.num_rows]
     if not parts:
         return pa.table({
