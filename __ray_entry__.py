@@ -2369,12 +2369,16 @@ def _q_fuzzy_part_pairs(sf_dir: str) -> pa.Table:
     word => same block, triangular pairs, distributed pair DISTINCT),
     verified with a pairs-vectorized Levenshtein <= 1.  SQL
     reproduces it with list_has_any blocking + levenshtein()."""
+    import pyarrow.parquet as pq_
+
     from pyschema_ray.functions.linkage import fuzzy_name_pairs
 
+    nrows = pq_.ParquetFile(
+        os.path.join(sf_dir, "part.parquet")).metadata.num_rows
     out = fuzzy_name_pairs(
         _read(sf_dir, "part", columns=["p_partkey", "p_name"]),
         name_col="p_name", key_col="p_partkey", max_dist=1,
-        max_block=10**9)
+        max_block=10**9, size_hint_rows=nrows)
     t = _collect(out)
     return pa.table({
         "key_a": pc.cast(t["key_a"], pa.int64()),

@@ -134,11 +134,25 @@ def one_edit_distance_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 def fuzzy_name_pairs(ds, name_col: str = "p_name",
                      key_col: str = "p_partkey", max_dist: int = 3,
                      num_shards: int | None = None,
-                     max_block: int = 200):
+                     max_block: int = 200,
+                     size_hint_rows: int | None = None,
+                     small_rows_threshold: int = 250_000):
     """Dataset(key_a, key_b, dist): unordered record pairs whose
     names share >= 1 word AND are within ``max_dist`` edits.  Blocks
     larger than ``max_block`` records are dropped (boilerplate
     words); the cap is part of the operator contract, not silent.
+
+    ADAPTIVE like the dedup verifies: record linkage runs on
+    dimension-shaped tables whose (key, name) projection is often
+    tiny next to the fact data, and the distributed plan below pays
+    five fixed-cost exchanges regardless of size.  When the CALLER
+    certifies the row count via ``size_hint_rows`` (parquet metadata
+    — never a count() pass) and it is at most
+    ``small_rows_threshold``, the same phase functions run once on
+    the driver over the collected projection: zero exchanges,
+    byte-identical answer (the phases are pure functions shared by
+    both paths).  No hint, or a hint above the threshold, runs the
+    distributed plan — the 100 TB default.
 
     DEDUP-FIRST: real tables repeat names, and every instance-level
     blocked join is quadratic in the duplicate-group size, so the
@@ -528,6 +542,45 @@ def fuzzy_name_pairs(ds, name_col: str = "p_name",
             "key_b": pc.cast(pa.array(np.maximum(ka, kb)), key_type),
             "dist": pa.array(d, pa.int64())})
 
+    # ---- adaptive small-side fast path: the SAME phase functions,
+    # applied once to the whole collected projection (pure functions
+    # of their input tables, so the answer is identical to the
+    # exchange plan's shard-wise application) ----
+    if size_hint_rows is not None and size_hint_rows <= small_rows_threshold:
+        import ray.data as rd
+
+        empty = pa.table({"key_a": pa.array([], key_type),
+                          "key_b": pa.array([], key_type),
+                          "dist": pa.array([], pa.int64())})
+        parts = [b for b in ds.iter_batches(batch_format="pyarrow",
+                                            batch_size=None)
+                 if b.num_rows]
+        if not parts:
+            return rd.from_arrow(empty)
+        t_all = pa.concat_tables(parts).combine_chunks()
+        dist_t = global_distinct(local_distinct(t_all).to_pandas())
+        gp = pair_distinct(pair_shard(
+            emit_gid_pairs(block_rows(dist_t).to_pandas())).to_pandas())
+        mem = member_rows(t_all).to_pandas()
+        p = gp.to_pandas()
+        if p.empty or mem.empty:
+            return rd.from_arrow(empty)
+        half_df = p.merge(mem, left_on=["g1a", "g2a"],
+                          right_on=["g1", "g2"], how="inner") \
+                   .rename(columns={"key": "key_a"})[
+                       ["g1b", "g2b", "dist", "key_a"]]
+        full_df = half_df.merge(mem, left_on=["g1b", "g2b"],
+                                right_on=["g1", "g2"], how="inner") \
+                         .rename(columns={"key": "key_b"})
+        out = finalize(pa.table({
+            "key_a": pa.array(full_df["key_a"].to_numpy(),
+                              type=key_type, from_pandas=True),
+            "key_b": pa.array(full_df["key_b"].to_numpy(),
+                              type=key_type, from_pandas=True),
+            "dist": pa.array(full_df["dist"].to_numpy()
+                             .astype(np.int64), pa.int64())}))
+        return rd.from_arrow(out)
+
     distinct = ds.map_batches(local_distinct, batch_format="pyarrow") \
         .groupby("gshard") \
         .map_groups(global_distinct, batch_format="pandas")
@@ -543,6 +596,14 @@ def fuzzy_name_pairs(ds, name_col: str = "p_name",
     # driver) because both expansion hops read it
     members = ds.map_batches(member_rows,
                              batch_format="pyarrow").materialize()
+    if members.count() == 0:
+        # zero valid records: the union below would have no schema to
+        # infer (both sides empty) — return the pinned empty result
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "key_a": pa.array([], key_type),
+            "key_b": pa.array([], key_type),
+            "dist": pa.array([], pa.int64())}))
 
     union1 = gid_pairs.map_batches(tag_pairs1, batch_format="pyarrow") \
         .union(members.map_batches(tag_members1, batch_format="pyarrow"))

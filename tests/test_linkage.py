@@ -171,3 +171,60 @@ def test_top_keys_exact():
         top_keys(ds, "k", k=3).iter_batches(batch_format="pyarrow"))
     # tie between 1 and 2 breaks ascending; null dropped
     assert out.to_pydict() == {"k": [1, 2, 3], "n": [7, 7, 5]}
+
+
+def _fuzzy_tuples(ds, **kw):
+    parts = [b for b in fuzzy_name_pairs(ds, name_col="name",
+                                         key_col="key", **kw)
+             .iter_batches(batch_format="pyarrow") if b.num_rows]
+    if not parts:
+        return []
+    out = pa.concat_tables(parts)
+    return sorted(zip(out["key_a"].to_pylist(),
+                      out["key_b"].to_pylist(),
+                      out["dist"].to_pylist()))
+
+
+def test_fuzzy_small_side_fast_path_parity():
+    """size_hint_rows <= threshold runs the zero-exchange local path;
+    its output must equal the distributed plan's on every scenario the
+    distributed tests cover (shared phase functions = same answer)."""
+    scenarios = [
+        dict(rows=[(1, "red widget"), (2, "red widgets"),
+                   (3, "red gear"), (4, "blue gear"),
+                   (5, "xyz thing"), (6, None)], max_dist=2),
+        dict(rows=[(1, "red widget"), (2, "red widget"),
+                   (3, "red widget"), (4, "red widgets"),
+                   (5, "red widgets"), (6, "blue gear")], max_dist=1),
+        dict(rows=[(i, "widget") for i in range(6)], max_dist=1,
+             max_block=5),
+        dict(rows=[(i, f"common name{i}") for i in range(20)],
+             max_dist=2, max_block=5),
+        dict(rows=[], max_dist=1),
+    ]
+    for sc in scenarios:
+        rows = sc.pop("rows")
+        ds = _names_ds(rows) if rows else rd.from_arrow(pa.table({
+            "key": pa.array([], pa.int64()),
+            "name": pa.array([], pa.string())}))
+        dist_out = _fuzzy_tuples(ds, **sc)
+        local_out = _fuzzy_tuples(ds, size_hint_rows=len(rows), **sc)
+        assert local_out == dist_out, (sc, local_out, dist_out)
+
+
+def test_fuzzy_hint_above_threshold_stays_distributed():
+    rows = [(1, "red widget"), (2, "red widgets")]
+    ds = _names_ds(rows)
+    # hint above the threshold: must take the exchange plan and still
+    # produce the same pairs
+    got = _fuzzy_tuples(ds, max_dist=1, size_hint_rows=10**9)
+    assert got == [(1, 2, 1)]
+
+
+def test_fuzzy_fast_path_string_keys():
+    ds = rd.from_arrow(pa.table({
+        "key": pa.array(["a", "b", "c"], pa.string()),
+        "name": pa.array(["red widget", "red widgets", "red widget"],
+                         pa.string())}))
+    got = _fuzzy_tuples(ds, max_dist=1, size_hint_rows=3)
+    assert got == [("a", "b", 1), ("a", "c", 0), ("b", "c", 1)]
