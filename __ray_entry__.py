@@ -2468,6 +2468,10 @@ def _q_bpe_packed_totals(sf_dir: str) -> pa.Table:
         batch_format="pyarrow", concurrency=(1, 8)).map_batches(
         lambda t: t.select(["doc_id", "token_ids", "n_tokens"]),
         batch_format="pyarrow")
+    # two consumers below (the encoder-side total and the packer):
+    # materialize so the compute-heavy encode runs ONCE and its blocks
+    # transit the object store (spillable) instead of re-encoding
+    enc = enc.materialize()
     enc_total = enc.map_batches(
         lambda t: t.select(["n_tokens"]), batch_format="pyarrow") \
         .sum("n_tokens")
