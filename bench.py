@@ -402,6 +402,10 @@ def main() -> None:
         return
 
     import ray
+    # measured BEFORE Ray starts: this window's hardware parallel
+    # ceiling, recorded so round-over-round comparisons of this JSON
+    # can attribute drift to the co-tenanted host (see BASELINE.md)
+    ceiling = _probe_host_window(min(8, args.cpus))
     head = run_headline(args.cpus, args.rows)
     queries = {} if args.skip_queries else run_queries(SF_DIR)
     ray.shutdown()
@@ -415,6 +419,7 @@ def main() -> None:
         "rows": head["rows"],
         "rows_per_sec": round(head["rows_per_sec"], 1),
         "violations": head["violations"],
+        "host_window_ceiling_8p": ceiling,
     }))
 
 
