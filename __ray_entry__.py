@@ -2450,6 +2450,76 @@ def _q_customer_urgent_left_join(sf_dir: str) -> pa.Table:
     return _collect(out).sort_by("c_mktsegment")
 
 
+def _q_daily_orders_ship_full_join(sf_dir: str) -> pa.Table:
+    """Ray-native FULL OUTER shuffle join: per-day order aggregates x
+    per-day lineitem ship aggregates.  The fixture has days present on
+    only one side in BOTH directions (1 order-only day, ~100 ship-only
+    days at sf0.01), so both null-fill paths of the native full_outer
+    are exercised.  Each side is reduced to bounded day-cardinality by
+    a per-batch combiner BEFORE the join, so the exchange stays
+    calendar-sized at any corpus scale; the join key column is
+    coalesced across sides by Ray's full_outer (verified: unmatched
+    right rows surface their key, not null)."""
+    from pyschema_ray.functions.joins import shuffle_join
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderdate", "o_totalprice"])
+    items = _read(sf_dir, "lineitem",
+                  columns=["l_shipdate", "l_quantity"])
+
+    def o_part(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["o_orderdate"], unit="day")
+        # exact int-cents BEFORE any sum (same rationale as the left
+        # join above: double partial sums drift vs the SQL oracle)
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        g = pa.table({"day": day,
+                      "n_orders": pa.array(
+                          np.ones(t.num_rows, np.int64)),
+                      "order_cents": cents})
+        agg = g.group_by("day").aggregate(
+            [("n_orders", "sum"), ("order_cents", "sum")])
+        return agg.select(["day", "n_orders_sum", "order_cents_sum"]) \
+            .rename_columns(["day", "n_orders", "order_cents"])
+
+    def l_part(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["l_shipdate"], unit="day")
+        qty = pc.cast(pc.round(t["l_quantity"],
+                               round_mode="half_towards_infinity"),
+                      pa.int64())
+        g = pa.table({"day": day,
+                      "n_items": pa.array(
+                          np.ones(t.num_rows, np.int64)),
+                      "sum_qty": qty})
+        agg = g.group_by("day").aggregate(
+            [("n_items", "sum"), ("sum_qty", "sum")])
+        return agg.select(["day", "n_items_sum", "sum_qty_sum"]) \
+            .rename_columns(["day", "n_items", "sum_qty"])
+
+    def _total(cols):
+        def f(t: pa.Table) -> pa.Table:
+            agg = t.group_by("day").aggregate(
+                [(c, "sum") for c in cols])
+            return agg.select(["day"] + [f"{c}_sum" for c in cols]) \
+                .rename_columns(["day"] + list(cols))
+        return f
+
+    o_agg = orders.map_batches(o_part, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(_total(["n_orders", "order_cents"]),
+                     batch_format="pyarrow")
+    l_agg = items.map_batches(l_part, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(_total(["n_items", "sum_qty"]),
+                     batch_format="pyarrow")
+    # day cardinality is calendar-bounded -> 8 partitions suffices at
+    # any scale; the wide fact tables never transit this join
+    joined = shuffle_join(o_agg, l_agg, on="day",
+                          join_type="full_outer", num_partitions=8)
+    return _collect(joined).sort_by("day")
+
+
 def _q_bpe_packed_totals(sf_dir: str) -> pa.Table:
     """End-to-end tokenizer-to-training-batches composition: BPE
     vocabulary induction -> actor-pool corpus encoding (token-id
@@ -3076,6 +3146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_shuffle": _q_epoch_shuffle,
         "snapshot_diff": _q_snapshot_diff,
         "customer_urgent_left_join": _q_customer_urgent_left_join,
+        "daily_orders_ship_full_join": _q_daily_orders_ship_full_join,
         "corpus_report": _q_corpus_report,
         "fuzzy_part_pairs": _q_fuzzy_part_pairs,
         "hot_users_by_events": _q_hot_users_by_events,
@@ -4497,6 +4568,23 @@ def oracle_sql() -> dict[str, str]:
                 ON c.c_custkey = o.o_custkey
              GROUP BY coalesce(c.c_mktsegment, '[NULL]')
              ORDER BY c_mktsegment
+        """,
+        "daily_orders_ship_full_join": """
+            WITH o AS (
+                SELECT date_trunc('day', o_orderdate) AS day,
+                       count(*) AS n_orders,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS order_cents
+                  FROM orders GROUP BY 1),
+            l AS (
+                SELECT date_trunc('day', l_shipdate) AS day,
+                       count(*) AS n_items,
+                       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty
+                  FROM lineitem GROUP BY 1)
+            SELECT coalesce(o.day, l.day) AS day,
+                   o.n_orders, o.order_cents, l.n_items, l.sum_qty
+              FROM o FULL OUTER JOIN l ON o.day = l.day
+             ORDER BY day
         """,
         "snapshot_diff": """
             WITH old_v AS (

@@ -91,6 +91,8 @@ QUERY_SUBSET = [
     "pq_ann_topk", "winnow_fingerprints", "small_quantity_revenue",
     "dedup_keep_best", "lang_rank_per_source", "document_chunks",
     "curated_documents", "chunk_ann_topk",
+    # round-5e additions
+    "daily_orders_ship_full_join",
 ]
 
 

@@ -392,3 +392,66 @@ def test_curated_documents_zero_survivor_path(tmp_path):
     out = e.queries()["curated_documents"](str(tmp_path))
     assert out.num_rows == 0
     assert out.schema.names == ["doc_id", "clean_text"]
+
+
+def test_shuffle_join_full_outer_both_null_sides():
+    """Native full_outer: unmatched keys from EITHER side survive with
+    the key coalesced into the single output key column and the other
+    side's columns null-filled (the contract daily_orders_ship_full_join
+    relies on)."""
+    from pyschema_ray.functions.joins import shuffle_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "a": pa.array([10, 20, 30], pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([2, 3, 4], pa.int64()),
+        "b": pa.array([200, 300, 400], pa.int64())}))
+    out = _tbl(shuffle_join(left, right, on="k",
+                            join_type="full_outer",
+                            num_partitions=2)).sort_by("k")
+    assert out["k"].to_pylist() == [1, 2, 3, 4]
+    assert out["a"].to_pylist() == [10, 20, 30, None]
+    assert out["b"].to_pylist() == [None, 200, 300, 400]
+
+
+def test_daily_full_join_query_matches_duckdb(tmp_path):
+    """End-to-end parity of the full-outer day rollup on a corpus
+    engineered so both one-sided directions occur."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+    import __ray_entry__ as e
+
+    d0 = dt.datetime(2024, 1, 1)
+    odays = [0, 0, 1, 3]          # day 3 is order-only
+    sdays = [0, 1, 1, 5, 5, 5]    # day 5 is ship-only
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(range(len(odays)), pa.int64()),
+        "o_orderdate": pa.array([d0 + dt.timedelta(days=i)
+                                 for i in odays], pa.timestamp("us")),
+        "o_totalprice": pa.array([10.005, 20.0, 30.5, 40.444],
+                                 pa.float64()),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(range(len(sdays)), pa.int64()),
+        "l_shipdate": pa.array([d0 + dt.timedelta(days=i)
+                                for i in sdays], pa.timestamp("us")),
+        "l_quantity": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+                               pa.float64()),
+    }), str(tmp_path / "lineitem.parquet"))
+
+    got = e.queries()["daily_orders_ship_full_join"](
+        str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/{t}.parquet')")
+    want = con.execute(
+        e.oracle_sql()["daily_orders_ship_full_join"]).df()
+    assert len(got) == len(want) == 4
+    for c in want.columns:
+        gv = got[c].tolist()
+        wv = want[c].tolist()
+        assert [x if x == x else None for x in gv] == \
+            [x if x == x else None for x in wv], c
