@@ -2239,6 +2239,21 @@ def _q_value_deciles(sf_dir: str) -> pa.Table:
         _read(sf_dir, "events", columns=["value"]), "value")
 
 
+def _q_value_quartiles_cont(sf_dir: str) -> pa.Table:
+    """EXACT interpolated quantiles (SQL quantile_cont semantics:
+    linear interpolation at r = q*(n-1)) of an unbounded double column
+    by the same 3-scan distributed selection as value_deciles — never
+    a global sort; only the two neighboring order statistics per
+    quantile are resolved, then interpolated with DuckDB's own
+    formula."""
+    from pyschema_ray.functions.analytics import \
+        exact_value_quantiles_cont
+
+    return exact_value_quantiles_cont(
+        _read(sf_dir, "events", columns=["value"]), "value",
+        quantiles=(0.1, 0.25, 0.5, 0.75, 0.9))
+
+
 def _q_word_freq_of_freqs(sf_dir: str) -> pa.Table:
     """Vocabulary frequency-of-frequencies (Zipf / Good-Turing
     profile): word_frequencies' bounded word-hash exchange plus a
@@ -3132,6 +3147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_max_gap": _q_user_max_gap,
         "windowed_event_dups": _q_windowed_event_dups,
         "value_deciles": _q_value_deciles,
+        "value_quartiles_cont": _q_value_quartiles_cont,
         "word_freq_of_freqs": _q_word_freq_of_freqs,
         "inverted_index_band": _q_inverted_index_band,
         "running_totals": _q_running_totals,
@@ -4377,6 +4393,12 @@ def oracle_sql() -> dict[str, str]:
                   FROM events
                  WHERE value IS NOT NULL AND NOT isnan(value)"""
             for i in range(1, 10)),
+        "value_quartiles_cont": "\n            UNION ALL\n".join(
+            f"""SELECT CAST({q} AS DOUBLE) AS q,
+                       quantile_cont(value, {q}) AS value
+                  FROM events
+                 WHERE value IS NOT NULL AND NOT isnan(value)"""
+            for q in (0.1, 0.25, 0.5, 0.75, 0.9)),
         "word_freq_of_freqs": """
             WITH w AS (
                 SELECT unnest(regexp_split_to_array(

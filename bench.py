@@ -92,7 +92,7 @@ QUERY_SUBSET = [
     "dedup_keep_best", "lang_rank_per_source", "document_chunks",
     "curated_documents", "chunk_ann_topk",
     # round-5e additions
-    "daily_orders_ship_full_join",
+    "daily_orders_ship_full_join", "value_quartiles_cont",
 ]
 
 

@@ -268,18 +268,14 @@ def quantile_threshold_filter(ds, value_col: str, q: float = 0.5,
     return ds.map_batches(filt, batch_format="pyarrow")
 
 
-def exact_value_deciles(ds, value_col: str,
-                        tenths: tuple[int, ...] = (1, 2, 3, 4, 5,
-                                                   6, 7, 8, 9),
-                        n_buckets: int = 4096):
-    """EXACT discrete quantiles (SQL ``quantile_disc`` /
-    ``percentile_disc``) of an UNBOUNDED numeric column — doubles
-    included — by distributed selection, never a global sort.
-
-    For decile i the selected element is the one at 0-based rank
-    ``ceil(i*n/10) - 1`` of the sorted column, computed with exact
-    integer arithmetic (``(i*n + 9)//10 - 1``) — verified to match
-    DuckDB's quantile_disc for every n in 1..59 and every tenth.
+def _exact_rank_values(ds, value_col: str, ranks_from_n,
+                       n_buckets: int = 4096):
+    """Distributed selection of arbitrary 0-based order statistics of
+    an UNBOUNDED numeric column — doubles included — never a global
+    sort.  ``ranks_from_n(n)`` maps the non-null count to the set of
+    sorted-position ranks wanted (computed AFTER scan 1, since ranks
+    depend on n).  Returns ``(n, {rank: value})``; every value is an
+    actual element of the column.
 
     Three streaming scans over the (materialize()d — distributed, not
     driver-held) input:
@@ -290,15 +286,12 @@ def exact_value_deciles(ds, value_col: str,
        id (cardinality ``n_buckets``); the driver then locates each
        target rank's bucket from cumulative counts.  A bucket whose
        min == max resolves immediately (heavy-tie fast path);
-    3. only the <= len(tenths) unresolved buckets' raw values are
-       collected and locally sorted — expected n/n_buckets values
-       each (documented skew bound: a single-bucket pileup with
-       distinct values degrades this scan to that bucket's size).
+    3. only the unresolved buckets' raw values are collected and
+       locally sorted — expected n/n_buckets values each (documented
+       skew bound: a single-bucket pileup with distinct values
+       degrades this scan to that bucket's size).
 
-    Returns pa.table(tenth int64, value float64) — each value is an
-    actual element of the column, so parity with the SQL oracle is
-    bit-exact.  Nulls and NaNs are excluded (state the same in the
-    oracle).
+    Nulls and NaNs are excluded (state the same in any oracle).
     """
     import pyarrow.compute as pc
 
@@ -367,14 +360,14 @@ def exact_value_deciles(ds, value_col: str,
 
     resolved: dict[int, float] = {}
     need: dict[int, list[tuple[int, int]]] = {}
-    for i in tenths:
-        k = max(0, (i * n + 9) // 10 - 1)
+    for k in sorted(set(ranks_from_n(n))):
+        k = int(k)
         j = int(np.searchsorted(cum, k, side="right"))
         offset = int(k - (cum[j - 1] if j else 0))
         if bmins[j] == bmaxs[j]:
-            resolved[i] = float(bmins[j])
+            resolved[k] = float(bmins[j])
         else:
-            need.setdefault(int(buckets[j]), []).append((i, offset))
+            need.setdefault(int(buckets[j]), []).append((k, offset))
 
     if need:
         wanted = set(need)
@@ -396,13 +389,77 @@ def exact_value_deciles(ds, value_col: str,
         gv = got["value"].to_numpy()
         for bucket, targets in need.items():
             vals = np.sort(gv[gb == bucket])
-            for i, offset in targets:
-                resolved[i] = float(vals[offset])
+            for k, offset in targets:
+                resolved[k] = float(vals[offset])
 
+    return n, resolved
+
+
+def exact_value_deciles(ds, value_col: str,
+                        tenths: tuple[int, ...] = (1, 2, 3, 4, 5,
+                                                   6, 7, 8, 9),
+                        n_buckets: int = 4096):
+    """EXACT discrete quantiles (SQL ``quantile_disc`` /
+    ``percentile_disc``) via :func:`_exact_rank_values` (3-scan
+    distributed selection, never a global sort).
+
+    For decile i the selected element is the one at 0-based rank
+    ``ceil(i*n/10) - 1`` of the sorted column, computed with exact
+    integer arithmetic (``(i*n + 9)//10 - 1``) — verified to match
+    DuckDB's quantile_disc for every n in 1..59 and every tenth.
+
+    Returns pa.table(tenth int64, value float64) — each value is an
+    actual element of the column, so parity with the SQL oracle is
+    bit-exact.
+    """
+    def ranks(n: int):
+        return [max(0, (i * n + 9) // 10 - 1) for i in tenths]
+
+    n, got = _exact_rank_values(ds, value_col, ranks, n_buckets)
     ts = sorted(tenths)
-    return pa.table({"tenth": pa.array(ts, pa.int64()),
-                     "value": pa.array([resolved[i] for i in ts],
-                                       pa.float64())})
+    return pa.table({
+        "tenth": pa.array(ts, pa.int64()),
+        "value": pa.array([got[max(0, (i * n + 9) // 10 - 1)]
+                           for i in ts], pa.float64())})
+
+
+def exact_value_quantiles_cont(ds, value_col: str,
+                               quantiles: tuple[float, ...] =
+                               (0.25, 0.5, 0.75),
+                               n_buckets: int = 4096):
+    """EXACT continuous quantiles (SQL ``quantile_cont`` /
+    ``percentile_cont``: linear interpolation between adjacent order
+    statistics) via the same 3-scan distributed selection — never a
+    global sort and never more than ~2x len(quantiles) bucket
+    collects.
+
+    For quantile q over n non-null values the target position is
+    ``r = q*(n-1)`` (0-based, DuckDB/Postgres semantics); the result
+    interpolates ``v[floor(r)] + (r - floor(r)) * (v[ceil(r)] -
+    v[floor(r)])`` in float64 — the same formula DuckDB evaluates, so
+    the driver's 9-decimal rounded hash matches.
+
+    Returns pa.table(q float64, value float64).
+    """
+    import math
+
+    def ranks(n: int):
+        out = []
+        for q in quantiles:
+            r = q * (n - 1)
+            out.append(int(math.floor(r)))
+            out.append(int(math.ceil(r)))
+        return out
+
+    n, got = _exact_rank_values(ds, value_col, ranks, n_buckets)
+    vals = []
+    for q in quantiles:
+        r = q * (n - 1)
+        k0, k1 = int(math.floor(r)), int(math.ceil(r))
+        v0, v1 = got[k0], got[k1]
+        vals.append(v0 + (r - k0) * (v1 - v0))
+    return pa.table({"q": pa.array(list(quantiles), pa.float64()),
+                     "value": pa.array(vals, pa.float64())})
 
 
 def grouped_mode(ds, group_col: str, value_col: str,

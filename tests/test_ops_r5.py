@@ -455,3 +455,32 @@ def test_daily_full_join_query_matches_duckdb(tmp_path):
         wv = want[c].tolist()
         assert [x if x == x else None for x in gv] == \
             [x if x == x else None for x in wv], c
+
+
+def test_quantile_cont_matches_duckdb_all_sizes():
+    """Interpolated quantiles (quantile_cont semantics) from the
+    3-scan distributed selection match DuckDB within 1e-9 across
+    sizes incl. n=1 (degenerate interpolation) and heavy ties."""
+    from pyschema_ray.functions.analytics import \
+        exact_value_quantiles_cont
+
+    rng = np.random.default_rng(11)
+    qs = (0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0)
+    cases = [
+        np.array([42.0]),
+        np.array([1.0, 2.0]),
+        np.round(rng.normal(100, 37, 999), 4),
+        np.repeat([5.0, 5.0, 9.0], 200),          # heavy ties
+    ]
+    for v in cases:
+        ds = ray.data.from_arrow(pa.table(
+            {"value": pa.array(v, pa.float64())})).repartition(3)
+        got = exact_value_quantiles_cont(ds, "value", qs)["value"] \
+            .to_pylist()
+        con = duckdb.connect()
+        con.register("t", pa.table({"value": pa.array(v)}))
+        want = [r[0] for r in con.execute(
+            "SELECT unnest(quantile_cont(value, "
+            f"{list(qs)})) FROM t").fetchall()]
+        assert all(abs(a - b) < 1e-9 for a, b in zip(got, want)), \
+            (got, want)
