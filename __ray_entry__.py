@@ -2188,6 +2188,20 @@ def _q_docs_rollup_counts(sf_dir: str) -> pa.Table:
                                   ("lang", "ascending")])
 
 
+def _q_docs_cube_counts(sf_dir: str) -> pa.Table:
+    """One-pass GROUP BY CUBE(source, lang) document counts: the same
+    finest-level combiner as the rollup, expanded to ALL 2^k column
+    subsets (adds the lang-only margin the rollup lacks).  Routed
+    through the general grouping_sets_counts operator."""
+    from pyschema_ray.functions.relational import cube_counts
+
+    out = cube_counts(
+        _read(sf_dir, "documents", columns=["source", "lang"]),
+        ["source", "lang"])
+    return _collect(out).sort_by([("source", "ascending"),
+                                  ("lang", "ascending")])
+
+
 def _q_order_price_consistency(sf_dir: str) -> pa.Table:
     """Cross-table VALUE consistency: per-order line-total (exact
     int64 cents, rounded per LINE so the distributed sum is order-
@@ -3143,6 +3157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_urgent_orders": _q_customers_no_urgent_orders,
         "customers_with_big_orders": _q_customers_with_big_orders,
         "docs_rollup_counts": _q_docs_rollup_counts,
+        "docs_cube_counts": _q_docs_cube_counts,
         "order_price_consistency": _q_order_price_consistency,
         "user_max_gap": _q_user_max_gap,
         "windowed_event_dups": _q_windowed_event_dups,
@@ -4329,6 +4344,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_rows
               FROM documents
              GROUP BY ROLLUP(source, lang)
+             ORDER BY source, lang
+        """,
+        "docs_cube_counts": """
+            SELECT CASE WHEN GROUPING(source) = 1 THEN '[ALL]'
+                        ELSE coalesce(source, '[NULL]') END AS source,
+                   CASE WHEN GROUPING(lang) = 1 THEN '[ALL]'
+                        ELSE coalesce(lang, '[NULL]') END AS lang,
+                   CAST(count(*) AS BIGINT) AS n_rows
+              FROM documents
+             GROUP BY CUBE(source, lang)
              ORDER BY source, lang
         """,
         "order_price_consistency": """

@@ -182,6 +182,91 @@ def rollup_counts(ds, cols: list[str], sentinel: str = "[ALL]",
                                            batch_format="pyarrow")
 
 
+def grouping_sets_counts(ds, cols: list[str],
+                         sets: list[tuple[str, ...]],
+                         sentinel: str = "[ALL]",
+                         null_label: str = "[NULL]"):
+    """GROUP BY GROUPING SETS counts in ONE streaming pass — the
+    general form behind ROLLUP and CUBE.
+
+    Stage 1 (per batch): finest-level ``group_by(cols).count`` partial
+    — the combiner; the exchange carries distinct finest groups per
+    batch, never rows.  Stage 2: one bounded groupby sums partials.
+    Stage 3: the aggregated table (cardinality = distinct finest
+    groups — small by definition of a grouping report) is expanded to
+    each requested set with ``sentinel`` filling the grouped-out
+    columns.  Every set must be a subset of ``cols``; set order within
+    a tuple is irrelevant.
+
+    Real nulls in grouping columns map to ``null_label`` so a
+    ``sentinel`` row is never conflated with a null group (the SQL
+    oracle uses GROUPING() the same way).  Returns
+    Dataset(*cols, n_rows)."""
+    cols = list(cols)
+    norm_sets = []
+    for s in sets:
+        s = tuple(s)
+        unknown = set(s) - set(cols)
+        if unknown:
+            raise ValueError(f"grouping set {s} has columns {unknown} "
+                             f"not in cols={cols}")
+        norm_sets.append(tuple(c for c in cols if c in s))
+
+    def partial(t: pa.Table) -> pa.Table:
+        sel = {}
+        for c in cols:
+            sel[c] = pc.fill_null(pc.cast(t[c], pa.string()), null_label)
+        g = pa.table(sel).group_by(cols).aggregate([([], "count_all")])
+        return g.select(cols + ["count_all"]) \
+            .rename_columns(cols + ["n_rows"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        g = t.group_by(cols).aggregate([("n_rows", "sum")]) \
+            .select(cols + ["n_rows_sum"]) \
+            .rename_columns(cols + ["n_rows"])
+        pieces = []
+        for keep in norm_sets:
+            keep = list(keep)
+            if keep:
+                agg = g.group_by(keep).aggregate([("n_rows", "sum")]) \
+                    .select(keep + ["n_rows_sum"]) \
+                    .rename_columns(keep + ["n_rows"])
+            else:
+                agg = pa.table(
+                    {"n_rows": pa.array(
+                        [pc.sum(g["n_rows"]).as_py() or 0], pa.int64())})
+            filled = {}
+            for c in cols:
+                if c in keep:
+                    filled[c] = agg[c]
+                else:
+                    filled[c] = pa.array([sentinel] * len(agg),
+                                         pa.string())
+            filled["n_rows"] = pc.cast(agg["n_rows"], pa.int64())
+            pieces.append(pa.table(filled).select(cols + ["n_rows"]))
+        return pa.concat_tables(pieces)
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    # ONE aggregation node (same rationale as rollup_counts): the data
+    # entering it is already group-cardinality-bounded by the combiner
+    return part.repartition(1).map_batches(expand,
+                                           batch_format="pyarrow")
+
+
+def cube_counts(ds, cols: list[str], sentinel: str = "[ALL]",
+                null_label: str = "[NULL]"):
+    """GROUP BY CUBE(*cols) counts: every subset of ``cols`` (2^k
+    grouping sets, k small by the nature of a cube report) via
+    :func:`grouping_sets_counts` in one streaming pass."""
+    from itertools import combinations
+
+    cols = list(cols)
+    sets = [comb for r in range(len(cols), -1, -1)
+            for comb in combinations(cols, r)]
+    return grouping_sets_counts(ds, cols, sets, sentinel=sentinel,
+                                null_label=null_label)
+
+
 def order_consistency(orders, lineitem,
                       order_key: str = "o_orderkey",
                       line_key: str = "l_orderkey",

@@ -245,3 +245,61 @@ def test_snapshot_diff_classification():
         "doc_id": [1, 3, 4, 6],
         "status": ["removed", "changed", "removed", "added"],
     }
+
+
+def test_grouping_sets_and_cube_match_duckdb():
+    """grouping_sets_counts against DuckDB GROUPING SETS on a 3-col
+    frame with real nulls (mapped to [NULL], distinct from the [ALL]
+    sentinel); cube_counts = all 8 subsets."""
+    import duckdb
+
+    from pyschema_ray.functions.relational import (cube_counts,
+                                                   grouping_sets_counts)
+
+    t = pa.table({
+        "a": pa.array(["x", "x", "y", None, "y", "x"], pa.string()),
+        "b": pa.array(["1", None, "1", "2", "2", "1"], pa.string()),
+        "c": pa.array(["p", "p", "q", "q", None, "p"], pa.string()),
+    })
+    ds = ray.data.from_arrow(t).repartition(3)
+    sets = [("a", "b", "c"), ("a", "c"), ("b",), ()]
+    got = _tbl(grouping_sets_counts(ds, ["a", "b", "c"], sets)) \
+        .to_pandas().sort_values(["a", "b", "c"]).reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    want = con.execute("""
+        SELECT CASE WHEN GROUPING(a)=1 THEN '[ALL]'
+                    ELSE coalesce(a,'[NULL]') END AS a,
+               CASE WHEN GROUPING(b)=1 THEN '[ALL]'
+                    ELSE coalesce(b,'[NULL]') END AS b,
+               CASE WHEN GROUPING(c)=1 THEN '[ALL]'
+                    ELSE coalesce(c,'[NULL]') END AS c,
+               CAST(count(*) AS BIGINT) AS n_rows
+          FROM t GROUP BY GROUPING SETS ((a,b,c),(a,c),(b),())
+         ORDER BY a, b, c
+    """).df().reset_index(drop=True)
+    assert got.values.tolist() == want.values.tolist()
+
+    got_cube = _tbl(cube_counts(ds, ["a", "b"])) \
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    want_cube = con.execute("""
+        SELECT CASE WHEN GROUPING(a)=1 THEN '[ALL]'
+                    ELSE coalesce(a,'[NULL]') END AS a,
+               CASE WHEN GROUPING(b)=1 THEN '[ALL]'
+                    ELSE coalesce(b,'[NULL]') END AS b,
+               CAST(count(*) AS BIGINT) AS n_rows
+          FROM t GROUP BY CUBE(a, b) ORDER BY a, b
+    """).df().reset_index(drop=True)
+    assert got_cube.values.tolist() == want_cube.values.tolist()
+
+
+def test_grouping_sets_rejects_unknown_column():
+    from pyschema_ray.functions.relational import grouping_sets_counts
+
+    ds = ray.data.from_arrow(pa.table({"a": pa.array(["x"])}))
+    try:
+        grouping_sets_counts(ds, ["a"], [("zz",)])
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
