@@ -1707,7 +1707,15 @@ def _q_ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
 
     docs = _nonblank_docs(sf_dir).map_batches(inject,
                                               batch_format="pyarrow")
-    out = ngram_jaccard_pairs(docs, shingle_words=3, threshold=0.35)
+    # certify the post-injection row bound from parquet metadata (the
+    # injection at most doubles the corpus) so the operator can take
+    # its zero-exchange small-side path; above the threshold the
+    # distributed plan runs unchanged
+    import pyarrow.parquet as pq_
+    nrows = 2 * pq_.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    out = ngram_jaccard_pairs(docs, shingle_words=3, threshold=0.35,
+                              size_hint_rows=nrows)
     t = _collect(out)
     if t.num_rows == 0:
         return pa.table({"key_a": pa.array([], pa.int64()),

@@ -1549,7 +1549,9 @@ def ngram_jaccard_pairs(ds, text_col: str = "text",
                         key_col: str = "doc_id",
                         shingle_words: int = 3, threshold: float = 0.5,
                         num_shards: int | None = None,
-                        max_df: int | None = None):
+                        max_df: int | None = None,
+                        size_hint_rows: int | None = None,
+                        small_rows_threshold: int = 100_000):
     """EXACT word-n-gram Jaccard similarity self-join over the whole
     corpus — the classic inverted-index similarity join, with no
     LSH/candidate pruning and therefore recall 1 by construction
@@ -1590,6 +1592,17 @@ def ngram_jaccard_pairs(ds, text_col: str = "text",
     collision tolerance); the shingle definition matches
     :func:`_word_shingles` (lowercased whitespace words, short docs
     contribute one whole-text shingle).
+
+    ADAPTIVE like the linkage/verify operators: the distributed plan
+    pays four fixed-cost exchanges regardless of size.  When the
+    CALLER certifies the row count via ``size_hint_rows`` (parquet
+    metadata — never a count() pass) and it is at most
+    ``small_rows_threshold``, the same pure phase functions run once
+    on the driver over the collected projection: zero exchanges,
+    byte-identical answer (``max_df`` is global in both paths — a
+    shingle's postings all land in one shard).  No hint, or a hint
+    above the threshold, runs the distributed plan — the 100 TB
+    default.
     """
     num_shards = num_shards or _default_shards()
     key_type_holder: dict = {}
@@ -1690,6 +1703,52 @@ def ngram_jaccard_pairs(ds, text_col: str = "text",
                          "key_b": pc.cast(t["key_b"], key_type),
                          "n_common": pc.cast(t["n_common"], pa.int64())})
 
+    def finish(df):
+        need = ["key_a", "key_b", "n_common", "sz_a", "sz_b"]
+        if df.shape[0] == 0 or any(c not in df.columns for c in need):
+            return _pairs_table([], [], key_type,
+                                n_common=([], pa.int64()),
+                                n_union=([], pa.int64()),
+                                jaccard=([], pa.float64()))
+        inter_n = df["n_common"].to_numpy().astype(np.int64)
+        uni = df["sz_a"].to_numpy().astype(np.int64) \
+            + df["sz_b"].to_numpy().astype(np.int64) - inter_n
+        jac = inter_n / np.maximum(uni, 1)
+        keep = jac >= threshold
+        out = df.loc[keep]
+        return _pairs_table(out["key_a"].to_numpy(),
+                            out["key_b"].to_numpy(), key_type,
+                            n_common=(inter_n[keep], pa.int64()),
+                            n_union=(uni[keep], pa.int64()),
+                            jaccard=(jac[keep], pa.float64()))
+
+    if size_hint_rows is not None and \
+            size_hint_rows <= small_rows_threshold:
+        import ray.data as rd
+
+        empty = pa.table({"key_a": pa.array([], key_type),
+                          "key_b": pa.array([], key_type),
+                          "n_common": pa.array([], pa.int64()),
+                          "n_union": pa.array([], pa.int64()),
+                          "jaccard": pa.array([], pa.float64())})
+        parts = [b for b in ds.iter_batches(batch_format="pyarrow",
+                                            batch_size=None)
+                 if b.num_rows]
+        if not parts:
+            return rd.from_arrow(empty)
+        t_all = pa.concat_tables(parts).combine_chunks()
+        sums = pair_sums(
+            shard_pairs(postings(t_all).to_pandas()).to_pandas())
+        if sums.num_rows == 0:
+            return rd.from_arrow(empty)
+        s = doc_sizes(t_all).to_pandas()
+        p = sums.to_pandas()
+        df = p.merge(s.rename(columns={"key": "key_a", "sz": "sz_a"}),
+                     on="key_a", how="inner") \
+              .merge(s.rename(columns={"key": "key_b", "sz": "sz_b"}),
+                     on="key_b", how="inner")
+        return rd.from_arrow(finish(df))
+
     postings_ds = ds.map_batches(postings, batch_format="pyarrow")
     inter = postings_ds.groupby("sshard") \
         .map_groups(shard_pairs, batch_format="pandas") \
@@ -1779,25 +1838,6 @@ def ngram_jaccard_pairs(ds, text_col: str = "text",
 
     with_a = _attach(inter, "key_a", ["n_common"], "sz_a")
     with_b = _attach(with_a, "key_b", ["n_common", "sz_a"], "sz_b")
-
-    def finish(df):
-        need = ["key_a", "key_b", "n_common", "sz_a", "sz_b"]
-        if df.shape[0] == 0 or any(c not in df.columns for c in need):
-            return _pairs_table([], [], key_type,
-                                n_common=([], pa.int64()),
-                                n_union=([], pa.int64()),
-                                jaccard=([], pa.float64()))
-        inter_n = df["n_common"].to_numpy().astype(np.int64)
-        uni = df["sz_a"].to_numpy().astype(np.int64) \
-            + df["sz_b"].to_numpy().astype(np.int64) - inter_n
-        jac = inter_n / np.maximum(uni, 1)
-        keep = jac >= threshold
-        out = df.loc[keep]
-        return _pairs_table(out["key_a"].to_numpy(),
-                            out["key_b"].to_numpy(), key_type,
-                            n_common=(inter_n[keep], pa.int64()),
-                            n_union=(uni[keep], pa.int64()),
-                            jaccard=(jac[keep], pa.float64()))
 
     return with_b.map_batches(finish, batch_format="pandas")
 

@@ -108,3 +108,36 @@ def test_blank_and_null_docs_never_pair():
         ids.add(r["key_a"])
         ids.add(r["key_b"])
     assert 6 not in ids and 7 not in ids
+
+
+def test_small_side_fast_path_parity():
+    """size_hint_rows under threshold routes to the zero-exchange
+    driver path; answers must be identical to the distributed plan
+    (pairs, counts, jaccard) including max_df semantics, which are
+    global in both paths."""
+    for kw in ({}, {"max_df": 3}):
+        dist = _tbl(ngram_jaccard_pairs(_ds(DOCS), threshold=0.01,
+                                        num_shards=4, **kw))
+        fast = _tbl(ngram_jaccard_pairs(_ds(DOCS), threshold=0.01,
+                                        num_shards=4,
+                                        size_hint_rows=len(DOCS), **kw))
+        def norm(t):
+            if t is None:
+                return {}
+            return {(r["key_a"], r["key_b"]):
+                    (r["n_common"], r["n_union"], round(r["jaccard"], 12))
+                    for r in t.to_pylist()}
+        assert norm(fast) == norm(dist)
+
+
+def test_small_side_fast_path_empty_corpus():
+    from pyschema_ray.functions.dedup import ngram_jaccard_pairs as f
+
+    t = pa.table({"doc_id": pa.array([], pa.int64()),
+                  "text": pa.array([], pa.string())})
+    out = f(ray.data.from_arrow(t), size_hint_rows=0)
+    tab = _tbl(out)
+    assert tab is None or tab.num_rows == 0
+    sch = pa.schema(out.schema().base_schema)
+    assert sch.names == ["key_a", "key_b", "n_common", "n_union",
+                         "jaccard"]
