@@ -2196,6 +2196,38 @@ def _q_docs_rollup_counts(sf_dir: str) -> pa.Table:
                                   ("lang", "ascending")])
 
 
+def _q_langs_per_source(sf_dir: str) -> pa.Table:
+    """SQL string_agg(DISTINCT lang, ',' ORDER BY lang) per source:
+    per-batch distinct-pair combiner, one bounded group-hash exchange,
+    per-shard Arrow sort + offsets + binary_join (no per-group Python
+    lambda — the inverted-index posting idiom)."""
+    from pyschema_ray.functions.analytics import grouped_string_agg
+
+    out = grouped_string_agg(
+        _read(sf_dir, "documents", columns=["source", "lang"]),
+        "source", "lang")
+    t = _collect(out)
+    if t.num_rows == 0:
+        return pa.table({"source": pa.array([], pa.string()),
+                         "langs": pa.array([], pa.string())})
+    return t.rename_columns(["source", "langs"]).sort_by("source")
+
+
+def _q_qty_price_corr(sf_dir: str) -> pa.Table:
+    """EXACT per-group Pearson correlation by integer moment
+    combiners: both engines compute the identical float64 expression
+    from IDENTICAL (arbitrary-precision) integer moments, so the
+    result is bit-equal to the SQL oracle — no streaming-float
+    drift."""
+    from pyschema_ray.functions.analytics import grouped_corr
+
+    return grouped_corr(
+        _read(sf_dir, "lineitem",
+              columns=["l_returnflag", "l_quantity",
+                       "l_extendedprice"]),
+        "l_returnflag", "l_quantity", "l_extendedprice")
+
+
 def _q_docs_cube_counts(sf_dir: str) -> pa.Table:
     """One-pass GROUP BY CUBE(source, lang) document counts: the same
     finest-level combiner as the rollup, expanded to ALL 2^k column
@@ -3166,6 +3198,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_with_big_orders": _q_customers_with_big_orders,
         "docs_rollup_counts": _q_docs_rollup_counts,
         "docs_cube_counts": _q_docs_cube_counts,
+        "langs_per_source": _q_langs_per_source,
+        "qty_price_corr": _q_qty_price_corr,
         "order_price_consistency": _q_order_price_consistency,
         "user_max_gap": _q_user_max_gap,
         "windowed_event_dups": _q_windowed_event_dups,
@@ -4353,6 +4387,37 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
              GROUP BY ROLLUP(source, lang)
              ORDER BY source, lang
+        """,
+        "langs_per_source": """
+            SELECT source,
+                   string_agg(DISTINCT lang, ',' ORDER BY lang)
+                       AS langs
+              FROM documents
+             WHERE source IS NOT NULL AND lang IS NOT NULL
+             GROUP BY source ORDER BY source
+        """,
+        "qty_price_corr": """
+            WITH v AS (
+                SELECT l_returnflag AS flag,
+                       CAST(round(l_quantity) AS HUGEINT) AS x,
+                       CAST(round(l_extendedprice) AS HUGEINT) AS y
+                  FROM lineitem
+                 WHERE l_returnflag IS NOT NULL
+                   AND l_quantity IS NOT NULL
+                   AND l_extendedprice IS NOT NULL),
+            m AS (
+                SELECT flag, CAST(count(*) AS HUGEINT) AS n,
+                       sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+                       sum(y*y) AS syy, sum(x*y) AS sxy
+                  FROM v GROUP BY flag)
+            SELECT flag AS l_returnflag,
+                   CASE WHEN n*sxx - sx*sx <= 0
+                          OR n*syy - sy*sy <= 0 THEN NULL
+                        ELSE CAST(n*sxy - sx*sy AS DOUBLE)
+                             / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                                * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+                   END AS corr
+              FROM m ORDER BY l_returnflag
         """,
         "docs_cube_counts": """
             SELECT CASE WHEN GROUPING(source) = 1 THEN '[ALL]'

@@ -93,7 +93,7 @@ QUERY_SUBSET = [
     "curated_documents", "chunk_ann_topk",
     # round-5e additions
     "daily_orders_ship_full_join", "value_quartiles_cont",
-    "docs_cube_counts",
+    "docs_cube_counts", "langs_per_source", "qty_price_corr",
 ]
 
 

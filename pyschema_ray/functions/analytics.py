@@ -736,3 +736,146 @@ def grouped_rank_topk(ds, group_col: str, item_col: str, k: int = 3,
         .groupby("kshard").map_groups(
             lambda t: shard_rank(t.drop_columns(["kshard"])),
             batch_format="pyarrow")
+
+
+def grouped_string_agg(ds, group_col: str, value_col: str,
+                       sep: str = ",", num_shards: int | None = None):
+    """SQL ``string_agg(DISTINCT value, sep ORDER BY value)`` per
+    group — the report-shaped "list the group's members" aggregate.
+
+    Shape: per-batch DISTINCT (group, value) pairs — the combiner, so
+    the exchange carries distinct pairs per batch, never rows — ONE
+    bounded group-hash shard groupby, then per shard one Arrow sort +
+    run-boundary offsets + ``binary_join`` (the inverted-index
+    posting idiom: no per-group Python lambda).  Null groups and null
+    values are dropped (SQL aggregate semantics — state the same in
+    the oracle).  Output length per group is member-bounded; callers
+    aggregating unbounded-cardinality values should cap upstream.
+
+    -> Dataset(group_col, values string)."""
+    num_shards = num_shards or _default_shards()
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "g": pc.cast(t[group_col], pa.string()),
+            "v": pc.cast(t[value_col], pa.string())})
+        g = g.filter(pc.and_(pc.is_valid(g["g"]), pc.is_valid(g["v"])))
+        if g.num_rows == 0:
+            return pa.table({"g": pa.array([], pa.string()),
+                             "v": pa.array([], pa.string()),
+                             "gshard": pa.array([], pa.int64())})
+        g = g.group_by(["g", "v"]).aggregate([])
+        shard = _key_shards(g["g"].to_numpy(zero_copy_only=False),
+                            num_shards, 61)
+        return g.append_column("gshard", pa.array(shard, pa.int64()))
+
+    def agg(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "g" not in t.column_names:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "values": pa.array([], pa.string())})
+        t = t.group_by(["g", "v"]).aggregate([])  # cross-batch distinct
+        t = t.sort_by([("g", "ascending"), ("v", "ascending")])
+        groups = t["g"].to_numpy(zero_copy_only=False)
+        starts, sizes = _group_starts(groups)
+        offsets = np.zeros(len(starts) + 1, np.int64)
+        np.cumsum(sizes, out=offsets[1:])
+        vals = pc.cast(t["v"], pa.string())
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        lst = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), vals)
+        joined = pc.cast(pc.binary_join(lst, sep), pa.string())
+        return pa.table({group_col: pa.array(groups[starts],
+                                             pa.string()),
+                         "values": joined})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("gshard") \
+        .map_groups(lambda t: agg(t.drop_columns(["gshard"])),
+                    batch_format="pyarrow")
+
+
+def grouped_corr(ds, group_col: str, x_col: str, y_col: str,
+                 x_scale: float = 1.0, y_scale: float = 1.0):
+    """EXACT per-group Pearson correlation of two numeric columns by
+    integer moment combiners — reproducible against SQL because both
+    engines compute the SAME final float expression from IDENTICAL
+    integers.
+
+    Each value is rounded to an integer after multiplying by
+    ``*_scale`` (half away from zero — SQL ``round()``); per batch a
+    vectorized combiner emits per-group int64 partial moments (n, Sx,
+    Sy, Sxx, Syy, Sxy).  Partials are one tiny row per (group, batch)
+    — they merge on the driver with PYTHON-INT sums (arbitrary
+    precision: Sxx over 10^12 rows overflows int64, and float
+    accumulation would break exactness).  The final
+    ``corr = (n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy -
+    Sy^2))`` runs in float64 from those exact integers — the oracle
+    states the identical expression over HUGEINT sums.  Groups where
+    either variance term is zero return null (SQL corr semantics).
+
+    Scale shape: the exchange is per-block moment rows (6 ints x
+    groups), the classic shuffle-free statistical aggregate.  Returns
+    pa.table(group_col string, corr float64) sorted by group."""
+    import math
+
+    def _round_half_away(a: np.ndarray) -> np.ndarray:
+        return np.copysign(np.floor(np.abs(a) + 0.5), a)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pc.cast(t[group_col], pa.string())
+        ok = pc.and_(pc.is_valid(g),
+                     pc.and_(pc.is_valid(t[x_col]),
+                             pc.is_valid(t[y_col])))
+        t = pa.table({"g": g, "x": t[x_col], "y": t[y_col]}).filter(ok)
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.string() if c == "g"
+                                         else pa.int64())
+                             for c in ("g", "n", "sx", "sy",
+                                       "sxx", "syy", "sxy")})
+        x = _round_half_away(t["x"].to_numpy(zero_copy_only=False)
+                             .astype(np.float64) * x_scale) \
+            .astype(np.int64)
+        y = _round_half_away(t["y"].to_numpy(zero_copy_only=False)
+                             .astype(np.float64) * y_scale) \
+            .astype(np.int64)
+        gv = t["g"].to_numpy(zero_copy_only=False)
+        order = np.argsort(gv, kind="stable")
+        gs, xs, ys = gv[order], x[order], y[order]
+        starts, sizes = _group_starts(gs)
+        def seg(v):
+            return np.add.reduceat(v, starts).astype(np.int64)
+        return pa.table({
+            "g": pa.array(gs[starts], pa.string()),
+            "n": pa.array(sizes.astype(np.int64), pa.int64()),
+            "sx": pa.array(seg(xs), pa.int64()),
+            "sy": pa.array(seg(ys), pa.int64()),
+            "sxx": pa.array(seg(xs * xs), pa.int64()),
+            "syy": pa.array(seg(ys * ys), pa.int64()),
+            "sxy": pa.array(seg(xs * ys), pa.int64())})
+
+    parts = [b for b in ds.map_batches(partial, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=None)
+             if b.num_rows]
+    acc: dict[str, list[int]] = {}
+    for b in parts:
+        gs = b["g"].to_pylist()
+        cols = [b[c].to_pylist()
+                for c in ("n", "sx", "sy", "sxx", "syy", "sxy")]
+        for i, gname in enumerate(gs):
+            a = acc.setdefault(gname, [0, 0, 0, 0, 0, 0])
+            for j in range(6):
+                a[j] += cols[j][i]     # python ints: no overflow
+    groups = sorted(acc)
+    out = []
+    for gname in groups:
+        n, sx, sy, sxx, syy, sxy = acc[gname]
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        if vx <= 0 or vy <= 0:
+            out.append(None)
+        else:
+            out.append((n * sxy - sx * sy)
+                       / (math.sqrt(float(vx)) * math.sqrt(float(vy))))
+    return pa.table({group_col: pa.array(groups, pa.string()),
+                     "corr": pa.array(out, pa.float64())})

@@ -484,3 +484,65 @@ def test_quantile_cont_matches_duckdb_all_sizes():
             f"{list(qs)})) FROM t").fetchall()]
         assert all(abs(a - b) < 1e-9 for a, b in zip(got, want)), \
             (got, want)
+
+
+def test_grouped_string_agg_matches_duckdb():
+    from pyschema_ray.functions.analytics import grouped_string_agg
+
+    t = pa.table({
+        "g": pa.array(["a", "a", "b", None, "b", "a", "c"],
+                      pa.string()),
+        "v": pa.array(["z", "m", "m", "m", None, "z", "only"],
+                      pa.string())})
+    out = _tbl(grouped_string_agg(
+        ray.data.from_arrow(t).repartition(3), "g", "v",
+        num_shards=4)).sort_by("g")
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    want = con.execute(
+        "SELECT g, string_agg(DISTINCT v, ',' ORDER BY v) AS vals "
+        "FROM t WHERE g IS NOT NULL AND v IS NOT NULL "
+        "GROUP BY g ORDER BY g").fetchall()
+    assert list(zip(out["g"].to_pylist(),
+                    out["values"].to_pylist())) == want
+
+
+def test_grouped_corr_exact_and_degenerate():
+    """corr from integer moments: matches duckdb's HUGEINT-moment
+    expression bit-for-bit; constant-x group yields null."""
+    from pyschema_ray.functions.analytics import grouped_corr
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    g = np.where(rng.random(n) < 0.5, "p", "q").astype(object)
+    x = rng.integers(1, 50, n).astype(np.float64)
+    y = 3.0 * x + rng.normal(0, 10, n)
+    # a degenerate group: constant x -> zero variance -> NULL
+    g2 = np.array(["z"] * 7, object)
+    t = pa.table({
+        "g": pa.array(np.r_[g, g2], pa.string()),
+        "x": pa.array(np.r_[x, np.full(7, 4.0)], pa.float64()),
+        "y": pa.array(np.r_[y, rng.normal(0, 1, 7)], pa.float64())})
+    out = grouped_corr(ray.data.from_arrow(t).repartition(4),
+                       "g", "x", "y")
+    got = dict(zip(out["g"].to_pylist(), out["corr"].to_pylist()))
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    want = con.execute("""
+        WITH v AS (SELECT g, CAST(round(x) AS HUGEINT) xx,
+                          CAST(round(y) AS HUGEINT) yy FROM t),
+        m AS (SELECT g, CAST(count(*) AS HUGEINT) n, sum(xx) sx,
+                     sum(yy) sy, sum(xx*xx) sxx, sum(yy*yy) syy,
+                     sum(xx*yy) sxy FROM v GROUP BY g)
+        SELECT g, CASE WHEN n*sxx-sx*sx <= 0 OR n*syy-sy*sy <= 0
+                       THEN NULL
+                       ELSE CAST(n*sxy-sx*sy AS DOUBLE)
+                            / (sqrt(CAST(n*sxx-sx*sx AS DOUBLE))
+                               * sqrt(CAST(n*syy-sy*sy AS DOUBLE)))
+                  END FROM m ORDER BY g""").fetchall()
+    for gname, w in want:
+        if w is None:
+            assert got[gname] is None
+        else:
+            assert got[gname] == w, (gname, got[gname], w)
+    assert got["z"] is None
