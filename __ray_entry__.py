@@ -2228,6 +2228,19 @@ def _q_qty_price_corr(sf_dir: str) -> pa.Table:
         "l_returnflag", "l_quantity", "l_extendedprice")
 
 
+def _q_qty_price_linreg(sf_dir: str) -> pa.Table:
+    """EXACT per-group OLS line (SQL regr_slope/regr_intercept shape)
+    from the same integer moments as the correlation: bit-equal to
+    the HUGEINT-moment SQL expression."""
+    from pyschema_ray.functions.analytics import grouped_linreg
+
+    return grouped_linreg(
+        _read(sf_dir, "lineitem",
+              columns=["l_returnflag", "l_quantity",
+                       "l_extendedprice"]),
+        "l_returnflag", "l_quantity", "l_extendedprice")
+
+
 def _q_docs_cube_counts(sf_dir: str) -> pa.Table:
     """One-pass GROUP BY CUBE(source, lang) document counts: the same
     finest-level combiner as the rollup, expanded to ALL 2^k column
@@ -3200,6 +3213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_cube_counts": _q_docs_cube_counts,
         "langs_per_source": _q_langs_per_source,
         "qty_price_corr": _q_qty_price_corr,
+        "qty_price_linreg": _q_qty_price_linreg,
         "order_price_consistency": _q_order_price_consistency,
         "user_max_gap": _q_user_max_gap,
         "windowed_event_dups": _q_windowed_event_dups,
@@ -4418,6 +4432,35 @@ def oracle_sql() -> dict[str, str]:
                                 * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
                    END AS corr
               FROM m ORDER BY l_returnflag
+        """,
+        "qty_price_linreg": """
+            WITH v AS (
+                SELECT l_returnflag AS flag,
+                       CAST(round(l_quantity) AS HUGEINT) AS x,
+                       CAST(round(l_extendedprice) AS HUGEINT) AS y
+                  FROM lineitem
+                 WHERE l_returnflag IS NOT NULL
+                   AND l_quantity IS NOT NULL
+                   AND l_extendedprice IS NOT NULL),
+            m AS (
+                SELECT flag, CAST(count(*) AS HUGEINT) AS n,
+                       sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+                       sum(x*y) AS sxy
+                  FROM v GROUP BY flag),
+            s AS (
+                SELECT flag, n, sx, sy,
+                       CASE WHEN n*sxx - sx*sx <= 0 THEN NULL
+                            ELSE CAST(n*sxy - sx*sy AS DOUBLE)
+                                 / CAST(n*sxx - sx*sx AS DOUBLE)
+                       END AS slope
+                  FROM m)
+            SELECT flag AS l_returnflag, slope,
+                   CASE WHEN slope IS NULL THEN NULL
+                        ELSE (CAST(sy AS DOUBLE)
+                              - slope * CAST(sx AS DOUBLE))
+                             / CAST(n AS DOUBLE)
+                   END AS intercept
+              FROM s ORDER BY l_returnflag
         """,
         "docs_cube_counts": """
             SELECT CASE WHEN GROUPING(source) = 1 THEN '[ALL]'

@@ -795,12 +795,12 @@ def grouped_string_agg(ds, group_col: str, value_col: str,
                     batch_format="pyarrow")
 
 
-def grouped_corr(ds, group_col: str, x_col: str, y_col: str,
-                 x_scale: float = 1.0, y_scale: float = 1.0):
-    """EXACT per-group Pearson correlation of two numeric columns by
-    integer moment combiners — reproducible against SQL because both
-    engines compute the SAME final float expression from IDENTICAL
-    integers.
+def _grouped_int_moments(ds, group_col: str, x_col: str, y_col: str,
+                         x_scale: float = 1.0, y_scale: float = 1.0):
+    """Per-group EXACT integer moment accumulation for two numeric
+    columns — the shared engine behind grouped_corr / grouped_linreg,
+    reproducible against SQL because both engines derive the SAME
+    final float expressions from IDENTICAL integers.
 
     Each value is rounded to an integer after multiplying by
     ``*_scale`` (half away from zero — SQL ``round()``); per batch a
@@ -816,9 +816,7 @@ def grouped_corr(ds, group_col: str, x_col: str, y_col: str,
 
     Scale shape: the exchange is per-block moment rows (6 ints x
     groups), the classic shuffle-free statistical aggregate.  Returns
-    pa.table(group_col string, corr float64) sorted by group."""
-    import math
-
+    {group: [n, Sx, Sy, Sxx, Syy, Sxy]} with python-int values."""
     def _round_half_away(a: np.ndarray) -> np.ndarray:
         return np.copysign(np.floor(np.abs(a) + 0.5), a)
 
@@ -866,6 +864,25 @@ def grouped_corr(ds, group_col: str, x_col: str, y_col: str,
             a = acc.setdefault(gname, [0, 0, 0, 0, 0, 0])
             for j in range(6):
                 a[j] += cols[j][i]     # python ints: no overflow
+    return acc
+
+
+def grouped_corr(ds, group_col: str, x_col: str, y_col: str,
+                 x_scale: float = 1.0, y_scale: float = 1.0):
+    """EXACT per-group Pearson correlation over
+    :func:`_grouped_int_moments` (see that docstring for the integer
+    discipline): ``corr = (n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) *
+    sqrt(n*Syy - Sy^2))`` in float64 from exact integers — the oracle
+    states the identical expression over HUGEINT sums, so the result
+    is bit-equal.  Groups with zero variance in either column return
+    null (SQL corr semantics).
+
+    Returns pa.table(group_col string, corr float64) sorted by
+    group."""
+    import math
+
+    acc = _grouped_int_moments(ds, group_col, x_col, y_col,
+                               x_scale, y_scale)
     groups = sorted(acc)
     out = []
     for gname in groups:
@@ -879,3 +896,34 @@ def grouped_corr(ds, group_col: str, x_col: str, y_col: str,
                        / (math.sqrt(float(vx)) * math.sqrt(float(vy))))
     return pa.table({group_col: pa.array(groups, pa.string()),
                      "corr": pa.array(out, pa.float64())})
+
+
+def grouped_linreg(ds, group_col: str, x_col: str, y_col: str,
+                   x_scale: float = 1.0, y_scale: float = 1.0):
+    """EXACT per-group ordinary-least-squares line (SQL
+    regr_slope/regr_intercept) from the same integer moments as
+    :func:`grouped_corr`: ``slope = (n*Sxy - Sx*Sy) / (n*Sxx -
+    Sx^2)``; ``intercept = (Sy - slope*Sx) / n`` — each evaluated in
+    float64 from exact integers with the conversion points stated in
+    the oracle SQL, so results are bit-equal.  Zero x-variance
+    groups return null slope/intercept.
+
+    Returns pa.table(group_col string, slope float64, intercept
+    float64) sorted by group."""
+    acc = _grouped_int_moments(ds, group_col, x_col, y_col,
+                               x_scale, y_scale)
+    groups = sorted(acc)
+    slopes, inters = [], []
+    for gname in groups:
+        n, sx, sy, sxx, _syy, sxy = acc[gname]
+        vx = n * sxx - sx * sx
+        if vx <= 0:
+            slopes.append(None)
+            inters.append(None)
+        else:
+            slope = (n * sxy - sx * sy) / float(vx)
+            slopes.append(slope)
+            inters.append((float(sy) - slope * float(sx)) / float(n))
+    return pa.table({group_col: pa.array(groups, pa.string()),
+                     "slope": pa.array(slopes, pa.float64()),
+                     "intercept": pa.array(inters, pa.float64())})

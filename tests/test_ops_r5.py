@@ -546,3 +546,43 @@ def test_grouped_corr_exact_and_degenerate():
         else:
             assert got[gname] == w, (gname, got[gname], w)
     assert got["z"] is None
+
+
+def test_grouped_linreg_matches_duckdb_and_degenerate():
+    from pyschema_ray.functions.analytics import grouped_linreg
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    g = np.where(rng.random(n) < 0.5, "p", "q").astype(object)
+    x = rng.integers(1, 50, n).astype(np.float64)
+    y = -2.0 * x + 17 + rng.normal(0, 8, n)
+    g2 = np.array(["z"] * 5, object)  # constant x -> null line
+    t = pa.table({
+        "g": pa.array(np.r_[g, g2], pa.string()),
+        "x": pa.array(np.r_[x, np.full(5, 9.0)], pa.float64()),
+        "y": pa.array(np.r_[y, rng.normal(0, 1, 5)], pa.float64())})
+    out = grouped_linreg(ray.data.from_arrow(t).repartition(4),
+                         "g", "x", "y")
+    got = {r["g"]: (r["slope"], r["intercept"])
+           for r in out.to_pylist()}
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    want = con.execute("""
+        WITH v AS (SELECT g, CAST(round(x) AS HUGEINT) xx,
+                          CAST(round(y) AS HUGEINT) yy FROM t),
+        m AS (SELECT g, CAST(count(*) AS HUGEINT) n, sum(xx) sx,
+                     sum(yy) sy, sum(xx*xx) sxx, sum(xx*yy) sxy
+                FROM v GROUP BY g),
+        s AS (SELECT g, n, sx, sy,
+                     CASE WHEN n*sxx-sx*sx <= 0 THEN NULL
+                          ELSE CAST(n*sxy-sx*sy AS DOUBLE)
+                               / CAST(n*sxx-sx*sx AS DOUBLE)
+                     END AS slope FROM m)
+        SELECT g, slope,
+               CASE WHEN slope IS NULL THEN NULL
+                    ELSE (CAST(sy AS DOUBLE) - slope*CAST(sx AS DOUBLE))
+                         / CAST(n AS DOUBLE) END
+          FROM s ORDER BY g""").fetchall()
+    for gname, slope, inter in want:
+        assert got[gname] == (slope, inter), gname
+    assert got["z"] == (None, None)
