@@ -2241,6 +2241,23 @@ def _q_qty_price_linreg(sf_dir: str) -> pa.Table:
         "l_returnflag", "l_quantity", "l_extendedprice")
 
 
+def _q_lang_entropy_per_source(sf_dir: str) -> pa.Table:
+    """Shannon entropy of each source's language mix (corpus-diversity
+    audit) in exact integer micro-nats: per-term quantization of the
+    oracle's own double expression, then order-immune int64 sums."""
+    from pyschema_ray.functions.analytics import grouped_entropy
+
+    out = grouped_entropy(
+        _read(sf_dir, "documents", columns=["source", "lang"]),
+        "source", "lang")
+    t = _collect(out)
+    if t.num_rows == 0:
+        return pa.table({"source": pa.array([], pa.string()),
+                         "ndv": pa.array([], pa.int64()),
+                         "entropy_micronat": pa.array([], pa.int64())})
+    return t.sort_by("source")
+
+
 def _q_docs_cube_counts(sf_dir: str) -> pa.Table:
     """One-pass GROUP BY CUBE(source, lang) document counts: the same
     finest-level combiner as the rollup, expanded to ALL 2^k column
@@ -3214,6 +3231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langs_per_source": _q_langs_per_source,
         "qty_price_corr": _q_qty_price_corr,
         "qty_price_linreg": _q_qty_price_linreg,
+        "lang_entropy_per_source": _q_lang_entropy_per_source,
         "order_price_consistency": _q_order_price_consistency,
         "user_max_gap": _q_user_max_gap,
         "windowed_event_dups": _q_windowed_event_dups,
@@ -4432,6 +4450,26 @@ def oracle_sql() -> dict[str, str]:
                                 * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
                    END AS corr
               FROM m ORDER BY l_returnflag
+        """,
+        "lang_entropy_per_source": """
+            WITH c AS (
+                SELECT source, lang, count(*) AS c
+                  FROM documents
+                 WHERE source IS NOT NULL AND lang IS NOT NULL
+                 GROUP BY source, lang),
+            n AS (
+                SELECT source, sum(c) AS n,
+                       CAST(count(*) AS BIGINT) AS ndv
+                  FROM c GROUP BY source)
+            SELECT c.source, n.ndv,
+                   CAST(sum(CAST(round(
+                        CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE)
+                        * ln(CAST(n.n AS DOUBLE) / CAST(c.c AS DOUBLE))
+                        * 1000000.0) AS BIGINT)) AS BIGINT)
+                       AS entropy_micronat
+              FROM c JOIN n ON c.source = n.source
+             GROUP BY c.source, n.ndv
+             ORDER BY c.source
         """,
         "qty_price_linreg": """
             WITH v AS (

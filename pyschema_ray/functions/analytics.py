@@ -927,3 +927,72 @@ def grouped_linreg(ds, group_col: str, x_col: str, y_col: str,
     return pa.table({group_col: pa.array(groups, pa.string()),
                      "slope": pa.array(slopes, pa.float64()),
                      "intercept": pa.array(inters, pa.float64())})
+
+
+def grouped_entropy(ds, group_col: str, value_col: str,
+                    num_shards: int | None = None):
+    """EXACT Shannon entropy of each group's value distribution — the
+    corpus-diversity audit (a source whose documents are all one
+    language scores 0; a uniform mix scores ln(k)).
+
+    Integer micro-nat discipline (the repo-wide float rule): each
+    (group, value) term is quantized INDEPENDENTLY as
+    ``round((c/n) * ln(n/c) * 1e6)`` — the same left-associative
+    double expression the SQL oracle writes, so terms agree
+    bit-for-bit away from half-ulp boundaries — and the per-group sum
+    is then EXACT int64 arithmetic, immune to accumulation order.
+
+    Scale shape: per-batch (group, value) count partials (the
+    combiner — the exchange carries distinct pairs per batch, never
+    rows), ONE bounded group-hash shard groupby co-locating each
+    group whole, per-shard vectorized term evaluation.  Null groups
+    and values are dropped (SQL aggregate semantics).
+
+    -> Dataset(group_col string, ndv int64, entropy_micronat int64).
+    """
+    num_shards = num_shards or _default_shards()
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "g": pc.cast(t[group_col], pa.string()),
+            "v": pc.cast(t[value_col], pa.string())})
+        g = g.filter(pc.and_(pc.is_valid(g["g"]), pc.is_valid(g["v"])))
+        if g.num_rows == 0:
+            return pa.table({"g": pa.array([], pa.string()),
+                             "v": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64()),
+                             "gshard": pa.array([], pa.int64())})
+        agg = g.group_by(["g", "v"]).aggregate([([], "count_all")])
+        agg = agg.select(["g", "v", "count_all"]) \
+            .rename_columns(["g", "v", "c"])
+        shard = _key_shards(agg["g"].to_numpy(zero_copy_only=False),
+                            num_shards, 67)
+        return agg.append_column("gshard", pa.array(shard, pa.int64()))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "g" not in t.column_names:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "ndv": pa.array([], pa.int64()),
+                             "entropy_micronat": pa.array([],
+                                                          pa.int64())})
+        m = t.group_by(["g", "v"]).aggregate([("c", "sum")])
+        m = m.sort_by([("g", "ascending"), ("v", "ascending")])
+        groups = m["g"].to_numpy(zero_copy_only=False)
+        c = m["c_sum"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        starts, sizes = _group_starts(groups)
+        n = np.repeat(np.add.reduceat(c, starts), sizes)
+        # the oracle's exact expression, term-quantized then int-summed
+        term = c / n * np.log(n / c) * 1000000.0
+        q = np.copysign(np.floor(np.abs(term) + 0.5),
+                        term).astype(np.int64)
+        ent = np.add.reduceat(q, starts).astype(np.int64)
+        return pa.table({
+            group_col: pa.array(groups[starts], pa.string()),
+            "ndv": pa.array(sizes.astype(np.int64), pa.int64()),
+            "entropy_micronat": pa.array(ent, pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("gshard") \
+        .map_groups(lambda t: finish(t.drop_columns(["gshard"])),
+                    batch_format="pyarrow")

@@ -586,3 +586,35 @@ def test_grouped_linreg_matches_duckdb_and_degenerate():
     for gname, slope, inter in want:
         assert got[gname] == (slope, inter), gname
     assert got["z"] == (None, None)
+
+
+def test_grouped_entropy_known_values_and_nulls():
+    """Uniform 4-way mix -> ln(4) micro-nats; single value -> 0;
+    nulls dropped; int parity with the pure formula."""
+    import math
+
+    from pyschema_ray.functions.analytics import grouped_entropy
+
+    vals = (["a", "b", "c", "d"] * 25          # g=u uniform over 4
+            + ["x"] * 10                        # g=s single value
+            + ["m"] * 30 + ["n"] * 10)          # g=w skewed 3:1
+    gs = ["u"] * 100 + ["s"] * 10 + ["w"] * 40
+    t = pa.table({
+        "g": pa.array(gs + [None, "u"], pa.string()),
+        "v": pa.array(vals + ["zz", None], pa.string())})
+    out = grouped_entropy(ray.data.from_arrow(t).repartition(5),
+                          "g", "v", num_shards=4)
+    got = {r["g"]: (r["ndv"], r["entropy_micronat"])
+           for b in out.iter_batches(batch_format="pyarrow",
+                                     batch_size=None)
+           for r in b.to_pylist()}
+
+    def ref(counts):
+        n = sum(counts)
+        return sum(round(c / n * math.log(n / c) * 1e6)
+                   for c in counts)
+
+    assert got["u"] == (4, ref([25, 25, 25, 25]))
+    assert abs(got["u"][1] - round(math.log(4) * 1e6)) <= 2
+    assert got["s"] == (1, 0)
+    assert got["w"] == (2, ref([30, 10]))
