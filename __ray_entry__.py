@@ -2258,6 +2258,27 @@ def _q_lang_entropy_per_source(sf_dir: str) -> pa.Table:
     return t.sort_by("source")
 
 
+def _q_doc_rank_stats(sf_dir: str) -> pa.Table:
+    """GLOBAL percent_rank()/cume_dist() OVER (ORDER BY n_chars) for
+    every document — computed with ZERO row exchanges: one per-value
+    counts histogram pass, broadcast cumulative arrays, per-batch
+    searchsorted probes.  Each output double is one division of exact
+    integers, bit-equal to the SQL window functions."""
+    from pyschema_ray.functions.ordered import global_rank_stats
+
+    out = global_rank_stats(
+        _read(sf_dir, "documents", columns=["doc_id", "n_chars"]),
+        "n_chars", "doc_id")
+    t = _collect(out)
+    if t.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_chars": pa.array([], pa.int64()),
+                         "percent_rank": pa.array([], pa.float64()),
+                         "cume_dist": pa.array([], pa.float64())})
+    return t.sort_by([("doc_id", "ascending"),
+                      ("n_chars", "ascending")])
+
+
 def _q_docs_cube_counts(sf_dir: str) -> pa.Table:
     """One-pass GROUP BY CUBE(source, lang) document counts: the same
     finest-level combiner as the rollup, expanded to ALL 2^k column
@@ -3232,6 +3253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_price_corr": _q_qty_price_corr,
         "qty_price_linreg": _q_qty_price_linreg,
         "lang_entropy_per_source": _q_lang_entropy_per_source,
+        "doc_rank_stats": _q_doc_rank_stats,
         "order_price_consistency": _q_order_price_consistency,
         "user_max_gap": _q_user_max_gap,
         "windowed_event_dups": _q_windowed_event_dups,
@@ -4450,6 +4472,15 @@ def oracle_sql() -> dict[str, str]:
                                 * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
                    END AS corr
               FROM m ORDER BY l_returnflag
+        """,
+        "doc_rank_stats": """
+            SELECT doc_id, n_chars,
+                   percent_rank() OVER (ORDER BY n_chars)
+                       AS percent_rank,
+                   cume_dist() OVER (ORDER BY n_chars) AS cume_dist
+              FROM documents
+             WHERE n_chars IS NOT NULL
+             ORDER BY doc_id, n_chars
         """,
         "lang_entropy_per_source": """
             WITH c AS (

@@ -307,3 +307,80 @@ def global_ntile(ds, value_col: str, key_col: str, n_buckets: int,
         .map_batches(tag, batch_format="pyarrow") \
         .groupby("rshard").map_groups(rank_shard,
                                       batch_format="pyarrow")
+
+
+def global_rank_stats(ds, value_col: str, key_col: str,
+                      num_shards: int | None = None):
+    """GLOBAL percent_rank() and cume_dist() OVER (ORDER BY value) for
+    every row — rank statistics that, unlike ntile, need NO row
+    exchange at all: a row's min-rank and <=-count are fully
+    determined by the corpus value histogram.
+
+    Pass 1 exchanges per-VALUE counts (the bounded-cardinality
+    histogram contract shared with :func:`global_ntile` — counts,
+    never rows; the driver holds O(distinct values)).  The sorted
+    values + cumulative-below / cumulative-at-or-below arrays
+    broadcast once via ``ray.put``; pass 2 probes them per batch with
+    searchsorted and emits per-row doubles — embarrassingly parallel,
+    zero shuffles.
+
+    Float contract: ``percent_rank = (rank_min - 1) / (n - 1)``
+    (0.0 when n == 1 — the SQL edge) and ``cume_dist = n_le / n``,
+    each one division of exact integers — bit-equal to the SQL window
+    functions.  Null values are dropped (rows, not zero-filled:
+    SQL window functions over a filtered frame — state the filter in
+    the oracle).
+
+    -> Dataset(key_col, value_col, percent_rank float64, cume_dist
+    float64)."""
+    import ray
+    import ray.data.aggregate as A
+
+    counts = ds.select_columns([value_col]) \
+        .map_batches(lambda t: t.filter(pc.is_valid(t[value_col]))
+                     .group_by([value_col]).aggregate(
+                         [([], "count_all")])
+                     .rename_columns([value_col, "n"]),
+                     batch_format="pyarrow") \
+        .groupby(value_col).aggregate(A.Sum("n", alias_name="n"))
+    parts = [b for b in counts.iter_batches(batch_format="pyarrow",
+                                            batch_size=None)
+             if b.num_rows]
+    key_type = None
+    val_type = None
+    for name, typ in zip(ds.schema().names, ds.schema().types):
+        if name == key_col:
+            key_type = typ
+        if name == value_col:
+            val_type = typ
+    empty = pa.table({key_col: pa.array([], key_type),
+                      value_col: pa.array([], val_type),
+                      "percent_rank": pa.array([], pa.float64()),
+                      "cume_dist": pa.array([], pa.float64())})
+    if not parts:
+        return ray.data.from_arrow(empty)
+    hist = pa.concat_tables(parts).sort_by(value_col)
+    vals = hist[value_col].to_numpy(zero_copy_only=False)
+    ns = hist["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cum_le = np.cumsum(ns)
+    cum_lt = cum_le - ns
+    total = int(cum_le[-1])
+    ref = ray.put((vals, cum_lt, cum_le, total))
+
+    def score(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[value_col]))
+        if t.num_rows == 0:
+            return empty
+        v, lt, le, n = ray.get(ref)
+        x = t[value_col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(v, x)        # exact match by contract
+        pr = (lt[pos].astype(np.float64)
+              / float(n - 1) if n > 1
+              else np.zeros(t.num_rows, np.float64))
+        cd = le[pos].astype(np.float64) / float(n)
+        return pa.table({key_col: t[key_col],
+                         value_col: t[value_col],
+                         "percent_rank": pa.array(pr, pa.float64()),
+                         "cume_dist": pa.array(cd, pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -618,3 +618,43 @@ def test_grouped_entropy_known_values_and_nulls():
     assert abs(got["u"][1] - round(math.log(4) * 1e6)) <= 2
     assert got["s"] == (1, 0)
     assert got["w"] == (2, ref([30, 10]))
+
+
+def test_global_rank_stats_matches_duckdb_with_ties_and_nulls():
+    from pyschema_ray.functions.ordered import global_rank_stats
+
+    rng = np.random.default_rng(13)
+    v = rng.integers(0, 12, 300).astype(object)
+    v[::37] = None                 # null values drop out of the frame
+    t = pa.table({"k": pa.array(range(300), pa.int64()),
+                  "v": pa.array(list(v), pa.int64())})
+    out = _tbl(global_rank_stats(
+        ray.data.from_arrow(t).repartition(4), "v", "k")) \
+        .sort_by("k")
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    want = con.execute("""
+        SELECT k, percent_rank() OVER (ORDER BY v) pr,
+               cume_dist() OVER (ORDER BY v) cd
+          FROM t WHERE v IS NOT NULL ORDER BY k""").fetchall()
+    got = list(zip(out["k"].to_pylist(),
+                   out["percent_rank"].to_pylist(),
+                   out["cume_dist"].to_pylist()))
+    assert len(got) == len(want)
+    for (gk, gpr, gcd), (wk, wpr, wcd) in zip(got, want):
+        assert gk == wk and gpr == wpr and gcd == wcd, (gk, wk)
+
+
+def test_global_rank_stats_single_row_and_empty():
+    from pyschema_ray.functions.ordered import global_rank_stats
+
+    one = pa.table({"k": pa.array([7], pa.int64()),
+                    "v": pa.array([5], pa.int64())})
+    out = _tbl(global_rank_stats(ray.data.from_arrow(one), "v", "k"))
+    assert out.to_pylist() == [{"k": 7, "v": 5, "percent_rank": 0.0,
+                                "cume_dist": 1.0}]
+    nothing = pa.table({"k": pa.array([], pa.int64()),
+                        "v": pa.array([], pa.int64())})
+    out2 = _tbl(global_rank_stats(ray.data.from_arrow(nothing),
+                                  "v", "k"))
+    assert out2 is None or out2.num_rows == 0
