@@ -2279,6 +2279,23 @@ def _q_doc_rank_stats(sf_dir: str) -> pa.Table:
                       ("n_chars", "ascending")])
 
 
+def _q_weighted_discount_by_flag(sf_dir: str) -> pa.Table:
+    """Revenue-weighted average discount per return flag (the
+    weighted-mean aggregate every billing report needs): sum(w*x) /
+    sum(w) over exact integer moments — w in price cents, x in
+    discount milli-units — one float64 division of exact integers,
+    bit-equal to the HUGEINT SQL expression."""
+    from pyschema_ray.functions.analytics import grouped_weighted_avg
+
+    out = grouped_weighted_avg(
+        _read(sf_dir, "lineitem",
+              columns=["l_returnflag", "l_extendedprice",
+                       "l_discount"]),
+        "l_returnflag", "l_extendedprice", "l_discount",
+        w_scale=100.0, x_scale=1000.0)
+    return out.rename_columns(["l_returnflag", "wavg_discount_milli"])
+
+
 def _q_docs_cube_counts(sf_dir: str) -> pa.Table:
     """One-pass GROUP BY CUBE(source, lang) document counts: the same
     finest-level combiner as the rollup, expanded to ALL 2^k column
@@ -3254,6 +3271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_price_linreg": _q_qty_price_linreg,
         "lang_entropy_per_source": _q_lang_entropy_per_source,
         "doc_rank_stats": _q_doc_rank_stats,
+        "weighted_discount_by_flag": _q_weighted_discount_by_flag,
         "order_price_consistency": _q_order_price_consistency,
         "user_max_gap": _q_user_max_gap,
         "windowed_event_dups": _q_windowed_event_dups,
@@ -4472,6 +4490,23 @@ def oracle_sql() -> dict[str, str]:
                                 * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
                    END AS corr
               FROM m ORDER BY l_returnflag
+        """,
+        "weighted_discount_by_flag": """
+            WITH v AS (
+                SELECT l_returnflag AS flag,
+                       CAST(round(l_extendedprice * 100) AS HUGEINT)
+                           AS w,
+                       CAST(round(l_discount * 1000) AS HUGEINT) AS x
+                  FROM lineitem
+                 WHERE l_returnflag IS NOT NULL
+                   AND l_extendedprice IS NOT NULL
+                   AND l_discount IS NOT NULL)
+            SELECT flag AS l_returnflag,
+                   CASE WHEN sum(w) = 0 THEN NULL
+                        ELSE CAST(sum(w*x) AS DOUBLE)
+                             / CAST(sum(w) AS DOUBLE)
+                   END AS wavg_discount_milli
+              FROM v GROUP BY flag ORDER BY flag
         """,
         "doc_rank_stats": """
             SELECT doc_id, n_chars,

@@ -996,3 +996,24 @@ def grouped_entropy(ds, group_col: str, value_col: str,
         .groupby("gshard") \
         .map_groups(lambda t: finish(t.drop_columns(["gshard"])),
                     batch_format="pyarrow")
+
+
+def grouped_weighted_avg(ds, group_col: str, w_col: str, x_col: str,
+                         w_scale: float = 1.0, x_scale: float = 1.0):
+    """EXACT per-group weighted average ``sum(w*x) / sum(w)`` over
+    :func:`_grouped_int_moments` (w as the x-moment, x as the
+    y-moment): one float64 division of exact arbitrary-precision
+    integers — bit-equal to the HUGEINT SQL expression.  Groups with
+    zero total weight return null.
+
+    Returns pa.table(group_col string, wavg float64) sorted by
+    group."""
+    acc = _grouped_int_moments(ds, group_col, w_col, x_col,
+                               w_scale, x_scale)
+    groups = sorted(acc)
+    out = []
+    for gname in groups:
+        _n, sw, _sx, _sww, _sxx, swx = acc[gname]
+        out.append(None if sw == 0 else float(swx) / float(sw))
+    return pa.table({group_col: pa.array(groups, pa.string()),
+                     "wavg": pa.array(out, pa.float64())})

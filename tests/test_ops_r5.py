@@ -658,3 +658,19 @@ def test_global_rank_stats_single_row_and_empty():
     out2 = _tbl(global_rank_stats(ray.data.from_arrow(nothing),
                                   "v", "k"))
     assert out2 is None or out2.num_rows == 0
+
+
+def test_grouped_weighted_avg_matches_duckdb_and_zero_weight():
+    from pyschema_ray.functions.analytics import grouped_weighted_avg
+
+    t = pa.table({
+        "g": pa.array(["a", "a", "b", "b", "z", "z"], pa.string()),
+        "w": pa.array([10.0, 30.0, 5.0, 0.0, 0.0, 0.0], pa.float64()),
+        "x": pa.array([1.0, 3.0, 7.0, 100.0, 4.0, 5.0], pa.float64())})
+    out = grouped_weighted_avg(ray.data.from_arrow(t).repartition(3),
+                               "g", "w", "x")
+    got = dict(zip(out["g"].to_pylist(), out["wavg"].to_pylist()))
+    # a: (10*1 + 30*3)/40 = 2.5 ; b: (5*7 + 0*100)/5 = 7 ; z: null
+    assert got["a"] == 2.5
+    assert got["b"] == 7.0
+    assert got["z"] is None
