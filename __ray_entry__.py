@@ -2296,6 +2296,19 @@ def _q_weighted_discount_by_flag(sf_dir: str) -> pa.Table:
     return out.rename_columns(["l_returnflag", "wavg_discount_milli"])
 
 
+def _q_price_stddev_by_flag(sf_dir: str) -> pa.Table:
+    """Per-group standard deviation (sample + population) of price
+    cents from exact integer moments — bit-equal to the explicit
+    HUGEINT SQL expression (never the engine's streaming-float
+    stddev, whose accumulation order is unreproducible)."""
+    from pyschema_ray.functions.analytics import grouped_stddev
+
+    return grouped_stddev(
+        _read(sf_dir, "lineitem",
+              columns=["l_returnflag", "l_extendedprice"]),
+        "l_returnflag", "l_extendedprice", x_scale=100.0)
+
+
 def _q_docs_cube_counts(sf_dir: str) -> pa.Table:
     """One-pass GROUP BY CUBE(source, lang) document counts: the same
     finest-level combiner as the rollup, expanded to ALL 2^k column
@@ -3272,6 +3285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_entropy_per_source": _q_lang_entropy_per_source,
         "doc_rank_stats": _q_doc_rank_stats,
         "weighted_discount_by_flag": _q_weighted_discount_by_flag,
+        "price_stddev_by_flag": _q_price_stddev_by_flag,
         "order_price_consistency": _q_order_price_consistency,
         "user_max_gap": _q_user_max_gap,
         "windowed_event_dups": _q_windowed_event_dups,
@@ -4490,6 +4504,27 @@ def oracle_sql() -> dict[str, str]:
                                 * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
                    END AS corr
               FROM m ORDER BY l_returnflag
+        """,
+        "price_stddev_by_flag": """
+            WITH v AS (
+                SELECT l_returnflag AS flag,
+                       CAST(round(l_extendedprice * 100) AS HUGEINT)
+                           AS x
+                  FROM lineitem
+                 WHERE l_returnflag IS NOT NULL
+                   AND l_extendedprice IS NOT NULL),
+            m AS (
+                SELECT flag, CAST(count(*) AS HUGEINT) AS n,
+                       sum(x) AS sx, sum(x*x) AS sxx
+                  FROM v GROUP BY flag)
+            SELECT flag AS l_returnflag,
+                   CASE WHEN n < 2 THEN NULL
+                        ELSE sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                                  / CAST(n*(n-1) AS DOUBLE))
+                   END AS stddev_samp,
+                   sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                        / CAST(n*n AS DOUBLE)) AS stddev_pop
+              FROM m ORDER BY flag
         """,
         "weighted_discount_by_flag": """
             WITH v AS (

@@ -1017,3 +1017,33 @@ def grouped_weighted_avg(ds, group_col: str, w_col: str, x_col: str,
         out.append(None if sw == 0 else float(swx) / float(sw))
     return pa.table({group_col: pa.array(groups, pa.string()),
                      "wavg": pa.array(out, pa.float64())})
+
+
+def grouped_stddev(ds, group_col: str, x_col: str,
+                   x_scale: float = 1.0):
+    """EXACT per-group standard deviation (sample and population)
+    from the shared integer moments: ``var_samp = (n*Sxx - Sx^2) /
+    (n*(n-1))``, ``var_pop = (n*Sxx - Sx^2) / n^2`` — each one
+    division of exact arbitrary-precision integers then one sqrt,
+    bit-equal to the HUGEINT SQL expression (never the engine's
+    streaming-float stddev, whose accumulation order is
+    unreproducible).  n < 2 yields null stddev_samp; n < 1 cannot
+    occur (empty groups don't exist).
+
+    Returns pa.table(group_col string, stddev_samp float64,
+    stddev_pop float64) sorted by group."""
+    import math
+
+    acc = _grouped_int_moments(ds, group_col, x_col, x_col,
+                               x_scale, x_scale)
+    groups = sorted(acc)
+    samp, pop = [], []
+    for gname in groups:
+        n, sx, _sy, sxx, _syy, _sxy = acc[gname]
+        vnum = n * sxx - sx * sx
+        pop.append(math.sqrt(float(vnum) / float(n * n)))
+        samp.append(None if n < 2
+                    else math.sqrt(float(vnum) / float(n * (n - 1))))
+    return pa.table({group_col: pa.array(groups, pa.string()),
+                     "stddev_samp": pa.array(samp, pa.float64()),
+                     "stddev_pop": pa.array(pop, pa.float64())})

@@ -674,3 +674,33 @@ def test_grouped_weighted_avg_matches_duckdb_and_zero_weight():
     assert got["a"] == 2.5
     assert got["b"] == 7.0
     assert got["z"] is None
+
+
+def test_grouped_stddev_matches_duckdb_expression():
+    from pyschema_ray.functions.analytics import grouped_stddev
+
+    rng = np.random.default_rng(17)
+    g = np.where(rng.random(500) < 0.5, "p", "q").astype(object)
+    x = rng.integers(-30, 120, 500).astype(np.float64)
+    t = pa.table({"g": pa.array(np.r_[g, ["solo"]], pa.string()),
+                  "x": pa.array(np.r_[x, [9.0]], pa.float64())})
+    out = grouped_stddev(ray.data.from_arrow(t).repartition(4),
+                         "g", "x")
+    got = {r["g"]: (r["stddev_samp"], r["stddev_pop"])
+           for r in out.to_pylist()}
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    want = con.execute("""
+        WITH v AS (SELECT g, CAST(round(x) AS HUGEINT) xx FROM t),
+        m AS (SELECT g, CAST(count(*) AS HUGEINT) n, sum(xx) sx,
+                     sum(xx*xx) sxx FROM v GROUP BY g)
+        SELECT g,
+               CASE WHEN n < 2 THEN NULL
+                    ELSE sqrt(CAST(n*sxx-sx*sx AS DOUBLE)
+                              / CAST(n*(n-1) AS DOUBLE)) END,
+               sqrt(CAST(n*sxx-sx*sx AS DOUBLE)
+                    / CAST(n*n AS DOUBLE))
+          FROM m ORDER BY g""").fetchall()
+    for gname, ws, wp in want:
+        assert got[gname] == (ws, wp), gname
+    assert got["solo"] == (None, 0.0)
