@@ -1432,6 +1432,34 @@ def _q_csv_roundtrip_documents(sf_dir: str) -> pa.Table:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _q_orc_roundtrip_documents(sf_dir: str) -> pa.Table:
+    """ORC round-trip of the documents table through the repo's
+    stripe-parallel ORC source/sink (sources/orc_io.py: task-fanout
+    content-hashed part files, per-stripe decode tasks with column
+    pruning pushed into read_stripe; identity SQL oracle).  Extends
+    the source-format matrix: parquet, JSON-lines, Avro container,
+    hive-partitioned parquet, CSV, ORC."""
+    import shutil
+    import tempfile
+
+    from pyschema_ray.sources.orc_io import read_orc, write_orc
+
+    out = tempfile.mkdtemp(prefix="psr_orc_")
+    try:
+        manifest = _collect(write_orc(_read(sf_dir, "documents"), out))
+        assert int(pc.sum(manifest["rows"]).as_py() or 0) > 0
+        t = _collect(read_orc(out))
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "text": pc.cast(t["text"], pa.string()),
+            "lang": pc.cast(t["lang"], pa.string()),
+            "source": pc.cast(t["source"], pa.string()),
+            "n_chars": pc.cast(t["n_chars"], pa.int64()),
+        }).sort_by("doc_id")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _q_heavy_hitter_words(sf_dir: str) -> pa.Table:
     """EXACT phi-heavy-hitter words via Misra-Gries sketch-prune +
     broadcast exact-verify (functions/text.py::heavy_hitter_words):
@@ -3275,6 +3303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "partitioned_source_readback": _q_partitioned_source_readback,
         "heavy_hitter_words": _q_heavy_hitter_words,
         "csv_roundtrip_documents": _q_csv_roundtrip_documents,
+        "orc_roundtrip_documents": _q_orc_roundtrip_documents,
         "customers_no_urgent_orders": _q_customers_no_urgent_orders,
         "customers_with_big_orders": _q_customers_with_big_orders,
         "docs_rollup_counts": _q_docs_rollup_counts,
@@ -3391,6 +3420,10 @@ def oracle_sql() -> dict[str, str]:
              WHERE source = 'src7' ORDER BY doc_id
         """,
         "csv_roundtrip_documents": """
+            SELECT doc_id, text, lang, source, n_chars
+              FROM documents ORDER BY doc_id
+        """,
+        "orc_roundtrip_documents": """
             SELECT doc_id, text, lang, source, n_chars
               FROM documents ORDER BY doc_id
         """,
