@@ -1460,6 +1460,34 @@ def _q_orc_roundtrip_documents(sf_dir: str) -> pa.Table:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _q_ipc_roundtrip_documents(sf_dir: str) -> pa.Table:
+    """Arrow IPC / Feather-v2 round-trip of the documents table
+    (sources/ipc_io.py: record-batch-parallel reader, content-hashed
+    resumable part sink; identity SQL oracle).  Completes the
+    source-format matrix: parquet, JSON-lines, Avro container,
+    hive-partitioned parquet, CSV, ORC, Arrow IPC."""
+    import shutil
+    import tempfile
+
+    from pyschema_ray.sources.ipc_io import read_ipc, write_ipc
+
+    out = tempfile.mkdtemp(prefix="psr_ipc_")
+    try:
+        manifest = _collect(write_ipc(_read(sf_dir, "documents"), out,
+                                      max_chunksize=200))
+        assert int(pc.sum(manifest["rows"]).as_py() or 0) > 0
+        t = _collect(read_ipc(out))
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "text": pc.cast(t["text"], pa.string()),
+            "lang": pc.cast(t["lang"], pa.string()),
+            "source": pc.cast(t["source"], pa.string()),
+            "n_chars": pc.cast(t["n_chars"], pa.int64()),
+        }).sort_by("doc_id")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _q_heavy_hitter_words(sf_dir: str) -> pa.Table:
     """EXACT phi-heavy-hitter words via Misra-Gries sketch-prune +
     broadcast exact-verify (functions/text.py::heavy_hitter_words):
@@ -3304,6 +3332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_words": _q_heavy_hitter_words,
         "csv_roundtrip_documents": _q_csv_roundtrip_documents,
         "orc_roundtrip_documents": _q_orc_roundtrip_documents,
+        "ipc_roundtrip_documents": _q_ipc_roundtrip_documents,
         "customers_no_urgent_orders": _q_customers_no_urgent_orders,
         "customers_with_big_orders": _q_customers_with_big_orders,
         "docs_rollup_counts": _q_docs_rollup_counts,
@@ -3424,6 +3453,10 @@ def oracle_sql() -> dict[str, str]:
               FROM documents ORDER BY doc_id
         """,
         "orc_roundtrip_documents": """
+            SELECT doc_id, text, lang, source, n_chars
+              FROM documents ORDER BY doc_id
+        """,
+        "ipc_roundtrip_documents": """
             SELECT doc_id, text, lang, source, n_chars
               FROM documents ORDER BY doc_id
         """,

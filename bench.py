@@ -96,7 +96,7 @@ QUERY_SUBSET = [
     "docs_cube_counts", "langs_per_source", "qty_price_corr",
     "qty_price_linreg", "lang_entropy_per_source", "doc_rank_stats",
     "weighted_discount_by_flag", "price_stddev_by_flag",
-    "orc_roundtrip_documents",
+    "orc_roundtrip_documents", "ipc_roundtrip_documents",
 ]
 
 
