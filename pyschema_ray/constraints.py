@@ -99,7 +99,7 @@ class Constraint:
                 return s[:i] + pat.sub(new, s[i:], count=1)
             return pat.sub(new, s, count=1)
 
-        for attr in ("column", "list_column"):
+        for attr in ("column", "list_column", "other_column"):
             old = getattr(c, attr, None)
             if old is None:
                 continue
@@ -401,6 +401,43 @@ class MapValueRange(Constraint):
         if col.null_count:
             valid |= ~np.asarray(pc.is_valid(col))
         return pa.array(valid)
+
+
+@register_constraint
+class ColumnCompare(Constraint):
+    """Cross-column row predicate: ``column <op> other_column`` with
+    ``op`` in {lt, le, gt, ge, eq, ne} — the consistency-check shape
+    (``start_ts <= end_ts``, ``n_used <= n_total``) that single-column
+    constraints cannot express.  Null on EITHER side -> valid (null
+    policy belongs to the NotNull constraints, the LengthEquals
+    convention).  Arrow comparison kernels handle numeric, temporal
+    and string columns alike."""
+
+    _OPS = {"lt": "less", "le": "less_equal", "gt": "greater",
+            "ge": "greater_equal", "eq": "equal", "ne": "not_equal"}
+    _SYM = {"lt": "<", "le": "<=", "gt": ">", "ge": ">=",
+            "eq": "==", "ne": "!="}
+
+    def __init__(self, column: str, op: str, other_column: str):
+        if op not in self._OPS:
+            raise ValueError(f"op must be one of {sorted(self._OPS)}, "
+                             f"got {op!r}")
+        self.column = column
+        self.op = op
+        self.other_column = other_column
+        self.name = f"col_cmp({column} {self._SYM[op]} {other_column})"
+        self.detail = (f"{column} not {self._SYM[op]} {other_column}")
+
+    def required_columns(self):
+        return [self.column, self.other_column]
+
+    def mask(self, table):
+        a = _col(table, self.column)
+        b = _col(table, self.other_column)
+        m = getattr(pc, self._OPS[self.op])(a, b)
+        m = pc.or_kleene(m, pc.is_null(a))
+        m = pc.or_kleene(m, pc.is_null(b))
+        return pc.fill_null(m, True)
 
 
 @register_constraint
