@@ -26,8 +26,10 @@ import numpy as np
 
 
 def sniff_format(payload: bytes) -> str:
-    """'ppm' | 'bmp' | 'wav' | 'y4m' | 'jpeg' | 'png' | 'unknown'
-    from magic bytes."""
+    """'ppm' | 'bmp' | 'wav' | 'y4m' | 'jpeg' | 'png' | 'gif' |
+    'unknown' from magic bytes."""
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if payload[:2] == b"P6":
         return "ppm"
     if payload[:2] == b"BM":

@@ -81,10 +81,13 @@ class ImageDecoder:
         elif fmt == "png":
             from .png import decode_png
             img = decode_png(payload)
+        elif fmt == "gif":
+            from .gif import decode_gif
+            img = decode_gif(payload)
         else:
             raise NotImplementedError(
                 f"no codec for format {fmt!r} in this environment "
-                "(PPM/BMP/JPEG/PNG decode for real; construct with "
+                "(PPM/BMP/JPEG/PNG/GIF decode for real; construct with "
                 "fake=True for plumbing tests of other formats)")
         return c.image_features(c.resize_nearest(img, self.height,
                                                  self.width))
