@@ -2365,6 +2365,34 @@ def _q_price_stddev_by_flag(sf_dir: str) -> pa.Table:
         "l_returnflag", "l_extendedprice", x_scale=100.0)
 
 
+def _q_cross_column_violations(sf_dir: str) -> pa.Table:
+    """Cross-column consistency check driven by the DSL's
+    ColumnCompare constraint (l_discount <= l_tax over lineitem):
+    the vectorized mask runs per batch inside map_batches — the E3
+    shape — and violating row keys stream out; null on either side is
+    valid (the frozen null contract)."""
+    from pyschema_ray.constraints import ColumnCompare
+
+    c = ColumnCompare("l_discount", "le", "l_tax")
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_discount",
+                        "l_tax"])
+
+    def violations(t: pa.Table) -> pa.Table:
+        bad = pc.invert(pc.cast(c.mask(t), pa.bool_()))
+        v = t.filter(bad)
+        return pa.table({
+            "l_orderkey": pc.cast(v["l_orderkey"], pa.int64()),
+            "l_linenumber": pc.cast(v["l_linenumber"], pa.int64())})
+
+    t = _collect(ds.map_batches(violations, batch_format="pyarrow"))
+    if t.num_rows == 0:
+        return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                         "l_linenumber": pa.array([], pa.int64())})
+    return t.sort_by([("l_orderkey", "ascending"),
+                      ("l_linenumber", "ascending")])
+
+
 def _q_docs_cube_counts(sf_dir: str) -> pa.Table:
     """One-pass GROUP BY CUBE(source, lang) document counts: the same
     finest-level combiner as the rollup, expanded to ALL 2^k column
@@ -3344,6 +3372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rank_stats": _q_doc_rank_stats,
         "weighted_discount_by_flag": _q_weighted_discount_by_flag,
         "price_stddev_by_flag": _q_price_stddev_by_flag,
+        "cross_column_violations": _q_cross_column_violations,
         "order_price_consistency": _q_order_price_consistency,
         "user_max_gap": _q_user_max_gap,
         "windowed_event_dups": _q_windowed_event_dups,
@@ -4570,6 +4599,14 @@ def oracle_sql() -> dict[str, str]:
                                 * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
                    END AS corr
               FROM m ORDER BY l_returnflag
+        """,
+        "cross_column_violations": """
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT)
+                       AS l_linenumber
+              FROM lineitem
+             WHERE l_discount IS NOT NULL AND l_tax IS NOT NULL
+               AND l_discount > l_tax
+             ORDER BY l_orderkey, l_linenumber
         """,
         "price_stddev_by_flag": """
             WITH v AS (
