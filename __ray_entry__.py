@@ -2393,6 +2393,21 @@ def _q_cross_column_violations(sf_dir: str) -> pa.Table:
                       ("l_linenumber", "ascending")])
 
 
+def _q_price_quartiles_by_priority(sf_dir: str) -> pa.Table:
+    """EXACT per-group interpolated quantiles of an UNBOUNDED double
+    column (quantile_cont ... GROUP BY): grouped 3-scan distributed
+    selection — per-group histograms on composite cell keys, never a
+    global sort; DuckDB's own interpolation formula."""
+    from pyschema_ray.functions.analytics import \
+        grouped_value_quantiles_cont
+
+    return grouped_value_quantiles_cont(
+        _read(sf_dir, "orders",
+              columns=["o_orderpriority", "o_totalprice"]),
+        "o_orderpriority", "o_totalprice",
+        quantiles=(0.25, 0.5, 0.75))
+
+
 def _q_docs_cube_counts(sf_dir: str) -> pa.Table:
     """One-pass GROUP BY CUBE(source, lang) document counts: the same
     finest-level combiner as the rollup, expanded to ALL 2^k column
@@ -3373,6 +3388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_discount_by_flag": _q_weighted_discount_by_flag,
         "price_stddev_by_flag": _q_price_stddev_by_flag,
         "cross_column_violations": _q_cross_column_violations,
+        "price_quartiles_by_priority": _q_price_quartiles_by_priority,
         "order_price_consistency": _q_order_price_consistency,
         "user_max_gap": _q_user_max_gap,
         "windowed_event_dups": _q_windowed_event_dups,
@@ -4599,6 +4615,18 @@ def oracle_sql() -> dict[str, str]:
                                 * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
                    END AS corr
               FROM m ORDER BY l_returnflag
+        """,
+        "price_quartiles_by_priority": """
+            SELECT o_orderpriority,
+                   quantile_cont(o_totalprice, 0.25) AS "q_0.25",
+                   quantile_cont(o_totalprice, 0.5) AS "q_0.5",
+                   quantile_cont(o_totalprice, 0.75) AS "q_0.75"
+              FROM orders
+             WHERE o_orderpriority IS NOT NULL
+               AND o_totalprice IS NOT NULL
+               AND NOT isnan(o_totalprice)
+             GROUP BY o_orderpriority
+             ORDER BY o_orderpriority
         """,
         "cross_column_violations": """
             SELECT l_orderkey, CAST(l_linenumber AS BIGINT)

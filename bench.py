@@ -97,7 +97,7 @@ QUERY_SUBSET = [
     "qty_price_linreg", "lang_entropy_per_source", "doc_rank_stats",
     "weighted_discount_by_flag", "price_stddev_by_flag",
     "orc_roundtrip_documents", "ipc_roundtrip_documents",
-    "cross_column_violations",
+    "cross_column_violations", "price_quartiles_by_priority",
 ]
 
 

@@ -1047,3 +1047,190 @@ def grouped_stddev(ds, group_col: str, x_col: str,
     return pa.table({group_col: pa.array(groups, pa.string()),
                      "stddev_samp": pa.array(samp, pa.float64()),
                      "stddev_pop": pa.array(pop, pa.float64())})
+
+
+def grouped_value_quantiles_cont(ds, group_col: str, value_col: str,
+                                 quantiles: tuple[float, ...] = (0.5,),
+                                 n_buckets: int = 1024):
+    """EXACT per-group interpolated quantiles (SQL ``quantile_cont``
+    ... GROUP BY) of an UNBOUNDED numeric column — the grouped
+    complement of :func:`exact_value_quantiles_cont` and the
+    any-domain complement of :func:`grouped_exact_quantiles` (which
+    needs bounded integer domains).  Never a global sort.
+
+    Three streaming scans over the materialize()d input (group
+    cardinality moderate by the grouped-stats contract — the driver
+    holds O(groups x n_buckets) counts, never rows):
+
+    1. per-group (min, max, count) via per-batch combiners;
+    2. per-group fixed-grid histograms: per batch one lexsort over
+       ``group_index * n_buckets + bucket`` composite keys ->
+       (cnt, bmin, bmax) partials, merged by a BOUNDED groupby on the
+       composite key; the driver locates each group's target ranks in
+       its own cumulative counts, resolving single-valued buckets
+       immediately (heavy-tie fast path);
+    3. only unresolved (group, bucket) cells' raw values are
+       collected and locally sorted (expected n_g/n_buckets values
+       each; the single-bucket-pileup skew bound of the global
+       selection applies per group).
+
+    Interpolation at ``r = q*(n_g - 1)`` with DuckDB's own formula —
+    bit-equal away from half-ulp boundaries.  Null groups/values are
+    dropped (SQL aggregate semantics).
+
+    Returns pa.table(group_col string, q_<q> float64 columns) sorted
+    by group."""
+    import math
+
+    qs = list(quantiles)
+    ds = ds.materialize()
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"g": pc.cast(t[group_col], pa.string()),
+                      "v": pc.cast(t[value_col], pa.float64())})
+        g = g.filter(pc.and_(pc.is_valid(g["g"]), pc.is_valid(g["v"])))
+        g = g.filter(pc.invert(pc.is_nan(g["v"])))
+        if g.num_rows == 0:
+            return pa.table({"g": pa.array([], pa.string()),
+                             "lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        agg = g.group_by("g").aggregate(
+            [("v", "min"), ("v", "max"), ("v", "count")])
+        return agg.select(["g", "v_min", "v_max", "v_count"]) \
+            .rename_columns(["g", "lo", "hi", "n"])
+
+    parts = [b for b in ds.map_batches(stats_partial,
+                                       batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=None)
+             if b.num_rows]
+    if not parts:
+        return pa.table({group_col: pa.array([], pa.string()),
+                         **{f"q_{q}": pa.array([], pa.float64())
+                            for q in qs}})
+    mm = pa.concat_tables(parts)
+    agg = mm.group_by("g").aggregate(
+        [("lo", "min"), ("hi", "max"), ("n", "sum")]).sort_by("g")
+    gnames = agg["g"].to_pylist()
+    glo = agg["lo_min"].to_numpy(zero_copy_only=False)
+    ghi = agg["hi_max"].to_numpy(zero_copy_only=False)
+    gn = agg["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    gwidth = np.where(ghi > glo, (ghi - glo) / n_buckets, 1.0)
+    names_arr = np.array(gnames, object)
+
+    def _cells(t: pa.Table):
+        """(gi, values) -> composite cell keys per row, or None."""
+        g = pa.table({"g": pc.cast(t[group_col], pa.string()),
+                      "v": pc.cast(t[value_col], pa.float64())})
+        g = g.filter(pc.and_(pc.is_valid(g["g"]), pc.is_valid(g["v"])))
+        g = g.filter(pc.invert(pc.is_nan(g["v"])))
+        if g.num_rows == 0:
+            return None
+        gv = g["g"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        gi = np.searchsorted(names_arr, gv)
+        b = np.clip(((v - glo[gi]) / gwidth[gi]).astype(np.int64),
+                    0, n_buckets - 1)
+        return gi * n_buckets + b, v
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"cell": pa.array([], pa.int64()),
+                          "cnt": pa.array([], pa.int64()),
+                          "bmin": pa.array([], pa.float64()),
+                          "bmax": pa.array([], pa.float64())})
+        cells = _cells(t)
+        if cells is None:
+            return empty
+        k, v = cells
+        order = np.argsort(k, kind="stable")
+        sk, sv = k[order], v[order]
+        starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+        sizes = np.diff(np.r_[starts, len(sk)])
+        return pa.table({
+            "cell": pa.array(sk[starts], pa.int64()),
+            "cnt": pa.array(sizes.astype(np.int64), pa.int64()),
+            "bmin": pa.array(np.minimum.reduceat(sv, starts),
+                             pa.float64()),
+            "bmax": pa.array(np.maximum.reduceat(sv, starts),
+                             pa.float64())})
+
+    def hist_merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["cell"]).aggregate(
+            [("cnt", "sum"), ("bmin", "min"), ("bmax", "max")])
+        return g.select(["cell", "cnt_sum", "bmin_min", "bmax_max"]) \
+            .rename_columns(["cell", "cnt", "bmin", "bmax"])
+
+    hist = pa.concat_tables(
+        [b for b in ds.map_batches(hist_partial, batch_format="pyarrow")
+         .groupby("cell").map_groups(hist_merge,
+                                     batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow", batch_size=None)
+         if b.num_rows]).sort_by("cell")
+    cells = hist["cell"].to_numpy()
+    cnts = hist["cnt"].to_numpy()
+    bmins = hist["bmin"].to_numpy()
+    bmaxs = hist["bmax"].to_numpy()
+
+    # per group: locate each wanted 0-based rank in its own cells
+    resolved: dict[tuple[int, int], float] = {}
+    need: dict[int, list[tuple[int, int, int]]] = {}
+    ranks_per_group: dict[int, list[int]] = {}
+    for gi in range(len(gnames)):
+        n = int(gn[gi])
+        wanted = set()
+        for q in qs:
+            r = q * (n - 1)
+            wanted.add(int(math.floor(r)))
+            wanted.add(int(math.ceil(r)))
+        ranks_per_group[gi] = sorted(wanted)
+        sel = (cells // n_buckets) == gi
+        gc = cells[sel]
+        gcnt = cnts[sel]
+        gmin = bmins[sel]
+        gmax = bmaxs[sel]
+        cum = np.cumsum(gcnt)
+        for k in ranks_per_group[gi]:
+            j = int(np.searchsorted(cum, k, side="right"))
+            offset = int(k - (cum[j - 1] if j else 0))
+            if gmin[j] == gmax[j]:
+                resolved[(gi, k)] = float(gmin[j])
+            else:
+                need.setdefault(int(gc[j]), []).append((gi, k, offset))
+
+    if need:
+        wanted_cells = np.array(sorted(need), np.int64)
+
+        def collect(t: pa.Table) -> pa.Table:
+            cells2 = _cells(t)
+            if cells2 is None:
+                return pa.table({"cell": pa.array([], pa.int64()),
+                                 "value": pa.array([], pa.float64())})
+            k, v = cells2
+            pos = np.searchsorted(wanted_cells, k)
+            pos = np.clip(pos, 0, len(wanted_cells) - 1)
+            mask = wanted_cells[pos] == k
+            return pa.table({"cell": pa.array(k[mask], pa.int64()),
+                             "value": pa.array(v[mask], pa.float64())})
+
+        got = pa.concat_tables(
+            [b for b in ds.map_batches(collect, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=None)
+             if b.num_rows])
+        gb = got["cell"].to_numpy()
+        gvv = got["value"].to_numpy()
+        for cell, targets in need.items():
+            vals = np.sort(gvv[gb == cell])
+            for gi, k, offset in targets:
+                resolved[(gi, k)] = float(vals[offset])
+
+    out: dict = {group_col: pa.array(gnames, pa.string())}
+    for q in qs:
+        col = []
+        for gi in range(len(gnames)):
+            n = int(gn[gi])
+            r = q * (n - 1)
+            k0, k1 = int(math.floor(r)), int(math.ceil(r))
+            v0, v1 = resolved[(gi, k0)], resolved[(gi, k1)]
+            col.append(v0 + (r - k0) * (v1 - v0))
+        out[f"q_{q}"] = pa.array(col, pa.float64())
+    return pa.table(out)

@@ -704,3 +704,39 @@ def test_grouped_stddev_matches_duckdb_expression():
     for gname, ws, wp in want:
         assert got[gname] == (ws, wp), gname
     assert got["solo"] == (None, 0.0)
+
+
+def test_grouped_quantile_cont_unbounded_matches_duckdb():
+    """Grouped 3-scan selection over unbounded doubles: parity with
+    duckdb quantile_cont per group incl. a singleton group, nulls,
+    NaNs, and a heavy-tie group (bucket fast path)."""
+    from pyschema_ray.functions.analytics import \
+        grouped_value_quantiles_cont
+
+    rng = np.random.default_rng(23)
+    n = 3000
+    g = rng.choice(["a", "b"], n).astype(object)
+    v = np.round(rng.normal(50, 20, n), 3)
+    g2 = np.r_[g, ["solo"], ["ties"] * 50, [None], ["a"]]
+    v2 = np.r_[v, [7.25], np.full(50, 4.0), [5.0], [np.nan]]
+    t = pa.table({"g": pa.array(list(g2), pa.string()),
+                  "v": pa.array(v2, pa.float64())})
+    out = grouped_value_quantiles_cont(
+        ray.data.from_arrow(t).repartition(5), "g", "v",
+        (0.1, 0.5, 0.9), n_buckets=64)
+    got = {r["g"]: (r["q_0.1"], r["q_0.5"], r["q_0.9"])
+           for r in out.to_pylist()}
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    want = con.execute("""
+        SELECT g, quantile_cont(v, 0.1), quantile_cont(v, 0.5),
+               quantile_cont(v, 0.9)
+          FROM t WHERE g IS NOT NULL AND v IS NOT NULL
+           AND NOT isnan(v)
+         GROUP BY g ORDER BY g""").fetchall()
+    assert len(got) == len(want)
+    for gname, a, b, c in want:
+        for x, y in zip(got[gname], (a, b, c)):
+            assert abs(x - y) < 1e-9, (gname, got[gname], (a, b, c))
+    assert got["solo"] == (7.25, 7.25, 7.25)
+    assert got["ties"] == (4.0, 4.0, 4.0)
