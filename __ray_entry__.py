@@ -2408,6 +2408,19 @@ def _q_price_quartiles_by_priority(sf_dir: str) -> pa.Table:
         quantiles=(0.25, 0.5, 0.75))
 
 
+def _q_qty_price_covar(sf_dir: str) -> pa.Table:
+    """Per-group covariance (sample + population) from the shared
+    exact integer moments — bit-equal to the HUGEINT SQL
+    expression."""
+    from pyschema_ray.functions.analytics import grouped_covar
+
+    return grouped_covar(
+        _read(sf_dir, "lineitem",
+              columns=["l_returnflag", "l_quantity",
+                       "l_extendedprice"]),
+        "l_returnflag", "l_quantity", "l_extendedprice")
+
+
 def _q_docs_cube_counts(sf_dir: str) -> pa.Table:
     """One-pass GROUP BY CUBE(source, lang) document counts: the same
     finest-level combiner as the rollup, expanded to ALL 2^k column
@@ -3389,6 +3402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_stddev_by_flag": _q_price_stddev_by_flag,
         "cross_column_violations": _q_cross_column_violations,
         "price_quartiles_by_priority": _q_price_quartiles_by_priority,
+        "qty_price_covar": _q_qty_price_covar,
         "order_price_consistency": _q_order_price_consistency,
         "user_max_gap": _q_user_max_gap,
         "windowed_event_dups": _q_windowed_event_dups,
@@ -4615,6 +4629,28 @@ def oracle_sql() -> dict[str, str]:
                                 * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
                    END AS corr
               FROM m ORDER BY l_returnflag
+        """,
+        "qty_price_covar": """
+            WITH v AS (
+                SELECT l_returnflag AS flag,
+                       CAST(round(l_quantity) AS HUGEINT) AS x,
+                       CAST(round(l_extendedprice) AS HUGEINT) AS y
+                  FROM lineitem
+                 WHERE l_returnflag IS NOT NULL
+                   AND l_quantity IS NOT NULL
+                   AND l_extendedprice IS NOT NULL),
+            m AS (
+                SELECT flag, CAST(count(*) AS HUGEINT) AS n,
+                       sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy
+                  FROM v GROUP BY flag)
+            SELECT flag AS l_returnflag,
+                   CASE WHEN n < 2 THEN NULL
+                        ELSE CAST(n*sxy - sx*sy AS DOUBLE)
+                             / CAST(n*(n-1) AS DOUBLE)
+                   END AS covar_samp,
+                   CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*n AS DOUBLE)
+                       AS covar_pop
+              FROM m ORDER BY flag
         """,
         "price_quartiles_by_priority": """
             SELECT o_orderpriority,

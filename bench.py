@@ -98,6 +98,7 @@ QUERY_SUBSET = [
     "weighted_discount_by_flag", "price_stddev_by_flag",
     "orc_roundtrip_documents", "ipc_roundtrip_documents",
     "cross_column_violations", "price_quartiles_by_priority",
+    "qty_price_covar",
 ]
 
 

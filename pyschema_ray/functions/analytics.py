@@ -1234,3 +1234,27 @@ def grouped_value_quantiles_cont(ds, group_col: str, value_col: str,
             col.append(v0 + (r - k0) * (v1 - v0))
         out[f"q_{q}"] = pa.array(col, pa.float64())
     return pa.table(out)
+
+
+def grouped_covar(ds, group_col: str, x_col: str, y_col: str,
+                  x_scale: float = 1.0, y_scale: float = 1.0):
+    """EXACT per-group covariance (sample and population) from the
+    shared integer moments: ``covar_samp = (n*Sxy - Sx*Sy) /
+    (n*(n-1))``, ``covar_pop = (n*Sxy - Sx*Sy) / n^2`` — one division
+    of exact arbitrary-precision integers each, bit-equal to the
+    HUGEINT SQL expression.  n < 2 yields null covar_samp.
+
+    Returns pa.table(group_col string, covar_samp float64, covar_pop
+    float64) sorted by group."""
+    acc = _grouped_int_moments(ds, group_col, x_col, y_col,
+                               x_scale, y_scale)
+    groups = sorted(acc)
+    samp, pop = [], []
+    for gname in groups:
+        n, sx, sy, _sxx, _syy, sxy = acc[gname]
+        num = n * sxy - sx * sy
+        pop.append(float(num) / float(n * n))
+        samp.append(None if n < 2 else float(num) / float(n * (n - 1)))
+    return pa.table({group_col: pa.array(groups, pa.string()),
+                     "covar_samp": pa.array(samp, pa.float64()),
+                     "covar_pop": pa.array(pop, pa.float64())})

@@ -740,3 +740,35 @@ def test_grouped_quantile_cont_unbounded_matches_duckdb():
             assert abs(x - y) < 1e-9, (gname, got[gname], (a, b, c))
     assert got["solo"] == (7.25, 7.25, 7.25)
     assert got["ties"] == (4.0, 4.0, 4.0)
+
+
+def test_grouped_covar_matches_duckdb_expression():
+    from pyschema_ray.functions.analytics import grouped_covar
+
+    rng = np.random.default_rng(29)
+    g = np.where(rng.random(400) < 0.5, "p", "q").astype(object)
+    x = rng.integers(0, 60, 400).astype(np.float64)
+    y = 2.0 * x + rng.normal(0, 5, 400)
+    t = pa.table({"g": pa.array(np.r_[g, ["solo"]], pa.string()),
+                  "x": pa.array(np.r_[x, [3.0]], pa.float64()),
+                  "y": pa.array(np.r_[y, [4.0]], pa.float64())})
+    out = grouped_covar(ray.data.from_arrow(t).repartition(4),
+                        "g", "x", "y")
+    got = {r["g"]: (r["covar_samp"], r["covar_pop"])
+           for r in out.to_pylist()}
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    want = con.execute("""
+        WITH v AS (SELECT g, CAST(round(x) AS HUGEINT) xx,
+                          CAST(round(y) AS HUGEINT) yy FROM t),
+        m AS (SELECT g, CAST(count(*) AS HUGEINT) n, sum(xx) sx,
+                     sum(yy) sy, sum(xx*yy) sxy FROM v GROUP BY g)
+        SELECT g,
+               CASE WHEN n < 2 THEN NULL
+                    ELSE CAST(n*sxy-sx*sy AS DOUBLE)
+                         / CAST(n*(n-1) AS DOUBLE) END,
+               CAST(n*sxy-sx*sy AS DOUBLE) / CAST(n*n AS DOUBLE)
+          FROM m ORDER BY g""").fetchall()
+    for gname, ws, wp in want:
+        assert got[gname] == (ws, wp), gname
+    assert got["solo"] == (None, 0.0)
