@@ -561,24 +561,56 @@ def fuzzy_name_pairs(ds, name_col: str = "p_name",
         dist_t = global_distinct(local_distinct(t_all).to_pandas())
         gp = pair_distinct(pair_shard(
             emit_gid_pairs(block_rows(dist_t).to_pandas())).to_pandas())
-        mem = member_rows(t_all).to_pandas()
-        p = gp.to_pandas()
-        if p.empty or mem.empty:
+        mem = member_rows(t_all)
+        if gp.num_rows == 0 or mem.num_rows == 0:
             return rd.from_arrow(empty)
-        half_df = p.merge(mem, left_on=["g1a", "g2a"],
-                          right_on=["g1", "g2"], how="inner") \
-                   .rename(columns={"key": "key_a"})[
-                       ["g1b", "g2b", "dist", "key_a"]]
-        full_df = half_df.merge(mem, left_on=["g1b", "g2b"],
-                                right_on=["g1", "g2"], how="inner") \
-                         .rename(columns={"key": "key_b"})
+        # member expansion as a pure-numpy run-length cross product —
+        # the pandas double-merge here allocated GBs (name-duplicate
+        # groups make the expansion output millions of rows from
+        # thousands of gid pairs; measured 22.5k pairs -> 7.06M rows
+        # at sf0.1, 17-30 s in loaded windows).  int-only temporaries:
+        # joint dense codes for the (g1, g2) gid pairs of members and
+        # both pair sides, per-group offsets, then offset arithmetic.
+        mg = np.stack([mem["g1"].to_numpy(zero_copy_only=False),
+                       mem["g2"].to_numpy(zero_copy_only=False)], 1)
+        pga = np.stack([gp["g1a"].to_numpy(zero_copy_only=False),
+                        gp["g2a"].to_numpy(zero_copy_only=False)], 1)
+        pgb = np.stack([gp["g1b"].to_numpy(zero_copy_only=False),
+                        gp["g2b"].to_numpy(zero_copy_only=False)], 1)
+        dist = gp["dist"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m_n, p_n = len(mg), len(pga)
+        _, inv = np.unique(np.concatenate([mg, pga, pgb]), axis=0,
+                           return_inverse=True)
+        inv = inv.reshape(-1)
+        mcode = inv[:m_n]
+        acode = inv[m_n:m_n + p_n]
+        bcode = inv[m_n + p_n:]
+        n_codes = int(inv.max()) + 1
+        cnt = np.bincount(mcode, minlength=n_codes).astype(np.int64)
+        order = np.argsort(mcode, kind="stable")
+        offs = np.zeros(n_codes + 1, np.int64)
+        np.cumsum(cnt, out=offs[1:])
+        na, nb = cnt[acode], cnt[bcode]
+        tot = na * nb
+        total = int(tot.sum())
+        if total == 0:
+            return rd.from_arrow(empty)
+        rep = np.repeat(np.arange(p_n, dtype=np.int64), tot)
+        base = np.cumsum(tot) - tot
+        pos = np.arange(total, dtype=np.int64) - base[rep]
+        nbr = nb[rep]
+        ia = pos // nbr
+        jb = pos - ia * nbr
+        src_a = order[offs[acode][rep] + ia]
+        src_b = order[offs[bcode][rep] + jb]
+        keys = mem["key"]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
         out = finalize(pa.table({
-            "key_a": pa.array(full_df["key_a"].to_numpy(),
-                              type=key_type, from_pandas=True),
-            "key_b": pa.array(full_df["key_b"].to_numpy(),
-                              type=key_type, from_pandas=True),
-            "dist": pa.array(full_df["dist"].to_numpy()
-                             .astype(np.int64), pa.int64())}))
+            "key_a": pc.cast(keys.take(pa.array(src_a)), key_type),
+            "key_b": pc.cast(keys.take(pa.array(src_b)), key_type),
+            "dist": pa.array(dist[rep], pa.int64())}))
         return rd.from_arrow(out)
 
     distinct = ds.map_batches(local_distinct, batch_format="pyarrow") \
