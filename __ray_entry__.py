@@ -3316,6 +3316,226 @@ def _q_small_quantity_revenue(sf_dir: str) -> pa.Table:
                            pa.int64())})
 
 
+def _q_urgent_only_custkeys(sf_dir: str) -> pa.Table:
+    """SQL EXCEPT (distinct): customers whose EVERY order is 1-URGENT
+    — urgent-order custkeys minus other-priority custkeys.  Per-batch
+    distinct combiner each side, ONE bounded composite-key-shard
+    exchange, per-shard flag resolution (relational.set_op_distinct)."""
+    from pyschema_ray.functions.relational import set_op_distinct
+
+    def keys(pri_is_urgent: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            m = pc.equal(t["o_orderpriority"], "1-URGENT")
+            if not pri_is_urgent:
+                m = pc.invert(m)
+            return t.filter(m).select(["o_custkey"])
+        return fn
+
+    base = ["o_custkey", "o_orderpriority"]
+    urgent = _read(sf_dir, "orders", columns=base) \
+        .map_batches(keys(True), batch_format="pyarrow")
+    other = _read(sf_dir, "orders", columns=base) \
+        .map_batches(keys(False), batch_format="pyarrow")
+    out = set_op_distinct(urgent, other, ["o_custkey"], "except")
+    return _collect(out, pa.schema([("o_custkey", pa.int64())])) \
+        .sort_by("o_custkey")
+
+
+def _q_source_lang_intersect(sf_dir: str) -> pa.Table:
+    """SQL INTERSECT (distinct) over a MULTI-column tuple: (source,
+    lang) pairs that appear among both long (n_chars > 250) and short
+    (n_chars < 120) documents.  NULL langs compare equal, as SQL set
+    ops require (Arrow group_by groups nulls; the composite shard hash
+    uses a null sentinel)."""
+    from pyschema_ray.functions.relational import set_op_distinct
+
+    def view(lo: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            m = pc.less(t["n_chars"], 120) if lo \
+                else pc.greater(t["n_chars"], 250)
+            return t.filter(pc.fill_null(m, False)) \
+                .select(["source", "lang"])
+        return fn
+
+    cols = ["source", "lang", "n_chars"]
+    long_docs = _read(sf_dir, "documents", columns=cols) \
+        .map_batches(view(False), batch_format="pyarrow")
+    short_docs = _read(sf_dir, "documents", columns=cols) \
+        .map_batches(view(True), batch_format="pyarrow")
+    out = set_op_distinct(long_docs, short_docs, ["source", "lang"],
+                          "intersect")
+    return _collect(out, pa.schema([("source", pa.string()),
+                                    ("lang", pa.string())])) \
+        .sort_by([("source", "ascending"), ("lang", "ascending")])
+
+
+def _q_promo_revenue_cents(sf_dir: str) -> pa.Table:
+    """TPC-H Q14 shape: promotion revenue share for one ship-year.
+    The part dimension collapses to a broadcast (sorted partkey ->
+    is-PROMO bit) lookup — at 100 TB part is GBs while lineitem is the
+    100 TB side, so the dim rides ``ray.put`` and the fact side never
+    shuffles; per-batch conditional int-cent sums are the combiner and
+    the driver folds one 2-int row per batch."""
+    import ray
+
+    lo = np.datetime64("1996-01-01T00:00:00", "us").astype(np.int64)
+    hi = np.datetime64("1997-01-01T00:00:00", "us").astype(np.int64)
+
+    part = _collect(_read(sf_dir, "part", columns=["p_partkey", "p_type"]))
+    order = pc.sort_indices(part["p_partkey"])
+    pk = part["p_partkey"].take(order).to_numpy(zero_copy_only=False)
+    promo = pc.equal(part["p_type"].take(order), "PROMO") \
+        .to_numpy(zero_copy_only=False)
+    ref = ray.put((pk, promo))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = pc.cast(pc.cast(t["l_shipdate"], pa.timestamp("us")),
+                       pa.int64())
+        t = t.filter(pc.and_(pc.greater_equal(ship, lo),
+                             pc.less(ship, hi)))
+        keys, flags = ray.get(ref)
+        k = t["l_partkey"].to_numpy(zero_copy_only=False)
+        if len(keys):
+            idx_c = np.minimum(np.searchsorted(keys, k), len(keys) - 1)
+            matched = keys[idx_c] == k  # inner join semantics
+        else:
+            idx_c = np.zeros(len(k), np.int64)
+            matched = np.zeros(len(k), bool)
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            100.0), round_mode="half_towards_infinity"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        is_promo = matched & flags[idx_c]
+        return pa.table({
+            "promo_cents": pa.array([int(cents[is_promo].sum())],
+                                    pa.int64()),
+            "total_cents": pa.array([int(cents[matched].sum())],
+                                    pa.int64())})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"])
+    parts = _collect(li.map_batches(partial, batch_format="pyarrow"))
+    return pa.table({
+        "promo_cents": pa.array(
+            [int(pc.sum(parts["promo_cents"]).as_py() or 0)], pa.int64()),
+        "total_cents": pa.array(
+            [int(pc.sum(parts["total_cents"]).as_py() or 0)], pa.int64())})
+
+
+def _q_global_sales_opportunity(sf_dir: str) -> pa.Table:
+    """TPC-H Q22 shape: per-nation count + acctbal of customers richer
+    than the positive-balance average with no 1-URGENT order.  The scalar
+    subquery is a 2-int combiner fold (sum of positive cents, count);
+    the comparison is integer cross-multiplied (cents * n > sum) so
+    both engines agree exactly; NOT EXISTS is the bounded anti-join
+    exchange; the final per-nation aggregate is a per-batch combiner
+    over ~25 groups."""
+    from pyschema_ray.functions.relational import anti_join
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["c_acctbal"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        pos = cents > 0
+        return pa.table({"s": pa.array([int(cents[pos].sum())], pa.int64()),
+                         "n": pa.array([int(pos.sum())], pa.int64())})
+
+    cust_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+    cust = _read(sf_dir, "customer", columns=cust_cols)
+    scal = _collect(cust.map_batches(bal_partial, batch_format="pyarrow"))
+    tot = int(pc.sum(scal["s"]).as_py() or 0)
+    n_pos = int(pc.sum(scal["n"]).as_py() or 0)
+
+    out_schema = pa.schema([("c_nationkey", pa.int32()),
+                            ("numcust", pa.int64()),
+                            ("totacctbal_cents", pa.int64())])
+    if n_pos == 0:
+        return out_schema.empty_table()
+
+    def rich(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["c_acctbal"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        keep = pc.greater(pc.multiply(cents, pa.scalar(n_pos, pa.int64())),
+                          pa.scalar(tot, pa.int64()))
+        t = t.append_column("cents", cents)
+        return t.filter(pc.fill_null(keep, False)) \
+            .select(["c_custkey", "c_nationkey", "cents"])
+
+    rich_ds = _read(sf_dir, "customer", columns=cust_cols) \
+        .map_batches(rich, batch_format="pyarrow")
+    urgent = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderpriority"]) \
+        .map_batches(lambda t: t.filter(
+            pc.equal(t["o_orderpriority"], "1-URGENT"))
+            .select(["o_custkey"]), batch_format="pyarrow")
+    no_orders = anti_join(rich_ds, urgent, "c_custkey", "o_custkey")
+
+    def nation_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["c_nationkey"], use_threads=False) \
+            .aggregate([("cents", "sum"), ("cents", "count")])
+        return pa.table({
+            "c_nationkey": pc.cast(g["c_nationkey"], pa.int32()),
+            "numcust": pc.cast(g["cents_count"], pa.int64()),
+            "totacctbal_cents": pc.cast(g["cents_sum"], pa.int64())})
+
+    parts = _collect(no_orders.map_batches(nation_partial,
+                                           batch_format="pyarrow"),
+                     out_schema)
+    if parts.num_rows == 0:
+        return out_schema.empty_table()
+    g = parts.group_by(["c_nationkey"], use_threads=False) \
+        .aggregate([("numcust", "sum"), ("totacctbal_cents", "sum")])
+    return pa.table({
+        "c_nationkey": pc.cast(g["c_nationkey"], pa.int32()),
+        "numcust": pc.cast(g["numcust_sum"], pa.int64()),
+        "totacctbal_cents": pc.cast(g["totacctbal_cents_sum"],
+                                    pa.int64())}).sort_by("c_nationkey")
+
+
+def _q_above_avg_orders(sf_dir: str) -> pa.Table:
+    """Correlated subquery (orders 1.5x above their customer's average
+    order value) resolved by the group-local shard filter — no join,
+    no broadcast of a customer-cardinality aggregate; exact integer
+    cross-multiplied comparison matches the SQL window oracle bit for
+    bit."""
+    from pyschema_ray.functions.analytics import filter_above_group_avg
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0),
+                             round_mode="half_towards_infinity"),
+                    pa.int64())
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"],
+                         "price_cents": c})
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_totalprice"]) \
+        .map_batches(cents, batch_format="pyarrow")
+    out = filter_above_group_avg(ds, "o_custkey", "price_cents",
+                                 num=3, den=2)
+    return _collect(out, pa.schema([("o_orderkey", pa.int64()),
+                                    ("o_custkey", pa.int64()),
+                                    ("price_cents", pa.int64())])) \
+        .sort_by("o_orderkey")
+
+
+def _q_semantic_dedup_keep(sf_dir: str) -> pa.Table:
+    """SemDeDup-shaped semantic dedup (rows-only: k-means is not SQL-
+    expressible; parity vs a single-process reference is pytest-
+    checked in tests/test_semantic_dedup.py): cluster with the
+    shuffle-free Lloyd, find cosine>=t pairs only within clusters,
+    keep the smallest key per duplicate component."""
+    from pyschema_ray.functions.similarity import semantic_dedup_keep
+
+    ds = _read(sf_dir, "embeddings")
+    out = semantic_dedup_keep(ds, threshold=0.5, k=4, iters=5)
+    return _collect(out, pa.schema([("vec_id", pa.int64())])) \
+        .sort_by("vec_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core validation engine (oracle-checked)
@@ -3457,6 +3677,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_frequencies": _q_bigram_frequencies,
         "bm25_top_docs": _q_bm25_top_docs,
         "ndv_users_per_event_type_hll": _q_ndv_users_per_event_type_hll,
+        # round-5f: set ops, correlated subqueries, Q14/Q22 shapes,
+        # semantic dedup
+        "urgent_only_custkeys": _q_urgent_only_custkeys,
+        "source_lang_intersect": _q_source_lang_intersect,
+        "promo_revenue_cents": _q_promo_revenue_cents,
+        "global_sales_opportunity": _q_global_sales_opportunity,
+        "above_avg_orders": _q_above_avg_orders,
+        "semantic_dedup_keep": _q_semantic_dedup_keep,
     }
 
 
@@ -5142,5 +5370,70 @@ def oracle_sql() -> dict[str, str]:
                                  THEN 1 ELSE 0 END) AS BIGINT) AS other
               FROM events WHERE user_id IS NOT NULL
              GROUP BY 1 ORDER BY 1
+        """,
+        "urgent_only_custkeys": """
+            SELECT o_custkey FROM orders
+             WHERE o_orderpriority = '1-URGENT'
+            EXCEPT
+            SELECT o_custkey FROM orders
+             WHERE o_orderpriority <> '1-URGENT'
+            ORDER BY o_custkey
+        """,
+        "source_lang_intersect": """
+            SELECT source, lang FROM documents WHERE n_chars > 250
+            INTERSECT
+            SELECT source, lang FROM documents WHERE n_chars < 120
+            ORDER BY source, lang
+        """,
+        "promo_revenue_cents": """
+            SELECT CAST(coalesce(sum(CASE WHEN p.p_type = 'PROMO'
+                       THEN CAST(round(l.l_extendedprice
+                                       * (1 - l.l_discount) * 100)
+                            AS BIGINT) ELSE 0 END), 0) AS BIGINT)
+                       AS promo_cents,
+                   CAST(coalesce(sum(CAST(round(l.l_extendedprice
+                                       * (1 - l.l_discount) * 100)
+                            AS BIGINT)), 0) AS BIGINT) AS total_cents
+              FROM lineitem l
+              JOIN part p ON p.p_partkey = l.l_partkey
+             WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+               AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+        """,
+        "global_sales_opportunity": """
+            WITH bal AS (
+                SELECT c_custkey, c_nationkey,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+                  FROM customer),
+            s AS (
+                SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) AS tot,
+                       CAST(count(*) AS BIGINT) AS n
+                  FROM bal WHERE cents > 0)
+            SELECT b.c_nationkey,
+                   CAST(count(*) AS BIGINT) AS numcust,
+                   CAST(sum(b.cents) AS BIGINT) AS totacctbal_cents
+              FROM bal b, s
+             WHERE b.cents * s.n > s.tot
+               AND NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_custkey = b.c_custkey
+                                  AND o.o_orderpriority = '1-URGENT')
+             GROUP BY b.c_nationkey
+             ORDER BY b.c_nationkey
+        """,
+        "above_avg_orders": """
+            WITH t AS (
+                SELECT o_orderkey, o_custkey,
+                       CAST(round(o_totalprice * 100) AS BIGINT)
+                           AS price_cents
+                  FROM orders),
+            w AS (
+                SELECT o_orderkey, o_custkey, price_cents,
+                       sum(price_cents) OVER
+                           (PARTITION BY o_custkey) AS s,
+                       count(price_cents) OVER
+                           (PARTITION BY o_custkey) AS n
+                  FROM t)
+            SELECT o_orderkey, o_custkey, price_cents
+              FROM w WHERE 2 * price_cents * n > 3 * s
+             ORDER BY o_orderkey
         """,
     }

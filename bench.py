@@ -99,6 +99,11 @@ QUERY_SUBSET = [
     "orc_roundtrip_documents", "ipc_roundtrip_documents",
     "cross_column_violations", "price_quartiles_by_priority",
     "qty_price_covar",
+    # round-5f additions: set ops, Q14/Q22 shapes, correlated
+    # subquery, semantic dedup
+    "urgent_only_custkeys", "source_lang_intersect",
+    "promo_revenue_cents", "global_sales_opportunity",
+    "above_avg_orders", "semantic_dedup_keep",
 ]
 
 

@@ -1258,3 +1258,76 @@ def grouped_covar(ds, group_col: str, x_col: str, y_col: str,
     return pa.table({group_col: pa.array(groups, pa.string()),
                      "covar_samp": pa.array(samp, pa.float64()),
                      "covar_pop": pa.array(pop, pa.float64())})
+
+
+def filter_above_group_avg(ds, group_col: str, cents_col: str,
+                           num: int = 3, den: int = 2,
+                           num_shards: int | None = None):
+    """Correlated-subquery filter: rows whose ``cents_col`` exceeds
+    ``num/den`` x their group's average — SQL's
+    ``x > factor * (SELECT avg(x) ... WHERE key = outer.key)`` shape —
+    WITHOUT a join: one bounded key-hash shard exchange co-locates
+    each group, the per-group (sum, count) is computed inside the
+    shard task, and the comparison is integer cross-multiplied
+    (``den * x * n > num * sum``), so the result is exact and
+    bit-equal to the SQL window oracle (no float average, no drift;
+    int64 columns are widened through Python ints only inside the
+    numpy object path when they could overflow — here den*x*n and
+    num*sum stay < 2^63 for cents x row counts < 2^40).
+
+    Unlike the broadcast aggregate of the Q17 shape (small dim side),
+    the per-group aggregate here is GROUP-CARDINALITY-sized (one per
+    distinct key), so broadcasting it cannot scale; the shard
+    exchange is the 100 TB plan.  Null keys form their own SQL
+    window partition and are kept under the same rule; null values
+    never qualify.  Returns the input rows (all columns) that pass.
+    """
+    nb = num_shards or _default_shards()
+    dschema = ds.schema()
+    if dschema is None:  # schema-less all-empty input: nothing passes
+        return ds
+    schema = pa.schema(dschema.base_schema)
+
+    def shard(t: pa.Table) -> pa.Table:
+        keys = t[group_col]
+        valid = pc.is_valid(keys).to_numpy(zero_copy_only=False)
+        sh = np.zeros(t.num_rows, np.int64)
+        if valid.any():
+            vk = pc.drop_null(keys).to_numpy(zero_copy_only=False)
+            sh[valid] = _key_shards(vk, nb, 61)
+        return t.append_column("kshard", pa.array(sh, pa.int64()))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["kshard"])
+        vals = pc.cast(t[cents_col], pa.int64())
+        # sum/count skip nulls (Arrow default) — SQL AVG semantics
+        g = pa.table({"k": t[group_col], "v": vals}) \
+            .group_by(["k"], use_threads=False) \
+            .aggregate([("v", "sum"), ("v", "count")])
+        # group keys may include null (its own SQL window partition):
+        # align rows to groups positionally via one dictionary encode
+        # over the concatenated key arrays (cast to string + null
+        # sentinel — dictionary_encode gives nulls a NULL index, so
+        # raw nulls could never align), not searchsorted
+        def _enc(col):
+            out = pc.fill_null(pc.cast(col, pa.string()), "\x00NULL")
+            return out.combine_chunks() \
+                if isinstance(out, pa.ChunkedArray) else out
+        comb = pa.chunked_array([_enc(t[group_col]), _enc(g["k"])]) \
+            .dictionary_encode().combine_chunks()
+        codes = comb.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        row_codes, g_codes = codes[:t.num_rows], codes[t.num_rows:]
+        sums = np.zeros(len(g_codes) and int(g_codes.max()) + 1 or 1,
+                        np.int64)
+        cnts = np.zeros_like(sums)
+        sums[g_codes] = pc.fill_null(g["v_sum"], 0) \
+            .to_numpy(zero_copy_only=False)
+        cnts[g_codes] = g["v_count"].to_numpy(zero_copy_only=False)
+        ok = pc.is_valid(vals).to_numpy(zero_copy_only=False)
+        x = pc.fill_null(vals, 0).to_numpy(zero_copy_only=False)
+        keep = (den * x * cnts[row_codes] > num * sums[row_codes]) & ok
+        return t.filter(pa.array(keep)).cast(schema)
+
+    return ds.map_batches(shard, batch_format="pyarrow") \
+        .groupby("kshard").map_groups(resolve, batch_format="pyarrow")

@@ -439,6 +439,94 @@ def left_count_distribution(keys_ds, fact_ds, key_col: str,
         .repartition(1).map_batches(total, batch_format="pyarrow")
 
 
+def _composite_shards(t: pa.Table, cols: list[str], num_shards: int,
+                      seed: int = 67) -> np.ndarray:
+    """Shard id from a multi-column composite key: each column cast to
+    string with a null sentinel, joined with an unprintable separator,
+    hashed once — one vectorized pass, no per-row Python.  The fast
+    path branches on column TYPE only (never per-batch null counts):
+    a value must land on the same shard from every batch of either
+    side, so single-int-column keys hash as ints with nulls parked on
+    shard 0, and everything else hashes the string composite."""
+    if len(cols) == 1 and pa.types.is_integer(t.schema.field(cols[0]).type):
+        keys = t[cols[0]]
+        valid = pc.is_valid(keys).to_numpy(zero_copy_only=False)
+        shard = np.zeros(t.num_rows, np.int64)
+        if valid.any():
+            vk = pc.drop_null(keys).to_numpy(zero_copy_only=False)
+            shard[valid] = _key_shards(vk, num_shards, seed)
+        return shard
+    parts = [pc.fill_null(pc.cast(t[c], pa.string()), "\x00NULL")
+             for c in cols]
+    comp = parts[0] if len(parts) == 1 \
+        else pc.binary_join_element_wise(*parts, "\x1f")
+    if isinstance(comp, pa.ChunkedArray):
+        comp = comp.combine_chunks()
+    return _key_shards(comp.to_numpy(zero_copy_only=False), num_shards,
+                       seed)
+
+
+def set_op_distinct(left, right, cols: list[str], op: str = "intersect",
+                    num_shards: int | None = None):
+    """SQL ``INTERSECT`` / ``EXCEPT`` (distinct set semantics) over the
+    named columns.
+
+    Shape: each side is reduced to DISTINCT tuples PER BATCH (a
+    combiner — the exchange carries unique rows per batch, never the
+    input), tagged with a side bit, and co-partitioned on ONE bounded
+    composite-key-hash shard; per shard an Arrow ``group_by`` over the
+    tuple with min/max side flags resolves membership:
+
+    * ``intersect`` — tuples seen on BOTH sides (side_min=0, side_max=1)
+    * ``except``    — left-only tuples (side_max=0)
+
+    NULLs compare equal within a tuple position, matching SQL set-op
+    distinct semantics (Arrow group_by groups nulls together).  At
+    100 TB the exchange is bounded by distinct-tuples-per-batch x
+    batches, and the output by the true distinct count — no full-row
+    shuffle, nothing on the driver.
+    """
+    if op not in ("intersect", "except"):
+        raise ValueError(f"op must be 'intersect' or 'except', got {op!r}")
+    nb = num_shards or _default_shards()
+    lschema = None
+    for side in (left, right):  # an all-empty side may have no schema
+        s = side.schema()
+        if s is not None:
+            lschema = pa.schema(s.base_schema)
+            break
+    if lschema is None:
+        raise ValueError("set_op_distinct: neither input has a schema")
+    out_schema = pa.schema([lschema.field(c) for c in cols])
+
+    def side_rows(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.select(cols)
+            t = t.group_by(cols, use_threads=False).aggregate([]) \
+                .select(cols)
+            t = t.cast(out_schema)
+            shard = _composite_shards(t, cols, nb)
+            t = t.append_column("kshard", pa.array(shard, pa.int64()))
+            return t.append_column(
+                "side", pa.array(np.full(t.num_rows, side, np.int8),
+                                 pa.int8()))
+        return fn
+
+    def resolve(t: pa.Table) -> pa.Table:
+        g = t.group_by(cols, use_threads=False).aggregate(
+            [("side", "min"), ("side", "max")])
+        smin = g["side_min"]
+        keep = pc.and_(pc.equal(smin, 0), pc.equal(g["side_max"], 1)) \
+            if op == "intersect" else pc.equal(g["side_max"], 0)
+        out = g.filter(keep).select(cols)
+        return out.cast(out_schema)
+
+    ds = left.map_batches(side_rows(0), batch_format="pyarrow") \
+        .union(right.map_batches(side_rows(1), batch_format="pyarrow"))
+    return ds.groupby("kshard").map_groups(resolve,
+                                           batch_format="pyarrow")
+
+
 def snapshot_diff(old_ds, new_ds, key_col: str = "doc_id",
                   text_col: str = "text",
                   num_shards: int | None = None,

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _as_matrix(col) -> np.ndarray:
@@ -513,3 +514,65 @@ def kmeans_assign(ds, centroids: np.ndarray,
                                pa.array(d2.argmin(axis=1), pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def semantic_dedup_keep(ds, threshold: float = 0.9, k: int = 8,
+                        iters: int = 10, seed: int = 1234,
+                        embedding_col: str = "embedding",
+                        key_col: str = "vec_id",
+                        num_shards: int | None = None):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
+    k-means partitions the corpus, near-duplicate candidates are found
+    ONLY within a cluster, and one key per duplicate component is kept.
+
+    Composition of existing primitives — nothing new touches the
+    driver:
+
+    1. :func:`kmeans_fit` (shuffle-free Lloyd, k x d combiner) +
+       :func:`kmeans_assign` (broadcast centroids) label every vector.
+    2. One ``groupby(cluster)`` co-locates each cluster; a per-group
+       matmul emits (key_a, key_b) cosine pairs >= threshold with a
+       PINNED Arrow schema.  Pairwise work is O(sum g_i^2 d) — the
+       SemDeDup bargain: choose k so the largest cluster fits a task
+       (~n/k vectors); the all-pairs matrix never spans clusters.
+    3. :func:`~pyschema_ray.functions.dedup.connected_components`
+       (min-label propagation) closes transitive duplicate chains;
+       keys whose component label differs from their own key are
+       dropped via one ANTI join — keep-smallest-key semantics,
+       deterministic regardless of batch or cluster order.
+
+    Returns a Dataset of kept rows ``(key_col,)``.
+    """
+    from .dedup import connected_components
+    from .relational import anti_join
+
+    cent = kmeans_fit(ds, k=k, iters=iters, seed=seed,
+                      embedding_col=embedding_col)
+    labeled = kmeans_assign(ds, cent, embedding_col=embedding_col)
+
+    def cluster_pairs(t: pa.Table) -> pa.Table:
+        kt = t.schema.field(key_col).type
+        if t.num_rows < 2:
+            return pa.table({"key_a": pa.array([], kt),
+                             "key_b": pa.array([], kt)})
+        m = _normalize(_as_matrix(t[embedding_col]))
+        keys = np.asarray(t[key_col].to_numpy(zero_copy_only=False))
+        sims = m @ m.T
+        ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
+        ka, kb = keys[ai], keys[bi]
+        lo, hi = np.minimum(ka, kb), np.maximum(ka, kb)
+        return pa.table({"key_a": pa.array(lo, type=kt, from_pandas=True),
+                         "key_b": pa.array(hi, type=kt, from_pandas=True)})
+
+    pairs = labeled.groupby("cluster").map_groups(
+        cluster_pairs, batch_format="pyarrow")
+    comp = connected_components(pairs, num_shards=num_shards)
+
+    def drops(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t["node"], t["label"])
+        return t.filter(pc.fill_null(keep, False)).select(["node"])
+
+    drop_ds = comp.map_batches(drops, batch_format="pyarrow")
+    keys_only = ds.select_columns([key_col])
+    return anti_join(keys_only, drop_ds, key_col, "node",
+                     num_shards=num_shards)

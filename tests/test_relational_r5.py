@@ -1,0 +1,123 @@
+"""Round-5f relational primitives: set_op_distinct (INTERSECT/EXCEPT
+distinct semantics incl. NULL-equality and multi-column tuples) and
+filter_above_group_avg (correlated-subquery group-local filter with
+exact integer comparison)."""
+
+import numpy as np
+import pyarrow as pa
+
+from pyschema_ray.functions.analytics import filter_above_group_avg
+from pyschema_ray.functions.relational import set_op_distinct
+
+
+def _ds(tbl, blocks=3):
+    import ray.data
+
+    return ray.data.from_arrow(tbl).repartition(blocks)
+
+
+def _rows(ds):
+    tabs = [t for t in ds.iter_batches(batch_format="pyarrow",
+                                       batch_size=None) if t.num_rows]
+    if not tabs:
+        return []
+    t = pa.concat_tables(tabs)
+    return sorted((tuple(r.values()) for r in t.to_pylist()), key=repr)
+
+
+def test_intersect_except_single_int_col():
+    left = pa.table({"k": pa.array([1, 2, 2, 3, 4, None], pa.int64())})
+    right = pa.table({"k": pa.array([2, 4, 4, 5], pa.int64())})
+    inter = _rows(set_op_distinct(_ds(left), _ds(right), ["k"],
+                                  "intersect"))
+    assert inter == [(2,), (4,)]
+    exc = _rows(set_op_distinct(_ds(left), _ds(right), ["k"], "except"))
+    assert exc == sorted([(None,), (1,), (3,)], key=repr)
+
+
+def test_set_op_null_equality():
+    """SQL set ops treat NULL as equal to NULL (distinct semantics)."""
+    left = pa.table({"k": pa.array([None, 1], pa.int64())})
+    right = pa.table({"k": pa.array([None, 2], pa.int64())})
+    inter = _rows(set_op_distinct(_ds(left, 2), _ds(right, 2), ["k"],
+                                  "intersect"))
+    assert inter == [(None,)]
+    exc = _rows(set_op_distinct(_ds(left, 2), _ds(right, 2), ["k"],
+                                "except"))
+    assert exc == [(1,)]
+
+
+def test_set_op_multicol_and_duplicates():
+    left = pa.table({
+        "a": pa.array(["x", "x", "y", "y", None], pa.string()),
+        "b": pa.array([1, 1, 2, 3, 9], pa.int64()),
+    })
+    right = pa.table({
+        "a": pa.array(["x", "y", None, "z"], pa.string()),
+        "b": pa.array([1, 3, 9, 9], pa.int64()),
+    })
+    inter = set_op_distinct(_ds(left), _ds(right), ["a", "b"],
+                            "intersect")
+    got = _rows(inter)
+    assert got == sorted([("x", 1), ("y", 3), (None, 9)], key=repr)
+    exc = _rows(set_op_distinct(_ds(left), _ds(right), ["a", "b"],
+                                "except"))
+    assert exc == [("y", 2)]
+
+
+def test_set_op_empty_sides():
+    empty = pa.table({"k": pa.array([], pa.int64())})
+    full = pa.table({"k": pa.array([1, 2], pa.int64())})
+    assert _rows(set_op_distinct(_ds(empty, 1), _ds(full, 1), ["k"],
+                                 "intersect")) == []
+    assert _rows(set_op_distinct(_ds(empty, 1), _ds(full, 1), ["k"],
+                                 "except")) == []
+    assert _rows(set_op_distinct(_ds(full, 1), _ds(empty, 1), ["k"],
+                                 "except")) == [(1,), (2,)]
+
+
+def test_set_op_matches_duckdb():
+    import duckdb
+
+    rng = np.random.default_rng(5)
+    left_t = pa.table({"k": pa.array(rng.integers(0, 40, 300), pa.int64())})
+    right_t = pa.table({"k": pa.array(rng.integers(20, 60, 300), pa.int64())})
+    for op, sql in (("intersect", "INTERSECT"), ("except", "EXCEPT")):
+        got = _rows(set_op_distinct(_ds(left_t, 5), _ds(right_t, 4),
+                                    ["k"], op))
+        want = sorted(
+            ((r[0],) for r in duckdb.sql(
+                f"SELECT k FROM left_t {sql} SELECT k FROM right_t"
+            ).fetchall()), key=repr)
+        assert got == want
+
+
+def test_filter_above_group_avg_exact():
+    """2*x*n > 3*s  <=>  x > 1.5*avg — matches the window-SQL oracle,
+    null keys form their own partition, null values never qualify."""
+    import duckdb
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 2, 2, None, None, 3], pa.int64()),
+        "v": pa.array([100, 200, 600, 50, 50, 10, 100, None], pa.int64()),
+        "tag": pa.array(list("abcdefgh"), pa.string()),
+    })
+    out = filter_above_group_avg(_ds(t, 3), "k", "v", num=3, den=2)
+    got = _rows(out)
+    want = sorted((tuple(r) for r in duckdb.sql("""
+        WITH w AS (SELECT k, v, tag,
+                          sum(v) OVER (PARTITION BY k) AS s,
+                          count(v) OVER (PARTITION BY k) AS n
+                     FROM t)
+        SELECT k, v, tag FROM w WHERE 2*v*n > 3*s
+    """).fetchall()), key=repr)
+    assert got == want
+    # spot-check the semantics directly: group 1 avg=300 -> only 600
+    assert (1, 600, "c") in got
+    assert all(r[0] != 2 for r in got)  # flat group: nothing above avg
+
+
+def test_filter_above_group_avg_empty():
+    t = pa.table({"k": pa.array([], pa.int64()),
+                  "v": pa.array([], pa.int64())})
+    assert _rows(filter_above_group_avg(_ds(t, 1), "k", "v")) == []
