@@ -3536,6 +3536,66 @@ def _q_semantic_dedup_keep(sf_dir: str) -> pa.Table:
         .sort_by("vec_id")
 
 
+def _q_event_time_deltas(sf_dir: str) -> pa.Table:
+    """Row-level LAG window: µs since the user's previous event (NULL
+    for the first) — one bounded key-hash exchange + a single sorted
+    numpy pass per shard, emitting one row per event."""
+    from pyschema_ray.functions.ordered import grouped_lag_delta
+
+    out = grouped_lag_delta(
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_id"]))
+    return _collect(out, pa.schema([("user_id", pa.int64()),
+                                    ("event_id", pa.int64()),
+                                    ("delta_us", pa.int64())])) \
+        .sort_by([("user_id", "ascending"), ("event_id", "ascending")])
+
+
+def _q_customer_first_last_order(sf_dir: str) -> pa.Table:
+    """FIRST_VALUE / LAST_VALUE per customer over (o_orderdate,
+    o_orderkey): run-boundary picks on the per-shard sorted arrays —
+    the argmin+argmax-join-back shape without a join."""
+    from pyschema_ray.functions.ordered import grouped_first_last
+
+    out = grouped_first_last(
+        _read(sf_dir, "orders",
+              columns=["o_custkey", "o_orderdate", "o_orderkey"]),
+        "o_custkey", "o_orderdate", "o_orderkey")
+    t = _collect(out, pa.schema([("o_custkey", pa.int64()),
+                                 ("first", pa.int64()),
+                                 ("last", pa.int64()),
+                                 ("n_rows", pa.int64())]))
+    return t.rename_columns(["o_custkey", "first_orderkey",
+                             "last_orderkey", "n_orders"]) \
+        .sort_by("o_custkey")
+
+
+def _q_lineitem_measures_unpivot(sf_dir: str) -> pa.Table:
+    """UNPIVOT (melt): four lineitem measures become rows for the
+    low-key order range — per-batch Arrow concat with a vectorized
+    constant measure column, no exchange; values scaled to exact
+    int-centi units so the oracle is drift-free."""
+    import pyarrow.dataset as _pads
+
+    from pyschema_ray.functions.relational import unpivot
+
+    def centi(col):
+        return pc.round(pc.multiply(col, 100.0),
+                        round_mode="half_towards_infinity")
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_quantity",
+                        "l_extendedprice", "l_discount", "l_tax"],
+               pred=_pads.field("l_orderkey") < 100)
+    out = unpivot(ds, ["l_orderkey", "l_linenumber"],
+                  ["l_quantity", "l_extendedprice", "l_discount",
+                   "l_tax"],
+                  var_name="measure", value_name="centi_value",
+                  value_type=pa.int64(), value_fn=centi)
+    return _collect(out).sort_by([
+        ("l_orderkey", "ascending"), ("l_linenumber", "ascending"),
+        ("measure", "ascending")])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core validation engine (oracle-checked)
@@ -3685,6 +3745,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_sales_opportunity": _q_global_sales_opportunity,
         "above_avg_orders": _q_above_avg_orders,
         "semantic_dedup_keep": _q_semantic_dedup_keep,
+        "event_time_deltas": _q_event_time_deltas,
+        "customer_first_last_order": _q_customer_first_last_order,
+        "lineitem_measures_unpivot": _q_lineitem_measures_unpivot,
     }
 
 
@@ -5435,5 +5498,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey, price_cents
               FROM w WHERE 2 * price_cents * n > 3 * s
              ORDER BY o_orderkey
+        """,
+        "event_time_deltas": """
+            SELECT user_id, event_id,
+                   date_diff('microsecond',
+                             lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id),
+                             ts) AS delta_us
+              FROM events
+             WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             ORDER BY user_id, event_id
+        """,
+        "customer_first_last_order": """
+            WITH w AS (
+                SELECT o_custkey, o_orderkey,
+                       row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey) AS rn_a,
+                       row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate DESC, o_orderkey DESC)
+                           AS rn_d
+                  FROM orders
+                 WHERE o_custkey IS NOT NULL
+                   AND o_orderdate IS NOT NULL)
+            SELECT o_custkey,
+                   max(CASE WHEN rn_a = 1 THEN o_orderkey END)
+                       AS first_orderkey,
+                   max(CASE WHEN rn_d = 1 THEN o_orderkey END)
+                       AS last_orderkey,
+                   CAST(count(*) AS BIGINT) AS n_orders
+              FROM w GROUP BY o_custkey ORDER BY o_custkey
+        """,
+        "lineitem_measures_unpivot": """
+            SELECT l_orderkey, l_linenumber, measure,
+                   CAST(round(v * 100) AS BIGINT) AS centi_value
+              FROM (
+                SELECT l_orderkey, l_linenumber,
+                       'l_quantity' AS measure, l_quantity AS v
+                  FROM lineitem WHERE l_orderkey < 100
+                UNION ALL
+                SELECT l_orderkey, l_linenumber,
+                       'l_extendedprice', l_extendedprice
+                  FROM lineitem WHERE l_orderkey < 100
+                UNION ALL
+                SELECT l_orderkey, l_linenumber, 'l_discount',
+                       l_discount
+                  FROM lineitem WHERE l_orderkey < 100
+                UNION ALL
+                SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+                  FROM lineitem WHERE l_orderkey < 100)
+             ORDER BY l_orderkey, l_linenumber, measure
         """,
     }

@@ -104,6 +104,8 @@ QUERY_SUBSET = [
     "urgent_only_custkeys", "source_lang_intersect",
     "promo_revenue_cents", "global_sales_opportunity",
     "above_avg_orders", "semantic_dedup_keep",
+    "event_time_deltas", "customer_first_last_order",
+    "lineitem_measures_unpivot",
 ]
 
 

@@ -94,6 +94,95 @@ def grouped_max_gap(ds, key_col: str = "user_id", ts_col: str = "ts",
         .groupby("kshard").map_groups(scan, batch_format="pyarrow")
 
 
+def grouped_lag_delta(ds, key_col: str = "user_id", ts_col: str = "ts",
+                      order_col: str = "event_id",
+                      num_shards: int | None = None):
+    """Row-level LAG delta: for EVERY event, µs since the same key's
+    previous event ordered by (ts, order_col) — SQL's
+    ``date_diff('microsecond', lag(ts) OVER (PARTITION BY key ORDER BY
+    ts, order), ts)``; NULL for a key's first event.  Same bounded
+    key-hash exchange + single sorted numpy pass as
+    :func:`grouped_max_gap`, but emitting one row per input row
+    (key_col, order_col, delta_us).  Rows with null key or ts are
+    dropped (SQL's window over a NOT NULL filter)."""
+    nb = num_shards or _default_shards()
+
+    def exchange(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[key_col]),
+                             pc.is_valid(t[ts_col])))
+        t = t.select([key_col, ts_col, order_col])
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "kshard", pa.array(_key_shards(keys, nb, 61), pa.int64()))
+
+    def scan(t: pa.Table) -> pa.Table:
+        t, keys, us, _ = _sorted_shard(t, key_col, ts_col, order_col)
+        n = len(keys)
+        ktype = t.schema.field(key_col).type
+        otype = t.schema.field(order_col).type
+        if n == 0:
+            return pa.table({key_col: pa.array([], ktype),
+                             order_col: pa.array([], otype),
+                             "delta_us": pa.array([], pa.int64())})
+        starts, _sizes = _group_starts(keys)
+        delta = np.empty(n, np.int64)
+        delta[0] = 0
+        delta[1:] = us[1:] - us[:-1]
+        first = np.zeros(n, bool)
+        first[starts] = True
+        return pa.table({
+            key_col: t[key_col],
+            order_col: t[order_col],
+            "delta_us": pa.array(
+                np.ma.masked_array(delta, mask=first), pa.int64(),
+                from_pandas=True),
+        })
+
+    return ds.map_batches(exchange, batch_format="pyarrow") \
+        .groupby("kshard").map_groups(scan, batch_format="pyarrow")
+
+
+def grouped_first_last(ds, key_col: str, ts_col: str, order_col: str,
+                       num_shards: int | None = None):
+    """FIRST_VALUE / LAST_VALUE per key over (ts, order_col) ordering:
+    Dataset(key_col, first, last, n_rows) where first/last are the
+    ``order_col`` values of the key's earliest/latest row.  One bounded
+    key-hash exchange, then run-boundary picks (starts / starts+sizes-1)
+    on the per-shard sorted arrays — no per-group Python, no driver
+    state.  Null key/ts rows are dropped."""
+    nb = num_shards or _default_shards()
+
+    def exchange(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[key_col]),
+                             pc.is_valid(t[ts_col])))
+        t = t.select([key_col, ts_col, order_col])
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "kshard", pa.array(_key_shards(keys, nb, 61), pa.int64()))
+
+    def scan(t: pa.Table) -> pa.Table:
+        t, keys, _us, _ = _sorted_shard(t, key_col, ts_col, order_col)
+        ktype = t.schema.field(key_col).type
+        otype = t.schema.field(order_col).type
+        if len(keys) == 0:
+            return pa.table({key_col: pa.array([], ktype),
+                             "first": pa.array([], otype),
+                             "last": pa.array([], otype),
+                             "n_rows": pa.array([], pa.int64())})
+        starts, sizes = _group_starts(keys)
+        ends = starts + sizes - 1
+        order = t[order_col]
+        return pa.table({
+            key_col: t[key_col].take(pa.array(starts)),
+            "first": order.take(pa.array(starts)),
+            "last": order.take(pa.array(ends)),
+            "n_rows": pa.array(sizes.astype(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(exchange, batch_format="pyarrow") \
+        .groupby("kshard").map_groups(scan, batch_format="pyarrow")
+
+
 def grouped_running(ds, key_col: str = "user_id", ts_col: str = "ts",
                     order_col: str = "event_id",
                     value_col: str = "value",

@@ -527,6 +527,42 @@ def set_op_distinct(left, right, cols: list[str], op: str = "intersect",
                                            batch_format="pyarrow")
 
 
+def unpivot(ds, id_cols: list[str], value_cols: list[str],
+            var_name: str = "measure", value_name: str = "value",
+            value_type: pa.DataType = pa.int64(), value_fn=None):
+    """UNPIVOT / melt: one output row per (input row, value column) —
+    columns become rows.  Purely per-batch (an Arrow concat of one
+    slice per measure; the constant measure-name column is built with
+    a vectorized ``take``, no Python per row), embarrassingly parallel,
+    NO exchange — the inverse of pivot_counts' combiner shape.
+
+    ``value_fn(column) -> column`` optionally transforms each measure
+    before the cast (e.g. x -> round(x*100) int cents so the oracle is
+    drift-free)."""
+    out_fields = pa.schema(
+        [pa.field(c, pa.schema(ds.schema().base_schema).field(c).type)
+         for c in id_cols]
+        + [pa.field(var_name, pa.string()),
+           pa.field(value_name, value_type)])
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        zeros = pa.array(np.zeros(n, np.int64))
+        parts = []
+        for c in value_cols:
+            v = value_fn(t[c]) if value_fn is not None else t[c]
+            parts.append(pa.table({
+                **{i: t[i] for i in id_cols},
+                var_name: pa.array([c], pa.string()).take(zeros),
+                value_name: pc.cast(v, value_type),
+            }))
+        if not parts:
+            return out_fields.empty_table()
+        return pa.concat_tables(parts).cast(out_fields)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def snapshot_diff(old_ds, new_ds, key_col: str = "doc_id",
                   text_col: str = "text",
                   num_shards: int | None = None,

@@ -1,0 +1,107 @@
+"""Round-5f ordered/window + unpivot primitives: grouped_lag_delta
+(row-level LAG), grouped_first_last (FIRST_VALUE/LAST_VALUE), unpivot
+(melt) — duckdb window parity, ties, nulls, empties."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from pyschema_ray.functions.ordered import (grouped_first_last,
+                                            grouped_lag_delta)
+from pyschema_ray.functions.relational import unpivot
+
+
+def _ds(tbl, blocks=3):
+    import ray.data
+
+    return ray.data.from_arrow(tbl).repartition(blocks)
+
+
+def _tab(ds):
+    tabs = [t for t in ds.iter_batches(batch_format="pyarrow",
+                                       batch_size=None) if t.num_rows]
+    return pa.concat_tables(tabs) if tabs else None
+
+
+def _events():
+    ts = pa.array(np.array(
+        ["2024-01-01T00:00:00", "2024-01-01T00:00:05",
+         "2024-01-01T00:00:05", "2024-01-01T00:01:00",
+         "2024-01-01T02:00:00", "2024-01-01T02:00:01",
+         None, "2024-01-01T03:00:00"], dtype="datetime64[us]"),
+        pa.timestamp("us"), from_pandas=True)
+    return pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2, 2, 2, None], pa.int64()),
+        "ts": ts,
+        "event_id": pa.array([10, 11, 12, 13, 20, 21, 22, 30],
+                             pa.int64()),
+    })
+
+
+def test_grouped_lag_delta_matches_duckdb():
+    import duckdb
+
+    t = _events()
+    out = _tab(grouped_lag_delta(_ds(t), "user_id", "ts", "event_id"))
+    got = sorted(map(tuple, out.to_pylist() and
+                     [tuple(r.values()) for r in out.to_pylist()]),
+                 key=repr)
+    want = sorted((tuple(r) for r in duckdb.sql("""
+        SELECT user_id, event_id,
+               date_diff('microsecond',
+                         lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id), ts)
+                   AS delta_us
+          FROM t WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    """).fetchall()), key=repr)
+    assert got == want
+    # tie at equal ts: delta 0, ordered by event_id
+    rows = {r["event_id"]: r["delta_us"] for r in out.to_pylist()}
+    assert rows[10] is None          # first event of user 1
+    assert rows[12] == 0             # tied-ts row
+    assert rows[13] == 55_000_000    # 55 s later
+
+
+def test_grouped_first_last_matches_duckdb():
+    import duckdb
+
+    t = _events()
+    out = _tab(grouped_first_last(_ds(t), "user_id", "ts", "event_id"))
+    got = sorted((tuple(r.values()) for r in out.to_pylist()), key=repr)
+    want = sorted((tuple(r) for r in duckdb.sql("""
+        WITH w AS (
+            SELECT user_id, event_id,
+                   row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS rn_a,
+                   row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn_d
+              FROM t WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+        SELECT user_id,
+               max(CASE WHEN rn_a = 1 THEN event_id END) AS first,
+               max(CASE WHEN rn_d = 1 THEN event_id END) AS last,
+               CAST(count(*) AS BIGINT) AS n_rows
+          FROM w GROUP BY user_id
+    """).fetchall()), key=repr)
+    assert got == want
+
+
+def test_lag_delta_empty():
+    t = _events().slice(0, 0)
+    out = _tab(grouped_lag_delta(_ds(t, 1), "user_id", "ts", "event_id"))
+    assert out is None or out.num_rows == 0
+
+
+def test_unpivot_roundtrip_and_types():
+    t = pa.table({
+        "k": pa.array([1, 2], pa.int64()),
+        "a": pa.array([1.25, 2.5], pa.float64()),
+        "b": pa.array([10.0, None], pa.float64()),
+    })
+    out = _tab(unpivot(
+        _ds(t, 2), ["k"], ["a", "b"], value_fn=lambda c: pc.round(
+            pc.multiply(c, 100.0), round_mode="half_towards_infinity")))
+    assert out.schema.names == ["k", "measure", "value"]
+    assert out.schema.field("value").type == pa.int64()
+    got = sorted((tuple(r.values()) for r in out.to_pylist()), key=repr)
+    assert got == sorted([(1, "a", 125), (2, "a", 250),
+                          (1, "b", 1000), (2, "b", None)], key=repr)
