@@ -3596,6 +3596,30 @@ def _q_lineitem_measures_unpivot(sf_dir: str) -> pa.Table:
         ("measure", "ascending")])
 
 
+def _q_supplier_part_pagerank(sf_dir: str) -> pa.Table:
+    """PageRank over the supplier->part bipartite graph from lineitem
+    (rows-only: float ranks from iterative damped sums are not SQL-
+    reproducible; parity vs a single-process reference is pytest-
+    checked in tests/test_graph.py).  Part nodes are offset by 10^7 so
+    the two key spaces cannot collide; all parts are dangling, so the
+    dangling-mass redistribution path runs on real data."""
+    from pyschema_ray.functions.graph import pagerank
+
+    def edges(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pc.cast(t["l_suppkey"], pa.int64()),
+            "dst": pc.add(pc.cast(t["l_partkey"], pa.int64()),
+                          pa.scalar(10_000_000, pa.int64())),
+        })
+
+    ds = _read(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"]) \
+        .map_batches(edges, batch_format="pyarrow")
+    out = pagerank(ds, damping=0.85, iters=10)
+    return _collect(out, pa.schema([("node", pa.int64()),
+                                    ("rank", pa.float64())])) \
+        .sort_by("node")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core validation engine (oracle-checked)
@@ -3748,6 +3772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_time_deltas": _q_event_time_deltas,
         "customer_first_last_order": _q_customer_first_last_order,
         "lineitem_measures_unpivot": _q_lineitem_measures_unpivot,
+        "supplier_part_pagerank": _q_supplier_part_pagerank,
     }
 
 

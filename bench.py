@@ -105,7 +105,7 @@ QUERY_SUBSET = [
     "promo_revenue_cents", "global_sales_opportunity",
     "above_avg_orders", "semantic_dedup_keep",
     "event_time_deltas", "customer_first_last_order",
-    "lineitem_measures_unpivot",
+    "lineitem_measures_unpivot", "supplier_part_pagerank",
 ]
 
 
