@@ -3614,10 +3614,73 @@ def _q_supplier_part_pagerank(sf_dir: str) -> pa.Table:
 
     ds = _read(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"]) \
         .map_batches(edges, batch_format="pyarrow")
-    out = pagerank(ds, damping=0.85, iters=10)
+    # threshold raised: at bench scale (sf0.1, ~600k edges = ~10 MB of
+    # int keys) the driver fast path is right — the distributed path's
+    # ~20 exchange rounds are for graphs whose EDGE LIST doesn't fit a
+    # node, and is exercised by tests/test_graph.py with threshold=0
+    out = pagerank(ds, damping=0.85, iters=10,
+                   small_edges_threshold=5_000_000)
     return _collect(out, pa.schema([("node", pa.int64()),
                                     ("rank", pa.float64())])) \
         .sort_by("node")
+
+
+def _q_winsorized_price_by_priority(sf_dir: str) -> pa.Table:
+    """Robust stats: per-priority order totals winsorized at the
+    GLOBAL exact p05/p95 (quantile_disc of int cents via the 3-scan
+    distributed selection — actual elements, so the clamp bounds and
+    the clamped integer sums are bit-equal to the SQL oracle)."""
+    from pyschema_ray.functions.analytics import _exact_rank_values
+
+    def cents(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["o_totalprice"]))
+        c = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0),
+                             round_mode="half_towards_infinity"),
+                    pa.int64())
+        return pa.table({"o_orderpriority": t["o_orderpriority"],
+                         "cents": c})
+
+    def mk():
+        return _read(sf_dir, "orders",
+                     columns=["o_orderpriority", "o_totalprice"]) \
+            .map_batches(cents, batch_format="pyarrow")
+
+    def ranks(n: int):
+        return [max(0, (5 * n + 99) // 100 - 1),
+                max(0, (95 * n + 99) // 100 - 1)]
+
+    n, got = _exact_rank_values(mk(), "cents", ranks)
+    out_schema = pa.schema([("o_orderpriority", pa.string()),
+                            ("n_orders", pa.int64()),
+                            ("winsorized_cents", pa.int64())])
+    if n == 0:
+        return out_schema.empty_table()
+    lo = int(got[max(0, (5 * n + 99) // 100 - 1)])
+    hi = int(got[max(0, (95 * n + 99) // 100 - 1)])
+
+    def partial(t: pa.Table) -> pa.Table:
+        w = np.clip(t["cents"].to_numpy(zero_copy_only=False), lo, hi)
+        g = pa.table({"o_orderpriority": t["o_orderpriority"],
+                      "w": pa.array(w, pa.int64())}) \
+            .group_by(["o_orderpriority"], use_threads=False) \
+            .aggregate([("w", "count"), ("w", "sum")])
+        return pa.table({
+            "o_orderpriority": g["o_orderpriority"],
+            "n_orders": pc.cast(g["w_count"], pa.int64()),
+            "winsorized_cents": pc.cast(g["w_sum"], pa.int64())})
+
+    parts = _collect(mk().map_batches(partial, batch_format="pyarrow"),
+                     out_schema)
+    if parts.num_rows == 0:
+        return out_schema.empty_table()
+    g = parts.group_by(["o_orderpriority"], use_threads=False) \
+        .aggregate([("n_orders", "sum"), ("winsorized_cents", "sum")])
+    return pa.table({
+        "o_orderpriority": g["o_orderpriority"],
+        "n_orders": pc.cast(g["n_orders_sum"], pa.int64()),
+        "winsorized_cents": pc.cast(g["winsorized_cents_sum"],
+                                    pa.int64())}) \
+        .sort_by("o_orderpriority")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -3773,6 +3836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_first_last_order": _q_customer_first_last_order,
         "lineitem_measures_unpivot": _q_lineitem_measures_unpivot,
         "supplier_part_pagerank": _q_supplier_part_pagerank,
+        "winsorized_price_by_priority": _q_winsorized_price_by_priority,
     }
 
 
@@ -5572,5 +5636,23 @@ def oracle_sql() -> dict[str, str]:
                 SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
                   FROM lineitem WHERE l_orderkey < 100)
              ORDER BY l_orderkey, l_linenumber, measure
+        """,
+        "winsorized_price_by_priority": """
+            WITH c AS (
+                SELECT o_orderpriority,
+                       CAST(round(o_totalprice * 100) AS BIGINT)
+                           AS cents
+                  FROM orders WHERE o_totalprice IS NOT NULL),
+            b AS (
+                SELECT quantile_disc(cents, 0.05) AS lo,
+                       quantile_disc(cents, 0.95) AS hi
+                  FROM c)
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(least(greatest(c.cents, b.lo), b.hi))
+                        AS BIGINT) AS winsorized_cents
+              FROM c, b
+             GROUP BY o_orderpriority
+             ORDER BY o_orderpriority
         """,
     }
