@@ -3683,6 +3683,46 @@ def _q_winsorized_price_by_priority(sf_dir: str) -> pa.Table:
         .sort_by("o_orderpriority")
 
 
+def _q_price_mad(sf_dir: str) -> pa.Table:
+    """Global median absolute deviation of order totals, EXACT: the
+    median (quantile_cont 0.5, interpolated) comes from the 3-scan
+    distributed selection over int cents; |cents - median| is then a
+    derived column (float64 exact for cent magnitudes) fed through the
+    SAME selection — two passes, never a global sort.  Bit-equal to
+    the SQL median(abs(x - median(x))) expression."""
+    from pyschema_ray.functions.analytics import \
+        exact_value_quantiles_cont
+
+    def cents(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["o_totalprice"]))
+        return pa.table({"cents": pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], 100.0),
+                     round_mode="half_towards_infinity"), pa.int64())})
+
+    def mk():
+        return _read(sf_dir, "orders", columns=["o_totalprice"]) \
+            .map_batches(cents, batch_format="pyarrow")
+
+    med_t = exact_value_quantiles_cont(mk(), "cents", quantiles=(0.5,))
+    out_schema = pa.schema([("median_cents", pa.float64()),
+                            ("mad_cents", pa.float64())])
+    if med_t.num_rows == 0 or med_t["value"][0].as_py() is None:
+        return out_schema.empty_table()
+    med = float(med_t["value"][0].as_py())
+
+    def absdev(t: pa.Table) -> pa.Table:
+        x = t["cents"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"dev": pa.array(np.abs(x - med), pa.float64())})
+
+    mad_t = exact_value_quantiles_cont(
+        mk().map_batches(absdev, batch_format="pyarrow"), "dev",
+        quantiles=(0.5,))
+    return pa.table({
+        "median_cents": pa.array([med], pa.float64()),
+        "mad_cents": pa.array([float(mad_t["value"][0].as_py())],
+                              pa.float64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core validation engine (oracle-checked)
@@ -3837,6 +3877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_measures_unpivot": _q_lineitem_measures_unpivot,
         "supplier_part_pagerank": _q_supplier_part_pagerank,
         "winsorized_price_by_priority": _q_winsorized_price_by_priority,
+        "price_mad": _q_price_mad,
     }
 
 
@@ -5654,5 +5695,16 @@ def oracle_sql() -> dict[str, str]:
               FROM c, b
              GROUP BY o_orderpriority
              ORDER BY o_orderpriority
+        """,
+        "price_mad": """
+            WITH c AS (
+                SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+                           AS cents
+                  FROM orders WHERE o_totalprice IS NOT NULL),
+            m AS (SELECT median(cents) AS med FROM c)
+            SELECT CAST(m.med AS DOUBLE) AS median_cents,
+                   CAST(median(abs(CAST(c.cents AS DOUBLE) - m.med))
+                        AS DOUBLE) AS mad_cents
+              FROM c, m GROUP BY m.med
         """,
     }
