@@ -12,7 +12,7 @@ Default mode: run the headline pipelines with
   entries over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
 
 ``--scaling``: run the headline pipeline in FRESH processes at N and
-4N CPUs (default 4 and 16 — see scaling_mode docstring for why not
+4N CPUs (default 2 and 8 — see scaling_mode docstring for why not
 8/32 on this VM) on the same input and report both throughputs +
 scaling efficiency (the sandbox substitution for the N-node vs 4N-node
 cluster criterion); results also written to BENCH/BASELINE.md.
