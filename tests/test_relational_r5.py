@@ -117,6 +117,36 @@ def test_filter_above_group_avg_exact():
     assert all(r[0] != 2 for r in got)  # flat group: nothing above avg
 
 
+def test_set_op_single_string_col():
+    """Single non-integer key column exercises the string-composite
+    shard path (the int fast path is type-gated)."""
+    left = pa.table({"s": pa.array(["a", "b", "b", None, "c"],
+                                   pa.string())})
+    right = pa.table({"s": pa.array(["b", None, "d"], pa.string())})
+    inter = _rows(set_op_distinct(_ds(left), _ds(right), ["s"],
+                                  "intersect"))
+    assert inter == sorted([("b",), (None,)], key=repr)
+    exc = _rows(set_op_distinct(_ds(left), _ds(right), ["s"], "except"))
+    assert exc == [("a",), ("c",)]
+
+
+def test_filter_above_group_avg_string_keys():
+    import duckdb
+
+    t = pa.table({
+        "k": pa.array(["x", "x", "x", "y", "y"], pa.string()),
+        "v": pa.array([10, 20, 90, 5, 5], pa.int64()),
+    })
+    got = _rows(filter_above_group_avg(_ds(t, 2), "k", "v",
+                                       num=3, den=2))
+    want = sorted((tuple(r) for r in duckdb.sql("""
+        WITH w AS (SELECT k, v, sum(v) OVER (PARTITION BY k) AS s,
+                          count(v) OVER (PARTITION BY k) AS n FROM t)
+        SELECT k, v FROM w WHERE 2*v*n > 3*s
+    """).fetchall()), key=repr)
+    assert got == want == [("x", 90)]
+
+
 def test_filter_above_group_avg_empty():
     t = pa.table({"k": pa.array([], pa.int64()),
                   "v": pa.array([], pa.int64())})
