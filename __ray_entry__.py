@@ -3723,6 +3723,36 @@ def _q_price_mad(sf_dir: str) -> pa.Table:
                               pa.float64())})
 
 
+def _q_orders_moving_sum(sf_dir: str) -> pa.Table:
+    """ROWS-frame window aggregate: per-customer moving sum of order
+    cents over the 2 preceding + current orders by (o_orderdate,
+    o_orderkey) — cumsum-with-run-boundaries per shard, exact int64,
+    bit-equal to the SQL ROWS BETWEEN oracle."""
+    from pyschema_ray.functions.ordered import grouped_moving_sum
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0),
+                             round_mode="half_towards_infinity"),
+                    pa.int64())
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "o_orderdate": t["o_orderdate"],
+                         "o_orderkey": t["o_orderkey"],
+                         "cents": c})
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_orderkey",
+                        "o_totalprice"]) \
+        .map_batches(cents, batch_format="pyarrow")
+    out = grouped_moving_sum(ds, "o_custkey", "o_orderdate",
+                             "o_orderkey", "cents", preceding=2)
+    return _collect(out, pa.schema([("o_custkey", pa.int64()),
+                                    ("o_orderkey", pa.int64()),
+                                    ("moving_sum", pa.int64()),
+                                    ("n_win", pa.int64())])) \
+        .sort_by([("o_custkey", "ascending"),
+                  ("o_orderkey", "ascending")])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core validation engine (oracle-checked)
@@ -3878,6 +3908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_part_pagerank": _q_supplier_part_pagerank,
         "winsorized_price_by_priority": _q_winsorized_price_by_priority,
         "price_mad": _q_price_mad,
+        "orders_moving_sum": _q_orders_moving_sum,
     }
 
 
@@ -5706,5 +5737,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(median(abs(CAST(c.cents AS DOUBLE) - m.med))
                         AS DOUBLE) AS mad_cents
               FROM c, m GROUP BY m.med
+        """,
+        "orders_moving_sum": """
+            WITH c AS (
+                SELECT o_custkey, o_orderdate, o_orderkey,
+                       CAST(round(o_totalprice * 100) AS BIGINT)
+                           AS cents
+                  FROM orders
+                 WHERE o_custkey IS NOT NULL
+                   AND o_orderdate IS NOT NULL)
+            SELECT o_custkey, o_orderkey,
+                   CAST(sum(cents) OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS moving_sum,
+                   CAST(count(cents) OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS n_win
+              FROM c ORDER BY o_custkey, o_orderkey
         """,
     }

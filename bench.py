@@ -106,7 +106,7 @@ QUERY_SUBSET = [
     "above_avg_orders", "semantic_dedup_keep",
     "event_time_deltas", "customer_first_last_order",
     "lineitem_measures_unpivot", "supplier_part_pagerank",
-    "winsorized_price_by_priority", "price_mad",
+    "winsorized_price_by_priority", "price_mad", "orders_moving_sum",
 ]
 
 

@@ -183,6 +183,65 @@ def grouped_first_last(ds, key_col: str, ts_col: str, order_col: str,
         .groupby("kshard").map_groups(scan, batch_format="pyarrow")
 
 
+def grouped_moving_sum(ds, key_col: str, ts_col: str, order_col: str,
+                       val_col: str, preceding: int = 2,
+                       num_shards: int | None = None):
+    """ROWS-frame window aggregate: per key ordered by (ts, order),
+    the sum + row count of ``val_col`` over ``ROWS BETWEEN <preceding>
+    PRECEDING AND CURRENT ROW`` — one bounded key-hash exchange, then
+    a vectorized cumsum-with-run-boundaries pass per shard (frame sum
+    = cs[i] - cs[max(run_start, i-preceding) - 1], no per-row Python).
+    Values ride as exact int64 so the output is bit-equal to the SQL
+    window oracle.  Null key/ts rows are dropped; null values count 0
+    toward the sum and are excluded from n_win (SQL sum/count null
+    semantics)."""
+    nb = num_shards or _default_shards()
+
+    def exchange(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[key_col]),
+                             pc.is_valid(t[ts_col])))
+        t = t.select([key_col, ts_col, order_col, val_col])
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "kshard", pa.array(_key_shards(keys, nb, 61), pa.int64()))
+
+    def scan(t: pa.Table) -> pa.Table:
+        t, keys, _us, _ = _sorted_shard(t, key_col, ts_col, order_col)
+        n = len(keys)
+        ktype = t.schema.field(key_col).type
+        otype = t.schema.field(order_col).type
+        if n == 0:
+            return pa.table({key_col: pa.array([], ktype),
+                             order_col: pa.array([], otype),
+                             "moving_sum": pa.array([], pa.int64()),
+                             "n_win": pa.array([], pa.int64())})
+        vals = pc.cast(t[val_col], pa.int64())
+        valid = pc.is_valid(vals).to_numpy(zero_copy_only=False)
+        v = pc.fill_null(vals, 0).to_numpy(zero_copy_only=False)
+        starts, sizes = _group_starts(keys)
+        run_start = np.repeat(starts, sizes)
+        i = np.arange(n)
+        j = np.maximum(run_start, i - preceding)
+        cs = np.cumsum(v)
+        csv = np.cumsum(valid.astype(np.int64))
+        left = np.where(j > 0, cs[np.maximum(j - 1, 0)], 0)
+        leftn = np.where(j > 0, csv[np.maximum(j - 1, 0)], 0)
+        msum = cs - left
+        nwin = csv - leftn
+        # SQL: a frame of only-NULL values sums to NULL, not 0
+        return pa.table({
+            key_col: t[key_col],
+            order_col: t[order_col],
+            "moving_sum": pa.array(
+                np.ma.masked_array(msum, mask=nwin == 0), pa.int64(),
+                from_pandas=True),
+            "n_win": pa.array(nwin, pa.int64()),
+        })
+
+    return ds.map_batches(exchange, batch_format="pyarrow") \
+        .groupby("kshard").map_groups(scan, batch_format="pyarrow")
+
+
 def grouped_running(ds, key_col: str = "user_id", ts_col: str = "ts",
                     order_col: str = "event_id",
                     value_col: str = "value",

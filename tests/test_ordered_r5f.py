@@ -91,6 +91,44 @@ def test_lag_delta_empty():
     assert out is None or out.num_rows == 0
 
 
+def test_grouped_moving_sum_matches_duckdb():
+    """ROWS BETWEEN 2 PRECEDING AND CURRENT ROW — frame edges, null
+    values (count excluded, sum skips; all-null frame -> NULL sum)."""
+    import duckdb
+
+    from pyschema_ray.functions.ordered import grouped_moving_sum
+
+    ts = pa.array(np.array(
+        ["2024-01-01T00:00:%02d" % i for i in range(6)]
+        + ["2024-01-02T00:00:00", "2024-01-02T00:00:01"],
+        dtype="datetime64[us]"), pa.timestamp("us"))
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 1, 1, 1, 2, 2], pa.int64()),
+        "ts": ts,
+        "oid": pa.array(list(range(8)), pa.int64()),
+        "v": pa.array([10, None, 30, None, None, None, 5, 7],
+                      pa.int64()),
+    })
+    out = _tab(grouped_moving_sum(_ds(t), "k", "ts", "oid", "v",
+                                  preceding=2))
+    got = sorted((tuple(r.values()) for r in out.to_pylist()), key=repr)
+    want = sorted((tuple(r) for r in duckdb.sql("""
+        SELECT k, oid,
+               CAST(sum(v) OVER (PARTITION BY k ORDER BY ts, oid
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS moving_sum,
+               CAST(count(v) OVER (PARTITION BY k ORDER BY ts, oid
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS n_win
+          FROM t
+    """).fetchall()), key=repr)
+    assert got == want
+    rows = {r["oid"]: (r["moving_sum"], r["n_win"])
+            for r in out.to_pylist()}
+    assert rows[5] == (None, 0)  # frame rows 3,4,5 all NULL
+    assert rows[2] == (40, 2)    # 10 + NULL + 30
+
+
 def test_unpivot_roundtrip_and_types():
     t = pa.table({
         "k": pa.array([1, 2], pa.int64()),
