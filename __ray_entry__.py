@@ -3753,6 +3753,140 @@ def _q_orders_moving_sum(sf_dir: str) -> pa.Table:
                   ("o_orderkey", "ascending")])
 
 
+def _q_order_priority_exists_counts(sf_dir: str) -> pa.Table:
+    """TPC-H Q4 shape: orders in a date window having at least one
+    high-quantity line (EXISTS), counted per priority — the bounded
+    distinct-key semi-join exchange feeding a 5-group combiner."""
+    import pyarrow.dataset as _pads
+
+    from pyschema_ray.functions.relational import semi_join
+
+    lo = np.datetime64("1996-01-01T00:00:00", "us").astype(np.int64)
+    hi = np.datetime64("1997-01-01T00:00:00", "us").astype(np.int64)
+
+    def win(t: pa.Table) -> pa.Table:
+        od = pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                     pa.int64())
+        return t.filter(pc.and_(pc.greater_equal(od, lo),
+                                pc.less(od, hi))) \
+            .select(["o_orderkey", "o_orderpriority"])
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate",
+                            "o_orderpriority"]) \
+        .map_batches(win, batch_format="pyarrow")
+    big_lines = _read(sf_dir, "lineitem",
+                      columns=["l_orderkey", "l_quantity"],
+                      pred=_pads.field("l_quantity") > 45.0)
+    kept = semi_join(orders, big_lines, "o_orderkey", "l_orderkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_orderpriority"], use_threads=False) \
+            .aggregate([("o_orderkey", "count")])
+        return pa.table({
+            "o_orderpriority": g["o_orderpriority"],
+            "n_orders": pc.cast(g["o_orderkey_count"], pa.int64())})
+
+    out_schema = pa.schema([("o_orderpriority", pa.string()),
+                            ("n_orders", pa.int64())])
+    parts = _collect(kept.map_batches(partial, batch_format="pyarrow"),
+                     out_schema)
+    if parts.num_rows == 0:
+        return out_schema.empty_table()
+    g = parts.group_by(["o_orderpriority"], use_threads=False) \
+        .aggregate([("n_orders", "sum")])
+    return pa.table({
+        "o_orderpriority": g["o_orderpriority"],
+        "n_orders": pc.cast(g["n_orders_sum"], pa.int64())}) \
+        .sort_by("o_orderpriority")
+
+
+def _q_nation_year_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q9 flavor: revenue by supplier nation x order year.  The
+    supplier->nation map is a broadcast dict (small dims ride ray.put);
+    lineitem pre-aggregates (orderkey -> per-nation cents) per batch,
+    then ONE shuffle join against the orders calendar keyed on the
+    orderkey — mixed broadcast + shuffle plan, per-batch combiners on
+    the 100 TB side."""
+    import ray
+
+    from pyschema_ray.functions.joins import shuffle_join
+
+    sup = _collect(_read(sf_dir, "supplier",
+                         columns=["s_suppkey", "s_nationkey"]))
+    nat = _collect(_read(sf_dir, "nation",
+                         columns=["n_nationkey", "n_name"]))
+    nk = dict(zip(nat["n_nationkey"].to_pylist(),
+                  nat["n_name"].to_pylist()))
+    sk = sup["s_suppkey"].to_numpy(zero_copy_only=False)
+    order_idx = np.argsort(sk)
+    sk_sorted = sk[order_idx]
+    snames = np.array([nk.get(x, "") for x in
+                       sup["s_nationkey"].to_pylist()], dtype=object)
+    snames_sorted = snames[order_idx]
+    ref = ray.put((sk_sorted, snames_sorted))
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        keys, names = ray.get(ref)
+        k = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        idx = np.minimum(np.searchsorted(keys, k),
+                         max(len(keys) - 1, 0))
+        ok = keys[idx] == k if len(keys) else np.zeros(len(k), bool)
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            100.0), round_mode="half_towards_infinity"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        g = pa.table({
+            "l_orderkey": t["l_orderkey"].filter(pa.array(ok)),
+            "nation": pa.array(names[idx][ok], pa.string(),
+                               from_pandas=True),
+            "cents": pa.array(cents[ok], pa.int64()),
+        }).group_by(["l_orderkey", "nation"], use_threads=False) \
+            .aggregate([("cents", "sum")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "nation": g["nation"],
+                         "cents": pc.cast(g["cents_sum"], pa.int64())})
+
+    def o_year(t: pa.Table) -> pa.Table:
+        y = pc.year(pc.cast(t["o_orderdate"], pa.timestamp("us")))
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_year": pc.cast(y, pa.int64())})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"]) \
+        .map_batches(li_partial, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate"]) \
+        .map_batches(o_year, batch_format="pyarrow")
+    joined = shuffle_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        size_hint_bytes=_tables_bytes(sf_dir, "lineitem", "orders"))
+
+    def final_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["nation", "o_year"], use_threads=False) \
+            .aggregate([("cents", "sum")])
+        return pa.table({"nation": g["nation"], "o_year": g["o_year"],
+                         "revenue_cents": pc.cast(g["cents_sum"],
+                                                  pa.int64())})
+
+    out_schema = pa.schema([("nation", pa.string()),
+                            ("o_year", pa.int64()),
+                            ("revenue_cents", pa.int64())])
+    parts = _collect(joined.map_batches(final_partial,
+                                        batch_format="pyarrow"),
+                     out_schema)
+    if parts.num_rows == 0:
+        return out_schema.empty_table()
+    g = parts.group_by(["nation", "o_year"], use_threads=False) \
+        .aggregate([("revenue_cents", "sum")])
+    return pa.table({
+        "nation": g["nation"], "o_year": g["o_year"],
+        "revenue_cents": pc.cast(g["revenue_cents_sum"], pa.int64())}) \
+        .sort_by([("nation", "ascending"), ("o_year", "ascending")])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core validation engine (oracle-checked)
@@ -3909,6 +4043,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_price_by_priority": _q_winsorized_price_by_priority,
         "price_mad": _q_price_mad,
         "orders_moving_sum": _q_orders_moving_sum,
+        "order_priority_exists_counts": _q_order_priority_exists_counts,
+        "nation_year_revenue": _q_nation_year_revenue,
     }
 
 
@@ -5756,5 +5892,31 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
                        AS BIGINT) AS n_win
               FROM c ORDER BY o_custkey, o_orderkey
+        """,
+        "order_priority_exists_counts": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders
+              FROM orders o
+             WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+               AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+               AND EXISTS (SELECT 1 FROM lineitem l
+                            WHERE l.l_orderkey = o.o_orderkey
+                              AND l.l_quantity > 45)
+             GROUP BY o_orderpriority
+             ORDER BY o_orderpriority
+        """,
+        "nation_year_revenue": """
+            SELECT n.n_name AS nation,
+                   CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(sum(CAST(round(l.l_extendedprice
+                                       * (1 - l.l_discount) * 100)
+                                 AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+              FROM lineitem l
+              JOIN supplier s ON s.s_suppkey = l.l_suppkey
+              JOIN nation n   ON n.n_nationkey = s.s_nationkey
+              JOIN orders o   ON o.o_orderkey = l.l_orderkey
+             GROUP BY n.n_name, year(o.o_orderdate)
+             ORDER BY nation, o_year
         """,
     }

@@ -107,6 +107,7 @@ QUERY_SUBSET = [
     "event_time_deltas", "customer_first_last_order",
     "lineitem_measures_unpivot", "supplier_part_pagerank",
     "winsorized_price_by_priority", "price_mad", "orders_moving_sum",
+    "order_priority_exists_counts", "nation_year_revenue",
 ]
 
 
