@@ -3887,6 +3887,63 @@ def _q_nation_year_revenue(sf_dir: str) -> pa.Table:
         .sort_by([("nation", "ascending"), ("o_year", "ascending")])
 
 
+def _q_brand_qty_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q19 shape: disjunctive brand/size/quantity predicate
+    spanning BOTH join sides — the part attributes ride a broadcast
+    (sorted key -> brand-id + size arrays), each lineitem batch
+    evaluates the OR-of-ANDs vectorized, and a 2-int combiner folds
+    the matching revenue; no shuffle anywhere."""
+    import ray
+
+    part = _collect(_read(sf_dir, "part",
+                          columns=["p_partkey", "p_brand", "p_size"]))
+    order = pc.sort_indices(part["p_partkey"])
+    pk = part["p_partkey"].take(order).to_numpy(zero_copy_only=False)
+    brands = part["p_brand"].take(order)
+    sizes = part["p_size"].take(order).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    b1 = pc.equal(brands, "Brand#1").to_numpy(zero_copy_only=False)
+    b2 = pc.equal(brands, "Brand#2").to_numpy(zero_copy_only=False)
+    b3 = pc.equal(brands, "Brand#3").to_numpy(zero_copy_only=False)
+    ref = ray.put((pk, b1, b2, b3, sizes))
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, f1, f2, f3, sz = ray.get(ref)
+        k = t["l_partkey"].to_numpy(zero_copy_only=False)
+        if len(keys):
+            idx = np.minimum(np.searchsorted(keys, k), len(keys) - 1)
+            ok = keys[idx] == k
+        else:
+            idx = np.zeros(len(k), np.int64)
+            ok = np.zeros(len(k), bool)
+        q = t["l_quantity"].to_numpy(zero_copy_only=False)
+        cond = ((f1[idx] & (sz[idx] <= 15) & (q >= 1) & (q <= 20))
+                | (f2[idx] & (sz[idx] >= 16) & (sz[idx] <= 30)
+                   & (q >= 10) & (q <= 30))
+                | (f3[idx] & (sz[idx] >= 31) & (q >= 20) & (q <= 40))) \
+            & ok
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            100.0), round_mode="half_towards_infinity"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "revenue_cents": pa.array([int(cents[cond].sum())],
+                                      pa.int64()),
+            "n_lines": pa.array([int(cond.sum())], pa.int64())})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice",
+                        "l_discount"])
+    parts = _collect(li.map_batches(partial, batch_format="pyarrow"))
+    return pa.table({
+        "revenue_cents": pa.array(
+            [int(pc.sum(parts["revenue_cents"]).as_py() or 0)],
+            pa.int64()),
+        "n_lines": pa.array([int(pc.sum(parts["n_lines"]).as_py() or 0)],
+                            pa.int64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core validation engine (oracle-checked)
@@ -4045,6 +4102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_moving_sum": _q_orders_moving_sum,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
+        "brand_qty_revenue": _q_brand_qty_revenue,
     }
 
 
@@ -5918,5 +5976,20 @@ def oracle_sql() -> dict[str, str]:
               JOIN orders o   ON o.o_orderkey = l.l_orderkey
              GROUP BY n.n_name, year(o.o_orderdate)
              ORDER BY nation, o_year
+        """,
+        "brand_qty_revenue": """
+            SELECT CAST(coalesce(sum(CAST(round(l.l_extendedprice
+                            * (1 - l.l_discount) * 100) AS BIGINT)), 0)
+                        AS BIGINT) AS revenue_cents,
+                   CAST(count(*) AS BIGINT) AS n_lines
+              FROM lineitem l
+              JOIN part p ON p.p_partkey = l.l_partkey
+             WHERE (p.p_brand = 'Brand#1' AND p.p_size <= 15
+                    AND l.l_quantity BETWEEN 1 AND 20)
+                OR (p.p_brand = 'Brand#2'
+                    AND p.p_size BETWEEN 16 AND 30
+                    AND l.l_quantity BETWEEN 10 AND 30)
+                OR (p.p_brand = 'Brand#3' AND p.p_size >= 31
+                    AND l.l_quantity BETWEEN 20 AND 40)
         """,
     }
