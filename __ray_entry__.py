@@ -3944,6 +3944,65 @@ def _q_brand_qty_revenue(sf_dir: str) -> pa.Table:
                             pa.int64())})
 
 
+def _q_price_mad_by_priority(sf_dir: str) -> pa.Table:
+    """Per-group median absolute deviation, EXACT: per-group medians
+    from the grouped 3-scan selection, broadcast as a (sorted group ->
+    median) lookup (group cardinality is the grouped-stats contract),
+    then the SAME grouped selection over the derived |cents - med_g|
+    column — two grouped passes, never a global sort."""
+    from pyschema_ray.functions.analytics import \
+        grouped_value_quantiles_cont
+
+    def cents(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t["o_totalprice"]),
+                             pc.is_valid(t["o_orderpriority"])))
+        return pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "cents": pc.cast(pc.round(
+                pc.multiply(t["o_totalprice"], 100.0),
+                round_mode="half_towards_infinity"), pa.int64())})
+
+    def mk():
+        return _read(sf_dir, "orders",
+                     columns=["o_orderpriority", "o_totalprice"]) \
+            .map_batches(cents, batch_format="pyarrow")
+
+    med_t = grouped_value_quantiles_cont(mk(), "o_orderpriority",
+                                         "cents", quantiles=(0.5,))
+    out_schema = pa.schema([("o_orderpriority", pa.string()),
+                            ("median_cents", pa.float64()),
+                            ("mad_cents", pa.float64())])
+    if med_t.num_rows == 0:
+        return out_schema.empty_table()
+    groups = np.asarray(med_t["o_orderpriority"]
+                        .to_numpy(zero_copy_only=False))
+    meds = med_t["q_0.5"].to_numpy(zero_copy_only=False)
+    order = np.argsort(groups)
+    g_sorted, m_sorted = groups[order], meds[order]
+
+    def absdev(t: pa.Table) -> pa.Table:
+        g = np.asarray(t["o_orderpriority"]
+                       .to_numpy(zero_copy_only=False))
+        idx = np.searchsorted(g_sorted, g)
+        x = t["cents"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "dev": pa.array(np.abs(x - m_sorted[idx]), pa.float64())})
+
+    mad_t = grouped_value_quantiles_cont(
+        mk().map_batches(absdev, batch_format="pyarrow"),
+        "o_orderpriority", "dev", quantiles=(0.5,))
+    mad_map = dict(zip(mad_t["o_orderpriority"].to_pylist(),
+                       mad_t["q_0.5"].to_pylist()))
+    gl = [str(x) for x in g_sorted]
+    return pa.table({
+        "o_orderpriority": pa.array(gl, pa.string()),
+        "median_cents": pa.array(m_sorted, pa.float64()),
+        "mad_cents": pa.array([mad_map[x] for x in gl], pa.float64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core validation engine (oracle-checked)
@@ -4103,6 +4162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
+        "price_mad_by_priority": _q_price_mad_by_priority,
     }
 
 
@@ -5991,5 +6051,24 @@ def oracle_sql() -> dict[str, str]:
                     AND l.l_quantity BETWEEN 10 AND 30)
                 OR (p.p_brand = 'Brand#3' AND p.p_size >= 31
                     AND l.l_quantity BETWEEN 20 AND 40)
+        """,
+        "price_mad_by_priority": """
+            WITH c AS (
+                SELECT o_orderpriority,
+                       CAST(round(o_totalprice * 100) AS BIGINT)
+                           AS cents
+                  FROM orders
+                 WHERE o_totalprice IS NOT NULL
+                   AND o_orderpriority IS NOT NULL),
+            m AS (
+                SELECT o_orderpriority, median(cents) AS med
+                  FROM c GROUP BY o_orderpriority)
+            SELECT c.o_orderpriority,
+                   CAST(m.med AS DOUBLE) AS median_cents,
+                   CAST(median(abs(CAST(c.cents AS DOUBLE) - m.med))
+                        AS DOUBLE) AS mad_cents
+              FROM c JOIN m USING (o_orderpriority)
+             GROUP BY c.o_orderpriority, m.med
+             ORDER BY c.o_orderpriority
         """,
     }

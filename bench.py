@@ -108,7 +108,7 @@ QUERY_SUBSET = [
     "lineitem_measures_unpivot", "supplier_part_pagerank",
     "winsorized_price_by_priority", "price_mad", "orders_moving_sum",
     "order_priority_exists_counts", "nation_year_revenue",
-    "brand_qty_revenue",
+    "brand_qty_revenue", "price_mad_by_priority",
 ]
 
 
