@@ -4003,6 +4003,25 @@ def _q_price_mad_by_priority(sf_dir: str) -> pa.Table:
     })
 
 
+def _q_custkeys_not_in_low_orders(sf_dir: str) -> pa.Table:
+    """SQL NOT IN (with its three-valued null semantics — distinct
+    from the NOT EXISTS anti join): customer keys not among 5-LOW
+    order custkeys.  The probe-null check is a per-batch combiner; the
+    non-null path is the bounded distinct-key anti-join exchange."""
+    from pyschema_ray.functions.relational import not_in_join
+
+    low = _read(sf_dir, "orders",
+                columns=["o_custkey", "o_orderpriority"]) \
+        .map_batches(lambda t: t.filter(
+            pc.equal(t["o_orderpriority"], "5-LOW"))
+            .select(["o_custkey"]), batch_format="pyarrow")
+    out = not_in_join(
+        _read(sf_dir, "customer", columns=["c_custkey"]),
+        low, "c_custkey", "o_custkey")
+    return _collect(out, pa.schema([("c_custkey", pa.int64())])) \
+        .sort_by("c_custkey")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core validation engine (oracle-checked)
@@ -4163,6 +4182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
         "price_mad_by_priority": _q_price_mad_by_priority,
+        "custkeys_not_in_low_orders": _q_custkeys_not_in_low_orders,
     }
 
 
@@ -6070,5 +6090,11 @@ def oracle_sql() -> dict[str, str]:
               FROM c JOIN m USING (o_orderpriority)
              GROUP BY c.o_orderpriority, m.med
              ORDER BY c.o_orderpriority
+        """,
+        "custkeys_not_in_low_orders": """
+            SELECT c_custkey FROM customer
+             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                      WHERE o_orderpriority = '5-LOW')
+             ORDER BY c_custkey
         """,
     }

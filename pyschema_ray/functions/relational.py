@@ -527,6 +527,45 @@ def set_op_distinct(left, right, cols: list[str], op: str = "intersect",
                                            batch_format="pyarrow")
 
 
+def not_in_join(left, right, left_key: str, right_key: str | None = None,
+                num_shards: int | None = None):
+    """SQL ``NOT IN (subquery)`` — which is NOT the same as NOT
+    EXISTS: if the probe set contains even one NULL, x NOT IN (...)
+    is never TRUE (it is NULL), so the WHOLE result is empty; a NULL
+    left key is likewise never kept.  :func:`anti_join` implements the
+    NOT EXISTS semantics; this wrapper implements the three-valued
+    NOT IN truth table on top of it.
+
+    The null probe is ONE any-null column aggregate over the probe
+    side (per-batch combiner, no exchange); the non-null path is the
+    same bounded distinct-key anti-join exchange.
+    """
+    right_key = right_key or left_key
+
+    def has_null(t: pa.Table) -> pa.Table:
+        n = t[right_key].null_count
+        return pa.table({"has_null": pa.array([n > 0], pa.bool_())})
+
+    right = right.materialize()
+    flags = right.map_batches(has_null, batch_format="pyarrow")
+    any_null = any(
+        v for b in flags.iter_batches(batch_format="pyarrow",
+                                      batch_size=None)
+        for v in b["has_null"].to_pylist())
+    lschema = pa.schema(left.schema().base_schema)
+    if any_null:
+        import ray.data as rd
+
+        return rd.from_arrow(lschema.empty_table())
+    kept = anti_join(left, right, left_key, right_key,
+                     num_shards=num_shards)
+
+    def drop_null_keys(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t[left_key])).cast(lschema)
+
+    return kept.map_batches(drop_null_keys, batch_format="pyarrow")
+
+
 def unpivot(ds, id_cols: list[str], value_cols: list[str],
             var_name: str = "measure", value_name: str = "value",
             value_type: pa.DataType = pa.int64(), value_fn=None):

@@ -147,6 +147,31 @@ def test_filter_above_group_avg_string_keys():
     assert got == want == [("x", 90)]
 
 
+def test_not_in_join_null_trap():
+    """SQL NOT IN three-valued semantics: one NULL in the probe set
+    empties the whole result; NULL left keys never qualify; without
+    probe nulls it equals NOT EXISTS minus null-keyed left rows."""
+    import duckdb
+
+    from pyschema_ray.functions.relational import not_in_join
+
+    left_t = pa.table({"k": pa.array([1, 2, 3, None], pa.int64())})
+    probe_clean = pa.table({"p": pa.array([2, 5], pa.int64())})
+    probe_null = pa.table({"p": pa.array([2, None], pa.int64())})
+
+    got = _rows(not_in_join(_ds(left_t), _ds(probe_clean), "k", "p"))
+    want = sorted(
+        ((r[0],) for r in duckdb.sql(
+            "SELECT k FROM left_t WHERE k NOT IN "
+            "(SELECT p FROM probe_clean)").fetchall()), key=repr)
+    assert got == want == [(1,), (3,)]
+
+    got_n = _rows(not_in_join(_ds(left_t), _ds(probe_null), "k", "p"))
+    want_n = duckdb.sql("SELECT k FROM left_t WHERE k NOT IN "
+                        "(SELECT p FROM probe_null)").fetchall()
+    assert got_n == [] and want_n == []
+
+
 def test_filter_above_group_avg_empty():
     t = pa.table({"k": pa.array([], pa.int64()),
                   "v": pa.array([], pa.int64())})
