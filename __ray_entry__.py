@@ -4022,6 +4022,20 @@ def _q_custkeys_not_in_low_orders(sf_dir: str) -> pa.Table:
         .sort_by("c_custkey")
 
 
+def _q_weighted_sample_docs(sf_dir: str) -> pa.Table:
+    """Weighted sampling without replacement (A-Res, rows-only: the
+    SipHash/splitmix scoring hash is not SQL-reproducible; exact
+    distributed-vs-local parity and weight-proportionality are
+    pytest-checked in tests/test_weighted_sample.py): top-50 docs by
+    u^(1/n_chars) score — deterministic under any partitioning."""
+    from pyschema_ray.functions.sample import weighted_sample_keys
+
+    out = weighted_sample_keys(
+        _read(sf_dir, "documents", columns=["doc_id", "n_chars"]),
+        key_col="doc_id", weight_col="n_chars", k=50, seed=7)
+    return out.select(["doc_id", "weight"]).sort_by("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core validation engine (oracle-checked)
@@ -4183,6 +4197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_qty_revenue": _q_brand_qty_revenue,
         "price_mad_by_priority": _q_price_mad_by_priority,
         "custkeys_not_in_low_orders": _q_custkeys_not_in_low_orders,
+        "weighted_sample_docs": _q_weighted_sample_docs,
     }
 
 

@@ -109,7 +109,7 @@ QUERY_SUBSET = [
     "winsorized_price_by_priority", "price_mad", "orders_moving_sum",
     "order_priority_exists_counts", "nation_year_revenue",
     "brand_qty_revenue", "price_mad_by_priority",
-    "custkeys_not_in_low_orders",
+    "custkeys_not_in_low_orders", "weighted_sample_docs",
 ]
 
 

@@ -292,6 +292,66 @@ def temperature_sample(ds, group_col: str = "source",
                                 num_shards)
 
 
+def weighted_sample_keys(ds, key_col: str = "doc_id",
+                         weight_col: str = "n_chars", k: int = 100,
+                         seed: int = 0) -> pa.Table:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-Res): each row draws a deterministic uniform
+    ``u = hash(key, seed) / 2^64`` and scores ``u^(1/w)``; the global
+    top-k scores are the sample, so heavier rows win proportionally
+    more often and the SAME rows are chosen regardless of
+    partitioning, worker count, or execution order (the resumability
+    contract of this module).
+
+    Shape: per-batch top-k partials (one vectorized pass; ties broken
+    by key), driver merges k x batches candidate rows — no shuffle,
+    no state.  Log-domain scoring (``log(u)/w``) avoids underflow for
+    large weights.  Rows with null key, null weight, or weight <= 0
+    are excluded (zero-weight rows can never be sampled).
+
+    Returns pa.table(key_col, weight int64, score float64) of the k
+    winners, score-descending.
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t[key_col]
+        w = pc.cast(t[weight_col], pa.float64())
+        ok = pc.and_(pc.is_valid(keys),
+                     pc.and_(pc.is_valid(w),
+                             pc.greater(pc.fill_null(w, 0.0), 0.0)))
+        t2 = pa.table({"k": keys, "w": w}).filter(ok)
+        kt = t2.schema.field("k").type
+        if t2.num_rows == 0:
+            return pa.table({key_col: pa.array([], kt),
+                             "weight": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        kn = t2["k"].to_numpy(zero_copy_only=False)
+        wn = t2["w"].to_numpy(zero_copy_only=False)
+        h = _key_hash(kn, seed).astype(np.float64)
+        # u in (0,1): offset by 0.5 so u is never exactly 0
+        u = (h + 0.5) / _U64_SPAN
+        score = np.log(u) / wn  # monotone transform of u^(1/w)
+        kk = min(k, len(score))
+        idx = np.argpartition(-score, kk - 1)[:kk]
+        return pa.table({
+            key_col: pa.array(kn[idx], type=kt, from_pandas=True),
+            "weight": pa.array(wn[idx].astype(np.int64), pa.int64()),
+            "score": pa.array(score[idx], pa.float64()),
+        })
+
+    parts = [b for b in ds.map_batches(partial, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=None)
+             if b.num_rows]
+    if not parts:
+        return pa.table({key_col: pa.array([], pa.int64()),
+                         "weight": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    merged = pa.concat_tables(parts)
+    order = pc.sort_indices(
+        merged, sort_keys=[("score", "descending"),
+                           (key_col, "ascending")])
+    return merged.take(order).slice(0, k)
+
+
 def epoch_shuffle_positions(ds, key_col: str = "doc_id",
                             seed: int = 0,
                             num_shards: int | None = None):
