@@ -4036,6 +4036,38 @@ def _q_weighted_sample_docs(sf_dir: str) -> pa.Table:
     return out.select(["doc_id", "weight"]).sort_by("doc_id")
 
 
+def _q_overlapping_session_pairs(sf_dir: str) -> pa.Table:
+    """Interval-overlap SELF-join over derived sessions: pairs of
+    user sessions that intersect in time — sessions replicate to the
+    hour buckets they span, one bucket groupby co-locates candidates,
+    a vectorized n x n mask finds intersections, and each pair is
+    emitted only in its overlap-start bucket (duplicate-free without a
+    distinct pass)."""
+    from pyschema_ray.functions.joins import (interval_overlap_pairs,
+                                              sessionize)
+
+    sessions = sessionize(_read(sf_dir, "events"), "user_id", "ts",
+                          gap_seconds=1800.0)
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "session_id": pc.cast(t["session_id"], pa.int64()),
+            "start": pc.cast(t["start"], pa.timestamp("us")),
+            "end": pc.cast(t["end"], pa.timestamp("us"))})
+
+    out = interval_overlap_pairs(
+        sessions.map_batches(norm, batch_format="pyarrow"),
+        ["user_id", "session_id"], "start", "end", bucket_s=3600.0)
+    schema = pa.schema([("user_id_a", pa.int64()),
+                        ("session_id_a", pa.int64()),
+                        ("user_id_b", pa.int64()),
+                        ("session_id_b", pa.int64())])
+    return _collect(out, schema).sort_by(
+        [("user_id_a", "ascending"), ("session_id_a", "ascending"),
+         ("user_id_b", "ascending"), ("session_id_b", "ascending")])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core validation engine (oracle-checked)
@@ -4198,6 +4230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_mad_by_priority": _q_price_mad_by_priority,
         "custkeys_not_in_low_orders": _q_custkeys_not_in_low_orders,
         "weighted_sample_docs": _q_weighted_sample_docs,
+        "overlapping_session_pairs": _q_overlapping_session_pairs,
     }
 
 
@@ -6111,5 +6144,36 @@ def oracle_sql() -> dict[str, str]:
              WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
                                       WHERE o_orderpriority = '5-LOW')
              ORDER BY c_custkey
+        """,
+        "overlapping_session_pairs": """
+            WITH g AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR epoch(ts) - epoch(lag(ts) OVER w)
+                                 > 1800
+                            THEN 1 ELSE 0 END AS new_s
+                  FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (
+                SELECT user_id, ts,
+                       SUM(new_s) OVER (PARTITION BY user_id
+                           ORDER BY ts ROWS UNBOUNDED PRECEDING) - 1
+                           AS session_id
+                  FROM g),
+            sess AS (
+                SELECT user_id,
+                       CAST(session_id AS BIGINT) AS session_id,
+                       min(ts) AS st, max(ts) AS en
+                  FROM s GROUP BY user_id, session_id)
+            SELECT a.user_id AS user_id_a,
+                   a.session_id AS session_id_a,
+                   b.user_id AS user_id_b,
+                   b.session_id AS session_id_b
+              FROM sess a JOIN sess b
+                ON a.st <= b.en AND b.st <= a.en
+               AND (a.user_id < b.user_id
+                    OR (a.user_id = b.user_id
+                        AND a.session_id < b.session_id))
+             ORDER BY 1, 2, 3, 4
         """,
     }

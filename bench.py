@@ -110,6 +110,7 @@ QUERY_SUBSET = [
     "order_priority_exists_counts", "nation_year_revenue",
     "brand_qty_revenue", "price_mad_by_priority",
     "custkeys_not_in_low_orders", "weighted_sample_docs",
+    "overlapping_session_pairs",
 ]
 
 

@@ -364,6 +364,88 @@ def broadcast_range_join_count(ds, intervals: pa.Table, ts_col: str = "ts",
                      "n_events": pa.array(totals, pa.int64())})
 
 
+def interval_overlap_pairs(ds, key_cols: list[str],
+                           start_col: str = "start",
+                           end_col: str = "end",
+                           bucket_s: float = 3600.0):
+    """Interval-overlap SELF-join: pairs of rows whose [start, end]
+    intervals intersect (``a.start <= b.end AND b.start <= a.end``),
+    each pair once with (key_cols of a) < (key_cols of b)
+    lexicographically.
+
+    Shape: each interval is replicated to the time BUCKETS it spans
+    (``bucket_s`` wide — replication factor 1 + duration/bucket_s, so
+    pick a width ≳ the typical interval); ONE bucket groupby
+    co-locates everything that could overlap; per bucket a vectorized
+    n×n mask finds intersecting pairs, and a pair is EMITTED ONLY in
+    the bucket containing ``max(start_a, start_b)`` (the overlap
+    start), so cross-bucket duplicates are impossible without a
+    distinct pass.  Per-bucket cost is O(n_b^2) — the classic overlap
+    join bargain; n_b is bounded by interval density × bucket width.
+
+    Returns Dataset(<key>_a ..., <key>_b ...) pinned to the input key
+    types.  Null start/end rows are dropped.
+    """
+    us = np.int64(int(bucket_s * 1e6))
+    out_fields = []
+    in_schema = pa.schema(ds.schema().base_schema)
+    for side in ("a", "b"):
+        for kc in key_cols:
+            out_fields.append(pa.field(f"{kc}_{side}",
+                                       in_schema.field(kc).type))
+    out_schema = pa.schema(out_fields)
+
+    def explode(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[start_col]),
+                             pc.is_valid(t[end_col])))
+        st = pc.cast(pc.cast(t[start_col], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        en = pc.cast(pc.cast(t[end_col], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        b0, b1 = st // us, en // us
+        reps = (b1 - b0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(st)), reps)
+        # bucket id per replicated row: b0[i] + offset within run
+        off = np.arange(len(idx)) - np.repeat(
+            np.cumsum(reps) - reps, reps)
+        out = t.take(pa.array(idx))
+        return out.append_column(
+            "bucket", pa.array(b0[idx] + off, pa.int64()))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n < 2:
+            return out_schema.empty_table()
+        bucket = t["bucket"][0].as_py()
+        st = pc.cast(pc.cast(t[start_col], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        en = pc.cast(pc.cast(t[end_col], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        # lexicographic key order -> pairs (i < j) are ordered pairs
+        order = pc.sort_indices(
+            t, sort_keys=[(c, "ascending") for c in key_cols])
+        t = t.take(order)
+        onp = order.to_numpy(zero_copy_only=False)
+        st, en = st[onp], en[onp]
+        overlap = (st[:, None] <= en[None, :]) \
+            & (st[None, :] <= en[:, None])
+        # emit only in the bucket of the overlap start
+        ostart = np.maximum(st[:, None], st[None, :])
+        mine = (ostart // us) == bucket
+        ai, bi = np.nonzero(np.triu(overlap & mine, k=1))
+        cols = {}
+        for kc in key_cols:
+            col = t[kc]
+            cols[f"{kc}_a"] = col.take(pa.array(ai))
+        for kc in key_cols:
+            col = t[kc]
+            cols[f"{kc}_b"] = col.take(pa.array(bi))
+        return pa.table(cols).cast(out_schema)
+
+    return ds.map_batches(explode, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(pairs, batch_format="pyarrow")
+
+
 def copartition_range_join_count(events, intervals, ts_col: str = "ts",
                                  id_col: str = "interval_id",
                                  start_col: str = "start",

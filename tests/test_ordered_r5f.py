@@ -129,6 +129,40 @@ def test_grouped_moving_sum_matches_duckdb():
     assert rows[2] == (40, 2)    # 10 + NULL + 30
 
 
+def test_interval_overlap_pairs_cross_bucket_dedup():
+    """Intervals spanning several buckets: each overlapping pair is
+    emitted exactly once (overlap-start-bucket rule), long+short and
+    disjoint cases — against a brute-force reference."""
+    from pyschema_ray.functions.joins import interval_overlap_pairs
+
+    def mk(iv):
+        st = pa.array(np.array([s for s, _ in iv],
+                               dtype="datetime64[s]").astype(
+                               "datetime64[us]"), pa.timestamp("us"))
+        en = pa.array(np.array([e for _, e in iv],
+                               dtype="datetime64[s]").astype(
+                               "datetime64[us]"), pa.timestamp("us"))
+        return pa.table({"k": pa.array(range(len(iv)), pa.int64()),
+                         "start": st, "end": en})
+
+    # interval 0 spans 5 buckets; 1-3 are short ones inside it;
+    # 4 is disjoint
+    iv = [("2024-01-01T00:30:00", "2024-01-01T05:30:00"),
+          ("2024-01-01T01:10:00", "2024-01-01T01:20:00"),
+          ("2024-01-01T03:10:00", "2024-01-01T03:20:00"),
+          ("2024-01-01T05:00:00", "2024-01-01T06:10:00"),
+          ("2024-01-02T00:00:00", "2024-01-02T00:30:00")]
+    out = _tab(interval_overlap_pairs(_ds(mk(iv), 2), ["k"],
+                                      bucket_s=3600.0))
+    got = sorted((r["k_a"], r["k_b"]) for r in out.to_pylist())
+    want = sorted(
+        (i, j) for i in range(len(iv)) for j in range(i + 1, len(iv))
+        if iv[i][0] <= iv[j][1] and iv[j][0] <= iv[i][1])
+    assert got == want
+    assert (0, 4) not in got  # disjoint stays out
+    assert len(got) == len(set(got))  # exactly-once across buckets
+
+
 def test_unpivot_roundtrip_and_types():
     t = pa.table({
         "k": pa.array([1, 2], pa.int64()),
