@@ -3944,6 +3944,428 @@ def _q_brand_qty_revenue(sf_dir: str) -> pa.Table:
                             pa.int64())})
 
 
+def _li_cents(t: pa.Table) -> np.ndarray:
+    """Exact revenue cents per lineitem row:
+    round(extendedprice * (1 - discount) * 100), half away from zero
+    — bit-identical to DuckDB's ``round(x)`` so every downstream sum
+    is integer math with no float drift."""
+    return pc.cast(pc.round(pc.multiply(
+        pc.multiply(t["l_extendedprice"],
+                    pc.subtract(pa.scalar(1.0), t["l_discount"])),
+        100.0), round_mode="half_towards_infinity"), pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+
+
+def _sorted_lookup(keys_sorted: np.ndarray, probe: np.ndarray):
+    """searchsorted membership probe: (index-into-sorted, found-mask).
+    The broadcast-dim idiom shared by the TPC-H query shapes."""
+    if len(keys_sorted) == 0:
+        return (np.zeros(len(probe), np.int64),
+                np.zeros(len(probe), bool))
+    idx = np.minimum(np.searchsorted(keys_sorted, probe),
+                     len(keys_sorted) - 1)
+    return idx, keys_sorted[idx] == probe
+
+
+def _q_shipping_priority(sf_dir: str) -> pa.Table:
+    """TPC-H Q3 shape: top-10 unshipped orders by revenue for one
+    market segment.  BUILDING custkeys ride a broadcast sorted array
+    (segment filter = ~1/5 of a dim table); orders and lineitem are
+    date-pruned AT THE SCAN (row groups outside the predicate never
+    leave storage); lineitem pre-aggregates orderkey->cents per batch;
+    ONE shuffle join on the orderkey; the top-10 is exact via
+    per-orderkey-shard totals + per-shard top-10 candidates, so the
+    driver only ever sees O(shards * 10) rows."""
+    import pyarrow.dataset as _pads
+    import ray
+
+    from pyschema_ray.functions.joins import shuffle_join
+
+    cutoff = np.datetime64("1998-07-01", "us")
+    cust = _collect(_read(sf_dir, "customer",
+                          columns=["c_custkey", "c_mktsegment"]))
+    ck = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING")) \
+        ["c_custkey"].to_numpy(zero_copy_only=False)
+    ck_ref = ray.put(np.sort(ck))
+
+    def o_filter(t: pa.Table) -> pa.Table:
+        keys = ray.get(ck_ref)
+        k = t["o_custkey"].to_numpy(zero_copy_only=False)
+        _, ok = _sorted_lookup(keys, k)
+        return pa.table({
+            "o_orderkey": t["o_orderkey"].filter(pa.array(ok)),
+            "o_orderdate": t["o_orderdate"].filter(pa.array(ok))})
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        cents = _li_cents(t)
+        g = pa.table({"l_orderkey": t["l_orderkey"],
+                      "cents": pa.array(cents, pa.int64())}) \
+            .group_by("l_orderkey", use_threads=False) \
+            .aggregate([("cents", "sum")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "cents": pc.cast(g["cents_sum"], pa.int64())})
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"],
+                   pred=_pads.field("o_orderdate") < cutoff) \
+        .map_batches(o_filter, batch_format="pyarrow")
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"],
+               pred=_pads.field("l_shipdate") > cutoff) \
+        .map_batches(li_partial, batch_format="pyarrow")
+    joined = shuffle_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        size_hint_bytes=_tables_bytes(sf_dir, "lineitem", "orders"))
+
+    nb = 16
+
+    def shard(t: pa.Table) -> pa.Table:
+        k = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "kshard", pa.array((k % nb).astype(np.int64), pa.int64()))
+
+    out_schema = pa.schema([("l_orderkey", pa.int64()),
+                            ("revenue_cents", pa.int64()),
+                            ("o_orderdate", pa.timestamp("us"))])
+
+    def shard_top(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        g = t.group_by(["l_orderkey", "o_orderdate"],
+                       use_threads=False).aggregate([("cents", "sum")])
+        g = pa.table({"l_orderkey": g["l_orderkey"],
+                      "revenue_cents": pc.cast(g["cents_sum"],
+                                               pa.int64()),
+                      "o_orderdate": pc.cast(g["o_orderdate"],
+                                             pa.timestamp("us"))})
+        g = g.sort_by([("revenue_cents", "descending"),
+                       ("o_orderdate", "ascending"),
+                       ("l_orderkey", "ascending")])
+        return g.select(out_schema.names).slice(0, 10)
+
+    cand = _collect(
+        joined.map_batches(shard, batch_format="pyarrow")
+        .groupby("kshard")
+        .map_groups(lambda t: shard_top(t.drop_columns(["kshard"])),
+                    batch_format="pyarrow"),
+        out_schema)
+    return cand.sort_by([("revenue_cents", "descending"),
+                         ("o_orderdate", "ascending"),
+                         ("l_orderkey", "ascending")]).slice(0, 10)
+
+
+def _q_nation_volume_shipping(sf_dir: str) -> pa.Table:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year.  Both dim sides are nation-FILTERED before broadcast
+    (2/25 of suppliers and customers — the filtered-dim broadcast
+    contract; an unfiltered 100 TB customer side would take the
+    shuffle_join path instead).  Lineitem combines per batch on
+    (orderkey, supp_nation, year); one shuffle join on the orderkey
+    attaches the customer nation; the (2 x 2 x years) final grid is
+    driver-side."""
+    import pyarrow.dataset as _pads
+    import ray
+
+    from pyschema_ray.functions.joins import shuffle_join
+
+    n_a, n_b = "NATION_3", "NATION_8"
+    lo = np.datetime64("1997-01-01", "us")
+    hi = np.datetime64("1999-01-01", "us")
+
+    nat = _collect(_read(sf_dir, "nation",
+                         columns=["n_nationkey", "n_name"]))
+    nk = dict(zip(nat["n_nationkey"].to_pylist(),
+                  nat["n_name"].to_pylist()))
+    pair_keys = {k for k, v in nk.items() if v in (n_a, n_b)}
+
+    def _dim_ref(table: str, key: str, natkey: str):
+        d = _collect(_read(sf_dir, table, columns=[key, natkey]))
+        mask = pa.array([x in pair_keys
+                         for x in d[natkey].to_pylist()])
+        d = d.filter(mask)
+        k = d[key].to_numpy(zero_copy_only=False)
+        order = np.argsort(k)
+        names = np.array([nk[x] for x in d[natkey].to_pylist()],
+                         dtype=object)[order]
+        return ray.put((k[order], names))
+
+    sup_ref = _dim_ref("supplier", "s_suppkey", "s_nationkey")
+    cust_ref = _dim_ref("customer", "c_custkey", "c_nationkey")
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        keys, names = ray.get(sup_ref)
+        k = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        idx, ok = _sorted_lookup(keys, k)
+        cents = _li_cents(t)
+        yr = pc.year(pc.cast(t["l_shipdate"], pa.timestamp("us"))) \
+            .to_numpy(zero_copy_only=False)
+        g = pa.table({
+            "l_orderkey": t["l_orderkey"].filter(pa.array(ok)),
+            "supp_nation": pa.array(names[idx][ok], pa.string(),
+                                    from_pandas=True),
+            "l_year": pa.array(yr[ok].astype(np.int64), pa.int64()),
+            "cents": pa.array(cents[ok], pa.int64()),
+        }).group_by(["l_orderkey", "supp_nation", "l_year"],
+                    use_threads=False).aggregate([("cents", "sum")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "supp_nation": g["supp_nation"],
+                         "l_year": g["l_year"],
+                         "cents": pc.cast(g["cents_sum"], pa.int64())})
+
+    def o_nation(t: pa.Table) -> pa.Table:
+        keys, names = ray.get(cust_ref)
+        k = t["o_custkey"].to_numpy(zero_copy_only=False)
+        idx, ok = _sorted_lookup(keys, k)
+        return pa.table({
+            "o_orderkey": t["o_orderkey"].filter(pa.array(ok)),
+            "cust_nation": pa.array(names[idx][ok], pa.string(),
+                                    from_pandas=True)})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount", "l_shipdate"],
+               pred=(_pads.field("l_shipdate") >= lo)
+               & (_pads.field("l_shipdate") < hi)) \
+        .map_batches(li_partial, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey"]) \
+        .map_batches(o_nation, batch_format="pyarrow")
+    joined = shuffle_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        size_hint_bytes=_tables_bytes(sf_dir, "lineitem", "orders"))
+
+    out_schema = pa.schema([("supp_nation", pa.string()),
+                            ("cust_nation", pa.string()),
+                            ("l_year", pa.int64()),
+                            ("revenue_cents", pa.int64())])
+
+    def final_partial(t: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(t["supp_nation"], t["cust_nation"]))
+        t = t.filter(keep)
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        g = t.group_by(["supp_nation", "cust_nation", "l_year"],
+                       use_threads=False).aggregate([("cents", "sum")])
+        return pa.table({"supp_nation": g["supp_nation"],
+                         "cust_nation": g["cust_nation"],
+                         "l_year": g["l_year"],
+                         "revenue_cents": pc.cast(g["cents_sum"],
+                                                  pa.int64())})
+
+    parts = _collect(joined.map_batches(final_partial,
+                                        batch_format="pyarrow"),
+                     out_schema)
+    if parts.num_rows == 0:
+        return out_schema.empty_table()
+    g = parts.group_by(["supp_nation", "cust_nation", "l_year"],
+                       use_threads=False) \
+        .aggregate([("revenue_cents", "sum")])
+    return pa.table({
+        "supp_nation": g["supp_nation"],
+        "cust_nation": g["cust_nation"],
+        "l_year": g["l_year"],
+        "revenue_cents": pc.cast(g["revenue_cents_sum"], pa.int64())}) \
+        .sort_by([("supp_nation", "ascending"),
+                  ("cust_nation", "ascending"),
+                  ("l_year", "ascending")])
+
+
+def _q_market_share_by_year(sf_dir: str) -> pa.Table:
+    """TPC-H Q8 shape: one nation's share of PROMO-part revenue inside
+    one region's market, per order year.  Three broadcast dims (PROMO
+    partkeys, supplier->nation, region-filtered custkeys); lineitem
+    folds per batch into (orderkey, nation_cents, total_cents); one
+    shuffle join on the orderkey picks up the order year.  The share
+    is returned as the EXACT integer numerator/denominator pair —
+    float division happens in no engine, so the hash gate stays
+    bit-stable."""
+    import pyarrow.dataset as _pads
+    import ray
+
+    from pyschema_ray.functions.joins import shuffle_join
+
+    region, ptype, tgt_nation = "AMERICA", "PROMO", "NATION_1"
+
+    part = _collect(_read(sf_dir, "part",
+                          columns=["p_partkey", "p_type"]))
+    pk = np.sort(part.filter(pc.equal(part["p_type"], ptype))
+                 ["p_partkey"].to_numpy(zero_copy_only=False))
+
+    nat = _collect(_read(sf_dir, "nation",
+                         columns=["n_nationkey", "n_name",
+                                  "n_regionkey"]))
+    reg = _collect(_read(sf_dir, "region",
+                         columns=["r_regionkey", "r_name"]))
+    region_keys = {k for k, r in zip(reg["r_regionkey"].to_pylist(),
+                                     reg["r_name"].to_pylist())
+                   if r == region}
+    nk = dict(zip(nat["n_nationkey"].to_pylist(),
+                  nat["n_name"].to_pylist()))
+    region_nations = {k for k, r in
+                      zip(nat["n_nationkey"].to_pylist(),
+                          nat["n_regionkey"].to_pylist())
+                      if r in region_keys}
+
+    sup = _collect(_read(sf_dir, "supplier",
+                         columns=["s_suppkey", "s_nationkey"]))
+    sk = sup["s_suppkey"].to_numpy(zero_copy_only=False)
+    order = np.argsort(sk)
+    s_tgt = np.array([nk.get(x) == tgt_nation
+                      for x in sup["s_nationkey"].to_pylist()],
+                     dtype=bool)[order]
+
+    cust = _collect(_read(sf_dir, "customer",
+                          columns=["c_custkey", "c_nationkey"]))
+    ck = np.sort(cust.filter(pa.array(
+        [x in region_nations
+         for x in cust["c_nationkey"].to_pylist()]))
+        ["c_custkey"].to_numpy(zero_copy_only=False))
+
+    dims_ref = ray.put((pk, sk[order], s_tgt, ck))
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        parts_sorted, skeys, stgt, _ = ray.get(dims_ref)
+        k = t["l_partkey"].to_numpy(zero_copy_only=False)
+        _, in_promo = _sorted_lookup(parts_sorted, k)
+        sidx, sok = _sorted_lookup(
+            skeys, t["l_suppkey"].to_numpy(zero_copy_only=False))
+        keep = in_promo & sok
+        cents = _li_cents(t)
+        tgt = stgt[sidx] & keep
+        g = pa.table({
+            "l_orderkey": t["l_orderkey"].filter(pa.array(keep)),
+            "nation_cents": pa.array(
+                np.where(tgt, cents, 0)[keep], pa.int64()),
+            "total_cents": pa.array(cents[keep], pa.int64()),
+        }).group_by("l_orderkey", use_threads=False) \
+            .aggregate([("nation_cents", "sum"),
+                        ("total_cents", "sum")])
+        return pa.table({
+            "l_orderkey": g["l_orderkey"],
+            "nation_cents": pc.cast(g["nation_cents_sum"], pa.int64()),
+            "total_cents": pc.cast(g["total_cents_sum"], pa.int64())})
+
+    def o_year(t: pa.Table) -> pa.Table:
+        _, _, _, ckeys = ray.get(dims_ref)
+        k = t["o_custkey"].to_numpy(zero_copy_only=False)
+        _, ok = _sorted_lookup(ckeys, k)
+        y = pc.year(pc.cast(t["o_orderdate"], pa.timestamp("us"))) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": t["o_orderkey"].filter(pa.array(ok)),
+            "o_year": pa.array(y[ok].astype(np.int64), pa.int64())})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey", "l_suppkey",
+                        "l_extendedprice", "l_discount"]) \
+        .map_batches(li_partial, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(o_year, batch_format="pyarrow")
+    joined = shuffle_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        size_hint_bytes=_tables_bytes(sf_dir, "lineitem", "orders"))
+
+    out_schema = pa.schema([("o_year", pa.int64()),
+                            ("nation_cents", pa.int64()),
+                            ("total_cents", pa.int64())])
+
+    def final_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        g = t.group_by("o_year", use_threads=False) \
+            .aggregate([("nation_cents", "sum"),
+                        ("total_cents", "sum")])
+        return pa.table({
+            "o_year": g["o_year"],
+            "nation_cents": pc.cast(g["nation_cents_sum"], pa.int64()),
+            "total_cents": pc.cast(g["total_cents_sum"], pa.int64())})
+
+    parts = _collect(joined.map_batches(final_partial,
+                                        batch_format="pyarrow"),
+                     out_schema)
+    if parts.num_rows == 0:
+        return out_schema.empty_table()
+    g = parts.group_by("o_year", use_threads=False) \
+        .aggregate([("nation_cents", "sum"), ("total_cents", "sum")])
+    return pa.table({
+        "o_year": g["o_year"],
+        "nation_cents": pc.cast(g["nation_cents_sum"], pa.int64()),
+        "total_cents": pc.cast(g["total_cents_sum"], pa.int64())}) \
+        .sort_by([("o_year", "ascending")])
+
+
+def _q_top_supplier_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q15 shape: the supplier(s) with MAX revenue over one ship
+    quarter, ties kept.  Lineitem (scan-pruned to the quarter) folds
+    suppkey->cents per batch; per-suppkey-shard groupby produces exact
+    per-supplier totals and each shard forwards only its max rows, so
+    the driver adjudicates the global max over O(shards) candidates —
+    never the full supplier ledger.  Names attach from the broadcast
+    supplier dim at the end (candidate rows only)."""
+    import pyarrow.dataset as _pads
+
+    lo = np.datetime64("1998-01-01", "us")
+    hi = np.datetime64("1998-04-01", "us")
+    nb = 16
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        cents = _li_cents(t)
+        g = pa.table({"l_suppkey": t["l_suppkey"],
+                      "cents": pa.array(cents, pa.int64())}) \
+            .group_by("l_suppkey", use_threads=False) \
+            .aggregate([("cents", "sum")])
+        k = g["l_suppkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_suppkey": g["l_suppkey"],
+            "cents": pc.cast(g["cents_sum"], pa.int64()),
+            "kshard": pa.array((k % nb).astype(np.int64), pa.int64())})
+
+    cand_schema = pa.schema([("l_suppkey", pa.int64()),
+                             ("total_cents", pa.int64())])
+
+    def shard_max(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return cand_schema.empty_table()
+        g = t.group_by("l_suppkey", use_threads=False) \
+            .aggregate([("cents", "sum")])
+        tot = pc.cast(g["cents_sum"], pa.int64())
+        mx = pc.max(tot)
+        keep = pc.equal(tot, mx)
+        return pa.table({"l_suppkey": g["l_suppkey"].filter(keep),
+                         "total_cents": tot.filter(keep)})
+
+    cand = _collect(
+        _read(sf_dir, "lineitem",
+              columns=["l_suppkey", "l_extendedprice", "l_discount",
+                       "l_shipdate"],
+              pred=(_pads.field("l_shipdate") >= lo)
+              & (_pads.field("l_shipdate") < hi))
+        .map_batches(li_partial, batch_format="pyarrow")
+        .groupby("kshard")
+        .map_groups(lambda t: shard_max(t.drop_columns(["kshard"])),
+                    batch_format="pyarrow"),
+        cand_schema)
+    out_schema = pa.schema([("s_suppkey", pa.int64()),
+                            ("s_name", pa.string()),
+                            ("total_cents", pa.int64())])
+    if cand.num_rows == 0:
+        return out_schema.empty_table()
+    gmax = pc.max(cand["total_cents"])
+    cand = cand.filter(pc.equal(cand["total_cents"], gmax))
+    sup = _collect(_read(sf_dir, "supplier",
+                         columns=["s_suppkey", "s_name"]))
+    names = dict(zip(sup["s_suppkey"].to_pylist(),
+                     sup["s_name"].to_pylist()))
+    keys = cand["l_suppkey"].to_pylist()
+    return pa.table({
+        "s_suppkey": pa.array(keys, pa.int64()),
+        "s_name": pa.array([names.get(k) for k in keys], pa.string()),
+        "total_cents": cand["total_cents"],
+    }).sort_by([("s_suppkey", "ascending")])
+
+
 def _q_price_mad_by_priority(sf_dir: str) -> pa.Table:
     """Per-group median absolute deviation, EXACT: per-group medians
     from the grouped 3-scan selection, broadcast as a (sorted group ->
@@ -4231,6 +4653,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "custkeys_not_in_low_orders": _q_custkeys_not_in_low_orders,
         "weighted_sample_docs": _q_weighted_sample_docs,
         "overlapping_session_pairs": _q_overlapping_session_pairs,
+        "shipping_priority": _q_shipping_priority,
+        "nation_volume_shipping": _q_nation_volume_shipping,
+        "market_share_by_year": _q_market_share_by_year,
+        "top_supplier_revenue": _q_top_supplier_revenue,
     }
 
 
@@ -6104,6 +6530,87 @@ def oracle_sql() -> dict[str, str]:
               JOIN orders o   ON o.o_orderkey = l.l_orderkey
              GROUP BY n.n_name, year(o.o_orderdate)
              ORDER BY nation, o_year
+        """,
+        "shipping_priority": """
+            SELECT l.l_orderkey,
+                   CAST(sum(CAST(round(l.l_extendedprice
+                                       * (1 - l.l_discount) * 100)
+                                 AS BIGINT)) AS BIGINT)
+                       AS revenue_cents,
+                   o.o_orderdate
+              FROM customer c
+              JOIN orders o   ON o.o_custkey = c.c_custkey
+              JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+             WHERE c.c_mktsegment = 'BUILDING'
+               AND o.o_orderdate < TIMESTAMP '1998-07-01'
+               AND l.l_shipdate  > TIMESTAMP '1998-07-01'
+             GROUP BY l.l_orderkey, o.o_orderdate
+             ORDER BY revenue_cents DESC, o.o_orderdate, l.l_orderkey
+             LIMIT 10
+        """,
+        "nation_volume_shipping": """
+            SELECT ns.n_name AS supp_nation,
+                   nc.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                   CAST(sum(CAST(round(l.l_extendedprice
+                                       * (1 - l.l_discount) * 100)
+                                 AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+              FROM lineitem l
+              JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+              JOIN nation ns   ON ns.n_nationkey = s.s_nationkey
+              JOIN orders o    ON o.o_orderkey = l.l_orderkey
+              JOIN customer c  ON c.c_custkey = o.o_custkey
+              JOIN nation nc   ON nc.n_nationkey = c.c_nationkey
+             WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+               AND l.l_shipdate <  TIMESTAMP '1999-01-01'
+               AND ((ns.n_name = 'NATION_3'
+                     AND nc.n_name = 'NATION_8')
+                 OR (ns.n_name = 'NATION_8'
+                     AND nc.n_name = 'NATION_3'))
+             GROUP BY ns.n_name, nc.n_name, year(l.l_shipdate)
+             ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "market_share_by_year": """
+            SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(sum(CASE WHEN ns.n_name = 'NATION_1'
+                            THEN CAST(round(l.l_extendedprice
+                                      * (1 - l.l_discount) * 100)
+                                 AS BIGINT) ELSE 0 END) AS BIGINT)
+                       AS nation_cents,
+                   CAST(sum(CAST(round(l.l_extendedprice
+                                       * (1 - l.l_discount) * 100)
+                                 AS BIGINT)) AS BIGINT)
+                       AS total_cents
+              FROM lineitem l
+              JOIN part p      ON p.p_partkey = l.l_partkey
+              JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+              JOIN nation ns   ON ns.n_nationkey = s.s_nationkey
+              JOIN orders o    ON o.o_orderkey = l.l_orderkey
+              JOIN customer c  ON c.c_custkey = o.o_custkey
+              JOIN nation nc   ON nc.n_nationkey = c.c_nationkey
+              JOIN region r    ON r.r_regionkey = nc.n_regionkey
+             WHERE p.p_type = 'PROMO' AND r.r_name = 'AMERICA'
+             GROUP BY year(o.o_orderdate)
+             ORDER BY o_year
+        """,
+        "top_supplier_revenue": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       CAST(sum(CAST(round(l_extendedprice
+                                           * (1 - l_discount) * 100)
+                                     AS BIGINT)) AS BIGINT)
+                           AS total_cents
+                  FROM lineitem
+                 WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+                   AND l_shipdate <  TIMESTAMP '1998-04-01'
+                 GROUP BY l_suppkey)
+            SELECT s.s_suppkey, s.s_name, rev.total_cents
+              FROM rev
+              JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+             WHERE rev.total_cents = (SELECT max(total_cents)
+                                        FROM rev)
+             ORDER BY s.s_suppkey
         """,
         "brand_qty_revenue": """
             SELECT CAST(coalesce(sum(CAST(round(l.l_extendedprice

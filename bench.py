@@ -111,6 +111,9 @@ QUERY_SUBSET = [
     "brand_qty_revenue", "price_mad_by_priority",
     "custkeys_not_in_low_orders", "weighted_sample_docs",
     "overlapping_session_pairs",
+    # round-5g additions: remaining feasible TPC-H shapes
+    "shipping_priority", "nation_volume_shipping",
+    "market_share_by_year", "top_supplier_revenue",
 ]
 
 
