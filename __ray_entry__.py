@@ -2297,6 +2297,33 @@ def _q_qty_price_linreg(sf_dir: str) -> pa.Table:
         "l_returnflag", "l_quantity", "l_extendedprice")
 
 
+def _q_qty_skew_kurt_by_flag(sf_dir: str) -> pa.Table:
+    """EXACT per-group skewness / excess kurtosis by integer POWER
+    sums (the 3rd/4th-moment extension of the corr/stddev family):
+    central-moment numerators are arbitrary-precision integers in
+    both engines and the n powers cancel into pure integer ratios —
+    bit-equal to the HUGEINT SQL expression."""
+    from pyschema_ray.functions.analytics import grouped_skew_kurt
+
+    return grouped_skew_kurt(
+        _read(sf_dir, "lineitem",
+              columns=["l_returnflag", "l_quantity"]),
+        "l_returnflag", "l_quantity")
+
+
+def _q_qty_discount_spearman(sf_dir: str) -> pa.Table:
+    """EXACT global Spearman rank correlation (rank transform +
+    Pearson over doubled average ranks) via a joint-histogram
+    combiner — bounded-cardinality columns, so the exchange is the
+    550-cell histogram, never rows."""
+    from pyschema_ray.functions.analytics import spearman_corr
+
+    return spearman_corr(
+        _read(sf_dir, "lineitem",
+              columns=["l_quantity", "l_discount"]),
+        "l_quantity", "l_discount")
+
+
 def _q_lang_entropy_per_source(sf_dir: str) -> pa.Table:
     """Shannon entropy of each source's language mix (corpus-diversity
     audit) in exact integer micro-nats: per-term quantization of the
@@ -4657,6 +4684,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_volume_shipping": _q_nation_volume_shipping,
         "market_share_by_year": _q_market_share_by_year,
         "top_supplier_revenue": _q_top_supplier_revenue,
+        "qty_skew_kurt_by_flag": _q_qty_skew_kurt_by_flag,
+        "qty_discount_spearman": _q_qty_discount_spearman,
     }
 
 
@@ -6530,6 +6559,66 @@ def oracle_sql() -> dict[str, str]:
               JOIN orders o   ON o.o_orderkey = l.l_orderkey
              GROUP BY n.n_name, year(o.o_orderdate)
              ORDER BY nation, o_year
+        """,
+        "qty_skew_kurt_by_flag": """
+            WITH v AS (
+                SELECT l_returnflag AS flag,
+                       CAST(round(l_quantity) AS HUGEINT) AS x
+                  FROM lineitem
+                 WHERE l_returnflag IS NOT NULL
+                   AND l_quantity IS NOT NULL),
+            m AS (
+                SELECT flag, CAST(count(*) AS HUGEINT) AS n,
+                       sum(x) AS s1, sum(x*x) AS s2,
+                       sum(x*x*x) AS s3, sum(x*x*x*x) AS s4
+                  FROM v GROUP BY flag),
+            a AS (
+                SELECT flag,
+                       n*s2 - s1*s1 AS a2,
+                       n*n*s3 - 3*n*s1*s2 + 2*s1*s1*s1 AS a3,
+                       n*n*n*s4 - 4*n*n*s1*s3 + 6*n*s1*s1*s2
+                           - 3*s1*s1*s1*s1 AS a4
+                  FROM m)
+            SELECT flag AS l_returnflag,
+                   CASE WHEN a2 <= 0 THEN NULL
+                        ELSE CAST(a3 AS DOUBLE)
+                             / (CAST(a2 AS DOUBLE)
+                                * sqrt(CAST(a2 AS DOUBLE)))
+                   END AS skewness,
+                   CASE WHEN a2 <= 0 THEN NULL
+                        ELSE CAST(a4 AS DOUBLE)
+                             / (CAST(a2 AS DOUBLE)
+                                * CAST(a2 AS DOUBLE)) - 3.0
+                   END AS kurtosis_excess
+              FROM a ORDER BY l_returnflag
+        """,
+        "qty_discount_spearman": """
+            WITH v AS (
+                SELECT l_quantity AS x, l_discount AS y
+                  FROM lineitem
+                 WHERE l_quantity IS NOT NULL
+                   AND l_discount IS NOT NULL),
+            r AS (
+                SELECT CAST(2*rank() OVER (ORDER BY x)
+                            + count(*) OVER (PARTITION BY x) - 1
+                            AS HUGEINT) AS rx,
+                       CAST(2*rank() OVER (ORDER BY y)
+                            + count(*) OVER (PARTITION BY y) - 1
+                            AS HUGEINT) AS ry
+                  FROM v),
+            m AS (
+                SELECT CAST(count(*) AS HUGEINT) AS n,
+                       sum(rx) AS sx, sum(ry) AS sy,
+                       sum(rx*rx) AS sxx, sum(ry*ry) AS syy,
+                       sum(rx*ry) AS sxy
+                  FROM r)
+            SELECT CASE WHEN n IS NULL OR n*sxx - sx*sx <= 0
+                          OR n*syy - sy*sy <= 0 THEN NULL
+                        ELSE CAST(n*sxy - sx*sy AS DOUBLE)
+                             / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                                * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+                   END AS spearman
+              FROM m
         """,
         "shipping_priority": """
             SELECT l.l_orderkey,

@@ -114,6 +114,7 @@ QUERY_SUBSET = [
     # round-5g additions: remaining feasible TPC-H shapes
     "shipping_priority", "nation_volume_shipping",
     "market_share_by_year", "top_supplier_revenue",
+    "qty_skew_kurt_by_flag", "qty_discount_spearman",
 ]
 
 

@@ -1049,6 +1049,168 @@ def grouped_stddev(ds, group_col: str, x_col: str,
                      "stddev_pop": pa.array(pop, pa.float64())})
 
 
+def grouped_skew_kurt(ds, group_col: str, x_col: str,
+                      x_scale: float = 1.0):
+    """EXACT per-group skewness and excess kurtosis from integer
+    POWER sums (n, S1..S4): the central-moment numerators
+
+        A2 = n*S2 - S1^2
+        A3 = n^2*S3 - 3*n*S1*S2 + 2*S1^3
+        A4 = n^3*S4 - 4*n^2*S1*S3 + 6*n*S1^2*S2 - 3*S1^4
+
+    are exact arbitrary-precision integers (python-int merge, HUGEINT
+    in the oracle), and the population statistics reduce to pure
+    integer ratios — ``g1 = A3 / A2^1.5`` and ``g2 = A4 / A2^2 - 3``
+    (the n powers cancel) — so both engines evaluate the identical
+    float64 expression from identical integers.  Zero-variance groups
+    return null (SQL semantics).
+
+    Per-batch combiner magnitude contract: ``batch_rows * max|x*scale|^4
+    < 2^63`` (e.g. quantities <= 50 are safe past 10^12-row batches);
+    wider domains must quantize coarser.  The exchange is one 6-int
+    row per (group, batch) — shuffle-free, like every moments
+    aggregate here.
+
+    Returns pa.table(group_col string, skewness float64,
+    kurtosis_excess float64) sorted by group."""
+    import math
+
+    def _round_half_away(a: np.ndarray) -> np.ndarray:
+        return np.copysign(np.floor(np.abs(a) + 0.5), a)
+
+    cols = ("g", "n", "s1", "s2", "s3", "s4")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pc.cast(t[group_col], pa.string())
+        ok = pc.and_(pc.is_valid(g), pc.is_valid(t[x_col]))
+        t = pa.table({"g": g, "x": t[x_col]}).filter(ok)
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.string() if c == "g"
+                                         else pa.int64())
+                             for c in cols})
+        x = _round_half_away(t["x"].to_numpy(zero_copy_only=False)
+                             .astype(np.float64) * x_scale) \
+            .astype(np.int64)
+        gv = t["g"].to_numpy(zero_copy_only=False)
+        order = np.argsort(gv, kind="stable")
+        gs, xs = gv[order], x[order]
+        starts, sizes = _group_starts(gs)
+
+        def seg(v):
+            return np.add.reduceat(v, starts).astype(np.int64)
+
+        x2 = xs * xs
+        return pa.table({
+            "g": pa.array(gs[starts], pa.string()),
+            "n": pa.array(sizes.astype(np.int64), pa.int64()),
+            "s1": pa.array(seg(xs), pa.int64()),
+            "s2": pa.array(seg(x2), pa.int64()),
+            "s3": pa.array(seg(x2 * xs), pa.int64()),
+            "s4": pa.array(seg(x2 * x2), pa.int64())})
+
+    acc: dict[str, list[int]] = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        if not b.num_rows:
+            continue
+        gs = b["g"].to_pylist()
+        vals = [b[c].to_pylist() for c in cols[1:]]
+        for i, gname in enumerate(gs):
+            a = acc.setdefault(gname, [0, 0, 0, 0, 0])
+            for j in range(5):
+                a[j] += vals[j][i]     # python ints: no overflow
+    groups = sorted(acc)
+    skews, kurts = [], []
+    for gname in groups:
+        n, s1, s2, s3, s4 = acc[gname]
+        a2 = n * s2 - s1 * s1
+        if a2 <= 0:
+            skews.append(None)
+            kurts.append(None)
+            continue
+        a3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3
+        a4 = (n ** 3 * s4 - 4 * n * n * s1 * s3
+              + 6 * n * s1 * s1 * s2 - 3 * s1 ** 4)
+        skews.append(float(a3)
+                     / (float(a2) * math.sqrt(float(a2))))
+        kurts.append(float(a4) / (float(a2) * float(a2)) - 3.0)
+    return pa.table({group_col: pa.array(groups, pa.string()),
+                     "skewness": pa.array(skews, pa.float64()),
+                     "kurtosis_excess": pa.array(kurts, pa.float64())})
+
+
+def spearman_corr(ds, x_col: str, y_col: str) -> pa.Table:
+    """EXACT global Spearman rank correlation of two BOUNDED-
+    cardinality numeric columns (the rank transform + Pearson
+    composition): per batch a vectorized combiner emits distinct
+    (x, y) pair counts — the exchange carries the joint histogram,
+    never rows — and the driver folds the histograms with python-int
+    sums, derives each distinct value's DOUBLED average rank
+    ``r2 = 2*(count of smaller) + (count of equal) + 1`` (an integer:
+    no tie-rank floats), and evaluates Pearson over ranks from exact
+    integer moments with the same float64 expression the HUGEINT SQL
+    oracle states — ``2*rank() OVER (ORDER BY v) + count(*) OVER
+    (PARTITION BY v) - 1`` is the identical doubled rank.
+
+    Bounded-cardinality contract: the driver holds O(distinct pairs)
+    counts; quantize unbounded columns first (like every bounded-
+    domain exact operator here).  Nulls in either column are dropped
+    (SQL corr semantics); degenerate (constant) columns return null.
+
+    Returns pa.table(spearman float64), one row."""
+    import math
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t[x_col]), pc.is_valid(t[y_col]))
+        t = pa.table({"x": pc.cast(t[x_col], pa.float64()),
+                      "y": pc.cast(t[y_col], pa.float64())}).filter(ok)
+        if t.num_rows == 0:
+            return pa.table({"x": pa.array([], pa.float64()),
+                             "y": pa.array([], pa.float64()),
+                             "c": pa.array([], pa.int64())})
+        g = t.group_by(["x", "y"], use_threads=False) \
+            .aggregate([([], "count_all")])
+        return pa.table({"x": g["x"], "y": g["y"],
+                         "c": pc.cast(g["count_all"], pa.int64())})
+
+    joint: dict[tuple[float, float], int] = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        for x, y, c in zip(b["x"].to_pylist(), b["y"].to_pylist(),
+                           b["c"].to_pylist()):
+            joint[(x, y)] = joint.get((x, y), 0) + c
+    if not joint:
+        return pa.table({"spearman": pa.array([None], pa.float64())})
+
+    def _ranks2(axis: int) -> dict[float, int]:
+        marg: dict[float, int] = {}
+        for k, c in joint.items():
+            marg[k[axis]] = marg.get(k[axis], 0) + c
+        r2, below = {}, 0
+        for v in sorted(marg):
+            r2[v] = 2 * below + marg[v] + 1
+            below += marg[v]
+        return r2
+
+    r2x, r2y = _ranks2(0), _ranks2(1)
+    n = sx = sy = sxx = syy = sxy = 0
+    for (x, y), c in joint.items():
+        rx, ry = r2x[x], r2y[y]
+        n += c
+        sx += c * rx
+        sy += c * ry
+        sxx += c * rx * rx
+        syy += c * ry * ry
+        sxy += c * rx * ry
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    if vx <= 0 or vy <= 0:
+        return pa.table({"spearman": pa.array([None], pa.float64())})
+    val = (n * sxy - sx * sy) \
+        / (math.sqrt(float(vx)) * math.sqrt(float(vy)))
+    return pa.table({"spearman": pa.array([val], pa.float64())})
+
+
 def grouped_value_quantiles_cont(ds, group_col: str, value_col: str,
                                  quantiles: tuple[float, ...] = (0.5,),
                                  n_buckets: int = 1024):
