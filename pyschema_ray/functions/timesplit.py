@@ -23,6 +23,17 @@ Requirements and costs (the documented contract):
   TIME, not a per-key ordinal (a global per-key ordinal would need
   every session of a key in one place — exactly the assumption this
   module exists to remove).
+
+Every exchange here is PYARROW-format end to end (the round-5 A/B
+direction that already won for the range-join count): the group logic
+was always pure numpy over factorized key codes, so the
+Arrow→pandas→Arrow hops bought nothing and carried the object-dtype /
+float64-coercion hazards that produced two round-4 bugs.  The final
+as-of merge is a vectorized run-boundary scan (code-sorted
+maximum/minimum.accumulate), not ``pd.merge_asof`` — identical match
+semantics (last tied right row for ``backward``, first for
+``forward``), and unmatched rows surface as REAL Arrow nulls in the
+right columns' own types instead of pandas NaN float-coercion.
 """
 
 from __future__ import annotations
@@ -31,7 +42,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..sketches import pa_key_type as _pa_key_type
 from .dedup import _default_shards, _group_starts, _key_hash, _key_shards
 
 
@@ -42,6 +52,26 @@ def _bucket_shards(keys, buckets: np.ndarray, num_shards: int,
     h = _key_hash(keys, seed) ^ (buckets.view(np.uint64) *
                                  np.uint64(0x9E3779B97F4A7C15))
     return (h % np.uint64(num_shards)).astype(np.int64)
+
+
+def _codes_of(*arrays) -> list[np.ndarray]:
+    """Joint factorization of parallel key arrays (any one dtype:
+    ints, strings, ...) into dense int64 codes with one shared
+    vocabulary — the sortable stand-in that lets every downstream
+    pass be a numpy lexsort instead of a pandas sort_values."""
+    lens = [len(a) for a in arrays]
+    _, inv = np.unique(np.concatenate(arrays), return_inverse=True)
+    inv = inv.astype(np.int64)
+    out, at = [], 0
+    for n in lens:
+        out.append(inv[at:at + n])
+        at += n
+    return out
+
+
+def _us_i64(col) -> np.ndarray:
+    return pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64()) \
+        .to_numpy(zero_copy_only=False)
 
 
 def sessionize_timesplit(ds, key_col: str, ts_col: str,
@@ -64,8 +94,6 @@ def sessionize_timesplit(ds, key_col: str, ts_col: str,
     cross-cut chains (cur.start - prev.end <= gap — exactly the
     event-level rule, since those are the events adjacent to the cut).
     """
-    import pandas as pd
-
     num_shards = num_shards or _default_shards()
     if bucket_seconds is None:
         bucket_seconds = max(float(gap_seconds) * 16.0, 3600.0)
@@ -75,12 +103,24 @@ def sessionize_timesplit(ds, key_col: str, ts_col: str,
     bus = int(bucket_seconds * 1e6)
     gap_us = float(gap_seconds) * 1e6
 
+    key_type = None
+    for n_, t_ in zip(ds.schema().names, ds.schema().types):
+        if n_ == key_col:
+            key_type = t_
+    if key_type is None:
+        raise ValueError(f"{key_col!r} not in dataset schema")
+
+    def _sess_schema(extra: list[tuple[str, pa.DataType]] = ()):
+        return pa.schema([(key_col, key_type),
+                          ("start_us", pa.int64()),
+                          ("end_us", pa.int64()),
+                          ("n_events", pa.int64()), *extra])
+
     def tag(t: pa.Table) -> pa.Table:
         t = t.filter(pc.and_(pc.is_valid(t[key_col]),
                              pc.is_valid(t[ts_col])))
         t = t.select([key_col, ts_col])
-        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64()) \
-            .to_numpy(zero_copy_only=False)
+        us = _us_i64(t[ts_col])
         bucket = us // bus
         keys = t[key_col].to_numpy(zero_copy_only=False)
         return pa.table({
@@ -91,56 +131,48 @@ def sessionize_timesplit(ds, key_col: str, ts_col: str,
             "us": pa.array(us, pa.int64()),
         })
 
-    def sessions_a(df):
-        df = df.sort_values([key_col, "bucket", "us"], kind="stable")
-        keys = df[key_col].to_numpy()
-        bks = df["bucket"].to_numpy()
-        us = df["us"].to_numpy()
+    def sessions_a(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _sess_schema([("boundary", pa.bool_())]) \
+                .empty_table()
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        (codes,) = _codes_of(keys)
+        bks = t["bucket"].to_numpy(zero_copy_only=False)
+        us = t["us"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((us, bks, codes))
+        codes, bks, us = codes[order], bks[order], us[order]
         n = len(us)
         new_s = np.ones(n, dtype=bool)
         if n > 1:
-            same = (keys[1:] == keys[:-1]) & (bks[1:] == bks[:-1])
+            same = (codes[1:] == codes[:-1]) & (bks[1:] == bks[:-1])
             new_s[1:] = ~(same & (us[1:] - us[:-1] <= gap_us))
         sstart = np.flatnonzero(new_s)
         send = np.append(sstart[1:], n) - 1
-        s_key = keys[sstart]
-        s_bk = bks[sstart]
-        s_lo = us[sstart]
-        s_hi = us[send]
-        s_n = send - sstart + 1
         # first/last session per (key, bucket) run
-        rs, rz = _group_starts(s_key, s_bk)
+        rs, rz = _group_starts(codes[sstart], bks[sstart])
         is_first = np.zeros(len(sstart), dtype=bool)
         is_first[rs] = True
         is_last = np.zeros(len(sstart), dtype=bool)
         is_last[rs + rz - 1] = True
-        boundary = is_first | is_last
-        # Arrow output with pinned types (sketches.pa_key_type rule)
+        key_arr = t[key_col].take(pa.array(order[sstart], pa.int64()))
         return pa.table({
-            key_col: pa.array(s_key, type=_pa_key_type(df[key_col]),
-                              from_pandas=True),
-            "start_us": pa.array(s_lo, pa.int64()),
-            "end_us": pa.array(s_hi, pa.int64()),
-            "n_events": pa.array(s_n.astype(np.int64), pa.int64()),
-            "boundary": pa.array(boundary, pa.bool_()),
+            key_col: key_arr,
+            "start_us": pa.array(us[sstart], pa.int64()),
+            "end_us": pa.array(us[send], pa.int64()),
+            "n_events": pa.array((send - sstart + 1).astype(np.int64),
+                                 pa.int64()),
+            "boundary": pa.array(is_first | is_last, pa.bool_()),
         })
 
     phase_a = ds.map_batches(tag, batch_format="pyarrow") \
-        .groupby("kbshard").map_groups(sessions_a, batch_format="pandas")
+        .groupby("kbshard").map_groups(sessions_a,
+                                       batch_format="pyarrow")
     # interior sessions are final; boundary sessions stitch.  ONE
     # consumer pattern: route every session row through the key-hash
     # exchange would double-ship interiors, so split via two cheap
     # filters over the (already small) session stream — materialize
     # once to avoid re-running phase A per consumer.
     phase_a = phase_a.materialize()
-
-    def _session_rows(kt, keys, lo, hi, ne) -> pa.Table:
-        return pa.table({
-            key_col: pa.array(keys, type=kt, from_pandas=True),
-            "start_us": pa.array(lo, pa.int64()),
-            "end_us": pa.array(hi, pa.int64()),
-            "n_events": pa.array(ne.astype(np.int64), pa.int64()),
-        })
 
     def interior(t: pa.Table) -> pa.Table:
         return t.filter(pc.invert(t["boundary"])) \
@@ -158,28 +190,36 @@ def sessionize_timesplit(ds, key_col: str, ts_col: str,
             "n_events": d["n_events"],
         })
 
-    def stitch(df):
-        kt = _pa_key_type(df[key_col])
-        df = df.sort_values([key_col, "start_us"], kind="stable")
-        keys = df[key_col].to_numpy()
-        lo = df["start_us"].to_numpy()
-        hi = df["end_us"].to_numpy()
-        ne = df["n_events"].to_numpy()
+    def stitch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _sess_schema().empty_table()
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        (codes,) = _codes_of(keys)
+        lo_all = t["start_us"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((lo_all, codes))
+        codes = codes[order]
+        lo = lo_all[order]
+        hi = t["end_us"].to_numpy(zero_copy_only=False)[order]
+        ne = t["n_events"].to_numpy(zero_copy_only=False)[order]
         n = len(lo)
         new_c = np.ones(n, dtype=bool)
         if n > 1:
-            same = keys[1:] == keys[:-1]
+            same = codes[1:] == codes[:-1]
             new_c[1:] = ~(same & (lo[1:] - hi[:-1] <= gap_us))
         cs = np.flatnonzero(new_c)
         ce = np.append(cs[1:], n) - 1
-        return _session_rows(kt, keys[cs], lo[cs], hi[ce],
-                             np.add.reduceat(ne, cs))
+        return pa.table({
+            key_col: t[key_col].take(pa.array(order[cs], pa.int64())),
+            "start_us": pa.array(lo[cs], pa.int64()),
+            "end_us": pa.array(hi[ce], pa.int64()),
+            "n_events": pa.array(np.add.reduceat(ne, cs)
+                                 .astype(np.int64), pa.int64()),
+        })
 
     stitched = phase_a.map_batches(to_stitch, batch_format="pyarrow") \
-        .groupby("kshard").map_groups(stitch, batch_format="pandas") \
-        .map_batches(lambda t: t.select([key_col, "start_us", "end_us",
-                                         "n_events"]),
-                     batch_format="pyarrow")
+        .groupby("kshard").map_groups(
+            lambda t: stitch(t.drop_columns(["kshard"])),
+            batch_format="pyarrow")
     out = phase_a.map_batches(interior, batch_format="pyarrow") \
         .union(stitched)
 
@@ -204,11 +244,13 @@ def session_counts_timesplit(ds, key_col: str, ts_col: str,
     bounded by its activity span / gap — vastly smaller than its event
     count.  Composition: :func:`sessionize_timesplit` -> key-hash
     exchange -> per-key sums."""
-    import pandas as pd
-
     num_shards = num_shards or _default_shards()
     sessions = sessionize_timesplit(ds, key_col, ts_col, gap_seconds,
                                     bucket_seconds, num_shards)
+    key_type = None
+    for n_, t_ in zip(ds.schema().names, ds.schema().types):
+        if n_ == key_col:
+            key_type = t_
 
     def tag(t: pa.Table) -> pa.Table:
         keys = t[key_col].to_numpy(zero_copy_only=False)
@@ -219,21 +261,27 @@ def session_counts_timesplit(ds, key_col: str, ts_col: str,
             "n_events": t["n_events"],
         })
 
-    def per_key(df):
-        kt = _pa_key_type(df[key_col])
-        df = df.sort_values(key_col, kind="stable")
-        keys = df[key_col].to_numpy()
-        ks, kz = _group_starts(keys)
+    def per_key(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([(key_col, key_type),
+                              ("n_sessions", pa.int64()),
+                              ("n_events", pa.int64())]).empty_table()
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        (codes,) = _codes_of(keys)
+        order = np.argsort(codes, kind="stable")
+        ks, kz = _group_starts(codes[order])
+        ne = t["n_events"].to_numpy(zero_copy_only=False)[order]
         return pa.table({
-            key_col: pa.array(keys[ks], type=kt, from_pandas=True),
+            key_col: t[key_col].take(pa.array(order[ks], pa.int64())),
             "n_sessions": pa.array(kz.astype(np.int64), pa.int64()),
-            "n_events": pa.array(np.add.reduceat(
-                df["n_events"].to_numpy(), ks).astype(np.int64),
-                pa.int64()),
+            "n_events": pa.array(np.add.reduceat(ne, ks)
+                                 .astype(np.int64), pa.int64()),
         })
 
     return sessions.map_batches(tag, batch_format="pyarrow") \
-        .groupby("kshard").map_groups(per_key, batch_format="pandas")
+        .groupby("kshard").map_groups(
+            lambda t: per_key(t.drop_columns(["kshard"])),
+            batch_format="pyarrow")
 
 
 def asof_join_timesplit(left, right, key_col: str, ts_col: str,
@@ -253,14 +301,13 @@ def asof_join_timesplit(left, right, key_col: str, ts_col: str,
     pre-reduced batch-locally (a map_batches combiner, no exchange),
     one tiny key-hash exchange computes, for every LEFT-active bucket,
     the nearest right row outside it, and that single right row is
-    replicated into the bucket's group for the final merge_asof.
+    replicated into the bucket's group for the final per-shard as-of
+    merge (a code-sorted accumulate scan — see module docstring).
 
     Cost vs the plain variant: the right side ships twice (once as
     per-bucket summaries, once raw) plus one carry row per (key,
     left-active bucket).  Use the plain variant unless hot keys are a
     real risk."""
-    import pandas as pd
-
     if direction not in ("backward", "forward"):
         raise ValueError(direction)
     num_shards = num_shards or _default_shards()
@@ -272,12 +319,12 @@ def asof_join_timesplit(left, right, key_col: str, ts_col: str,
     left_cols = list(left_schema.names)
     right_cols = list(right_schema.names)
     out_right = [c for c in right_cols if c != key_col]
-    out_cols = left_cols + [c + suffix if c in left_cols else c
-                            for c in out_right]
-
-    def _us_of(col) -> np.ndarray:
-        return pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64()) \
-            .to_numpy(zero_copy_only=False)
+    out_names = left_cols + [c + suffix if c in left_cols else c
+                             for c in out_right]
+    out_schema = pa.schema(
+        [(c, left_schema.field(c).type) for c in left_cols]
+        + [(c + suffix if c in left_cols else c,
+            right_schema.field(c).type) for c in out_right])
 
     def _sentinel(tp, n: int) -> pa.Array:
         if pa.types.is_integer(tp) or pa.types.is_timestamp(tp) \
@@ -294,68 +341,119 @@ def asof_join_timesplit(left, right, key_col: str, ts_col: str,
     # ---- pass 1a: batch-local last/first right row per (key, bucket)
     keep_last = direction == "backward"
 
+    def _reduce_per_bucket(t: pa.Table, us: np.ndarray,
+                           bucket: np.ndarray) -> np.ndarray:
+        """Row indices of the last (backward) / first (forward) row
+        per (key, bucket), ties on us broken by ORIGINAL position —
+        exactly pandas' stable sort + drop_duplicates keep=last/first."""
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        (codes,) = _codes_of(keys)
+        pos = np.arange(len(us))
+        order = np.lexsort((pos, us, bucket, codes))
+        starts, sizes = _group_starts(codes[order], bucket[order])
+        sel = (starts + sizes - 1) if keep_last else starts
+        return order[sel]
+
+    rp_schema = pa.schema(
+        list(right_schema) + [("__us", pa.int64()),
+                              ("__bucket", pa.int64()),
+                              ("__kshard", pa.int64())])
+
     def right_partials(t: pa.Table) -> pa.Table:
         t = t.filter(pc.and_(pc.is_valid(t[key_col]),
                              pc.is_valid(t[rts])))
-        df = t.to_pandas()
-        us = _us_of(t[rts])
-        df["__us"] = us
-        df["__bucket"] = us // bus
-        df = df.sort_values("__us", kind="stable")
-        df = df.drop_duplicates([key_col, "__bucket"], keep="last"
-                                if keep_last else "first")
-        keys = df[key_col].to_numpy()
-        df["__kshard"] = _key_shards(keys, num_shards, 79)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        if t.num_rows == 0:
+            return rp_schema.empty_table()
+        us = _us_i64(t[rts])
+        bucket = us // bus
+        keep = _reduce_per_bucket(t, us, bucket)
+        out = t.take(pa.array(keep, pa.int64()))
+        out = out.append_column("__us", pa.array(us[keep], pa.int64()))
+        out = out.append_column("__bucket",
+                                pa.array(bucket[keep], pa.int64()))
+        keys = out[key_col].to_numpy(zero_copy_only=False)
+        return out.append_column(
+            "__kshard", pa.array(_key_shards(keys, num_shards, 79),
+                                 pa.int64()))
 
     # ---- pass 1b: batch-local distinct LEFT-active (key, bucket)
     def left_active(t: pa.Table) -> pa.Table:
         t = t.filter(pc.and_(pc.is_valid(t[key_col]),
                              pc.is_valid(t[ts_col])))
+        if t.num_rows == 0:
+            return rp_schema.empty_table()
         keys = t[key_col].to_numpy(zero_copy_only=False)
-        bucket = _us_of(t[ts_col]) // bus
-        df = pd.DataFrame({key_col: keys, "__bucket": bucket})
-        df = df.drop_duplicates([key_col, "__bucket"])
-        n = len(df)
+        (codes,) = _codes_of(keys)
+        bucket = _us_i64(t[ts_col]) // bus
+        order = np.lexsort((bucket, codes))
+        starts, _ = _group_starts(codes[order], bucket[order])
+        sel = order[starts]
+        n = len(sel)
+        key_arr = t[key_col].take(pa.array(sel, pa.int64()))
         # SAME schema as right_partials, value columns padded with
-        # TYPED sentinels: a null-padded union would coerce the right
-        # side's int64 carry values to float64 inside the pandas
-        # stitch groups, corrupting values above 2^53 (the
-        # _route_pair_payloads rule)
-        out = pa.table({c: pa.array(df[key_col].to_numpy())
-                        if c == key_col
-                        else _sentinel(right_schema.field(c).type, n)
-                        for c in right_cols})
-        out = out.append_column("__us", pa.array(np.zeros(n, np.int64)))
-        out = out.append_column(
-            "__bucket", pa.array(df["__bucket"].to_numpy(), pa.int64()))
+        # TYPED sentinels: a null-padded union would have coerced the
+        # right side's int64 carry values through float64 in the old
+        # pandas stitch (the _route_pair_payloads rule); with Arrow
+        # groups the types survive regardless, but the sentinel (not
+        # null) convention keeps block schemas identical across
+        # branches
+        cols = {c: key_arr if c == key_col
+                else _sentinel(right_schema.field(c).type, n)
+                for c in right_cols}
+        out = pa.table(cols)
+        out = out.append_column("__us",
+                                pa.array(np.zeros(n, np.int64)))
+        out = out.append_column("__bucket",
+                                pa.array(bucket[sel], pa.int64()))
         return out.append_column(
-            "__kshard", pa.array(_key_shards(df[key_col].to_numpy(),
-                                             num_shards, 79), pa.int64()))
+            "__kshard",
+            pa.array(_key_shards(
+                key_arr.to_numpy(zero_copy_only=False),
+                num_shards, 79), pa.int64()))
 
     rp = right.map_batches(right_partials, batch_format="pyarrow")
     la = left.select_columns([key_col, ts_col]) \
         .map_batches(left_active, batch_format="pyarrow")
 
+    # column set shared by exchange 2's three branches (tag2 sorts)
+    pad_right = {c: left_schema.field(c).type
+                 for c in left_cols if c != key_col}
+    pad_left = {c: right_schema.field(c).type for c in right_cols
+                if c != key_col and c not in left_cols}
+    union_names = sorted(set(left_cols) | set(right_cols)
+                         | {"__kbshard", "__bucket", "__side"})
+
+    def _union_type(c: str) -> pa.DataType:
+        if c == "__kbshard" or c == "__bucket":
+            return pa.int64()
+        if c == "__side":
+            return pa.int8()
+        if c in right_schema.names:
+            return right_schema.field(c).type
+        return left_schema.field(c).type
+
+    ct_schema = pa.schema([(c, _union_type(c)) for c in union_names])
+
     # ---- stitch: per key, nearest outside-bucket right row for every
     # left-active bucket (vectorized across ALL keys in the shard via
     # factorized (key, bucket) rank arrays — no per-key Python)
-    def stitch(df):
-        is_right = df["__side"].to_numpy() == 1
-        r = df.loc[is_right]
-        l = df.loc[~is_right]
-        if r.empty or l.empty:
-            return df.iloc[0:0]  # dtype-preserving empty
+    def stitch(t: pa.Table) -> pa.Table:
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        rmask = side == 1
+        if not rmask.any() or rmask.all():
+            return ct_schema.empty_table()
+        r = t.filter(pa.array(rmask))
+        l_tab = t.filter(pa.array(~rmask))
         # re-reduce batch partials to the true per-(key,bucket) row
-        r = r.sort_values("__us", kind="stable")
-        r = r.drop_duplicates([key_col, "__bucket"],
-                              keep="last" if keep_last else "first")
-        codes_all, uniq = pd.factorize(
-            pd.concat([r[key_col], l[key_col]], ignore_index=True))
-        rcode = codes_all[:len(r)].astype(np.int64)
-        lcode = codes_all[len(r):].astype(np.int64)
-        rbk = r["__bucket"].to_numpy()
-        lbk = l["__bucket"].to_numpy()
+        rus = r["__us"].to_numpy(zero_copy_only=False)
+        rbk_all = r["__bucket"].to_numpy(zero_copy_only=False)
+        keep = _reduce_per_bucket(r, rus, rbk_all)
+        r = r.take(pa.array(keep, pa.int64()))
+        rbk = rbk_all[keep]
+        rkeys = r[key_col].to_numpy(zero_copy_only=False)
+        lkeys = l_tab[key_col].to_numpy(zero_copy_only=False)
+        rcode, lcode = _codes_of(rkeys, lkeys)
+        lbk = l_tab["__bucket"].to_numpy(zero_copy_only=False)
         lo = min(int(rbk.min()), int(lbk.min()))
         width = max(int(rbk.max()), int(lbk.max())) - lo + 2
         rrank = rcode * width + (rbk - lo)
@@ -363,28 +461,36 @@ def asof_join_timesplit(left, right, key_col: str, ts_col: str,
         order = np.argsort(rrank, kind="stable")
         rrank = rrank[order]
         if direction == "backward":
-            idx = np.searchsorted(rrank, lcode * width + (lbk - lo),
-                                  side="left") - 1
+            idx = np.searchsorted(rrank, lrank, side="left") - 1
             ok = idx >= 0
         else:
-            idx = np.searchsorted(rrank, lcode * width + (lbk - lo),
-                                  side="right")
+            idx = np.searchsorted(rrank, lrank, side="right")
             ok = idx < len(rrank)
         idx = np.clip(idx, 0, max(len(rrank) - 1, 0))
         # same-key guard: the neighbour rank must belong to this key
         ok &= (rrank[idx] // width) == lcode
         src = order[idx[ok]]
-        carry = r.iloc[src].copy()
-        # carry rows adopt the LEFT bucket so exchange 2 co-locates
-        # them with the left rows they serve
-        carry["__bucket"] = lbk[ok]
-        # reset the iloc-inherited index: downstream pandas assigns
-        # align by index, and a non-range index would misalign them
-        # into NaN (coercing int64 value columns to float64)
-        return carry.drop(columns=["__kshard"]) \
-            .assign(__kshard=_key_shards(carry[key_col].to_numpy(),
-                                         num_shards, 79)) \
-            .reset_index(drop=True)
+        carry = r.take(pa.array(src, pa.int64()))
+        nc = carry.num_rows
+        ckeys = carry[key_col].to_numpy(zero_copy_only=False)
+        cbk = lbk[ok]  # carry rows adopt the LEFT bucket so exchange
+        #                2 co-locates them with the left rows they serve
+        cols = {}
+        for c in union_names:
+            if c == "__bucket":
+                cols[c] = pa.array(cbk, pa.int64())
+            elif c == "__side":
+                cols[c] = pa.array(np.ones(nc, np.int8), pa.int8())
+            elif c == "__kbshard":
+                cols[c] = pa.array(
+                    _bucket_shards(ckeys, cbk, num_shards, 83),
+                    pa.int64())
+            elif c in carry.column_names and c not in ("__us",
+                                                       "__kshard"):
+                cols[c] = carry[c]
+            else:
+                cols[c] = _sentinel(_union_type(c), nc)
+        return pa.table(cols).cast(ct_schema)
 
     def tag_side(side):
         def fn(t: pa.Table) -> pa.Table:
@@ -393,22 +499,18 @@ def asof_join_timesplit(left, right, key_col: str, ts_col: str,
             return t.select(sorted(t.column_names))  # canonical order
         return fn
 
-    stitch_in = rp.map_batches(tag_side(1), batch_format="pyarrow").union(
-        la.map_batches(tag_side(0), batch_format="pyarrow"))
-    carries = stitch_in.groupby("__kshard").map_groups(
-        stitch, batch_format="pandas")
+    stitch_in = rp.map_batches(tag_side(1), batch_format="pyarrow") \
+        .union(la.map_batches(tag_side(0), batch_format="pyarrow"))
+    ct = stitch_in.groupby("__kshard").map_groups(
+        lambda t: stitch(t.drop_columns(["__kshard"])),
+        batch_format="pyarrow")
 
     # ---- exchange 2: left + right + carry rows by (key, bucket)
-    pad_right = {c: left_schema.field(c).type
-                 for c in left_cols if c != key_col}
-    pad_left = {c: right_schema.field(c).type for c in right_cols
-                if c != key_col and c not in left_cols}
-
     def tag2(side, ts_name):
         def fn(t: pa.Table) -> pa.Table:
             t = t.filter(pc.and_(pc.is_valid(t[key_col]),
                                  pc.is_valid(t[ts_name])))
-            us = _us_of(t[ts_name])
+            us = _us_i64(t[ts_name])
             bucket = us // bus
             keys = t[key_col].to_numpy(zero_copy_only=False)
             pads = pad_right if side == 1 else pad_left
@@ -416,8 +518,10 @@ def asof_join_timesplit(left, right, key_col: str, ts_col: str,
                 if c not in t.column_names:
                     t = t.append_column(c, _sentinel(tp, t.num_rows))
             t = t.append_column("__kbshard", pa.array(
-                _bucket_shards(keys, bucket, num_shards, 83), pa.int64()))
-            t = t.append_column("__bucket", pa.array(bucket, pa.int64()))
+                _bucket_shards(keys, bucket, num_shards, 83),
+                pa.int64()))
+            t = t.append_column("__bucket",
+                                pa.array(bucket, pa.int64()))
             t = t.append_column("__side", pa.array(
                 np.full(t.num_rows, side, np.int8), pa.int8()))
             # canonical order: the three union branches carry the same
@@ -425,61 +529,80 @@ def asof_join_timesplit(left, right, key_col: str, ts_col: str,
             return t.select(sorted(t.column_names))
         return fn
 
-    def carry_tag(df):
-        if df.empty:
-            return df.assign(__kbshard=pd.Series([], dtype=np.int64),
-                             __side=pd.Series([], dtype=np.int8))
-        keys = df[key_col].to_numpy()
-        bucket = df["__bucket"].to_numpy().astype(np.int64)
-        pads = pad_right
-        for c, tp in pads.items():
-            if c not in df.columns:
-                # positional numpy assign — a pandas Series here would
-                # align by index and NaN-coerce on non-range indices
-                df = df.assign(**{c: _sentinel(tp, len(df))
-                                  .to_numpy(zero_copy_only=False)})
-        return df.assign(
-            __kbshard=_bucket_shards(keys, bucket, num_shards, 83),
-            __side=np.full(len(df), 1, np.int8))
-
     lt = left.map_batches(tag2(0, ts_col), batch_format="pyarrow")
     rt = right.map_batches(tag2(1, rts), batch_format="pyarrow")
 
-    def to_arrow_like(df):
-        # align carry frames to the tagged-right arrow schema, in the
-        # same canonical (sorted) column order as tag2's output
-        cols = sorted(c for c in df.columns
-                      if c not in ("__us", "__kshard"))
-        return pa.Table.from_pandas(df[cols], preserve_index=False)
+    # ---- per-shard as-of merge: one code-sorted accumulate scan.
+    # Pooling every (key, bucket) group of the shard is safe: backward
+    # only looks at us <= left ts and each left bucket's candidates
+    # (raw + carry) are present; rows from the key's OTHER buckets in
+    # the shard are either later (never matched backward) or earlier
+    # duplicates of the carry row (same values — 1:1 match, so which
+    # index wins is value-invariant).
+    def per_shard(t: pa.Table) -> pa.Table:
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        lmask = side == 0
+        lt_rows = t.filter(pa.array(lmask))
+        nl = lt_rows.num_rows
+        if nl == 0:
+            return out_schema.empty_table()
+        rt_rows = t.filter(pa.array(~lmask))
+        nr = rt_rows.num_rows
 
-    ct = carries.map_batches(carry_tag, batch_format="pandas") \
-        .map_batches(to_arrow_like, batch_format="pandas")
+        def _out(lt_sel: pa.Table, match_idx: pa.Array) -> pa.Table:
+            cols = {c: lt_sel[c] for c in left_cols}
+            for c in out_right:
+                name = c + suffix if c in left_cols else c
+                cols[name] = rt_rows[c].take(match_idx) if nr \
+                    else pa.nulls(lt_sel.num_rows,
+                                  right_schema.field(c).type)
+            return pa.table(cols).cast(out_schema)
 
-    def per_shard(df):
-        lhs = df[df["__side"] == 0][left_cols] \
-            .sort_values(ts_col, kind="stable")
-        rhs = df[df["__side"] == 1]
-        # a carry row can duplicate a raw right row already in the
-        # bucket — drop FULL-ROW dupes so merge_asof sees each once
-        # (deduping on (key, ts) alone would collapse genuinely
-        # distinct same-timestamp right rows the plain variant keeps)
-        rhs = rhs[[key_col] + out_right].drop_duplicates()
-        if lhs.empty:
-            # dtype-preserving empty, same shape as the rhs.empty
-            # branch (an all-object frame would mistype the block)
-            return lhs.reindex(columns=out_cols)
-        if rhs.empty:
-            return lhs.reindex(columns=out_cols)
-        r_on = rts
-        if rts == ts_col:
-            r_on = rts + suffix
-            rhs = rhs.rename(columns={rts: r_on})
-        rhs = rhs.sort_values(r_on, kind="stable")
-        out = pd.merge_asof(lhs, rhs, left_on=ts_col, right_on=r_on,
-                            by=key_col, direction=direction,
-                            suffixes=("", suffix))
-        return out.reindex(columns=out_cols)
+        if nr == 0:
+            return _out(lt_rows, pa.nulls(0, pa.int64()))
+        l_us = _us_i64(lt_rows[ts_col])
+        r_us = _us_i64(rt_rows[rts])
+        lkeys = lt_rows[key_col].to_numpy(zero_copy_only=False)
+        rkeys = rt_rows[key_col].to_numpy(zero_copy_only=False)
+        rcode, lcode = _codes_of(rkeys, lkeys)
+        # combined scan: sort by (code, us, side-tiebreak, pos);
+        # backward wants a right row at equal ts VISIBLE to the left
+        # row (right first), forward the mirror (left first)
+        codes = np.concatenate([rcode, lcode])
+        us = np.concatenate([r_us, l_us])
+        is_right = np.zeros(len(codes), bool)
+        is_right[:nr] = True
+        tie = is_right.astype(np.int8) if direction == "forward" \
+            else (~is_right).astype(np.int8)
+        pos = np.arange(len(codes))
+        order = np.lexsort((pos, tie, us, codes))
+        ir_s = is_right[order]
+        codes_s = codes[order]
+        n = len(order)
+        # right-row local index at each sorted position, else -1
+        rloc = np.where(ir_s, order, -1)  # order<nr == right rows
+        starts, sizes = _group_starts(codes_s)
+        run_start = np.repeat(starts, sizes)
+        if direction == "backward":
+            best = np.maximum.accumulate(
+                np.where(ir_s, np.arange(n), -1))
+            valid = best >= run_start
+        else:
+            run_end = np.repeat(starts + sizes - 1, sizes)
+            rev = np.where(ir_s, np.arange(n), 2 * n)[::-1]
+            best = np.minimum.accumulate(rev)[::-1]
+            valid = best <= run_end
+        lpos_s = np.flatnonzero(~ir_s)
+        lorig = order[lpos_s] - nr  # left-local row index
+        bsel = best[lpos_s]
+        vsel = valid[lpos_s]
+        match = np.full(nl, -1, np.int64)
+        match[lorig[vsel]] = rloc[bsel[vsel]]
+        midx = pa.array(np.where(match >= 0, match, 0),
+                        pa.int64(), mask=match < 0)
+        return _out(lt_rows, midx)
 
     both = lt.union(rt).union(ct)
-    return both.groupby("__kbshard").map_groups(per_shard,
-                                                batch_format="pandas")
+    return both.groupby("__kbshard").map_groups(
+        lambda t: per_shard(t.drop_columns(["__kbshard"])),
+        batch_format="pyarrow")
