@@ -115,6 +115,11 @@ QUERY_SUBSET = [
     "shipping_priority", "nation_volume_shipping",
     "market_share_by_year", "top_supplier_revenue",
     "qty_skew_kurt_by_flag", "qty_discount_spearman",
+    # round-5h: the TPC-H suite completed (Q2/Q6/Q11/Q12/Q16/Q20/Q21
+    # shapes, partsupp-free adaptations)
+    "forecast_revenue", "late_line_priority", "important_parts",
+    "supplier_part_counts", "min_cost_supplier",
+    "heavy_share_suppliers", "waiting_suppliers",
 ]
 
 
