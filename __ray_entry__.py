@@ -5080,6 +5080,24 @@ def _q_waiting_suppliers(sf_dir: str) -> pa.Table:
                   ("s_suppkey", "ascending")])
 
 
+def _q_embedding_unnest(sf_dir: str) -> pa.Table:
+    """UNNEST WITH ORDINALITY over the embedding list column: one row
+    per vector component with its 1-based position — the zero-exchange
+    posexplode primitive (functions/relational.py::unnest_list) every
+    token/embedding pipeline leans on.  Values cast to float64 so the
+    DuckDB DOUBLE twin is drift-free."""
+    from pyschema_ray.functions.relational import unnest_list
+
+    out = unnest_list(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        list_col="embedding", id_cols=["vec_id"],
+        value_type=pa.float64())
+    schema = pa.schema([("vec_id", pa.int64()), ("pos", pa.int64()),
+                        ("value", pa.float64())])
+    return _collect(out, schema).sort_by(
+        [("vec_id", "ascending"), ("pos", "ascending")])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core validation engine (oracle-checked)
@@ -5257,6 +5275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "min_cost_supplier": _q_min_cost_supplier,
         "heavy_share_suppliers": _q_heavy_share_suppliers,
         "waiting_suppliers": _q_waiting_suppliers,
+        "embedding_unnest": _q_embedding_unnest,
     }
 
 
@@ -7400,6 +7419,14 @@ def oracle_sql() -> dict[str, str]:
              WHERE per.ns >= 2 AND per.nl = 1
              GROUP BY s.s_suppkey, s.s_name
              ORDER BY numwait DESC, s.s_suppkey
+        """,
+        "embedding_unnest": """
+            SELECT vec_id,
+                   CAST(generate_subscripts(embedding, 1) AS BIGINT)
+                       AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS value
+              FROM embeddings
+             ORDER BY vec_id, pos
         """,
         "brand_qty_revenue": """
             SELECT CAST(coalesce(sum(CAST(round(l.l_extendedprice

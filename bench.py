@@ -120,6 +120,7 @@ QUERY_SUBSET = [
     "forecast_revenue", "late_line_priority", "important_parts",
     "supplier_part_counts", "min_cost_supplier",
     "heavy_share_suppliers", "waiting_suppliers",
+    "embedding_unnest",
 ]
 
 

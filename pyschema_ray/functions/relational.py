@@ -602,6 +602,50 @@ def unpivot(ds, id_cols: list[str], value_cols: list[str],
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def unnest_list(ds, list_col: str, id_cols: list[str],
+                pos_col: str = "pos", value_col: str = "value",
+                value_type: pa.DataType | None = None):
+    """UNNEST WITH ORDINALITY: one output row per list ELEMENT,
+    carrying its parent's id columns and a 1-based position.  NULL
+    and empty lists emit no rows (SQL UNNEST semantics).  Purely
+    per-batch — ``pc.list_parent_indices`` + ``pc.list_flatten`` plus
+    one arange for the ordinals, no exchange, embarrassingly
+    parallel; the id columns replicate by a vectorized ``take`` on
+    the parent indices (zero-copy for the flat values)."""
+    def fn(t: pa.Table) -> pa.Table:
+        # schema derived from the BATCH (pinned — empty batches emit
+        # typed empties; a zero-block dataset never calls fn at all,
+        # which also covers ds.schema() being None on empty inputs)
+        vt = value_type or t.schema.field(list_col).type.value_type
+        out_fields = pa.schema(
+            [pa.field(c, t.schema.field(c).type) for c in id_cols]
+            + [pa.field(pos_col, pa.int64()),
+               pa.field(value_col, vt)])
+        col = t[list_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        par = pc.list_parent_indices(col) \
+            .to_numpy(zero_copy_only=False)
+        if len(par) == 0:
+            return out_fields.empty_table()
+        flat = pc.list_flatten(col)
+        # 1-based ordinal inside each parent run (par is sorted)
+        new = np.ones(len(par), bool)
+        new[1:] = par[1:] != par[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(par)))
+        pos = (np.arange(len(par), dtype=np.int64)
+               - np.repeat(starts, sizes) + 1)
+        take = pa.array(par, pa.int64())
+        return pa.table({
+            **{c: t[c].take(take) for c in id_cols},
+            pos_col: pa.array(pos, pa.int64()),
+            value_col: pc.cast(flat, vt),
+        }).cast(out_fields)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def snapshot_diff(old_ds, new_ds, key_col: str = "doc_id",
                   text_col: str = "text",
                   num_shards: int | None = None,

@@ -176,3 +176,31 @@ def test_filter_above_group_avg_empty():
     t = pa.table({"k": pa.array([], pa.int64()),
                   "v": pa.array([], pa.int64())})
     assert _rows(filter_above_group_avg(_ds(t, 1), "k", "v")) == []
+
+
+def test_unnest_list_ordinality_nulls_empties():
+    import duckdb
+
+    from pyschema_ray.functions.relational import unnest_list
+
+    t = pa.table({
+        "id": pa.array([10, 20, 30, 40], pa.int64()),
+        "xs": pa.array([[1.5, 2.5], None, [], [7.0]],
+                       pa.list_(pa.float64())),
+    })
+    got = _rows(unnest_list(_ds(t), "xs", ["id"]))
+    want = sorted((tuple(r) for r in duckdb.sql(
+        "SELECT id, CAST(generate_subscripts(xs, 1) AS BIGINT), "
+        "CAST(unnest(xs) AS DOUBLE) FROM t").fetchall()), key=repr)
+    assert got == want == [(10, 1, 1.5), (10, 2, 2.5), (40, 1, 7.0)]
+
+
+def test_unnest_list_empty_and_all_null_blocks():
+    from pyschema_ray.functions.relational import unnest_list
+
+    t = pa.table({"id": pa.array([1, 2], pa.int64()),
+                  "xs": pa.array([None, []], pa.list_(pa.int64()))})
+    assert _rows(unnest_list(_ds(t, 2), "xs", ["id"])) == []
+    e = pa.table({"id": pa.array([], pa.int64()),
+                  "xs": pa.array([], pa.list_(pa.int64()))})
+    assert _rows(unnest_list(_ds(e, 1), "xs", ["id"])) == []
