@@ -5080,6 +5080,31 @@ def _q_waiting_suppliers(sf_dir: str) -> pa.Table:
                   ("s_suppkey", "ascending")])
 
 
+def _q_ref_violations_events_user_shuffle(sf_dir: str) -> pa.Table:
+    """Referential check against a LARGE dimension: the broadcast
+    path (`ref_violations_documents_source`, constraints.py:444)
+    assumes the dim rides ray.put; this is the 100 TB-dim
+    alternative — a shuffle ANTI-join of the fact against the dim's
+    valid keys (relational.py::anti_join: both sides exchange
+    hash-of-key shards, the dim reduced to distinct keys per batch
+    BEFORE the exchange; nothing broadcast, nothing collected).
+    Violations := events whose user_id references no customer in
+    good standing (c_acctbal >= 0)."""
+    from pyschema_ray.functions.relational import anti_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id"])
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_acctbal"]) \
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["c_acctbal"], 0.0))
+            .select(["c_custkey"]), batch_format="pyarrow")
+    out = anti_join(ev, cust, "user_id", "c_custkey")
+    schema = pa.schema([("event_id", pa.int64()),
+                        ("user_id", pa.int64())])
+    return _collect(out, schema).select(["event_id", "user_id"]) \
+        .sort_by([("event_id", "ascending")])
+
+
 def _q_embedding_unnest(sf_dir: str) -> pa.Table:
     """UNNEST WITH ORDINALITY over the embedding list column: one row
     per vector component with its 1-based position — the zero-exchange
@@ -5276,6 +5301,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_share_suppliers": _q_heavy_share_suppliers,
         "waiting_suppliers": _q_waiting_suppliers,
         "embedding_unnest": _q_embedding_unnest,
+        "ref_violations_events_user_shuffle":
+            _q_ref_violations_events_user_shuffle,
     }
 
 
@@ -7427,6 +7454,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(unnest(embedding) AS DOUBLE) AS value
               FROM embeddings
              ORDER BY vec_id, pos
+        """,
+        "ref_violations_events_user_shuffle": """
+            SELECT e.event_id, e.user_id
+              FROM events e
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = e.user_id
+                                  AND c.c_acctbal >= 0)
+             ORDER BY e.event_id
         """,
         "brand_qty_revenue": """
             SELECT CAST(coalesce(sum(CAST(round(l.l_extendedprice

@@ -120,7 +120,7 @@ QUERY_SUBSET = [
     "forecast_revenue", "late_line_priority", "important_parts",
     "supplier_part_counts", "min_cost_supplier",
     "heavy_share_suppliers", "waiting_suppliers",
-    "embedding_unnest",
+    "embedding_unnest", "ref_violations_events_user_shuffle",
 ]
 
 
