@@ -300,6 +300,21 @@ def _probe_host_window(wide: int, seconds: float = 2.0) -> float:
     return round((aggs[wide] / aggs[1]) / wide, 4)
 
 
+def _probe_alloc_ms() -> float:
+    """Cold-allocation latency probe: time ONE fresh np.arange(7M)
+    (56 MB, never touched before).  The co-tenanted VM has a second
+    degradation mode the parallel-ceiling probe MISSES (and is itself
+    distorted by): first-touch page faults throttled ~100-1000x
+    (measured 5.2 s for this line bare, ~5 ms healthy) while warm
+    compute stays fast — allocation-heavy stages then read 3-5x slow
+    with no code change.  > ~50 ms means the window is sick; recorded
+    so absolute times in this report are attributable."""
+    import numpy as np
+    t0 = time.perf_counter()
+    np.arange(7_000_000, dtype=np.int64)
+    return round((time.perf_counter() - t0) * 1000.0, 1)
+
+
 def scaling_mode(rows: int) -> dict:
     """Fresh-process runs at N and 4N CPUs on the same input.
 
@@ -354,6 +369,7 @@ def scaling_mode(rows: int) -> dict:
         "sec_n": round(results[n]["sec"], 2),
         "sec_4n": round(results[n4]["sec"], 2),
         "host_window_ceiling": max(probe_before, probe_after),
+        "host_alloc_7m_ms": _probe_alloc_ms(),
     }
     _write_scaling_report(summary)
     return summary
@@ -436,6 +452,7 @@ def main() -> None:
     # ceiling, recorded so round-over-round comparisons of this JSON
     # can attribute drift to the co-tenanted host (see BASELINE.md)
     ceiling = _probe_host_window(min(8, args.cpus))
+    alloc_ms = _probe_alloc_ms()
     head = run_headline(args.cpus, args.rows)
     queries = {} if args.skip_queries else run_queries(SF_DIR)
     ray.shutdown()
@@ -450,6 +467,7 @@ def main() -> None:
         "rows_per_sec": round(head["rows_per_sec"], 1),
         "violations": head["violations"],
         "host_window_ceiling_8p": ceiling,
+        "host_alloc_7m_ms": alloc_ms,
     }))
 
 
