@@ -3780,6 +3780,34 @@ def _q_orders_moving_sum(sf_dir: str) -> pa.Table:
                   ("o_orderkey", "ascending")])
 
 
+def _q_user_value_range_sum(sf_dir: str) -> pa.Table:
+    """RANGE-frame window aggregate (time-interval frame, not row
+    count): per user ordered by ts, the sum + count of event value
+    milli-units over ``RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND
+    CURRENT ROW`` — frame bounds from one composite-key searchsorted
+    per shard, tie peers share one frame, exact int64 parity with the
+    SQL RANGE oracle."""
+    from pyschema_ray.functions.ordered import grouped_range_moving_sum
+
+    def milli(t: pa.Table) -> pa.Table:
+        m = pc.cast(pc.round(pc.multiply(t["value"], 1000.0),
+                             round_mode="half_towards_infinity"),
+                    pa.int64())
+        return pa.table({"user_id": t["user_id"], "ts": t["ts"],
+                         "event_id": t["event_id"], "mv": m})
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "value"]) \
+        .map_batches(milli, batch_format="pyarrow")
+    out = grouped_range_moving_sum(ds, "user_id", "ts", "event_id",
+                                   "mv", preceding_us=86_400_000_000)
+    return _collect(out, pa.schema([("user_id", pa.int64()),
+                                    ("event_id", pa.int64()),
+                                    ("range_sum", pa.int64()),
+                                    ("n_win", pa.int64())])) \
+        .sort_by([("user_id", "ascending"), ("event_id", "ascending")])
+
+
 def _q_order_priority_exists_counts(sf_dir: str) -> pa.Table:
     """TPC-H Q4 shape: orders in a date window having at least one
     high-quantity line (EXISTS), counted per priority — the bounded
@@ -5279,6 +5307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_price_by_priority": _q_winsorized_price_by_priority,
         "price_mad": _q_price_mad,
         "orders_moving_sum": _q_orders_moving_sum,
+        "user_value_range_sum": _q_user_value_range_sum,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -7150,6 +7179,25 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
                        AS BIGINT) AS n_win
               FROM c ORDER BY o_custkey, o_orderkey
+        """,
+        "user_value_range_sum": """
+            WITH c AS (
+                SELECT user_id, ts, event_id,
+                       CAST(round(value * 1000) AS BIGINT) AS mv
+                  FROM events
+                 WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+            SELECT user_id, event_id,
+                   CAST(sum(mv) OVER (PARTITION BY user_id
+                       ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 DAY PRECEDING
+                                 AND CURRENT ROW)
+                       AS BIGINT) AS range_sum,
+                   CAST(count(mv) OVER (PARTITION BY user_id
+                       ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 DAY PRECEDING
+                                 AND CURRENT ROW)
+                       AS BIGINT) AS n_win
+              FROM c ORDER BY user_id, event_id
         """,
         "order_priority_exists_counts": """
             SELECT o_orderpriority,

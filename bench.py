@@ -121,6 +121,8 @@ QUERY_SUBSET = [
     "supplier_part_counts", "min_cost_supplier",
     "heavy_share_suppliers", "waiting_suppliers",
     "embedding_unnest", "ref_violations_events_user_shuffle",
+    # round-5i additions
+    "user_value_range_sum",
 ]
 
 

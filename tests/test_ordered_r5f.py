@@ -177,3 +177,66 @@ def test_unpivot_roundtrip_and_types():
     got = sorted((tuple(r.values()) for r in out.to_pylist()), key=repr)
     assert got == sorted([(1, "a", 125), (2, "a", 250),
                           (1, "b", 1000), (2, "b", None)], key=repr)
+
+
+def test_grouped_range_moving_sum_matches_duckdb():
+    """RANGE BETWEEN 10s PRECEDING AND CURRENT ROW — tie peers share
+    one frame (later peer rows included), time (not row-count) bounds,
+    null values excluded from count, all-null frame -> NULL sum."""
+    import duckdb
+
+    from pyschema_ray.functions.ordered import grouped_range_moving_sum
+
+    ts = pa.array(np.array(
+        ["2024-01-01T00:00:00", "2024-01-01T00:00:05",
+         "2024-01-01T00:00:05", "2024-01-01T00:00:14",
+         "2024-01-01T00:00:30", "2024-01-01T00:05:00",
+         "2024-01-01T00:05:08", "2024-01-02T00:00:00",
+         "2024-01-02T00:00:03"],
+        dtype="datetime64[us]"), pa.timestamp("us"))
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 1, 1, 1, 1, 2, 2], pa.int64()),
+        "ts": ts,
+        "eid": pa.array(list(range(9)), pa.int64()),
+        "v": pa.array([10, 20, 30, 40, None, None, 7, 5, None],
+                      pa.int64()),
+    })
+    out = _tab(grouped_range_moving_sum(_ds(t), "k", "ts", "eid", "v",
+                                        preceding_us=10_000_000))
+    got = sorted((tuple(r.values()) for r in out.to_pylist()), key=repr)
+    want = sorted((tuple(r) for r in duckdb.sql("""
+        SELECT k, eid,
+               CAST(sum(v) OVER (PARTITION BY k ORDER BY ts
+                    RANGE BETWEEN INTERVAL 10 SECONDS PRECEDING
+                              AND CURRENT ROW) AS BIGINT) AS range_sum,
+               CAST(count(v) OVER (PARTITION BY k ORDER BY ts
+                    RANGE BETWEEN INTERVAL 10 SECONDS PRECEDING
+                              AND CURRENT ROW) AS BIGINT) AS n_win
+          FROM t
+    """).fetchall()), key=repr)
+    assert got == want
+    rows = {r["eid"]: (r["range_sum"], r["n_win"])
+            for r in out.to_pylist()}
+    # tie peers at :05 share the frame [ :00, :05 x2 ] = 10+20+30
+    assert rows[1] == (60, 3) and rows[2] == (60, 3)
+    # :14 sees only the :05 peers (:00 is 14s back, outside RANGE)
+    assert rows[3] == (90, 3)
+    # :30 frame = itself only, value NULL -> NULL sum, count 0
+    assert rows[4] == (None, 0)
+    # :05:08 frame = :05:00 (NULL) + itself -> 7, count 1
+    assert rows[6] == (7, 1)
+    # key 2 independent: :03 sees :00
+    assert rows[8] == (5, 1)
+
+
+def test_grouped_range_moving_sum_empty():
+    from pyschema_ray.functions.ordered import grouped_range_moving_sum
+
+    ts = pa.array(np.array([], dtype="datetime64[us]"),
+                  pa.timestamp("us"))
+    t = pa.table({"k": pa.array([], pa.int64()), "ts": ts,
+                  "eid": pa.array([], pa.int64()),
+                  "v": pa.array([], pa.int64())})
+    out = _tab(grouped_range_moving_sum(_ds(t, 1), "k", "ts", "eid",
+                                        "v", preceding_us=1_000_000))
+    assert out is None or out.num_rows == 0
