@@ -3808,6 +3808,25 @@ def _q_user_value_range_sum(sf_dir: str) -> pa.Table:
         .sort_by([("user_id", "ascending"), ("event_id", "ascending")])
 
 
+def _q_user_cohort_retention(sf_dir: str) -> pa.Table:
+    """Cohort retention matrix over events: cohort = WEEK (Monday
+    start, = SQL date_trunc('week')) of a user's first event, n_users
+    = exact distinct cohort members active per week — per-batch
+    (user, week) dedup combiner, one user-hash exchange, in-place
+    cohort stamping (no join back), tiny (weeks^2) final groupby."""
+    from pyschema_ray.functions.analytics import cohort_retention
+
+    out = cohort_retention(_read(sf_dir, "events",
+                                 columns=["user_id", "ts"]),
+                           key_col="user_id", ts_col="ts",
+                           unit="week")
+    return _collect(out, pa.schema([("cohort_month", pa.timestamp("us")),
+                                    ("activity_month", pa.timestamp("us")),
+                                    ("n_users", pa.int64())])) \
+        .sort_by([("cohort_month", "ascending"),
+                  ("activity_month", "ascending")])
+
+
 def _q_order_priority_exists_counts(sf_dir: str) -> pa.Table:
     """TPC-H Q4 shape: orders in a date window having at least one
     high-quantity line (EXISTS), counted per priority — the bounded
@@ -5308,6 +5327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_mad": _q_price_mad,
         "orders_moving_sum": _q_orders_moving_sum,
         "user_value_range_sum": _q_user_value_range_sum,
+        "user_cohort_retention": _q_user_cohort_retention,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -7198,6 +7218,20 @@ def oracle_sql() -> dict[str, str]:
                                  AND CURRENT ROW)
                        AS BIGINT) AS n_win
               FROM c ORDER BY user_id, event_id
+        """,
+        "user_cohort_retention": """
+            WITH e AS (
+                SELECT user_id, date_trunc('week', ts) AS m
+                  FROM events
+                 WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            c AS (
+                SELECT user_id, min(m) AS cohort
+                  FROM e GROUP BY user_id)
+            SELECT CAST(c.cohort AS TIMESTAMP) AS cohort_month,
+                   CAST(e.m AS TIMESTAMP) AS activity_month,
+                   CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+              FROM e JOIN c USING (user_id)
+             GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "order_priority_exists_counts": """
             SELECT o_orderpriority,

@@ -122,7 +122,7 @@ QUERY_SUBSET = [
     "heavy_share_suppliers", "waiting_suppliers",
     "embedding_unnest", "ref_violations_events_user_shuffle",
     # round-5i additions
-    "user_value_range_sum",
+    "user_value_range_sum", "user_cohort_retention",
 ]
 
 

@@ -1493,3 +1493,78 @@ def filter_above_group_avg(ds, group_col: str, cents_col: str,
 
     return ds.map_batches(shard, batch_format="pyarrow") \
         .groupby("kshard").map_groups(resolve, batch_format="pyarrow")
+
+
+def cohort_retention(ds, key_col: str = "user_id", ts_col: str = "ts",
+                     unit: str = "month",
+                     num_shards: int | None = None):
+    """Cohort retention matrix (the classic product-analytics shape):
+    each key's COHORT is the calendar period (``unit``: "month",
+    "week", or "day" — Arrow ``floor_temporal``, Monday-start weeks,
+    matching SQL ``date_trunc``) of its first event; for every
+    (cohort_month, activity_month) pair the output is the EXACT
+    distinct-key count of cohort members active in that period.
+
+    Dataflow — the :func:`grouped_ndv` shape specialised to a derived
+    group: per batch an Arrow group_by dedups (key, month) pairs (the
+    combiner — the exchange never carries more than one row per key
+    per month), ONE bounded key-hash exchange co-shards every month of
+    a key, per shard a second dedup + run-boundary scan stamps each
+    key's min month onto its pairs (no join back — the cohort is
+    derived in place), and in-shard (cohort, month) partial counts
+    reduce through a final tiny multi-key groupby (months² rows
+    total).  A key's rows live in exactly one shard, so cross-shard
+    double counting is impossible.  Null keys/timestamps are dropped
+    (SQL semantics).
+
+    -> Dataset(cohort_month timestamp[us], activity_month
+    timestamp[us], n_users int64), n_users >= 1 rows only.
+    """
+    import ray.data.aggregate as A
+
+    num_shards = num_shards or _default_shards()
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select([key_col, ts_col])
+        t = t.filter(pc.and_(pc.is_valid(t[key_col]),
+                             pc.is_valid(t[ts_col])))
+        month = pc.floor_temporal(pc.cast(t[ts_col], pa.timestamp("us")),
+                                  unit=unit)
+        g = pa.table({key_col: t[key_col], "month": month}) \
+            .group_by([key_col, "month"]).aggregate([])
+        keys = g[key_col].to_numpy(zero_copy_only=False)
+        return g.append_column(
+            "kshard", pa.array(_key_shards(keys, num_shards, 71),
+                               pa.int64()))
+
+    def shard(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "cohort_month": pa.array([], pa.timestamp("us")),
+            "activity_month": pa.array([], pa.timestamp("us")),
+            "n_users": pa.array([], pa.int64())})
+        g = t.select([key_col, "month"]) \
+            .group_by([key_col, "month"]).aggregate([]) \
+            .sort_by([(key_col, "ascending"), ("month", "ascending")])
+        if g.num_rows == 0:
+            return empty
+        keys = g[key_col].to_numpy(zero_copy_only=False)
+        m_us = pc.cast(g["month"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        starts, sizes = _group_starts(keys)
+        cohort = np.repeat(m_us[starts], sizes)
+        pairs = pa.table({"c": pa.array(cohort, pa.int64()),
+                          "m": pa.array(m_us, pa.int64())})
+        cnt = pairs.group_by(["c", "m"]).aggregate([("c", "count")])
+        return pa.table({
+            "cohort_month": pc.cast(cnt["c"], pa.timestamp("us")),
+            "activity_month": pc.cast(cnt["m"], pa.timestamp("us")),
+            "n_users": pc.cast(cnt["c_count"], pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("kshard").map_groups(shard, batch_format="pyarrow")
+    out = partials.groupby(["cohort_month", "activity_month"]) \
+        .aggregate(A.Sum("n_users"))
+    return out.map_batches(
+        lambda t: t.rename_columns(["cohort_month", "activity_month",
+                                    "n_users"]),
+        batch_format="pyarrow")

@@ -1,0 +1,78 @@
+"""Round-5i analytics: cohort_retention — multi-cohort matrix parity
+with the DuckDB min-month + distinct-count oracle, null handling,
+empty input."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _ds(tbl, blocks=3):
+    import ray.data
+
+    return ray.data.from_arrow(tbl).repartition(blocks)
+
+
+def _tab(ds):
+    tabs = [t for t in ds.iter_batches(batch_format="pyarrow",
+                                       batch_size=None) if t.num_rows]
+    return pa.concat_tables(tabs) if tabs else None
+
+
+def _events():
+    # users 1-2 start in Jan, user 3 starts in Feb; user 1 skips Feb
+    # and returns in Mar; nulls dropped
+    stamps = ["2024-01-05", "2024-01-20", "2024-03-02",   # user 1
+              "2024-01-10", "2024-02-10",                 # user 2
+              "2024-02-15", "2024-03-15",                 # user 3
+              "2024-02-01"]                               # null user
+    ts = pa.array(np.array(stamps, dtype="datetime64[us]"),
+                  pa.timestamp("us"))
+    users = pa.array([1, 1, 1, 2, 2, 3, 3, None], pa.int64())
+    return pa.table({"user_id": users, "ts": ts})
+
+
+def test_cohort_retention_matches_duckdb():
+    import duckdb
+
+    from pyschema_ray.functions.analytics import cohort_retention
+
+    t = _events()
+    out = _tab(cohort_retention(_ds(t), "user_id", "ts"))
+    got = sorted((tuple(r.values()) for r in out.to_pylist()), key=repr)
+    want = sorted((tuple(r) for r in duckdb.sql("""
+        WITH e AS (
+            SELECT user_id, date_trunc('month', ts) AS m FROM t
+             WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        c AS (SELECT user_id, min(m) AS cohort FROM e GROUP BY user_id)
+        SELECT CAST(c.cohort AS TIMESTAMP) AS cohort_month,
+               CAST(e.m AS TIMESTAMP) AS activity_month,
+               CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+          FROM e JOIN c USING (user_id) GROUP BY 1, 2
+    """).fetchall()), key=repr)
+    assert got == want
+    # spot shape: Jan cohort has 2 members, 1 retained in Feb
+    # (user 2) and 1 in Mar (user 1); Feb cohort = user 3 alone
+    import datetime as dt
+    rows = {(r["cohort_month"], r["activity_month"]): r["n_users"]
+            for r in out.to_pylist()}
+    jan, feb, mar = (dt.datetime(2024, m, 1) for m in (1, 2, 3))
+    assert rows[(jan, jan)] == 2
+    assert rows[(jan, feb)] == 1
+    assert rows[(jan, mar)] == 1
+    assert rows[(feb, feb)] == 1
+    assert rows[(feb, mar)] == 1
+    assert (mar, mar) not in rows  # nobody STARTS in March
+
+
+def test_cohort_retention_week_unit_and_empty():
+    from pyschema_ray.functions.analytics import cohort_retention
+
+    t = _events()
+    out = _tab(cohort_retention(_ds(t), "user_id", "ts", unit="week"))
+    assert out.num_rows >= 5  # finer unit -> more pairs
+    assert sum(r["n_users"] for r in out.to_pylist()
+               if r["cohort_month"] == r["activity_month"]) >= 3
+
+    empty = _tab(cohort_retention(_ds(t.slice(0, 0), 1),
+                                  "user_id", "ts"))
+    assert empty is None or empty.num_rows == 0
