@@ -3827,6 +3827,21 @@ def _q_user_cohort_retention(sf_dir: str) -> pa.Table:
                   ("activity_month", "ascending")])
 
 
+def _q_events_hourly_dense(sf_dir: str) -> pa.Table:
+    """Time-series resample with gap fill: hourly event counts with
+    every hour between the corpus min and max emitted, zero-count
+    gaps included — per-batch period combiners, period-key groupby,
+    one result-sized dense-grid pass (functions/windows.py::
+    dense_period_counts)."""
+    from pyschema_ray.functions.windows import dense_period_counts
+
+    out = dense_period_counts(_read(sf_dir, "events", columns=["ts"]),
+                              ts_col="ts", unit="hour")
+    return _collect(out, pa.schema([("period", pa.timestamp("us")),
+                                    ("n_events", pa.int64())])) \
+        .sort_by([("period", "ascending")])
+
+
 def _q_order_priority_exists_counts(sf_dir: str) -> pa.Table:
     """TPC-H Q4 shape: orders in a date window having at least one
     high-quantity line (EXISTS), counted per priority — the bounded
@@ -5328,6 +5343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_moving_sum": _q_orders_moving_sum,
         "user_value_range_sum": _q_user_value_range_sum,
         "user_cohort_retention": _q_user_cohort_retention,
+        "events_hourly_dense": _q_events_hourly_dense,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -7232,6 +7248,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
               FROM e JOIN c USING (user_id)
              GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_hourly_dense": """
+            WITH c AS (
+                SELECT date_trunc('hour', ts) AS h,
+                       CAST(count(*) AS BIGINT) AS n
+                  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+            b AS (SELECT min(h) AS lo, max(h) AS hi FROM c),
+            g AS (SELECT unnest(generate_series(lo, hi,
+                                INTERVAL 1 HOUR)) AS h FROM b)
+            SELECT CAST(g.h AS TIMESTAMP) AS period,
+                   CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+              FROM g LEFT JOIN c USING (h) ORDER BY 1
         """,
         "order_priority_exists_counts": """
             SELECT o_orderpriority,

@@ -76,3 +76,53 @@ def test_cohort_retention_week_unit_and_empty():
     empty = _tab(cohort_retention(_ds(t.slice(0, 0), 1),
                                   "user_id", "ts"))
     assert empty is None or empty.num_rows == 0
+
+
+def test_dense_period_counts_fills_gaps():
+    import duckdb
+
+    from pyschema_ray.functions.windows import dense_period_counts
+
+    # three active hours with a 2-hour hole and a day-long hole
+    stamps = ["2024-01-01T00:10:00", "2024-01-01T00:50:00",
+              "2024-01-01T03:20:00", "2024-01-02T07:00:00", None]
+    ts = pa.array(np.array(
+        [s if s else "NaT" for s in stamps], dtype="datetime64[us]"),
+        pa.timestamp("us"), from_pandas=True)
+    t = pa.table({"ts": ts})
+    out = _tab(dense_period_counts(_ds(t), "ts", unit="hour")) \
+        .sort_by([("period", "ascending")])
+    # grid spans 2024-01-01T00 .. 2024-01-02T07 inclusive = 32 hours
+    assert out.num_rows == 32
+    got = [(r["period"], r["n_events"]) for r in out.to_pylist()]
+    want = [(r[0], r[1]) for r in duckdb.sql("""
+        WITH c AS (SELECT date_trunc('hour', ts) AS h,
+                          CAST(count(*) AS BIGINT) AS n
+                     FROM t WHERE ts IS NOT NULL GROUP BY 1),
+        b AS (SELECT min(h) AS lo, max(h) AS hi FROM c),
+        g AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                  AS h FROM b)
+        SELECT CAST(g.h AS TIMESTAMP), CAST(coalesce(c.n, 0) AS BIGINT)
+          FROM g LEFT JOIN c USING (h) ORDER BY 1
+    """).fetchall()]
+    assert got == want
+    counts = dict(got)
+    import datetime as dt
+    assert counts[dt.datetime(2024, 1, 1, 0)] == 2
+    assert counts[dt.datetime(2024, 1, 1, 1)] == 0   # gap filled
+    assert counts[dt.datetime(2024, 1, 1, 3)] == 1
+    assert sum(v == 0 for v in counts.values()) == 32 - 3
+
+
+def test_dense_period_counts_empty_and_bad_unit():
+    import pytest
+
+    from pyschema_ray.functions.windows import dense_period_counts
+
+    ts = pa.array(np.array([], dtype="datetime64[us]"),
+                  pa.timestamp("us"))
+    out = _tab(dense_period_counts(_ds(pa.table({"ts": ts}), 1), "ts"))
+    assert out is None or out.num_rows == 0
+    with pytest.raises(ValueError):
+        dense_period_counts(_ds(pa.table({"ts": ts}), 1), "ts",
+                            unit="fortnight")
