@@ -3842,6 +3842,26 @@ def _q_events_hourly_dense(sf_dir: str) -> pa.Table:
         .sort_by([("period", "ascending")])
 
 
+def _q_event_type_transitions(sf_dir: str) -> pa.Table:
+    """First-order Markov transition matrix over per-user event
+    streams: counts of each consecutive (prev event_type, next
+    event_type) pair ordered by (ts, event_id) — one user-hash
+    exchange, array-shift pairing per shard, vocab² final groupby
+    (functions/ordered.py::transition_counts)."""
+    from pyschema_ray.functions.ordered import transition_counts
+
+    out = transition_counts(
+        _read(sf_dir, "events",
+              columns=["user_id", "ts", "event_id", "event_type"]),
+        key_col="user_id", ts_col="ts", order_col="event_id",
+        state_col="event_type")
+    return _collect(out, pa.schema([("prev_state", pa.string()),
+                                    ("next_state", pa.string()),
+                                    ("n_transitions", pa.int64())])) \
+        .sort_by([("prev_state", "ascending"),
+                  ("next_state", "ascending")])
+
+
 def _q_order_priority_exists_counts(sf_dir: str) -> pa.Table:
     """TPC-H Q4 shape: orders in a date window having at least one
     high-quantity line (EXISTS), counted per priority — the bounded
@@ -5344,6 +5364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_range_sum": _q_user_value_range_sum,
         "user_cohort_retention": _q_user_cohort_retention,
         "events_hourly_dense": _q_events_hourly_dense,
+        "event_type_transitions": _q_event_type_transitions,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -7260,6 +7281,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(g.h AS TIMESTAMP) AS period,
                    CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
               FROM g LEFT JOIN c USING (h) ORDER BY 1
+        """,
+        "event_type_transitions": """
+            WITH e AS (
+                SELECT user_id, ts, event_id, event_type
+                  FROM events
+                 WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                   AND event_type IS NOT NULL),
+            t AS (
+                SELECT lag(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_state,
+                       event_type AS next_state
+                  FROM e)
+            SELECT prev_state, next_state,
+                   CAST(count(*) AS BIGINT) AS n_transitions
+              FROM t WHERE prev_state IS NOT NULL
+             GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "order_priority_exists_counts": """
             SELECT o_orderpriority,

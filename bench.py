@@ -123,7 +123,7 @@ QUERY_SUBSET = [
     "embedding_unnest", "ref_violations_events_user_shuffle",
     # round-5i additions
     "user_value_range_sum", "user_cohort_retention",
-    "events_hourly_dense",
+    "events_hourly_dense", "event_type_transitions",
 ]
 
 

@@ -619,3 +619,80 @@ def global_rank_stats(ds, value_col: str, key_col: str,
                          "cume_dist": pa.array(cd, pa.float64())})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def transition_counts(ds, key_col: str = "user_id", ts_col: str = "ts",
+                      order_col: str = "event_id",
+                      state_col: str = "event_type",
+                      num_shards: int | None = None):
+    """First-order (Markov) state-transition counts: for every key's
+    event stream ordered by (ts, order_col), count each consecutive
+    (prev_state, next_state) pair across the whole corpus — the
+    transition matrix behind next-event prediction, funnel-ordering
+    audits, and session-flow dashboards.
+
+    SQL equivalent: ``lag(state) OVER (PARTITION BY key ORDER BY ts,
+    order)`` + a two-column group count, skipping each key's first
+    event (no predecessor) — exactly how the oracle reproduces it.
+
+    Same physical shape as the rest of this module: ONE bounded
+    key-hash exchange, a single sorted numpy pass per shard that
+    pairs each row with its predecessor via array shifts (run starts
+    masked out), an in-shard (prev, next) pre-count, and a tiny final
+    two-key groupby over the state-vocabulary-squared partials.  Null
+    key/ts rows are dropped; a NULL state participates like any other
+    value would in the engine's transition stream EXCEPT that SQL
+    group-by-NULL rows are dropped to keep the oracle contract exact
+    (documented: transitions with a null prev or next state are
+    excluded).
+
+    -> Dataset(prev_state, next_state, n_transitions int64).
+    """
+    import ray.data.aggregate as A
+
+    nb = num_shards or _default_shards()
+
+    def exchange(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.and_(pc.is_valid(t[key_col]),
+                                     pc.is_valid(t[ts_col])),
+                             pc.is_valid(t[state_col])))
+        t = t.select([key_col, ts_col, order_col, state_col])
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "kshard", pa.array(_key_shards(keys, nb, 73), pa.int64()))
+
+    def scan(t: pa.Table) -> pa.Table:
+        t, keys, _us, _ = _sorted_shard(t, key_col, ts_col, order_col)
+        n = len(keys)
+        stype = t.schema.field(state_col).type
+        empty = pa.table({"prev_state": pa.array([], stype),
+                          "next_state": pa.array([], stype),
+                          "n_transitions": pa.array([], pa.int64())})
+        if n < 2:
+            return empty
+        starts, _sizes = _group_starts(keys)
+        keep = np.ones(n, bool)
+        keep[starts] = False  # first event of each key: no predecessor
+        idx = np.flatnonzero(keep)
+        if len(idx) == 0:
+            return empty
+        states = t[state_col].combine_chunks()
+        pairs = pa.table({
+            "prev_state": states.take(pa.array(idx - 1, pa.int64())),
+            "next_state": states.take(pa.array(idx, pa.int64())),
+        })
+        c = pairs.group_by(["prev_state", "next_state"]) \
+            .aggregate([("prev_state", "count")])
+        return pa.table({
+            "prev_state": c["prev_state"],
+            "next_state": c["next_state"],
+            "n_transitions": pc.cast(c["prev_state_count"], pa.int64())})
+
+    partials = ds.map_batches(exchange, batch_format="pyarrow") \
+        .groupby("kshard").map_groups(scan, batch_format="pyarrow")
+    out = partials.groupby(["prev_state", "next_state"]) \
+        .aggregate(A.Sum("n_transitions"))
+    return out.map_batches(
+        lambda t: t.rename_columns(["prev_state", "next_state",
+                                    "n_transitions"]),
+        batch_format="pyarrow")

@@ -240,3 +240,84 @@ def test_grouped_range_moving_sum_empty():
     out = _tab(grouped_range_moving_sum(_ds(t, 1), "k", "ts", "eid",
                                         "v", preceding_us=1_000_000))
     assert out is None or out.num_rows == 0
+
+
+def test_transition_counts_matches_duckdb():
+    import duckdb
+
+    from pyschema_ray.functions.ordered import transition_counts
+
+    rng = np.random.default_rng(7)
+    n = 400
+    ts = pa.array(
+        np.datetime64("2024-01-01") +
+        rng.integers(0, 3600, n).astype("timedelta64[s]"),
+        pa.timestamp("us"))
+    states = rng.choice(["click", "view", "buy", None], n,
+                        p=[0.4, 0.4, 0.1, 0.1])
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 25, n), pa.int64()),
+        "ts": ts,
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "event_type": pa.array(states.tolist(), pa.string()),
+    })
+    out = _tab(transition_counts(_ds(t, 5), "user_id", "ts",
+                                 "event_id", "event_type"))
+    out = out.sort_by([("prev_state", "ascending"),
+                       ("next_state", "ascending")])
+    exp = duckdb.sql("""
+        WITH e AS (SELECT * FROM t
+                    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                      AND event_type IS NOT NULL),
+        w AS (SELECT lag(event_type) OVER (
+                         PARTITION BY user_id
+                         ORDER BY ts, event_id) AS prev_state,
+                     event_type AS next_state
+                FROM e)
+        SELECT prev_state, next_state,
+               CAST(count(*) AS BIGINT) AS n_transitions
+          FROM w WHERE prev_state IS NOT NULL
+         GROUP BY 1, 2 ORDER BY 1, 2
+    """).arrow().cast(out.schema)
+    assert out.equals(exp)
+
+
+def test_transition_counts_null_state_bridges():
+    # Null-state rows are removed BEFORE pairing, so A, NULL, B
+    # yields the A->B transition (and so does the LAG-over-filtered
+    # oracle form).
+    from pyschema_ray.functions.ordered import transition_counts
+
+    ts = pa.array(np.array(
+        ["2024-01-01T00:00:00", "2024-01-01T00:00:01",
+         "2024-01-01T00:00:02"], dtype="datetime64[us]"),
+        pa.timestamp("us"))
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1], pa.int64()),
+        "ts": ts,
+        "event_id": pa.array([0, 1, 2], pa.int64()),
+        "event_type": pa.array(["A", None, "B"], pa.string()),
+    })
+    out = _tab(transition_counts(_ds(t, 2), "user_id", "ts",
+                                 "event_id", "event_type"))
+    assert out.to_pydict() == {"prev_state": ["A"],
+                               "next_state": ["B"],
+                               "n_transitions": [1]}
+
+
+def test_transition_counts_empty_and_singletons():
+    from pyschema_ray.functions.ordered import transition_counts
+
+    ts = pa.array(np.array(
+        ["2024-01-01T00:00:00", "2024-01-01T00:00:01"],
+        dtype="datetime64[us]"), pa.timestamp("us"))
+    # two keys, one event each: no transitions at all
+    t = pa.table({
+        "user_id": pa.array([1, 2], pa.int64()),
+        "ts": ts,
+        "event_id": pa.array([0, 1], pa.int64()),
+        "event_type": pa.array(["A", "B"], pa.string()),
+    })
+    out = _tab(transition_counts(_ds(t, 2), "user_id", "ts",
+                                 "event_id", "event_type"))
+    assert out is None or out.num_rows == 0
