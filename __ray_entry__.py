@@ -3862,6 +3862,23 @@ def _q_event_type_transitions(sf_dir: str) -> pa.Table:
                   ("next_state", "ascending")])
 
 
+def _q_user_longest_streaks(sf_dir: str) -> pa.Table:
+    """Gaps-and-islands engagement streaks: per user, distinct active
+    days and the longest run of consecutive calendar days with >= 1
+    event — per-batch (user, day) dedup combiner, one user-hash
+    exchange, numpy segment scan per shard
+    (functions/ordered.py::longest_streaks)."""
+    from pyschema_ray.functions.ordered import longest_streaks
+
+    out = longest_streaks(
+        _read(sf_dir, "events", columns=["user_id", "ts"]),
+        key_col="user_id", ts_col="ts")
+    return _collect(out, pa.schema([("user_id", pa.int64()),
+                                    ("n_active_days", pa.int64()),
+                                    ("longest_streak", pa.int64())])) \
+        .sort_by([("user_id", "ascending")])
+
+
 def _q_order_priority_exists_counts(sf_dir: str) -> pa.Table:
     """TPC-H Q4 shape: orders in a date window having at least one
     high-quantity line (EXISTS), counted per priority — the bounded
@@ -5365,6 +5382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_cohort_retention": _q_user_cohort_retention,
         "events_hourly_dense": _q_events_hourly_dense,
         "event_type_transitions": _q_event_type_transitions,
+        "user_longest_streaks": _q_user_longest_streaks,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -7298,6 +7316,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_transitions
               FROM t WHERE prev_state IS NOT NULL
              GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "user_longest_streaks": """
+            WITH d AS (
+                SELECT DISTINCT user_id,
+                       CAST(date_trunc('day', ts) AS DATE) AS day
+                  FROM events
+                 WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            r AS (
+                SELECT user_id, day,
+                       (day - DATE '1970-01-01')
+                       - row_number() OVER (PARTITION BY user_id
+                                            ORDER BY day) AS isl
+                  FROM d),
+            s AS (
+                SELECT user_id, isl, count(*) AS len
+                  FROM r GROUP BY 1, 2)
+            SELECT user_id,
+                   CAST(sum(len) AS BIGINT) AS n_active_days,
+                   CAST(max(len) AS BIGINT) AS longest_streak
+              FROM s GROUP BY 1 ORDER BY 1
         """,
         "order_priority_exists_counts": """
             SELECT o_orderpriority,

@@ -696,3 +696,72 @@ def transition_counts(ds, key_col: str = "user_id", ts_col: str = "ts",
         lambda t: t.rename_columns(["prev_state", "next_state",
                                     "n_transitions"]),
         batch_format="pyarrow")
+
+
+def longest_streaks(ds, key_col: str = "user_id", ts_col: str = "ts",
+                    num_shards: int | None = None):
+    """Gaps-and-islands: per key, the number of distinct active days
+    and the longest run of CONSECUTIVE calendar days with at least
+    one event — the retention/engagement streak metric (the classic
+    ``day - row_number()`` island trick in SQL).
+
+    Physical shape: per-batch (key, day) dedup combiner (shrinks the
+    exchange to at most keys x days rows), ONE bounded key-hash
+    exchange, then a single sorted numpy pass per shard that segments
+    each key's distinct-day sequence wherever the day delta != 1 and
+    takes the max segment length per key.  Days are epoch-day int32
+    (floor division of epoch-µs), exactly ``CAST(date_trunc('day',
+    ts) AS DATE) - DATE '1970-01-01'`` in the oracle.
+
+    -> Dataset(key_col, n_active_days int64, longest_streak int64).
+    """
+    nb = num_shards or _default_shards()
+    us_per_day = 86_400_000_000
+
+    def exchange(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[key_col]),
+                             pc.is_valid(t[ts_col])))
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        day = pa.array(us.to_numpy(zero_copy_only=False)
+                       // us_per_day, pa.int64())
+        slim = pa.table({key_col: t[key_col], "day": day})
+        slim = slim.group_by([key_col, "day"]).aggregate([])
+        keys = slim[key_col].to_numpy(zero_copy_only=False)
+        return slim.append_column(
+            "kshard", pa.array(_key_shards(keys, nb, 89), pa.int64()))
+
+    def scan(t: pa.Table) -> pa.Table:
+        ktype = t.schema.field(key_col).type
+        empty = pa.table({key_col: pa.array([], ktype),
+                          "n_active_days": pa.array([], pa.int64()),
+                          "longest_streak": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        idx = pc.sort_indices(t, sort_keys=[(key_col, "ascending"),
+                                            ("day", "ascending")])
+        t = t.take(idx)
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        days = t["day"].to_numpy(zero_copy_only=False)
+        n = len(keys)
+        # cross-batch dedup of (key, day)
+        keep = np.ones(n, bool)
+        keep[1:] = (keys[1:] != keys[:-1]) | (days[1:] != days[:-1])
+        keys, days = keys[keep], days[keep]
+        n = len(keys)
+        starts, sizes = _group_starts(keys)
+        # segment wherever the key changes or the day gap != 1
+        newseg = np.ones(n, bool)
+        newseg[1:] = (keys[1:] != keys[:-1]) | (days[1:] - days[:-1] != 1)
+        segstarts = np.flatnonzero(newseg)
+        seglen = np.diff(np.append(segstarts, n))
+        segkeys = keys[segstarts]
+        kstarts, _ = _group_starts(segkeys)
+        longest = np.maximum.reduceat(seglen, kstarts)
+        return pa.table({
+            key_col: pa.array(keys[starts], ktype),
+            "n_active_days": pa.array(sizes.astype(np.int64), pa.int64()),
+            "longest_streak": pa.array(longest.astype(np.int64),
+                                       pa.int64())})
+
+    return ds.map_batches(exchange, batch_format="pyarrow") \
+        .groupby("kshard").map_groups(scan, batch_format="pyarrow")

@@ -321,3 +321,63 @@ def test_transition_counts_empty_and_singletons():
     out = _tab(transition_counts(_ds(t, 2), "user_id", "ts",
                                  "event_id", "event_type"))
     assert out is None or out.num_rows == 0
+
+
+def test_longest_streaks_matches_duckdb():
+    import duckdb
+
+    from pyschema_ray.functions.ordered import longest_streaks
+
+    rng = np.random.default_rng(11)
+    n = 600
+    # many events per (user, day) so the dedup combiner matters
+    day_off = rng.integers(0, 30, n)
+    sec = rng.integers(0, 86400, n)
+    ts = pa.array(
+        np.datetime64("2024-03-01") +
+        (day_off * 86400 + sec).astype("timedelta64[s]"),
+        pa.timestamp("us"))
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 20, n), pa.int64()),
+        "ts": ts,
+    })
+    out = _tab(longest_streaks(_ds(t, 5), "user_id", "ts")) \
+        .sort_by([("user_id", "ascending")])
+    exp = duckdb.sql("""
+        WITH d AS (SELECT DISTINCT user_id,
+                          CAST(date_trunc('day', ts) AS DATE) AS day
+                     FROM t
+                    WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        r AS (SELECT user_id, day,
+                     (day - DATE '1970-01-01')
+                     - row_number() OVER (PARTITION BY user_id
+                                          ORDER BY day) AS isl
+                FROM d),
+        s AS (SELECT user_id, isl, count(*) AS len FROM r GROUP BY 1, 2)
+        SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+               CAST(max(len) AS BIGINT) AS longest_streak
+          FROM s GROUP BY 1 ORDER BY 1
+    """).arrow().cast(out.schema)
+    assert out.equals(exp)
+
+
+def test_longest_streaks_shapes():
+    from pyschema_ray.functions.ordered import longest_streaks
+
+    ts = pa.array(np.array(
+        ["2024-01-01T05:00:00", "2024-01-02T23:59:59",
+         "2024-01-03T00:00:00", "2024-01-07T12:00:00",
+         "2024-01-07T13:00:00",  # same day twice: one active day
+         "2024-02-01T00:00:00", None], dtype="datetime64[us]"),
+        pa.timestamp("us"), from_pandas=True)
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 1, 2, 2], pa.int64()),
+        "ts": ts,
+    })
+    out = _tab(longest_streaks(_ds(t, 3), "user_id", "ts")) \
+        .sort_by([("user_id", "ascending")])
+    assert out.to_pydict() == {
+        "user_id": [1, 2],
+        "n_active_days": [4, 1],      # 1st,2nd,3rd,7th / Feb 1
+        "longest_streak": [3, 1],     # Jan 1-2-3
+    }
