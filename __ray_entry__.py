@@ -3879,6 +3879,31 @@ def _q_user_longest_streaks(sf_dir: str) -> pa.Table:
         .sort_by([("user_id", "ascending")])
 
 
+def _q_monthly_revenue_mom(sf_dir: str) -> pa.Table:
+    """Month-over-month order revenue: per calendar month, exact
+    integer cents total and the LAG delta vs the previous existing
+    month — per-batch period combiner, tiny period groupby, few-row
+    final window (functions/analytics.py::period_totals_delta)."""
+    from pyschema_ray.functions.analytics import period_totals_delta
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderdate": t["o_orderdate"],
+            "cents": pc.cast(pc.round(
+                pc.multiply(t["o_totalprice"], 100.0),
+                round_mode="half_towards_infinity"), pa.int64())})
+
+    out = period_totals_delta(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        ts_col="o_orderdate", cents_col="cents", unit="month")
+    return _collect(out, pa.schema([("period", pa.timestamp("us")),
+                                    ("total_cents", pa.int64()),
+                                    ("delta_cents", pa.int64())])) \
+        .sort_by([("period", "ascending")])
+
+
 def _q_order_priority_exists_counts(sf_dir: str) -> pa.Table:
     """TPC-H Q4 shape: orders in a date window having at least one
     high-quantity line (EXISTS), counted per priority — the bounded
@@ -5383,6 +5408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_dense": _q_events_hourly_dense,
         "event_type_transitions": _q_event_type_transitions,
         "user_longest_streaks": _q_user_longest_streaks,
+        "monthly_revenue_mom": _q_monthly_revenue_mom,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -7336,6 +7362,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(len) AS BIGINT) AS n_active_days,
                    CAST(max(len) AS BIGINT) AS longest_streak
               FROM s GROUP BY 1 ORDER BY 1
+        """,
+        "monthly_revenue_mom": """
+            WITH m AS (
+                SELECT date_trunc('month', o_orderdate) AS period,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS total_cents
+                  FROM orders
+                 WHERE o_orderdate IS NOT NULL GROUP BY 1)
+            SELECT CAST(period AS TIMESTAMP) AS period,
+                   CAST(total_cents AS BIGINT) AS total_cents,
+                   CAST(total_cents - lag(total_cents)
+                            OVER (ORDER BY period) AS BIGINT)
+                       AS delta_cents
+              FROM m ORDER BY period
         """,
         "order_priority_exists_counts": """
             SELECT o_orderpriority,

@@ -124,7 +124,7 @@ QUERY_SUBSET = [
     # round-5i additions
     "user_value_range_sum", "user_cohort_retention",
     "events_hourly_dense", "event_type_transitions",
-    "user_longest_streaks",
+    "user_longest_streaks", "monthly_revenue_mom",
 ]
 
 

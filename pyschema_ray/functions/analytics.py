@@ -1568,3 +1568,56 @@ def cohort_retention(ds, key_col: str = "user_id", ts_col: str = "ts",
         lambda t: t.rename_columns(["cohort_month", "activity_month",
                                     "n_users"]),
         batch_format="pyarrow")
+
+
+def period_totals_delta(ds, ts_col: str, cents_col: str,
+                        unit: str = "month"):
+    """Period-over-period totals: truncate ``ts_col`` to ``unit``
+    (month/week/day/...), sum an exact integer measure per period, and
+    attach the LAG delta vs the previous EXISTING period (NULL on the
+    first row) — the revenue-trend / MoM-change dashboard query.
+
+    Physical shape: per-batch (period -> cents) combiner so the
+    exchange carries at most periods x blocks rows, a tiny
+    ``groupby(period).Sum``, then the few-row window delta in one
+    final task (`repartition(1)` on the aggregate only — periods
+    number in the dozens even at 100 TB).
+
+    -> Dataset(period timestamp, total_cents int64,
+               delta_cents int64 nullable).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[ts_col]))
+        period = pc.floor_temporal(
+            pc.cast(t[ts_col], pa.timestamp("us")), unit=unit)
+        g = pa.table({"period": period, "c": t[cents_col]}) \
+            .group_by("period").aggregate([("c", "sum")])
+        return pa.table({"period": g["period"],
+                         "c": pc.cast(g["c_sum"], pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("period").aggregate(Sum("c"))
+
+    def window(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "period": pa.array([], pa.timestamp("us")),
+                "total_cents": pa.array([], pa.int64()),
+                "delta_cents": pa.array([], pa.int64())})
+        t = t.sort_by([("period", "ascending")])
+        tot = pc.cast(t["sum(c)"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        delta = np.zeros(len(tot), np.int64)
+        delta[1:] = tot[1:] - tot[:-1]
+        mask = np.zeros(len(tot), bool)
+        mask[0] = True
+        return pa.table({
+            "period": pc.cast(t["period"], pa.timestamp("us")),
+            "total_cents": pa.array(tot, pa.int64()),
+            "delta_cents": pa.array(
+                np.ma.masked_array(delta, mask), pa.int64(),
+                from_pandas=True)})
+
+    return agg.repartition(1).map_batches(window, batch_format="pyarrow")

@@ -126,3 +126,44 @@ def test_dense_period_counts_empty_and_bad_unit():
     with pytest.raises(ValueError):
         dense_period_counts(_ds(pa.table({"ts": ts}), 1), "ts",
                             unit="fortnight")
+
+
+def test_period_totals_delta_matches_duckdb():
+    import duckdb
+
+    from pyschema_ray.functions.analytics import period_totals_delta
+
+    rng = np.random.default_rng(3)
+    n = 500
+    ts = pa.array(
+        np.datetime64("2023-06-01") +
+        rng.integers(0, 300 * 86400, n).astype("timedelta64[s]"),
+        pa.timestamp("us"))
+    t = pa.table({"ts": ts,
+                  "cents": pa.array(rng.integers(-500, 10000, n),
+                                    pa.int64())})
+    out = _tab(period_totals_delta(_ds(t, 4), "ts", "cents",
+                                   unit="month"))
+    out = out.sort_by([("period", "ascending")])
+    exp = duckdb.sql("""
+        WITH m AS (SELECT date_trunc('month', ts) AS period,
+                          sum(cents) AS total_cents
+                     FROM t WHERE ts IS NOT NULL GROUP BY 1)
+        SELECT CAST(period AS TIMESTAMP) AS period,
+               CAST(total_cents AS BIGINT) AS total_cents,
+               CAST(total_cents - lag(total_cents)
+                        OVER (ORDER BY period) AS BIGINT) AS delta_cents
+          FROM m ORDER BY period
+    """).arrow().cast(out.schema)
+    assert out.equals(exp)
+    assert not out["delta_cents"][0].is_valid  # first month: NULL
+
+
+def test_period_totals_delta_empty():
+    from pyschema_ray.functions.analytics import period_totals_delta
+
+    ts = pa.array(np.array([], dtype="datetime64[us]"),
+                  pa.timestamp("us"))
+    t = pa.table({"ts": ts, "cents": pa.array([], pa.int64())})
+    out = _tab(period_totals_delta(_ds(t, 1), "ts", "cents"))
+    assert out is None or out.num_rows == 0
