@@ -3904,6 +3904,20 @@ def _q_monthly_revenue_mom(sf_dir: str) -> pa.Table:
         .sort_by([("period", "ascending")])
 
 
+def _q_order_price_iqr_outliers(sf_dir: str) -> pa.Table:
+    """Boxplot data-quality rule: per priority, orders outside the
+    Tukey fences [q1-1.5*IQR, q3+1.5*IQR] of exact interpolated
+    quartiles — grouped 3-scan selection + one counting scan
+    (functions/analytics.py::grouped_iqr_outlier_counts)."""
+    from pyschema_ray.functions.analytics import \
+        grouped_iqr_outlier_counts
+
+    return grouped_iqr_outlier_counts(
+        _read(sf_dir, "orders",
+              columns=["o_orderpriority", "o_totalprice"]),
+        "o_orderpriority", "o_totalprice")
+
+
 def _q_order_priority_exists_counts(sf_dir: str) -> pa.Table:
     """TPC-H Q4 shape: orders in a date window having at least one
     high-quantity line (EXISTS), counted per priority — the bounded
@@ -5409,6 +5423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_transitions": _q_event_type_transitions,
         "user_longest_streaks": _q_user_longest_streaks,
         "monthly_revenue_mom": _q_monthly_revenue_mom,
+        "order_price_iqr_outliers": _q_order_price_iqr_outliers,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -7376,6 +7391,27 @@ def oracle_sql() -> dict[str, str]:
                             OVER (ORDER BY period) AS BIGINT)
                        AS delta_cents
               FROM m ORDER BY period
+        """,
+        "order_price_iqr_outliers": """
+            WITH q AS (
+                SELECT o_orderpriority,
+                       quantile_cont(o_totalprice, 0.25) AS q1,
+                       quantile_cont(o_totalprice, 0.75) AS q3
+                  FROM orders
+                 WHERE o_totalprice IS NOT NULL
+                 GROUP BY 1)
+            SELECT q.o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN o.o_totalprice
+                                      < q.q1 - 1.5 * (q.q3 - q.q1)
+                                  OR o.o_totalprice
+                                      > q.q3 + 1.5 * (q.q3 - q.q1)
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_outliers
+              FROM orders o
+              JOIN q ON o.o_orderpriority = q.o_orderpriority
+             WHERE o.o_totalprice IS NOT NULL
+             GROUP BY 1 ORDER BY 1
         """,
         "order_priority_exists_counts": """
             SELECT o_orderpriority,

@@ -1621,3 +1621,74 @@ def period_totals_delta(ds, ts_col: str, cents_col: str,
                 from_pandas=True)})
 
     return agg.repartition(1).map_batches(window, batch_format="pyarrow")
+
+
+def grouped_iqr_outlier_counts(ds, group_col: str, value_col: str,
+                               k: float = 1.5):
+    """Tukey-fence outlier counts per group: values outside
+    ``[q1 - k*(q3-q1), q3 + k*(q3-q1)]`` where q1/q3 are the EXACT
+    per-group interpolated quartiles (quantile_cont) — the standard
+    boxplot / data-quality outlier rule.
+
+    Two streaming passes: the grouped 3-scan quantile selection
+    (:func:`grouped_value_quantiles_cont`, driver holds only
+    O(groups) fences), then one counting scan with per-batch
+    combiners.  Fences are computed with the same float expression
+    the SQL oracle uses (``q1 - k*(q3-q1)``), so comparisons are
+    bit-identical.
+
+    Returns pa.table(group_col string, n int64, n_outliers int64)
+    sorted by group."""
+    from ray.data.aggregate import Sum
+
+    qt = grouped_value_quantiles_cont(ds, group_col, value_col,
+                                      quantiles=(0.25, 0.75))
+    names = np.asarray(qt[group_col].to_pylist(), dtype=object)
+    q1 = qt["q_0.25"].to_numpy(zero_copy_only=False)
+    q3 = qt["q_0.75"].to_numpy(zero_copy_only=False)
+    lo = q1 - k * (q3 - q1)
+    hi = q3 + k * (q3 - q1)
+    order = np.argsort(names)
+    names_sorted = names[order]
+    lo_sorted, hi_sorted = lo[order], hi[order]
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"g": pc.cast(t[group_col], pa.string()),
+                      "v": pc.cast(t[value_col], pa.float64())})
+        g = g.filter(pc.and_(pc.is_valid(g["g"]), pc.is_valid(g["v"])))
+        g = g.filter(pc.invert(pc.is_nan(g["v"])))
+        empty = pa.table({"g": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64()),
+                          "n_outliers": pa.array([], pa.int64())})
+        if g.num_rows == 0 or len(names_sorted) == 0:
+            return empty
+        gv = np.asarray(g["g"].to_pylist(), dtype=object)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(names_sorted, gv)
+        idx = np.clip(idx, 0, len(names_sorted) - 1)
+        found = names_sorted[idx] == gv
+        if not found.any():
+            return empty
+        gv, v, idx = gv[found], v[found], idx[found]
+        out = (v < lo_sorted[idx]) | (v > hi_sorted[idx])
+        c = pa.table({"g": pa.array(gv, pa.string()),
+                      "one": pa.array(np.ones(len(v), np.int64)),
+                      "o": pa.array(out.astype(np.int64), pa.int64())}) \
+            .group_by("g").aggregate([("one", "sum"), ("o", "sum")])
+        return pa.table({"g": c["g"],
+                         "n": pc.cast(c["one_sum"], pa.int64()),
+                         "n_outliers": pc.cast(c["o_sum"], pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("g").aggregate(Sum("n"), Sum("n_outliers"))
+    rows = [b for b in agg.iter_batches(batch_format="pyarrow",
+                                        batch_size=None) if b.num_rows]
+    if not rows:
+        return pa.table({group_col: pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "n_outliers": pa.array([], pa.int64())})
+    t = pa.concat_tables(rows).sort_by([("g", "ascending")])
+    return pa.table({group_col: t["g"],
+                     "n": pc.cast(t["sum(n)"], pa.int64()),
+                     "n_outliers": pc.cast(t["sum(n_outliers)"],
+                                           pa.int64())})

@@ -167,3 +167,46 @@ def test_period_totals_delta_empty():
     t = pa.table({"ts": ts, "cents": pa.array([], pa.int64())})
     out = _tab(period_totals_delta(_ds(t, 1), "ts", "cents"))
     assert out is None or out.num_rows == 0
+
+
+def test_grouped_iqr_outlier_counts_matches_duckdb():
+    import duckdb
+
+    from pyschema_ray.functions.analytics import \
+        grouped_iqr_outlier_counts
+
+    rng = np.random.default_rng(19)
+    n = 800
+    vals = np.where(rng.random(n) < 0.05,
+                    rng.normal(0, 500, n),       # heavy tail
+                    rng.normal(100, 10, n))
+    t = pa.table({
+        "g": pa.array(rng.choice(["a", "b", "c"], n).tolist(),
+                      pa.string()),
+        "v": pa.array(vals, pa.float64()),
+    })
+    out = grouped_iqr_outlier_counts(_ds(t, 4), "g", "v")
+    exp = duckdb.sql("""
+        WITH q AS (SELECT g, quantile_cont(v, 0.25) AS q1,
+                          quantile_cont(v, 0.75) AS q3
+                     FROM t WHERE v IS NOT NULL GROUP BY 1)
+        SELECT q.g,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN t.v < q.q1 - 1.5 * (q.q3 - q.q1)
+                              OR t.v > q.q3 + 1.5 * (q.q3 - q.q1)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+          FROM t JOIN q USING (g) WHERE t.v IS NOT NULL
+         GROUP BY 1 ORDER BY 1
+    """).arrow().cast(out.schema)
+    assert out.equals(exp)
+    assert sum(out["n_outliers"].to_pylist()) > 0
+
+
+def test_grouped_iqr_outlier_counts_empty():
+    from pyschema_ray.functions.analytics import \
+        grouped_iqr_outlier_counts
+
+    t = pa.table({"g": pa.array([], pa.string()),
+                  "v": pa.array([], pa.float64())})
+    out = grouped_iqr_outlier_counts(_ds(t, 1), "g", "v")
+    assert out.num_rows == 0
