@@ -3918,6 +3918,59 @@ def _q_order_price_iqr_outliers(sf_dir: str) -> pa.Table:
         "o_orderpriority", "o_totalprice")
 
 
+def _q_part_copurchase_triangles(sf_dir: str) -> pa.Table:
+    """Exact triangle count of the part co-purchase graph (parts
+    sharing an order are adjacent): per-order pair expansion on an
+    orderkey-hash exchange, then distributed node-iterator++ triangle
+    counting — degree-oriented wedges closed against the oriented
+    edge set (functions/graph.py::triangle_count)."""
+    from pyschema_ray.functions.dedup import (_default_shards,
+                                              _group_starts,
+                                              _key_shards)
+    from pyschema_ray.functions.graph import triangle_count
+
+    nb = _default_shards()
+
+    def tag(t: pa.Table) -> pa.Table:
+        t = t.select(["l_orderkey", "l_partkey"])
+        return t.append_column("oshard", pa.array(_key_shards(
+            t["l_orderkey"].to_numpy(zero_copy_only=False), nb, 29),
+            pa.int64()))
+
+    def expand(t: pa.Table) -> pa.Table:
+        empty = pa.table({"src": pa.array([], pa.int64()),
+                          "dst": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        idx = pc.sort_indices(t, sort_keys=[
+            ("l_orderkey", "ascending"), ("l_partkey", "ascending")])
+        t = t.take(idx)
+        o = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        p = t["l_partkey"].to_numpy(zero_copy_only=False)
+        keep = np.ones(len(o), bool)      # distinct parts per order
+        keep[1:] = (o[1:] != o[:-1]) | (p[1:] != p[:-1])
+        o, p = o[keep], p[keep]
+        starts, sizes = _group_starts(o)
+        n = len(o)
+        w = np.arange(n) - np.repeat(starts, sizes)
+        reps = np.repeat(sizes, sizes) - 1 - w
+        total = int(reps.sum())
+        if total == 0:
+            return empty
+        li = np.repeat(np.arange(n), reps)
+        csum = np.concatenate([[0], np.cumsum(reps)])
+        ri = li + 1 + (np.arange(total) - np.repeat(csum[:-1], reps))
+        return pa.table({"src": pa.array(p[li], pa.int64()),
+                         "dst": pa.array(p[ri], pa.int64())})
+
+    edges = _read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_partkey"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("oshard").map_groups(expand, batch_format="pyarrow")
+    out = triangle_count(edges, "src", "dst")
+    return _collect(out, pa.schema([("n_triangles", pa.int64())]))
+
+
 def _q_order_priority_exists_counts(sf_dir: str) -> pa.Table:
     """TPC-H Q4 shape: orders in a date window having at least one
     high-quantity line (EXISTS), counted per priority — the bounded
@@ -5424,6 +5477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_longest_streaks": _q_user_longest_streaks,
         "monthly_revenue_mom": _q_monthly_revenue_mom,
         "order_price_iqr_outliers": _q_order_price_iqr_outliers,
+        "part_copurchase_triangles": _q_part_copurchase_triangles,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -7412,6 +7466,17 @@ def oracle_sql() -> dict[str, str]:
               JOIN q ON o.o_orderpriority = q.o_orderpriority
              WHERE o.o_totalprice IS NOT NULL
              GROUP BY 1 ORDER BY 1
+        """,
+        "part_copurchase_triangles": """
+            WITH pr AS (
+                SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                  FROM lineitem a
+                  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey)
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+              FROM pr e1
+              JOIN pr e2 ON e2.u = e1.v
+              JOIN pr e3 ON e3.u = e1.u AND e3.v = e2.v
         """,
         "order_priority_exists_counts": """
             SELECT o_orderpriority,

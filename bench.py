@@ -125,7 +125,7 @@ QUERY_SUBSET = [
     "user_value_range_sum", "user_cohort_retention",
     "events_hourly_dense", "event_type_transitions",
     "user_longest_streaks", "monthly_revenue_mom",
-    "order_price_iqr_outliers",
+    "order_price_iqr_outliers", "part_copurchase_triangles",
 ]
 
 

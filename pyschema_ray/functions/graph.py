@@ -351,3 +351,268 @@ def pagerank(edges, damping: float = 0.85, iters: int = 10,
         return pa.table({"node": t["node"], "rank": t["rank"]})
 
     return ranks.map_batches(out, batch_format="pyarrow")
+
+
+def triangle_count(edges, src_col: str = "src", dst_col: str = "dst",
+                   num_shards: int | None = None):
+    """Distributed exact triangle counting over an undirected edge
+    Dataset (int64 node ids) — the clustering-coefficient /
+    community-density primitive.  MapReduce node-iterator++ (Cohen's
+    algorithm): orient every edge from its lower-(degree, id) endpoint
+    to the higher one, generate each triangle's single wedge at its
+    lowest-ranked apex, and close wedges against the oriented edge
+    set.  Orientation bounds every adjacency list by O(sqrt(m)), so
+    wedge volume is O(m^1.5) worst case and per-shard work stays
+    bounded on power-law graphs (the hot-key guard).
+
+    Five bounded hash exchanges, all on integer shard keys: canonical
+    edge dedup, degree count, two degree-attach sentinel merges, wedge
+    generation, and the wedge/edge closing match.  The driver holds
+    one int64.  Self-loops, nulls, duplicate and reversed duplicate
+    edges are ignored.
+
+    -> Dataset with a single row (n_triangles int64).
+    """
+    from .dedup import _group_starts, _key_hash
+
+    nb = num_shards or _default_shards()
+
+    E_SCHEMA = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+
+    def canon(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[src_col]),
+                             pc.is_valid(t[dst_col])))
+        a = pc.cast(t[src_col], pa.int64()).to_numpy(zero_copy_only=False)
+        b = pc.cast(t[dst_col], pa.int64()).to_numpy(zero_copy_only=False)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        u = np.minimum(a, b)
+        v = np.maximum(a, b)
+        g = pa.table({"u": pa.array(u, pa.int64()),
+                      "v": pa.array(v, pa.int64())}) \
+            .group_by(["u", "v"]).aggregate([])           # combiner
+        sh = ((_key_hash(g["u"].to_numpy(zero_copy_only=False), 41)
+               ^ _key_hash(g["v"].to_numpy(zero_copy_only=False), 43))
+              % np.uint64(nb)).astype(np.int64)
+        return g.append_column("eshard", pa.array(sh, pa.int64()))
+
+    def edge_dedup(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return E_SCHEMA.empty_table()
+        idx = pc.sort_indices(t, sort_keys=[("u", "ascending"),
+                                            ("v", "ascending")])
+        t = t.take(idx)
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        keep = np.ones(len(u), bool)
+        keep[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+        return pa.table({"u": pa.array(u[keep], pa.int64()),
+                         "v": pa.array(v[keep], pa.int64())})
+
+    E = edges.map_batches(canon, batch_format="pyarrow") \
+        .groupby("eshard").map_groups(edge_dedup,
+                                      batch_format="pyarrow") \
+        .materialize()
+
+    # ---- degrees: one node-hash exchange over per-batch partials
+    def deg_rows(t: pa.Table) -> pa.Table:
+        node = np.concatenate([t["u"].to_numpy(zero_copy_only=False),
+                               t["v"].to_numpy(zero_copy_only=False)])
+        g = pa.table({"node": pa.array(node, pa.int64())}) \
+            .group_by("node").aggregate([([], "count_all")])
+        return pa.table({
+            "node": g["node"],
+            "d": pc.cast(g["count_all"], pa.int64()),
+            "nshard": pa.array(_key_shards(
+                g["node"].to_numpy(zero_copy_only=False), nb, 47),
+                pa.int64())})
+
+    def deg_sum(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "d": pa.array([], pa.int64())})
+        g = t.select(["node", "d"]).group_by("node") \
+            .aggregate([("d", "sum")])
+        return pa.table({"node": g["node"],
+                         "d": pc.cast(g["d_sum"], pa.int64())})
+
+    D = E.map_batches(deg_rows, batch_format="pyarrow") \
+        .groupby("nshard").map_groups(deg_sum, batch_format="pyarrow") \
+        .materialize()
+
+    # ---- attach deg to each endpoint via sentinel-row merges
+    def _merge_deg(end_col: str, out_deg: str, seed: int):
+        MERGED = pa.schema(
+            [("u", pa.int64()), ("v", pa.int64())]
+            + ([(c, pa.int64()) for c in ("du",)]
+               if out_deg == "dv" else [])
+            + [(out_deg, pa.int64())])
+
+        def tag_edges(t: pa.Table) -> pa.Table:
+            cols = {"u": t["u"], "v": t["v"],
+                    "k": t[end_col],
+                    "d": pa.nulls(t.num_rows, pa.int64()),
+                    "tag": pa.array(np.ones(t.num_rows, np.int8))}
+            if out_deg == "dv":
+                cols["du"] = t["du"]
+            else:
+                cols["du"] = pa.nulls(t.num_rows, pa.int64())
+            out = pa.table(cols)
+            return out.append_column("mshard", pa.array(_key_shards(
+                t[end_col].to_numpy(zero_copy_only=False), nb, seed),
+                pa.int64()))
+
+        def tag_deg(t: pa.Table) -> pa.Table:
+            z = pa.nulls(t.num_rows, pa.int64())
+            out = pa.table({"u": z, "v": z, "k": t["node"],
+                            "d": t["d"],
+                            "tag": pa.array(
+                                np.zeros(t.num_rows, np.int8)),
+                            "du": z})
+            return out.append_column("mshard", pa.array(_key_shards(
+                t["node"].to_numpy(zero_copy_only=False), nb, seed),
+                pa.int64()))
+
+        def merge(t: pa.Table) -> pa.Table:
+            cols = {"u": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.int64()),
+                    out_deg: pa.array([], pa.int64())}
+            if out_deg == "dv":
+                cols["du"] = pa.array([], pa.int64())
+            empty = pa.table(cols)
+            et = t.filter(pc.equal(t["tag"], 1))
+            dt = t.filter(pc.equal(t["tag"], 0))
+            if et.num_rows == 0:
+                return empty
+            dk = dt["k"].to_numpy(zero_copy_only=False)
+            dd = dt["d"].to_numpy(zero_copy_only=False)
+            o = np.argsort(dk)
+            dk, dd = dk[o], dd[o]
+            ek = et["k"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(dk, ek)
+            pos = np.clip(pos, 0, max(len(dk) - 1, 0))
+            # every edge endpoint has a degree row by construction
+            deg = dd[pos] if len(dk) else np.zeros(len(ek), np.int64)
+            cols = {"u": et["u"], "v": et["v"],
+                    out_deg: pa.array(deg, pa.int64())}
+            if out_deg == "dv":
+                cols["du"] = et["du"]
+            return pa.table(cols)
+
+        return tag_edges, tag_deg, merge
+
+    import ray.data
+
+    te, td, mg = _merge_deg("u", "du", 53)
+    half = E.map_batches(te, batch_format="pyarrow") \
+        .union(D.map_batches(td, batch_format="pyarrow")) \
+        .groupby("mshard").map_groups(mg, batch_format="pyarrow")
+    te2, td2, mg2 = _merge_deg("v", "dv", 59)
+    full = half.map_batches(te2, batch_format="pyarrow") \
+        .union(D.map_batches(td2, batch_format="pyarrow")) \
+        .groupby("mshard").map_groups(mg2, batch_format="pyarrow")
+
+    # ---- orient by (deg, id) and generate wedges at each apex
+    def orient(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        du = t["du"].to_numpy(zero_copy_only=False)
+        dv = t["dv"].to_numpy(zero_copy_only=False)
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        s = np.where(u_first, u, v)
+        d = np.where(u_first, v, u)
+        ds_ = np.where(u_first, du, dv)
+        dd_ = np.where(u_first, dv, du)
+        return pa.table({
+            "s": pa.array(s, pa.int64()), "d": pa.array(d, pa.int64()),
+            "dd": pa.array(dd_, pa.int64()),
+            "wshard": pa.array(_key_shards(s, nb, 61), pa.int64())})
+
+    W_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                          ("cnt", pa.int64())])
+
+    def wedges(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return W_SCHEMA.empty_table()
+        idx = pc.sort_indices(t, sort_keys=[("s", "ascending"),
+                                            ("dd", "ascending"),
+                                            ("d", "ascending")])
+        t = t.take(idx)
+        s = t["s"].to_numpy(zero_copy_only=False)
+        d = t["d"].to_numpy(zero_copy_only=False)
+        starts, sizes = _group_starts(s)
+        n = len(s)
+        w = np.arange(n) - np.repeat(starts, sizes)   # pos within run
+        reps = np.repeat(sizes, sizes) - 1 - w        # pairs to the right
+        total = int(reps.sum())
+        if total == 0:
+            return W_SCHEMA.empty_table()
+        li = np.repeat(np.arange(n), reps)
+        csum = np.concatenate([[0], np.cumsum(reps)])
+        ri = li + 1 + (np.arange(total) - np.repeat(csum[:-1], reps))
+        # neighbors are (deg, id)-sorted within the run, so the pair
+        # is already oriented low->high
+        a, b = d[li], d[ri]
+        g = pa.table({"a": pa.array(a, pa.int64()),
+                      "b": pa.array(b, pa.int64())}) \
+            .group_by(["a", "b"]).aggregate([([], "count_all")])
+        return pa.table({"a": g["a"], "b": g["b"],
+                         "cnt": pc.cast(g["count_all"], pa.int64())})
+
+    oriented = full.map_batches(orient, batch_format="pyarrow") \
+        .materialize()
+    wedge_ds = oriented.groupby("wshard").map_groups(
+        wedges, batch_format="pyarrow")
+
+    # ---- close wedges against the oriented edge set
+    def tag_wedges(t: pa.Table) -> pa.Table:
+        sh = ((_key_hash(t["a"].to_numpy(zero_copy_only=False), 67)
+               ^ _key_hash(t["b"].to_numpy(zero_copy_only=False), 71))
+              % np.uint64(nb)).astype(np.int64)
+        return pa.table({"a": t["a"], "b": t["b"], "cnt": t["cnt"],
+                         "tag": pa.array(np.ones(t.num_rows, np.int8)),
+                         "cshard": pa.array(sh, pa.int64())})
+
+    def tag_closing_edges(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False)
+        d = t["d"].to_numpy(zero_copy_only=False)
+        sh = ((_key_hash(s, 67) ^ _key_hash(d, 71))
+              % np.uint64(nb)).astype(np.int64)
+        return pa.table({"a": pa.array(s, pa.int64()),
+                         "b": pa.array(d, pa.int64()),
+                         "cnt": pa.array(np.zeros(len(s), np.int64)),
+                         "tag": pa.array(np.zeros(len(s), np.int8)),
+                         "cshard": pa.array(sh, pa.int64())})
+
+    def close(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"n_triangles": pa.array([], pa.int64())})
+        idx = pc.sort_indices(t, sort_keys=[("a", "ascending"),
+                                            ("b", "ascending"),
+                                            ("tag", "ascending")])
+        t = t.take(idx)
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        tag = t["tag"].to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        starts, sizes = _group_starts(a, b)
+        run_id = np.repeat(np.arange(len(starts)), sizes)
+        edge_present = tag[starts] == 0    # edges sort first in a run
+        matched = (tag == 1) & edge_present[run_id]
+        return pa.table({"n_triangles": pa.array(
+            [int(cnt[matched].sum())], pa.int64())})
+
+    both = wedge_ds.map_batches(tag_wedges, batch_format="pyarrow") \
+        .union(oriented.map_batches(tag_closing_edges,
+                                    batch_format="pyarrow")) \
+        .groupby("cshard").map_groups(close, batch_format="pyarrow")
+
+    def total(t: pa.Table) -> pa.Table:
+        s = int(pc.sum(t["n_triangles"]).as_py() or 0) \
+            if t.num_rows else 0
+        return pa.table({"n_triangles": pa.array([s], pa.int64())})
+
+    zero = ray.data.from_arrow(
+        pa.table({"n_triangles": pa.array([0], pa.int64())}))
+    return both.union(zero).repartition(1) \
+        .map_batches(total, batch_format="pyarrow")

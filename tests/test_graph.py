@@ -91,3 +91,57 @@ def test_pagerank_empty():
     t = pa.table({"src": pa.array([], pa.int64()),
                   "dst": pa.array([], pa.int64())})
     assert _ranks(pagerank(_ds(t, 1))) == {}
+
+
+def _tri_brute(edges) -> int:
+    nodes = sorted({u for u, v in edges} | {v for u, v in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n), np.int64)
+    for u, v in edges:
+        if u != v:
+            A[idx[u], idx[v]] = A[idx[v], idx[u]] = 1
+    return int(np.trace(A @ A @ A) // 6)
+
+
+def _tri_count(ds) -> int:
+    from pyschema_ray.functions.graph import triangle_count
+
+    t = pa.concat_tables(
+        [b for b in triangle_count(ds, "src", "dst", num_shards=5)
+         .iter_batches(batch_format="pyarrow", batch_size=None)
+         if b.num_rows])
+    assert t.num_rows == 1
+    return t["n_triangles"][0].as_py()
+
+
+def _edges_tbl(pairs):
+    return pa.table({"src": pa.array([p[0] for p in pairs], pa.int64()),
+                     "dst": pa.array([p[1] for p in pairs], pa.int64())})
+
+
+def test_triangle_count_random_graph():
+    rng = np.random.default_rng(5)
+    n_nodes, n_edges = 40, 260
+    pairs = {(int(a), int(b)) for a, b in
+             rng.integers(0, n_nodes, (n_edges, 2)) if a != b}
+    # inject duplicates, reversals and self-loops: must be ignored
+    raw = (list(pairs) + [(b, a) for a, b in list(pairs)[:50]]
+           + list(pairs)[:30] + [(7, 7), (3, 3)])
+    got = _tri_count(_ds(_edges_tbl(raw), 4))
+    assert got == _tri_brute(pairs)
+    assert got > 0
+
+
+def test_triangle_count_shapes():
+    # triangle + dangling edge
+    assert _tri_count(_ds(_edges_tbl(
+        [(1, 2), (2, 3), (1, 3), (3, 4)]), 2)) == 1
+    # star graph: no triangles
+    assert _tri_count(_ds(_edges_tbl(
+        [(0, i) for i in range(1, 8)]), 2)) == 0
+    # K4: 4 triangles
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert _tri_count(_ds(_edges_tbl(k4), 3)) == 4
+    # empty
+    assert _tri_count(_ds(_edges_tbl([]), 1)) == 0
