@@ -3971,6 +3971,19 @@ def _q_part_copurchase_triangles(sf_dir: str) -> pa.Table:
     return _collect(out, pa.schema([("n_triangles", pa.int64())]))
 
 
+def _q_event_audience_overlap(sf_dir: str) -> pa.Table:
+    """Audience-overlap matrix: pairwise distinct-user intersection /
+    union / Jaccard between event types — per-batch (user, type)
+    dedup combiner, one user-hash exchange, per-key category-combo
+    collapse, tiny combo groupby; driver expands <= 2^k combo counts
+    (functions/analytics.py::audience_overlap)."""
+    from pyschema_ray.functions.analytics import audience_overlap
+
+    return audience_overlap(
+        _read(sf_dir, "events", columns=["user_id", "event_type"]),
+        key_col="user_id", cat_col="event_type")
+
+
 def _q_order_priority_exists_counts(sf_dir: str) -> pa.Table:
     """TPC-H Q4 shape: orders in a date window having at least one
     high-quantity line (EXISTS), counted per priority — the bounded
@@ -5478,6 +5491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monthly_revenue_mom": _q_monthly_revenue_mom,
         "order_price_iqr_outliers": _q_order_price_iqr_outliers,
         "part_copurchase_triangles": _q_part_copurchase_triangles,
+        "event_audience_overlap": _q_event_audience_overlap,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -7477,6 +7491,34 @@ def oracle_sql() -> dict[str, str]:
               FROM pr e1
               JOIN pr e2 ON e2.u = e1.v
               JOIN pr e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        "event_audience_overlap": """
+            WITH ut AS (
+                SELECT DISTINCT user_id, event_type FROM events
+                 WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+            tot AS (
+                SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                  FROM ut GROUP BY 1),
+            pr AS (
+                SELECT a.event_type AS ca, b.event_type AS cb,
+                       CAST(count(*) AS BIGINT) AS nb
+                  FROM ut a
+                  JOIN ut b ON a.user_id = b.user_id
+                   AND a.event_type < b.event_type
+                 GROUP BY 1, 2)
+            SELECT ta.event_type AS cat_a, tb.event_type AS cat_b,
+                   CAST(ta.n AS BIGINT) AS n_a,
+                   CAST(tb.n AS BIGINT) AS n_b,
+                   CAST(coalesce(pr.nb, 0) AS BIGINT) AS n_both,
+                   CAST(ta.n + tb.n - coalesce(pr.nb, 0) AS BIGINT)
+                       AS n_union,
+                   CAST(coalesce(pr.nb, 0) AS DOUBLE)
+                       / (ta.n + tb.n - coalesce(pr.nb, 0)) AS jaccard
+              FROM tot ta
+              JOIN tot tb ON ta.event_type < tb.event_type
+              LEFT JOIN pr ON pr.ca = ta.event_type
+                          AND pr.cb = tb.event_type
+             ORDER BY 1, 2
         """,
         "order_priority_exists_counts": """
             SELECT o_orderpriority,

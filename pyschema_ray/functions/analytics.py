@@ -1692,3 +1692,106 @@ def grouped_iqr_outlier_counts(ds, group_col: str, value_col: str,
                      "n": pc.cast(t["sum(n)"], pa.int64()),
                      "n_outliers": pc.cast(t["sum(n_outliers)"],
                                            pa.int64())})
+
+
+def audience_overlap(ds, key_col: str = "user_id",
+                     cat_col: str = "event_type",
+                     num_shards: int | None = None):
+    """Pairwise audience overlap between categories: for every
+    unordered category pair (a, b), how many distinct keys appear in
+    BOTH, in EITHER, and the Jaccard |A∩B| / |A∪B| — the
+    segment-overlap matrix behind campaign planning and taxonomy
+    dedup.
+
+    Contract: the category domain is SMALL (tens, e.g. event types);
+    keys are unbounded.  Physical shape: per-batch (key, cat) dedup
+    combiner, ONE key-hash exchange, a per-shard scan that collapses
+    each key to its sorted category-combination string, and a tiny
+    combo groupby (<= 2^k rows total).  The driver expands combo
+    counts into pairwise intersections — never sees keys.
+
+    Returns pa.table(cat_a, cat_b, n_a, n_b, n_both, n_union int64,
+    jaccard float64) sorted by (cat_a, cat_b), one row per unordered
+    pair of categories that share at least one key... including pairs
+    with zero overlap (both categories non-empty).
+    """
+    from ray.data.aggregate import Sum
+
+    nb = num_shards or _default_shards()
+
+    def exchange(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[key_col]),
+                             pc.is_valid(t[cat_col])))
+        slim = pa.table({"k": t[key_col],
+                         "c": pc.cast(t[cat_col], pa.string())})
+        slim = slim.group_by(["k", "c"]).aggregate([])
+        keys = slim["k"].to_numpy(zero_copy_only=False)
+        return slim.append_column(
+            "kshard", pa.array(_key_shards(keys, nb, 97), pa.int64()))
+
+    def combos(t: pa.Table) -> pa.Table:
+        empty = pa.table({"combo": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        idx = pc.sort_indices(t, sort_keys=[("k", "ascending"),
+                                            ("c", "ascending")])
+        t = t.take(idx)
+        keys = t["k"].to_numpy(zero_copy_only=False)
+        cats = np.asarray(t["c"].to_pylist(), dtype=object)
+        n = len(keys)
+        keep = np.ones(n, bool)      # cross-batch (key, cat) dedup
+        keep[1:] = (keys[1:] != keys[:-1]) | (cats[1:] != cats[:-1])
+        keys, cats = keys[keep], cats[keep]
+        starts, _sizes = _group_starts(keys)
+        combo = np.add.reduceat(cats + "\x1f", starts)
+        u, cnt = np.unique(combo.astype("U"), return_counts=True)
+        return pa.table({"combo": pa.array(u.tolist(), pa.string()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    agg = ds.map_batches(exchange, batch_format="pyarrow") \
+        .groupby("kshard").map_groups(combos, batch_format="pyarrow") \
+        .groupby("combo").aggregate(Sum("n"))
+
+    rows = [b for b in agg.iter_batches(batch_format="pyarrow",
+                                        batch_size=None) if b.num_rows]
+    out_schema = pa.schema([
+        ("cat_a", pa.string()), ("cat_b", pa.string()),
+        ("n_a", pa.int64()), ("n_b", pa.int64()),
+        ("n_both", pa.int64()), ("n_union", pa.int64()),
+        ("jaccard", pa.float64())])
+    if not rows:
+        return out_schema.empty_table()
+    t = pa.concat_tables(rows)
+    singles: dict = {}
+    both: dict = {}
+    for combo, cnt in zip(t["combo"].to_pylist(),
+                          t["sum(n)"].to_pylist()):
+        cs = [c for c in combo.split("\x1f") if c]
+        for c in cs:
+            singles[c] = singles.get(c, 0) + cnt
+        for i in range(len(cs)):
+            for j in range(i + 1, len(cs)):
+                p = (cs[i], cs[j])
+                both[p] = both.get(p, 0) + cnt
+    cats = sorted(singles)
+    ca, cb, na, nbb, nboth, nun, jac = [], [], [], [], [], [], []
+    for i in range(len(cats)):
+        for j in range(i + 1, len(cats)):
+            a, b = cats[i], cats[j]
+            nb_ = both.get((a, b), 0)
+            un = singles[a] + singles[b] - nb_
+            ca.append(a)
+            cb.append(b)
+            na.append(singles[a])
+            nbb.append(singles[b])
+            nboth.append(nb_)
+            nun.append(un)
+            jac.append(nb_ / un if un else 0.0)
+    return pa.table({"cat_a": pa.array(ca, pa.string()),
+                     "cat_b": pa.array(cb, pa.string()),
+                     "n_a": pa.array(na, pa.int64()),
+                     "n_b": pa.array(nbb, pa.int64()),
+                     "n_both": pa.array(nboth, pa.int64()),
+                     "n_union": pa.array(nun, pa.int64()),
+                     "jaccard": pa.array(jac, pa.float64())})

@@ -210,3 +210,57 @@ def test_grouped_iqr_outlier_counts_empty():
                   "v": pa.array([], pa.float64())})
     out = grouped_iqr_outlier_counts(_ds(t, 1), "g", "v")
     assert out.num_rows == 0
+
+
+def test_audience_overlap_matches_duckdb():
+    import duckdb
+
+    from pyschema_ray.functions.analytics import audience_overlap
+
+    rng = np.random.default_rng(23)
+    n = 700
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 60, n), pa.int64()),
+        "event_type": pa.array(
+            rng.choice(["a", "b", "c", "d"], n).tolist(), pa.string()),
+    })
+    out = audience_overlap(_ds(t, 4), "user_id", "event_type")
+    exp = duckdb.sql("""
+        WITH ut AS (SELECT DISTINCT user_id, event_type FROM t),
+        tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                  FROM ut GROUP BY 1),
+        pr AS (SELECT a.event_type AS ca, b.event_type AS cb,
+                      CAST(count(*) AS BIGINT) AS nb
+                 FROM ut a JOIN ut b ON a.user_id = b.user_id
+                  AND a.event_type < b.event_type GROUP BY 1, 2)
+        SELECT ta.event_type AS cat_a, tb.event_type AS cat_b,
+               CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) AS n_b,
+               CAST(coalesce(pr.nb, 0) AS BIGINT) AS n_both,
+               CAST(ta.n + tb.n - coalesce(pr.nb, 0) AS BIGINT)
+                   AS n_union,
+               CAST(coalesce(pr.nb, 0) AS DOUBLE)
+                   / (ta.n + tb.n - coalesce(pr.nb, 0)) AS jaccard
+          FROM tot ta JOIN tot tb ON ta.event_type < tb.event_type
+          LEFT JOIN pr ON pr.ca = ta.event_type
+                      AND pr.cb = tb.event_type
+         ORDER BY 1, 2
+    """).arrow().cast(out.schema)
+    assert out.equals(exp)
+
+
+def test_audience_overlap_disjoint_and_empty():
+    from pyschema_ray.functions.analytics import audience_overlap
+
+    t = pa.table({
+        "user_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "event_type": pa.array(["x", "x", "y", "y"], pa.string()),
+    })
+    out = audience_overlap(_ds(t, 2), "user_id", "event_type")
+    assert out.to_pydict() == {
+        "cat_a": ["x"], "cat_b": ["y"], "n_a": [2], "n_b": [2],
+        "n_both": [0], "n_union": [4], "jaccard": [0.0]}
+
+    e = pa.table({"user_id": pa.array([], pa.int64()),
+                  "event_type": pa.array([], pa.string())})
+    assert audience_overlap(_ds(e, 1), "user_id",
+                            "event_type").num_rows == 0
