@@ -3984,6 +3984,41 @@ def _q_event_audience_overlap(sf_dir: str) -> pa.Table:
         key_col="user_id", cat_col="event_type")
 
 
+def _q_customer_order_reconcile(sf_dir: str) -> pa.Table:
+    """Bidirectional referential completeness in ONE exchange:
+    distinct custkeys only in the customer dim (no orders), only in
+    orders (orphans), and in both — the FULL OUTER JOIN report
+    (functions/relational.py::key_reconcile)."""
+    from pyschema_ray.functions.relational import key_reconcile
+
+    out = key_reconcile(
+        _read(sf_dir, "customer", columns=["c_custkey"]),
+        _read(sf_dir, "orders", columns=["o_custkey"]),
+        left_key="c_custkey", right_key="o_custkey")
+    return _collect(out, pa.schema([("n_only_left", pa.int64()),
+                                    ("n_only_right", pa.int64()),
+                                    ("n_both", pa.int64())]))
+
+
+def _q_price_quantiles_tdigest_by_priority(sf_dir: str) -> pa.Table:
+    """Per-priority approximate price quantiles in ONE scan: t-digest
+    sketch partials per (batch, group), blob exchange, bounded merge
+    groupby — the 1-scan scale path beside the exact 3-scan
+    quantile_cont (rows-only; pytest rank-error bound)
+    (functions/analytics.py::grouped_quantiles_tdigest)."""
+    from pyschema_ray.functions.analytics import \
+        grouped_quantiles_tdigest
+
+    out = grouped_quantiles_tdigest(
+        _read(sf_dir, "orders",
+              columns=["o_orderpriority", "o_totalprice"]),
+        "o_orderpriority", "o_totalprice", qs=(0.5, 0.9, 0.99))
+    return _collect(out, pa.schema([
+        ("o_orderpriority", pa.string()), ("q_0.5", pa.float64()),
+        ("q_0.9", pa.float64()), ("q_0.99", pa.float64())])) \
+        .sort_by([("o_orderpriority", "ascending")])
+
+
 def _q_order_priority_exists_counts(sf_dir: str) -> pa.Table:
     """TPC-H Q4 shape: orders in a date window having at least one
     high-quantity line (EXISTS), counted per priority — the bounded
@@ -5492,6 +5527,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_iqr_outliers": _q_order_price_iqr_outliers,
         "part_copurchase_triangles": _q_part_copurchase_triangles,
         "event_audience_overlap": _q_event_audience_overlap,
+        "customer_order_reconcile": _q_customer_order_reconcile,
+        "price_quantiles_tdigest_by_priority":
+            _q_price_quantiles_tdigest_by_priority,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -7519,6 +7557,23 @@ def oracle_sql() -> dict[str, str]:
               LEFT JOIN pr ON pr.ca = ta.event_type
                           AND pr.cb = tb.event_type
              ORDER BY 1, 2
+        """,
+        "customer_order_reconcile": """
+            WITH l AS (SELECT DISTINCT c_custkey AS k FROM customer
+                        WHERE c_custkey IS NOT NULL),
+            r AS (SELECT DISTINCT o_custkey AS k FROM orders
+                   WHERE o_custkey IS NOT NULL)
+            SELECT CAST(coalesce(sum(CASE WHEN r.k IS NULL
+                                     THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_only_left,
+                   CAST(coalesce(sum(CASE WHEN l.k IS NULL
+                                     THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_only_right,
+                   CAST(coalesce(sum(CASE WHEN l.k IS NOT NULL
+                                      AND r.k IS NOT NULL
+                                     THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_both
+              FROM l FULL OUTER JOIN r ON l.k = r.k
         """,
         "order_priority_exists_counts": """
             SELECT o_orderpriority,

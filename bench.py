@@ -126,7 +126,8 @@ QUERY_SUBSET = [
     "events_hourly_dense", "event_type_transitions",
     "user_longest_streaks", "monthly_revenue_mom",
     "order_price_iqr_outliers", "part_copurchase_triangles",
-    "event_audience_overlap",
+    "event_audience_overlap", "customer_order_reconcile",
+    "price_quantiles_tdigest_by_priority",
 ]
 
 

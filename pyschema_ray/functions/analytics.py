@@ -1795,3 +1795,65 @@ def audience_overlap(ds, key_col: str = "user_id",
                      "n_both": pa.array(nboth, pa.int64()),
                      "n_union": pa.array(nun, pa.int64()),
                      "jaccard": pa.array(jac, pa.float64())})
+
+
+def grouped_quantiles_tdigest(ds, group_col: str, value_col: str,
+                              qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                              compression: int = 200):
+    """Per-group APPROXIMATE quantiles in ONE streaming scan — the
+    sketch-path complement of :func:`grouped_value_quantiles_cont`
+    (exact, but 3 scans over a materialized input).  Each batch folds
+    its rows into one t-digest per group present in the batch (a
+    short loop over the batch's distinct groups, not rows); the
+    exchange carries (group, ~2*compression-centroid blob) rows —
+    O(groups x blocks), never values — and one bounded groupby merges
+    digests and reads the quantiles.
+
+    Rank error is the t-digest k1 bound (tight at the tails); no SQL
+    oracle — parity is the pytest rank-error bound against numpy.
+
+    -> Dataset(group_col string, q_<q> float64 ...).
+    """
+    from ..sketches import TDigest
+
+    qlist = list(qs)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"g": pc.cast(t[group_col], pa.string()),
+                      "v": pc.cast(t[value_col], pa.float64())})
+        g = g.filter(pc.and_(pc.is_valid(g["g"]), pc.is_valid(g["v"])))
+        g = g.filter(pc.invert(pc.is_nan(g["v"])))
+        if g.num_rows == 0:
+            return pa.table({"g": pa.array([], pa.string()),
+                             "blob": pa.array([], pa.binary())})
+        idx = pc.sort_indices(g, sort_keys=[("g", "ascending")])
+        g = g.take(idx)
+        gv = np.asarray(g["g"].to_pylist(), dtype=object)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        starts, sizes = _group_starts(gv)
+        names, blobs = [], []
+        for s0, sz in zip(starts, sizes):
+            names.append(gv[s0])
+            blobs.append(TDigest(compression)
+                         .add(v[s0:s0 + sz]).to_bytes())
+        return pa.table({"g": pa.array(names, pa.string()),
+                         "blob": pa.array(blobs, pa.binary())})
+
+    def finalize(t: pa.Table) -> pa.Table:
+        cols = {group_col: pa.array([], pa.string())}
+        for q in qlist:
+            cols[f"q_{q}"] = pa.array([], pa.float64())
+        if t.num_rows == 0:
+            return pa.table(cols)
+        merged = None
+        for blob in t["blob"].to_pylist():
+            td = TDigest.from_bytes(blob)
+            merged = td if merged is None else merged.merge(td)
+        out = {group_col: pa.array([t["g"][0].as_py()], pa.string())}
+        for q in qlist:
+            out[f"q_{q}"] = pa.array([merged.quantile(q)],
+                                     pa.float64())
+        return pa.table(out)
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("g").map_groups(finalize, batch_format="pyarrow")

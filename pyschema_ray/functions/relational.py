@@ -721,3 +721,84 @@ def snapshot_diff(old_ds, new_ds, key_col: str = "doc_id",
 
     return union.groupby("kshard") \
         .map_groups(classify, batch_format="pandas")
+
+
+def key_reconcile(left, right, left_key: str,
+                  right_key: str | None = None,
+                  num_shards: int | None = None):
+    """Bidirectional referential reconciliation in ONE exchange:
+    distinct-key counts present only in ``left``, only in ``right``,
+    and in both — the FULL OUTER JOIN completeness report (orphan
+    children + childless parents) that a two-anti-join plan pays two
+    shuffles for.
+
+    Both sides are reduced to distinct keys per batch (combiner), then
+    sentinel-tagged rows co-locate on a key-hash shard where a sorted
+    run scan classifies each distinct key by which sides it appeared
+    on.  Partial class-counts per shard; the driver sees 3 ints.
+
+    -> Dataset with one row: (n_only_left, n_only_right,
+       n_both int64).
+    """
+    import ray.data
+    from .dedup import _default_shards, _group_starts, _key_shards
+
+    rk = right_key or left_key
+    nb = num_shards or _default_shards()
+
+    def side_rows(key_col: str, side: int, seed: int = 101):
+        def rows(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(t[key_col]))
+            g = pa.table({"k": t[key_col]}).group_by("k").aggregate([])
+            keys = g["k"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "k": g["k"],
+                "side": pa.array(
+                    np.full(g.num_rows, side, np.int8), pa.int8()),
+                "kshard": pa.array(_key_shards(keys, nb, seed),
+                                   pa.int64())})
+        return rows
+
+    def classify(t: pa.Table) -> pa.Table:
+        zero = pa.table({"n_only_left": pa.array([0], pa.int64()),
+                         "n_only_right": pa.array([0], pa.int64()),
+                         "n_both": pa.array([0], pa.int64())})
+        if t.num_rows == 0:
+            return zero
+        idx = pc.sort_indices(t, sort_keys=[("k", "ascending"),
+                                            ("side", "ascending")])
+        t = t.take(idx)
+        keys = t["k"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        starts, sizes = _group_starts(keys)
+        ends = starts + sizes - 1
+        has_l = side[starts] == 0          # sides sorted: left first
+        has_r = side[ends] == 1
+        both = has_l & has_r
+        return pa.table({
+            "n_only_left": pa.array([int((has_l & ~has_r).sum())],
+                                    pa.int64()),
+            "n_only_right": pa.array([int((has_r & ~has_l).sum())],
+                                     pa.int64()),
+            "n_both": pa.array([int(both.sum())], pa.int64())})
+
+    lt = left.map_batches(side_rows(left_key, 0),
+                          batch_format="pyarrow")
+    rt = right.map_batches(side_rows(rk, 1), batch_format="pyarrow")
+    parts = lt.union(rt).groupby("kshard") \
+        .map_groups(classify, batch_format="pyarrow")
+
+    def total(t: pa.Table) -> pa.Table:
+        def s(c):
+            return int(pc.sum(t[c]).as_py() or 0) if t.num_rows else 0
+        return pa.table({
+            "n_only_left": pa.array([s("n_only_left")], pa.int64()),
+            "n_only_right": pa.array([s("n_only_right")], pa.int64()),
+            "n_both": pa.array([s("n_both")], pa.int64())})
+
+    zero = ray.data.from_arrow(pa.table({
+        "n_only_left": pa.array([0], pa.int64()),
+        "n_only_right": pa.array([0], pa.int64()),
+        "n_both": pa.array([0], pa.int64())}))
+    return parts.union(zero).repartition(1) \
+        .map_batches(total, batch_format="pyarrow")

@@ -264,3 +264,37 @@ def test_audience_overlap_disjoint_and_empty():
                   "event_type": pa.array([], pa.string())})
     assert audience_overlap(_ds(e, 1), "user_id",
                             "event_type").num_rows == 0
+
+
+def test_grouped_quantiles_tdigest_rank_error_bound():
+    from pyschema_ray.functions.analytics import \
+        grouped_quantiles_tdigest
+
+    rng = np.random.default_rng(41)
+    n = 20_000
+    groups = rng.choice(["lo", "hi"], n)
+    vals = np.where(groups == "lo", rng.normal(10, 2, n),
+                    rng.lognormal(3, 1, n))
+    t = pa.table({"g": pa.array(groups.tolist(), pa.string()),
+                  "v": pa.array(vals, pa.float64())})
+    out = _tab(grouped_quantiles_tdigest(_ds(t, 6), "g", "v",
+                                         qs=(0.5, 0.9, 0.99)))
+    out = out.sort_by([("g", "ascending")])
+    assert out.column_names == ["g", "q_0.5", "q_0.9", "q_0.99"]
+    for row in out.to_pylist():
+        gv = np.sort(vals[groups == row["g"]])
+        for q in (0.5, 0.9, 0.99):
+            est = row[f"q_{q}"]
+            # empirical rank of the estimate must be within 2% of q
+            rank = np.searchsorted(gv, est) / len(gv)
+            assert abs(rank - q) < 0.02, (row["g"], q, rank)
+
+
+def test_grouped_quantiles_tdigest_empty():
+    from pyschema_ray.functions.analytics import \
+        grouped_quantiles_tdigest
+
+    t = pa.table({"g": pa.array([], pa.string()),
+                  "v": pa.array([], pa.float64())})
+    out = _tab(grouped_quantiles_tdigest(_ds(t, 1), "g", "v"))
+    assert out is None or out.num_rows == 0

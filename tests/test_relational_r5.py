@@ -204,3 +204,52 @@ def test_unnest_list_empty_and_all_null_blocks():
     e = pa.table({"id": pa.array([], pa.int64()),
                   "xs": pa.array([], pa.list_(pa.int64()))})
     assert _rows(unnest_list(_ds(e, 1), "xs", ["id"])) == []
+
+
+def _one_row(ds):
+    tabs = [t for t in ds.iter_batches(batch_format="pyarrow",
+                                       batch_size=None) if t.num_rows]
+    t = pa.concat_tables(tabs)
+    assert t.num_rows == 1
+    return {c: t[c][0].as_py() for c in t.column_names}
+
+
+def test_key_reconcile_matches_duckdb():
+    import duckdb
+
+    from pyschema_ray.functions.relational import key_reconcile
+
+    rng = np.random.default_rng(31)
+    lt = pa.table({"a": pa.array(
+        rng.integers(0, 80, 200).tolist() + [None], pa.int64())})
+    rt = pa.table({"b": pa.array(
+        rng.integers(40, 140, 250).tolist() + [None], pa.int64())})
+    got = _one_row(key_reconcile(_ds(lt, 3), _ds(rt, 4), "a", "b",
+                                 num_shards=5))
+    exp = duckdb.sql("""
+        WITH l AS (SELECT DISTINCT a AS k FROM lt WHERE a IS NOT NULL),
+        r AS (SELECT DISTINCT b AS k FROM rt WHERE b IS NOT NULL)
+        SELECT CAST(coalesce(sum(CASE WHEN r.k IS NULL THEN 1 ELSE 0
+                             END), 0) AS BIGINT) AS n_only_left,
+               CAST(coalesce(sum(CASE WHEN l.k IS NULL THEN 1 ELSE 0
+                             END), 0) AS BIGINT) AS n_only_right,
+               CAST(coalesce(sum(CASE WHEN l.k IS NOT NULL
+                                  AND r.k IS NOT NULL THEN 1 ELSE 0
+                             END), 0) AS BIGINT) AS n_both
+          FROM l FULL OUTER JOIN r ON l.k = r.k
+    """).fetchone()
+    assert (got["n_only_left"], got["n_only_right"],
+            got["n_both"]) == exp
+
+
+def test_key_reconcile_string_keys_and_empty():
+    from pyschema_ray.functions.relational import key_reconcile
+
+    lt = pa.table({"k": pa.array(["a", "b", "b", "c"], pa.string())})
+    rt = pa.table({"k": pa.array(["b", "d"], pa.string())})
+    got = _one_row(key_reconcile(_ds(lt, 2), _ds(rt, 2), "k"))
+    assert got == {"n_only_left": 2, "n_only_right": 1, "n_both": 1}
+
+    e = pa.table({"k": pa.array([], pa.string())})
+    got = _one_row(key_reconcile(_ds(e, 1), _ds(e, 1), "k"))
+    assert got == {"n_only_left": 0, "n_only_right": 0, "n_both": 0}
