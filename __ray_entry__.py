@@ -4019,6 +4019,32 @@ def _q_price_quantiles_tdigest_by_priority(sf_dir: str) -> pa.Table:
         .sort_by([("o_orderpriority", "ascending")])
 
 
+def _q_dsir_weights_src0(sf_dir: str) -> pa.Table:
+    """DSIR importance weights vs the src0 domain: every document's
+    exact int64 milli-nat log-ratio between a bigram LM trained on
+    source='src0' docs and the corpus self-LM — two count exchanges,
+    both models broadcast once, ONE scoring scan
+    (functions/lm.py::bigram_lm_log_ratio)."""
+    from pyschema_ray.functions.lm import bigram_lm_log_ratio
+
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "text", "source"])
+
+    def is_target(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["source"], "src0")) \
+            .select(["doc_id", "text"])
+
+    target = _read(sf_dir, "documents",
+                   columns=["doc_id", "text", "source"]) \
+        .map_batches(is_target, batch_format="pyarrow")
+    out = bigram_lm_log_ratio(docs, target, text_col="text",
+                              key_col="doc_id")
+    return _collect(out, pa.schema([
+        ("doc_id", pa.int64()), ("n_bigrams", pa.int64()),
+        ("mlogp_target", pa.int64()), ("mlogp_corpus", pa.int64()),
+        ("mlog_ratio", pa.int64())])).sort_by("doc_id")
+
+
 def _q_order_priority_exists_counts(sf_dir: str) -> pa.Table:
     """TPC-H Q4 shape: orders in a date window having at least one
     high-quantity line (EXISTS), counted per priority — the bounded
@@ -5530,6 +5556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_reconcile": _q_customer_order_reconcile,
         "price_quantiles_tdigest_by_priority":
             _q_price_quantiles_tdigest_by_priority,
+        "dsir_weights_src0": _q_dsir_weights_src0,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -7574,6 +7601,62 @@ def oracle_sql() -> dict[str, str]:
                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
                        AS n_both
               FROM l FULL OUTER JOIN r ON l.k = r.k
+        """,
+        "dsir_weights_src0": """
+            WITH docs AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(
+                               lower(trim(coalesce(text, ''))), '\\s+'),
+                           x -> x <> '') AS w,
+                       source
+                  FROM documents),
+            grams AS (
+                SELECT doc_id, w[g.i] AS w1, w[g.i + 1] AS w2
+                  FROM docs, LATERAL (
+                       SELECT unnest(generate_series(1, len(w) - 1)) AS i) g),
+            tdocs AS (SELECT doc_id, w FROM docs WHERE source = 'src0'),
+            tgrams AS (
+                SELECT doc_id, w[g.i] AS w1, w[g.i + 1] AS w2
+                  FROM tdocs, LATERAL (
+                       SELECT unnest(generate_series(1, len(w) - 1)) AS i) g),
+            c12c AS (SELECT w1, w2, count(*) AS n12
+                       FROM grams GROUP BY 1, 2),
+            c1c AS (SELECT w1, sum(n12) AS n1 FROM c12c GROUP BY 1),
+            vc AS (SELECT count(DISTINCT word) AS vsz
+                     FROM (SELECT unnest(w) AS word FROM docs)),
+            c12t AS (SELECT w1, w2, count(*) AS n12
+                       FROM tgrams GROUP BY 1, 2),
+            c1t AS (SELECT w1, sum(n12) AS n1 FROM c12t GROUP BY 1),
+            vt AS (SELECT count(DISTINCT word) AS vsz
+                     FROM (SELECT unnest(w) AS word FROM tdocs)),
+            mlp AS (
+                SELECT g.doc_id,
+                       CAST(round(ln((coalesce(xt.n12, 0) + 1.0)
+                                     / (coalesce(ct.n1, 0) + vt.vsz))
+                                  * 1000) AS BIGINT) AS mt,
+                       CAST(round(ln((xc.n12 + 1.0)
+                                     / (cc.n1 + vc.vsz))
+                                  * 1000) AS BIGINT) AS mc
+                  FROM grams g
+                  LEFT JOIN c12t xt ON xt.w1 = g.w1 AND xt.w2 = g.w2
+                  LEFT JOIN c1t ct ON ct.w1 = g.w1
+                  JOIN c12c xc ON xc.w1 = g.w1 AND xc.w2 = g.w2
+                  JOIN c1c cc ON cc.w1 = g.w1
+                  CROSS JOIN vt CROSS JOIN vc)
+            SELECT d.doc_id,
+                   CAST(greatest(len(d.w) - 1, 0) AS BIGINT)
+                       AS n_bigrams,
+                   CAST(coalesce(sum(s.mt), 0) AS BIGINT)
+                       AS mlogp_target,
+                   CAST(coalesce(sum(s.mc), 0) AS BIGINT)
+                       AS mlogp_corpus,
+                   CAST(coalesce(sum(s.mt), 0)
+                        - coalesce(sum(s.mc), 0) AS BIGINT)
+                       AS mlog_ratio
+              FROM docs d LEFT JOIN mlp s ON s.doc_id = d.doc_id
+             GROUP BY d.doc_id, len(d.w)
+             ORDER BY d.doc_id
         """,
         "order_priority_exists_counts": """
             SELECT o_orderpriority,

@@ -127,7 +127,7 @@ QUERY_SUBSET = [
     "user_longest_streaks", "monthly_revenue_mom",
     "order_price_iqr_outliers", "part_copurchase_triangles",
     "event_audience_overlap", "customer_order_reconcile",
-    "price_quantiles_tdigest_by_priority",
+    "price_quantiles_tdigest_by_priority", "dsir_weights_src0",
 ]
 
 

@@ -361,3 +361,81 @@ def ngram_novelty_scores(ds, text_col: str = "text",
             "n_common": pa.array(n_common, pa.int64())})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def bigram_lm_log_ratio(ds, target_ds, text_col: str = "text",
+                        key_col: str = "doc_id",
+                        num_shards: int | None = None,
+                        min_count: int = 1):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document under TWO add-one-smoothed bigram LMs — one trained on
+    ``target_ds`` (the domain you want more of), one on the corpus
+    itself — and emit the exact int64 milli-nat log-likelihood ratio
+    ``mlog_ratio = mlogp_target - mlogp_corpus``.  Rank or
+    hash-sample by the ratio to up-weight target-like documents.
+
+    Same physical plan as :func:`bigram_lm_scores` doubled: two
+    vocabulary-bounded count exchanges (one per LM), both models
+    broadcast ONCE via ray.put, then a single scoring scan over the
+    corpus computes both sums per document — the corpus text is read
+    once, never reshuffled.  All per-bigram quantities are quantized
+    to milli-nats before summing, so results are order-independent
+    and the SQL oracle reproduces them with ln()/round().
+
+    -> Dataset(key_col, n_bigrams, mlogp_target, mlogp_corpus,
+               mlog_ratio — all int64).
+    """
+    import ray
+
+    num_shards = num_shards or _default_shards()
+
+    lm_t = _collect_lm(bigram_lm_counts(target_ds, text_col,
+                                        num_shards, min_count))
+    lm_c = _collect_lm(bigram_lm_counts(ds, text_col, num_shards,
+                                        min_count))
+    v_t = distinct_word_count(target_ds, text_col, num_shards)
+    v_c = distinct_word_count(ds, text_col, num_shards)
+    ref = ray.put((lm_t, lm_c))
+
+    def _mlp(b, h1, lm, vocab: int) -> np.ndarray:
+        b_keys, b_n, w_keys, w_n = lm
+        if len(b_keys):
+            pos = np.clip(np.searchsorted(b_keys, b), 0,
+                          len(b_keys) - 1)
+            c12 = np.where(b_keys[pos] == b, b_n[pos], 0)
+        else:
+            c12 = np.zeros(len(b), np.int64)
+        if len(w_keys):
+            wpos = np.clip(np.searchsorted(w_keys, h1), 0,
+                           len(w_keys) - 1)
+            c1 = np.where(w_keys[wpos] == h1, w_n[wpos], 0)
+        else:
+            c1 = np.zeros(len(h1), np.int64)
+        p = (c12 + 1.0) / (c1 + float(max(vocab, 1)))
+        return _round_half_away(np.log(p) * 1000.0)
+
+    def score(t: pa.Table) -> pa.Table:
+        wh, offs = _word_hashes(t[text_col])
+        h1, _h2, b, bdoc = _doc_bigrams(wh, offs)
+        n_docs = t.num_rows
+        wl = np.diff(offs)
+        if len(b):
+            lmt, lmc = ray.get(ref)
+            mt = _mlp(b, h1, lmt, v_t)
+            mc = _mlp(b, h1, lmc, v_c)
+            st = np.bincount(bdoc, weights=mt,
+                             minlength=n_docs).astype(np.int64)
+            sc = np.bincount(bdoc, weights=mc,
+                             minlength=n_docs).astype(np.int64)
+        else:
+            st = np.zeros(n_docs, np.int64)
+            sc = np.zeros(n_docs, np.int64)
+        return pa.table({
+            key_col: t[key_col],
+            "n_bigrams": pa.array(np.maximum(wl - 1, 0), pa.int64()),
+            "mlogp_target": pa.array(st, pa.int64()),
+            "mlogp_corpus": pa.array(sc, pa.int64()),
+            "mlog_ratio": pa.array(st - sc, pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -133,3 +133,33 @@ def test_ngram_novelty_matches_reference():
                 if texts.count(t) > 1 and t]
     for i in dup_rows:
         assert exp[i][0] == exp[i][1]
+
+
+def test_dsir_log_ratio_matches_reference():
+    from pyschema_ray.functions.lm import bigram_lm_log_ratio
+
+    target = ["the quick brown fox jumps over the lazy dog",
+              "the quick brown fox naps"]
+    out = _tbl(bigram_lm_log_ratio(_ds(DOCS), _ds(target),
+                                   num_shards=4)).sort_by("doc_id")
+    ref_t = _ref_scores(DOCS, target)
+    ref_c = _ref_scores(DOCS, DOCS)
+    assert out["n_bigrams"].to_pylist() == [r[1] for r in ref_t]
+    assert out["mlogp_target"].to_pylist() == [r[2] for r in ref_t]
+    assert out["mlogp_corpus"].to_pylist() == [r[2] for r in ref_c]
+    assert out["mlog_ratio"].to_pylist() == \
+        [t[2] - c[2] for t, c in zip(ref_t, ref_c)]
+    # target-like docs rank above off-domain docs
+    ranked = sorted(zip(out["mlog_ratio"].to_pylist(),
+                        out["doc_id"].to_pylist()), reverse=True)
+    per_bigram = {d: r for r, d in ranked}
+    assert per_bigram[1] > per_bigram[3]   # in-domain > different words
+
+
+def test_dsir_log_ratio_empty_target_smooths():
+    from pyschema_ray.functions.lm import bigram_lm_log_ratio
+
+    out = _tbl(bigram_lm_log_ratio(_ds(DOCS), _ds([]),
+                                   num_shards=4)).sort_by("doc_id")
+    ref_t = _ref_scores(DOCS, [])
+    assert out["mlogp_target"].to_pylist() == [r[2] for r in ref_t]
