@@ -3918,16 +3918,13 @@ def _q_order_price_iqr_outliers(sf_dir: str) -> pa.Table:
         "o_orderpriority", "o_totalprice")
 
 
-def _q_part_copurchase_triangles(sf_dir: str) -> pa.Table:
-    """Exact triangle count of the part co-purchase graph (parts
-    sharing an order are adjacent): per-order pair expansion on an
-    orderkey-hash exchange, then distributed node-iterator++ triangle
-    counting — degree-oriented wedges closed against the oriented
-    edge set (functions/graph.py::triangle_count)."""
+def _copurchase_edges(sf_dir: str):
+    """Part co-purchase edge Dataset (parts sharing an order are
+    adjacent): per-order distinct-pair expansion on ONE orderkey-hash
+    exchange — pair volume bounded by the per-order line count."""
     from pyschema_ray.functions.dedup import (_default_shards,
                                               _group_starts,
                                               _key_shards)
-    from pyschema_ray.functions.graph import triangle_count
 
     nb = _default_shards()
 
@@ -3963,11 +3960,20 @@ def _q_part_copurchase_triangles(sf_dir: str) -> pa.Table:
         return pa.table({"src": pa.array(p[li], pa.int64()),
                          "dst": pa.array(p[ri], pa.int64())})
 
-    edges = _read(sf_dir, "lineitem",
-                  columns=["l_orderkey", "l_partkey"]) \
+    return _read(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_partkey"]) \
         .map_batches(tag, batch_format="pyarrow") \
         .groupby("oshard").map_groups(expand, batch_format="pyarrow")
-    out = triangle_count(edges, "src", "dst")
+
+
+def _q_part_copurchase_triangles(sf_dir: str) -> pa.Table:
+    """Exact triangle count of the part co-purchase graph: per-order
+    pair expansion, then distributed node-iterator++ triangle
+    counting — degree-oriented wedges closed against the oriented
+    edge set (functions/graph.py::triangle_count)."""
+    from pyschema_ray.functions.graph import triangle_count
+
+    out = triangle_count(_copurchase_edges(sf_dir), "src", "dst")
     return _collect(out, pa.schema([("n_triangles", pa.int64())]))
 
 
@@ -4043,6 +4049,21 @@ def _q_dsir_weights_src0(sf_dir: str) -> pa.Table:
         ("doc_id", pa.int64()), ("n_bigrams", pa.int64()),
         ("mlogp_target", pa.int64()), ("mlogp_corpus", pa.int64()),
         ("mlog_ratio", pa.int64())])).sort_by("doc_id")
+
+
+def _q_part_copurchase_clustering(sf_dir: str) -> pa.Table:
+    """Per-part local clustering coefficients of the co-purchase
+    graph: apex-carrying wedges credit each closed triangle to its
+    three vertices, then a node-hash merge with degrees
+    (functions/graph.py::local_clustering)."""
+    from pyschema_ray.functions.graph import local_clustering
+
+    edges = _copurchase_edges(sf_dir)
+    out = local_clustering(edges, "src", "dst")
+    return _collect(out, pa.schema([
+        ("node", pa.int64()), ("degree", pa.int64()),
+        ("n_triangles", pa.int64()), ("clustering", pa.float64())])) \
+        .sort_by([("node", "ascending")])
 
 
 def _q_order_priority_exists_counts(sf_dir: str) -> pa.Table:
@@ -5557,6 +5578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles_tdigest_by_priority":
             _q_price_quantiles_tdigest_by_priority,
         "dsir_weights_src0": _q_dsir_weights_src0,
+        "part_copurchase_clustering": _q_part_copurchase_clustering,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -7556,6 +7578,38 @@ def oracle_sql() -> dict[str, str]:
               FROM pr e1
               JOIN pr e2 ON e2.u = e1.v
               JOIN pr e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        "part_copurchase_clustering": """
+            WITH pr AS (
+                SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                  FROM lineitem a
+                  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey),
+            tri AS (
+                SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                  FROM pr e1
+                  JOIN pr e2 ON e2.u = e1.v
+                  JOIN pr e3 ON e3.u = e1.u AND e3.v = e2.v),
+            nt AS (
+                SELECT node, CAST(count(*) AS BIGINT) AS n
+                  FROM (SELECT a AS node FROM tri
+                        UNION ALL SELECT b FROM tri
+                        UNION ALL SELECT c FROM tri)
+                 GROUP BY 1),
+            deg AS (
+                SELECT node, CAST(count(*) AS BIGINT) AS d
+                  FROM (SELECT u AS node FROM pr
+                        UNION ALL SELECT v FROM pr)
+                 GROUP BY 1)
+            SELECT deg.node,
+                   deg.d AS degree,
+                   CAST(coalesce(nt.n, 0) AS BIGINT) AS n_triangles,
+                   CASE WHEN deg.d >= 2
+                        THEN 2.0 * coalesce(nt.n, 0)
+                             / (deg.d * (deg.d - 1))
+                        ELSE 0.0 END AS clustering
+              FROM deg LEFT JOIN nt USING (node)
+             ORDER BY deg.node
         """,
         "event_audience_overlap": """
             WITH ut AS (

@@ -353,26 +353,11 @@ def pagerank(edges, damping: float = 0.85, iters: int = 10,
     return ranks.map_batches(out, batch_format="pyarrow")
 
 
-def triangle_count(edges, src_col: str = "src", dst_col: str = "dst",
-                   num_shards: int | None = None):
-    """Distributed exact triangle counting over an undirected edge
-    Dataset (int64 node ids) — the clustering-coefficient /
-    community-density primitive.  MapReduce node-iterator++ (Cohen's
-    algorithm): orient every edge from its lower-(degree, id) endpoint
-    to the higher one, generate each triangle's single wedge at its
-    lowest-ranked apex, and close wedges against the oriented edge
-    set.  Orientation bounds every adjacency list by O(sqrt(m)), so
-    wedge volume is O(m^1.5) worst case and per-shard work stays
-    bounded on power-law graphs (the hot-key guard).
-
-    Five bounded hash exchanges, all on integer shard keys: canonical
-    edge dedup, degree count, two degree-attach sentinel merges, wedge
-    generation, and the wedge/edge closing match.  The driver holds
-    one int64.  Self-loops, nulls, duplicate and reversed duplicate
-    edges are ignored.
-
-    -> Dataset with a single row (n_triangles int64).
-    """
+def _triangle_pipeline(edges, src_col: str, dst_col: str,
+                       num_shards: int | None, per_node: bool):
+    """Shared node-iterator++ plan behind :func:`triangle_count`
+    (per_node=False: one global count) and :func:`local_clustering`
+    (per_node=True: per-node triangle counts merged with degrees)."""
     from .dedup import _group_starts, _key_hash
 
     nb = num_shards or _default_shards()
@@ -529,7 +514,7 @@ def triangle_count(edges, src_col: str = "src", dst_col: str = "dst",
             "wshard": pa.array(_key_shards(s, nb, 61), pa.int64())})
 
     W_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64()),
-                          ("cnt", pa.int64())])
+                          ("apex", pa.int64()), ("cnt", pa.int64())])
 
     def wedges(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -553,10 +538,18 @@ def triangle_count(edges, src_col: str = "src", dst_col: str = "dst",
         # neighbors are (deg, id)-sorted within the run, so the pair
         # is already oriented low->high
         a, b = d[li], d[ri]
+        if per_node:
+            # keep the apex: every matched wedge instance is one
+            # triangle attributed to (apex, a, b)
+            return pa.table({"a": pa.array(a, pa.int64()),
+                             "b": pa.array(b, pa.int64()),
+                             "apex": pa.array(s[li], pa.int64()),
+                             "cnt": pa.array(np.ones(total, np.int64))})
         g = pa.table({"a": pa.array(a, pa.int64()),
                       "b": pa.array(b, pa.int64())}) \
             .group_by(["a", "b"]).aggregate([([], "count_all")])
         return pa.table({"a": g["a"], "b": g["b"],
+                         "apex": pa.nulls(g.num_rows, pa.int64()),
                          "cnt": pc.cast(g["count_all"], pa.int64())})
 
     oriented = full.map_batches(orient, batch_format="pyarrow") \
@@ -569,7 +562,8 @@ def triangle_count(edges, src_col: str = "src", dst_col: str = "dst",
         sh = ((_key_hash(t["a"].to_numpy(zero_copy_only=False), 67)
                ^ _key_hash(t["b"].to_numpy(zero_copy_only=False), 71))
               % np.uint64(nb)).astype(np.int64)
-        return pa.table({"a": t["a"], "b": t["b"], "cnt": t["cnt"],
+        return pa.table({"a": t["a"], "b": t["b"], "apex": t["apex"],
+                         "cnt": t["cnt"],
                          "tag": pa.array(np.ones(t.num_rows, np.int8)),
                          "cshard": pa.array(sh, pa.int64())})
 
@@ -580,13 +574,20 @@ def triangle_count(edges, src_col: str = "src", dst_col: str = "dst",
               % np.uint64(nb)).astype(np.int64)
         return pa.table({"a": pa.array(s, pa.int64()),
                          "b": pa.array(d, pa.int64()),
+                         "apex": pa.nulls(len(s), pa.int64()),
                          "cnt": pa.array(np.zeros(len(s), np.int64)),
                          "tag": pa.array(np.zeros(len(s), np.int8)),
                          "cshard": pa.array(sh, pa.int64())})
 
     def close(t: pa.Table) -> pa.Table:
+        if per_node:
+            empty = pa.table({"node": pa.array([], pa.int64()),
+                              "n": pa.array([], pa.int64()),
+                              "nshard": pa.array([], pa.int64())})
+        else:
+            empty = pa.table({"n_triangles": pa.array([], pa.int64())})
         if t.num_rows == 0:
-            return pa.table({"n_triangles": pa.array([], pa.int64())})
+            return empty
         idx = pc.sort_indices(t, sort_keys=[("a", "ascending"),
                                             ("b", "ascending"),
                                             ("tag", "ascending")])
@@ -599,20 +600,120 @@ def triangle_count(edges, src_col: str = "src", dst_col: str = "dst",
         run_id = np.repeat(np.arange(len(starts)), sizes)
         edge_present = tag[starts] == 0    # edges sort first in a run
         matched = (tag == 1) & edge_present[run_id]
-        return pa.table({"n_triangles": pa.array(
-            [int(cnt[matched].sum())], pa.int64())})
+        if not per_node:
+            return pa.table({"n_triangles": pa.array(
+                [int(cnt[matched].sum())], pa.int64())})
+        if not matched.any():
+            return empty
+        apex = t["apex"].to_numpy(zero_copy_only=False)
+        nodes = np.concatenate([apex[matched].astype(np.int64),
+                                a[matched], b[matched]])
+        g = pa.table({"node": pa.array(nodes, pa.int64())}) \
+            .group_by("node").aggregate([([], "count_all")])
+        return pa.table({
+            "node": g["node"],
+            "n": pc.cast(g["count_all"], pa.int64()),
+            "nshard": pa.array(_key_shards(
+                g["node"].to_numpy(zero_copy_only=False), nb, 47),
+                pa.int64())})
 
     both = wedge_ds.map_batches(tag_wedges, batch_format="pyarrow") \
         .union(oriented.map_batches(tag_closing_edges,
                                     batch_format="pyarrow")) \
         .groupby("cshard").map_groups(close, batch_format="pyarrow")
 
-    def total(t: pa.Table) -> pa.Table:
-        s = int(pc.sum(t["n_triangles"]).as_py() or 0) \
-            if t.num_rows else 0
-        return pa.table({"n_triangles": pa.array([s], pa.int64())})
+    if not per_node:
+        def total(t: pa.Table) -> pa.Table:
+            s = int(pc.sum(t["n_triangles"]).as_py() or 0) \
+                if t.num_rows else 0
+            return pa.table({"n_triangles": pa.array([s], pa.int64())})
 
-    zero = ray.data.from_arrow(
-        pa.table({"n_triangles": pa.array([0], pa.int64())}))
-    return both.union(zero).repartition(1) \
-        .map_batches(total, batch_format="pyarrow")
+        zero = ray.data.from_arrow(
+            pa.table({"n_triangles": pa.array([0], pa.int64())}))
+        return both.union(zero).repartition(1) \
+            .map_batches(total, batch_format="pyarrow")
+
+    # ---- per-node: sum triangle partials, merge with degrees
+    def tri_tag(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"], "d": t["n"],
+                         "tag": pa.array(np.ones(t.num_rows, np.int8)),
+                         "nshard": t["nshard"]})
+
+    def deg_tag(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["node"], "d": t["d"],
+            "tag": pa.array(np.zeros(t.num_rows, np.int8)),
+            "nshard": pa.array(_key_shards(
+                t["node"].to_numpy(zero_copy_only=False), nb, 47),
+                pa.int64())})
+
+    def finish(t: pa.Table) -> pa.Table:
+        empty = pa.table({"node": pa.array([], pa.int64()),
+                          "degree": pa.array([], pa.int64()),
+                          "n_triangles": pa.array([], pa.int64()),
+                          "clustering": pa.array([], pa.float64())})
+        dt = t.filter(pc.equal(t["tag"], 0))
+        if dt.num_rows == 0:
+            return empty
+        tt = t.filter(pc.equal(t["tag"], 1))
+        nodes = dt["node"].to_numpy(zero_copy_only=False)
+        deg = dt["d"].to_numpy(zero_copy_only=False)
+        o = np.argsort(nodes)
+        nodes, deg = nodes[o], deg[o]
+        nt = np.zeros(len(nodes), np.int64)
+        if tt.num_rows:
+            tn = tt["node"].to_numpy(zero_copy_only=False)
+            tv = tt["d"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(nodes, tn)
+            np.add.at(nt, pos, tv)     # partials per node sum here
+        pairs = deg * (deg - 1)
+        cc = np.zeros(len(nodes), np.float64)
+        np.divide(2.0 * nt, pairs, out=cc, where=pairs >= 2)
+        return pa.table({
+            "node": pa.array(nodes, pa.int64()),
+            "degree": pa.array(deg, pa.int64()),
+            "n_triangles": pa.array(nt, pa.int64()),
+            "clustering": pa.array(cc, pa.float64())})
+
+    return both.map_batches(tri_tag, batch_format="pyarrow") \
+        .union(D.map_batches(deg_tag, batch_format="pyarrow")) \
+        .groupby("nshard").map_groups(finish, batch_format="pyarrow")
+
+
+def triangle_count(edges, src_col: str = "src", dst_col: str = "dst",
+                   num_shards: int | None = None):
+    """Distributed exact triangle counting over an undirected edge
+    Dataset (int64 node ids) — the clustering-coefficient /
+    community-density primitive.  MapReduce node-iterator++ (Cohen's
+    algorithm): orient every edge from its lower-(degree, id) endpoint
+    to the higher one, generate each triangle's single wedge at its
+    lowest-ranked apex, and close wedges against the oriented edge
+    set.  Orientation bounds every adjacency list by O(sqrt(m)), so
+    wedge volume is O(m^1.5) worst case and per-shard work stays
+    bounded on power-law graphs (the hot-key guard).
+
+    Five bounded hash exchanges, all on integer shard keys: canonical
+    edge dedup, degree count, two degree-attach sentinel merges, wedge
+    generation, and the wedge/edge closing match.  The driver holds
+    one int64.  Self-loops, nulls, duplicate and reversed duplicate
+    edges are ignored.
+
+    -> Dataset with a single row (n_triangles int64).
+    """
+    return _triangle_pipeline(edges, src_col, dst_col, num_shards,
+                              per_node=False)
+
+
+def local_clustering(edges, src_col: str = "src", dst_col: str = "dst",
+                     num_shards: int | None = None):
+    """Per-node triangle counts and local clustering coefficient
+    ``2*T(v) / (deg(v) * (deg(v) - 1))`` over an undirected edge
+    Dataset — same oriented-wedge plan as :func:`triangle_count`, but
+    wedges carry their apex so each closed triangle credits its three
+    vertices; one extra node-hash exchange merges triangle partials
+    with degrees.  Every node appears (zero-triangle nodes included).
+
+    -> Dataset(node, degree, n_triangles int64, clustering float64).
+    """
+    return _triangle_pipeline(edges, src_col, dst_col, num_shards,
+                              per_node=True)

@@ -145,3 +145,33 @@ def test_triangle_count_shapes():
     assert _tri_count(_ds(_edges_tbl(k4), 3)) == 4
     # empty
     assert _tri_count(_ds(_edges_tbl([]), 1)) == 0
+
+
+def test_local_clustering_matches_brute():
+    from pyschema_ray.functions.graph import local_clustering
+
+    rng = np.random.default_rng(13)
+    pairs = {(int(a), int(b)) for a, b in
+             rng.integers(0, 25, (120, 2)) if a != b}
+    t = pa.concat_tables(
+        [b for b in local_clustering(_ds(_edges_tbl(list(pairs)), 4),
+                                     "src", "dst", num_shards=5)
+         .iter_batches(batch_format="pyarrow", batch_size=None)
+         if b.num_rows]).sort_by([("node", "ascending")])
+    # brute adjacency reference
+    canon = {(min(a, b), max(a, b)) for a, b in pairs}
+    nodes = sorted({x for e in canon for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)), np.int64)
+    for a, b in canon:
+        A[idx[a], idx[b]] = A[idx[b], idx[a]] = 1
+    tri_per = np.diag(A @ A @ A) // 2
+    deg = A.sum(1)
+    assert t["node"].to_pylist() == nodes
+    assert t["degree"].to_pylist() == deg.tolist()
+    assert t["n_triangles"].to_pylist() == tri_per.tolist()
+    for d, nt, cc in zip(deg, tri_per, t["clustering"].to_pylist()):
+        want = (2.0 * nt) / (d * (d - 1)) if d >= 2 else 0.0
+        assert cc == want
+    # global count consistency: sum of per-node triangles = 3 * total
+    assert sum(tri_per) == 3 * _tri_brute(canon)
