@@ -4066,6 +4066,24 @@ def _q_part_copurchase_clustering(sf_dir: str) -> pa.Table:
         .sort_by([("node", "ascending")])
 
 
+def _q_view_purchase_conversion(sf_dir: str) -> pa.Table:
+    """Funnel-with-deadline: view events followed by a strictly later
+    purchase by the same user within 1 hour — event- and user-level
+    counts via one two-state key-hash exchange and a reverse
+    running-minimum scan (functions/ordered.py::conversion_within)."""
+    from pyschema_ray.functions.ordered import conversion_within
+
+    out = conversion_within(
+        _read(sf_dir, "events",
+              columns=["user_id", "ts", "event_type"]),
+        from_state="view", to_state="purchase",
+        window_us=3_600_000_000)
+    return _collect(out, pa.schema([
+        ("n_from", pa.int64()), ("n_converted", pa.int64()),
+        ("n_users_from", pa.int64()),
+        ("n_users_converted", pa.int64())]))
+
+
 def _q_order_priority_exists_counts(sf_dir: str) -> pa.Table:
     """TPC-H Q4 shape: orders in a date window having at least one
     high-quantity line (EXISTS), counted per priority — the bounded
@@ -5579,6 +5597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _q_price_quantiles_tdigest_by_priority,
         "dsir_weights_src0": _q_dsir_weights_src0,
         "part_copurchase_clustering": _q_part_copurchase_clustering,
+        "view_purchase_conversion": _q_view_purchase_conversion,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -7711,6 +7730,31 @@ def oracle_sql() -> dict[str, str]:
               FROM docs d LEFT JOIN mlp s ON s.doc_id = d.doc_id
              GROUP BY d.doc_id, len(d.w)
              ORDER BY d.doc_id
+        """,
+        "view_purchase_conversion": """
+            WITH e AS (
+                SELECT user_id, ts, event_type FROM events
+                 WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            a AS (SELECT user_id, ts FROM e
+                   WHERE event_type = 'view'),
+            conv AS (
+                SELECT a.user_id,
+                       CASE WHEN EXISTS (
+                           SELECT 1 FROM e b
+                            WHERE b.user_id = a.user_id
+                              AND b.event_type = 'purchase'
+                              AND b.ts > a.ts
+                              AND b.ts <= a.ts + INTERVAL 1 HOUR)
+                            THEN 1 ELSE 0 END AS c
+                  FROM a)
+            SELECT CAST(count(*) AS BIGINT) AS n_from,
+                   CAST(coalesce(sum(c), 0) AS BIGINT) AS n_converted,
+                   CAST(count(DISTINCT user_id) AS BIGINT)
+                       AS n_users_from,
+                   CAST(count(DISTINCT CASE WHEN c = 1
+                                       THEN user_id END) AS BIGINT)
+                       AS n_users_converted
+              FROM conv
         """,
         "order_priority_exists_counts": """
             SELECT o_orderpriority,

@@ -128,7 +128,7 @@ QUERY_SUBSET = [
     "order_price_iqr_outliers", "part_copurchase_triangles",
     "event_audience_overlap", "customer_order_reconcile",
     "price_quantiles_tdigest_by_priority", "dsir_weights_src0",
-    "part_copurchase_clustering",
+    "part_copurchase_clustering", "view_purchase_conversion",
 ]
 
 

@@ -765,3 +765,95 @@ def longest_streaks(ds, key_col: str = "user_id", ts_col: str = "ts",
 
     return ds.map_batches(exchange, batch_format="pyarrow") \
         .groupby("kshard").map_groups(scan, batch_format="pyarrow")
+
+
+def conversion_within(ds, from_state: str, to_state: str,
+                      window_us: int, key_col: str = "user_id",
+                      ts_col: str = "ts", state_col: str = "event_type",
+                      num_shards: int | None = None):
+    """Windowed conversion: of all ``from_state`` events, how many are
+    followed by a STRICTLY LATER ``to_state`` event of the same key
+    within ``window_us`` microseconds — event- and user-level counts,
+    the funnel-with-deadline metric (view->purchase within 1 h).
+
+    One key-hash exchange over only the two states' rows (projected to
+    key/ts), then a single sorted pass per shard: rows sort by
+    (key, ts, to-before-from at ties) so a reverse running minimum of
+    to-event positions yields every from-event's next strictly-later
+    to-event — no per-key loop, no self-join.  Per-shard partial sums;
+    the driver sees 4 ints.
+
+    -> Dataset with one row: (n_from, n_converted, n_users_from,
+       n_users_converted — all int64).
+    """
+    import ray.data
+
+    nb = num_shards or _default_shards()
+
+    OUT = ("n_from", "n_converted", "n_users_from", "n_users_converted")
+
+    def exchange(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.and_(pc.is_valid(t[key_col]),
+                                     pc.is_valid(t[ts_col])),
+                             pc.is_in(t[state_col],
+                                      value_set=pa.array(
+                                          [from_state, to_state]))))
+        is_to = pc.equal(t[state_col], to_state)
+        slim = pa.table({
+            "k": t[key_col],
+            "us": pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                          pa.int64()),
+            "is_to": pc.cast(is_to, pa.int8())})
+        keys = slim["k"].to_numpy(zero_copy_only=False)
+        return slim.append_column(
+            "kshard", pa.array(_key_shards(keys, nb, 103), pa.int64()))
+
+    def scan(t: pa.Table) -> pa.Table:
+        zero = pa.table({c: pa.array([0], pa.int64()) for c in OUT})
+        if t.num_rows == 0:
+            return zero
+        # to-events sort BEFORE from-events at equal ts, so any
+        # to-event after a from-event in sort order is strictly later
+        idx = pc.sort_indices(t, sort_keys=[
+            ("k", "ascending"), ("us", "ascending"),
+            ("is_to", "descending")])
+        t = t.take(idx)
+        k = t["k"].to_numpy(zero_copy_only=False)
+        us = t["us"].to_numpy(zero_copy_only=False)
+        is_to = t["is_to"].to_numpy(zero_copy_only=False).astype(bool)
+        n = len(k)
+        pos = np.where(is_to, np.arange(n), n)
+        nxt = np.minimum.accumulate(pos[::-1])[::-1]  # next to-event >= i
+        am = ~is_to
+        a_idx = np.flatnonzero(am)
+        if len(a_idx) == 0:
+            return zero
+        j = nxt[a_idx]
+        valid = j < n
+        jc = np.clip(j, 0, n - 1)
+        conv = valid & (k[jc] == k[a_idx]) \
+            & (us[jc] <= us[a_idx] + window_us)
+        ak = k[a_idx]
+        starts, _ = _group_starts(ak)
+        users_from = len(starts)
+        # per-user any(conv): max over each key run
+        users_conv = int((np.maximum.reduceat(
+            conv.astype(np.int64), starts) > 0).sum())
+        return pa.table({
+            "n_from": pa.array([len(a_idx)], pa.int64()),
+            "n_converted": pa.array([int(conv.sum())], pa.int64()),
+            "n_users_from": pa.array([users_from], pa.int64()),
+            "n_users_converted": pa.array([users_conv], pa.int64())})
+
+    parts = ds.map_batches(exchange, batch_format="pyarrow") \
+        .groupby("kshard").map_groups(scan, batch_format="pyarrow")
+
+    def total(t: pa.Table) -> pa.Table:
+        def s(c):
+            return int(pc.sum(t[c]).as_py() or 0) if t.num_rows else 0
+        return pa.table({c: pa.array([s(c)], pa.int64()) for c in OUT})
+
+    zero = ray.data.from_arrow(
+        pa.table({c: pa.array([0], pa.int64()) for c in OUT}))
+    return parts.union(zero).repartition(1) \
+        .map_batches(total, batch_format="pyarrow")

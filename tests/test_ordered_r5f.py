@@ -381,3 +381,77 @@ def test_longest_streaks_shapes():
         "n_active_days": [4, 1],      # 1st,2nd,3rd,7th / Feb 1
         "longest_streak": [3, 1],     # Jan 1-2-3
     }
+
+
+def test_conversion_within_matches_duckdb():
+    import duckdb
+
+    from pyschema_ray.functions.ordered import conversion_within
+
+    rng = np.random.default_rng(29)
+    n = 500
+    ts = pa.array(
+        np.datetime64("2024-01-01") +
+        rng.integers(0, 7 * 86400, n).astype("timedelta64[s]"),
+        pa.timestamp("us"))
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 40, n), pa.int64()),
+        "ts": ts,
+        "event_type": pa.array(
+            rng.choice(["view", "click", "purchase"], n).tolist(),
+            pa.string()),
+    })
+    out = pa.concat_tables(
+        [b for b in conversion_within(_ds(t, 5), "view", "purchase",
+                                      3_600_000_000)
+         .iter_batches(batch_format="pyarrow", batch_size=None)
+         if b.num_rows])
+    assert out.num_rows == 1
+    exp = duckdb.sql("""
+        WITH a AS (SELECT user_id, ts FROM t
+                    WHERE event_type = 'view'),
+        conv AS (SELECT a.user_id,
+                        CASE WHEN EXISTS (
+                            SELECT 1 FROM t b
+                             WHERE b.user_id = a.user_id
+                               AND b.event_type = 'purchase'
+                               AND b.ts > a.ts
+                               AND b.ts <= a.ts + INTERVAL 1 HOUR)
+                             THEN 1 ELSE 0 END AS c FROM a)
+        SELECT CAST(count(*) AS BIGINT),
+               CAST(coalesce(sum(c), 0) AS BIGINT),
+               CAST(count(DISTINCT user_id) AS BIGINT),
+               CAST(count(DISTINCT CASE WHEN c = 1
+                                   THEN user_id END) AS BIGINT)
+          FROM conv
+    """).fetchone()
+    got = tuple(out[c][0].as_py() for c in
+                ("n_from", "n_converted", "n_users_from",
+                 "n_users_converted"))
+    assert got == exp
+    assert got[1] > 0          # some conversions exist at this seed
+
+
+def test_conversion_within_tie_is_not_converted():
+    from pyschema_ray.functions.ordered import conversion_within
+
+    ts = pa.array(np.array(
+        ["2024-01-01T00:00:00", "2024-01-01T00:00:00",   # tie: no
+         "2024-01-01T01:00:00", "2024-01-01T01:30:00",   # 30m: yes
+         "2024-01-02T00:00:00", "2024-01-02T02:00:00"],  # 2h: no
+        dtype="datetime64[us]"), pa.timestamp("us"))
+    t = pa.table({
+        "user_id": pa.array([1, 1, 2, 2, 3, 3], pa.int64()),
+        "ts": ts,
+        "event_type": pa.array(["view", "purchase", "view",
+                                "purchase", "view", "purchase"],
+                               pa.string()),
+    })
+    out = pa.concat_tables(
+        [b for b in conversion_within(_ds(t, 2), "view", "purchase",
+                                      3_600_000_000)
+         .iter_batches(batch_format="pyarrow", batch_size=None)
+         if b.num_rows])
+    assert out.to_pylist()[0] == {
+        "n_from": 3, "n_converted": 1,
+        "n_users_from": 3, "n_users_converted": 1}
