@@ -4084,6 +4084,30 @@ def _q_view_purchase_conversion(sf_dir: str) -> pa.Table:
         ("n_users_converted", pa.int64())]))
 
 
+def _q_vocab_oov_even_odd(sf_dir: str) -> pa.Table:
+    """Vocabulary coverage check: token/type OOV of odd-doc_id
+    documents against the even-doc_id vocabulary — word-hash shard
+    exchange, no vocabulary broadcast
+    (functions/lm.py::vocab_oov)."""
+    from pyschema_ray.functions.lm import vocab_oov
+
+    def _half(parity: int):
+        def f(t: pa.Table) -> pa.Table:
+            keep = pc.equal(pc.bit_wise_and(t["doc_id"], 1), parity)
+            return t.filter(pc.and_(pc.is_valid(t["doc_id"]), keep)) \
+                .select(["text"])
+        return f
+
+    ref = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(_half(0), batch_format="pyarrow")
+    measured = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(_half(1), batch_format="pyarrow")
+    out = vocab_oov(measured, ref, text_col="text")
+    return _collect(out, pa.schema([
+        ("n_tokens", pa.int64()), ("n_oov_tokens", pa.int64()),
+        ("n_types", pa.int64()), ("n_oov_types", pa.int64())]))
+
+
 def _q_order_priority_exists_counts(sf_dir: str) -> pa.Table:
     """TPC-H Q4 shape: orders in a date window having at least one
     high-quantity line (EXISTS), counted per priority — the bounded
@@ -5598,6 +5622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights_src0": _q_dsir_weights_src0,
         "part_copurchase_clustering": _q_part_copurchase_clustering,
         "view_purchase_conversion": _q_view_purchase_conversion,
+        "vocab_oov_even_odd": _q_vocab_oov_even_odd,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -7755,6 +7780,33 @@ def oracle_sql() -> dict[str, str]:
                                        THEN user_id END) AS BIGINT)
                        AS n_users_converted
               FROM conv
+        """,
+        "vocab_oov_even_odd": """
+            WITH wa AS (
+                SELECT DISTINCT unnest(list_filter(
+                           regexp_split_to_array(
+                               lower(trim(coalesce(text, ''))), '\\s+'),
+                           x -> x <> '')) AS w
+                  FROM documents
+                 WHERE doc_id IS NOT NULL AND doc_id % 2 = 0),
+            wb AS (
+                SELECT unnest(list_filter(
+                           regexp_split_to_array(
+                               lower(trim(coalesce(text, ''))), '\\s+'),
+                           x -> x <> '')) AS w
+                  FROM documents
+                 WHERE doc_id IS NOT NULL AND doc_id % 2 = 1),
+            tok AS (SELECT w, count(*) AS n FROM wb GROUP BY 1)
+            SELECT CAST(coalesce(sum(tok.n), 0) AS BIGINT)
+                       AS n_tokens,
+                   CAST(coalesce(sum(CASE WHEN wa.w IS NULL
+                                     THEN tok.n ELSE 0 END), 0)
+                        AS BIGINT) AS n_oov_tokens,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(coalesce(sum(CASE WHEN wa.w IS NULL
+                                     THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_oov_types
+              FROM tok LEFT JOIN wa ON tok.w = wa.w
         """,
         "order_priority_exists_counts": """
             SELECT o_orderpriority,

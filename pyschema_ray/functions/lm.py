@@ -43,7 +43,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..sketches import hash_strings, mix64
-from .dedup import _default_shards
+from .dedup import _default_shards, _group_starts
 
 _BIGRAM_P = np.uint64(0x9E3779B97F4A7C15)
 
@@ -439,3 +439,89 @@ def bigram_lm_log_ratio(ds, target_ds, text_col: str = "text",
             "mlog_ratio": pa.array(st - sc, pa.int64())})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def vocab_oov(ds, ref_ds, text_col: str = "text",
+              num_shards: int | None = None):
+    """Out-of-vocabulary coverage of one corpus against another's
+    vocabulary — the tokenizer/domain-shift health check (how much of
+    the eval split's text does a train-split vocabulary cover?).
+    Token- and type-level OOV counts for ``ds`` measured against the
+    distinct words of ``ref_ds``.
+
+    No vocabulary broadcast (a 100 TB reference vocabulary may not fit
+    one task): the reference side ships per-batch DISTINCT word
+    hashes, the measured side ships per-batch (word hash, token count)
+    partials, both onto ONE word-hash shard exchange; each shard
+    resolves membership with a sorted probe and emits 4-int partials.
+
+    Per-word 64-bit hash identity (2^-64 collisions), same
+    tokenization as every lm.py operator (lowercase, whitespace).
+
+    -> Dataset with one row: (n_tokens, n_oov_tokens, n_types,
+       n_oov_types — all int64).
+    """
+    import ray.data
+
+    nb = num_shards or _default_shards()
+    OUT = ("n_tokens", "n_oov_tokens", "n_types", "n_oov_types")
+
+    def ref_rows(t: pa.Table) -> pa.Table:
+        wh, _ = _word_hashes(t[text_col])
+        u = np.unique(wh)
+        return pa.table({
+            "h": pa.array(u.view(np.int64), pa.int64()),
+            "n": pa.array(np.zeros(len(u), np.int64)),
+            "tag": pa.array(np.zeros(len(u), np.int8)),
+            "wshard": pa.array((u % np.uint64(nb)).astype(np.int64),
+                               pa.int64())})
+
+    def measured_rows(t: pa.Table) -> pa.Table:
+        wh, _ = _word_hashes(t[text_col])
+        u, c = np.unique(wh, return_counts=True)
+        return pa.table({
+            "h": pa.array(u.view(np.int64), pa.int64()),
+            "n": pa.array(c.astype(np.int64), pa.int64()),
+            "tag": pa.array(np.ones(len(u), np.int8)),
+            "wshard": pa.array((u % np.uint64(nb)).astype(np.int64),
+                               pa.int64())})
+
+    def resolve(t: pa.Table) -> pa.Table:
+        zero = pa.table({c: pa.array([0], pa.int64()) for c in OUT})
+        mt = t.filter(pc.equal(t["tag"], 1))
+        if mt.num_rows == 0:
+            return zero
+        rt = t.filter(pc.equal(t["tag"], 0))
+        ref = np.unique(rt["h"].to_numpy(zero_copy_only=False))
+        mh = mt["h"].to_numpy(zero_copy_only=False)
+        mn = mt["n"].to_numpy(zero_copy_only=False)
+        # merge the measured side's per-batch partials
+        order = np.argsort(mh, kind="stable")
+        mh, mn = mh[order], mn[order]
+        starts, _ = _group_starts(mh)
+        uh = mh[starts]
+        un = np.add.reduceat(mn, starts)
+        if len(ref):
+            pos = np.clip(np.searchsorted(ref, uh), 0, len(ref) - 1)
+            oov = ref[pos] != uh
+        else:
+            oov = np.ones(len(uh), bool)
+        return pa.table({
+            "n_tokens": pa.array([int(un.sum())], pa.int64()),
+            "n_oov_tokens": pa.array([int(un[oov].sum())], pa.int64()),
+            "n_types": pa.array([len(uh)], pa.int64()),
+            "n_oov_types": pa.array([int(oov.sum())], pa.int64())})
+
+    parts = ref_ds.map_batches(ref_rows, batch_format="pyarrow") \
+        .union(ds.map_batches(measured_rows, batch_format="pyarrow")) \
+        .groupby("wshard").map_groups(resolve, batch_format="pyarrow")
+
+    def total(t: pa.Table) -> pa.Table:
+        def s(c):
+            return int(pc.sum(t[c]).as_py() or 0) if t.num_rows else 0
+        return pa.table({c: pa.array([s(c)], pa.int64()) for c in OUT})
+
+    zero = ray.data.from_arrow(
+        pa.table({c: pa.array([0], pa.int64()) for c in OUT}))
+    return parts.union(zero).repartition(1) \
+        .map_batches(total, batch_format="pyarrow")

@@ -163,3 +163,32 @@ def test_dsir_log_ratio_empty_target_smooths():
                                    num_shards=4)).sort_by("doc_id")
     ref_t = _ref_scores(DOCS, [])
     assert out["mlogp_target"].to_pylist() == [r[2] for r in ref_t]
+
+
+def test_vocab_oov_matches_reference():
+    from pyschema_ray.functions.lm import vocab_oov
+
+    ref_texts = ["the quick brown fox", "jumps over the dog"]
+    m_texts = ["the lazy cat naps", "fox and cat", None, ""]
+    out = _tbl(vocab_oov(_ds(m_texts), _ds(ref_texts), num_shards=4))
+    assert out.num_rows == 1
+    vocab = {w for t in ref_texts for w in t.lower().split()}
+    toks = [w for t in m_texts for w in (t or "").lower().split()]
+    types = set(toks)
+    want = {
+        "n_tokens": len(toks),
+        "n_oov_tokens": sum(1 for w in toks if w not in vocab),
+        "n_types": len(types),
+        "n_oov_types": sum(1 for w in types if w not in vocab)}
+    assert out.to_pylist()[0] == want
+
+
+def test_vocab_oov_empty_sides():
+    from pyschema_ray.functions.lm import vocab_oov
+
+    out = _tbl(vocab_oov(_ds(["a b"]), _ds([]), num_shards=2))
+    assert out.to_pylist()[0] == {"n_tokens": 2, "n_oov_tokens": 2,
+                                  "n_types": 2, "n_oov_types": 2}
+    out = _tbl(vocab_oov(_ds([]), _ds(["a b"]), num_shards=2))
+    assert out.to_pylist()[0] == {"n_tokens": 0, "n_oov_tokens": 0,
+                                  "n_types": 0, "n_oov_types": 0}
