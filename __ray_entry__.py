@@ -4108,6 +4108,26 @@ def _q_vocab_oov_even_odd(sf_dir: str) -> pa.Table:
         ("n_types", pa.int64()), ("n_oov_types", pa.int64())]))
 
 
+def _q_price_benford_digits(sf_dir: str) -> pa.Table:
+    """Benford leading-digit screen over order totals in exact cents:
+    per-batch 9-int bincount combiners, one digit groupby, share in a
+    final task (functions/analytics.py::benford_digit_counts)."""
+    from pyschema_ray.functions.analytics import benford_digit_counts
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({"cents": pc.cast(pc.round(
+            pc.multiply(t["o_totalprice"], 100.0),
+            round_mode="half_towards_infinity"), pa.int64())})
+
+    out = benford_digit_counts(
+        ds.map_batches(cents, batch_format="pyarrow"), "cents")
+    return _collect(out, pa.schema([
+        ("digit", pa.int64()), ("n", pa.int64()),
+        ("share", pa.float64())])).sort_by([("digit", "ascending")])
+
+
 def _q_order_priority_exists_counts(sf_dir: str) -> pa.Table:
     """TPC-H Q4 shape: orders in a date window having at least one
     high-quantity line (EXISTS), counted per priority — the bounded
@@ -5623,6 +5643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_copurchase_clustering": _q_part_copurchase_clustering,
         "view_purchase_conversion": _q_view_purchase_conversion,
         "vocab_oov_even_odd": _q_vocab_oov_even_odd,
+        "price_benford_digits": _q_price_benford_digits,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -7807,6 +7828,22 @@ def oracle_sql() -> dict[str, str]:
                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
                        AS n_oov_types
               FROM tok LEFT JOIN wa ON tok.w = wa.w
+        """,
+        "price_benford_digits": """
+            WITH c AS (
+                SELECT abs(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS cents
+                  FROM orders
+                 WHERE o_totalprice IS NOT NULL),
+            d AS (
+                SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1)
+                            AS BIGINT) AS digit
+                  FROM c WHERE cents > 0),
+            g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+                    FROM d GROUP BY 1)
+            SELECT digit, n,
+                   CAST(n AS DOUBLE) / sum(n) OVER () AS share
+              FROM g ORDER BY digit
         """,
         "order_priority_exists_counts": """
             SELECT o_orderpriority,

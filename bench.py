@@ -129,7 +129,7 @@ QUERY_SUBSET = [
     "event_audience_overlap", "customer_order_reconcile",
     "price_quantiles_tdigest_by_priority", "dsir_weights_src0",
     "part_copurchase_clustering", "view_purchase_conversion",
-    "vocab_oov_even_odd",
+    "vocab_oov_even_odd", "price_benford_digits",
 ]
 
 

@@ -1857,3 +1857,54 @@ def grouped_quantiles_tdigest(ds, group_col: str, value_col: str,
 
     return ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("g").map_groups(finalize, batch_format="pyarrow")
+
+
+def benford_digit_counts(ds, cents_col: str):
+    """Leading-digit distribution of a positive integer measure — the
+    Benford's-law fraud/data-entry screen.  Per-batch bincount
+    combiner (9 ints per batch), one tiny digit groupby, and the
+    share division in a final single task.  The leading digit is
+    extracted by exact integer division (no float log10), so the SQL
+    oracle's ``substr(CAST(n AS VARCHAR), 1, 1)`` matches bit-for-bit.
+
+    -> Dataset(digit int64 1..9 (present digits only), n int64,
+       share float64 = n / total).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = np.abs(pc.drop_null(t[cents_col])
+                   .to_numpy(zero_copy_only=False))
+        c = c[c > 0]
+        d = c.copy()
+        while (d >= 10).any():
+            d = np.where(d >= 10, d // 10, d)
+        counts = np.bincount(d, minlength=10)[1:10]
+        return pa.table({
+            "digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+            "n": pa.array(counts.astype(np.int64), pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("digit").aggregate(Sum("n"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        empty = pa.table({"digit": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64()),
+                          "share": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("digit", "ascending")])
+        n = pc.cast(t["sum(n)"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keep = n > 0
+        if not keep.any():
+            return empty
+        total = int(n.sum())
+        d = t["digit"].to_numpy(zero_copy_only=False)[keep]
+        n = n[keep]
+        return pa.table({
+            "digit": pa.array(d, pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "share": pa.array(n / total, pa.float64())})
+
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow")

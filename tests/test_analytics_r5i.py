@@ -298,3 +298,36 @@ def test_grouped_quantiles_tdigest_empty():
                   "v": pa.array([], pa.float64())})
     out = _tab(grouped_quantiles_tdigest(_ds(t, 1), "g", "v"))
     assert out is None or out.num_rows == 0
+
+
+def test_benford_digit_counts_matches_reference():
+    from pyschema_ray.functions.analytics import benford_digit_counts
+
+    rng = np.random.default_rng(47)
+    # log-uniform magnitudes approximately follow Benford
+    vals = np.round(10 ** rng.uniform(0, 6, 5000)).astype(np.int64)
+    vals = np.concatenate([vals, [-123, 0, 7]])
+    t = pa.table({"cents": pa.array(vals.tolist() + [None], pa.int64())})
+    out = _tab(benford_digit_counts(_ds(t, 4), "cents")) \
+        .sort_by([("digit", "ascending")])
+    want = {}
+    for v in vals:
+        v = abs(int(v))
+        if v > 0:
+            want[int(str(v)[0])] = want.get(int(str(v)[0]), 0) + 1
+    total = sum(want.values())
+    assert out["digit"].to_pylist() == sorted(want)
+    assert out["n"].to_pylist() == [want[d] for d in sorted(want)]
+    for d, sh in zip(out["digit"].to_pylist(),
+                     out["share"].to_pylist()):
+        assert sh == want[d] / total
+    # rough Benford check on log-uniform data: digit 1 most frequent
+    assert out["n"][0].as_py() == max(out["n"].to_pylist())
+
+
+def test_benford_digit_counts_empty():
+    from pyschema_ray.functions.analytics import benford_digit_counts
+
+    t = pa.table({"cents": pa.array([0, 0, None], pa.int64())})
+    out = _tab(benford_digit_counts(_ds(t, 1), "cents"))
+    assert out is None or out.num_rows == 0
