@@ -4128,6 +4128,22 @@ def _q_price_benford_digits(sf_dir: str) -> pa.Table:
         ("share", pa.float64())])).sort_by([("digit", "ascending")])
 
 
+def _q_top_session_paths(sf_dir: str) -> pa.Table:
+    """Clickflow report: top-20 sessionized event-type paths (30-min
+    gap), counted per session — key-hash exchange, reduceat path
+    strings, bounded path groupby, k x shards head rows
+    (functions/ordered.py::top_session_paths)."""
+    from pyschema_ray.functions.ordered import top_session_paths
+
+    out = top_session_paths(
+        _read(sf_dir, "events",
+              columns=["user_id", "ts", "event_id", "event_type"]),
+        k=20)
+    return _collect(out, pa.schema([("path", pa.string()),
+                                    ("n_sessions", pa.int64())])) \
+        .sort_by([("n_sessions", "descending"), ("path", "ascending")])
+
+
 def _q_order_priority_exists_counts(sf_dir: str) -> pa.Table:
     """TPC-H Q4 shape: orders in a date window having at least one
     high-quantity line (EXISTS), counted per priority — the bounded
@@ -5644,6 +5660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "view_purchase_conversion": _q_view_purchase_conversion,
         "vocab_oov_even_odd": _q_vocab_oov_even_odd,
         "price_benford_digits": _q_price_benford_digits,
+        "top_session_paths": _q_top_session_paths,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -7844,6 +7861,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT digit, n,
                    CAST(n AS DOUBLE) / sum(n) OVER () AS share
               FROM g ORDER BY digit
+        """,
+        "top_session_paths": """
+            WITH e AS (
+                SELECT user_id, ts, event_id, event_type FROM events
+                 WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                   AND event_type IS NOT NULL),
+            w AS (
+                SELECT *, CASE WHEN lag(ts) OVER win IS NULL
+                            OR date_diff('microsecond',
+                                         lag(ts) OVER win, ts)
+                               > 1800000000
+                          THEN 1 ELSE 0 END AS brk
+                  FROM e
+                WINDOW win AS (PARTITION BY user_id
+                               ORDER BY ts, event_id)),
+            s AS (
+                SELECT *, sum(brk) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING)
+                              AS sid
+                  FROM w),
+            p AS (
+                SELECT user_id, sid,
+                       string_agg(event_type, '>'
+                                  ORDER BY ts, event_id) AS path
+                  FROM s GROUP BY 1, 2)
+            SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+              FROM p GROUP BY 1
+             ORDER BY n_sessions DESC, path LIMIT 20
         """,
         "order_priority_exists_counts": """
             SELECT o_orderpriority,

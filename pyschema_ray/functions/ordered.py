@@ -857,3 +857,80 @@ def conversion_within(ds, from_state: str, to_state: str,
         pa.table({c: pa.array([0], pa.int64()) for c in OUT}))
     return parts.union(zero).repartition(1) \
         .map_batches(total, batch_format="pyarrow")
+
+
+def top_session_paths(ds, k: int = 20, gap_us: int = 1_800_000_000,
+                      key_col: str = "user_id", ts_col: str = "ts",
+                      order_col: str = "event_id",
+                      state_col: str = "event_type",
+                      num_shards: int | None = None):
+    """Most common session paths: sessionize each key's stream (gap
+    rule), join every session's states in (ts, order) sequence into a
+    ``a>b>c`` path string, and count sessions per path — the clickflow
+    / funnel-shape report.  Top-k by (count desc, path asc), so ties
+    are deterministic.
+
+    One key-hash exchange; per shard a single sorted pass segments
+    sessions (key change or gap > gap_us), builds path strings with a
+    reduceat join, and pre-counts paths; a bounded path groupby sums,
+    and only per-shard top-k head rows reach the final cut (the
+    grouped-topk shuffle bound: k x shards rows, never sessions).
+
+    -> Dataset(path string, n_sessions int64), k rows max.
+    """
+    nb = num_shards or _default_shards()
+
+    def exchange(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.and_(pc.is_valid(t[key_col]),
+                                     pc.is_valid(t[ts_col])),
+                             pc.is_valid(t[state_col])))
+        t = t.select([key_col, ts_col, order_col, state_col])
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "kshard", pa.array(_key_shards(keys, nb, 107), pa.int64()))
+
+    PATHS = pa.schema([("path", pa.string()), ("n", pa.int64())])
+
+    def scan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return PATHS.empty_table()
+        t, keys, us, _ = _sorted_shard(t, key_col, ts_col, order_col)
+        states = np.asarray(t[state_col].to_pylist(), dtype=object)
+        n = len(keys)
+        brk = np.ones(n, bool)
+        brk[1:] = (keys[1:] != keys[:-1]) | (us[1:] - us[:-1] > gap_us)
+        starts = np.flatnonzero(brk)
+        # path per session: '>'-joined states over each segment
+        paths = np.add.reduceat(states + ">", starts)
+        paths = np.array([p[:-1] for p in paths], dtype=object)
+        u, cnt = np.unique(paths.astype("U"), return_counts=True)
+        return pa.table({"path": pa.array(u.tolist(), pa.string()),
+                         "n": pa.array(cnt.astype(np.int64),
+                                       pa.int64())})
+
+    import ray.data.aggregate as A
+
+    agg = ds.map_batches(exchange, batch_format="pyarrow") \
+        .groupby("kshard").map_groups(scan, batch_format="pyarrow") \
+        .groupby("path").aggregate(A.Sum("n"))
+
+    def shard_head(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n_sessions": pa.array([], pa.int64())})
+        t = pa.table({"path": t["path"],
+                      "n_sessions": pc.cast(t["sum(n)"], pa.int64())})
+        idx = pc.sort_indices(t, sort_keys=[("n_sessions", "descending"),
+                                            ("path", "ascending")])
+        return t.take(idx[:k])
+
+    def final_head(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n_sessions": pa.array([], pa.int64())})
+        idx = pc.sort_indices(t, sort_keys=[("n_sessions", "descending"),
+                                            ("path", "ascending")])
+        return t.take(idx[:k])
+
+    return agg.map_batches(shard_head, batch_format="pyarrow") \
+        .repartition(1).map_batches(final_head, batch_format="pyarrow")

@@ -455,3 +455,64 @@ def test_conversion_within_tie_is_not_converted():
     assert out.to_pylist()[0] == {
         "n_from": 3, "n_converted": 1,
         "n_users_from": 3, "n_users_converted": 1}
+
+
+def test_top_session_paths_matches_duckdb():
+    import duckdb
+
+    from pyschema_ray.functions.ordered import top_session_paths
+
+    rng = np.random.default_rng(37)
+    n = 600
+    ts = pa.array(
+        np.datetime64("2024-01-01") +
+        rng.integers(0, 3 * 86400, n).astype("timedelta64[s]"),
+        pa.timestamp("us"))
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 30, n), pa.int64()),
+        "ts": ts,
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "event_type": pa.array(
+            rng.choice(["a", "b", "c"], n).tolist(), pa.string()),
+    })
+    out = _tab(top_session_paths(_ds(t, 5), k=10,
+                                 gap_us=1_800_000_000))
+    out = out.sort_by([("n_sessions", "descending"),
+                       ("path", "ascending")])
+    exp = duckdb.sql("""
+        WITH w AS (
+            SELECT *, CASE WHEN lag(ts) OVER win IS NULL
+                        OR date_diff('microsecond',
+                                     lag(ts) OVER win, ts) > 1800000000
+                      THEN 1 ELSE 0 END AS brk
+              FROM t
+            WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+                FROM w),
+        p AS (SELECT user_id, sid,
+                     string_agg(event_type, '>'
+                                ORDER BY ts, event_id) AS path
+                FROM s GROUP BY 1, 2)
+        SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+          FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 10
+    """).arrow().cast(out.schema)
+    assert out.equals(exp)
+
+
+def test_top_session_paths_single_events():
+    from pyschema_ray.functions.ordered import top_session_paths
+
+    ts = pa.array(np.array(
+        ["2024-01-01T00:00:00", "2024-01-01T02:00:00"],
+        dtype="datetime64[us]"), pa.timestamp("us"))
+    t = pa.table({
+        "user_id": pa.array([1, 1], pa.int64()),
+        "ts": ts,
+        "event_id": pa.array([0, 1], pa.int64()),
+        "event_type": pa.array(["a", "a"], pa.string()),
+    })
+    # 2h gap -> two singleton sessions with the same path
+    out = _tab(top_session_paths(_ds(t, 2), k=5))
+    assert out.to_pydict() == {"path": ["a"], "n_sessions": [2]}
