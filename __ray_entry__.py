@@ -4144,6 +4144,24 @@ def _q_top_session_paths(sf_dir: str) -> pa.Table:
         .sort_by([("n_sessions", "descending"), ("path", "ascending")])
 
 
+def _q_cdc_latest_state(sf_dir: str) -> pa.Table:
+    """Change-stream compaction: each user's latest (ts, event_id)
+    event wins; a trailing 'error' event is a tombstone (key absent)
+    — MERGE-INTO semantics over the events log
+    (functions/ordered.py::latest_state)."""
+    from pyschema_ray.functions.ordered import latest_state
+
+    out = latest_state(
+        _read(sf_dir, "events",
+              columns=["user_id", "ts", "event_id", "event_type",
+                       "value"]),
+        delete_state="error")
+    return _collect(out, pa.schema([
+        ("user_id", pa.int64()), ("last_event_type", pa.string()),
+        ("last_value", pa.float64())])) \
+        .sort_by([("user_id", "ascending")])
+
+
 def _q_order_priority_exists_counts(sf_dir: str) -> pa.Table:
     """TPC-H Q4 shape: orders in a date window having at least one
     high-quantity line (EXISTS), counted per priority — the bounded
@@ -5661,6 +5679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_oov_even_odd": _q_vocab_oov_even_odd,
         "price_benford_digits": _q_price_benford_digits,
         "top_session_paths": _q_top_session_paths,
+        "cdc_latest_state": _q_cdc_latest_state,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -7890,6 +7909,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
               FROM p GROUP BY 1
              ORDER BY n_sessions DESC, path LIMIT 20
+        """,
+        "cdc_latest_state": """
+            WITH e AS (
+                SELECT user_id, ts, event_id, event_type, value
+                  FROM events
+                 WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                   AND event_type IS NOT NULL),
+            r AS (
+                SELECT *, row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM e)
+            SELECT user_id,
+                   event_type AS last_event_type,
+                   value AS last_value
+              FROM r
+             WHERE rn = 1 AND event_type <> 'error'
+             ORDER BY user_id
         """,
         "order_priority_exists_counts": """
             SELECT o_orderpriority,

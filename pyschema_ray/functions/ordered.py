@@ -934,3 +934,58 @@ def top_session_paths(ds, k: int = 20, gap_us: int = 1_800_000_000,
 
     return agg.map_batches(shard_head, batch_format="pyarrow") \
         .repartition(1).map_batches(final_head, batch_format="pyarrow")
+
+
+def latest_state(ds, key_col: str = "user_id", ts_col: str = "ts",
+                 order_col: str = "event_id",
+                 state_col: str = "event_type",
+                 value_col: str = "value",
+                 delete_state: str | None = None,
+                 num_shards: int | None = None):
+    """CDC / SCD-type-1 compaction: collapse a change stream to each
+    key's LATEST row by (ts, order) — and if that last change is
+    ``delete_state``, the key is gone (tombstone semantics).  The
+    MERGE-INTO / upsert-log materialization.
+
+    One key-hash exchange (rows projected to the 5 needed columns),
+    then run-boundary last-row picks on the per-shard sorted arrays —
+    Arrow ``take`` keeps null values intact.  Null key/ts/state rows
+    are dropped before ordering (the SQL oracle filters the same).
+
+    -> Dataset(key_col, last_<state_col>, last_<value_col>).
+    """
+    nb = num_shards or _default_shards()
+    out_state = f"last_{state_col}"
+    out_value = f"last_{value_col}"
+
+    def exchange(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.and_(pc.is_valid(t[key_col]),
+                                     pc.is_valid(t[ts_col])),
+                             pc.is_valid(t[state_col])))
+        t = t.select([key_col, ts_col, order_col, state_col,
+                      value_col])
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "kshard", pa.array(_key_shards(keys, nb, 109), pa.int64()))
+
+    def scan(t: pa.Table) -> pa.Table:
+        ktype = t.schema.field(key_col).type
+        stype = t.schema.field(state_col).type
+        vtype = t.schema.field(value_col).type
+        empty = pa.table({key_col: pa.array([], ktype),
+                          out_state: pa.array([], stype),
+                          out_value: pa.array([], vtype)})
+        if t.num_rows == 0:
+            return empty
+        t, keys, _us, _ = _sorted_shard(t, key_col, ts_col, order_col)
+        starts, sizes = _group_starts(keys)
+        last = t.take(pa.array(starts + sizes - 1, pa.int64()))
+        if delete_state is not None:
+            last = last.filter(pc.not_equal(last[state_col],
+                                            delete_state))
+        return pa.table({key_col: last[key_col],
+                         out_state: last[state_col],
+                         out_value: last[value_col]})
+
+    return ds.map_batches(exchange, batch_format="pyarrow") \
+        .groupby("kshard").map_groups(scan, batch_format="pyarrow")

@@ -516,3 +516,66 @@ def test_top_session_paths_single_events():
     # 2h gap -> two singleton sessions with the same path
     out = _tab(top_session_paths(_ds(t, 2), k=5))
     assert out.to_pydict() == {"path": ["a"], "n_sessions": [2]}
+
+
+def test_latest_state_matches_duckdb():
+    import duckdb
+
+    from pyschema_ray.functions.ordered import latest_state
+
+    rng = np.random.default_rng(43)
+    n = 400
+    ts = pa.array(
+        np.datetime64("2024-01-01") +
+        rng.integers(0, 86400, n).astype("timedelta64[s]"),
+        pa.timestamp("us"))
+    vals = rng.normal(0, 1, n)
+    vals[rng.random(n) < 0.1] = np.nan
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 50, n), pa.int64()),
+        "ts": ts,
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "event_type": pa.array(
+            rng.choice(["set", "touch", "drop"], n).tolist(),
+            pa.string()),
+        "value": pa.array([None if np.isnan(v) else float(v)
+                           for v in vals], pa.float64()),
+    })
+    out = _tab(latest_state(_ds(t, 5), delete_state="drop")) \
+        .sort_by([("user_id", "ascending")])
+    exp = duckdb.sql("""
+        WITH r AS (SELECT *, row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn FROM t)
+        SELECT user_id, event_type AS last_event_type,
+               value AS last_value
+          FROM r WHERE rn = 1 AND event_type <> 'drop'
+         ORDER BY user_id
+    """).arrow().cast(out.schema)
+    assert out.equals(exp)
+    # some keys tombstoned at this seed
+    assert out.num_rows < 50
+
+
+def test_latest_state_tombstone_then_revive():
+    from pyschema_ray.functions.ordered import latest_state
+
+    ts = pa.array(np.array(
+        ["2024-01-01T00:00:00", "2024-01-01T01:00:00",
+         "2024-01-01T02:00:00"], dtype="datetime64[us]"),
+        pa.timestamp("us"))
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1], pa.int64()),
+        "ts": ts,
+        "event_id": pa.array([0, 1, 2], pa.int64()),
+        "event_type": pa.array(["set", "drop", "set"], pa.string()),
+        "value": pa.array([1.0, None, 3.0], pa.float64()),
+    })
+    out = _tab(latest_state(_ds(t, 2), delete_state="drop"))
+    assert out.to_pydict() == {"user_id": [1],
+                               "last_event_type": ["set"],
+                               "last_value": [3.0]}
+    # delete wins when it is last
+    t2 = t.slice(0, 2)
+    out2 = _tab(latest_state(_ds(t2, 2), delete_state="drop"))
+    assert out2 is None or out2.num_rows == 0
