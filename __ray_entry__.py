@@ -4162,6 +4162,21 @@ def _q_cdc_latest_state(sf_dir: str) -> pa.Table:
         .sort_by([("user_id", "ascending")])
 
 
+def _q_source_vocab_kl(sf_dir: str) -> pa.Table:
+    """Vocabulary drift per source: exact integer milli-nat KL of
+    each source's word distribution from the corpus — word-hash shard
+    exchange where every word's full column lands in one shard, group
+    totals broadcast (functions/lm.py::source_vocab_kl)."""
+    from pyschema_ray.functions.lm import source_vocab_kl
+
+    out = source_vocab_kl(
+        _read(sf_dir, "documents", columns=["source", "text"]),
+        group_col="source", text_col="text")
+    return _collect(out, pa.schema([
+        ("source", pa.string()), ("n_tokens", pa.int64()),
+        ("kl_milli", pa.int64())])).sort_by([("source", "ascending")])
+
+
 def _q_order_priority_exists_counts(sf_dir: str) -> pa.Table:
     """TPC-H Q4 shape: orders in a date window having at least one
     high-quantity line (EXISTS), counted per priority — the bounded
@@ -5680,6 +5695,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_benford_digits": _q_price_benford_digits,
         "top_session_paths": _q_top_session_paths,
         "cdc_latest_state": _q_cdc_latest_state,
+        "source_vocab_kl": _q_source_vocab_kl,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -7927,6 +7943,31 @@ def oracle_sql() -> dict[str, str]:
               FROM r
              WHERE rn = 1 AND event_type <> 'error'
              ORDER BY user_id
+        """,
+        "source_vocab_kl": """
+            WITH docs AS (
+                SELECT source,
+                       list_filter(
+                           regexp_split_to_array(
+                               lower(trim(coalesce(text, ''))), '\\s+'),
+                           x -> x <> '') AS w
+                  FROM documents WHERE source IS NOT NULL),
+            words AS (SELECT source, unnest(w) AS word FROM docs),
+            c AS (SELECT source, word, count(*) AS c
+                    FROM words GROUP BY 1, 2),
+            ns AS (SELECT source, sum(c) AS n FROM c GROUP BY 1),
+            d AS (SELECT word, sum(c) AS d FROM c GROUP BY 1),
+            m AS (SELECT sum(c) AS m FROM c)
+            SELECT c.source,
+                   CAST(ns.n AS BIGINT) AS n_tokens,
+                   CAST(sum(c.c * CAST(round(1000 * ln(
+                            (c.c * 1.0 * m.m) / (ns.n * d.d)))
+                            AS BIGINT)) AS BIGINT) AS kl_milli
+              FROM c
+              JOIN ns USING (source)
+              JOIN d USING (word)
+              CROSS JOIN m
+             GROUP BY 1, 2 ORDER BY 1
         """,
         "order_priority_exists_counts": """
             SELECT o_orderpriority,

@@ -130,7 +130,7 @@ QUERY_SUBSET = [
     "price_quantiles_tdigest_by_priority", "dsir_weights_src0",
     "part_copurchase_clustering", "view_purchase_conversion",
     "vocab_oov_even_odd", "price_benford_digits",
-    "top_session_paths", "cdc_latest_state",
+    "top_session_paths", "cdc_latest_state", "source_vocab_kl",
 ]
 
 

@@ -525,3 +525,130 @@ def vocab_oov(ds, ref_ds, text_col: str = "text",
         pa.table({c: pa.array([0], pa.int64()) for c in OUT}))
     return parts.union(zero).repartition(1) \
         .map_batches(total, batch_format="pyarrow")
+
+
+def source_vocab_kl(ds, group_col: str = "source",
+                    text_col: str = "text",
+                    num_shards: int | None = None):
+    """Per-group vocabulary drift: the KL divergence of each group's
+    word distribution from the corpus distribution, in EXACT integer
+    milli-nats — ``kl_milli = sum_w c_gw * round(1000 * ln((c_gw * M)
+    / (N_g * d_w)))`` where ``c_gw`` is the group's count of word w,
+    ``N_g`` the group's tokens, ``d_w`` the corpus count of w and
+    ``M`` total tokens.  KL(nats) ~ kl_milli / (1000 * N_g); the
+    integer sum is order-independent, so the SQL oracle reproduces it
+    with ln()/round().  The domain-shift score behind mixture
+    rebalancing.
+
+    Two passes: a tiny per-group token-total groupby, then per-batch
+    (group, word-hash, count) partials onto ONE word-hash shard
+    exchange where each shard sees a word's full column (d_w sums in
+    place) — the group totals ride in as a broadcast dict, the driver
+    holds O(groups) ints.  Magnitude contract: ``N_g * d_w < 2^63``.
+
+    -> Dataset(group_col string, n_tokens int64, kl_milli int64).
+    """
+    import ray
+    import ray.data.aggregate as A
+
+    nb = num_shards or _default_shards()
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        g = pc.cast(t[group_col], pa.string())
+        wh, offs = _word_hashes(t[text_col])
+        cnt = np.diff(offs)
+        out = pa.table({"g": g, "n": pa.array(cnt, pa.int64())})
+        out = out.filter(pc.is_valid(out["g"]))
+        gg = out.group_by("g").aggregate([("n", "sum")])
+        return pa.table({"g": gg["g"],
+                         "n": pc.cast(gg["n_sum"], pa.int64())})
+
+    tot = pa.concat_tables(
+        [b for b in ds.map_batches(tok_partial, batch_format="pyarrow")
+         .groupby("g").aggregate(A.Sum("n"))
+         .iter_batches(batch_format="pyarrow", batch_size=None)
+         if b.num_rows] or
+        [pa.table({"g": pa.array([], pa.string()),
+                   "sum(n)": pa.array([], pa.int64())})])
+    gnames = np.asarray(tot["g"].to_pylist(), dtype=object)
+    gtot = pc.cast(tot["sum(n)"], pa.int64()).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    order = np.argsort(gnames)
+    gnames, gtot = gnames[order], gtot[order]
+    M = int(gtot.sum())
+    ref = ray.put((gnames, gtot))
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = pc.cast(t[group_col], pa.string())
+        wh, offs = _word_hashes(t[text_col])
+        wl = np.diff(offs)
+        gv = np.asarray(g.to_pylist(), dtype=object)
+        doc_g = np.repeat(gv, wl)
+        keep = np.array([x is not None for x in doc_g], dtype=bool)
+        empty = pa.table({"g": pa.array([], pa.string()),
+                          "h": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64()),
+                          "wshard": pa.array([], pa.int64())})
+        if not keep.any():
+            return empty
+        gk = doc_g[keep]
+        hk = wh[keep]
+        gt = pa.table({"g": pa.array(gk.tolist(), pa.string()),
+                       "h": pa.array(hk.view(np.int64), pa.int64())}) \
+            .group_by(["g", "h"]).aggregate([([], "count_all")])
+        hcol = gt["h"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "g": gt["g"], "h": gt["h"],
+            "c": pc.cast(gt["count_all"], pa.int64()),
+            "wshard": pa.array(
+                (hcol.view(np.uint64) % np.uint64(nb)).astype(np.int64),
+                pa.int64())})
+
+    def kl_terms(t: pa.Table) -> pa.Table:
+        empty = pa.table({"g": pa.array([], pa.string()),
+                          "kl": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        names, totals = ray.get(ref)
+        # merge cross-batch (g, h) partials, then d_h per word
+        gt = t.select(["g", "h", "c"]).group_by(["g", "h"]) \
+            .aggregate([("c", "sum")])
+        gv = np.asarray(gt["g"].to_pylist(), dtype=object)
+        hv = gt["h"].to_numpy(zero_copy_only=False)
+        cv = pc.cast(gt["c_sum"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        o = np.argsort(hv, kind="stable")
+        hv, gv, cv = hv[o], gv[o], cv[o]
+        starts, sizes = _group_starts(hv)
+        d = np.repeat(np.add.reduceat(cv, starts), sizes)
+        gi = np.searchsorted(names, gv)
+        ng = totals[np.clip(gi, 0, max(len(names) - 1, 0))]
+        ratio = (cv * 1.0 * M) / (ng * d)
+        m = _round_half_away(np.log(ratio) * 1000.0)
+        # integer-valued float product, far below 2^53 — exact
+        terms = (cv * m).astype(np.int64)
+        out = pa.table({"g": pa.array(gv.tolist(), pa.string()),
+                        "kl": pa.array(terms, pa.int64())}) \
+            .group_by("g").aggregate([("kl", "sum")])
+        return pa.table({"g": out["g"],
+                         "kl": pc.cast(out["kl_sum"], pa.int64())})
+
+    agg = ds.map_batches(count_partial, batch_format="pyarrow") \
+        .groupby("wshard").map_groups(kl_terms, batch_format="pyarrow") \
+        .groupby("g").aggregate(A.Sum("kl"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        names, totals = ray.get(ref)
+        if t.num_rows == 0:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "kl_milli": pa.array([], pa.int64())})
+        gv = np.asarray(t["g"].to_pylist(), dtype=object)
+        gi = np.clip(np.searchsorted(names, gv), 0,
+                     max(len(names) - 1, 0))
+        return pa.table({
+            group_col: t["g"],
+            "n_tokens": pa.array(totals[gi], pa.int64()),
+            "kl_milli": pc.cast(t["sum(kl)"], pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

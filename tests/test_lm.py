@@ -192,3 +192,38 @@ def test_vocab_oov_empty_sides():
     out = _tbl(vocab_oov(_ds([]), _ds(["a b"]), num_shards=2))
     assert out.to_pylist()[0] == {"n_tokens": 0, "n_oov_tokens": 0,
                                   "n_types": 0, "n_oov_types": 0}
+
+
+def test_source_vocab_kl_matches_reference():
+    from pyschema_ray.functions.lm import source_vocab_kl
+
+    texts = ["aa bb aa", "bb cc", "aa aa aa", "dd", None, ""]
+    srcs = ["s1", "s1", "s2", "s2", "s2", None]
+    ds = ray.data.from_arrow(pa.table({
+        "source": pa.array(srcs, pa.string()),
+        "text": pa.array(texts, pa.string())})).repartition(3)
+    out = _tbl(source_vocab_kl(ds, num_shards=3)).sort_by("source")
+
+    # pure-python reference with identical quantization
+    from collections import Counter
+    cgw, ng, d = {}, Counter(), Counter()
+    for s, t in zip(srcs, texts):
+        if s is None:
+            continue
+        for w in (t or "").lower().split():
+            cgw[(s, w)] = cgw.get((s, w), 0) + 1
+            ng[s] += 1
+            d[w] += 1
+    M = sum(ng.values())
+    kl = Counter()
+    for (s, w), c in cgw.items():
+        kl[s] += c * _round_half_away(
+            math.log((c * 1.0 * M) / (ng[s] * d[w])) * 1000.0)
+    want = sorted((s, ng[s], int(kl[s])) for s in ng)
+    got = list(zip(out["source"].to_pylist(),
+                   out["n_tokens"].to_pylist(),
+                   out["kl_milli"].to_pylist()))
+    assert got == want
+    # KL of a distribution vs itself-dominated corpus is >= 0 up to
+    # quantization for the skewed source
+    assert out.num_rows == 2
