@@ -4177,6 +4177,21 @@ def _q_source_vocab_kl(sf_dir: str) -> pa.Table:
         ("kl_milli", pa.int64())])).sort_by([("source", "ascending")])
 
 
+def _q_lineitem_corr_matrix(sf_dir: str) -> pa.Table:
+    """Feature-screening Pearson matrix over 4 lineitem measures in
+    ONE pass: integer moment partials (one row per batch), Python-int
+    exact totals, HUGEINT-oracle-identical float epilogue
+    (functions/analytics.py::corr_matrix)."""
+    from pyschema_ray.functions.analytics import corr_matrix
+
+    return corr_matrix(
+        _read(sf_dir, "lineitem",
+              columns=["l_quantity", "l_extendedprice", "l_discount",
+                       "l_tax"]),
+        cols=["l_discount", "l_extendedprice", "l_quantity", "l_tax"],
+        scales=[100.0, 1.0, 1.0, 100.0])
+
+
 def _q_order_priority_exists_counts(sf_dir: str) -> pa.Table:
     """TPC-H Q4 shape: orders in a date window having at least one
     high-quantity line (EXISTS), counted per priority — the bounded
@@ -5696,6 +5711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_session_paths": _q_top_session_paths,
         "cdc_latest_state": _q_cdc_latest_state,
         "source_vocab_kl": _q_source_vocab_kl,
+        "lineitem_corr_matrix": _q_lineitem_corr_matrix,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -7968,6 +7984,84 @@ def oracle_sql() -> dict[str, str]:
               JOIN d USING (word)
               CROSS JOIN m
              GROUP BY 1, 2 ORDER BY 1
+        """,
+        "lineitem_corr_matrix": """
+            WITH v AS (
+                SELECT CAST(round(l_discount * 100) AS HUGEINT) AS a,
+                       CAST(round(l_extendedprice) AS HUGEINT) AS b,
+                       CAST(round(l_quantity) AS HUGEINT) AS c,
+                       CAST(round(l_tax * 100) AS HUGEINT) AS d
+                  FROM lineitem
+                 WHERE l_discount IS NOT NULL
+                   AND l_extendedprice IS NOT NULL
+                   AND l_quantity IS NOT NULL
+                   AND l_tax IS NOT NULL),
+            m AS (
+                SELECT CAST(count(*) AS HUGEINT) AS n,
+                       sum(a) AS sa, sum(b) AS sb,
+                       sum(c) AS sc, sum(d) AS sd,
+                       sum(a*a) AS saa, sum(b*b) AS sbb,
+                       sum(c*c) AS scc, sum(d*d) AS sdd,
+                       sum(a*b) AS sab, sum(a*c) AS sac,
+                       sum(a*d) AS sad, sum(b*c) AS sbc,
+                       sum(b*d) AS sbd, sum(c*d) AS scd
+                  FROM v)
+            SELECT col_a, col_b, corr FROM (
+                SELECT 'l_discount' AS col_a,
+                       'l_extendedprice' AS col_b,
+                       CASE WHEN n*saa - sa*sa <= 0
+                              OR n*sbb - sb*sb <= 0 THEN NULL
+                            ELSE CAST(n*sab - sa*sb AS DOUBLE)
+                                 / (sqrt(CAST(n*saa - sa*sa AS DOUBLE))
+                                    * sqrt(CAST(n*sbb - sb*sb
+                                                AS DOUBLE))) END
+                           AS corr FROM m
+                UNION ALL
+                SELECT 'l_discount', 'l_quantity',
+                       CASE WHEN n*saa - sa*sa <= 0
+                              OR n*scc - sc*sc <= 0 THEN NULL
+                            ELSE CAST(n*sac - sa*sc AS DOUBLE)
+                                 / (sqrt(CAST(n*saa - sa*sa AS DOUBLE))
+                                    * sqrt(CAST(n*scc - sc*sc
+                                                AS DOUBLE))) END
+                  FROM m
+                UNION ALL
+                SELECT 'l_discount', 'l_tax',
+                       CASE WHEN n*saa - sa*sa <= 0
+                              OR n*sdd - sd*sd <= 0 THEN NULL
+                            ELSE CAST(n*sad - sa*sd AS DOUBLE)
+                                 / (sqrt(CAST(n*saa - sa*sa AS DOUBLE))
+                                    * sqrt(CAST(n*sdd - sd*sd
+                                                AS DOUBLE))) END
+                  FROM m
+                UNION ALL
+                SELECT 'l_extendedprice', 'l_quantity',
+                       CASE WHEN n*sbb - sb*sb <= 0
+                              OR n*scc - sc*sc <= 0 THEN NULL
+                            ELSE CAST(n*sbc - sb*sc AS DOUBLE)
+                                 / (sqrt(CAST(n*sbb - sb*sb AS DOUBLE))
+                                    * sqrt(CAST(n*scc - sc*sc
+                                                AS DOUBLE))) END
+                  FROM m
+                UNION ALL
+                SELECT 'l_extendedprice', 'l_tax',
+                       CASE WHEN n*sbb - sb*sb <= 0
+                              OR n*sdd - sd*sd <= 0 THEN NULL
+                            ELSE CAST(n*sbd - sb*sd AS DOUBLE)
+                                 / (sqrt(CAST(n*sbb - sb*sb AS DOUBLE))
+                                    * sqrt(CAST(n*sdd - sd*sd
+                                                AS DOUBLE))) END
+                  FROM m
+                UNION ALL
+                SELECT 'l_quantity', 'l_tax',
+                       CASE WHEN n*scc - sc*sc <= 0
+                              OR n*sdd - sd*sd <= 0 THEN NULL
+                            ELSE CAST(n*scd - sc*sd AS DOUBLE)
+                                 / (sqrt(CAST(n*scc - sc*sc AS DOUBLE))
+                                    * sqrt(CAST(n*sdd - sd*sd
+                                                AS DOUBLE))) END
+                  FROM m)
+             ORDER BY col_a, col_b
         """,
         "order_priority_exists_counts": """
             SELECT o_orderpriority,

@@ -1908,3 +1908,80 @@ def benford_digit_counts(ds, cents_col: str):
             "share": pa.array(n / total, pa.float64())})
 
     return agg.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def corr_matrix(ds, cols: list[str], scales: list[float] | None = None):
+    """Pairwise Pearson correlation matrix over k numeric columns in
+    ONE streaming pass — the feature-screening profile.  Each column
+    is scaled then rounded to an exact integer (``round(x * scale)``,
+    SQL half-away semantics); every batch emits a single row of
+    integer moment partials (n, k sums, k*(k+1)/2 cross sums) and the
+    driver finishes with arbitrary-precision Python ints, so there is
+    NO overflow contract and the float epilogue (one cast, two sqrt,
+    one division per pair) is bit-identical to the HUGEINT SQL
+    oracle.  Rows with a null in ANY column are dropped (listwise).
+
+    -> pa.table(col_a, col_b, corr float64|null) for all i < j pairs,
+       sorted by (col_a, col_b).
+    """
+    import math
+
+    k = len(cols)
+    scales = scales or [1.0] * k
+    names = []
+    for i in range(k):
+        names.append(f"s{i}")
+    for i in range(k):
+        for j in range(i, k):
+            names.append(f"p{i}_{j}")
+
+    def _round_half_away(a: np.ndarray) -> np.ndarray:
+        return np.copysign(np.floor(np.abs(a) + 0.5), a)
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = None
+        for c in cols:
+            v = pc.is_valid(t[c])
+            mask = v if mask is None else pc.and_(mask, v)
+        t = t.filter(mask)
+        xs = []
+        for c, s in zip(cols, scales):
+            v = t[c].to_numpy(zero_copy_only=False)
+            xs.append(_round_half_away(v * s).astype(np.int64))
+        row = {"n": pa.array([t.num_rows], pa.int64())}
+        for i in range(k):
+            row[f"s{i}"] = pa.array([int(xs[i].sum())], pa.int64())
+        for i in range(k):
+            for j in range(i, k):
+                row[f"p{i}_{j}"] = pa.array(
+                    [int((xs[i] * xs[j]).sum())], pa.int64())
+        return pa.table(row)
+
+    parts = [b for b in ds.map_batches(partial, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=None)
+             if b.num_rows]
+    tot: dict = {c: 0 for c in ["n"] + names}
+    for b in parts:
+        for c in tot:
+            tot[c] += sum(b[c].to_pylist())     # python ints: exact
+    n = tot["n"]
+    ca, cb, cr = [], [], []
+    for i in range(k):
+        for j in range(i + 1, k):
+            sx, sy = tot[f"s{i}"], tot[f"s{j}"]
+            sxx, syy = tot[f"p{i}_{i}"], tot[f"p{j}_{j}"]
+            sxy = tot[f"p{i}_{j}"]
+            vx = n * sxx - sx * sx
+            vy = n * syy - sy * sy
+            if vx <= 0 or vy <= 0:
+                val = None
+            else:
+                val = float(n * sxy - sx * sy) \
+                    / (math.sqrt(float(vx)) * math.sqrt(float(vy)))
+            ca.append(cols[i])
+            cb.append(cols[j])
+            cr.append(val)
+    out = pa.table({"col_a": pa.array(ca, pa.string()),
+                    "col_b": pa.array(cb, pa.string()),
+                    "corr": pa.array(cr, pa.float64())})
+    return out.sort_by([("col_a", "ascending"), ("col_b", "ascending")])

@@ -331,3 +331,33 @@ def test_benford_digit_counts_empty():
     t = pa.table({"cents": pa.array([0, 0, None], pa.int64())})
     out = _tab(benford_digit_counts(_ds(t, 1), "cents"))
     assert out is None or out.num_rows == 0
+
+
+def test_corr_matrix_matches_numpy():
+    from pyschema_ray.functions.analytics import corr_matrix
+
+    rng = np.random.default_rng(53)
+    n = 2000
+    x = rng.integers(0, 100, n).astype(float)
+    y = 3 * x + rng.integers(0, 50, n)            # strong positive
+    z = rng.integers(0, 100, n).astype(float)     # independent
+    t = pa.table({"x": pa.array(x), "y": pa.array(y * 1.0),
+                  "z": pa.array(z)})
+    out = corr_matrix(_ds(t, 4), ["x", "y", "z"])
+    got = {(a, b): c for a, b, c in
+           zip(out["col_a"].to_pylist(), out["col_b"].to_pylist(),
+               out["corr"].to_pylist())}
+    assert set(got) == {("x", "y"), ("x", "z"), ("y", "z")}
+    ref = np.corrcoef(np.vstack([x, y, z]))
+    assert abs(got[("x", "y")] - ref[0, 1]) < 1e-12
+    assert abs(got[("x", "z")] - ref[0, 2]) < 1e-12
+    assert got[("x", "y")] > 0.9
+
+
+def test_corr_matrix_constant_column_null():
+    from pyschema_ray.functions.analytics import corr_matrix
+
+    t = pa.table({"x": pa.array([1.0, 1.0, 1.0]),
+                  "y": pa.array([1.0, 2.0, 3.0])})
+    out = corr_matrix(_ds(t, 1), ["x", "y"])
+    assert out["corr"][0].as_py() is None
