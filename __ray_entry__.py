@@ -4192,6 +4192,34 @@ def _q_lineitem_corr_matrix(sf_dir: str) -> pa.Table:
         scales=[100.0, 1.0, 1.0, 100.0])
 
 
+def _q_price_geomean_by_priority(sf_dir: str) -> pa.Table:
+    """Per-priority geometric-mean order value: per-cent logs
+    quantized to int64 milli-nats before the exchange, one float exp
+    at the end (functions/analytics.py::grouped_geomean)."""
+    from pyschema_ray.functions.analytics import grouped_geomean
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderpriority", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "cents": pc.cast(pc.round(
+                pc.multiply(t["o_totalprice"], 100.0),
+                round_mode="half_towards_infinity"), pa.int64())})
+
+    out = grouped_geomean(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        "o_orderpriority", "cents")
+    t = _collect(out, pa.schema([
+        ("o_orderpriority", pa.string()), ("n", pa.int64()),
+        ("sum_mlog", pa.int64()), ("gm", pa.float64())])) \
+        .sort_by([("o_orderpriority", "ascending")])
+    # gm is a float epilogue (libm exp differs by 1 ulp across
+    # engines); the oracle contract compares the exact integers
+    return t.select(["o_orderpriority", "n", "sum_mlog"])
+
+
 def _q_order_priority_exists_counts(sf_dir: str) -> pa.Table:
     """TPC-H Q4 shape: orders in a date window having at least one
     high-quantity line (EXISTS), counted per priority — the bounded
@@ -5712,6 +5740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_latest_state": _q_cdc_latest_state,
         "source_vocab_kl": _q_source_vocab_kl,
         "lineitem_corr_matrix": _q_lineitem_corr_matrix,
+        "price_geomean_by_priority": _q_price_geomean_by_priority,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -8062,6 +8091,26 @@ def oracle_sql() -> dict[str, str]:
                                                 AS DOUBLE))) END
                   FROM m)
              ORDER BY col_a, col_b
+        """,
+        "price_geomean_by_priority": """
+            WITH c AS (
+                SELECT o_orderpriority,
+                       CAST(round(o_totalprice * 100) AS BIGINT)
+                           AS cents
+                  FROM orders
+                 WHERE o_orderpriority IS NOT NULL
+                   AND o_totalprice IS NOT NULL),
+            m AS (
+                SELECT o_orderpriority,
+                       CAST(round(1000 * ln(cents)) AS BIGINT) AS m
+                  FROM c WHERE cents > 0),
+            a AS (
+                SELECT o_orderpriority,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(m) AS BIGINT) AS sum_mlog
+                  FROM m GROUP BY 1)
+            SELECT o_orderpriority, n, sum_mlog
+              FROM a ORDER BY 1
         """,
         "order_priority_exists_counts": """
             SELECT o_orderpriority,

@@ -131,7 +131,7 @@ QUERY_SUBSET = [
     "part_copurchase_clustering", "view_purchase_conversion",
     "vocab_oov_even_odd", "price_benford_digits",
     "top_session_paths", "cdc_latest_state", "source_vocab_kl",
-    "lineitem_corr_matrix",
+    "lineitem_corr_matrix", "price_geomean_by_priority",
 ]
 
 

@@ -1985,3 +1985,64 @@ def corr_matrix(ds, cols: list[str], scales: list[float] | None = None):
                     "col_b": pa.array(cb, pa.string()),
                     "corr": pa.array(cr, pa.float64())})
     return out.sort_by([("col_a", "ascending"), ("col_b", "ascending")])
+
+
+def grouped_geomean(ds, group_col: str, cents_col: str):
+    """Per-group geometric mean of a POSITIVE integer measure with the
+    module's exact-integer discipline: per-value log quantized to
+    int64 milli-nats (``round(1000 * ln(c))``, half away from zero)
+    BEFORE summing, so the distributed sum is order-independent and
+    the SQL oracle reproduces it term by term; the float epilogue is
+    one division and one exp.  ``gm ~ exp(sum_milli / (1000 * n))``.
+    Zero/negative/null values are dropped (documented).
+
+    -> Dataset(group_col, n int64, sum_mlog int64, gm float64).
+    ``sum_mlog`` is the exact cross-engine-comparable artifact; ``gm``
+    is a convenience epilogue (numpy's and DuckDB's ``exp`` can differ
+    in the last ulp, so oracle comparisons must use ``sum_mlog``).
+    """
+    from ray.data.aggregate import Sum
+
+    def _round_half_away(a: np.ndarray) -> np.ndarray:
+        return np.copysign(np.floor(np.abs(a) + 0.5), a)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"g": pc.cast(t[group_col], pa.string()),
+                      "c": pc.cast(t[cents_col], pa.int64())})
+        g = g.filter(pc.and_(pc.is_valid(g["g"]),
+                             pc.and_(pc.is_valid(g["c"]),
+                                     pc.greater(g["c"], 0))))
+        empty = pa.table({"g": pa.array([], pa.string()),
+                          "m": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        c = g["c"].to_numpy(zero_copy_only=False)
+        m = _round_half_away(np.log(c) * 1000.0).astype(np.int64)
+        agg = pa.table({"g": g["g"], "m": pa.array(m, pa.int64()),
+                        "one": pa.array(np.ones(len(c), np.int64))}) \
+            .group_by("g").aggregate([("m", "sum"), ("one", "sum")])
+        return pa.table({"g": agg["g"],
+                         "m": pc.cast(agg["m_sum"], pa.int64()),
+                         "n": pc.cast(agg["one_sum"], pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("g").aggregate(Sum("m"), Sum("n"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "sum_mlog": pa.array([], pa.int64()),
+                             "gm": pa.array([], pa.float64())})
+        s = pc.cast(t["sum(m)"], pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        n = pc.cast(t["sum(n)"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        gm = np.exp(s / (1000.0 * n))
+        return pa.table({group_col: t["g"],
+                         "n": pa.array(n, pa.int64()),
+                         "sum_mlog": pc.cast(t["sum(m)"], pa.int64()),
+                         "gm": pa.array(gm, pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -361,3 +361,39 @@ def test_corr_matrix_constant_column_null():
                   "y": pa.array([1.0, 2.0, 3.0])})
     out = corr_matrix(_ds(t, 1), ["x", "y"])
     assert out["corr"][0].as_py() is None
+
+
+def test_grouped_geomean_matches_reference():
+    import math
+
+    from pyschema_ray.functions.analytics import grouped_geomean
+
+    rng = np.random.default_rng(59)
+    n = 300
+    t = pa.table({
+        "g": pa.array(rng.choice(["a", "b"], n).tolist(), pa.string()),
+        "c": pa.array(rng.integers(-5, 5000, n), pa.int64()),
+    })
+    out = _tab(grouped_geomean(_ds(t, 4), "g", "c")).sort_by("g")
+
+    def half_away(x):
+        return math.floor(abs(x) + 0.5) * (1 if x >= 0 else -1)
+
+    want = {}
+    for g, c in zip(t["g"].to_pylist(), t["c"].to_pylist()):
+        if c > 0:
+            s, cnt = want.get(g, (0, 0))
+            want[g] = (s + half_away(math.log(c) * 1000.0), cnt + 1)
+    got = list(zip(out["g"].to_pylist(), out["n"].to_pylist(),
+                   out["sum_mlog"].to_pylist()))
+    assert got == [(g, c, s) for g, (s, c) in sorted(want.items())]
+    for row in out.to_pylist():
+        s, cnt = want[row["g"]]
+        # gm within float tolerance of the quantized formula
+        assert abs(row["gm"] - math.exp(s / (1000.0 * cnt))) < 1e-9
+        # and within 0.2% of the true geometric mean (quantization)
+        vals = [c for g2, c in zip(t["g"].to_pylist(),
+                                   t["c"].to_pylist())
+                if g2 == row["g"] and c > 0]
+        true_gm = math.exp(sum(math.log(v) for v in vals) / len(vals))
+        assert abs(row["gm"] / true_gm - 1) < 0.002
