@@ -4220,6 +4220,18 @@ def _q_price_geomean_by_priority(sf_dir: str) -> pa.Table:
     return t.select(["o_orderpriority", "n", "sum_mlog"])
 
 
+def _q_embedding_centroid_shift(sf_dir: str) -> pa.Table:
+    """Representation drift per label: L2 distance between each
+    label's mean embedding and the global mean — micro-unit quantized
+    component sums, (labels x d) exchange, Python-int exact
+    numerators (functions/similarity.py::centroid_shift)."""
+    from pyschema_ray.functions.similarity import centroid_shift
+
+    return centroid_shift(
+        _read(sf_dir, "embeddings", columns=["label", "embedding"]),
+        group_col="label", emb_col="embedding")
+
+
 def _q_order_priority_exists_counts(sf_dir: str) -> pa.Table:
     """TPC-H Q4 shape: orders in a date window having at least one
     high-quantity line (EXISTS), counted per priority — the bounded
@@ -5741,6 +5753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_vocab_kl": _q_source_vocab_kl,
         "lineitem_corr_matrix": _q_lineitem_corr_matrix,
         "price_geomean_by_priority": _q_price_geomean_by_priority,
+        "embedding_centroid_shift": _q_embedding_centroid_shift,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -8111,6 +8124,38 @@ def oracle_sql() -> dict[str, str]:
                   FROM m GROUP BY 1)
             SELECT o_orderpriority, n, sum_mlog
               FROM a ORDER BY 1
+        """,
+        "embedding_centroid_shift": """
+            WITH q AS (
+                SELECT label,
+                       CAST(generate_subscripts(embedding, 1)
+                            AS BIGINT) AS dim,
+                       CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                                  * 1000000) AS HUGEINT) AS v
+                  FROM embeddings
+                 WHERE label IS NOT NULL AND embedding IS NOT NULL),
+            s AS (SELECT label, dim, sum(v) AS s
+                    FROM q GROUP BY 1, 2),
+            n AS (SELECT label, CAST(count(*) AS HUGEINT) AS n
+                    FROM embeddings
+                   WHERE label IS NOT NULL AND embedding IS NOT NULL
+                   GROUP BY 1),
+            g AS (SELECT dim, sum(s) AS gs FROM s GROUP BY 1),
+            tot AS (SELECT CAST(sum(n) AS HUGEINT) AS nn FROM n),
+            diff AS (
+                SELECT s.label,
+                       (s.s * tot.nn - g.gs * n.n) AS num
+                  FROM s JOIN n USING (label) JOIN g USING (dim)
+                  CROSS JOIN tot),
+            agg AS (SELECT label, sum(num * num) AS t
+                      FROM diff GROUP BY 1)
+            SELECT CAST(agg.label AS BIGINT) AS label,
+                   CAST(n.n AS BIGINT) AS n,
+                   sqrt(CAST(agg.t AS DOUBLE))
+                       / (CAST(n.n AS DOUBLE) * tot.nn * 1000000)
+                       AS shift
+              FROM agg JOIN n USING (label) CROSS JOIN tot
+             ORDER BY label
         """,
         "order_priority_exists_counts": """
             SELECT o_orderpriority,

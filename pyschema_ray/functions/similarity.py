@@ -576,3 +576,107 @@ def semantic_dedup_keep(ds, threshold: float = 0.9, k: int = 8,
     keys_only = ds.select_columns([key_col])
     return anti_join(keys_only, drop_ds, key_col, "node",
                      num_shards=num_shards)
+
+
+def centroid_shift(ds, group_col: str = "label",
+                   emb_col: str = "embedding",
+                   scale: float = 1_000_000.0):
+    """Per-group embedding centroid drift: the L2 distance between
+    each group's mean vector and the GLOBAL mean vector — the
+    representation-shift score behind domain-mix monitoring.  Every
+    component is quantized to round(x * scale) int64 BEFORE summing
+    (the repo's exact-integer discipline), the per-group/dim sums ride
+    a (groups x d)-row exchange, and the distance numerators
+    ``s_gd * N - S_d * n_g`` are formed in arbitrary-precision Python
+    ints — so the only float ops are one sqrt and one division,
+    bit-identical to the HUGEINT SQL oracle.  Magnitude contract:
+    ``(s * N)^2 * d`` within HUGEINT (~1e38) for the oracle's sake.
+
+    Requires uniform embedding length; null group/embedding rows are
+    dropped.  -> pa.table(group_col int64, n int64, shift float64)
+    sorted by group.
+    """
+    import math
+
+    import ray.data.aggregate as A
+
+    def _round_half_away(a: np.ndarray) -> np.ndarray:
+        return np.copysign(np.floor(np.abs(a) + 0.5), a)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[group_col]),
+                             pc.is_valid(t[emb_col])))
+        empty = pa.table({"g": pa.array([], pa.int64()),
+                          "dim": pa.array([], pa.int64()),
+                          "s": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        col = t[emb_col].combine_chunks() \
+            if isinstance(t[emb_col], pa.ChunkedArray) else t[emb_col]
+        offs = np.asarray(col.offsets, dtype=np.int64)
+        lens = np.diff(offs)
+        if len(np.unique(lens)) != 1:
+            raise ValueError("centroid_shift requires uniform "
+                             "embedding length")
+        d = int(lens[0])
+        flat = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        q = _round_half_away(flat * scale).astype(np.int64) \
+            .reshape(-1, d)
+        g = pc.cast(t[group_col], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        order = np.argsort(g, kind="stable")
+        from .dedup import _group_starts
+        starts, sizes = _group_starts(g[order])
+        sums = np.add.reduceat(q[order], starts, axis=0)
+        glab = g[order][starts]
+        rows_g = np.repeat(glab, d)
+        rows_dim = np.tile(np.arange(1, d + 1, dtype=np.int64),
+                           len(glab))
+        out = pa.table({
+            "g": pa.array(rows_g, pa.int64()),
+            "dim": pa.array(rows_dim, pa.int64()),
+            "s": pa.array(sums.ravel(), pa.int64())})
+        counts = pa.table({
+            "g": pa.array(glab, pa.int64()),
+            "dim": pa.array(np.full(len(glab), -1, np.int64)),
+            "s": pa.array(sizes.astype(np.int64), pa.int64())})
+        return pa.concat_tables([out, counts])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["g", "dim"]).aggregate(A.Sum("s"))
+    rows = [b for b in agg.iter_batches(batch_format="pyarrow",
+                                        batch_size=None) if b.num_rows]
+    if not rows:
+        return pa.table({group_col: pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64()),
+                         "shift": pa.array([], pa.float64())})
+    t = pa.concat_tables(rows)
+    gv = t["g"].to_pylist()
+    dv = t["dim"].to_pylist()
+    sv = pc.cast(t["sum(s)"], pa.int64()).to_pylist()
+    n_g: dict = {}
+    s_gd: dict = {}
+    for g, dim, s in zip(gv, dv, sv):
+        if dim == -1:
+            n_g[g] = n_g.get(g, 0) + s
+        else:
+            s_gd[(g, dim)] = s_gd.get((g, dim), 0) + s
+    dims = sorted({dim for _, dim in s_gd})
+    N = sum(n_g.values())
+    S_d = {dim: sum(s_gd.get((g, dim), 0) for g in n_g)
+           for dim in dims}
+    glabels, ns, shifts = [], [], []
+    for g in sorted(n_g):
+        tot = 0
+        for dim in dims:
+            num = s_gd.get((g, dim), 0) * N - S_d[dim] * n_g[g]
+            tot += num * num                      # exact python ints
+        shift = math.sqrt(float(tot)) \
+            / (float(n_g[g]) * float(N) * scale)
+        glabels.append(g)
+        ns.append(n_g[g])
+        shifts.append(shift)
+    return pa.table({group_col: pa.array(glabels, pa.int64()),
+                     "n": pa.array(ns, pa.int64()),
+                     "shift": pa.array(shifts, pa.float64())})

@@ -79,3 +79,44 @@ def test_cosine_near_dups_lsh_table_recall():
     r1, r4 = pair_recall(1), pair_recall(4)
     assert r4 >= 0.9
     assert r4 >= r1
+
+
+def test_centroid_shift_matches_reference():
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pyschema_ray.functions.similarity import centroid_shift
+
+    rng = np.random.default_rng(61)
+    n, d = 300, 8
+    labels = rng.integers(0, 4, n)
+    emb = rng.normal(0, 1, (n, d)).astype(np.float32)
+    emb[labels == 2] += 3.0        # label 2 is far from the centroid
+    t = pa.table({
+        "label": pa.array(labels, pa.int32()),
+        "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(t).repartition(4)
+    out = centroid_shift(ds, "label", "embedding")
+    assert out["label"].to_pylist() == [0, 1, 2, 3]
+
+    # quantized reference
+    q = np.copysign(np.floor(np.abs(emb.astype(np.float64) * 1e6)
+                             + 0.5), emb).astype(object)
+    N = n
+    S = q.sum(axis=0)
+    for row in out.to_pylist():
+        g = row["label"]
+        m = labels == g
+        ng = int(m.sum())
+        sg = q[m].sum(axis=0)
+        tot = sum(int(sg[i] * N - S[i] * ng) ** 2 for i in range(d))
+        want = math.sqrt(float(tot)) / (float(ng) * float(N) * 1e6)
+        assert row["n"] == ng
+        assert row["shift"] == want
+    shifts = {r["label"]: r["shift"] for r in out.to_pylist()}
+    assert shifts[2] == max(shifts.values())
+    assert shifts[2] > 2.0
