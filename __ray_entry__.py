@@ -4232,6 +4232,35 @@ def _q_embedding_centroid_shift(sf_dir: str) -> pa.Table:
         group_col="label", emb_col="embedding")
 
 
+def _q_cascade_delete_impact(sf_dir: str) -> pa.Table:
+    """Right-to-be-forgotten impact report: customers flagged for
+    deletion (negative balance) and the rows a cascade would touch in
+    orders and events — two shuffle semi-joins against the flagged
+    key set (functions/relational.py::semi_join), counts only."""
+    from pyschema_ray.functions.relational import semi_join
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_acctbal"])
+
+    def flagged(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t["c_acctbal"]),
+                             pc.less(t["c_acctbal"], 0.0)))
+        return t.select(["c_custkey"])
+
+    keys = cust.map_batches(flagged, batch_format="pyarrow")
+    n_customers = keys.count()
+    n_orders = semi_join(
+        _read(sf_dir, "orders", columns=["o_custkey"]),
+        keys, left_key="o_custkey", right_key="c_custkey").count()
+    n_events = semi_join(
+        _read(sf_dir, "events", columns=["user_id"]),
+        keys, left_key="user_id", right_key="c_custkey").count()
+    return pa.table({
+        "n_customers": pa.array([n_customers], pa.int64()),
+        "n_orders": pa.array([n_orders], pa.int64()),
+        "n_events": pa.array([n_events], pa.int64())})
+
+
 def _q_order_priority_exists_counts(sf_dir: str) -> pa.Table:
     """TPC-H Q4 shape: orders in a date window having at least one
     high-quantity line (EXISTS), counted per priority — the bounded
@@ -5754,6 +5783,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_corr_matrix": _q_lineitem_corr_matrix,
         "price_geomean_by_priority": _q_price_geomean_by_priority,
         "embedding_centroid_shift": _q_embedding_centroid_shift,
+        "cascade_delete_impact": _q_cascade_delete_impact,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -8156,6 +8186,21 @@ def oracle_sql() -> dict[str, str]:
                        AS shift
               FROM agg JOIN n USING (label) CROSS JOIN tot
              ORDER BY label
+        """,
+        "cascade_delete_impact": """
+            WITH k AS (SELECT c_custkey FROM customer
+                        WHERE c_acctbal IS NOT NULL
+                          AND c_acctbal < 0)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM k)
+                       AS n_customers,
+                   (SELECT CAST(count(*) AS BIGINT) FROM orders o
+                     WHERE EXISTS (SELECT 1 FROM k
+                                    WHERE k.c_custkey = o.o_custkey))
+                       AS n_orders,
+                   (SELECT CAST(count(*) AS BIGINT) FROM events e
+                     WHERE EXISTS (SELECT 1 FROM k
+                                    WHERE k.c_custkey = e.user_id))
+                       AS n_events
         """,
         "order_priority_exists_counts": """
             SELECT o_orderpriority,

@@ -132,7 +132,7 @@ QUERY_SUBSET = [
     "vocab_oov_even_odd", "price_benford_digits",
     "top_session_paths", "cdc_latest_state", "source_vocab_kl",
     "lineitem_corr_matrix", "price_geomean_by_priority",
-    "embedding_centroid_shift",
+    "embedding_centroid_shift", "cascade_delete_impact",
 ]
 
 
