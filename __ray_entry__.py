@@ -4261,6 +4261,18 @@ def _q_cascade_delete_impact(sf_dir: str) -> pa.Table:
         "n_events": pa.array([n_events], pa.int64())})
 
 
+def _q_event_gap_volatility(sf_dir: str) -> pa.Table:
+    """Firing-regularity monitor: exact stddev of per-(user, type)
+    inter-event gaps aggregated per event type — floor-second diffs,
+    HUGEINT-moment epilogue
+    (functions/ordered.py::gap_stddev_by_state)."""
+    from pyschema_ray.functions.ordered import gap_stddev_by_state
+
+    return gap_stddev_by_state(
+        _read(sf_dir, "events",
+              columns=["user_id", "ts", "event_id", "event_type"]))
+
+
 def _q_order_priority_exists_counts(sf_dir: str) -> pa.Table:
     """TPC-H Q4 shape: orders in a date window having at least one
     high-quantity line (EXISTS), counted per priority — the bounded
@@ -5784,6 +5796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_geomean_by_priority": _q_price_geomean_by_priority,
         "embedding_centroid_shift": _q_embedding_centroid_shift,
         "cascade_delete_impact": _q_cascade_delete_impact,
+        "event_gap_volatility": _q_event_gap_volatility,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -8201,6 +8214,34 @@ def oracle_sql() -> dict[str, str]:
                      WHERE EXISTS (SELECT 1 FROM k
                                     WHERE k.c_custkey = e.user_id))
                        AS n_events
+        """,
+        "event_gap_volatility": """
+            WITH e AS (
+                SELECT user_id, ts, event_id, event_type FROM events
+                 WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                   AND event_type IS NOT NULL),
+            d AS (
+                SELECT event_type,
+                       date_diff('second',
+                                 lag(ts) OVER (
+                                     PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id),
+                                 ts) AS g
+                  FROM e),
+            v AS (SELECT event_type, CAST(g AS HUGEINT) AS x
+                    FROM d WHERE g IS NOT NULL),
+            m AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+                         sum(x) AS sx, sum(x*x) AS sxx
+                    FROM v GROUP BY 1)
+            SELECT event_type,
+                   CAST(n AS BIGINT) AS n_gaps,
+                   CASE WHEN n < 2 THEN NULL
+                        ELSE sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                                  / CAST(n*(n-1) AS DOUBLE))
+                   END AS stddev_samp,
+                   sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                        / CAST(n*n AS DOUBLE)) AS stddev_pop
+              FROM m ORDER BY 1
         """,
         "order_priority_exists_counts": """
             SELECT o_orderpriority,

@@ -989,3 +989,87 @@ def latest_state(ds, key_col: str = "user_id", ts_col: str = "ts",
 
     return ds.map_batches(exchange, batch_format="pyarrow") \
         .groupby("kshard").map_groups(scan, batch_format="pyarrow")
+
+
+def gap_stddev_by_state(ds, key_col: str = "user_id",
+                        ts_col: str = "ts",
+                        order_col: str = "event_id",
+                        state_col: str = "event_type",
+                        num_shards: int | None = None):
+    """Firing-regularity per state: exact standard deviation of the
+    inter-event gaps within each (key, state) stream, aggregated per
+    state — the heartbeat/SLA-jitter monitor.  Gaps are FLOOR-SECOND
+    boundary diffs (``epoch_sec(t2) - epoch_sec(t1)``), matching SQL
+    ``date_diff('second', lag(ts) OVER (PARTITION BY key, state
+    ORDER BY ts, order), ts)`` exactly; the stddev epilogue uses the
+    module's arbitrary-precision integer moments (one division + one
+    sqrt per group, bit-equal to the HUGEINT oracle).
+
+    One key-hash exchange to form gaps, then shuffle-free per-batch
+    moment partials.  Magnitude contract: batch_rows x gap_sec^2 <
+    2^63 (a month-long gap is ~7e12; ~10^5 such gaps per batch fit).
+
+    -> pa.table(state_col string, n_gaps int64, stddev_samp
+       float64|null, stddev_pop float64) sorted by state.
+    """
+    import math
+
+    from .analytics import _grouped_int_moments
+
+    nb = num_shards or _default_shards()
+
+    def exchange(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.and_(pc.is_valid(t[key_col]),
+                                     pc.is_valid(t[ts_col])),
+                             pc.is_valid(t[state_col])))
+        t = t.select([key_col, ts_col, order_col, state_col])
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "kshard", pa.array(_key_shards(keys, nb, 113), pa.int64()))
+
+    def gaps(t: pa.Table) -> pa.Table:
+        stype = t.schema.field(state_col).type
+        empty = pa.table({"state": pa.array([], stype),
+                          "gap_s": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        idx = pc.sort_indices(t, sort_keys=[
+            (key_col, "ascending"), (state_col, "ascending"),
+            (ts_col, "ascending"), (order_col, "ascending")])
+        t = t.take(idx)
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        states = np.asarray(t[state_col].to_pylist(), dtype=object)
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        sec = us // 1_000_000            # floor-second boundaries
+        n = len(keys)
+        if n < 2:
+            return empty
+        run_start = np.ones(n, bool)
+        run_start[1:] = (keys[1:] != keys[:-1]) \
+            | (states[1:] != states[:-1])
+        keep = ~run_start
+        idx2 = np.flatnonzero(keep)
+        if len(idx2) == 0:
+            return empty
+        return pa.table({
+            "state": pa.array(states[idx2].tolist(), stype),
+            "gap_s": pa.array(sec[idx2] - sec[idx2 - 1], pa.int64())})
+
+    gap_ds = ds.map_batches(exchange, batch_format="pyarrow") \
+        .groupby("kshard").map_groups(gaps, batch_format="pyarrow")
+
+    acc = _grouped_int_moments(gap_ds, "state", "gap_s", "gap_s")
+    groups = sorted(acc)
+    ns, samp, pop = [], [], []
+    for gname in groups:
+        n, sx, _sy, sxx, _syy, _sxy = acc[gname]
+        vnum = n * sxx - sx * sx
+        ns.append(n)
+        pop.append(math.sqrt(float(vnum) / float(n * n)))
+        samp.append(None if n < 2
+                    else math.sqrt(float(vnum) / float(n * (n - 1))))
+    return pa.table({state_col: pa.array(groups, pa.string()),
+                     "n_gaps": pa.array(ns, pa.int64()),
+                     "stddev_samp": pa.array(samp, pa.float64()),
+                     "stddev_pop": pa.array(pop, pa.float64())})

@@ -579,3 +579,47 @@ def test_latest_state_tombstone_then_revive():
     t2 = t.slice(0, 2)
     out2 = _tab(latest_state(_ds(t2, 2), delete_state="drop"))
     assert out2 is None or out2.num_rows == 0
+
+
+def test_gap_stddev_by_state_matches_duckdb():
+    import duckdb
+
+    from pyschema_ray.functions.ordered import gap_stddev_by_state
+
+    rng = np.random.default_rng(67)
+    n = 500
+    ts = pa.array(
+        np.datetime64("2024-01-01") +
+        (rng.integers(0, 5 * 86400, n) * 1_000_000
+         + rng.integers(0, 1_000_000, n)).astype("timedelta64[us]"),
+        pa.timestamp("us"))
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 25, n), pa.int64()),
+        "ts": ts,
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "event_type": pa.array(
+            rng.choice(["a", "b"], n).tolist(), pa.string()),
+    })
+    out = gap_stddev_by_state(_ds(t, 5))
+    exp = duckdb.sql("""
+        WITH d AS (SELECT event_type,
+                          date_diff('second',
+                                    lag(ts) OVER (
+                                        PARTITION BY user_id, event_type
+                                        ORDER BY ts, event_id),
+                                    ts) AS g
+                     FROM t),
+        v AS (SELECT event_type, CAST(g AS HUGEINT) AS x
+                FROM d WHERE g IS NOT NULL),
+        m AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+                     sum(x) AS sx, sum(x*x) AS sxx FROM v GROUP BY 1)
+        SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+               CASE WHEN n < 2 THEN NULL
+                    ELSE sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                              / CAST(n*(n-1) AS DOUBLE)) END
+                   AS stddev_samp,
+               sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                    / CAST(n*n AS DOUBLE)) AS stddev_pop
+          FROM m ORDER BY 1
+    """).arrow().cast(out.schema)
+    assert out.equals(exp)
