@@ -4273,6 +4273,23 @@ def _q_event_gap_volatility(sf_dir: str) -> pa.Table:
               columns=["user_id", "ts", "event_id", "event_type"]))
 
 
+def _q_events_before_signup(sf_dir: str) -> pa.Table:
+    """Instrumentation-integrity audit: per event type, events
+    strictly before their user's first signup, and events of users
+    who never signed up — masked segmented minimum per user shard
+    (functions/ordered.py::events_before_anchor)."""
+    from pyschema_ray.functions.ordered import events_before_anchor
+
+    out = events_before_anchor(
+        _read(sf_dir, "events",
+              columns=["user_id", "ts", "event_type"]),
+        anchor_state="signup")
+    return _collect(out, pa.schema([
+        ("event_type", pa.string()), ("n_before", pa.int64()),
+        ("n_no_anchor", pa.int64()), ("n_events", pa.int64())])) \
+        .sort_by([("event_type", "ascending")])
+
+
 def _q_order_priority_exists_counts(sf_dir: str) -> pa.Table:
     """TPC-H Q4 shape: orders in a date window having at least one
     high-quantity line (EXISTS), counted per priority — the bounded
@@ -5797,6 +5814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroid_shift": _q_embedding_centroid_shift,
         "cascade_delete_impact": _q_cascade_delete_impact,
         "event_gap_volatility": _q_event_gap_volatility,
+        "events_before_signup": _q_events_before_signup,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -8242,6 +8260,25 @@ def oracle_sql() -> dict[str, str]:
                    sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
                         / CAST(n*n AS DOUBLE)) AS stddev_pop
               FROM m ORDER BY 1
+        """,
+        "events_before_signup": """
+            WITH e AS (
+                SELECT user_id, ts, event_type FROM events
+                 WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                   AND event_type IS NOT NULL),
+            s AS (SELECT user_id, min(ts) AS sig FROM e
+                   WHERE event_type = 'signup' GROUP BY 1)
+            SELECT e.event_type,
+                   CAST(coalesce(sum(CASE WHEN s.sig IS NOT NULL
+                                      AND e.ts < s.sig
+                                     THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_before,
+                   CAST(coalesce(sum(CASE WHEN s.sig IS NULL
+                                     THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_no_anchor,
+                   CAST(count(*) AS BIGINT) AS n_events
+              FROM e LEFT JOIN s USING (user_id)
+             GROUP BY 1 ORDER BY 1
         """,
         "order_priority_exists_counts": """
             SELECT o_orderpriority,

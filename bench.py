@@ -133,7 +133,7 @@ QUERY_SUBSET = [
     "top_session_paths", "cdc_latest_state", "source_vocab_kl",
     "lineitem_corr_matrix", "price_geomean_by_priority",
     "embedding_centroid_shift", "cascade_delete_impact",
-    "event_gap_volatility",
+    "event_gap_volatility", "events_before_signup",
 ]
 
 

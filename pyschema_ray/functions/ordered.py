@@ -1073,3 +1073,86 @@ def gap_stddev_by_state(ds, key_col: str = "user_id",
                      "n_gaps": pa.array(ns, pa.int64()),
                      "stddev_samp": pa.array(samp, pa.float64()),
                      "stddev_pop": pa.array(pop, pa.float64())})
+
+
+def events_before_anchor(ds, anchor_state: str,
+                         key_col: str = "user_id", ts_col: str = "ts",
+                         state_col: str = "event_type",
+                         num_shards: int | None = None):
+    """Causality/integrity audit: per state, how many events occur
+    STRICTLY BEFORE their key's first ``anchor_state`` event (possible
+    instrumentation bugs), and how many belong to keys with no anchor
+    at all — the events-before-signup check.
+
+    One key-hash exchange; per shard a sorted pass computes each key's
+    min anchor timestamp with a masked segmented minimum, flags rows
+    vectorized, and pre-counts per state; a tiny state groupby sums.
+
+    -> Dataset(state_col, n_before int64, n_no_anchor int64,
+       n_events int64) — one row per state.
+    """
+    import ray.data.aggregate as A
+
+    nb = num_shards or _default_shards()
+
+    def exchange(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.and_(pc.is_valid(t[key_col]),
+                                     pc.is_valid(t[ts_col])),
+                             pc.is_valid(t[state_col])))
+        t = t.select([key_col, ts_col, state_col])
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "kshard", pa.array(_key_shards(keys, nb, 127), pa.int64()))
+
+    def scan(t: pa.Table) -> pa.Table:
+        stype = t.schema.field(state_col).type
+        empty = pa.table({"state": pa.array([], stype),
+                          "n_before": pa.array([], pa.int64()),
+                          "n_no_anchor": pa.array([], pa.int64()),
+                          "n_events": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        idx = pc.sort_indices(t, sort_keys=[(key_col, "ascending"),
+                                            (ts_col, "ascending")])
+        t = t.take(idx)
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        states = np.asarray(t[state_col].to_pylist(), dtype=object)
+        n = len(keys)
+        starts, sizes = _group_starts(keys)
+        run_id = np.repeat(np.arange(len(starts)), sizes)
+        is_anchor = states == anchor_state
+        BIG = np.iinfo(np.int64).max
+        anchored_us = np.where(is_anchor, us, BIG)
+        min_anchor = np.minimum.reduceat(anchored_us, starts)
+        has_anchor = min_anchor != BIG
+        before = has_anchor[run_id] & (us < min_anchor[run_id])
+        no_anchor = ~has_anchor[run_id]
+        g = pa.table({
+            "state": pa.array(states.tolist(), stype),
+            "b": pa.array(before.astype(np.int64), pa.int64()),
+            "na": pa.array(no_anchor.astype(np.int64), pa.int64()),
+            "one": pa.array(np.ones(n, np.int64))}) \
+            .group_by("state").aggregate([("b", "sum"), ("na", "sum"),
+                                          ("one", "sum")])
+        return pa.table({
+            "state": g["state"],
+            "n_before": pc.cast(g["b_sum"], pa.int64()),
+            "n_no_anchor": pc.cast(g["na_sum"], pa.int64()),
+            "n_events": pc.cast(g["one_sum"], pa.int64())})
+
+    agg = ds.map_batches(exchange, batch_format="pyarrow") \
+        .groupby("kshard").map_groups(scan, batch_format="pyarrow") \
+        .groupby("state").aggregate(A.Sum("n_before"),
+                                    A.Sum("n_no_anchor"),
+                                    A.Sum("n_events"))
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({
+            state_col: t["state"],
+            "n_before": pc.cast(t["sum(n_before)"], pa.int64()),
+            "n_no_anchor": pc.cast(t["sum(n_no_anchor)"], pa.int64()),
+            "n_events": pc.cast(t["sum(n_events)"], pa.int64())})
+
+    return agg.map_batches(rename, batch_format="pyarrow")

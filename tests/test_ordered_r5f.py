@@ -623,3 +623,42 @@ def test_gap_stddev_by_state_matches_duckdb():
           FROM m ORDER BY 1
     """).arrow().cast(out.schema)
     assert out.equals(exp)
+
+
+def test_events_before_anchor_matches_duckdb():
+    import duckdb
+
+    from pyschema_ray.functions.ordered import events_before_anchor
+
+    rng = np.random.default_rng(71)
+    n = 400
+    ts = pa.array(
+        np.datetime64("2024-01-01") +
+        rng.integers(0, 86400, n).astype("timedelta64[s]"),
+        pa.timestamp("us"))
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 30, n), pa.int64()),
+        "ts": ts,
+        "event_type": pa.array(
+            rng.choice(["signup", "view", "buy"], n,
+                       p=[0.1, 0.6, 0.3]).tolist(), pa.string()),
+    })
+    out = _tab(events_before_anchor(_ds(t, 5), "signup")) \
+        .sort_by([("event_type", "ascending")])
+    exp = duckdb.sql("""
+        WITH s AS (SELECT user_id, min(ts) AS sig FROM t
+                    WHERE event_type = 'signup' GROUP BY 1)
+        SELECT t.event_type,
+               CAST(coalesce(sum(CASE WHEN s.sig IS NOT NULL
+                                  AND t.ts < s.sig
+                                 THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_before,
+               CAST(coalesce(sum(CASE WHEN s.sig IS NULL
+                                 THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_no_anchor,
+               CAST(count(*) AS BIGINT) AS n_events
+          FROM t LEFT JOIN s USING (user_id)
+         GROUP BY 1 ORDER BY 1
+    """).arrow().cast(out.schema)
+    assert out.equals(exp)
+    assert sum(out["n_before"].to_pylist()) > 0
