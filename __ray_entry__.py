@@ -4290,6 +4290,119 @@ def _q_events_before_signup(sf_dir: str) -> pa.Table:
         .sort_by([("event_type", "ascending")])
 
 
+def _q_customer_rfm_segments(sf_dir: str) -> pa.Table:
+    """RFM segmentation: per customer recency (days since last order
+    vs corpus max), frequency and monetary cents, each quartile-coded
+    1..4 against EXACT quantile_disc thresholds (3-scan selections),
+    then segment counts — one custkey-hash exchange for the metrics,
+    nine bounded selection scans over the materialized metric table,
+    one counting pass.  64-cell output, no driver rows."""
+    from pyschema_ray.functions.analytics import _exact_rank_values
+    from pyschema_ray.functions.dedup import _default_shards, \
+        _key_shards
+
+    nb = _default_shards()
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.and_(
+            pc.is_valid(t["o_custkey"]),
+            pc.is_valid(t["o_orderdate"])),
+            pc.is_valid(t["o_totalprice"])))
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        day = pa.array(
+            pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000, pa.int64())
+        g = pa.table({"k": t["o_custkey"], "c": cents, "d": day}) \
+            .group_by("k") \
+            .aggregate([("c", "sum"), ("d", "max"), ([], "count_all")])
+        keys = g["k"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": g["k"], "cents": pc.cast(g["c_sum"], pa.int64()),
+            "last_day": pc.cast(g["d_max"], pa.int64()),
+            "n": pc.cast(g["count_all"], pa.int64()),
+            "kshard": pa.array(_key_shards(keys, nb, 131), pa.int64())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "cents": pa.array([], pa.int64()),
+                             "last_day": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        g = t.select(["k", "cents", "last_day", "n"]).group_by("k") \
+            .aggregate([("cents", "sum"), ("last_day", "max"),
+                        ("n", "sum")])
+        return pa.table({"k": g["k"],
+                         "cents": pc.cast(g["cents_sum"], pa.int64()),
+                         "last_day": pc.cast(g["last_day_max"],
+                                             pa.int64()),
+                         "n": pc.cast(g["n_sum"], pa.int64())})
+
+    metrics = _read(sf_dir, "orders",
+                    columns=["o_custkey", "o_orderdate",
+                             "o_totalprice"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("kshard").map_groups(merge, batch_format="pyarrow") \
+        .materialize()
+
+    out_schema = pa.schema([
+        ("r_code", pa.int64()), ("f_code", pa.int64()),
+        ("m_code", pa.int64()), ("n_customers", pa.int64())])
+    mx = metrics.max("last_day")
+    if mx is None:
+        return out_schema.empty_table()
+
+    def add_rec(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "rec", pc.subtract(pa.scalar(int(mx), pa.int64()),
+                               t["last_day"]))
+
+    metrics = metrics.map_batches(add_rec, batch_format="pyarrow") \
+        .materialize()
+
+    def ranks(n: int):
+        return [max(0, (q * n + 99) // 100 - 1) for q in (25, 50, 75)]
+
+    thr = {}
+    for col in ("rec", "n", "cents"):
+        cnt, got = _exact_rank_values(metrics, col, ranks)
+        thr[col] = [got[r] for r in ranks(cnt)]
+
+    def code(t: pa.Table) -> pa.Table:
+        def c(col):
+            v = t[col].to_numpy(zero_copy_only=False)
+            t1, t2, t3 = thr[col]
+            return (1 + (v > t1).astype(np.int64) + (v > t2)
+                    + (v > t3))
+        g = pa.table({"r_code": pa.array(c("rec"), pa.int64()),
+                      "f_code": pa.array(c("n"), pa.int64()),
+                      "m_code": pa.array(c("cents"), pa.int64())}) \
+            .group_by(["r_code", "f_code", "m_code"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"r_code": g["r_code"], "f_code": g["f_code"],
+                         "m_code": g["m_code"],
+                         "n_customers": pc.cast(g["count_all"],
+                                                pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    agg = metrics.map_batches(code, batch_format="pyarrow") \
+        .groupby(["r_code", "f_code", "m_code"]) \
+        .aggregate(Sum("n_customers"))
+    t = _collect(agg)
+    if t is None or t.num_rows == 0:
+        return out_schema.empty_table()
+    return pa.table({
+        "r_code": pc.cast(t["r_code"], pa.int64()),
+        "f_code": pc.cast(t["f_code"], pa.int64()),
+        "m_code": pc.cast(t["m_code"], pa.int64()),
+        "n_customers": pc.cast(t["sum(n_customers)"], pa.int64())}) \
+        .sort_by([("r_code", "ascending"), ("f_code", "ascending"),
+                  ("m_code", "ascending")])
+
+
 def _q_order_priority_exists_counts(sf_dir: str) -> pa.Table:
     """TPC-H Q4 shape: orders in a date window having at least one
     high-quantity line (EXISTS), counted per priority — the bounded
@@ -5815,6 +5928,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cascade_delete_impact": _q_cascade_delete_impact,
         "event_gap_volatility": _q_event_gap_volatility,
         "events_before_signup": _q_events_before_signup,
+        "customer_rfm_segments": _q_customer_rfm_segments,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -8279,6 +8393,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events
               FROM e LEFT JOIN s USING (user_id)
              GROUP BY 1 ORDER BY 1
+        """,
+        "customer_rfm_segments": """
+            WITH m AS (
+                SELECT o_custkey AS k,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CAST(round(o_totalprice * 100)
+                                     AS BIGINT)) AS BIGINT) AS cents,
+                       max(CAST(date_trunc('day', o_orderdate)
+                                AS DATE) - DATE '1970-01-01')
+                           AS last_day
+                  FROM orders
+                 WHERE o_custkey IS NOT NULL
+                   AND o_orderdate IS NOT NULL
+                   AND o_totalprice IS NOT NULL
+                 GROUP BY 1),
+            g AS (SELECT max(last_day) AS mx FROM m),
+            r AS (SELECT k, (g.mx - last_day) AS rec, n, cents
+                    FROM m CROSS JOIN g),
+            q AS (
+                SELECT quantile_disc(rec, 0.25) AS r1,
+                       quantile_disc(rec, 0.50) AS r2,
+                       quantile_disc(rec, 0.75) AS r3,
+                       quantile_disc(n, 0.25) AS f1,
+                       quantile_disc(n, 0.50) AS f2,
+                       quantile_disc(n, 0.75) AS f3,
+                       quantile_disc(cents, 0.25) AS m1,
+                       quantile_disc(cents, 0.50) AS m2,
+                       quantile_disc(cents, 0.75) AS m3
+                  FROM r)
+            SELECT CAST(1 + CASE WHEN rec > q.r1 THEN 1 ELSE 0 END
+                          + CASE WHEN rec > q.r2 THEN 1 ELSE 0 END
+                          + CASE WHEN rec > q.r3 THEN 1 ELSE 0 END
+                        AS BIGINT) AS r_code,
+                   CAST(1 + CASE WHEN n > q.f1 THEN 1 ELSE 0 END
+                          + CASE WHEN n > q.f2 THEN 1 ELSE 0 END
+                          + CASE WHEN n > q.f3 THEN 1 ELSE 0 END
+                        AS BIGINT) AS f_code,
+                   CAST(1 + CASE WHEN cents > q.m1 THEN 1 ELSE 0 END
+                          + CASE WHEN cents > q.m2 THEN 1 ELSE 0 END
+                          + CASE WHEN cents > q.m3 THEN 1 ELSE 0 END
+                        AS BIGINT) AS m_code,
+                   CAST(count(*) AS BIGINT) AS n_customers
+              FROM r CROSS JOIN q
+             GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
         """,
         "order_priority_exists_counts": """
             SELECT o_orderpriority,
