@@ -4403,6 +4403,49 @@ def _q_customer_rfm_segments(sf_dir: str) -> pa.Table:
                   ("m_code", "ascending")])
 
 
+def _q_event_transition_entropy(sf_dir: str) -> pa.Table:
+    """Predictability of each state's next event: conditional entropy
+    H(next | prev) per prev state in exact integer milli-nats —
+    ``h_milli = sum_next c_pn * round(1000 * ln(c_p / c_pn))`` over
+    the distributed transition matrix (vocab² rows; the heavy work is
+    transition_counts' one exchange, the epilogue is driver math over
+    ≤ vocab² ints).  H(nats) ~ h_milli / (1000 * n_transitions)."""
+    from pyschema_ray.functions.lm import _round_half_away
+    from pyschema_ray.functions.ordered import transition_counts
+
+    out = transition_counts(
+        _read(sf_dir, "events",
+              columns=["user_id", "ts", "event_id", "event_type"]),
+        key_col="user_id", ts_col="ts", order_col="event_id",
+        state_col="event_type")
+    t = _collect(out, pa.schema([("prev_state", pa.string()),
+                                 ("next_state", pa.string()),
+                                 ("n_transitions", pa.int64())]))
+    prev = np.asarray(t["prev_state"].to_pylist(), dtype=object)
+    cnt = t["n_transitions"].to_numpy(zero_copy_only=False)
+    order = np.argsort(prev, kind="stable")
+    prev, cnt = prev[order], cnt[order]
+    names, h, tot = [], [], []
+    i = 0
+    while i < len(prev):
+        j = i
+        while j < len(prev) and prev[j] == prev[i]:
+            j += 1
+        c = cnt[i:j]
+        cp = int(c.sum())
+        terms = (c * _round_half_away(
+            np.log(cp / c.astype(np.float64)) * 1000.0)).astype(
+                np.int64)
+        names.append(prev[i])
+        tot.append(cp)
+        h.append(int(terms.sum()))
+        i = j
+    return pa.table({"prev_state": pa.array(names, pa.string()),
+                     "n_transitions": pa.array(tot, pa.int64()),
+                     "h_milli": pa.array(h, pa.int64())}) \
+        .sort_by([("prev_state", "ascending")])
+
+
 def _q_order_priority_exists_counts(sf_dir: str) -> pa.Table:
     """TPC-H Q4 shape: orders in a date window having at least one
     high-quantity line (EXISTS), counted per priority — the bounded
@@ -5929,6 +5972,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gap_volatility": _q_event_gap_volatility,
         "events_before_signup": _q_events_before_signup,
         "customer_rfm_segments": _q_customer_rfm_segments,
+        "event_transition_entropy": _q_event_transition_entropy,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -8437,6 +8481,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_customers
               FROM r CROSS JOIN q
              GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "event_transition_entropy": """
+            WITH e AS (
+                SELECT user_id, ts, event_id, event_type FROM events
+                 WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                   AND event_type IS NOT NULL),
+            t AS (
+                SELECT lag(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS p,
+                       event_type AS q
+                  FROM e),
+            c AS (SELECT p, q, CAST(count(*) AS BIGINT) AS cn
+                    FROM t WHERE p IS NOT NULL GROUP BY 1, 2),
+            s AS (SELECT p, CAST(sum(cn) AS BIGINT) AS cp
+                    FROM c GROUP BY 1)
+            SELECT c.p AS prev_state,
+                   CAST(s.cp AS BIGINT) AS n_transitions,
+                   CAST(sum(c.cn * CAST(round(1000 * ln(
+                            CAST(s.cp AS DOUBLE) / c.cn))
+                            AS BIGINT)) AS BIGINT) AS h_milli
+              FROM c JOIN s USING (p)
+             GROUP BY 1, 2 ORDER BY 1
         """,
         "order_priority_exists_counts": """
             SELECT o_orderpriority,

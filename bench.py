@@ -134,7 +134,7 @@ QUERY_SUBSET = [
     "lineitem_corr_matrix", "price_geomean_by_priority",
     "embedding_centroid_shift", "cascade_delete_impact",
     "event_gap_volatility", "events_before_signup",
-    "customer_rfm_segments",
+    "customer_rfm_segments", "event_transition_entropy",
 ]
 
 
