@@ -4446,6 +4446,29 @@ def _q_event_transition_entropy(sf_dir: str) -> pa.Table:
         .sort_by([("prev_state", "ascending")])
 
 
+def _q_token_budget_allocation(sf_dir: str) -> pa.Table:
+    """Mixture planning: water-fill a fixed token budget (60% of the
+    corpus) across sources — distributed per-source token totals,
+    O(sources) exact-integer driver allocation (rows-only: iterative
+    allocation is not SQL-expressible; reference-tested in pytest)
+    (functions/sample.py::token_budget_allocation)."""
+    from pyschema_ray.functions.sample import (token_budget_allocation,
+                                               water_fill)
+
+    base = token_budget_allocation(
+        _read(sf_dir, "documents", columns=["source", "text"]), 0)
+    avail = dict(zip(base["source"].to_pylist(),
+                     base["tokens_available"].to_pylist()))
+    alloc = water_fill(avail, (sum(avail.values()) * 3) // 5)
+    names = sorted(avail)
+    return pa.table({
+        "source": pa.array(names, pa.string()),
+        "tokens_available": pa.array([avail[g] for g in names],
+                                     pa.int64()),
+        "tokens_allocated": pa.array([alloc[g] for g in names],
+                                     pa.int64())})
+
+
 def _q_order_priority_exists_counts(sf_dir: str) -> pa.Table:
     """TPC-H Q4 shape: orders in a date window having at least one
     high-quantity line (EXISTS), counted per priority — the bounded
@@ -5973,6 +5996,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_before_signup": _q_events_before_signup,
         "customer_rfm_segments": _q_customer_rfm_segments,
         "event_transition_entropy": _q_event_transition_entropy,
+        "token_budget_allocation": _q_token_budget_allocation,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,

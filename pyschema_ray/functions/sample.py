@@ -423,3 +423,85 @@ def epoch_shuffle_positions(ds, key_col: str = "doc_id",
 
     return hashed_ds.groupby("rshard") \
         .map_groups(rank_shard, batch_format="pyarrow")
+
+
+def water_fill(avail: dict, budget: int) -> dict:
+    """Exact integer water-filling: split ``budget`` units across
+    groups as equally as possible without exceeding any group's
+    availability.  Small groups take everything they have; the slack
+    re-spreads over the rest; integer floor residue goes +1 per group
+    in sorted-name order.  Deterministic, order-independent input.
+    Returns {group: allocation}."""
+    names = sorted(avail)
+    alloc = {g: 0 for g in names}
+    remaining = int(budget)
+    # process smallest availability first: once the equal share
+    # exceeds a group's supply, that group is simply capped
+    for idx, g in enumerate(sorted(names, key=lambda g: (avail[g], g))):
+        n_left = len(names) - idx
+        share = remaining // n_left
+        take = min(int(avail[g]), share)
+        alloc[g] = take
+        remaining -= take
+    if remaining > 0:
+        # floor residue: +1 per uncapped group in name order
+        for g in names:
+            if remaining == 0:
+                break
+            if alloc[g] < avail[g]:
+                extra = min(int(avail[g]) - alloc[g], 1)
+                alloc[g] += extra
+                remaining -= extra
+    return alloc
+
+
+def token_budget_allocation(ds, budget_tokens: int,
+                            group_col: str = "source",
+                            text_col: str = "text"):
+    """Training-mixture planning: count whitespace tokens per group in
+    one streaming pass (the lm.py tokenization, so budgets line up
+    with every other token-counting operator), then water-fill an
+    exact integer token budget across groups — equal shares, capped
+    by supply, deterministic residue handling (:func:`water_fill`).
+
+    The distributed part is the per-group token-total groupby (tiny
+    combiner partials); the allocation itself is O(groups log groups)
+    driver math.  Iterative allocation is not SQL-expressible —
+    rows-only at the driver gate, reference-tested in pytest.
+
+    -> pa.table(group_col string, tokens_available int64,
+       tokens_allocated int64) sorted by group.
+    """
+    import ray.data.aggregate as A
+
+    from .lm import _word_hashes
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pc.cast(t[group_col], pa.string())
+        _wh, offs = _word_hashes(t[text_col])
+        cnt = np.diff(offs)
+        out = pa.table({"g": g, "n": pa.array(cnt, pa.int64())}) \
+            .filter(pc.is_valid(g))
+        gg = out.group_by("g").aggregate([("n", "sum")])
+        return pa.table({"g": gg["g"],
+                         "n": pc.cast(gg["n_sum"], pa.int64())})
+
+    rows = [b for b in ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("g").aggregate(A.Sum("n"))
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+            if b.num_rows]
+    if not rows:
+        return pa.table({group_col: pa.array([], pa.string()),
+                         "tokens_available": pa.array([], pa.int64()),
+                         "tokens_allocated": pa.array([], pa.int64())})
+    t = pa.concat_tables(rows)
+    avail = dict(zip(t["g"].to_pylist(),
+                     pc.cast(t["sum(n)"], pa.int64()).to_pylist()))
+    alloc = water_fill(avail, budget_tokens)
+    names = sorted(avail)
+    return pa.table({
+        group_col: pa.array(names, pa.string()),
+        "tokens_available": pa.array([avail[g] for g in names],
+                                     pa.int64()),
+        "tokens_allocated": pa.array([alloc[g] for g in names],
+                                     pa.int64())})

@@ -308,3 +308,41 @@ def test_epoch_shuffle_positions():
     c = run(4, 4)
     assert not a["position"].reset_index(drop=True).equals(
         c["position"].reset_index(drop=True))
+
+
+def test_water_fill_reference_properties():
+    from pyschema_ray.functions.sample import water_fill
+
+    avail = {"a": 100, "b": 10, "c": 50, "d": 1000}
+    for budget in (0, 5, 40, 160, 400, 2000):
+        alloc = water_fill(avail, budget)
+        assert set(alloc) == set(avail)
+        assert all(0 <= alloc[g] <= avail[g] for g in avail)
+        assert sum(alloc.values()) == min(budget,
+                                          sum(avail.values()))
+        # equal-treatment: two uncapped groups differ by at most 1
+        unc = [alloc[g] for g in avail if alloc[g] < avail[g]]
+        if len(unc) >= 2:
+            assert max(unc) - min(unc) <= 1
+    # capped small group takes all it has
+    alloc = water_fill(avail, 400)
+    assert alloc["b"] == 10
+    assert alloc["c"] == 50
+
+
+def test_token_budget_allocation_counts(ray_session):
+    import ray.data
+
+    from pyschema_ray.functions.sample import token_budget_allocation
+
+    t = pa.table({
+        "source": pa.array(["x", "x", "y", None], pa.string()),
+        "text": pa.array(["a b c", "d e", "f", "ignored"],
+                         pa.string()),
+    })
+    ds = ray.data.from_arrow(t).repartition(2)
+    out = token_budget_allocation(ds, 4)
+    assert out.to_pydict() == {
+        "source": ["x", "y"],
+        "tokens_available": [5, 1],
+        "tokens_allocated": [3, 1]}
