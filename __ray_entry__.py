@@ -4469,6 +4469,32 @@ def _q_token_budget_allocation(sf_dir: str) -> pa.Table:
                                      pa.int64())})
 
 
+def _q_text_roundtrip_documents(sf_dir: str) -> pa.Table:
+    """Text-lines corpus roundtrip (one escaped doc per line, the
+    plainest LLM wire format): write shard files named
+    min-max-contenthash (resumable), read back with ray.data
+    read_text + vectorized unescape, byte-exact
+    (sources/textlines.py)."""
+    import shutil
+    import tempfile
+
+    from pyschema_ray.sources.textlines import (read_text_lines,
+                                                write_text_lines)
+
+    out = tempfile.mkdtemp(prefix="psr_textlines_",
+                           dir="/tmp")
+    try:
+        write_text_lines(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]),
+            out)
+        back = read_text_lines(out)
+        return _collect(back, pa.schema([
+            ("doc_id", pa.int64()), ("text", pa.string())])) \
+            .sort_by([("doc_id", "ascending")])
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _q_order_priority_exists_counts(sf_dir: str) -> pa.Table:
     """TPC-H Q4 shape: orders in a date window having at least one
     high-quantity line (EXISTS), counted per priority — the bounded
@@ -5997,6 +6023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_rfm_segments": _q_customer_rfm_segments,
         "event_transition_entropy": _q_event_transition_entropy,
         "token_budget_allocation": _q_token_budget_allocation,
+        "text_roundtrip_documents": _q_text_roundtrip_documents,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -8528,6 +8555,12 @@ def oracle_sql() -> dict[str, str]:
                             AS BIGINT)) AS BIGINT) AS h_milli
               FROM c JOIN s USING (p)
              GROUP BY 1, 2 ORDER BY 1
+        """,
+        "text_roundtrip_documents": """
+            SELECT doc_id, coalesce(text, '') AS text
+              FROM documents
+             WHERE doc_id IS NOT NULL
+             ORDER BY doc_id
         """,
         "order_priority_exists_counts": """
             SELECT o_orderpriority,

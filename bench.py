@@ -135,7 +135,7 @@ QUERY_SUBSET = [
     "embedding_centroid_shift", "cascade_delete_impact",
     "event_gap_volatility", "events_before_signup",
     "customer_rfm_segments", "event_transition_entropy",
-    "token_budget_allocation",
+    "token_budget_allocation", "text_roundtrip_documents",
 ]
 
 
