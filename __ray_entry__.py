@@ -4495,6 +4495,21 @@ def _q_text_roundtrip_documents(sf_dir: str) -> pa.Table:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _q_lexical_diversity_by_source(sf_dir: str) -> pa.Table:
+    """Type-token-ratio ingredients per source: docs, tokens, and the
+    sum of per-doc distinct words — one streaming pass, per-batch
+    lexsort run boundaries (functions/lm.py::lexical_diversity)."""
+    from pyschema_ray.functions.lm import lexical_diversity
+
+    out = lexical_diversity(
+        _read(sf_dir, "documents", columns=["source", "text"]),
+        group_col="source", text_col="text")
+    return _collect(out, pa.schema([
+        ("source", pa.string()), ("n_docs", pa.int64()),
+        ("n_tokens", pa.int64()), ("n_distinct_sum", pa.int64())])) \
+        .sort_by([("source", "ascending")])
+
+
 def _q_order_priority_exists_counts(sf_dir: str) -> pa.Table:
     """TPC-H Q4 shape: orders in a date window having at least one
     high-quantity line (EXISTS), counted per priority — the bounded
@@ -6024,6 +6039,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transition_entropy": _q_event_transition_entropy,
         "token_budget_allocation": _q_token_budget_allocation,
         "text_roundtrip_documents": _q_text_roundtrip_documents,
+        "lexical_diversity_by_source": _q_lexical_diversity_by_source,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -8561,6 +8577,26 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
              WHERE doc_id IS NOT NULL
              ORDER BY doc_id
+        """,
+        "lexical_diversity_by_source": """
+            WITH docs AS (
+                SELECT source,
+                       list_filter(
+                           regexp_split_to_array(
+                               lower(trim(coalesce(text, ''))), '\\s+'),
+                           x -> x <> '') AS w
+                  FROM documents WHERE source IS NOT NULL),
+            per AS (
+                SELECT source, len(w) AS n_tok,
+                       len(list_distinct(w)) AS n_dis
+                  FROM docs)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(coalesce(sum(n_tok), 0) AS BIGINT)
+                       AS n_tokens,
+                   CAST(coalesce(sum(n_dis), 0) AS BIGINT)
+                       AS n_distinct_sum
+              FROM per GROUP BY 1 ORDER BY 1
         """,
         "order_priority_exists_counts": """
             SELECT o_orderpriority,

@@ -227,3 +227,20 @@ def test_source_vocab_kl_matches_reference():
     # KL of a distribution vs itself-dominated corpus is >= 0 up to
     # quantization for the skewed source
     assert out.num_rows == 2
+
+
+def test_lexical_diversity_matches_reference():
+    from pyschema_ray.functions.lm import lexical_diversity
+
+    texts = ["aa bb aa cc", "bb bb", "", None, "zz"]
+    srcs = ["s1", "s1", "s2", "s2", None]
+    ds = ray.data.from_arrow(pa.table({
+        "source": pa.array(srcs, pa.string()),
+        "text": pa.array(texts, pa.string())})).repartition(3)
+    out = _tbl(lexical_diversity(ds)).sort_by("source")
+    want = {"s1": (2, 6, 4),      # docs, tokens, per-doc-distinct sum
+            "s2": (2, 0, 0)}
+    got = {r["source"]: (r["n_docs"], r["n_tokens"],
+                         r["n_distinct_sum"])
+           for r in out.to_pylist()}
+    assert got == want
