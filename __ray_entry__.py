@@ -4510,6 +4510,21 @@ def _q_lexical_diversity_by_source(sf_dir: str) -> pa.Table:
         .sort_by([("source", "ascending")])
 
 
+def _q_weekly_rolling_retention(sf_dir: str) -> pa.Table:
+    """Week-over-week rolling retention: per ISO week, distinct
+    active users and those also active the next week — (user, week)
+    dedup combiner + consecutive-week flags per key shard
+    (functions/ordered.py::rolling_retention)."""
+    from pyschema_ray.functions.ordered import rolling_retention
+
+    out = rolling_retention(
+        _read(sf_dir, "events", columns=["user_id", "ts"]))
+    return _collect(out, pa.schema([
+        ("week", pa.timestamp("us")), ("n_users", pa.int64()),
+        ("n_retained", pa.int64())])) \
+        .sort_by([("week", "ascending")])
+
+
 def _q_order_priority_exists_counts(sf_dir: str) -> pa.Table:
     """TPC-H Q4 shape: orders in a date window having at least one
     high-quantity line (EXISTS), counted per priority — the bounded
@@ -6040,6 +6055,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_allocation": _q_token_budget_allocation,
         "text_roundtrip_documents": _q_text_roundtrip_documents,
         "lexical_diversity_by_source": _q_lexical_diversity_by_source,
+        "weekly_rolling_retention": _q_weekly_rolling_retention,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -8597,6 +8613,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(sum(n_dis), 0) AS BIGINT)
                        AS n_distinct_sum
               FROM per GROUP BY 1 ORDER BY 1
+        """,
+        "weekly_rolling_retention": """
+            WITH d AS (
+                SELECT DISTINCT user_id,
+                       CAST(date_trunc('week', ts) AS DATE) AS w
+                  FROM events
+                 WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+            SELECT CAST(a.w AS TIMESTAMP) AS week,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(coalesce(sum(CASE WHEN EXISTS (
+                            SELECT 1 FROM d b
+                             WHERE b.user_id = a.user_id
+                               AND b.w = a.w + 7)
+                        THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_retained
+              FROM d a GROUP BY 1 ORDER BY 1
         """,
         "order_priority_exists_counts": """
             SELECT o_orderpriority,

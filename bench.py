@@ -136,7 +136,7 @@ QUERY_SUBSET = [
     "event_gap_volatility", "events_before_signup",
     "customer_rfm_segments", "event_transition_entropy",
     "token_budget_allocation", "text_roundtrip_documents",
-    "lexical_diversity_by_source",
+    "lexical_diversity_by_source", "weekly_rolling_retention",
 ]
 
 

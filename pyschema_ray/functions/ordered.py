@@ -1156,3 +1156,86 @@ def events_before_anchor(ds, anchor_state: str,
             "n_events": pc.cast(t["sum(n_events)"], pa.int64())})
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def rolling_retention(ds, key_col: str = "user_id",
+                      ts_col: str = "ts",
+                      num_shards: int | None = None):
+    """Week-over-week rolling retention: for every ISO (Monday) week,
+    distinct active keys and how many of them are also active the
+    NEXT calendar week — the complement of the first-touch cohort
+    matrix in analytics.cohort_retention.
+
+    Same physical shape as longest_streaks with weeks for days:
+    per-batch (key, week) dedup combiner, ONE key-hash exchange, a
+    sorted pass that flags consecutive week indices (Monday-aligned
+    ``(epoch_day + 3) // 7`` — verified identical to DuckDB
+    ``date_trunc('week')``), then a tiny per-week groupby.
+
+    -> Dataset(week timestamp, n_users int64, n_retained int64).
+    """
+    import ray.data.aggregate as A
+
+    nb = num_shards or _default_shards()
+    us_per_day = 86_400_000_000
+
+    def exchange(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[key_col]),
+                             pc.is_valid(t[ts_col])))
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        day = us.to_numpy(zero_copy_only=False) // us_per_day
+        week = pa.array((day + 3) // 7, pa.int64())
+        slim = pa.table({key_col: t[key_col], "week": week})
+        slim = slim.group_by([key_col, "week"]).aggregate([])
+        keys = slim[key_col].to_numpy(zero_copy_only=False)
+        return slim.append_column(
+            "kshard", pa.array(_key_shards(keys, nb, 137), pa.int64()))
+
+    def scan(t: pa.Table) -> pa.Table:
+        empty = pa.table({"week": pa.array([], pa.int64()),
+                          "n_users": pa.array([], pa.int64()),
+                          "n_retained": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        idx = pc.sort_indices(t, sort_keys=[(key_col, "ascending"),
+                                            ("week", "ascending")])
+        t = t.take(idx)
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        weeks = t["week"].to_numpy(zero_copy_only=False)
+        n = len(keys)
+        keep = np.ones(n, bool)          # cross-batch dedup
+        keep[1:] = (keys[1:] != keys[:-1]) | (weeks[1:] != weeks[:-1])
+        keys, weeks = keys[keep], weeks[keep]
+        n = len(keys)
+        retained = np.zeros(n, np.int64)
+        if n > 1:
+            nxt = (keys[:-1] == keys[1:]) & (weeks[1:] - weeks[:-1] == 1)
+            retained[:-1] = nxt.astype(np.int64)
+        g = pa.table({"week": pa.array(weeks, pa.int64()),
+                      "one": pa.array(np.ones(n, np.int64)),
+                      "r": pa.array(retained, pa.int64())}) \
+            .group_by("week").aggregate([("one", "sum"), ("r", "sum")])
+        return pa.table({"week": g["week"],
+                         "n_users": pc.cast(g["one_sum"], pa.int64()),
+                         "n_retained": pc.cast(g["r_sum"], pa.int64())})
+
+    agg = ds.map_batches(exchange, batch_format="pyarrow") \
+        .groupby("kshard").map_groups(scan, batch_format="pyarrow") \
+        .groupby("week").aggregate(A.Sum("n_users"),
+                                   A.Sum("n_retained"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "week": pa.array([], pa.timestamp("us")),
+                "n_users": pa.array([], pa.int64()),
+                "n_retained": pa.array([], pa.int64())})
+        w = t["week"].to_numpy(zero_copy_only=False)
+        ts = (w * 7 - 3) * us_per_day
+        return pa.table({
+            "week": pc.cast(pa.array(ts, pa.int64()),
+                            pa.timestamp("us")),
+            "n_users": pc.cast(t["sum(n_users)"], pa.int64()),
+            "n_retained": pc.cast(t["sum(n_retained)"], pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

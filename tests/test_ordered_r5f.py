@@ -662,3 +662,36 @@ def test_events_before_anchor_matches_duckdb():
     """).arrow().cast(out.schema)
     assert out.equals(exp)
     assert sum(out["n_before"].to_pylist()) > 0
+
+
+def test_rolling_retention_matches_duckdb():
+    import duckdb
+
+    from pyschema_ray.functions.ordered import rolling_retention
+
+    rng = np.random.default_rng(73)
+    n = 500
+    ts = pa.array(
+        np.datetime64("2024-01-01") +
+        rng.integers(0, 60 * 86400, n).astype("timedelta64[s]"),
+        pa.timestamp("us"))
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 40, n), pa.int64()),
+        "ts": ts,
+    })
+    out = _tab(rolling_retention(_ds(t, 5))).sort_by("week")
+    exp = duckdb.sql("""
+        WITH d AS (SELECT DISTINCT user_id,
+                          CAST(date_trunc('week', ts) AS DATE) AS w
+                     FROM t)
+        SELECT CAST(a.w AS TIMESTAMP) AS week,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(coalesce(sum(CASE WHEN EXISTS (
+                        SELECT 1 FROM d b
+                         WHERE b.user_id = a.user_id
+                           AND b.w = a.w + 7)
+                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_retained
+          FROM d a GROUP BY 1 ORDER BY 1
+    """).arrow().cast(out.schema)
+    assert out.equals(exp)
+    assert sum(out["n_retained"].to_pylist()) > 0
