@@ -427,12 +427,6 @@ def _triangle_pipeline(edges, src_col: str, dst_col: str,
 
     # ---- attach deg to each endpoint via sentinel-row merges
     def _merge_deg(end_col: str, out_deg: str, seed: int):
-        MERGED = pa.schema(
-            [("u", pa.int64()), ("v", pa.int64())]
-            + ([(c, pa.int64()) for c in ("du",)]
-               if out_deg == "dv" else [])
-            + [(out_deg, pa.int64())])
-
         def tag_edges(t: pa.Table) -> pa.Table:
             cols = {"u": t["u"], "v": t["v"],
                     "k": t[end_col],
