@@ -354,10 +354,19 @@ def pagerank(edges, damping: float = 0.85, iters: int = 10,
 
 
 def _triangle_pipeline(edges, src_col: str, dst_col: str,
-                       num_shards: int | None, per_node: bool):
+                       num_shards: int | None, per_node: bool,
+                       broadcast_nodes_threshold: int = 4_000_000,
+                       small_edges_threshold: int = 5_000_000):
     """Shared node-iterator++ plan behind :func:`triangle_count`
     (per_node=False: one global count) and :func:`local_clustering`
-    (per_node=True: per-node triangle counts merged with degrees)."""
+    (per_node=True: per-node triangle counts merged with degrees).
+
+    Adaptive degree attach: when the node count fits the broadcast
+    budget (``broadcast_nodes_threshold``, ~2 sorted int64 arrays via
+    ray.put — the small-dim fast path used across the repo), both
+    endpoint degrees attach in ONE map pass with searchsorted probes,
+    skipping two sentinel-merge exchanges; above it the distributed
+    sentinel path runs unchanged (threshold=0 forces it in tests)."""
     from .dedup import _group_starts, _key_hash
 
     nb = num_shards or _default_shards()
@@ -398,6 +407,24 @@ def _triangle_pipeline(edges, src_col: str, dst_col: str,
         .groupby("eshard").map_groups(edge_dedup,
                                       batch_format="pyarrow") \
         .materialize()
+
+    if E.count() <= small_edges_threshold:
+        # adaptive driver fast path (the pagerank/connected-components
+        # precedent): the DEDUPED canonical edge list is small; wedge
+        # expansion + closing run chunked in one task, identical
+        # orientation rules.  threshold=0 forces the distributed path.
+        import ray.data as rd
+
+        tbls = [b for b in E.iter_batches(batch_format="pyarrow",
+                                          batch_size=None)
+                if b.num_rows]
+        if tbls:
+            et = pa.concat_tables(tbls)
+            u = et["u"].to_numpy(zero_copy_only=False)
+            v = et["v"].to_numpy(zero_copy_only=False)
+        else:
+            u = v = np.empty(0, np.int64)
+        return rd.from_arrow(_tri_local(u, v, per_node))
 
     # ---- degrees: one node-hash exchange over per-batch partials
     def deg_rows(t: pa.Table) -> pa.Table:
@@ -480,16 +507,44 @@ def _triangle_pipeline(edges, src_col: str, dst_col: str,
 
         return tag_edges, tag_deg, merge
 
+    import ray
     import ray.data
 
-    te, td, mg = _merge_deg("u", "du", 53)
-    half = E.map_batches(te, batch_format="pyarrow") \
-        .union(D.map_batches(td, batch_format="pyarrow")) \
-        .groupby("mshard").map_groups(mg, batch_format="pyarrow")
-    te2, td2, mg2 = _merge_deg("v", "dv", 59)
-    full = half.map_batches(te2, batch_format="pyarrow") \
-        .union(D.map_batches(td2, batch_format="pyarrow")) \
-        .groupby("mshard").map_groups(mg2, batch_format="pyarrow")
+    n_nodes = D.count()
+    if n_nodes <= broadcast_nodes_threshold:
+        dt = pa.concat_tables(
+            [b for b in D.iter_batches(batch_format="pyarrow",
+                                       batch_size=None) if b.num_rows]
+            or [pa.table({"node": pa.array([], pa.int64()),
+                          "d": pa.array([], pa.int64())})])
+        dn = dt["node"].to_numpy(zero_copy_only=False)
+        dv_ = dt["d"].to_numpy(zero_copy_only=False)
+        o = np.argsort(dn)
+        deg_ref = ray.put((dn[o], dv_[o]))
+
+        def attach_both(t: pa.Table) -> pa.Table:
+            nodes, degs = ray.get(deg_ref)
+            u = t["u"].to_numpy(zero_copy_only=False)
+            v = t["v"].to_numpy(zero_copy_only=False)
+            # every endpoint has a degree row by construction
+            du = degs[np.searchsorted(nodes, u)] if len(nodes) \
+                else np.zeros(len(u), np.int64)
+            dv = degs[np.searchsorted(nodes, v)] if len(nodes) \
+                else np.zeros(len(v), np.int64)
+            return pa.table({"u": t["u"], "v": t["v"],
+                             "du": pa.array(du, pa.int64()),
+                             "dv": pa.array(dv, pa.int64())})
+
+        full = E.map_batches(attach_both, batch_format="pyarrow")
+    else:
+        te, td, mg = _merge_deg("u", "du", 53)
+        half = E.map_batches(te, batch_format="pyarrow") \
+            .union(D.map_batches(td, batch_format="pyarrow")) \
+            .groupby("mshard").map_groups(mg, batch_format="pyarrow")
+        te2, td2, mg2 = _merge_deg("v", "dv", 59)
+        full = half.map_batches(te2, batch_format="pyarrow") \
+            .union(D.map_batches(td2, batch_format="pyarrow")) \
+            .groupby("mshard").map_groups(mg2, batch_format="pyarrow")
 
     # ---- orient by (deg, id) and generate wedges at each apex
     def orient(t: pa.Table) -> pa.Table:
@@ -675,7 +730,9 @@ def _triangle_pipeline(edges, src_col: str, dst_col: str,
 
 
 def triangle_count(edges, src_col: str = "src", dst_col: str = "dst",
-                   num_shards: int | None = None):
+                   num_shards: int | None = None,
+                   broadcast_nodes_threshold: int = 4_000_000,
+                   small_edges_threshold: int = 5_000_000):
     """Distributed exact triangle counting over an undirected edge
     Dataset (int64 node ids) — the clustering-coefficient /
     community-density primitive.  MapReduce node-iterator++ (Cohen's
@@ -694,12 +751,16 @@ def triangle_count(edges, src_col: str = "src", dst_col: str = "dst",
 
     -> Dataset with a single row (n_triangles int64).
     """
-    return _triangle_pipeline(edges, src_col, dst_col, num_shards,
-                              per_node=False)
+    return _triangle_pipeline(
+        edges, src_col, dst_col, num_shards, per_node=False,
+        broadcast_nodes_threshold=broadcast_nodes_threshold,
+        small_edges_threshold=small_edges_threshold)
 
 
 def local_clustering(edges, src_col: str = "src", dst_col: str = "dst",
-                     num_shards: int | None = None):
+                     num_shards: int | None = None,
+                     broadcast_nodes_threshold: int = 4_000_000,
+                     small_edges_threshold: int = 5_000_000):
     """Per-node triangle counts and local clustering coefficient
     ``2*T(v) / (deg(v) * (deg(v) - 1))`` over an undirected edge
     Dataset — same oriented-wedge plan as :func:`triangle_count`, but
@@ -709,5 +770,90 @@ def local_clustering(edges, src_col: str = "src", dst_col: str = "dst",
 
     -> Dataset(node, degree, n_triangles int64, clustering float64).
     """
-    return _triangle_pipeline(edges, src_col, dst_col, num_shards,
-                              per_node=True)
+    return _triangle_pipeline(
+        edges, src_col, dst_col, num_shards, per_node=True,
+        broadcast_nodes_threshold=broadcast_nodes_threshold,
+        small_edges_threshold=small_edges_threshold)
+
+
+def _tri_local(u: np.ndarray, v: np.ndarray, per_node: bool,
+               chunk: int = 8_000_000):
+    """Single-task triangle pass over CANONICAL deduped edges —
+    identical orientation/tie rules as the distributed wedge plan
+    (index space preserves id order because node ids are np.unique-
+    sorted).  Wedges expand in bounded chunks, close against an exact
+    ``s * n + d`` integer key set (n < 2^31 by the int64 node-id
+    contract, so keys never collide)."""
+    m = len(u)
+    if m == 0:
+        if per_node:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "degree": pa.array([], pa.int64()),
+                             "n_triangles": pa.array([], pa.int64()),
+                             "clustering": pa.array([], pa.float64())})
+        return pa.table({"n_triangles": pa.array([0], pa.int64())})
+    nodes, inv = np.unique(np.concatenate([u, v]),
+                           return_inverse=True)
+    n = len(nodes)
+    iu, iv = inv[:m], inv[m:]
+    deg = np.bincount(np.concatenate([iu, iv]),
+                      minlength=n).astype(np.int64)
+    u_first = (deg[iu] < deg[iv]) | ((deg[iu] == deg[iv]) & (iu < iv))
+    s = np.where(u_first, iu, iv)
+    d = np.where(u_first, iv, iu)
+    dd = deg[d]
+    order = np.lexsort((d, dd, s))
+    s, d, dd = s[order], d[order], dd[order]
+    from .dedup import _group_starts
+    starts, sizes = _group_starts(s)
+    ekeys = np.sort(s.astype(np.int64) * n + d)
+    # closing probe: an n^2-bit set (<= ~400 MB under the gate) turns
+    # the per-wedge log(m) binary search into one byte gather; beyond
+    # the gate, sorted probes
+    bits = None
+    if n * n <= 3_200_000_000:
+        bits = np.zeros(n * n // 8 + 1, np.uint8)
+        np.bitwise_or.at(bits, ekeys >> 3,
+                         (1 << (ekeys & 7)).astype(np.uint8))
+    w_in = np.arange(m) - np.repeat(starts, sizes)
+    reps = np.repeat(sizes, sizes) - 1 - w_in
+    cum = np.concatenate([[0], np.cumsum(reps)])
+    total = int(cum[-1])
+    tri_count = 0
+    tri_per = np.zeros(n, np.int64) if per_node else None
+    e0 = 0
+    while e0 < m:
+        e1 = int(np.searchsorted(cum, cum[e0] + chunk, "left"))
+        e1 = min(max(e1, e0 + 1), m)
+        r = reps[e0:e1]
+        ln = int(r.sum())
+        if ln:
+            li = np.repeat(np.arange(e0, e1), r)
+            csum = np.concatenate([[0], np.cumsum(r)])
+            off = np.arange(ln) - np.repeat(csum[:-1], r)
+            ri = li + 1 + off
+            a, b = d[li], d[ri]
+            keys = a.astype(np.int64) * n + b
+            if bits is not None:
+                matched = ((bits[keys >> 3] >> (keys & 7)) & 1) \
+                    .astype(bool)
+            else:
+                pos = np.clip(np.searchsorted(ekeys, keys), 0,
+                              max(len(ekeys) - 1, 0))
+                matched = ekeys[pos] == keys
+            tri_count += int(matched.sum())
+            if per_node:
+                np.add.at(tri_per, s[li][matched], 1)
+                np.add.at(tri_per, a[matched], 1)
+                np.add.at(tri_per, b[matched], 1)
+        e0 = e1
+    if not per_node:
+        return pa.table({"n_triangles": pa.array([tri_count],
+                                                 pa.int64())})
+    pairs = deg * (deg - 1)
+    cc = np.zeros(n, np.float64)
+    np.divide(2.0 * tri_per, pairs, out=cc, where=pairs >= 2)
+    return pa.table({"node": pa.array(nodes, pa.int64()),
+                     "degree": pa.array(deg, pa.int64()),
+                     "n_triangles": pa.array(tri_per, pa.int64()),
+                     "clustering": pa.array(cc, pa.float64())})

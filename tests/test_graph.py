@@ -175,3 +175,42 @@ def test_local_clustering_matches_brute():
         assert cc == want
     # global count consistency: sum of per-node triangles = 3 * total
     assert sum(tri_per) == 3 * _tri_brute(canon)
+
+
+def test_triangle_paths_agree():
+    """All three plans agree: the default driver fast path
+    (small_edges), the distributed plan with broadcast degree attach
+    (small=0), and the fully distributed sentinel plan (both 0)."""
+    from pyschema_ray.functions.graph import (local_clustering,
+                                              triangle_count)
+
+    rng = np.random.default_rng(17)
+    pairs = list({(int(a), int(b)) for a, b in
+                  rng.integers(0, 30, (150, 2)) if a != b})
+
+    def one(**kw):
+        t = pa.concat_tables(
+            [b for b in triangle_count(_ds(_edges_tbl(pairs), 4),
+                                       "src", "dst", num_shards=5,
+                                       **kw)
+             .iter_batches(batch_format="pyarrow", batch_size=None)
+             if b.num_rows])
+        return t["n_triangles"][0].as_py()
+
+    local = one()
+    bcast = one(small_edges_threshold=0)
+    dist = one(small_edges_threshold=0, broadcast_nodes_threshold=0)
+    assert local == bcast == dist
+
+    def cc(**kw):
+        return pa.concat_tables(
+            [b for b in local_clustering(_ds(_edges_tbl(pairs), 4),
+                                         "src", "dst", num_shards=5,
+                                         **kw)
+             .iter_batches(batch_format="pyarrow", batch_size=None)
+             if b.num_rows]).sort_by("node")
+
+    a = cc()
+    b = cc(small_edges_threshold=0)
+    c = cc(small_edges_threshold=0, broadcast_nodes_threshold=0)
+    assert a.equals(b) and a.equals(c)
