@@ -4525,6 +4525,110 @@ def _q_weekly_rolling_retention(sf_dir: str) -> pa.Table:
         .sort_by([("week", "ascending")])
 
 
+def _q_part_association_rules(sf_dir: str) -> pa.Table:
+    """Market-basket association rules: top-20 co-purchased part
+    pairs by support, with confidence n_both/n_a and lift
+    n_both*N/(n_a*n_b) — pair counts on a pair-hash exchange with
+    k x shards head rows, winner singles via one is_in-filtered
+    aggregate pass (never the full part-count table on the driver)."""
+    from ray.data.aggregate import Sum
+
+    from pyschema_ray.functions.dedup import (_default_shards,
+                                              _key_hash)
+
+    nb = _default_shards()
+    k = 20
+
+    edges = _copurchase_edges(sf_dir)
+
+    def tag(t: pa.Table) -> pa.Table:
+        g = t.group_by(["src", "dst"]).aggregate([([], "count_all")])
+        sh = ((_key_hash(g["src"].to_numpy(zero_copy_only=False), 139)
+               ^ _key_hash(g["dst"].to_numpy(zero_copy_only=False),
+                           149)) % np.uint64(nb)).astype(np.int64)
+        return pa.table({"src": g["src"], "dst": g["dst"],
+                         "n": pc.cast(g["count_all"], pa.int64()),
+                         "pshard": pa.array(sh, pa.int64())})
+
+    def shard_head(t: pa.Table) -> pa.Table:
+        empty = pa.table({"src": pa.array([], pa.int64()),
+                          "dst": pa.array([], pa.int64()),
+                          "n_both": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        g = t.select(["src", "dst", "n"]).group_by(["src", "dst"]) \
+            .aggregate([("n", "sum")])
+        g = pa.table({"src": g["src"], "dst": g["dst"],
+                      "n_both": pc.cast(g["n_sum"], pa.int64())})
+        idx = pc.sort_indices(g, sort_keys=[
+            ("n_both", "descending"), ("src", "ascending"),
+            ("dst", "ascending")])
+        return g.take(idx[:k])
+
+    heads = edges.map_batches(tag, batch_format="pyarrow") \
+        .groupby("pshard").map_groups(shard_head,
+                                      batch_format="pyarrow")
+    ht = _collect(heads)
+    out_schema = pa.schema([
+        ("part_a", pa.int64()), ("part_b", pa.int64()),
+        ("n_both", pa.int64()), ("n_a", pa.int64()),
+        ("n_b", pa.int64()), ("confidence", pa.float64()),
+        ("lift", pa.float64())])
+    if ht is None or ht.num_rows == 0:
+        return out_schema.empty_table()
+    ht = ht.take(pc.sort_indices(ht, sort_keys=[
+        ("n_both", "descending"), ("src", "ascending"),
+        ("dst", "ascending")])[:k])
+    winners = sorted(set(ht["src"].to_pylist())
+                     | set(ht["dst"].to_pylist()))
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey"])
+
+    def single_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["l_partkey"],
+                              value_set=pa.array(winners, pa.int64())))
+        # per-batch distinct only; the cross-batch dedup happens in
+        # the (orderkey, partkey) groupby below — a repeated partkey
+        # within an order can straddle batch boundaries.
+        return t.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+
+    def count_per_part(t: pa.Table) -> pa.Table:
+        g = t.group_by("l_partkey").aggregate([([], "count_all")])
+        return pa.table({"p": g["l_partkey"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    singles = _collect(
+        li.map_batches(single_partial, batch_format="pyarrow")
+        .groupby(["l_orderkey", "l_partkey"]).count()
+        .map_batches(count_per_part, batch_format="pyarrow")
+        .groupby("p").aggregate(Sum("n")))
+    smap = dict(zip(singles["p"].to_pylist(),
+                    pc.cast(singles["sum(n)"], pa.int64()).to_pylist()))
+
+    N = _read(sf_dir, "lineitem", columns=["l_orderkey"]) \
+        .map_batches(
+            lambda t: t.group_by("l_orderkey").aggregate([]),
+            batch_format="pyarrow") \
+        .groupby("l_orderkey").count().count()
+
+    ua = ht["src"].to_numpy(zero_copy_only=False)
+    ub = ht["dst"].to_numpy(zero_copy_only=False)
+    nb_ = ht["n_both"].to_numpy(zero_copy_only=False)
+    na = np.array([smap[x] for x in ua], np.int64)
+    nbv = np.array([smap[x] for x in ub], np.int64)
+    conf = nb_.astype(np.float64) / na
+    lift = (nb_.astype(np.float64) * N) / (na * nbv)
+    return pa.table({
+        "part_a": pa.array(ua, pa.int64()),
+        "part_b": pa.array(ub, pa.int64()),
+        "n_both": pa.array(nb_, pa.int64()),
+        "n_a": pa.array(na, pa.int64()),
+        "n_b": pa.array(nbv, pa.int64()),
+        "confidence": pa.array(conf, pa.float64()),
+        "lift": pa.array(lift, pa.float64())})
+
+
 def _q_order_priority_exists_counts(sf_dir: str) -> pa.Table:
     """TPC-H Q4 shape: orders in a date window having at least one
     high-quantity line (EXISTS), counted per priority — the bounded
@@ -6056,6 +6160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_roundtrip_documents": _q_text_roundtrip_documents,
         "lexical_diversity_by_source": _q_lexical_diversity_by_source,
         "weekly_rolling_retention": _q_weekly_rolling_retention,
+        "part_association_rules": _q_part_association_rules,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -8629,6 +8734,35 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END), 0) AS BIGINT)
                        AS n_retained
               FROM d a GROUP BY 1 ORDER BY 1
+        """,
+        "part_association_rules": """
+            WITH lp AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            nn AS (
+                SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+                           AS n_orders
+                  FROM lineitem),
+            pr AS (
+                SELECT a.l_partkey AS u, b.l_partkey AS v,
+                       CAST(count(*) AS BIGINT) AS n_both
+                  FROM lp a
+                  JOIN lp b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+                 GROUP BY 1, 2),
+            top AS (SELECT * FROM pr
+                     ORDER BY n_both DESC, u, v LIMIT 20),
+            s AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
+                    FROM lp GROUP BY 1)
+            SELECT top.u AS part_a, top.v AS part_b, top.n_both,
+                   sa.n AS n_a, sb.n AS n_b,
+                   CAST(top.n_both AS DOUBLE) / sa.n AS confidence,
+                   (CAST(top.n_both AS DOUBLE) * nn.n_orders)
+                       / (sa.n * sb.n) AS lift
+              FROM top
+              JOIN s sa ON sa.l_partkey = top.u
+              JOIN s sb ON sb.l_partkey = top.v
+              CROSS JOIN nn
+             ORDER BY n_both DESC, part_a, part_b
         """,
         "order_priority_exists_counts": """
             SELECT o_orderpriority,

@@ -137,6 +137,7 @@ QUERY_SUBSET = [
     "customer_rfm_segments", "event_transition_entropy",
     "token_budget_allocation", "text_roundtrip_documents",
     "lexical_diversity_by_source", "weekly_rolling_retention",
+    "part_association_rules",
 ]
 
 
