@@ -4629,6 +4629,124 @@ def _q_part_association_rules(sf_dir: str) -> pa.Table:
         "lift": pa.array(lift, pa.float64())})
 
 
+def _q_revenue_weighted_median_qty(sf_dir: str) -> pa.Table:
+    """Lower WEIGHTED median of l_quantity per return flag, weighted
+    by exact int-cent extendedprice — the weighted complement of the
+    bounded-domain count-vector quantile: the exchange carries
+    distinct (flag, qty) pairs (flags x 50, never rows), and the
+    epilogue is a cumulative-weight scan over that tiny table.  All
+    integer math: bit-reproducible by SQL window cumsums."""
+    import ray.data.aggregate as A
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.is_valid(t["l_returnflag"]),
+            pc.and_(pc.is_valid(t["l_quantity"]),
+                    pc.is_valid(t["l_extendedprice"]))))
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        g = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "qty": pc.cast(t["l_quantity"], pa.int64()),
+            "w": cents,
+        }).group_by(["l_returnflag", "qty"]).aggregate([("w", "sum")])
+        return g.rename_columns(["l_returnflag", "qty", "w"])
+
+    agg = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "qty"]).aggregate(A.Sum("w"))
+    t = _collect(agg, pa.schema([("l_returnflag", pa.string()),
+                                 ("qty", pa.int64()),
+                                 ("sum(w)", pa.int64())]))
+    out_schema = pa.schema([("l_returnflag", pa.string()),
+                            ("total_cents", pa.int64()),
+                            ("wmedian_qty", pa.int64())])
+    if t.num_rows == 0:
+        return out_schema.empty_table()
+    t = t.sort_by([("l_returnflag", "ascending"), ("qty", "ascending")])
+    flags = np.asarray(t["l_returnflag"].to_pylist(), dtype=object)
+    qty = t["qty"].to_numpy(zero_copy_only=False)
+    w = pc.cast(t.column(2), pa.int64()).to_numpy(zero_copy_only=False)
+    names, tots, meds = [], [], []
+    i = 0
+    while i < len(flags):
+        j = i
+        while j < len(flags) and flags[j] == flags[i]:
+            j += 1
+        cum = np.cumsum(w[i:j])
+        tot = int(cum[-1])
+        # lower weighted median: first qty whose 2*cumweight >= total
+        k = int(np.searchsorted(2 * cum, tot, side="left"))
+        names.append(flags[i])
+        tots.append(tot)
+        meds.append(int(qty[i + k]))
+        i = j
+    return pa.table({
+        "l_returnflag": pa.array(names, pa.string()),
+        "total_cents": pa.array(tots, pa.int64()),
+        "wmedian_qty": pa.array(meds, pa.int64()),
+    }).sort_by([("l_returnflag", "ascending")])
+
+
+def _q_event_hour_mutual_info(sf_dir: str) -> pa.Table:
+    """Mutual information between event type and hour-of-day in exact
+    integer milli-nats, broken out per event type:
+    ``mi_milli = sum_h n_th * round(1000 * ln(n_th*N / (n_t*n_h)))``.
+    The one exchange carries the (type, hour) contingency table
+    (types x 24 rows after per-batch combiners); the epilogue is
+    driver math over those ints — the quantize-log-BEFORE-sum
+    convention shared with event_transition_entropy."""
+    import ray.data.aggregate as A
+
+    from pyschema_ray.functions.lm import _round_half_away
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t["event_type"]),
+                             pc.is_valid(t["ts"])))
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        hr = (us // (3600 * 1_000_000)) % 24
+        g = pa.table({
+            "event_type": t["event_type"],
+            "hr": pa.array(hr, pa.int64()),
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+        }).group_by(["event_type", "hr"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "hr", "n"])
+
+    agg = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby(["event_type", "hr"]).aggregate(A.Sum("n"))
+    t = _collect(agg, pa.schema([("event_type", pa.string()),
+                                 ("hr", pa.int64()),
+                                 ("sum(n)", pa.int64())]))
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("n_events", pa.int64()),
+                            ("mi_milli", pa.int64())])
+    if t.num_rows == 0:
+        return out_schema.empty_table()
+    types = np.asarray(t["event_type"].to_pylist(), dtype=object)
+    hrs = t["hr"].to_numpy(zero_copy_only=False)
+    nxy = pc.cast(t.column(2), pa.int64()).to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    ut, tinv = np.unique(types, return_inverse=True)
+    nx = np.bincount(tinv, weights=nxy)
+    ny = np.bincount(hrs, weights=nxy, minlength=24)
+    nn = float(nxy.sum())
+    ratio = (nxy * nn) / (nx[tinv] * ny[hrs])
+    terms = (nxy * _round_half_away(np.log(ratio) * 1000.0)) \
+        .astype(np.int64)
+    mi = np.bincount(tinv, weights=terms).astype(np.int64)
+    return pa.table({
+        "event_type": pa.array(ut.tolist(), pa.string()),
+        "n_events": pa.array(nx.astype(np.int64), pa.int64()),
+        "mi_milli": pa.array(mi, pa.int64()),
+    }).sort_by([("event_type", "ascending")])
+
+
 def _q_order_priority_exists_counts(sf_dir: str) -> pa.Table:
     """TPC-H Q4 shape: orders in a date window having at least one
     high-quantity line (EXISTS), counted per priority — the bounded
@@ -6161,6 +6279,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lexical_diversity_by_source": _q_lexical_diversity_by_source,
         "weekly_rolling_retention": _q_weekly_rolling_retention,
         "part_association_rules": _q_part_association_rules,
+        "revenue_weighted_median_qty": _q_revenue_weighted_median_qty,
+        "event_hour_mutual_info": _q_event_hour_mutual_info,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -8763,6 +8883,53 @@ def oracle_sql() -> dict[str, str]:
               JOIN s sb ON sb.l_partkey = top.v
               CROSS JOIN nn
              ORDER BY n_both DESC, part_a, part_b
+        """,
+        "revenue_weighted_median_qty": """
+            WITH w AS (
+                SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+                       CAST(sum(CAST(round(l_extendedprice * 100)
+                                AS BIGINT)) AS BIGINT) AS wsum
+                  FROM lineitem
+                 WHERE l_returnflag IS NOT NULL
+                   AND l_quantity IS NOT NULL
+                   AND l_extendedprice IS NOT NULL
+                 GROUP BY 1, 2),
+            c AS (
+                SELECT l_returnflag, qty, wsum,
+                       SUM(wsum) OVER (PARTITION BY l_returnflag
+                                       ORDER BY qty) AS cumw,
+                       SUM(wsum) OVER (PARTITION BY l_returnflag)
+                           AS tot
+                  FROM w)
+            SELECT l_returnflag,
+                   CAST(MIN(tot) AS BIGINT) AS total_cents,
+                   CAST(MIN(CASE WHEN 2 * cumw >= tot THEN qty END)
+                        AS BIGINT) AS wmedian_qty
+              FROM c GROUP BY 1 ORDER BY 1
+        """,
+        "event_hour_mutual_info": """
+            WITH e AS (
+                SELECT event_type,
+                       CAST(extract(hour FROM ts) AS BIGINT) AS hr
+                  FROM events
+                 WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+            c AS (SELECT event_type, hr,
+                         CAST(count(*) AS BIGINT) AS nxy
+                    FROM e GROUP BY 1, 2),
+            x AS (SELECT event_type, CAST(sum(nxy) AS BIGINT) AS nx
+                    FROM c GROUP BY 1),
+            y AS (SELECT hr, CAST(sum(nxy) AS BIGINT) AS ny
+                    FROM c GROUP BY 1),
+            n AS (SELECT CAST(sum(nxy) AS BIGINT) AS nn FROM c)
+            SELECT c.event_type,
+                   CAST(x.nx AS BIGINT) AS n_events,
+                   CAST(sum(c.nxy * CAST(round(1000 * ln(
+                        (CAST(c.nxy AS DOUBLE) * nn)
+                        / (CAST(x.nx AS DOUBLE) * y.ny)))
+                        AS BIGINT)) AS BIGINT) AS mi_milli
+              FROM c JOIN x USING (event_type) JOIN y USING (hr)
+             CROSS JOIN n
+             GROUP BY 1, 2 ORDER BY 1
         """,
         "order_priority_exists_counts": """
             SELECT o_orderpriority,

@@ -137,7 +137,8 @@ QUERY_SUBSET = [
     "customer_rfm_segments", "event_transition_entropy",
     "token_budget_allocation", "text_roundtrip_documents",
     "lexical_diversity_by_source", "weekly_rolling_retention",
-    "part_association_rules",
+    "part_association_rules", "revenue_weighted_median_qty",
+    "event_hour_mutual_info",
 ]
 
 
