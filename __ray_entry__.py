@@ -4747,6 +4747,34 @@ def _q_event_hour_mutual_info(sf_dir: str) -> pa.Table:
     }).sort_by([("event_type", "ascending")])
 
 
+def _q_null_profile_documents(sf_dir: str) -> pa.Table:
+    """Per-column fill-rate profile of the documents table — the
+    data-quality summary every validation run starts with: one
+    (n_rows, per-column null count) combiner row per batch, one tiny
+    Sum aggregate, long-format epilogue.  Exact ints only; the
+    exchange is O(batches x columns), never rows."""
+    import ray.data.aggregate as A
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    ds = _read(sf_dir, "documents", columns=cols)
+
+    def prep(t: pa.Table) -> pa.Table:
+        row: dict = {"n_rows": pa.array([t.num_rows], pa.int64())}
+        for c in cols:
+            row[f"null_{c}"] = pa.array([t[c].null_count], pa.int64())
+        return pa.table(row)
+
+    agg = ds.map_batches(prep, batch_format="pyarrow").aggregate(
+        A.Sum("n_rows"), *[A.Sum(f"null_{c}") for c in cols])
+    n_rows = int(agg.get("sum(n_rows)") or 0)
+    return pa.table({
+        "column": pa.array(cols, pa.string()),
+        "n_rows": pa.array([n_rows] * len(cols), pa.int64()),
+        "n_null": pa.array([int(agg.get(f"sum(null_{c})") or 0)
+                            for c in cols], pa.int64()),
+    }).sort_by([("column", "ascending")])
+
+
 def _q_order_priority_exists_counts(sf_dir: str) -> pa.Table:
     """TPC-H Q4 shape: orders in a date window having at least one
     high-quantity line (EXISTS), counted per priority — the bounded
@@ -6281,6 +6309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_association_rules": _q_part_association_rules,
         "revenue_weighted_median_qty": _q_revenue_weighted_median_qty,
         "event_hour_mutual_info": _q_event_hour_mutual_info,
+        "null_profile_documents": _q_null_profile_documents,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -8930,6 +8959,26 @@ def oracle_sql() -> dict[str, str]:
               FROM c JOIN x USING (event_type) JOIN y USING (hr)
              CROSS JOIN n
              GROUP BY 1, 2 ORDER BY 1
+        """,
+        "null_profile_documents": """
+            WITH p AS (
+                SELECT 'doc_id' AS col, count(*) AS n,
+                       count(*) - count(doc_id) AS z FROM documents
+                UNION ALL
+                SELECT 'text', count(*), count(*) - count(text)
+                  FROM documents
+                UNION ALL
+                SELECT 'lang', count(*), count(*) - count(lang)
+                  FROM documents
+                UNION ALL
+                SELECT 'source', count(*), count(*) - count(source)
+                  FROM documents
+                UNION ALL
+                SELECT 'n_chars', count(*), count(*) - count(n_chars)
+                  FROM documents)
+            SELECT col AS "column", CAST(n AS BIGINT) AS n_rows,
+                   CAST(z AS BIGINT) AS n_null
+              FROM p ORDER BY col
         """,
         "order_priority_exists_counts": """
             SELECT o_orderpriority,

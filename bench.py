@@ -138,7 +138,7 @@ QUERY_SUBSET = [
     "token_budget_allocation", "text_roundtrip_documents",
     "lexical_diversity_by_source", "weekly_rolling_retention",
     "part_association_rules", "revenue_weighted_median_qty",
-    "event_hour_mutual_info",
+    "event_hour_mutual_info", "null_profile_documents",
 ]
 
 
