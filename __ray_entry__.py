@@ -4747,6 +4747,78 @@ def _q_event_hour_mutual_info(sf_dir: str) -> pa.Table:
     }).sort_by([("event_type", "ascending")])
 
 
+def _q_customer_revenue_gini(sf_dir: str) -> pa.Table:
+    """Revenue-concentration (Gini) ingredients over per-customer
+    order totals, all exact integers: a custkey-hash revenue
+    exchange, ONE distributed sort of the (customer, cents) rows,
+    then 4-scalar per-block partials (n, sum, chunked local
+    rank-weighted sum, min value) combined on the driver with
+    arbitrary-precision prefix offsets — rank*value products stay
+    inside int64 within a 64k sub-chunk and every cross-chunk /
+    cross-block term is a Python int, so there is NO overflow
+    contract.  Ties straddling block boundaries are safe: any rank
+    assignment within a tie leaves sum(rank*x) unchanged.  Gini =
+    (2*S1 - (n+1)*total) / (n*total) is one division away and
+    deliberately not materialized as a float."""
+    import ray.data.aggregate as A
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t["o_custkey"]),
+                             pc.is_valid(t["o_totalprice"])))
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        g = pa.table({"o_custkey": t["o_custkey"], "cents": cents}) \
+            .group_by("o_custkey").aggregate([("cents", "sum")])
+        return g.rename_columns(["o_custkey", "cents"])
+
+    rev = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(A.Sum("cents"))
+
+    def block_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"n": pa.array([], pa.int64()),
+                          "sumx": pa.array([], pa.int64()),
+                          "s1": pa.array([], pa.string()),
+                          "minv": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        x = pc.cast(t["sum(cents)"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        x = np.sort(x)  # sorted within the range-partitioned block
+        s1 = 0
+        ch = 1 << 16
+        for s in range(0, len(x), ch):
+            sub = x[s:s + ch]
+            local = int(np.dot(np.arange(1, len(sub) + 1,
+                                         dtype=np.int64), sub))
+            s1 += local + s * int(sub.sum())
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sumx": pa.array([int(x.sum())], pa.int64()),
+            "s1": pa.array([str(s1)], pa.string()),
+            "minv": pa.array([int(x[0])], pa.int64())})
+
+    parts = _collect(
+        rev.sort("sum(cents)")
+        .map_batches(block_partial, batch_format="pyarrow",
+                     batch_size=None),
+        pa.schema([("n", pa.int64()), ("sumx", pa.int64()),
+                   ("s1", pa.string()), ("minv", pa.int64())]))
+    parts = parts.sort_by([("minv", "ascending")])
+    n_tot, sum_tot, s1_tot = 0, 0, 0
+    for i in range(parts.num_rows):
+        s1_tot += int(parts["s1"][i].as_py()) \
+            + n_tot * parts["sumx"][i].as_py()
+        n_tot += parts["n"][i].as_py()
+        sum_tot += parts["sumx"][i].as_py()
+    return pa.table({
+        "n_customers": pa.array([n_tot], pa.int64()),
+        "total_cents": pa.array([sum_tot], pa.int64()),
+        "rank_weighted_cents": pa.array([s1_tot], pa.int64())})
+
+
 def _q_null_profile_documents(sf_dir: str) -> pa.Table:
     """Per-column fill-rate profile of the documents table — the
     data-quality summary every validation run starts with: one
@@ -6310,6 +6382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_weighted_median_qty": _q_revenue_weighted_median_qty,
         "event_hour_mutual_info": _q_event_hour_mutual_info,
         "null_profile_documents": _q_null_profile_documents,
+        "customer_revenue_gini": _q_customer_revenue_gini,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -8959,6 +9032,25 @@ def oracle_sql() -> dict[str, str]:
               FROM c JOIN x USING (event_type) JOIN y USING (hr)
              CROSS JOIN n
              GROUP BY 1, 2 ORDER BY 1
+        """,
+        "customer_revenue_gini": """
+            WITH r AS (
+                SELECT o_custkey,
+                       CAST(sum(CAST(round(o_totalprice * 100)
+                                AS BIGINT)) AS BIGINT) AS cents
+                  FROM orders
+                 WHERE o_custkey IS NOT NULL
+                   AND o_totalprice IS NOT NULL
+                 GROUP BY 1),
+            s AS (SELECT cents,
+                         row_number() OVER (ORDER BY cents) AS rn
+                    FROM r)
+            SELECT CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(coalesce(sum(cents), 0) AS BIGINT)
+                       AS total_cents,
+                   CAST(coalesce(sum(CAST(rn AS HUGEINT) * cents), 0)
+                       AS BIGINT) AS rank_weighted_cents
+              FROM s
         """,
         "null_profile_documents": """
             WITH p AS (

@@ -139,6 +139,7 @@ QUERY_SUBSET = [
     "lexical_diversity_by_source", "weekly_rolling_retention",
     "part_association_rules", "revenue_weighted_median_qty",
     "event_hour_mutual_info", "null_profile_documents",
+    "customer_revenue_gini",
 ]
 
 
