@@ -4819,6 +4819,36 @@ def _q_customer_revenue_gini(sf_dir: str) -> pa.Table:
         "rank_weighted_cents": pa.array([s1_tot], pa.int64())})
 
 
+def _q_user_value_twap(sf_dir: str) -> pa.Table:
+    """Per-user time-weighted average ingredients (TWAP over the
+    irregular event series): one user-hash exchange + a per-shard
+    sorted run scan; exact milli-unit x floor-second integer terms
+    (functions/ordered.py::time_weighted_mean)."""
+    from pyschema_ray.functions.ordered import time_weighted_mean
+
+    out = time_weighted_mean(
+        _read(sf_dir, "events",
+              columns=["user_id", "ts", "event_id", "value"]))
+    return _collect(out, pa.schema([
+        ("user_id", pa.int64()), ("n_intervals", pa.int64()),
+        ("span_s", pa.int64()), ("vtime_milli_s", pa.int64())])) \
+        .sort_by([("user_id", "ascending")])
+
+
+def _q_orders_lineitem_join_audit(sf_dir: str) -> pa.Table:
+    """Join planning audit: exact inner-join cardinality and hot-key
+    skew maxima for orders JOIN lineitem ON orderkey, computed from
+    per-key frequency profiles on ONE key-hash exchange — never the
+    join itself (functions/relational.py::join_cardinality_audit)."""
+    from pyschema_ray.functions.relational import join_cardinality_audit
+
+    out = join_cardinality_audit(
+        _read(sf_dir, "orders", columns=["o_orderkey"]),
+        _read(sf_dir, "lineitem", columns=["l_orderkey"]),
+        "o_orderkey", "l_orderkey")
+    return _collect(out)
+
+
 def _q_null_profile_documents(sf_dir: str) -> pa.Table:
     """Per-column fill-rate profile of the documents table — the
     data-quality summary every validation run starts with: one
@@ -6383,6 +6413,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_hour_mutual_info": _q_event_hour_mutual_info,
         "null_profile_documents": _q_null_profile_documents,
         "customer_revenue_gini": _q_customer_revenue_gini,
+        "user_value_twap": _q_user_value_twap,
+        "orders_lineitem_join_audit": _q_orders_lineitem_join_audit,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -9032,6 +9064,53 @@ def oracle_sql() -> dict[str, str]:
               FROM c JOIN x USING (event_type) JOIN y USING (hr)
              CROSS JOIN n
              GROUP BY 1, 2 ORDER BY 1
+        """,
+        "user_value_twap": """
+            WITH e AS (
+                SELECT user_id, ts, event_id,
+                       CAST(round(value * 1000) AS BIGINT) AS vmilli
+                  FROM events
+                 WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                   AND value IS NOT NULL),
+            g AS (
+                SELECT user_id, vmilli,
+                       date_diff('second', ts, lead(ts) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id)) AS gap_s
+                  FROM e)
+            SELECT user_id,
+                   CAST(count(gap_s) AS BIGINT) AS n_intervals,
+                   CAST(sum(gap_s) AS BIGINT) AS span_s,
+                   CAST(sum(vmilli * gap_s) AS BIGINT)
+                       AS vtime_milli_s
+              FROM g WHERE gap_s IS NOT NULL
+             GROUP BY 1 ORDER BY 1
+        """,
+        "orders_lineitem_join_audit": """
+            WITH a AS (
+                SELECT o_orderkey AS k,
+                       CAST(count(*) AS BIGINT) AS na
+                  FROM orders WHERE o_orderkey IS NOT NULL
+                 GROUP BY 1),
+            b AS (
+                SELECT l_orderkey AS k,
+                       CAST(count(*) AS BIGINT) AS nb
+                  FROM lineitem WHERE l_orderkey IS NOT NULL
+                 GROUP BY 1),
+            j AS (
+                SELECT coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+                  FROM a FULL JOIN b ON a.k = b.k)
+            SELECT CAST(count(*) FILTER (WHERE na > 0) AS BIGINT)
+                       AS n_left_keys,
+                   CAST(count(*) FILTER (WHERE nb > 0) AS BIGINT)
+                       AS n_right_keys,
+                   CAST(count(*) FILTER (WHERE na > 0 AND nb > 0)
+                        AS BIGINT) AS n_common_keys,
+                   CAST(sum(na * nb) AS BIGINT)
+                       AS predicted_join_rows,
+                   CAST(max(na) AS BIGINT) AS max_left_freq,
+                   CAST(max(nb) AS BIGINT) AS max_right_freq
+              FROM j
         """,
         "customer_revenue_gini": """
             WITH r AS (

@@ -139,7 +139,8 @@ QUERY_SUBSET = [
     "lexical_diversity_by_source", "weekly_rolling_retention",
     "part_association_rules", "revenue_weighted_median_qty",
     "event_hour_mutual_info", "null_profile_documents",
-    "customer_revenue_gini",
+    "customer_revenue_gini", "user_value_twap",
+    "orders_lineitem_join_audit",
 ]
 
 

@@ -1239,3 +1239,90 @@ def rolling_retention(ds, key_col: str = "user_id",
             "n_retained": pc.cast(t["sum(n_retained)"], pa.int64())})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def time_weighted_mean(ds, key_col: str = "user_id",
+                       ts_col: str = "ts", order_col: str = "event_id",
+                       value_col: str = "value",
+                       num_shards: int | None = None):
+    """Time-weighted average ingredients per key (TWAP): each value
+    holds from its event until the NEXT event, so the weighted sum is
+    ``sum_i v_i * (sec(t_{i+1}) - sec(t_i))`` over consecutive events
+    within the key — the feature-store aggregate for irregular
+    series.  Values are exact round(v*1000) milli-units and gaps are
+    floor-second boundary diffs, matching SQL
+    ``date_diff('second', ts, lead(ts) OVER (PARTITION BY key
+    ORDER BY ts, order))`` bit-for-bit; rows with a null key, ts or
+    value are dropped BEFORE pairing (lead() sees the same stream the
+    oracle's filtered CTE does).  Magnitude contract: per-key
+    sum(|v_milli| * gap_s) < 2^63.
+
+    One key-hash exchange, one per-shard sorted run scan; keys with a
+    single surviving event contribute no interval and are omitted
+    (SQL's WHERE gap IS NOT NULL).
+
+    -> Dataset(key, n_intervals int64, span_s int64,
+       vtime_milli_s int64), the mean being vtime_milli_s /
+       (1000 * span_s) — one division away, deliberately not
+       materialized as a float.
+    """
+    nb = num_shards or _default_shards()
+
+    def exchange(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.and_(pc.is_valid(t[key_col]),
+                                     pc.is_valid(t[ts_col])),
+                             pc.is_valid(t[value_col])))
+        t = t.select([key_col, ts_col, order_col, value_col])
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "kshard", pa.array(_key_shards(keys, nb, 137), pa.int64()))
+
+    def scan(t: pa.Table) -> pa.Table:
+        ktype = t.schema.field(key_col).type
+        empty = pa.table({key_col: pa.array([], ktype),
+                          "n_intervals": pa.array([], pa.int64()),
+                          "span_s": pa.array([], pa.int64()),
+                          "vtime_milli_s": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        idx = pc.sort_indices(t, sort_keys=[
+            (key_col, "ascending"), (ts_col, "ascending"),
+            (order_col, "ascending")])
+        t = t.take(idx)
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        sec = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                      pa.int64()).to_numpy(zero_copy_only=False) \
+            // 1_000_000
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        vmilli = np.copysign(np.floor(np.abs(v * 1000.0) + 0.5), v) \
+            .astype(np.int64)
+        n = len(keys)
+        if n < 2:
+            return empty
+        starts, sizes = _group_starts(keys)
+        intra = np.ones(n - 1, bool)      # pair (i, i+1) same key?
+        ends = starts + sizes - 1
+        intra[ends[:-1]] = False          # last row of each run
+        pi = np.flatnonzero(intra)        # interval start indices
+        if len(pi) == 0:
+            return empty
+        gaps = sec[pi + 1] - sec[pi]
+        terms = vmilli[pi] * gaps
+        keep = sizes > 1
+        # per-key reductions over the contiguous interval runs:
+        # key k's intervals occupy pi[off[k]:off[k+1]]
+        csum_g = np.concatenate([[0], np.cumsum(gaps)])
+        csum_t = np.concatenate([[0], np.cumsum(terms)])
+        off = np.cumsum(np.append(0, (sizes - 1)))
+        kidx = np.flatnonzero(keep)
+        lo = off[kidx]
+        hi = off[kidx + 1]
+        return pa.table({
+            key_col: t[key_col].take(pa.array(starts[keep])),
+            "n_intervals": pa.array(hi - lo, pa.int64()),
+            "span_s": pa.array(csum_g[hi] - csum_g[lo], pa.int64()),
+            "vtime_milli_s": pa.array(csum_t[hi] - csum_t[lo],
+                                      pa.int64())})
+
+    return ds.map_batches(exchange, batch_format="pyarrow") \
+        .groupby("kshard").map_groups(scan, batch_format="pyarrow")

@@ -802,3 +802,110 @@ def key_reconcile(left, right, left_key: str,
         "n_both": pa.array([0], pa.int64())}))
     return parts.union(zero).repartition(1) \
         .map_batches(total, batch_format="pyarrow")
+
+
+def join_cardinality_audit(left, right, left_key: str,
+                           right_key: str | None = None,
+                           num_shards: int | None = None):
+    """Pre-shuffle join planning audit: EXACT join output cardinality
+    and hot-key skew maxima, computed BEFORE paying for the join —
+    the check a 100 TB pipeline runs to decide between a shuffle
+    join, a broadcast, and key salting.
+
+    Both sides collapse to per-batch (key, count) combiners, the ONE
+    key-hash exchange co-locates each key's side counts, and every
+    shard emits a 6-scalar partial: distinct keys per side / in
+    common, ``sum(n_left * n_right)`` (the inner-join row count), and
+    the per-side max key frequency (the skew signal).  Magnitude
+    contract: per-key n_left * n_right < 2^63.
+
+    -> Dataset with one row: (n_left_keys, n_right_keys,
+       n_common_keys, predicted_join_rows, max_left_freq,
+       max_right_freq — all int64).
+    """
+    import ray.data
+
+    from .dedup import _group_starts
+
+    rk = right_key or left_key
+    nb = num_shards or _default_shards()
+
+    def side_rows(key_col: str, side: int, seed: int = 131):
+        def rows(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(t[key_col]))
+            g = pa.table({"k": t[key_col]}) \
+                .group_by("k").aggregate([([], "count_all")])
+            keys = g["k"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "k": g["k"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+                "side": pa.array(
+                    np.full(g.num_rows, side, np.int8), pa.int8()),
+                "kshard": pa.array(_key_shards(keys, nb, seed),
+                                   pa.int64())})
+        return rows
+
+    def audit(t: pa.Table) -> pa.Table:
+        zero = pa.table({
+            "n_left_keys": pa.array([0], pa.int64()),
+            "n_right_keys": pa.array([0], pa.int64()),
+            "n_common_keys": pa.array([0], pa.int64()),
+            "predicted_join_rows": pa.array([0], pa.int64()),
+            "max_left_freq": pa.array([0], pa.int64()),
+            "max_right_freq": pa.array([0], pa.int64())})
+        if t.num_rows == 0:
+            return zero
+        idx = pc.sort_indices(t, sort_keys=[("k", "ascending")])
+        t = t.take(idx)
+        keys = t["k"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        starts, sizes = _group_starts(keys)
+        ends = np.append(starts[1:], len(keys))
+        nl = np.add.reduceat(np.where(side == 0, n, 0), starts)
+        nr = np.add.reduceat(np.where(side == 1, n, 0), starts)
+        # reduceat quirk: a start index equal to len(array) is
+        # impossible here because starts come from group boundaries
+        del ends
+        return pa.table({
+            "n_left_keys": pa.array([int((nl > 0).sum())], pa.int64()),
+            "n_right_keys": pa.array([int((nr > 0).sum())], pa.int64()),
+            "n_common_keys": pa.array(
+                [int(((nl > 0) & (nr > 0)).sum())], pa.int64()),
+            "predicted_join_rows": pa.array(
+                [int((nl * nr).sum())], pa.int64()),
+            "max_left_freq": pa.array([int(nl.max())], pa.int64()),
+            "max_right_freq": pa.array([int(nr.max())], pa.int64())})
+
+    lt = left.map_batches(side_rows(left_key, 0),
+                          batch_format="pyarrow")
+    rt = right.map_batches(side_rows(rk, 1), batch_format="pyarrow")
+    parts = lt.union(rt).groupby("kshard") \
+        .map_groups(audit, batch_format="pyarrow")
+
+    def total(t: pa.Table) -> pa.Table:
+        def s(c, agg):
+            return int(agg(t[c]).as_py() or 0) if t.num_rows else 0
+        return pa.table({
+            "n_left_keys": pa.array([s("n_left_keys", pc.sum)],
+                                    pa.int64()),
+            "n_right_keys": pa.array([s("n_right_keys", pc.sum)],
+                                     pa.int64()),
+            "n_common_keys": pa.array([s("n_common_keys", pc.sum)],
+                                      pa.int64()),
+            "predicted_join_rows": pa.array(
+                [s("predicted_join_rows", pc.sum)], pa.int64()),
+            "max_left_freq": pa.array([s("max_left_freq", pc.max)],
+                                      pa.int64()),
+            "max_right_freq": pa.array([s("max_right_freq", pc.max)],
+                                       pa.int64())})
+
+    zero = ray.data.from_arrow(pa.table({
+        "n_left_keys": pa.array([0], pa.int64()),
+        "n_right_keys": pa.array([0], pa.int64()),
+        "n_common_keys": pa.array([0], pa.int64()),
+        "predicted_join_rows": pa.array([0], pa.int64()),
+        "max_left_freq": pa.array([0], pa.int64()),
+        "max_right_freq": pa.array([0], pa.int64())}))
+    return parts.union(zero).repartition(1) \
+        .map_batches(total, batch_format="pyarrow")

@@ -171,3 +171,79 @@ def test_association_rules_duplicate_part_across_blocks(
     assert row["n_a"].tolist() == [5]   # orders 1,2,4,6,8 — order 1 once
     assert row["n_b"].tolist() == [4]   # orders 1,3,5,7
     assert row["n_both"].tolist() == [1]  # order 1 only
+
+
+def _ds(tbl, blocks=3):
+    import ray.data
+    return ray.data.from_arrow(tbl).repartition(blocks)
+
+
+def _tab(ds):
+    tabs = [t for t in ds.iter_batches(batch_format="pyarrow",
+                                       batch_size=None) if t.num_rows]
+    return pa.concat_tables(tabs) if tabs else None
+
+
+def test_time_weighted_mean_null_value_changes_pairing():
+    # user 1: values at t0, t10 (null at t5 DROPPED before pairing ->
+    # one interval of 10 s at value 2.0); user 2 single event -> omitted
+    from pyschema_ray.functions.ordered import time_weighted_mean
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    ts = pa.array([base, base + np.timedelta64(5, "s"),
+                   base + np.timedelta64(10, "s"), base],
+                  pa.timestamp("us"))
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "ts": ts,
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "value": pa.array([2.0, None, -3.5, 9.9]),
+    })
+    out = _tab(time_weighted_mean(_ds(t)))
+    rows = {r["user_id"]: r for r in out.to_pylist()}
+    assert set(rows) == {1}
+    assert rows[1]["n_intervals"] == 1
+    assert rows[1]["span_s"] == 10
+    assert rows[1]["vtime_milli_s"] == 2000 * 10
+
+
+def test_time_weighted_mean_negative_and_tied_seconds():
+    from pyschema_ray.functions.ordered import time_weighted_mean
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    # two events in the SAME floor-second (gap 0), then +3 s
+    ts = pa.array([base, base + np.timedelta64(400, "ms"),
+                   base + np.timedelta64(3, "s")], pa.timestamp("us"))
+    t = pa.table({
+        "user_id": pa.array([7, 7, 7], pa.int64()),
+        "ts": ts,
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "value": pa.array([-1.2345, 4.0, 0.0]),
+    })
+    out = _tab(time_weighted_mean(_ds(t))).to_pylist()[0]
+    # round(-1.2345*1000) = -1235 (half away), gap 0; 4.0 holds 3 s
+    assert out["n_intervals"] == 2
+    assert out["span_s"] == 3
+    assert out["vtime_milli_s"] == 4000 * 3
+
+
+def test_join_cardinality_audit_skew_and_disjoint():
+    from pyschema_ray.functions.relational import join_cardinality_audit
+    left = pa.table({"k": pa.array([1, 1, 1, 2, 5, None], pa.int64())})
+    right = pa.table({"k": pa.array([1, 1, 2, 2, 2, 9], pa.int64())})
+    out = _tab(join_cardinality_audit(_ds(left), _ds(right), "k")) \
+        .to_pylist()[0]
+    assert out == {"n_left_keys": 3, "n_right_keys": 3,
+                   "n_common_keys": 2,
+                   "predicted_join_rows": 3 * 2 + 1 * 3,
+                   "max_left_freq": 3, "max_right_freq": 3}
+
+
+def test_join_cardinality_audit_empty_side():
+    from pyschema_ray.functions.relational import join_cardinality_audit
+    left = pa.table({"k": pa.array([], pa.int64())})
+    right = pa.table({"k": pa.array([4, 4], pa.int64())})
+    out = _tab(join_cardinality_audit(_ds(left, 1), _ds(right, 1),
+                                      "k")).to_pylist()[0]
+    assert out["n_left_keys"] == 0
+    assert out["n_common_keys"] == 0
+    assert out["predicted_join_rows"] == 0
+    assert out["max_right_freq"] == 2
