@@ -2420,6 +2420,34 @@ def _q_cross_column_violations(sf_dir: str) -> pa.Table:
                       ("l_linenumber", "ascending")])
 
 
+def _q_conditional_violations_documents(sf_dir: str) -> pa.Table:
+    """IF/THEN conditional-schema check driven by the DSL's
+    Conditional constraint (IF source in {src0, src1} THEN
+    n_chars <= 300): the composed vectorized mask runs per batch —
+    strict SQL guard semantics (null source never matches), inner
+    null contract preserved — and violating keys stream out."""
+    from pyschema_ray.constraints import Conditional, Range
+
+    c = Conditional("source", "isin", ["src0", "src1"],
+                    Range("n_chars", None, 300))
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "source", "n_chars"])
+
+    def violations(t: pa.Table) -> pa.Table:
+        bad = pc.invert(pc.cast(c.mask(t), pa.bool_()))
+        v = t.filter(bad)
+        return pa.table({
+            "doc_id": pc.cast(v["doc_id"], pa.int64()),
+            "source": v["source"],
+            "n_chars": pc.cast(v["n_chars"], pa.int64())})
+
+    t = _collect(ds.map_batches(violations, batch_format="pyarrow"),
+                 pa.schema([("doc_id", pa.int64()),
+                            ("source", pa.string()),
+                            ("n_chars", pa.int64())]))
+    return t.sort_by([("doc_id", "ascending")])
+
+
 def _q_price_quartiles_by_priority(sf_dir: str) -> pa.Table:
     """EXACT per-group interpolated quantiles of an UNBOUNDED double
     column (quantile_cont ... GROUP BY): grouped 3-scan distributed
@@ -6415,6 +6443,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_revenue_gini": _q_customer_revenue_gini,
         "user_value_twap": _q_user_value_twap,
         "orders_lineitem_join_audit": _q_orders_lineitem_join_audit,
+        "conditional_violations_documents":
+            _q_conditional_violations_documents,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -9064,6 +9094,13 @@ def oracle_sql() -> dict[str, str]:
               FROM c JOIN x USING (event_type) JOIN y USING (hr)
              CROSS JOIN n
              GROUP BY 1, 2 ORDER BY 1
+        """,
+        "conditional_violations_documents": """
+            SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+              FROM documents
+             WHERE source IN ('src0', 'src1')
+               AND NOT coalesce(n_chars <= 300, TRUE)
+             ORDER BY doc_id
         """,
         "user_value_twap": """
             WITH e AS (

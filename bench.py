@@ -140,7 +140,7 @@ QUERY_SUBSET = [
     "part_association_rules", "revenue_weighted_median_qty",
     "event_hour_mutual_info", "null_profile_documents",
     "customer_revenue_gini", "user_value_twap",
-    "orders_lineitem_join_audit",
+    "orders_lineitem_join_audit", "conditional_violations_documents",
 ]
 
 

@@ -441,6 +441,90 @@ class ColumnCompare(Constraint):
 
 
 @register_constraint
+class Conditional(Constraint):
+    """IF/THEN rule: the inner constraint is enforced only on rows
+    matching the guard predicate ``column <op> value``; rows that
+    don't match the guard are vacuously valid — the conditional
+    schema shape (IF source='s0' THEN n_tok <= 2048) no row-uniform
+    constraint can express.
+
+    Guard semantics are STRICT SQL WHERE semantics: a null guard
+    column never matches (the violation set is ``guard AND NOT
+    inner``, so a null guard row cannot violate) — unlike constraint
+    masks, where null is valid.  The inner constraint keeps its own
+    null contract.
+
+    ``op``: eq, ne, lt, le, gt, ge, isin (value = iterable).  If the
+    inner constraint declares no columns (e.g. Custom), pass
+    ``columns=[...]`` explicitly or construction fails rather than
+    silently breaking column-pruned reads."""
+
+    _OPS = {"eq": "equal", "ne": "not_equal", "lt": "less",
+            "le": "less_equal", "gt": "greater",
+            "ge": "greater_equal"}
+    _SYM = {"eq": "==", "ne": "!=", "lt": "<", "le": "<=",
+            "gt": ">", "ge": ">=", "isin": "in"}
+
+    def __init__(self, column: str, op: str, value,
+                 then: Constraint, columns: list[str] | None = None):
+        if op not in self._SYM:
+            raise ValueError(f"op must be one of {sorted(self._SYM)}, "
+                             f"got {op!r}")
+        self.column = column
+        self.op = op
+        self.value = value
+        self.then = then
+        inner_cols = self._inner_columns(then)
+        if inner_cols is None and columns is None:
+            raise ValueError(
+                "inner constraint declares no columns; pass "
+                "columns=[...] so pruned reads stay safe")
+        self._extra_cols = list(columns or inner_cols)
+        self._compose_strings()
+
+    @staticmethod
+    def _inner_columns(c: Constraint):
+        req = getattr(c, "required_columns", None)
+        if callable(req):
+            return list(req())
+        declared = [getattr(c, a, None)
+                    for a in ("column", "list_column", "other_column")]
+        cols = [v for v in declared if v is not None]
+        return cols or None
+
+    def _compose_strings(self):
+        v = self.value
+        vs = f"{{{len(v)} values}}" if self.op == "isin" else repr(v)
+        self.name = (f"if({self.column} {self._SYM[self.op]} {vs})"
+                     f"then({self.then.name})")
+        self.detail = (f"rows where {self.column} "
+                       f"{self._SYM[self.op]} {vs} violate: "
+                       f"{self.then.detail}")
+
+    def required_columns(self):
+        return [self.column, *self._extra_cols]
+
+    def rebind(self, prefix: str) -> "Conditional":
+        import copy
+        c = copy.copy(self)
+        c.column = f"{prefix}.{self.column}"
+        c.then = self.then.rebind(prefix)
+        c._extra_cols = [f"{prefix}.{x}" for x in self._extra_cols]
+        c._compose_strings()
+        return c
+
+    def mask(self, table):
+        col = _col(table, self.column)
+        if self.op == "isin":
+            guard = pc.is_in(col, value_set=pa.array(list(self.value)))
+        else:
+            guard = getattr(pc, self._OPS[self.op])(col, self.value)
+        guard = pc.fill_null(guard, False)   # strict: null never matches
+        inner = pc.fill_null(self.then.mask(table), True)
+        return pc.or_kleene(pc.invert(guard), inner)
+
+
+@register_constraint
 class Custom(Constraint):
     """Escape hatch: arbitrary vectorized validator
     ``fn(pa.Table) -> BooleanArray`` (True = valid) — the analog of a
