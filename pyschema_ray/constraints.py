@@ -36,6 +36,21 @@ def register_constraint(cls):
     return cls
 
 
+def as_warning(constraint):
+    """Downgrade a constraint to warning severity: its violation rows
+    and counts are still recorded everywhere (reports, manifest,
+    violation parquet), but they no longer fail partition / shard /
+    run verdicts — the observe-first rollout mode for a new rule.
+    Returns the constraint for inline use in ``_extra_constraints``.
+
+    Severity is keyed by the FROZEN NAME in every verdict
+    computation: two constraints sharing a name (e.g. two Range
+    rules on the same column) share one severity — give rules you
+    need to grade differently distinguishable names."""
+    constraint.severity = "warning"
+    return constraint
+
+
 def _true_for_null(mask, col) -> pa.ChunkedArray | pa.Array:
     """Nulls are valid for non-NotNull constraints; also maps the null
     results of Arrow comparisons on null inputs to True."""
@@ -73,6 +88,9 @@ class Constraint:
 
     name: str = "?"
     detail: str = ""
+    #: "error" (default) fails the partition/run verdict; "warning"
+    #: records violation rows + counts but never flips a verdict.
+    severity: str = "error"
 
     def mask(self, table: pa.Table):  # pragma: no cover - abstract
         """Return BooleanArray/ChunkedArray, True where the row is valid."""

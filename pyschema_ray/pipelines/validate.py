@@ -87,6 +87,7 @@ class ValidationReport:
     shard_count: int = 0
     shards_skipped: int = 0
     violation_counts: dict = field(default_factory=dict)
+    warning_counts: dict = field(default_factory=dict)
     partition_verdicts: dict = field(default_factory=dict)
     partition_violations: dict = field(default_factory=dict)
     partition_drift: dict = field(default_factory=dict)
@@ -142,6 +143,13 @@ class ValidationPipeline:
         self.cfg = cfg
         self.manifest = Manifest(cfg.out_dir)
         self.schema_hash = schema_hash(cfg.schema_cls)
+        # warning-severity constraint names (constraints.as_warning):
+        # their violations are recorded but never flip a verdict
+        self._warning_names = {
+            c.name
+            for c in (list(cfg.schema_cls.compiled_constraints())
+                      + list(cfg.extra_constraints))
+            if getattr(c, "severity", "error") == "warning"}
         os.makedirs(os.path.join(cfg.out_dir, "violations"), exist_ok=True)
         # schema-declared referential fields (Field(references=...)) must
         # resolve to a broadcast value set — silently ignoring them would
@@ -364,7 +372,10 @@ class ValidationPipeline:
                 merged_hist, cfg.baseline_profile,
                 cfg.psi_threshold, cfg.kl_threshold)
 
-        report.passed = (not report.violation_counts
+        report.warning_counts = {
+            k: v for k, v in report.violation_counts.items()
+            if k in self._warning_names}
+        report.passed = (not self._error_counts(report.violation_counts)
                          and (report.drift is None or report.drift["passed"]))
         report.wall_time_s = time.perf_counter() - t0
         self.manifest.commit_global("summary", {
@@ -376,6 +387,13 @@ class ValidationPipeline:
             "wall_time_s": report.wall_time_s,
         })
         return report
+
+    # ------------------------------------------------------------------
+    def _error_counts(self, counts: dict) -> dict:
+        """Violation counts minus warning-severity names — the set a
+        verdict is computed from."""
+        return {k: v for k, v in counts.items()
+                if k not in self._warning_names}
 
     # ------------------------------------------------------------------
     def _run_shard(self, sid: int, shard_files: list[str]) -> ShardRecord:
@@ -547,7 +565,8 @@ class ValidationPipeline:
             d = {
                 "row_count": ps.row_count,
                 "violation_counts": dict(ps.violation_counts),
-                "verdict": "fail" if ps.violation_counts else "pass",
+                "verdict": "fail" if self._error_counts(
+                    ps.violation_counts) else "pass",
             }
             if ps.hist is not None:
                 # per-partition histogram travels in the manifest so the
@@ -555,7 +574,8 @@ class ValidationPipeline:
                 # baseline (a partition fails on violations OR drift)
                 d["hist_hex"] = ps.hist.to_bytes().hex()
             rec.partition_digests[_lineage_id(pid, root)] = d
-        rec.verdict = "fail" if rec.violation_counts else "pass"
+        rec.verdict = "fail" if self._error_counts(
+            rec.violation_counts) else "pass"
         rec.wall_time_s = time.perf_counter() - t0
         self.manifest.commit(rec)
         return rec

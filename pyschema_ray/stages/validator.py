@@ -236,6 +236,13 @@ class CompiledValidator:
         self.stats = stats
         self.baseline = baseline_profile
 
+    @property
+    def warning_names(self) -> set:
+        """Frozen names of warning-severity constraints — the set
+        verdict computations subtract (constraints.as_warning)."""
+        return {c.name for c in self.constraints
+                if getattr(c, "severity", "error") == "warning"}
+
     def read_columns(self) -> list[str] | None:
         """Columns the validator actually touches — declared fields,
         key, stats inputs, constraint columns — for column-pruned
