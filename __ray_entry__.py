@@ -4877,6 +4877,24 @@ def _q_orders_lineitem_join_audit(sf_dir: str) -> pa.Table:
     return _collect(out)
 
 
+def _q_doc_rank_stats_by_source(sf_dir: str) -> pa.Table:
+    """PER-GROUP percent_rank()/cume_dist() (PARTITION BY source ORDER
+    BY n_chars) with zero row exchanges — per-(group, value) count
+    histograms broadcast once, per-batch searchsorted probes
+    (functions/ordered.py::grouped_rank_stats)."""
+    from pyschema_ray.functions.ordered import grouped_rank_stats
+
+    out = grouped_rank_stats(
+        _read(sf_dir, "documents",
+              columns=["doc_id", "source", "n_chars"]),
+        "source", "n_chars", "doc_id")
+    t = _collect(out, pa.schema([
+        ("doc_id", pa.int64()), ("source", pa.string()),
+        ("n_chars", pa.int64()), ("percent_rank", pa.float64()),
+        ("cume_dist", pa.float64())]))
+    return t.sort_by([("doc_id", "ascending")])
+
+
 def _q_null_profile_documents(sf_dir: str) -> pa.Table:
     """Per-column fill-rate profile of the documents table — the
     data-quality summary every validation run starts with: one
@@ -6445,6 +6463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_lineitem_join_audit": _q_orders_lineitem_join_audit,
         "conditional_violations_documents":
             _q_conditional_violations_documents,
+        "doc_rank_stats_by_source": _q_doc_rank_stats_by_source,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -9094,6 +9113,18 @@ def oracle_sql() -> dict[str, str]:
               FROM c JOIN x USING (event_type) JOIN y USING (hr)
              CROSS JOIN n
              GROUP BY 1, 2 ORDER BY 1
+        """,
+        "doc_rank_stats_by_source": """
+            SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+                   percent_rank() OVER (PARTITION BY source
+                                        ORDER BY n_chars)
+                       AS percent_rank,
+                   cume_dist() OVER (PARTITION BY source
+                                     ORDER BY n_chars) AS cume_dist
+              FROM documents
+             WHERE source IS NOT NULL AND n_chars IS NOT NULL
+               AND doc_id IS NOT NULL
+             ORDER BY doc_id
         """,
         "conditional_violations_documents": """
             SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars

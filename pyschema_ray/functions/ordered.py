@@ -1326,3 +1326,91 @@ def time_weighted_mean(ds, key_col: str = "user_id",
 
     return ds.map_batches(exchange, batch_format="pyarrow") \
         .groupby("kshard").map_groups(scan, batch_format="pyarrow")
+
+
+def grouped_rank_stats(ds, group_col: str, value_col: str,
+                       key_col: str):
+    """percent_rank() / cume_dist() OVER (PARTITION BY group ORDER BY
+    value) for every row — the grouped extension of
+    :func:`global_rank_stats`, still with ZERO row exchanges: pass 1
+    exchanges per-(group, value) counts (bounded by groups x value
+    domain, never row count; the driver holds O(distinct pairs)), the
+    per-group sorted value + cumulative arrays broadcast once via
+    ``ray.put``, and pass 2 probes them per batch with one
+    searchsorted per distinct group in the batch.
+
+    Float contract matches the SQL window functions bit-for-bit:
+    ``percent_rank = (rank_min - 1) / (n_group - 1)`` (0.0 for a
+    single-row partition) and ``cume_dist = n_le / n_group`` — each
+    one division of exact integers.  Rows with a null group, value or
+    key are dropped (state the filter in the oracle).
+
+    -> Dataset(key_col, group_col, value_col, percent_rank float64,
+    cume_dist float64)."""
+    import ray
+    import ray.data
+    import ray.data.aggregate as A
+
+    def cnt(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[group_col]),
+                             pc.is_valid(t[value_col])))
+        g = t.group_by([group_col, value_col]) \
+             .aggregate([([], "count_all")])
+        return g.rename_columns([group_col, value_col, "n"])
+
+    counts = ds.select_columns([group_col, value_col]) \
+        .map_batches(cnt, batch_format="pyarrow") \
+        .groupby([group_col, value_col]) \
+        .aggregate(A.Sum("n", alias_name="n"))
+    parts = [b for b in counts.iter_batches(batch_format="pyarrow",
+                                            batch_size=None)
+             if b.num_rows]
+    schema = pa.schema(ds.schema().base_schema)
+    empty = pa.table({
+        key_col: pa.array([], schema.field(key_col).type),
+        group_col: pa.array([], schema.field(group_col).type),
+        value_col: pa.array([], schema.field(value_col).type),
+        "percent_rank": pa.array([], pa.float64()),
+        "cume_dist": pa.array([], pa.float64())})
+    if not parts:
+        return ray.data.from_arrow(empty)
+    hist = pa.concat_tables(parts) \
+        .sort_by([(group_col, "ascending"), (value_col, "ascending")])
+    groups = np.asarray(hist[group_col].to_pylist(), dtype=object)
+    vals = hist[value_col].to_numpy(zero_copy_only=False)
+    ns = hist["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    starts, sizes = _group_starts(groups)
+    lookup = {}
+    for s, m in zip(starts, sizes):
+        v = vals[s:s + m]
+        cum_le = np.cumsum(ns[s:s + m])
+        lookup[groups[s]] = (v, cum_le - ns[s:s + m], cum_le,
+                             int(cum_le[-1]))
+    ref = ray.put(lookup)
+
+    def score(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.and_(pc.is_valid(t[group_col]),
+                                     pc.is_valid(t[value_col])),
+                             pc.is_valid(t[key_col])))
+        if t.num_rows == 0:
+            return empty
+        lut = ray.get(ref)
+        g = np.asarray(t[group_col].to_pylist(), dtype=object)
+        x = t[value_col].to_numpy(zero_copy_only=False)
+        pr = np.zeros(len(g), np.float64)
+        cd = np.zeros(len(g), np.float64)
+        for gname in set(g.tolist()):
+            sel = np.flatnonzero(g == gname)
+            v, lt, le, n = lut[gname]
+            pos = np.searchsorted(v, x[sel])   # exact match contract
+            if n > 1:
+                pr[sel] = lt[pos].astype(np.float64) / float(n - 1)
+            cd[sel] = le[pos].astype(np.float64) / float(n)
+        return pa.table({key_col: t[key_col],
+                         group_col: t[group_col],
+                         value_col: t[value_col],
+                         "percent_rank": pa.array(pr, pa.float64()),
+                         "cume_dist": pa.array(cd, pa.float64())})
+
+    return ds.select_columns([key_col, group_col, value_col]) \
+        .map_batches(score, batch_format="pyarrow")
