@@ -4877,6 +4877,113 @@ def _q_orders_lineitem_join_audit(sf_dir: str) -> pa.Table:
     return _collect(out)
 
 
+def _q_supplier_hhi_by_year(sf_dir: str) -> pa.Table:
+    """Market-concentration audit: Herfindahl index of supplier
+    revenue shares per ship year, in exact squared basis points —
+    ``hhi_bp2 = sum_s round(10000 * cents_s/tot)^2``.  One
+    (year, suppkey) int-cent exchange (rows bounded by years x
+    suppliers, never lineitems); share rounding is one division of
+    exact integers so both engines agree bit-for-bit."""
+    import ray.data.aggregate as A
+
+    from pyschema_ray.functions.lm import _round_half_away
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_shipdate", "l_suppkey", "l_extendedprice",
+                        "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t["l_shipdate"]),
+                             pc.is_valid(t["l_suppkey"])))
+        cents = _li_cents(t)
+        g = pa.table({
+            "y": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+            "l_suppkey": t["l_suppkey"],
+            "cents": pa.array(cents, pa.int64()),
+        }).group_by(["y", "l_suppkey"]).aggregate([("cents", "sum")])
+        return g.rename_columns(["y", "l_suppkey", "cents"])
+
+    agg = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby(["y", "l_suppkey"]).aggregate(A.Sum("cents"))
+    t = _collect(agg, pa.schema([("y", pa.int64()),
+                                 ("l_suppkey", pa.int64()),
+                                 ("sum(cents)", pa.int64())]))
+    out_schema = pa.schema([("ship_year", pa.int64()),
+                            ("n_suppliers", pa.int64()),
+                            ("hhi_bp2", pa.int64())])
+    if t.num_rows == 0:
+        return out_schema.empty_table()
+    y = t["y"].to_numpy(zero_copy_only=False)
+    cents = pc.cast(t.column(2), pa.int64()) \
+        .to_numpy(zero_copy_only=False).astype(np.float64)
+    uy, yinv = np.unique(y, return_inverse=True)
+    tot = np.bincount(yinv, weights=cents)
+    bp = _round_half_away(10000.0 * (cents / tot[yinv])) \
+        .astype(np.int64)
+    hhi = np.bincount(yinv, weights=bp * bp).astype(np.int64)
+    n_s = np.bincount(yinv).astype(np.int64)
+    return pa.table({
+        "ship_year": pa.array(uy, pa.int64()),
+        "n_suppliers": pa.array(n_s, pa.int64()),
+        "hhi_bp2": pa.array(hhi, pa.int64()),
+    }).sort_by([("ship_year", "ascending")])
+
+
+def _q_dup_rate_by_source(sf_dir: str) -> pa.Table:
+    """Per-source exact duplicate-rate report: n_docs vs distinct
+    texts (128-bit two-SipHash content identity, the dedup family's
+    collision-tested contract).  Exchange 1 carries distinct
+    (source, h1, h2) rows with doc counts; exchange 2 folds per-batch
+    (source, n_docs, n_distinct) partials — the distinct-text table
+    never lands on the driver."""
+    import ray.data.aggregate as A
+
+    from pyschema_ray.sketches import hash_strings, hash_strings2
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t["source"]),
+                             pc.is_valid(t["text"])))
+        texts = t["text"].to_numpy(zero_copy_only=False)
+        g = pa.table({
+            "source": t["source"],
+            "h1": pa.array(hash_strings(texts).view(np.int64),
+                           pa.int64()),
+            "h2": pa.array(hash_strings2(texts).view(np.int64),
+                           pa.int64()),
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+        }).group_by(["source", "h1", "h2"]).aggregate([("n", "sum")])
+        return g.rename_columns(["source", "h1", "h2", "n"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "source": t["source"],
+            "n_docs": pc.cast(t["sum(n)"], pa.int64()),
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+        }).group_by("source").aggregate([("n_docs", "sum"),
+                                         ("one", "sum")])
+        return g.rename_columns(["source", "n_docs",
+                                 "n_distinct_texts"])
+
+    agg = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby(["source", "h1", "h2"]).aggregate(A.Sum("n")) \
+        .map_batches(fold, batch_format="pyarrow") \
+        .groupby("source").aggregate(A.Sum("n_docs"),
+                                     A.Sum("n_distinct_texts"))
+    t = _collect(agg, pa.schema([("source", pa.string()),
+                                 ("sum(n_docs)", pa.int64()),
+                                 ("sum(n_distinct_texts)", pa.int64())]))
+    nd = pc.cast(t.column(1), pa.int64())
+    nx = pc.cast(t.column(2), pa.int64())
+    return pa.table({
+        "source": t["source"],
+        "n_docs": nd,
+        "n_distinct_texts": nx,
+        "n_dup_docs": pc.subtract(nd, nx),
+    }).sort_by([("source", "ascending")])
+
+
 def _q_doc_rank_stats_by_source(sf_dir: str) -> pa.Table:
     """PER-GROUP percent_rank()/cume_dist() (PARTITION BY source ORDER
     BY n_chars) with zero row exchanges — per-(group, value) count
@@ -6464,6 +6571,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conditional_violations_documents":
             _q_conditional_violations_documents,
         "doc_rank_stats_by_source": _q_doc_rank_stats_by_source,
+        "supplier_hhi_by_year": _q_supplier_hhi_by_year,
+        "dup_rate_by_source": _q_dup_rate_by_source,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -9113,6 +9222,42 @@ def oracle_sql() -> dict[str, str]:
               FROM c JOIN x USING (event_type) JOIN y USING (hr)
              CROSS JOIN n
              GROUP BY 1, 2 ORDER BY 1
+        """,
+        "supplier_hhi_by_year": """
+            WITH r AS (
+                SELECT CAST(extract(year FROM l_shipdate) AS BIGINT)
+                           AS y,
+                       l_suppkey,
+                       CAST(sum(CAST(round(l_extendedprice
+                                * (1 - l_discount) * 100) AS BIGINT))
+                           AS BIGINT) AS cents
+                  FROM lineitem
+                 WHERE l_shipdate IS NOT NULL
+                   AND l_suppkey IS NOT NULL
+                 GROUP BY 1, 2),
+            t AS (SELECT y, CAST(sum(cents) AS BIGINT) AS tot
+                    FROM r GROUP BY 1)
+            SELECT r.y AS ship_year,
+                   CAST(count(*) AS BIGINT) AS n_suppliers,
+                   CAST(sum(
+                        CAST(round(10000 * (CAST(r.cents AS DOUBLE)
+                                            / t.tot)) AS BIGINT)
+                        * CAST(round(10000 * (CAST(r.cents AS DOUBLE)
+                                              / t.tot)) AS BIGINT))
+                       AS BIGINT) AS hhi_bp2
+              FROM r JOIN t ON r.y = t.y
+             GROUP BY 1 ORDER BY 1
+        """,
+        "dup_rate_by_source": """
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT text) AS BIGINT)
+                       AS n_distinct_texts,
+                   CAST(count(*) - count(DISTINCT text) AS BIGINT)
+                       AS n_dup_docs
+              FROM documents
+             WHERE source IS NOT NULL AND text IS NOT NULL
+             GROUP BY 1 ORDER BY 1
         """,
         "doc_rank_stats_by_source": """
             SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,

@@ -141,7 +141,8 @@ QUERY_SUBSET = [
     "event_hour_mutual_info", "null_profile_documents",
     "customer_revenue_gini", "user_value_twap",
     "orders_lineitem_join_audit", "conditional_violations_documents",
-    "doc_rank_stats_by_source",
+    "doc_rank_stats_by_source", "supplier_hhi_by_year",
+    "dup_rate_by_source",
 ]
 
 
