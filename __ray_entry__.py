@@ -4984,6 +4984,67 @@ def _q_dup_rate_by_source(sf_dir: str) -> pa.Table:
     }).sort_by([("source", "ascending")])
 
 
+def _q_customer_revenue_lorenz(sf_dir: str) -> pa.Table:
+    """Lorenz curve of customer revenue by decile (who holds the
+    money): per-customer int-cent totals (one custkey-hash exchange,
+    MATERIALIZED once — a bounded-key aggregate, not the fact table),
+    exact quantile_disc decile thresholds via the 3-scan distributed
+    selection (never a global sort), then one bucketing scan with
+    per-decile combiners.  Bucket assignment is threshold-count based
+    (1 + #thresholds strictly below), so ties are deterministic in
+    both engines — unlike ntile()."""
+    import ray.data.aggregate as A
+
+    from pyschema_ray.functions.analytics import exact_value_deciles
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t["o_custkey"]),
+                             pc.is_valid(t["o_totalprice"])))
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        g = pa.table({"o_custkey": t["o_custkey"], "cents": cents}) \
+            .group_by("o_custkey").aggregate([("cents", "sum")])
+        return g.rename_columns(["o_custkey", "cents"])
+
+    rev = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(A.Sum("cents")).materialize()
+
+    out_schema = pa.schema([("decile", pa.int64()),
+                            ("n_customers", pa.int64()),
+                            ("cents", pa.int64())])
+    dec = exact_value_deciles(rev, "sum(cents)")
+    if dec.num_rows == 0:
+        return out_schema.empty_table()
+    th = dec["value"].to_numpy(zero_copy_only=False)  # 9 thresholds
+
+    def bucket(t: pa.Table) -> pa.Table:
+        c = pc.cast(t["sum(cents)"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        b = 1 + (c[:, None] > th[None, :]).sum(axis=1)
+        g = pa.table({
+            "decile": pa.array(b.astype(np.int64), pa.int64()),
+            "n_customers": pa.array(np.ones(len(c), np.int64)),
+            "cents": pa.array(c, pa.int64()),
+        }).group_by("decile").aggregate([("n_customers", "sum"),
+                                         ("cents", "sum")])
+        return g.rename_columns(["decile", "n_customers", "cents"])
+
+    agg = rev.map_batches(bucket, batch_format="pyarrow") \
+        .groupby("decile").aggregate(A.Sum("n_customers"),
+                                     A.Sum("cents"))
+    t = _collect(agg, out_schema)
+    if t.num_rows == 0:
+        return out_schema.empty_table()
+    return pa.table({
+        "decile": t["decile"],
+        "n_customers": pc.cast(t.column(1), pa.int64()),
+        "cents": pc.cast(t.column(2), pa.int64()),
+    }).sort_by([("decile", "ascending")])
+
+
 def _q_doc_rank_stats_by_source(sf_dir: str) -> pa.Table:
     """PER-GROUP percent_rank()/cume_dist() (PARTITION BY source ORDER
     BY n_chars) with zero row exchanges — per-(group, value) count
@@ -6573,6 +6634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rank_stats_by_source": _q_doc_rank_stats_by_source,
         "supplier_hhi_by_year": _q_supplier_hhi_by_year,
         "dup_rate_by_source": _q_dup_rate_by_source,
+        "customer_revenue_lorenz": _q_customer_revenue_lorenz,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -9222,6 +9284,31 @@ def oracle_sql() -> dict[str, str]:
               FROM c JOIN x USING (event_type) JOIN y USING (hr)
              CROSS JOIN n
              GROUP BY 1, 2 ORDER BY 1
+        """,
+        "customer_revenue_lorenz": """
+            WITH r AS (
+                SELECT o_custkey,
+                       CAST(sum(CAST(round(o_totalprice * 100)
+                                AS BIGINT)) AS BIGINT) AS cents
+                  FROM orders
+                 WHERE o_custkey IS NOT NULL
+                   AND o_totalprice IS NOT NULL
+                 GROUP BY 1),
+            q AS (SELECT quantile_disc(cents, 0.1) AS t1,
+                       quantile_disc(cents, 0.2) AS t2,
+                       quantile_disc(cents, 0.3) AS t3,
+                       quantile_disc(cents, 0.4) AS t4,
+                       quantile_disc(cents, 0.5) AS t5,
+                       quantile_disc(cents, 0.6) AS t6,
+                       quantile_disc(cents, 0.7) AS t7,
+                       quantile_disc(cents, 0.8) AS t8,
+                       quantile_disc(cents, 0.9) AS t9
+                    FROM r)
+            SELECT CAST(1 + CAST((cents > t1) AS BIGINT) + CAST((cents > t2) AS BIGINT) + CAST((cents > t3) AS BIGINT) + CAST((cents > t4) AS BIGINT) + CAST((cents > t5) AS BIGINT) + CAST((cents > t6) AS BIGINT) + CAST((cents > t7) AS BIGINT) + CAST((cents > t8) AS BIGINT) + CAST((cents > t9) AS BIGINT) AS BIGINT) AS decile,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(cents) AS BIGINT) AS cents
+              FROM r CROSS JOIN q
+             GROUP BY 1 ORDER BY 1
         """,
         "supplier_hhi_by_year": """
             WITH r AS (

@@ -142,7 +142,7 @@ QUERY_SUBSET = [
     "customer_revenue_gini", "user_value_twap",
     "orders_lineitem_join_audit", "conditional_violations_documents",
     "doc_rank_stats_by_source", "supplier_hhi_by_year",
-    "dup_rate_by_source",
+    "dup_rate_by_source", "customer_revenue_lorenz",
 ]
 
 
