@@ -40,6 +40,8 @@ class FileCleaner:
     def _clean_table(self, tbl: pa.Table) -> pa.Table:
         keep = None
         for c in self.validator.constraints:
+            if getattr(c, "severity", "error") == "warning":
+                continue  # observe-only rules never drop rows
             try:
                 mask = pc.fill_null(c.mask(tbl), False)
             except TypeError:   # global constraints (Unique) skip here

@@ -82,3 +82,27 @@ def test_warning_does_not_mask_real_errors(tmp_path):
     assert rep.passed is False
     assert rep.warning_counts == {"range(n_tok)": 9}
     assert rep.violation_counts["utf8_length(doc_id)"] > 0
+
+
+def test_cleaner_keeps_warning_violations(tmp_path):
+    # the corpus cleaner drops rows only for ERROR-severity rules:
+    # the same Range as a warning keeps all 20 rows, as an error
+    # keeps the 11 passing ones
+    import glob
+
+    import pyarrow.parquet as pq2
+
+    from pyschema_ray.pipelines.clean import write_validated
+
+    d = _write_corpus(tmp_path)
+    files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+
+    res_w = write_validated(
+        files, str(tmp_path / "clean_w"), _schema(),
+        extra_constraints=[as_warning(Range("n_tok", None, 100))])
+    assert res_w["rows_kept"] == 20
+
+    res_e = write_validated(
+        files, str(tmp_path / "clean_e"), _schema(),
+        extra_constraints=[Range("n_tok", None, 100)])
+    assert res_e["rows_kept"] == 11
