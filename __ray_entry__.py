@@ -4984,6 +4984,23 @@ def _q_dup_rate_by_source(sf_dir: str) -> pa.Table:
     }).sort_by([("source", "ascending")])
 
 
+def _q_footer_stats_audit_documents(sf_dir: str) -> pa.Table:
+    """Parquet footer-integrity audit over the documents table: per
+    (row group, column) the declared footer min/max/null stats vs
+    aggregates computed from the data — the check that catches
+    corrupt stats before predicate-pushdown reads skip live rows
+    (stages/audit.py::footer_stats_audit).  Oracle: a well-formed
+    writer's footer stats equal the true aggregates."""
+    from pyschema_ray.stages.audit import footer_stats_audit
+
+    out = footer_stats_audit(
+        [os.path.join(sf_dir, "documents.parquet")],
+        ["doc_id", "n_chars"])
+    t = _collect(out)
+    return t.drop_columns(["file"]) \
+        .sort_by([("row_group", "ascending"), ("column", "ascending")])
+
+
 def _q_customer_revenue_lorenz(sf_dir: str) -> pa.Table:
     """Lorenz curve of customer revenue by decile (who holds the
     money): per-customer int-cent totals (one custkey-hash exchange,
@@ -6635,6 +6652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_hhi_by_year": _q_supplier_hhi_by_year,
         "dup_rate_by_source": _q_dup_rate_by_source,
         "customer_revenue_lorenz": _q_customer_revenue_lorenz,
+        "footer_stats_audit_documents": _q_footer_stats_audit_documents,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -9284,6 +9302,31 @@ def oracle_sql() -> dict[str, str]:
               FROM c JOIN x USING (event_type) JOIN y USING (hr)
              CROSS JOIN n
              GROUP BY 1, 2 ORDER BY 1
+        """,
+        "footer_stats_audit_documents": """
+            SELECT CAST(0 AS BIGINT) AS row_group,
+                   'doc_id' AS "column",
+                   CAST(min(doc_id) AS DOUBLE) AS declared_min,
+                   CAST(max(doc_id) AS DOUBLE) AS declared_max,
+                   CAST(count(*) - count(doc_id) AS BIGINT)
+                       AS declared_nulls,
+                   CAST(min(doc_id) AS DOUBLE) AS actual_min,
+                   CAST(max(doc_id) AS DOUBLE) AS actual_max,
+                   CAST(count(*) - count(doc_id) AS BIGINT)
+                       AS actual_nulls,
+                   TRUE AS stats_ok
+              FROM documents
+            UNION ALL
+            SELECT CAST(0 AS BIGINT), 'n_chars',
+                   CAST(min(n_chars) AS DOUBLE),
+                   CAST(max(n_chars) AS DOUBLE),
+                   CAST(count(*) - count(n_chars) AS BIGINT),
+                   CAST(min(n_chars) AS DOUBLE),
+                   CAST(max(n_chars) AS DOUBLE),
+                   CAST(count(*) - count(n_chars) AS BIGINT),
+                   TRUE
+              FROM documents
+            ORDER BY "column"
         """,
         "customer_revenue_lorenz": """
             WITH r AS (

@@ -247,3 +247,25 @@ def test_join_cardinality_audit_empty_side():
     assert out["n_common_keys"] == 0
     assert out["predicted_join_rows"] == 0
     assert out["max_right_freq"] == 2
+
+
+def test_footer_stats_audit_multi_rowgroup_with_nulls(tmp_path):
+    import pyarrow.parquet as pqt
+
+    from pyschema_ray.stages.audit import footer_stats_audit
+
+    t = pa.table({
+        "a": pa.array([5, 1, None, 9, 2, 2], pa.int64()),
+        "b": pa.array([1.5, -2.0, 3.0, None, None, 0.25]),
+    })
+    p = tmp_path / "f.parquet"
+    pqt.write_table(t, p, row_group_size=2)   # 3 row groups
+    out = _tab(footer_stats_audit([str(p)], ["a", "b"]))
+    assert out.num_rows == 6                  # 3 rgs x 2 cols
+    assert all(out["stats_ok"].to_pylist())
+    rows = {(r["row_group"], r["column"]): r for r in out.to_pylist()}
+    assert rows[(0, "a")]["actual_min"] == 1.0
+    assert rows[(0, "a")]["declared_min"] == 1.0
+    assert rows[(1, "a")]["actual_nulls"] == 1
+    assert rows[(1, "b")]["declared_max"] == 3.0
+    assert rows[(2, "b")]["actual_min"] == 0.25
