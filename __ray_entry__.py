@@ -4984,6 +4984,100 @@ def _q_dup_rate_by_source(sf_dir: str) -> pa.Table:
     }).sort_by([("source", "ascending")])
 
 
+def _q_hard_negatives_topk(sf_dir: str) -> pa.Table:
+    """Hard-negative mining for contrastive training: for each query
+    vector (the 5 lowest vec_ids) the top-10 most similar
+    DIFFERENT-label vectors, ranked by the EXACT int64 dot product of
+    milli-quantized embeddings — the ANN family's bit-exact SQL
+    oracle (float cosine risks rank flips in the low-order bits;
+    integer dots cannot).  Query matrix broadcast once via ray.put;
+    per-batch integer matmul + top-k combiner; the driver merges only
+    Q x k x batches candidate rows."""
+    import ray
+
+    from pyschema_ray.functions.lm import _round_half_away
+    from pyschema_ray.functions.similarity import _as_matrix
+
+    k = 10
+    cols = ["vec_id", "label", "embedding"]
+    emb = _read(sf_dir, "embeddings", columns=cols)
+
+    def valid(t: pa.Table) -> pa.Table:
+        return t.filter(pc.and_(pc.and_(pc.is_valid(t["vec_id"]),
+                                        pc.is_valid(t["label"])),
+                                pc.is_valid(t["embedding"])))
+
+    def quant(col) -> np.ndarray:
+        m = _as_matrix(col).astype(np.float64)
+        return _round_half_away(m * 1000.0).astype(np.int64)
+
+    qt = _collect(emb.map_batches(
+        lambda t: valid(t).filter(pc.less(t["vec_id"], 5)),
+        batch_format="pyarrow"))
+    out_schema = pa.schema([("query_id", pa.int64()),
+                            ("vec_id", pa.int64()),
+                            ("dot_q", pa.int64()),
+                            ("rank", pa.int64())])
+    if qt.num_rows == 0:
+        return out_schema.empty_table()
+    qt = qt.sort_by("vec_id")
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False)
+    qlabels = pc.cast(qt["label"], pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    qm = quant(qt["embedding"])
+    ref = ray.put((qids, qlabels, qm))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = valid(t)
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "vec_id": pa.array([], pa.int64()),
+                          "dot_q": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        ids, labs, mat = ray.get(ref)
+        bids = t["vec_id"].to_numpy(zero_copy_only=False)
+        blabs = pc.cast(t["label"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        bm = quant(t["embedding"])
+        dots = mat @ bm.T                      # exact int64
+        oq, ov, od = [], [], []
+        for i in range(len(ids)):
+            sel = np.flatnonzero(blabs != labs[i])
+            if len(sel) == 0:
+                continue
+            d = dots[i, sel]
+            order = np.lexsort((bids[sel], -d))[:k]
+            take = sel[order]
+            oq.extend([int(ids[i])] * len(take))
+            ov.extend(bids[take].tolist())
+            od.extend(dots[i, take].tolist())
+        return pa.table({"query_id": pa.array(oq, pa.int64()),
+                         "vec_id": pa.array(ov, pa.int64()),
+                         "dot_q": pa.array(od, pa.int64())})
+
+    cand = _collect(emb.map_batches(partial, batch_format="pyarrow"),
+                    pa.schema([("query_id", pa.int64()),
+                               ("vec_id", pa.int64()),
+                               ("dot_q", pa.int64())]))
+    if cand.num_rows == 0:
+        return out_schema.empty_table()
+    out = []
+    qarr = cand["query_id"].to_numpy(zero_copy_only=False)
+    varr = cand["vec_id"].to_numpy(zero_copy_only=False)
+    darr = cand["dot_q"].to_numpy(zero_copy_only=False)
+    for qid in np.unique(qarr):
+        sel = np.flatnonzero(qarr == qid)
+        order = np.lexsort((varr[sel], -darr[sel]))[:k]
+        take = sel[order]
+        for r, j in enumerate(take, 1):
+            out.append((int(qid), int(varr[j]), int(darr[j]), r))
+    return pa.table({
+        "query_id": pa.array([o[0] for o in out], pa.int64()),
+        "vec_id": pa.array([o[1] for o in out], pa.int64()),
+        "dot_q": pa.array([o[2] for o in out], pa.int64()),
+        "rank": pa.array([o[3] for o in out], pa.int64())})
+
+
 def _q_footer_stats_audit_documents(sf_dir: str) -> pa.Table:
     """Parquet footer-integrity audit over the documents table: per
     (row group, column) the declared footer min/max/null stats vs
@@ -6653,6 +6747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_rate_by_source": _q_dup_rate_by_source,
         "customer_revenue_lorenz": _q_customer_revenue_lorenz,
         "footer_stats_audit_documents": _q_footer_stats_audit_documents,
+        "hard_negatives_topk": _q_hard_negatives_topk,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -9302,6 +9397,37 @@ def oracle_sql() -> dict[str, str]:
               FROM c JOIN x USING (event_type) JOIN y USING (hr)
              CROSS JOIN n
              GROUP BY 1, 2 ORDER BY 1
+        """,
+        "hard_negatives_topk": """
+            WITH e AS (
+                SELECT vec_id, CAST(label AS BIGINT) AS label,
+                       embedding
+                  FROM embeddings
+                 WHERE vec_id IS NOT NULL AND label IS NOT NULL
+                   AND embedding IS NOT NULL),
+            u AS (
+                SELECT vec_id, label,
+                       CAST(generate_subscripts(embedding, 1)
+                            AS BIGINT) AS i,
+                       CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                                  * 1000) AS BIGINT) AS x
+                  FROM e),
+            q AS (SELECT * FROM u WHERE vec_id < 5),
+            d AS (
+                SELECT q.vec_id AS query_id, u.vec_id AS vec_id,
+                       CAST(sum(q.x * u.x) AS BIGINT) AS dot_q
+                  FROM q JOIN u
+                    ON q.i = u.i AND q.label <> u.label
+                 GROUP BY 1, 2),
+            r AS (SELECT query_id, vec_id, dot_q,
+                         row_number() OVER (
+                             PARTITION BY query_id
+                             ORDER BY dot_q DESC, vec_id) AS rnk
+                    FROM d)
+            SELECT query_id, vec_id, dot_q,
+                   CAST(rnk AS BIGINT) AS "rank"
+              FROM r WHERE rnk <= 10
+             ORDER BY query_id, rnk
         """,
         "footer_stats_audit_documents": """
             SELECT CAST(0 AS BIGINT) AS row_group,

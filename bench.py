@@ -143,7 +143,7 @@ QUERY_SUBSET = [
     "orders_lineitem_join_audit", "conditional_violations_documents",
     "doc_rank_stats_by_source", "supplier_hhi_by_year",
     "dup_rate_by_source", "customer_revenue_lorenz",
-    "footer_stats_audit_documents",
+    "footer_stats_audit_documents", "hard_negatives_topk",
 ]
 
 
