@@ -4984,6 +4984,51 @@ def _q_dup_rate_by_source(sf_dir: str) -> pa.Table:
     }).sort_by([("source", "ascending")])
 
 
+def _q_gopher_quality_flags(sf_dir: str) -> pa.Table:
+    """Gopher-style quality rules (Rae et al. 2021, §A1.1) as exact
+    integer signals — word count bounds, mean-word-length bounds via
+    integer cross-multiplication (3n <= chars <= 10n), symbol-to-word
+    ratio (10*(#hash + #ellipsis) <= n_words) — one per-batch scan,
+    zero exchanges, no floats anywhere so the SQL twin is
+    bit-identical."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def flags(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["doc_id"]))
+        txt = pc.fill_null(t["text"], "")
+        trimmed = pc.utf8_trim_whitespace(txt)
+        words = pc.split_pattern_regex(trimmed, r"\s+")
+        n_words = pc.list_value_length(words) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        n_words[pc.equal(trimmed, "").to_numpy(zero_copy_only=False)] = 0
+        chars = pc.utf8_length(pc.replace_substring_regex(
+            txt, pattern=r"\s", replacement="")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        n_hash = pc.count_substring(txt, pattern="#") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        n_ell = pc.count_substring(txt, pattern="...") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = ((n_words >= 40) & (n_words <= 100_000)
+              & (3 * n_words <= chars) & (chars <= 10 * n_words)
+              & (10 * (n_hash + n_ell) <= n_words))
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_word_chars": pa.array(chars, pa.int64()),
+            "n_hash": pa.array(n_hash, pa.int64()),
+            "n_ellipsis": pa.array(n_ell, pa.int64()),
+            "passes_gopher": pa.array(ok, pa.bool_())})
+
+    t = _collect(ds.map_batches(flags, batch_format="pyarrow"),
+                 pa.schema([("doc_id", pa.int64()),
+                            ("n_words", pa.int64()),
+                            ("n_word_chars", pa.int64()),
+                            ("n_hash", pa.int64()),
+                            ("n_ellipsis", pa.int64()),
+                            ("passes_gopher", pa.bool_())]))
+    return t.sort_by([("doc_id", "ascending")])
+
+
 def _q_hard_negatives_topk(sf_dir: str) -> pa.Table:
     """Hard-negative mining for contrastive training: for each query
     vector (the 5 lowest vec_ids) the top-10 most similar
@@ -6748,6 +6793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_revenue_lorenz": _q_customer_revenue_lorenz,
         "footer_stats_audit_documents": _q_footer_stats_audit_documents,
         "hard_negatives_topk": _q_hard_negatives_topk,
+        "gopher_quality_flags": _q_gopher_quality_flags,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -9397,6 +9443,30 @@ def oracle_sql() -> dict[str, str]:
               FROM c JOIN x USING (event_type) JOIN y USING (hr)
              CROSS JOIN n
              GROUP BY 1, 2 ORDER BY 1
+        """,
+        "gopher_quality_flags": """
+            WITH d AS (
+                SELECT doc_id, coalesce(text, '') AS s
+                  FROM documents WHERE doc_id IS NOT NULL),
+            m AS (
+                SELECT doc_id,
+                       CAST(len(list_filter(
+                            regexp_split_to_array(trim(s), '\\s+'),
+                            x -> x <> '')) AS BIGINT) AS n_words,
+                       CAST(length(regexp_replace(s, '\\s', '', 'g'))
+                            AS BIGINT) AS n_word_chars,
+                       CAST(length(s) - length(replace(s, '#', ''))
+                            AS BIGINT) AS n_hash,
+                       CAST((length(s) - length(replace(s, '...', '')))
+                            // 3 AS BIGINT) AS n_ellipsis
+                  FROM d)
+            SELECT doc_id, n_words, n_word_chars, n_hash, n_ellipsis,
+                   (n_words >= 40 AND n_words <= 100000
+                    AND 3 * n_words <= n_word_chars
+                    AND n_word_chars <= 10 * n_words
+                    AND 10 * (n_hash + n_ellipsis) <= n_words)
+                       AS passes_gopher
+              FROM m ORDER BY doc_id
         """,
         "hard_negatives_topk": """
             WITH e AS (
