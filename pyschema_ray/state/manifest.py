@@ -99,3 +99,64 @@ class Manifest:
             return None
         with open(p) as f:
             return json.load(f)
+
+
+def diff_runs(old_dir: str, new_dir: str,
+              rate_tolerance: float = 0.0) -> dict:
+    """Run-over-run regression report from two completed manifests —
+    the ops check a scheduled validation job runs before promoting a
+    new corpus snapshot: row-count delta, per-constraint violation
+    RATE deltas (per million rows, so differently-sized runs
+    compare), constraints that newly appeared or disappeared, and
+    per-partition verdict flips.  Driver-side over manifest JSON only
+    (O(shards) metadata — never data).
+
+    ``rate_tolerance``: allowed per-million rate increase before a
+    constraint lands in ``regressed`` (0 = any increase regresses).
+
+    -> dict(rows_old, rows_new, rates_old, rates_new, regressed,
+       improved, new_constraints, gone_constraints, verdict_flips,
+       passed_old, passed_new).
+    """
+    def load(d):
+        m = Manifest(d)
+        summary = m.get_global("summary")
+        if summary is None:
+            raise ValueError(f"no completed summary in {d!r}")
+        parts = {}
+        for rec in m.completed_shards().values():
+            for pid, dig in rec.get("partition_digests", {}).items():
+                parts[pid] = dig.get("verdict", "pass")
+        return summary, parts
+
+    s_old, p_old = load(old_dir)
+    s_new, p_new = load(new_dir)
+    rows_old = max(1, int(s_old.get("row_count", 0)))
+    rows_new = max(1, int(s_new.get("row_count", 0)))
+    vc_old = s_old.get("violation_counts", {}) or {}
+    vc_new = s_new.get("violation_counts", {}) or {}
+    rate = lambda c, n: 1e6 * c / n  # noqa: E731
+    rates_old = {k: rate(v, rows_old) for k, v in vc_old.items()}
+    rates_new = {k: rate(v, rows_new) for k, v in vc_new.items()}
+    regressed, improved = {}, {}
+    for k in sorted(set(rates_old) | set(rates_new)):
+        d = rates_new.get(k, 0.0) - rates_old.get(k, 0.0)
+        if d > rate_tolerance:
+            regressed[k] = d
+        elif d < 0:
+            improved[k] = d
+    verdict_flips = {
+        pid: (p_old[pid], p_new[pid])
+        for pid in sorted(set(p_old) & set(p_new))
+        if p_old[pid] != p_new[pid]}
+    return {
+        "rows_old": int(s_old.get("row_count", 0)),
+        "rows_new": int(s_new.get("row_count", 0)),
+        "rates_old": rates_old, "rates_new": rates_new,
+        "regressed": regressed, "improved": improved,
+        "new_constraints": sorted(set(vc_new) - set(vc_old)),
+        "gone_constraints": sorted(set(vc_old) - set(vc_new)),
+        "verdict_flips": verdict_flips,
+        "passed_old": bool(s_old.get("passed", False)),
+        "passed_new": bool(s_new.get("passed", False)),
+    }

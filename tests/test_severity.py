@@ -106,3 +106,27 @@ def test_cleaner_keeps_warning_violations(tmp_path):
         files, str(tmp_path / "clean_e"), _schema(),
         extra_constraints=[Range("n_tok", None, 100)])
     assert res_e["rows_kept"] == 11
+
+
+def test_diff_runs_flags_regressions(tmp_path):
+    # run A: clean schema; run B: adds an error Range that fires ->
+    # regressed rate, verdict flip, passed True -> False
+    from pyschema_ray.state.manifest import diff_runs
+
+    d = _write_corpus(tmp_path)
+    cfg_a = PipelineConfig(schema_cls=_schema(), input_paths=d,
+                           out_dir=str(tmp_path / "run_a"),
+                           files_per_shard=1)
+    ValidationPipeline(cfg_a).run()
+    cfg_b = PipelineConfig(
+        schema_cls=_schema(), input_paths=d,
+        out_dir=str(tmp_path / "run_b"), files_per_shard=1,
+        extra_constraints=[Range("n_tok", None, 100)])
+    ValidationPipeline(cfg_b).run()
+
+    diff = diff_runs(str(tmp_path / "run_a"), str(tmp_path / "run_b"))
+    assert diff["rows_old"] == diff["rows_new"] == 20
+    assert diff["new_constraints"] == ["range(n_tok)"]
+    assert diff["regressed"] == {"range(n_tok)": 1e6 * 9 / 20}
+    assert diff["passed_old"] is True and diff["passed_new"] is False
+    assert list(diff["verdict_flips"].values()) == [("pass", "fail")]
