@@ -4984,6 +4984,89 @@ def _q_dup_rate_by_source(sf_dir: str) -> pa.Table:
     }).sort_by([("source", "ascending")])
 
 
+def _q_users_all_event_types(sf_dir: str) -> pa.Table:
+    """Relational division (the FOR ALL join): users who performed
+    EVERY event type in the corpus.  Pass 1 collects the tiny distinct
+    type vocabulary (broadcast as sorted bit positions); pass 2 folds
+    each batch to (user, OR of type bits) and a user-hash shard
+    exchange ORs the masks — full mask == division survivor.  The
+    exchange carries one int64 mask per (batch, user), never events."""
+    import ray
+
+    from pyschema_ray.functions.dedup import (_default_shards,
+                                              _key_shards)
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def dtypes(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["event_type"]))
+        return t.group_by("event_type").aggregate([])
+
+    types_t = _collect(
+        ds.map_batches(dtypes, batch_format="pyarrow")
+        .groupby("event_type").count(),
+        pa.schema([("event_type", pa.string()), ("count()", pa.int64())]))
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("n_types", pa.int64())])
+    if types_t.num_rows == 0:
+        return out_schema.empty_table()
+    types = np.sort(np.asarray(types_t["event_type"].to_pylist(),
+                               dtype=object))
+    if len(types) > 63:
+        raise ValueError("bitmask division supports <= 63 types; "
+                         "use a (user, type) distinct exchange beyond")
+    full = (1 << len(types)) - 1
+    ref = ray.put(types)
+    nb = _default_shards()
+
+    def fold(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t["user_id"]),
+                             pc.is_valid(t["event_type"])))
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "mask": pa.array([], pa.int64()),
+                          "kshard": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        tv = ray.get(ref)
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        bits = np.left_shift(np.int64(1), np.searchsorted(tv, et))
+        order = np.argsort(u, kind="stable")
+        u, bits = u[order], bits[order]
+        starts = np.flatnonzero(np.concatenate(
+            [[True], u[1:] != u[:-1]]))
+        masks = np.bitwise_or.reduceat(bits, starts)
+        uu = u[starts]
+        return pa.table({
+            "user_id": pa.array(uu, pa.int64()),
+            "mask": pa.array(masks, pa.int64()),
+            "kshard": pa.array(_key_shards(uu, nb, 173), pa.int64())})
+
+    def survivors(t: pa.Table) -> pa.Table:
+        empty = out_schema.empty_table()
+        if t.num_rows == 0:
+            return empty
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        m = t["mask"].to_numpy(zero_copy_only=False)
+        order = np.argsort(u, kind="stable")
+        u, m = u[order], m[order]
+        starts = np.flatnonzero(np.concatenate(
+            [[True], u[1:] != u[:-1]]))
+        masks = np.bitwise_or.reduceat(m, starts)
+        keep = masks == full
+        nt = np.array([bin(x).count("1") for x in masks[keep]],
+                      np.int64)
+        return pa.table({"user_id": pa.array(u[starts][keep],
+                                             pa.int64()),
+                         "n_types": pa.array(nt, pa.int64())})
+
+    out = ds.map_batches(fold, batch_format="pyarrow") \
+        .groupby("kshard").map_groups(
+            lambda t: survivors(t.drop_columns(["kshard"])),
+            batch_format="pyarrow")
+    return _collect(out, out_schema).sort_by([("user_id", "ascending")])
+
+
 def _q_gopher_quality_flags(sf_dir: str) -> pa.Table:
     """Gopher-style quality rules (Rae et al. 2021, §A1.1) as exact
     integer signals — word count bounds, mean-word-length bounds via
@@ -6794,6 +6877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "footer_stats_audit_documents": _q_footer_stats_audit_documents,
         "hard_negatives_topk": _q_hard_negatives_topk,
         "gopher_quality_flags": _q_gopher_quality_flags,
+        "users_all_event_types": _q_users_all_event_types,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -9443,6 +9527,20 @@ def oracle_sql() -> dict[str, str]:
               FROM c JOIN x USING (event_type) JOIN y USING (hr)
              CROSS JOIN n
              GROUP BY 1, 2 ORDER BY 1
+        """,
+        "users_all_event_types": """
+            WITH n AS (
+                SELECT CAST(count(DISTINCT event_type) AS BIGINT)
+                           AS n_all
+                  FROM events WHERE event_type IS NOT NULL)
+            SELECT user_id,
+                   CAST(count(DISTINCT event_type) AS BIGINT)
+                       AS n_types
+              FROM events CROSS JOIN n
+             WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             GROUP BY user_id, n.n_all
+            HAVING count(DISTINCT event_type) = n.n_all
+             ORDER BY user_id
         """,
         "gopher_quality_flags": """
             WITH d AS (

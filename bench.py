@@ -144,7 +144,7 @@ QUERY_SUBSET = [
     "doc_rank_stats_by_source", "supplier_hhi_by_year",
     "dup_rate_by_source", "customer_revenue_lorenz",
     "footer_stats_audit_documents", "hard_negatives_topk",
-    "gopher_quality_flags",
+    "gopher_quality_flags", "users_all_event_types",
 ]
 
 
