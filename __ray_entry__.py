@@ -4984,6 +4984,89 @@ def _q_dup_rate_by_source(sf_dir: str) -> pa.Table:
     }).sort_by([("source", "ascending")])
 
 
+def _q_label_dispersion(sf_dir: str) -> pa.Table:
+    """Intra-label embedding dispersion WITHOUT any pairwise pass:
+    mean pairwise dot = (||sum v||^2 - sum ||v||^2) / (n(n-1)),
+    computed on milli-quantized integer embeddings so both terms are
+    exact Python ints — the cluster-cohesion audit that would be
+    O(n^2) naively, done in ONE streaming scan with (labels x d)
+    integer-sum combiners.  The two integer moments are the compared
+    columns; the float mean is one division away."""
+    import ray.data.aggregate as A
+
+    from pyschema_ray.functions.lm import _round_half_away
+    from pyschema_ray.functions.similarity import _as_matrix
+
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t["label"]),
+                             pc.is_valid(t["embedding"])))
+        empty_cols = {"label": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64()),
+                      "sq": pa.array([], pa.int64())}
+        if t.num_rows == 0:
+            emp = dict(empty_cols)
+            emp["vsum"] = pa.array([], pa.list_(pa.int64()))
+            return pa.table(emp)
+        m = _round_half_away(_as_matrix(t["embedding"])
+                             .astype(np.float64) * 1000.0) \
+            .astype(np.int64)
+        labs = pc.cast(t["label"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ul, inv = np.unique(labs, return_inverse=True)
+        d = m.shape[1]
+        vsum = np.zeros((len(ul), d), np.int64)
+        np.add.at(vsum, inv, m)
+        sq = np.bincount(inv, weights=(m.astype(np.float64) ** 2)
+                         .sum(axis=1)).astype(np.int64)
+        n = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "label": pa.array(ul, pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "sq": pa.array(sq, pa.int64()),
+            "vsum": pa.array(list(vsum), pa.list_(pa.int64()))})
+
+    parts = _collect(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        pa.schema([("label", pa.int64()), ("n", pa.int64()),
+                   ("sq", pa.int64()),
+                   ("vsum", pa.list_(pa.int64()))]))
+    out_schema = pa.schema([("label", pa.int64()),
+                            ("n_vectors", pa.int64()),
+                            ("sum_sq_norm", pa.int64()),
+                            ("pair_dot_numer", pa.int64())])
+    if parts.num_rows == 0:
+        return out_schema.empty_table()
+    labs = parts["label"].to_numpy(zero_copy_only=False)
+    order = np.argsort(labs, kind="stable")
+    out_rows = []
+    i = 0
+    labs_s = labs[order]
+    while i < len(labs_s):
+        j = i
+        tot_n, tot_sq, vec = 0, 0, None
+        while j < len(labs_s) and labs_s[j] == labs_s[i]:
+            r = order[j]
+            tot_n += int(parts["n"][r].as_py())
+            tot_sq += int(parts["sq"][r].as_py())
+            v = np.asarray(parts["vsum"][r].as_py(), dtype=object)
+            vec = v if vec is None else vec + v
+            j += 1
+        # Python-int norm^2 of the label's exact component sums
+        norm2 = int(sum(int(x) * int(x) for x in vec))
+        out_rows.append((int(labs_s[i]), tot_n, tot_sq,
+                         norm2 - tot_sq))
+        i = j
+    return pa.table({
+        "label": pa.array([r[0] for r in out_rows], pa.int64()),
+        "n_vectors": pa.array([r[1] for r in out_rows], pa.int64()),
+        "sum_sq_norm": pa.array([r[2] for r in out_rows], pa.int64()),
+        "pair_dot_numer": pa.array([r[3] for r in out_rows],
+                                   pa.int64()),
+    }).sort_by([("label", "ascending")])
+
+
 def _q_users_all_event_types(sf_dir: str) -> pa.Table:
     """Relational division (the FOR ALL join): users who performed
     EVERY event type in the corpus.  Pass 1 collects the tiny distinct
@@ -6878,6 +6961,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hard_negatives_topk": _q_hard_negatives_topk,
         "gopher_quality_flags": _q_gopher_quality_flags,
         "users_all_event_types": _q_users_all_event_types,
+        "label_dispersion": _q_label_dispersion,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -9527,6 +9611,42 @@ def oracle_sql() -> dict[str, str]:
               FROM c JOIN x USING (event_type) JOIN y USING (hr)
              CROSS JOIN n
              GROUP BY 1, 2 ORDER BY 1
+        """,
+        "label_dispersion": """
+            WITH e AS (
+                SELECT CAST(label AS BIGINT) AS label, embedding
+                  FROM embeddings
+                 WHERE label IS NOT NULL AND embedding IS NOT NULL),
+            q AS (
+                SELECT label,
+                       CAST(list_sum(list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) * 1000)
+                                      AS BIGINT)
+                               * CAST(round(CAST(x AS DOUBLE) * 1000)
+                                      AS BIGINT))) AS BIGINT) AS qq
+                  FROM e),
+            agg AS (
+                SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+                       CAST(sum(qq) AS BIGINT) AS sum_sq_norm
+                  FROM q GROUP BY 1),
+            u AS (
+                SELECT label,
+                       CAST(generate_subscripts(embedding, 1)
+                            AS BIGINT) AS i,
+                       CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                                  * 1000) AS BIGINT) AS x
+                  FROM e),
+            s AS (SELECT label, i, CAST(sum(x) AS BIGINT) AS sx
+                    FROM u GROUP BY 1, 2),
+            nn AS (SELECT label,
+                          CAST(sum(CAST(sx AS HUGEINT) * sx)
+                               AS BIGINT) AS n2
+                     FROM s GROUP BY 1)
+            SELECT agg.label, agg.n_vectors, agg.sum_sq_norm,
+                   CAST(nn.n2 - agg.sum_sq_norm AS BIGINT)
+                       AS pair_dot_numer
+              FROM agg JOIN nn ON agg.label = nn.label
+             ORDER BY agg.label
         """,
         "users_all_event_types": """
             WITH n AS (

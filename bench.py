@@ -145,6 +145,7 @@ QUERY_SUBSET = [
     "dup_rate_by_source", "customer_revenue_lorenz",
     "footer_stats_audit_documents", "hard_negatives_topk",
     "gopher_quality_flags", "users_all_event_types",
+    "label_dispersion",
 ]
 
 
