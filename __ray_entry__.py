@@ -86,6 +86,20 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None,
         kw["override_num_blocks"] = min(small, cap)
     if pred is not None:
         kw["filter"] = pred
+    import pyarrow.parquet as _pq
+    if _pq.read_metadata(path).num_rows == 0:
+        # a zero-row file yields ZERO blocks from read_parquet, so
+        # every downstream map_batches never runs and the dataset
+        # loses its schema (ds.schema() -> None) — sorts, joins and
+        # _collect fallbacks then crash.  Emit ONE empty block that
+        # CARRIES the (pruned) read schema instead: every per-batch
+        # UDF in this repo has a pinned-dtype empty branch, so the
+        # schema flows end to end.  Metadata-only driver check.
+        sch = _pq.read_schema(path)
+        if columns is not None:
+            sch = pa.schema([sch.field(c) for c in columns])
+        return ray.data.from_arrow(
+            sch.remove_metadata().empty_table())
     ds = ray.data.read_parquet(path, columns=columns, **kw)
     # strip the files' pandas metadata: pa.Schema with metadata is
     # unhashable in pyarrow 16.1, and every downstream schema-dedupe
@@ -114,6 +128,20 @@ def _collect(ds, empty_schema: pa.Schema | None = None) -> pa.Table:
         except Exception:  # noqa: BLE001
             return pa.table({})
     return pa.concat_tables(tables)
+
+
+def _psort(tbl: pa.Table, *args, **kwargs) -> pa.Table:
+    """``Table.sort_by`` that no-ops on a SCHEMA-LESS empty table.
+    On a fully-empty corpus a pipeline can lose its schema entirely
+    (zero-row blocks never reach a map_batches UDF, so ``_collect``
+    falls back to a zero-column table); sorting that table by any key
+    raises ArrowInvalid.  Zero columns implies zero rows, so the sort
+    is a no-op anyway — return the table unchanged.  For every normal
+    table (including zero-ROW tables that kept their schema) this is
+    exactly ``sort_by``."""
+    if tbl.num_columns == 0:
+        return tbl
+    return tbl.sort_by(*args, **kwargs)
 
 
 # ---------------------------------------------------------------------------
@@ -171,9 +199,9 @@ def _q_violations_documents(sf_dir: str) -> pa.Table:
         batch_format="pyarrow", zero_copy_batch=True, concurrency=2)
     t = _collect(out)
     t = t.filter(pc.equal(t["kind"], "violation"))
-    return t.select(["key", "constraint"]) \
+    return _psort(t.select(["key", "constraint"]) \
             .rename_columns(["key", "constraint_name"]) \
-            .sort_by([("key", "ascending"), ("constraint_name", "ascending")])
+            , [("key", "ascending"), ("constraint_name", "ascending")])
 
 
 def _q_duplicate_user_ids(sf_dir: str) -> pa.Table:
@@ -181,7 +209,7 @@ def _q_duplicate_user_ids(sf_dir: str) -> pa.Table:
     from pyschema_ray.stages.unique import duplicate_keys
 
     dups = duplicate_keys(_read(sf_dir, "events"), "user_id")
-    return _collect(dups).sort_by("user_id")
+    return _psort(_collect(dups), "user_id")
 
 
 def _q_stats_per_source(sf_dir: str) -> pa.Table:
@@ -200,8 +228,8 @@ def _q_stats_per_source(sf_dir: str) -> pa.Table:
         A.Sum("sum_chars"), A.Min("min_chars"),
         A.Max("max_chars"), A.Sum("n_docs"))
     t = _collect(agg)
-    return t.rename_columns(["source", "sum_chars", "min_chars",
-                             "max_chars", "n_docs"]).sort_by("source")
+    return _psort(t.rename_columns(["source", "sum_chars", "min_chars",
+                             "max_chars", "n_docs"]), "source")
 
 
 def _q_ref_violations_documents_source(sf_dir: str) -> pa.Table:
@@ -215,8 +243,8 @@ def _q_ref_violations_documents_source(sf_dir: str) -> pa.Table:
         ok = pc.is_in(t["source"], value_set=ray.get(valid))
         return t.filter(pc.invert(ok)).select(["doc_id", "source"])
 
-    return _collect(ds.map_batches(anti, batch_format="pyarrow")) \
-        .sort_by("doc_id")
+    return _psort(_collect(ds.map_batches(anti, batch_format="pyarrow")) \
+        , "doc_id")
 
 
 def _q_ndv_doc_id_exact(sf_dir: str) -> pa.Table:
@@ -251,9 +279,9 @@ def _q_pricing_summary(sf_dir: str) -> pa.Table:
     agg = pre.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         A.Sum("sum_qty"), A.Sum("sum_cents"), A.Sum("count_order"))
     t = _collect(agg)
-    return t.rename_columns(
+    return _psort(t.rename_columns(
         ["l_returnflag", "l_linestatus", "sum_qty", "sum_cents",
-         "count_order"]).sort_by([("l_returnflag", "ascending"),
+         "count_order"]), [("l_returnflag", "ascending"),
                                   ("l_linestatus", "ascending")])
 
 
@@ -274,7 +302,7 @@ def _q_events_histogram(sf_dir: str) -> pa.Table:
     pre = ds.map_batches(partial, batch_format="pyarrow")
     agg = pre.groupby(["event_type", "bin"]).aggregate(A.Sum("n"))
     t = _collect(agg).rename_columns(["event_type", "bin", "n"])
-    return t.sort_by([("event_type", "ascending"), ("bin", "ascending")])
+    return _psort(t, [("event_type", "ascending"), ("bin", "ascending")])
 
 
 def _q_embedding_lengths(sf_dir: str) -> pa.Table:
@@ -286,8 +314,8 @@ def _q_embedding_lengths(sf_dir: str) -> pa.Table:
             "dim": pc.cast(pc.list_value_length(t["embedding"]), pa.int64()),
         })
 
-    return _collect(ds.map_batches(f, batch_format="pyarrow")) \
-        .sort_by("vec_id")
+    return _psort(_collect(ds.map_batches(f, batch_format="pyarrow")) \
+        , "vec_id")
 
 
 def _q_embedding_element_range_violations(sf_dir: str) -> pa.Table:
@@ -301,9 +329,9 @@ def _q_embedding_element_range_violations(sf_dir: str) -> pa.Table:
         bad = pc.invert(c.mask(t))
         return t.filter(bad).select(["vec_id"])
 
-    return _collect(ds.map_batches(f, batch_format="pyarrow"),
+    return _psort(_collect(ds.map_batches(f, batch_format="pyarrow"),
                     pa.schema([pa.field("vec_id", pa.int64())])) \
-        .sort_by("vec_id")
+        , "vec_id")
 
 
 def _q_top_sources_by_chars(sf_dir: str) -> pa.Table:
@@ -349,21 +377,21 @@ def _q_chunk_ann_topk(sf_dir: str) -> pa.Table:
 
     # query matrix: head chunk (first 24 words) of the 3 lowest
     # doc_ids, derived driver-side with the same pure kernel
-    doc = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+    doc = _psort(pq.read_table(os.path.join(sf_dir, "documents.parquet"),
                         columns=["doc_id", "text"]) \
-        .sort_by("doc_id").slice(0, 3)
+        , "doc_id").slice(0, 3)
     heads = [" ".join((x or "").split()[:24])
              for x in doc["text"].to_pylist()]
     qm = _hash_vector_matrix(heads, dim=64, seed=7)
     out = brute_force_topk(vecs, qm, k=5, embedding_col="embedding",
                            key_col="ckey")
-    return pa.table({
+    return _psort(pa.table({
         "query_id": pc.cast(out["query_id"], pa.int64()),
         "ckey": pc.cast(out["ckey"], pa.int64()),
         "rank": pc.cast(out["rank"], pa.int64()),
         "score_milli": pc.cast(pc.round(pc.multiply(
             out["score"], 1000.0)), pa.int64()),
-    }).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+    }), [("query_id", "ascending"), ("rank", "ascending")])
 
 
 def _q_curated_documents(sf_dir: str) -> pa.Table:
@@ -408,8 +436,8 @@ def _q_curated_documents(sf_dir: str) -> pa.Table:
     t = _collect(gated.map_batches(pick, batch_format="pyarrow"),
                  empty_schema=pa.schema([("doc_id", pa.int64()),
                                          ("clean_text", pa.string())]))
-    return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
-                     "clean_text": t["clean_text"]}).sort_by("doc_id")
+    return _psort(pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                     "clean_text": t["clean_text"]}), "doc_id")
 
 
 def _q_document_chunks(sf_dir: str) -> pa.Table:
@@ -439,7 +467,7 @@ def _q_document_chunks(sf_dir: str) -> pa.Table:
                      ("doc_id", pa.int64()), ("chunk_id", pa.int64()),
                      ("n_words", pa.int64()),
                      ("chunk_md5", pa.string())]))
-    return t.sort_by([("doc_id", "ascending"),
+    return _psort(t, [("doc_id", "ascending"),
                       ("chunk_id", "ascending")])
 
 
@@ -453,11 +481,11 @@ def _q_lang_rank_per_source(sf_dir: str) -> pa.Table:
         _read(sf_dir, "documents", columns=["source", "lang"]),
         group_col="source", item_col="lang", k=3)
     t = _collect(out)
-    return pa.table({
+    return _psort(pa.table({
         "source": t["source"], "lang": t["lang"],
         "n": pc.cast(t["n"], pa.int64()),
         "rnk": pc.cast(t["rnk"], pa.int64()),
-    }).sort_by([("source", "ascending"), ("rnk", "ascending"),
+    }), [("source", "ascending"), ("rnk", "ascending"),
                 ("lang", "ascending")])
 
 
@@ -472,16 +500,16 @@ def _q_dedup_keep_best(sf_dir: str) -> pa.Table:
               columns=["doc_id", "text", "n_chars"]),
         text_col="text", key_col="doc_id", score_col="n_chars")
     t = _collect(kept)
-    return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+    return _psort(pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
                      "n_chars": pc.cast(t["n_chars"], pa.int64())}) \
-        .sort_by("doc_id")
+        , "doc_id")
 
 
 def _q_dedup_exact(sf_dir: str) -> pa.Table:
     from pyschema_ray.functions.dedup import exact_dedup_keys
 
     kept = exact_dedup_keys(_read(sf_dir, "documents"))
-    return _collect(kept).sort_by("doc_id")
+    return _psort(_collect(kept), "doc_id")
 
 
 def _q_token_counts(sf_dir: str) -> pa.Table:
@@ -489,8 +517,8 @@ def _q_token_counts(sf_dir: str) -> pa.Table:
 
     ds = _read(sf_dir, "documents").map_batches(
         token_count_batch, batch_format="pyarrow")
-    return _collect(ds.select_columns(["doc_id", "n_tokens"])) \
-        .sort_by("doc_id")
+    return _psort(_collect(ds.select_columns(["doc_id", "n_tokens"])) \
+        , "doc_id")
 
 
 def _q_quality_features(sf_dir: str) -> pa.Table:
@@ -498,9 +526,9 @@ def _q_quality_features(sf_dir: str) -> pa.Table:
 
     ds = _read(sf_dir, "documents").map_batches(
         quality_features_batch, batch_format="pyarrow")
-    return _collect(ds.select_columns(
+    return _psort(_collect(ds.select_columns(
         ["doc_id", "n_chars_actual", "n_words", "n_digits", "n_punct"])) \
-        .sort_by("doc_id")
+        , "doc_id")
 
 
 def _q_ann_topk(sf_dir: str) -> pa.Table:
@@ -509,15 +537,15 @@ def _q_ann_topk(sf_dir: str) -> pa.Table:
     from pyschema_ray.functions.similarity import brute_force_topk
 
     ds = _read(sf_dir, "embeddings")
-    qrows = _collect(ds.map_batches(
+    qrows = _psort(_collect(ds.map_batches(
         lambda t: t.filter(pc.is_in(t["vec_id"],
                                     value_set=pa.array([0, 1, 2]))),
-        batch_format="pyarrow")).sort_by("vec_id")
+        batch_format="pyarrow")), "vec_id")
     q = np.stack([np.asarray(v, dtype=np.float32)
                   for v in qrows["embedding"].to_pylist()])
     out = brute_force_topk(ds, q, k=10)
-    return out.select(["query_id", "vec_id", "rank"]) \
-        .sort_by([("query_id", "ascending"), ("rank", "ascending")])
+    return _psort(out.select(["query_id", "vec_id", "rank"]) \
+        , [("query_id", "ascending"), ("rank", "ascending")])
 
 
 def _q_embedding_near_dups(sf_dir: str) -> pa.Table:
@@ -554,7 +582,7 @@ def _q_events_hourly(sf_dir: str) -> pa.Table:
         A.Sum("sum_cents"), A.Sum("n_events"))
     t = _collect(agg).rename_columns(
         ["event_type", "hour", "sum_cents", "n_events"])
-    return t.sort_by([("event_type", "ascending"), ("hour", "ascending")])
+    return _psort(t, [("event_type", "ascending"), ("hour", "ascending")])
 
 
 def _q_orders_by_nation(sf_dir: str) -> pa.Table:
@@ -589,8 +617,8 @@ def _q_orders_by_nation(sf_dir: str) -> pa.Table:
     pre = enriched.map_batches(prep, batch_format="pyarrow")
     agg = pre.groupby("n_name").aggregate(A.Sum("sum_cents"),
                                           A.Sum("n_orders"))
-    return _collect(agg).rename_columns(
-        ["n_name", "sum_cents", "n_orders"]).sort_by("n_name")
+    return _psort(_collect(agg).rename_columns(
+        ["n_name", "sum_cents", "n_orders"]), "n_name")
 
 
 def _q_user_session_counts(sf_dir: str) -> pa.Table:
@@ -600,7 +628,7 @@ def _q_user_session_counts(sf_dir: str) -> pa.Table:
 
     out = session_counts(_read(sf_dir, "events"), "user_id", "ts",
                          gap_seconds=1800.0)
-    return _collect(out).sort_by("user_id")
+    return _psort(_collect(out), "user_id")
 
 
 def _q_user_sessions(sf_dir: str) -> pa.Table:
@@ -612,13 +640,13 @@ def _q_user_sessions(sf_dir: str) -> pa.Table:
     out = sessionize(_read(sf_dir, "events"), "user_id", "ts",
                      gap_seconds=1800.0)
     t = _collect(out)
-    return pa.table({
+    return _psort(pa.table({
         "user_id": t["user_id"],
         "session_id": pc.cast(t["session_id"], pa.int64()),
         "start": pc.cast(t["start"], pa.timestamp("us")),
         "end": pc.cast(t["end"], pa.timestamp("us")),
         "n_events": pc.cast(t["n_events"], pa.int64()),
-    }).sort_by([("user_id", "ascending"), ("session_id", "ascending")])
+    }), [("user_id", "ascending"), ("session_id", "ascending")])
 
 
 def _q_user_sessions_split(sf_dir: str) -> pa.Table:
@@ -632,12 +660,12 @@ def _q_user_sessions_split(sf_dir: str) -> pa.Table:
     out = sessionize_timesplit(_read(sf_dir, "events"), "user_id", "ts",
                                gap_seconds=1800.0, bucket_seconds=7200.0)
     t = _collect(out)
-    return pa.table({
+    return _psort(pa.table({
         "user_id": t["user_id"],
         "start": pc.cast(t["start"], pa.timestamp("us")),
         "end": pc.cast(t["end"], pa.timestamp("us")),
         "n_events": pc.cast(t["n_events"], pa.int64()),
-    }).sort_by([("user_id", "ascending"), ("start", "ascending")])
+    }), [("user_id", "ascending"), ("start", "ascending")])
 
 
 def _q_asof_matched_ts(sf_dir: str) -> pa.Table:
@@ -660,12 +688,12 @@ def _q_asof_matched_ts(sf_dir: str) -> pa.Table:
         batch_format="pyarrow")
     out = asof_join(left, right, key_col="user_id", ts_col="ts")
     t = _collect(out)
-    return pa.table({
+    return _psort(pa.table({
         # int64 restore: the tagged union pads right rows' event_id
         # with nulls, so pandas upcasts the column to float64
         "event_id": pc.cast(t["event_id"], pa.int64()),
         "matched_ts": pc.cast(t["ts_right"], pa.timestamp("us")),
-    }).sort_by("event_id")
+    }), "event_id")
 
 
 def _q_asof_matched_ts_split(sf_dir: str) -> pa.Table:
@@ -690,10 +718,10 @@ def _q_asof_matched_ts_split(sf_dir: str) -> pa.Table:
     out = asof_join_timesplit(left, right, key_col="user_id", ts_col="ts",
                               bucket_seconds=3600.0)
     t = _collect(out)
-    return pa.table({
+    return _psort(pa.table({
         "event_id": pc.cast(t["event_id"], pa.int64()),
         "matched_ts": pc.cast(t["ts_right"], pa.timestamp("us")),
-    }).sort_by("event_id")
+    }), "event_id")
 
 
 def _q_top_revenue_orders(sf_dir: str) -> pa.Table:
@@ -757,7 +785,7 @@ def _q_top_revenue_orders(sf_dir: str) -> pa.Table:
         "o_orderpriority": t["o_orderpriority"],
         "revenue_cents": pc.cast(t["sum(cents)"], pa.int64()),
     })
-    return t.sort_by([("revenue_cents", "descending"),
+    return _psort(t, [("revenue_cents", "descending"),
                       ("o_orderkey", "ascending")]).slice(0, 10)
 
 
@@ -929,10 +957,10 @@ def _q_regional_supplier_revenue(
         pc.cast(nation["n_nationkey"], pa.int64()).to_pylist(),
         nation["n_name"].to_pylist()))
     names = [name_map[int(k)] for k in t["n_nationkey"].to_pylist()]
-    return pa.table({
+    return _psort(pa.table({
         "n_name": pa.array(names, pa.string()),
         "revenue_cents": pc.cast(t["sum(cents)"], pa.int64()),
-    }).sort_by([("revenue_cents", "descending"),
+    }), [("revenue_cents", "descending"),
                 ("n_name", "ascending")])
 
 
@@ -947,10 +975,10 @@ def _q_median_chars_per_source(sf_dir: str) -> pa.Table:
         _read(sf_dir, "documents", columns=["source", "n_chars"]),
         "source", "n_chars", quantiles=(0.5,))
     t = _collect(out)
-    return pa.table({
+    return _psort(pa.table({
         "source": t["source"],
         "median_chars": pc.cast(t["q_0.5"], pa.float64()),
-    }).sort_by("source")
+    }), "source")
 
 
 def _q_word_frequencies(sf_dir: str) -> pa.Table:
@@ -960,7 +988,7 @@ def _q_word_frequencies(sf_dir: str) -> pa.Table:
     from pyschema_ray.functions.text import word_frequencies
 
     out = word_frequencies(_read(sf_dir, "documents", columns=["text"]))
-    return _collect(out).sort_by("word")
+    return _psort(_collect(out), "word")
 
 
 def _q_quality_filtered_docs(sf_dir: str) -> pa.Table:
@@ -974,8 +1002,8 @@ def _q_quality_filtered_docs(sf_dir: str) -> pa.Table:
     out = quantile_threshold_filter(
         _read(sf_dir, "documents", columns=["doc_id", "n_chars"]),
         "n_chars", q=0.5, keep="ge")
-    return _collect(out.select_columns(["doc_id", "n_chars"])) \
-        .sort_by("doc_id")
+    return _psort(_collect(out.select_columns(["doc_id", "n_chars"])) \
+        , "doc_id")
 
 
 def _q_word_repetition(sf_dir: str) -> pa.Table:
@@ -986,8 +1014,8 @@ def _q_word_repetition(sf_dir: str) -> pa.Table:
 
     out = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
         .map_batches(word_repetition_batch, batch_format="pyarrow")
-    return _collect(out.select_columns(
-        ["doc_id", "n_words", "n_distinct_words"])).sort_by("doc_id")
+    return _psort(_collect(out.select_columns(
+        ["doc_id", "n_words", "n_distinct_words"])), "doc_id")
 
 
 def _q_doc_frequencies(sf_dir: str) -> pa.Table:
@@ -997,7 +1025,7 @@ def _q_doc_frequencies(sf_dir: str) -> pa.Table:
 
     out = doc_frequencies(_read(sf_dir, "documents",
                                 columns=["doc_id", "text"]))
-    return _collect(out).sort_by("word")
+    return _psort(_collect(out), "word")
 
 
 def _q_novel_documents(sf_dir: str) -> pa.Table:
@@ -1017,7 +1045,7 @@ def _q_novel_documents(sf_dir: str) -> pa.Table:
             .map_batches(fn, batch_format="pyarrow")
 
     out = novel_keys_vs_existing(half(False), half(True))
-    return _collect(out).sort_by("doc_id")
+    return _psort(_collect(out), "doc_id")
 
 
 def _q_novel_documents_bloom(sf_dir: str) -> pa.Table:
@@ -1042,7 +1070,7 @@ def _q_novel_documents_bloom(sf_dir: str) -> pa.Table:
 
     bf = bloom_build(half(True), col="text", fp_rate=0.01)
     out = novel_keys_vs_bloom(half(False), bf)
-    return _collect(out).sort_by("doc_id")
+    return _psort(_collect(out), "doc_id")
 
 
 def _q_top_terms_per_doc(sf_dir: str) -> pa.Table:
@@ -1053,7 +1081,7 @@ def _q_top_terms_per_doc(sf_dir: str) -> pa.Table:
 
     out = top_terms_per_doc(
         _read(sf_dir, "documents", columns=["doc_id", "text"]), k=3)
-    return _collect(out).sort_by([("doc_id", "ascending"),
+    return _psort(_collect(out), [("doc_id", "ascending"),
                                   ("rank", "ascending")])
 
 
@@ -1066,7 +1094,7 @@ def _q_bigram_frequencies(sf_dir: str) -> pa.Table:
 
     out = ngram_frequencies(_read(sf_dir, "documents", columns=["text"]),
                             n=2)
-    return _collect(out).sort_by([("ngram", "ascending")])
+    return _psort(_collect(out), [("ngram", "ascending")])
 
 
 BM25_TERMS = ("hash", "data", "vector", "spark")
@@ -1082,7 +1110,7 @@ def _q_bm25_top_docs(sf_dir: str) -> pa.Table:
 
     t = bm25_rank(_read(sf_dir, "documents", columns=["doc_id", "text"]),
                   terms=BM25_TERMS, top_k=10)
-    return t.sort_by("rank")
+    return _psort(t, "rank")
 
 
 def _q_top_words(sf_dir: str) -> pa.Table:
@@ -1092,7 +1120,7 @@ def _q_top_words(sf_dir: str) -> pa.Table:
     from pyschema_ray.functions.text import top_words
 
     out = top_words(_read(sf_dir, "documents", columns=["text"]), k=25)
-    return _collect(out).sort_by([("n", "descending"),
+    return _psort(_collect(out), [("n", "descending"),
                                   ("word", "ascending")])
 
 
@@ -1105,10 +1133,10 @@ def _q_ndv_users_per_event_type(sf_dir: str) -> pa.Table:
                             columns=["event_type", "user_id"]),
                       "event_type", "user_id")
     t = _collect(out)
-    return pa.table({
+    return _psort(pa.table({
         "event_type": t["event_type"],
         "ndv": pc.cast(t["ndv"], pa.int64()),
-    }).sort_by("event_type")
+    }), "event_type")
 
 
 def _q_ndv_users_per_event_type_hll(sf_dir: str) -> pa.Table:
@@ -1134,7 +1162,7 @@ def _q_duplicate_user_event_pairs(sf_dir: str) -> pa.Table:
 
     out = duplicate_composite_keys(_read(sf_dir, "events"),
                                    ["user_id", "event_type"])
-    return _collect(out).sort_by([("user_id", "ascending"),
+    return _psort(_collect(out), [("user_id", "ascending"),
                                   ("event_type", "ascending")])
 
 
@@ -1174,7 +1202,7 @@ def _q_clean_documents(sf_dir: str) -> pa.Table:
         cleaned = pa.concat_tables(
             pq.read_table(p, columns=["doc_id"])
             for p in sorted(glob.glob(os.path.join(out, "*.parquet"))))
-        return cleaned.sort_by("doc_id")
+        return _psort(cleaned, "doc_id")
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
@@ -1258,7 +1286,7 @@ def _q_contamination(sf_dir: str) -> pa.Table:
     out = ngram_contamination(
         _read(sf_dir, "documents", columns=["doc_id", "text"]),
         ev["text"].to_pylist(), n=8)
-    return _collect(out).sort_by("doc_id")
+    return _psort(_collect(out), "doc_id")
 
 
 def _q_map_violations_events(sf_dir: str) -> pa.Table:
@@ -1313,7 +1341,7 @@ def _q_map_violations_events(sf_dir: str) -> pa.Table:
 
     out = _read(sf_dir, "events", columns=["event_id", "props"]) \
         .map_batches(check, batch_format="pyarrow")
-    return _collect(out).sort_by([("event_id", "ascending"),
+    return _psort(_collect(out), [("event_id", "ascending"),
                                   ("constraint", "ascending")])
 
 
@@ -1367,8 +1395,8 @@ def _q_lang_id(sf_dir: str) -> pa.Table:
 
     ds = _read(sf_dir, "documents").map_batches(
         LangIdScorer, batch_format="pyarrow", concurrency=2)
-    return _collect(ds.select_columns(["doc_id", "lang_pred"])) \
-        .sort_by("doc_id")
+    return _psort(_collect(ds.select_columns(["doc_id", "lang_pred"])) \
+        , "doc_id")
 
 
 def _q_fingerprints(sf_dir: str) -> pa.Table:
@@ -1380,8 +1408,8 @@ def _q_fingerprints(sf_dir: str) -> pa.Table:
 
     ds = _read(sf_dir, "documents").map_batches(
         fingerprint_md5_batch, batch_format="pyarrow")
-    return _collect(ds.select_columns(["doc_id", "fingerprint"])) \
-        .sort_by("doc_id")
+    return _psort(_collect(ds.select_columns(["doc_id", "fingerprint"])) \
+        , "doc_id")
 
 
 def _q_avro_roundtrip_documents(sf_dir: str) -> pa.Table:
@@ -1400,8 +1428,8 @@ def _q_avro_roundtrip_documents(sf_dir: str) -> pa.Table:
     try:
         write_avro(_read(sf_dir, "documents"), out).materialize()
         t = _collect(read_avro(out))
-        return t.select(["doc_id", "text", "lang", "source", "n_chars"]) \
-            .sort_by("doc_id")
+        return _psort(t.select(["doc_id", "text", "lang", "source", "n_chars"]) \
+            , "doc_id")
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
@@ -1421,13 +1449,13 @@ def _q_csv_roundtrip_documents(sf_dir: str) -> pa.Table:
     try:
         _read(sf_dir, "documents").write_csv(out)
         t = _collect(ray.data.read_csv(out))
-        return pa.table({
+        return _psort(pa.table({
             "doc_id": pc.cast(t["doc_id"], pa.int64()),
             "text": pc.cast(t["text"], pa.string()),
             "lang": pc.cast(t["lang"], pa.string()),
             "source": pc.cast(t["source"], pa.string()),
             "n_chars": pc.cast(t["n_chars"], pa.int64()),
-        }).sort_by("doc_id")
+        }), "doc_id")
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
@@ -1449,13 +1477,13 @@ def _q_orc_roundtrip_documents(sf_dir: str) -> pa.Table:
         manifest = _collect(write_orc(_read(sf_dir, "documents"), out))
         assert int(pc.sum(manifest["rows"]).as_py() or 0) > 0
         t = _collect(read_orc(out))
-        return pa.table({
+        return _psort(pa.table({
             "doc_id": pc.cast(t["doc_id"], pa.int64()),
             "text": pc.cast(t["text"], pa.string()),
             "lang": pc.cast(t["lang"], pa.string()),
             "source": pc.cast(t["source"], pa.string()),
             "n_chars": pc.cast(t["n_chars"], pa.int64()),
-        }).sort_by("doc_id")
+        }), "doc_id")
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
@@ -1477,13 +1505,13 @@ def _q_ipc_roundtrip_documents(sf_dir: str) -> pa.Table:
                                       max_chunksize=200))
         assert int(pc.sum(manifest["rows"]).as_py() or 0) > 0
         t = _collect(read_ipc(out))
-        return pa.table({
+        return _psort(pa.table({
             "doc_id": pc.cast(t["doc_id"], pa.int64()),
             "text": pc.cast(t["text"], pa.string()),
             "lang": pc.cast(t["lang"], pa.string()),
             "source": pc.cast(t["source"], pa.string()),
             "n_chars": pc.cast(t["n_chars"], pa.int64()),
-        }).sort_by("doc_id")
+        }), "doc_id")
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
@@ -1525,10 +1553,10 @@ def _q_partitioned_source_readback(sf_dir: str) -> pa.Table:
         part = os.path.join(out, "source=src7")
         t = _collect(ray.data.read_parquet(
             part, columns=["doc_id", "n_chars"]))
-        return pa.table({
+        return _psort(pa.table({
             "doc_id": pc.cast(t["doc_id"], pa.int64()),
             "n_chars": pc.cast(t["n_chars"], pa.int64()),
-        }).sort_by("doc_id")
+        }), "doc_id")
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
@@ -1578,11 +1606,11 @@ def _q_bloom_semijoin_revenue(sf_dir: str) -> pa.Table:
     agg = j.map_batches(to_cents, batch_format="pyarrow") \
         .groupby("c_custkey").aggregate(Sum("cents"), Sum("one"))
     t = _collect(agg)
-    return pa.table({
+    return _psort(pa.table({
         "c_custkey": t["c_custkey"],
         "total_cents": t["sum(cents)"],
         "n_orders": t["sum(one)"],
-    }).sort_by("c_custkey")
+    }), "c_custkey")
 
 
 def _q_jsonl_roundtrip_documents(sf_dir: str) -> pa.Table:
@@ -1603,8 +1631,8 @@ def _q_jsonl_roundtrip_documents(sf_dir: str) -> pa.Table:
                                 name="DocumentsJl")
         ds.write_json(out)
         t = _collect(read_jsonl(out, cls))
-        return t.select(["doc_id", "text", "lang", "source", "n_chars"]) \
-            .sort_by("doc_id")
+        return _psort(t.select(["doc_id", "text", "lang", "source", "n_chars"]) \
+            , "doc_id")
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
@@ -1617,7 +1645,7 @@ def _q_minhash_near_dup_pairs(sf_dir: str) -> pa.Table:
     if t.num_rows == 0:
         return pa.table({"key_a": pa.array([], pa.int64()),
                          "key_b": pa.array([], pa.int64())})
-    return t.sort_by([("key_a", "ascending"), ("key_b", "ascending")])
+    return _psort(t, [("key_a", "ascending"), ("key_b", "ascending")])
 
 
 def _q_simhash(sf_dir: str) -> pa.Table:
@@ -1626,10 +1654,10 @@ def _q_simhash(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "documents").map_batches(
         SimHasher(), batch_format="pyarrow")
     t = _collect(ds.select_columns(["doc_id", "simhash"]))
-    return pa.table({
+    return _psort(pa.table({
         "doc_id": t["doc_id"],
         "simhash": pc.cast(t["simhash"], pa.int64(), safe=False),
-    }).sort_by("doc_id")
+    }), "doc_id")
 
 
 def _nonblank_docs(sf_dir: str):
@@ -1679,7 +1707,7 @@ def _q_minhash_dup_pairs(sf_dir: str) -> pa.Table:
     if t.num_rows == 0:
         return pa.table({"key_a": pa.array([], pa.int64()),
                          "key_b": pa.array([], pa.int64())})
-    return t.sort_by([("key_a", "ascending"), ("key_b", "ascending")])
+    return _psort(t, [("key_a", "ascending"), ("key_b", "ascending")])
 
 
 def _q_simhash_dup_pairs(sf_dir: str) -> pa.Table:
@@ -1699,7 +1727,7 @@ def _q_simhash_dup_pairs(sf_dir: str) -> pa.Table:
     if t.num_rows == 0:
         return pa.table({"key_a": pa.array([], pa.int64()),
                          "key_b": pa.array([], pa.int64())})
-    return t.sort_by([("key_a", "ascending"), ("key_b", "ascending")])
+    return _psort(t, [("key_a", "ascending"), ("key_b", "ascending")])
 
 
 def _q_winnow_dup_pairs(sf_dir: str) -> pa.Table:
@@ -1728,7 +1756,7 @@ def _q_winnow_dup_pairs(sf_dir: str) -> pa.Table:
     if t.num_rows == 0:
         return pa.table({"key_a": pa.array([], pa.int64()),
                          "key_b": pa.array([], pa.int64())})
-    return t.sort_by([("key_a", "ascending"), ("key_b", "ascending")])
+    return _psort(t, [("key_a", "ascending"), ("key_b", "ascending")])
 
 
 def _q_ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
@@ -1779,7 +1807,7 @@ def _q_ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
                          "n_common": pa.array([], pa.int64()),
                          "n_union": pa.array([], pa.int64()),
                          "jaccard": pa.array([], pa.float64())})
-    return t.sort_by([("key_a", "ascending"), ("key_b", "ascending")])
+    return _psort(t, [("key_a", "ascending"), ("key_b", "ascending")])
 
 
 def _q_dedup_keep(sf_dir: str) -> pa.Table:
@@ -1813,7 +1841,7 @@ def _q_range_join_counts(sf_dir: str) -> pa.Table:
                                         pa.duration("us"))),
     })
     out = broadcast_range_join_count(ev, intervals)
-    return out.sort_by("interval_id")
+    return _psort(out, "interval_id")
 
 
 def _q_range_join_counts_copart(sf_dir: str) -> pa.Table:
@@ -1846,7 +1874,7 @@ def _q_range_join_counts_copart(sf_dir: str) -> pa.Table:
 
     intervals = firsts.map_batches(to_intervals, batch_format="pyarrow")
     out = copartition_range_join_count(ev, intervals)
-    return _collect(out).sort_by("interval_id")
+    return _psort(_collect(out), "interval_id")
 
 
 def _q_events_sliding(sf_dir: str) -> pa.Table:
@@ -1859,7 +1887,7 @@ def _q_events_sliding(sf_dir: str) -> pa.Table:
                                    ts_col="ts", key_col="event_type",
                                    value_col="value",
                                    window_s=7200, slide_s=3600)
-    return _collect(out).sort_by([("event_type", "ascending"),
+    return _psort(_collect(out), [("event_type", "ascending"),
                                   ("window_start", "ascending")])
 
 
@@ -1877,12 +1905,12 @@ def _q_lm_doc_scores(sf_dir: str) -> pa.Table:
                                  columns=["doc_id", "text"]),
                            text_col="text", key_col="doc_id")
     t = _collect(out)
-    return pa.table({
+    return _psort(pa.table({
         "doc_id": pc.cast(t["doc_id"], pa.int64()),
         "n_tokens": pc.cast(t["n_tokens"], pa.int64()),
         "n_bigrams": pc.cast(t["n_bigrams"], pa.int64()),
         "sum_mlogp": pc.cast(t["sum_mlogp"], pa.int64()),
-    }).sort_by("doc_id")
+    }), "doc_id")
 
 
 def _q_ngram_novelty(sf_dir: str) -> pa.Table:
@@ -1900,11 +1928,11 @@ def _q_ngram_novelty(sf_dir: str) -> pa.Table:
                                text_col="text", key_col="doc_id",
                                n=3, min_df=2)
     t = _collect(out)
-    return pa.table({
+    return _psort(pa.table({
         "doc_id": pc.cast(t["doc_id"], pa.int64()),
         "n_grams": pc.cast(t["n_grams"], pa.int64()),
         "n_common": pc.cast(t["n_common"], pa.int64()),
-    }).sort_by("doc_id")
+    }), "doc_id")
 
 
 def _q_bigram_collocations(sf_dir: str) -> pa.Table:
@@ -1918,11 +1946,11 @@ def _q_bigram_collocations(sf_dir: str) -> pa.Table:
                                columns=["doc_id", "text"]),
                          text_col="text", k=50, min_count=5)
     t = _collect(out)
-    return pa.table({
+    return _psort(pa.table({
         "ngram": pc.cast(t["ngram"], pa.string()),
         "n": pc.cast(t["n"], pa.int64()),
         "milli_pmi": pc.cast(t["milli_pmi"], pa.int64()),
-    }).sort_by([("milli_pmi", "descending"), ("ngram", "ascending")])
+    }), [("milli_pmi", "descending"), ("ngram", "ascending")])
 
 
 def _q_windowed_active_users(sf_dir: str) -> pa.Table:
@@ -1940,11 +1968,11 @@ def _q_windowed_active_users(sf_dir: str) -> pa.Table:
                              unit_col="user_id",
                              window_s=7200, slide_s=3600)
     t = _collect(out)
-    return pa.table({
+    return _psort(pa.table({
         "event_type": t["event_type"],
         "window_start": pc.cast(t["window_start"], pa.int64()),
         "ndv": pc.cast(t["ndv"], pa.int64()),
-    }).sort_by([("event_type", "ascending"),
+    }), [("event_type", "ascending"),
                 ("window_start", "ascending")])
 
 
@@ -1959,7 +1987,7 @@ def _q_top_docs_per_source(sf_dir: str) -> pa.Table:
                        group_col="source", order_col="n_chars", k=3,
                        tiebreak_col="doc_id")
     t = _collect(out).select(["source", "doc_id", "n_chars"])
-    return t.sort_by([("source", "ascending"), ("doc_id", "ascending")])
+    return _psort(t, [("source", "ascending"), ("doc_id", "ascending")])
 
 
 def _q_normalized_documents(sf_dir: str) -> pa.Table:
@@ -1980,8 +2008,8 @@ def _q_normalized_documents(sf_dir: str) -> pa.Table:
 
     ds = _read(sf_dir, "documents").map_batches(messy_then_normalize,
                                                 batch_format="pyarrow")
-    return _collect(ds).rename_columns(["doc_id", "normalized"]) \
-        .sort_by("doc_id")
+    return _psort(_collect(ds).rename_columns(["doc_id", "normalized"]) \
+        , "doc_id")
 
 
 def _q_redacted_documents(sf_dir: str) -> pa.Table:
@@ -2006,8 +2034,8 @@ def _q_redacted_documents(sf_dir: str) -> pa.Table:
 
     ds = _read(sf_dir, "documents").map_batches(inject_and_redact,
                                                batch_format="pyarrow")
-    return _collect(ds).rename_columns(["doc_id", "redacted"]) \
-        .sort_by("doc_id")
+    return _psort(_collect(ds).rename_columns(["doc_id", "redacted"]) \
+        , "doc_id")
 
 
 def _q_winnow_fingerprints(sf_dir: str) -> pa.Table:
@@ -2026,8 +2054,8 @@ def _q_winnow_fingerprints(sf_dir: str) -> pa.Table:
             "n_fingerprints": pc.list_value_length(t["fingerprints"]),
         })
 
-    return _collect(ds.map_batches(count, batch_format="pyarrow")) \
-        .sort_by("doc_id")
+    return _psort(_collect(ds.map_batches(count, batch_format="pyarrow")) \
+        , "doc_id")
 
 
 def _q_sample_documents_mod(sf_dir: str) -> pa.Table:
@@ -2037,8 +2065,8 @@ def _q_sample_documents_mod(sf_dir: str) -> pa.Table:
 
     out = mod_sample(_read(sf_dir, "documents"), "doc_id",
                      modulus=10, keep_residues=(0, 7))
-    return _collect(out.select_columns(["doc_id", "source"])) \
-        .sort_by("doc_id")
+    return _psort(_collect(out.select_columns(["doc_id", "source"])) \
+        , "doc_id")
 
 
 def _q_packed_sequences(sf_dir: str) -> pa.Table:
@@ -2058,7 +2086,7 @@ def _q_packed_sequences(sf_dir: str) -> pa.Table:
     out = _collect(packed.map_batches(
         lambda t: t.select(["pack_id", "n_tokens", "n_docs"]),
         batch_format="pyarrow"))
-    return out.sort_by("pack_id")
+    return _psort(out, "pack_id")
 
 
 def _q_packing_totals(sf_dir: str) -> pa.Table:
@@ -2155,7 +2183,7 @@ def _q_media_features(sf_dir: str) -> pa.Table:
             + [len(v) for v in vframes["frame_features"].to_pylist()],
             pa.int64()),
     })
-    return out.sort_by("media_id")
+    return _psort(out, "media_id")
 
 
 def _q_lsh_ann_topk(sf_dir: str) -> pa.Table:
@@ -2167,15 +2195,15 @@ def _q_lsh_ann_topk(sf_dir: str) -> pa.Table:
     from pyschema_ray.functions.similarity import lsh_topk
 
     ds = _read(sf_dir, "embeddings")
-    qrows = _collect(ds.map_batches(
+    qrows = _psort(_collect(ds.map_batches(
         lambda t: t.filter(pc.is_in(t["vec_id"],
                                     value_set=pa.array([0, 1]))),
-        batch_format="pyarrow")).sort_by("vec_id")
+        batch_format="pyarrow")), "vec_id")
     q = np.stack([np.asarray(v, dtype=np.float32)
                   for v in qrows["embedding"].to_pylist()])
     out = lsh_topk(ds, q, k=5, n_planes=6, multiprobe=16)
-    return out.select(["query_id", "vec_id", "rank"]) \
-        .sort_by([("query_id", "ascending"), ("rank", "ascending")])
+    return _psort(out.select(["query_id", "vec_id", "rank"]) \
+        , [("query_id", "ascending"), ("rank", "ascending")])
 
 
 def _q_pq_ann_topk(sf_dir: str) -> pa.Table:
@@ -2187,16 +2215,16 @@ def _q_pq_ann_topk(sf_dir: str) -> pa.Table:
     from pyschema_ray.functions.pq import pq_topk, pq_train
 
     ds = _read(sf_dir, "embeddings")
-    qrows = _collect(ds.map_batches(
+    qrows = _psort(_collect(ds.map_batches(
         lambda t: t.filter(pc.is_in(t["vec_id"],
                                     value_set=pa.array([0, 1]))),
-        batch_format="pyarrow")).sort_by("vec_id")
+        batch_format="pyarrow")), "vec_id")
     q = np.stack([np.asarray(v, dtype=np.float32)
                   for v in qrows["embedding"].to_pylist()])
     model = pq_train(ds, m=8, ksub=32, sample_size=2048)
     out = pq_topk(ds, q, model, k=5)
-    return out.select(["query_id", "vec_id", "rank"]) \
-        .sort_by([("query_id", "ascending"), ("rank", "ascending")])
+    return _psort(out.select(["query_id", "vec_id", "rank"]) \
+        , [("query_id", "ascending"), ("rank", "ascending")])
 
 
 def _q_customers_no_urgent_orders(sf_dir: str) -> pa.Table:
@@ -2216,7 +2244,7 @@ def _q_customers_no_urgent_orders(sf_dir: str) -> pa.Table:
     out = anti_join(
         _read(sf_dir, "customer", columns=["c_custkey", "c_name"]),
         urgent, "c_custkey", "o_custkey")
-    return _collect(out).sort_by("c_custkey")
+    return _psort(_collect(out), "c_custkey")
 
 
 def _q_customers_with_big_orders(sf_dir: str) -> pa.Table:
@@ -2234,7 +2262,7 @@ def _q_customers_with_big_orders(sf_dir: str) -> pa.Table:
     out = semi_join(
         _read(sf_dir, "customer", columns=["c_custkey"]),
         big, "c_custkey", "o_custkey")
-    return _collect(out).sort_by("c_custkey")
+    return _psort(_collect(out), "c_custkey")
 
 
 def _q_docs_rollup_counts(sf_dir: str) -> pa.Table:
@@ -2248,7 +2276,7 @@ def _q_docs_rollup_counts(sf_dir: str) -> pa.Table:
     out = rollup_counts(
         _read(sf_dir, "documents", columns=["source", "lang"]),
         ["source", "lang"])
-    return _collect(out).sort_by([("source", "ascending"),
+    return _psort(_collect(out), [("source", "ascending"),
                                   ("lang", "ascending")])
 
 
@@ -2266,7 +2294,7 @@ def _q_langs_per_source(sf_dir: str) -> pa.Table:
     if t.num_rows == 0:
         return pa.table({"source": pa.array([], pa.string()),
                          "langs": pa.array([], pa.string())})
-    return t.rename_columns(["source", "langs"]).sort_by("source")
+    return _psort(t.rename_columns(["source", "langs"]), "source")
 
 
 def _q_qty_price_corr(sf_dir: str) -> pa.Table:
@@ -2338,7 +2366,7 @@ def _q_lang_entropy_per_source(sf_dir: str) -> pa.Table:
         return pa.table({"source": pa.array([], pa.string()),
                          "ndv": pa.array([], pa.int64()),
                          "entropy_micronat": pa.array([], pa.int64())})
-    return t.sort_by("source")
+    return _psort(t, "source")
 
 
 def _q_doc_rank_stats(sf_dir: str) -> pa.Table:
@@ -2358,7 +2386,7 @@ def _q_doc_rank_stats(sf_dir: str) -> pa.Table:
                          "n_chars": pa.array([], pa.int64()),
                          "percent_rank": pa.array([], pa.float64()),
                          "cume_dist": pa.array([], pa.float64())})
-    return t.sort_by([("doc_id", "ascending"),
+    return _psort(t, [("doc_id", "ascending"),
                       ("n_chars", "ascending")])
 
 
@@ -2416,7 +2444,7 @@ def _q_cross_column_violations(sf_dir: str) -> pa.Table:
     if t.num_rows == 0:
         return pa.table({"l_orderkey": pa.array([], pa.int64()),
                          "l_linenumber": pa.array([], pa.int64())})
-    return t.sort_by([("l_orderkey", "ascending"),
+    return _psort(t, [("l_orderkey", "ascending"),
                       ("l_linenumber", "ascending")])
 
 
@@ -2445,7 +2473,7 @@ def _q_conditional_violations_documents(sf_dir: str) -> pa.Table:
                  pa.schema([("doc_id", pa.int64()),
                             ("source", pa.string()),
                             ("n_chars", pa.int64())]))
-    return t.sort_by([("doc_id", "ascending")])
+    return _psort(t, [("doc_id", "ascending")])
 
 
 def _q_price_quartiles_by_priority(sf_dir: str) -> pa.Table:
@@ -2486,7 +2514,7 @@ def _q_docs_cube_counts(sf_dir: str) -> pa.Table:
     out = cube_counts(
         _read(sf_dir, "documents", columns=["source", "lang"]),
         ["source", "lang"])
-    return _collect(out).sort_by([("source", "ascending"),
+    return _psort(_collect(out), [("source", "ascending"),
                                   ("lang", "ascending")])
 
 
@@ -2514,7 +2542,7 @@ def _q_user_max_gap(sf_dir: str) -> pa.Table:
 
     out = grouped_max_gap(
         _read(sf_dir, "events", columns=["user_id", "ts", "event_id"]))
-    return _collect(out).sort_by("user_id")
+    return _psort(_collect(out), "user_id")
 
 
 def _q_windowed_event_dups(sf_dir: str) -> pa.Table:
@@ -2527,7 +2555,7 @@ def _q_windowed_event_dups(sf_dir: str) -> pa.Table:
         _read(sf_dir, "events",
               columns=["user_id", "event_type", "ts", "event_id"]),
         window_s=3600.0)
-    return _collect(out).sort_by("event_type")
+    return _psort(_collect(out), "event_type")
 
 
 def _q_value_deciles(sf_dir: str) -> pa.Table:
@@ -2565,7 +2593,7 @@ def _q_word_freq_of_freqs(sf_dir: str) -> pa.Table:
 
     out = frequency_of_frequencies(
         _read(sf_dir, "documents", columns=["text"]))
-    return _collect(out).sort_by("n_occurrences")
+    return _psort(_collect(out), "n_occurrences")
 
 
 def _q_inverted_index_band(sf_dir: str) -> pa.Table:
@@ -2578,7 +2606,7 @@ def _q_inverted_index_band(sf_dir: str) -> pa.Table:
     out = inverted_index(
         _read(sf_dir, "documents", columns=["doc_id", "text"]),
         min_df=5, max_df=5000)
-    return _collect(out).sort_by("word")
+    return _psort(_collect(out), "word")
 
 
 def _q_running_totals(sf_dir: str) -> pa.Table:
@@ -2592,7 +2620,7 @@ def _q_running_totals(sf_dir: str) -> pa.Table:
     out = grouped_running(
         _read(sf_dir, "events",
               columns=["user_id", "ts", "event_id", "value"]))
-    return _collect(out).sort_by("event_id")
+    return _psort(_collect(out), "event_id")
 
 
 def _q_props_k_stats(sf_dir: str) -> pa.Table:
@@ -2604,7 +2632,7 @@ def _q_props_k_stats(sf_dir: str) -> pa.Table:
     out = json_field_stats(
         _read(sf_dir, "events", columns=["props", "event_type"]),
         "props", "k", "event_type")
-    return _collect(out).sort_by("event_type")
+    return _psort(_collect(out), "event_type")
 
 
 def _q_label_centroids(sf_dir: str) -> pa.Table:
@@ -2615,7 +2643,7 @@ def _q_label_centroids(sf_dir: str) -> pa.Table:
 
     out = label_centroids(
         _read(sf_dir, "embeddings", columns=["label", "embedding"]))
-    return _collect(out).sort_by([("label", "ascending"),
+    return _psort(_collect(out), [("label", "ascending"),
                                   ("dim", "ascending")])
 
 
@@ -2627,7 +2655,7 @@ def _q_split_stats(sf_dir: str) -> pa.Table:
 
     out = split_stats(
         _read(sf_dir, "documents", columns=["doc_id", "n_chars"]))
-    return _collect(out).sort_by("split")
+    return _psort(_collect(out), "split")
 
 
 def _q_mode_lang_per_source(sf_dir: str) -> pa.Table:
@@ -2639,7 +2667,7 @@ def _q_mode_lang_per_source(sf_dir: str) -> pa.Table:
     out = grouped_mode(
         _read(sf_dir, "documents", columns=["source", "lang"]),
         "source", "lang")
-    return _collect(out).sort_by("source")
+    return _psort(_collect(out), "source")
 
 
 def _q_funnel_counts(sf_dir: str) -> pa.Table:
@@ -2665,7 +2693,7 @@ def _q_sample_docs_per_source(sf_dir: str) -> pa.Table:
     out = grouped_sample(
         _read(sf_dir, "documents", columns=["source", "doc_id"]),
         "source", "doc_id", k=3)
-    return _collect(out).sort_by([("source", "ascending"),
+    return _psort(_collect(out), [("source", "ascending"),
                                   ("doc_id", "ascending")])
 
 
@@ -2677,7 +2705,7 @@ def _q_hot_users_by_events(sf_dir: str) -> pa.Table:
 
     out = top_keys(_read(sf_dir, "events", columns=["user_id"]),
                    "user_id", k=10)
-    return _collect(out).sort_by([("n", "descending"),
+    return _psort(_collect(out), [("n", "descending"),
                                   ("user_id", "ascending")])
 
 
@@ -2697,11 +2725,11 @@ def _q_fuzzy_part_pairs(sf_dir: str) -> pa.Table:
         name_col="p_name", key_col="p_partkey", max_dist=1,
         max_block=10**9, size_hint_rows=nrows)
     t = _collect(out)
-    return pa.table({
+    return _psort(pa.table({
         "key_a": pc.cast(t["key_a"], pa.int64()),
         "key_b": pc.cast(t["key_b"], pa.int64()),
         "dist": pc.cast(t["dist"], pa.int64()),
-    }).sort_by([("key_a", "ascending"), ("key_b", "ascending")])
+    }), [("key_a", "ascending"), ("key_b", "ascending")])
 
 
 def _q_corpus_report(sf_dir: str) -> pa.Table:
@@ -2764,7 +2792,7 @@ def _q_customer_urgent_left_join(sf_dir: str) -> pa.Table:
 
     out = joined.map_batches(partial, batch_format="pyarrow") \
         .repartition(1).map_batches(total, batch_format="pyarrow")
-    return _collect(out).sort_by("c_mktsegment")
+    return _psort(_collect(out), "c_mktsegment")
 
 
 def _q_daily_orders_ship_full_join(sf_dir: str) -> pa.Table:
@@ -2834,7 +2862,7 @@ def _q_daily_orders_ship_full_join(sf_dir: str) -> pa.Table:
     # any scale; the wide fact tables never transit this join
     joined = shuffle_join(o_agg, l_agg, on="day",
                           join_type="full_outer", num_partitions=8)
-    return _collect(joined).sort_by("day")
+    return _psort(_collect(joined), "day")
 
 
 def _q_bpe_packed_totals(sf_dir: str) -> pa.Table:
@@ -2900,7 +2928,7 @@ def _q_kmeans_cluster_sizes(sf_dir: str) -> pa.Table:
 
     agg = out.map_batches(counts, batch_format="pyarrow") \
         .repartition(1).map_batches(total, batch_format="pyarrow")
-    return _collect(agg).sort_by("cluster")
+    return _psort(_collect(agg), "cluster")
 
 
 def _q_snapshot_diff(sf_dir: str) -> pa.Table:
@@ -2926,7 +2954,7 @@ def _q_snapshot_diff(sf_dir: str) -> pa.Table:
             .map_batches(fn, batch_format="pyarrow")
 
     out = snapshot_diff(version(5, False), version(7, True))
-    return _collect(out).sort_by("doc_id")
+    return _psort(_collect(out), "doc_id")
 
 
 def _q_epoch_shuffle(sf_dir: str) -> pa.Table:
@@ -2940,7 +2968,7 @@ def _q_epoch_shuffle(sf_dir: str) -> pa.Table:
     out = epoch_shuffle_positions(
         _read(sf_dir, "documents", columns=["doc_id"]),
         key_col="doc_id", seed=3)
-    return _collect(out).sort_by("position")
+    return _psort(_collect(out), "position")
 
 
 def _q_customer_order_distribution(sf_dir: str) -> pa.Table:
@@ -2958,7 +2986,7 @@ def _q_customer_order_distribution(sf_dir: str) -> pa.Table:
     cust = _read(sf_dir, "customer", columns=["c_custkey"])
     out = left_count_distribution(cust, orders, key_col="c_custkey",
                                   fact_key_col="o_custkey")
-    return _collect(out).sort_by([("n_facts", "ascending")])
+    return _psort(_collect(out), [("n_facts", "ascending")])
 
 
 def _q_cms_word_estimates(sf_dir: str) -> pa.Table:
@@ -2987,7 +3015,7 @@ def _q_temperature_sampled_docs(sf_dir: str) -> pa.Table:
     out = temperature_sample(
         _read(sf_dir, "documents", columns=["source", "doc_id"]),
         group_col="source", key_col="doc_id", scale=4)
-    return _collect(out).sort_by([("source", "ascending"),
+    return _psort(_collect(out), [("source", "ascending"),
                                   ("doc_id", "ascending")])
 
 
@@ -3010,7 +3038,7 @@ def _q_events_pivot(sf_dir: str) -> pa.Table:
         .map_batches(cohort, batch_format="pyarrow")
     out = pivot_counts(ds, "cohort", "event_type",
                        categories=["view", "click", "purchase"])
-    return _collect(out).sort_by("cohort")
+    return _psort(_collect(out), "cohort")
 
 
 def _q_bpe_merges(sf_dir: str) -> pa.Table:
@@ -3059,7 +3087,7 @@ def _q_bpe_token_totals(sf_dir: str) -> pa.Table:
 
     out = enc.map_batches(partial, batch_format="pyarrow") \
         .repartition(1).map_batches(total, batch_format="pyarrow")
-    return _collect(out).sort_by("source")
+    return _psort(_collect(out), "source")
 
 
 def _q_returned_item_revenue(sf_dir: str) -> pa.Table:
@@ -3119,7 +3147,7 @@ def _q_returned_item_revenue(sf_dir: str) -> pa.Table:
 
     # exact distributed top-20: per-block heads, then one tiny final head
     def head20(t: pa.Table) -> pa.Table:
-        t = t.sort_by([("revenue_cents", "descending"),
+        t = _psort(t, [("revenue_cents", "descending"),
                        ("c_custkey", "ascending")])
         return t.slice(0, 20)
 
@@ -3146,7 +3174,7 @@ def _q_returned_item_revenue(sf_dir: str) -> pa.Table:
         .join(nation, keys="c_nationkey", right_keys="n_nationkey") \
         .select(["c_custkey", "c_name", "n_name", "c_acctbal",
                  "revenue_cents"])
-    return out.sort_by([("revenue_cents", "descending"),
+    return _psort(out, [("revenue_cents", "descending"),
                         ("c_custkey", "ascending")])
 
 
@@ -3180,7 +3208,7 @@ def _q_large_volume_customers(sf_dir: str) -> pa.Table:
     def shard_sum(t: pa.Table) -> pa.Table:
         # all partials of one orderkey land on this shard: sorted-run
         # sums for EVERY key at once, then the HAVING filter
-        t = t.sort_by("l_orderkey")
+        t = _psort(t, "l_orderkey")
         keys = t["l_orderkey"].to_numpy(zero_copy_only=False)
         qty = t["qty"].to_numpy(zero_copy_only=False)
         starts, sizes = _group_starts(keys)
@@ -3224,7 +3252,7 @@ def _q_large_volume_customers(sf_dir: str) -> pa.Table:
                     "o_orderdate": out["o_orderdate"],
                     "o_totalprice_cents": out["o_totalprice_cents"],
                     "sum_qty": out["sum_qty"]})
-    return out.sort_by([("o_totalprice_cents", "descending"),
+    return _psort(out, [("o_totalprice_cents", "descending"),
                         ("o_orderkey", "ascending")])
 
 
@@ -3239,10 +3267,10 @@ def _q_doc_ntile_buckets(sf_dir: str) -> pa.Table:
                        value_col="n_chars", key_col="doc_id",
                        n_buckets=10)
     t = _collect(out)
-    return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+    return _psort(pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
                      "n_chars": pc.cast(t["n_chars"], pa.int64()),
                      "bucket": pc.cast(t["bucket"], pa.int64())}) \
-        .sort_by("doc_id")
+        , "doc_id")
 
 
 def _q_duplicated_spans(sf_dir: str) -> pa.Table:
@@ -3260,11 +3288,11 @@ def _q_duplicated_spans(sf_dir: str) -> pa.Table:
     t = _collect(out, empty_schema=pa.schema([
         ("doc_id", pa.int64()), ("span_start", pa.int64()),
         ("span_end", pa.int64())]))
-    return pa.table({
+    return _psort(pa.table({
         "doc_id": pc.cast(t["doc_id"], pa.int64()),
         "span_start": pc.cast(t["span_start"], pa.int64()),
         "span_end": pc.cast(t["span_end"], pa.int64()),
-    }).sort_by([("doc_id", "ascending"), ("span_start", "ascending")])
+    }), [("doc_id", "ascending"), ("span_start", "ascending")])
 
 
 def _q_despanned_documents(sf_dir: str) -> pa.Table:
@@ -3280,11 +3308,11 @@ def _q_despanned_documents(sf_dir: str) -> pa.Table:
     t = _collect(out, empty_schema=pa.schema([
         ("doc_id", pa.int64()), ("clean_text", pa.string()),
         ("n_removed", pa.int64())]))
-    return pa.table({
+    return _psort(pa.table({
         "doc_id": pc.cast(t["doc_id"], pa.int64()),
         "clean_text": t["clean_text"],
         "n_removed": pc.cast(t["n_removed"], pa.int64()),
-    }).sort_by("doc_id")
+    }), "doc_id")
 
 
 def _q_small_quantity_revenue(sf_dir: str) -> pa.Table:
@@ -3316,7 +3344,7 @@ def _q_small_quantity_revenue(sf_dir: str) -> pa.Table:
             "kshard", pa.array(_key_shards(keys, nb), pa.int64()))
 
     def shard_sum(t: pa.Table) -> pa.Table:
-        t = t.sort_by("l_partkey")
+        t = _psort(t, "l_partkey")
         keys = t["l_partkey"].to_numpy(zero_copy_only=False)
         starts, _ = _group_starts(keys)
         tot = np.add.reduceat(
@@ -3392,8 +3420,8 @@ def _q_urgent_only_custkeys(sf_dir: str) -> pa.Table:
     other = _read(sf_dir, "orders", columns=base) \
         .map_batches(keys(False), batch_format="pyarrow")
     out = set_op_distinct(urgent, other, ["o_custkey"], "except")
-    return _collect(out, pa.schema([("o_custkey", pa.int64())])) \
-        .sort_by("o_custkey")
+    return _psort(_collect(out, pa.schema([("o_custkey", pa.int64())])) \
+        , "o_custkey")
 
 
 def _q_source_lang_intersect(sf_dir: str) -> pa.Table:
@@ -3419,9 +3447,9 @@ def _q_source_lang_intersect(sf_dir: str) -> pa.Table:
         .map_batches(view(True), batch_format="pyarrow")
     out = set_op_distinct(long_docs, short_docs, ["source", "lang"],
                           "intersect")
-    return _collect(out, pa.schema([("source", pa.string()),
+    return _psort(_collect(out, pa.schema([("source", pa.string()),
                                     ("lang", pa.string())])) \
-        .sort_by([("source", "ascending"), ("lang", "ascending")])
+        , [("source", "ascending"), ("lang", "ascending")])
 
 
 def _q_promo_revenue_cents(sf_dir: str) -> pa.Table:
@@ -3543,11 +3571,11 @@ def _q_global_sales_opportunity(sf_dir: str) -> pa.Table:
         return out_schema.empty_table()
     g = parts.group_by(["c_nationkey"], use_threads=False) \
         .aggregate([("numcust", "sum"), ("totacctbal_cents", "sum")])
-    return pa.table({
+    return _psort(pa.table({
         "c_nationkey": pc.cast(g["c_nationkey"], pa.int32()),
         "numcust": pc.cast(g["numcust_sum"], pa.int64()),
         "totacctbal_cents": pc.cast(g["totacctbal_cents_sum"],
-                                    pa.int64())}).sort_by("c_nationkey")
+                                    pa.int64())}), "c_nationkey")
 
 
 def _q_above_avg_orders(sf_dir: str) -> pa.Table:
@@ -3571,10 +3599,10 @@ def _q_above_avg_orders(sf_dir: str) -> pa.Table:
         .map_batches(cents, batch_format="pyarrow")
     out = filter_above_group_avg(ds, "o_custkey", "price_cents",
                                  num=3, den=2)
-    return _collect(out, pa.schema([("o_orderkey", pa.int64()),
+    return _psort(_collect(out, pa.schema([("o_orderkey", pa.int64()),
                                     ("o_custkey", pa.int64()),
                                     ("price_cents", pa.int64())])) \
-        .sort_by("o_orderkey")
+        , "o_orderkey")
 
 
 def _q_semantic_dedup_keep(sf_dir: str) -> pa.Table:
@@ -3587,8 +3615,8 @@ def _q_semantic_dedup_keep(sf_dir: str) -> pa.Table:
 
     ds = _read(sf_dir, "embeddings")
     out = semantic_dedup_keep(ds, threshold=0.5, k=4, iters=5)
-    return _collect(out, pa.schema([("vec_id", pa.int64())])) \
-        .sort_by("vec_id")
+    return _psort(_collect(out, pa.schema([("vec_id", pa.int64())])) \
+        , "vec_id")
 
 
 def _q_event_time_deltas(sf_dir: str) -> pa.Table:
@@ -3599,10 +3627,10 @@ def _q_event_time_deltas(sf_dir: str) -> pa.Table:
 
     out = grouped_lag_delta(
         _read(sf_dir, "events", columns=["user_id", "ts", "event_id"]))
-    return _collect(out, pa.schema([("user_id", pa.int64()),
+    return _psort(_collect(out, pa.schema([("user_id", pa.int64()),
                                     ("event_id", pa.int64()),
                                     ("delta_us", pa.int64())])) \
-        .sort_by([("user_id", "ascending"), ("event_id", "ascending")])
+        , [("user_id", "ascending"), ("event_id", "ascending")])
 
 
 def _q_customer_first_last_order(sf_dir: str) -> pa.Table:
@@ -3619,9 +3647,9 @@ def _q_customer_first_last_order(sf_dir: str) -> pa.Table:
                                  ("first", pa.int64()),
                                  ("last", pa.int64()),
                                  ("n_rows", pa.int64())]))
-    return t.rename_columns(["o_custkey", "first_orderkey",
+    return _psort(t.rename_columns(["o_custkey", "first_orderkey",
                              "last_orderkey", "n_orders"]) \
-        .sort_by("o_custkey")
+        , "o_custkey")
 
 
 def _q_lineitem_measures_unpivot(sf_dir: str) -> pa.Table:
@@ -3646,7 +3674,7 @@ def _q_lineitem_measures_unpivot(sf_dir: str) -> pa.Table:
                    "l_tax"],
                   var_name="measure", value_name="centi_value",
                   value_type=pa.int64(), value_fn=centi)
-    return _collect(out).sort_by([
+    return _psort(_collect(out), [
         ("l_orderkey", "ascending"), ("l_linenumber", "ascending"),
         ("measure", "ascending")])
 
@@ -3675,9 +3703,9 @@ def _q_supplier_part_pagerank(sf_dir: str) -> pa.Table:
     # node, and is exercised by tests/test_graph.py with threshold=0
     out = pagerank(ds, damping=0.85, iters=10,
                    small_edges_threshold=5_000_000)
-    return _collect(out, pa.schema([("node", pa.int64()),
+    return _psort(_collect(out, pa.schema([("node", pa.int64()),
                                     ("rank", pa.float64())])) \
-        .sort_by("node")
+        , "node")
 
 
 def _q_winsorized_price_by_priority(sf_dir: str) -> pa.Table:
@@ -3730,12 +3758,12 @@ def _q_winsorized_price_by_priority(sf_dir: str) -> pa.Table:
         return out_schema.empty_table()
     g = parts.group_by(["o_orderpriority"], use_threads=False) \
         .aggregate([("n_orders", "sum"), ("winsorized_cents", "sum")])
-    return pa.table({
+    return _psort(pa.table({
         "o_orderpriority": g["o_orderpriority"],
         "n_orders": pc.cast(g["n_orders_sum"], pa.int64()),
         "winsorized_cents": pc.cast(g["winsorized_cents_sum"],
                                     pa.int64())}) \
-        .sort_by("o_orderpriority")
+        , "o_orderpriority")
 
 
 def _q_price_mad(sf_dir: str) -> pa.Table:
@@ -3800,11 +3828,11 @@ def _q_orders_moving_sum(sf_dir: str) -> pa.Table:
         .map_batches(cents, batch_format="pyarrow")
     out = grouped_moving_sum(ds, "o_custkey", "o_orderdate",
                              "o_orderkey", "cents", preceding=2)
-    return _collect(out, pa.schema([("o_custkey", pa.int64()),
+    return _psort(_collect(out, pa.schema([("o_custkey", pa.int64()),
                                     ("o_orderkey", pa.int64()),
                                     ("moving_sum", pa.int64()),
                                     ("n_win", pa.int64())])) \
-        .sort_by([("o_custkey", "ascending"),
+        , [("o_custkey", "ascending"),
                   ("o_orderkey", "ascending")])
 
 
@@ -3829,11 +3857,11 @@ def _q_user_value_range_sum(sf_dir: str) -> pa.Table:
         .map_batches(milli, batch_format="pyarrow")
     out = grouped_range_moving_sum(ds, "user_id", "ts", "event_id",
                                    "mv", preceding_us=86_400_000_000)
-    return _collect(out, pa.schema([("user_id", pa.int64()),
+    return _psort(_collect(out, pa.schema([("user_id", pa.int64()),
                                     ("event_id", pa.int64()),
                                     ("range_sum", pa.int64()),
                                     ("n_win", pa.int64())])) \
-        .sort_by([("user_id", "ascending"), ("event_id", "ascending")])
+        , [("user_id", "ascending"), ("event_id", "ascending")])
 
 
 def _q_user_cohort_retention(sf_dir: str) -> pa.Table:
@@ -3848,10 +3876,10 @@ def _q_user_cohort_retention(sf_dir: str) -> pa.Table:
                                  columns=["user_id", "ts"]),
                            key_col="user_id", ts_col="ts",
                            unit="week")
-    return _collect(out, pa.schema([("cohort_month", pa.timestamp("us")),
+    return _psort(_collect(out, pa.schema([("cohort_month", pa.timestamp("us")),
                                     ("activity_month", pa.timestamp("us")),
                                     ("n_users", pa.int64())])) \
-        .sort_by([("cohort_month", "ascending"),
+        , [("cohort_month", "ascending"),
                   ("activity_month", "ascending")])
 
 
@@ -3865,9 +3893,9 @@ def _q_events_hourly_dense(sf_dir: str) -> pa.Table:
 
     out = dense_period_counts(_read(sf_dir, "events", columns=["ts"]),
                               ts_col="ts", unit="hour")
-    return _collect(out, pa.schema([("period", pa.timestamp("us")),
+    return _psort(_collect(out, pa.schema([("period", pa.timestamp("us")),
                                     ("n_events", pa.int64())])) \
-        .sort_by([("period", "ascending")])
+        , [("period", "ascending")])
 
 
 def _q_event_type_transitions(sf_dir: str) -> pa.Table:
@@ -3883,10 +3911,10 @@ def _q_event_type_transitions(sf_dir: str) -> pa.Table:
               columns=["user_id", "ts", "event_id", "event_type"]),
         key_col="user_id", ts_col="ts", order_col="event_id",
         state_col="event_type")
-    return _collect(out, pa.schema([("prev_state", pa.string()),
+    return _psort(_collect(out, pa.schema([("prev_state", pa.string()),
                                     ("next_state", pa.string()),
                                     ("n_transitions", pa.int64())])) \
-        .sort_by([("prev_state", "ascending"),
+        , [("prev_state", "ascending"),
                   ("next_state", "ascending")])
 
 
@@ -3901,10 +3929,10 @@ def _q_user_longest_streaks(sf_dir: str) -> pa.Table:
     out = longest_streaks(
         _read(sf_dir, "events", columns=["user_id", "ts"]),
         key_col="user_id", ts_col="ts")
-    return _collect(out, pa.schema([("user_id", pa.int64()),
+    return _psort(_collect(out, pa.schema([("user_id", pa.int64()),
                                     ("n_active_days", pa.int64()),
                                     ("longest_streak", pa.int64())])) \
-        .sort_by([("user_id", "ascending")])
+        , [("user_id", "ascending")])
 
 
 def _q_monthly_revenue_mom(sf_dir: str) -> pa.Table:
@@ -3926,10 +3954,10 @@ def _q_monthly_revenue_mom(sf_dir: str) -> pa.Table:
     out = period_totals_delta(
         ds.map_batches(cents, batch_format="pyarrow"),
         ts_col="o_orderdate", cents_col="cents", unit="month")
-    return _collect(out, pa.schema([("period", pa.timestamp("us")),
+    return _psort(_collect(out, pa.schema([("period", pa.timestamp("us")),
                                     ("total_cents", pa.int64()),
                                     ("delta_cents", pa.int64())])) \
-        .sort_by([("period", "ascending")])
+        , [("period", "ascending")])
 
 
 def _q_order_price_iqr_outliers(sf_dir: str) -> pa.Table:
@@ -4047,10 +4075,10 @@ def _q_price_quantiles_tdigest_by_priority(sf_dir: str) -> pa.Table:
         _read(sf_dir, "orders",
               columns=["o_orderpriority", "o_totalprice"]),
         "o_orderpriority", "o_totalprice", qs=(0.5, 0.9, 0.99))
-    return _collect(out, pa.schema([
+    return _psort(_collect(out, pa.schema([
         ("o_orderpriority", pa.string()), ("q_0.5", pa.float64()),
         ("q_0.9", pa.float64()), ("q_0.99", pa.float64())])) \
-        .sort_by([("o_orderpriority", "ascending")])
+        , [("o_orderpriority", "ascending")])
 
 
 def _q_dsir_weights_src0(sf_dir: str) -> pa.Table:
@@ -4073,10 +4101,10 @@ def _q_dsir_weights_src0(sf_dir: str) -> pa.Table:
         .map_batches(is_target, batch_format="pyarrow")
     out = bigram_lm_log_ratio(docs, target, text_col="text",
                               key_col="doc_id")
-    return _collect(out, pa.schema([
+    return _psort(_collect(out, pa.schema([
         ("doc_id", pa.int64()), ("n_bigrams", pa.int64()),
         ("mlogp_target", pa.int64()), ("mlogp_corpus", pa.int64()),
-        ("mlog_ratio", pa.int64())])).sort_by("doc_id")
+        ("mlog_ratio", pa.int64())])), "doc_id")
 
 
 def _q_part_copurchase_clustering(sf_dir: str) -> pa.Table:
@@ -4088,10 +4116,10 @@ def _q_part_copurchase_clustering(sf_dir: str) -> pa.Table:
 
     edges = _copurchase_edges(sf_dir)
     out = local_clustering(edges, "src", "dst")
-    return _collect(out, pa.schema([
+    return _psort(_collect(out, pa.schema([
         ("node", pa.int64()), ("degree", pa.int64()),
         ("n_triangles", pa.int64()), ("clustering", pa.float64())])) \
-        .sort_by([("node", "ascending")])
+        , [("node", "ascending")])
 
 
 def _q_view_purchase_conversion(sf_dir: str) -> pa.Table:
@@ -4151,9 +4179,9 @@ def _q_price_benford_digits(sf_dir: str) -> pa.Table:
 
     out = benford_digit_counts(
         ds.map_batches(cents, batch_format="pyarrow"), "cents")
-    return _collect(out, pa.schema([
+    return _psort(_collect(out, pa.schema([
         ("digit", pa.int64()), ("n", pa.int64()),
-        ("share", pa.float64())])).sort_by([("digit", "ascending")])
+        ("share", pa.float64())])), [("digit", "ascending")])
 
 
 def _q_top_session_paths(sf_dir: str) -> pa.Table:
@@ -4167,9 +4195,9 @@ def _q_top_session_paths(sf_dir: str) -> pa.Table:
         _read(sf_dir, "events",
               columns=["user_id", "ts", "event_id", "event_type"]),
         k=20)
-    return _collect(out, pa.schema([("path", pa.string()),
+    return _psort(_collect(out, pa.schema([("path", pa.string()),
                                     ("n_sessions", pa.int64())])) \
-        .sort_by([("n_sessions", "descending"), ("path", "ascending")])
+        , [("n_sessions", "descending"), ("path", "ascending")])
 
 
 def _q_cdc_latest_state(sf_dir: str) -> pa.Table:
@@ -4184,10 +4212,10 @@ def _q_cdc_latest_state(sf_dir: str) -> pa.Table:
               columns=["user_id", "ts", "event_id", "event_type",
                        "value"]),
         delete_state="error")
-    return _collect(out, pa.schema([
+    return _psort(_collect(out, pa.schema([
         ("user_id", pa.int64()), ("last_event_type", pa.string()),
         ("last_value", pa.float64())])) \
-        .sort_by([("user_id", "ascending")])
+        , [("user_id", "ascending")])
 
 
 def _q_source_vocab_kl(sf_dir: str) -> pa.Table:
@@ -4200,9 +4228,9 @@ def _q_source_vocab_kl(sf_dir: str) -> pa.Table:
     out = source_vocab_kl(
         _read(sf_dir, "documents", columns=["source", "text"]),
         group_col="source", text_col="text")
-    return _collect(out, pa.schema([
+    return _psort(_collect(out, pa.schema([
         ("source", pa.string()), ("n_tokens", pa.int64()),
-        ("kl_milli", pa.int64())])).sort_by([("source", "ascending")])
+        ("kl_milli", pa.int64())])), [("source", "ascending")])
 
 
 def _q_lineitem_corr_matrix(sf_dir: str) -> pa.Table:
@@ -4239,10 +4267,10 @@ def _q_price_geomean_by_priority(sf_dir: str) -> pa.Table:
     out = grouped_geomean(
         ds.map_batches(cents, batch_format="pyarrow"),
         "o_orderpriority", "cents")
-    t = _collect(out, pa.schema([
+    t = _psort(_collect(out, pa.schema([
         ("o_orderpriority", pa.string()), ("n", pa.int64()),
         ("sum_mlog", pa.int64()), ("gm", pa.float64())])) \
-        .sort_by([("o_orderpriority", "ascending")])
+        , [("o_orderpriority", "ascending")])
     # gm is a float epilogue (libm exp differs by 1 ulp across
     # engines); the oracle contract compares the exact integers
     return t.select(["o_orderpriority", "n", "sum_mlog"])
@@ -4312,10 +4340,10 @@ def _q_events_before_signup(sf_dir: str) -> pa.Table:
         _read(sf_dir, "events",
               columns=["user_id", "ts", "event_type"]),
         anchor_state="signup")
-    return _collect(out, pa.schema([
+    return _psort(_collect(out, pa.schema([
         ("event_type", pa.string()), ("n_before", pa.int64()),
         ("n_no_anchor", pa.int64()), ("n_events", pa.int64())])) \
-        .sort_by([("event_type", "ascending")])
+        , [("event_type", "ascending")])
 
 
 def _q_customer_rfm_segments(sf_dir: str) -> pa.Table:
@@ -4422,12 +4450,12 @@ def _q_customer_rfm_segments(sf_dir: str) -> pa.Table:
     t = _collect(agg)
     if t is None or t.num_rows == 0:
         return out_schema.empty_table()
-    return pa.table({
+    return _psort(pa.table({
         "r_code": pc.cast(t["r_code"], pa.int64()),
         "f_code": pc.cast(t["f_code"], pa.int64()),
         "m_code": pc.cast(t["m_code"], pa.int64()),
         "n_customers": pc.cast(t["sum(n_customers)"], pa.int64())}) \
-        .sort_by([("r_code", "ascending"), ("f_code", "ascending"),
+        , [("r_code", "ascending"), ("f_code", "ascending"),
                   ("m_code", "ascending")])
 
 
@@ -4468,10 +4496,10 @@ def _q_event_transition_entropy(sf_dir: str) -> pa.Table:
         tot.append(cp)
         h.append(int(terms.sum()))
         i = j
-    return pa.table({"prev_state": pa.array(names, pa.string()),
+    return _psort(pa.table({"prev_state": pa.array(names, pa.string()),
                      "n_transitions": pa.array(tot, pa.int64()),
                      "h_milli": pa.array(h, pa.int64())}) \
-        .sort_by([("prev_state", "ascending")])
+        , [("prev_state", "ascending")])
 
 
 def _q_token_budget_allocation(sf_dir: str) -> pa.Table:
@@ -4516,9 +4544,9 @@ def _q_text_roundtrip_documents(sf_dir: str) -> pa.Table:
             _read(sf_dir, "documents", columns=["doc_id", "text"]),
             out)
         back = read_text_lines(out)
-        return _collect(back, pa.schema([
+        return _psort(_collect(back, pa.schema([
             ("doc_id", pa.int64()), ("text", pa.string())])) \
-            .sort_by([("doc_id", "ascending")])
+            , [("doc_id", "ascending")])
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
@@ -4532,10 +4560,10 @@ def _q_lexical_diversity_by_source(sf_dir: str) -> pa.Table:
     out = lexical_diversity(
         _read(sf_dir, "documents", columns=["source", "text"]),
         group_col="source", text_col="text")
-    return _collect(out, pa.schema([
+    return _psort(_collect(out, pa.schema([
         ("source", pa.string()), ("n_docs", pa.int64()),
         ("n_tokens", pa.int64()), ("n_distinct_sum", pa.int64())])) \
-        .sort_by([("source", "ascending")])
+        , [("source", "ascending")])
 
 
 def _q_weekly_rolling_retention(sf_dir: str) -> pa.Table:
@@ -4547,10 +4575,10 @@ def _q_weekly_rolling_retention(sf_dir: str) -> pa.Table:
 
     out = rolling_retention(
         _read(sf_dir, "events", columns=["user_id", "ts"]))
-    return _collect(out, pa.schema([
+    return _psort(_collect(out, pa.schema([
         ("week", pa.timestamp("us")), ("n_users", pa.int64()),
         ("n_retained", pa.int64())])) \
-        .sort_by([("week", "ascending")])
+        , [("week", "ascending")])
 
 
 def _q_part_association_rules(sf_dir: str) -> pa.Table:
@@ -4694,7 +4722,7 @@ def _q_revenue_weighted_median_qty(sf_dir: str) -> pa.Table:
                             ("wmedian_qty", pa.int64())])
     if t.num_rows == 0:
         return out_schema.empty_table()
-    t = t.sort_by([("l_returnflag", "ascending"), ("qty", "ascending")])
+    t = _psort(t, [("l_returnflag", "ascending"), ("qty", "ascending")])
     flags = np.asarray(t["l_returnflag"].to_pylist(), dtype=object)
     qty = t["qty"].to_numpy(zero_copy_only=False)
     w = pc.cast(t.column(2), pa.int64()).to_numpy(zero_copy_only=False)
@@ -4712,11 +4740,11 @@ def _q_revenue_weighted_median_qty(sf_dir: str) -> pa.Table:
         tots.append(tot)
         meds.append(int(qty[i + k]))
         i = j
-    return pa.table({
+    return _psort(pa.table({
         "l_returnflag": pa.array(names, pa.string()),
         "total_cents": pa.array(tots, pa.int64()),
         "wmedian_qty": pa.array(meds, pa.int64()),
-    }).sort_by([("l_returnflag", "ascending")])
+    }), [("l_returnflag", "ascending")])
 
 
 def _q_event_hour_mutual_info(sf_dir: str) -> pa.Table:
@@ -4768,11 +4796,11 @@ def _q_event_hour_mutual_info(sf_dir: str) -> pa.Table:
     terms = (nxy * _round_half_away(np.log(ratio) * 1000.0)) \
         .astype(np.int64)
     mi = np.bincount(tinv, weights=terms).astype(np.int64)
-    return pa.table({
+    return _psort(pa.table({
         "event_type": pa.array(ut.tolist(), pa.string()),
         "n_events": pa.array(nx.astype(np.int64), pa.int64()),
         "mi_milli": pa.array(mi, pa.int64()),
-    }).sort_by([("event_type", "ascending")])
+    }), [("event_type", "ascending")])
 
 
 def _q_customer_revenue_gini(sf_dir: str) -> pa.Table:
@@ -4834,7 +4862,7 @@ def _q_customer_revenue_gini(sf_dir: str) -> pa.Table:
                      batch_size=None),
         pa.schema([("n", pa.int64()), ("sumx", pa.int64()),
                    ("s1", pa.string()), ("minv", pa.int64())]))
-    parts = parts.sort_by([("minv", "ascending")])
+    parts = _psort(parts, [("minv", "ascending")])
     n_tot, sum_tot, s1_tot = 0, 0, 0
     for i in range(parts.num_rows):
         s1_tot += int(parts["s1"][i].as_py()) \
@@ -4857,10 +4885,10 @@ def _q_user_value_twap(sf_dir: str) -> pa.Table:
     out = time_weighted_mean(
         _read(sf_dir, "events",
               columns=["user_id", "ts", "event_id", "value"]))
-    return _collect(out, pa.schema([
+    return _psort(_collect(out, pa.schema([
         ("user_id", pa.int64()), ("n_intervals", pa.int64()),
         ("span_s", pa.int64()), ("vtime_milli_s", pa.int64())])) \
-        .sort_by([("user_id", "ascending")])
+        , [("user_id", "ascending")])
 
 
 def _q_orders_lineitem_join_audit(sf_dir: str) -> pa.Table:
@@ -4922,11 +4950,11 @@ def _q_supplier_hhi_by_year(sf_dir: str) -> pa.Table:
         .astype(np.int64)
     hhi = np.bincount(yinv, weights=bp * bp).astype(np.int64)
     n_s = np.bincount(yinv).astype(np.int64)
-    return pa.table({
+    return _psort(pa.table({
         "ship_year": pa.array(uy, pa.int64()),
         "n_suppliers": pa.array(n_s, pa.int64()),
         "hhi_bp2": pa.array(hhi, pa.int64()),
-    }).sort_by([("ship_year", "ascending")])
+    }), [("ship_year", "ascending")])
 
 
 def _q_dup_rate_by_source(sf_dir: str) -> pa.Table:
@@ -4976,12 +5004,12 @@ def _q_dup_rate_by_source(sf_dir: str) -> pa.Table:
                                  ("sum(n_distinct_texts)", pa.int64())]))
     nd = pc.cast(t.column(1), pa.int64())
     nx = pc.cast(t.column(2), pa.int64())
-    return pa.table({
+    return _psort(pa.table({
         "source": t["source"],
         "n_docs": nd,
         "n_distinct_texts": nx,
         "n_dup_docs": pc.subtract(nd, nx),
-    }).sort_by([("source", "ascending")])
+    }), [("source", "ascending")])
 
 
 def _q_label_dispersion(sf_dir: str) -> pa.Table:
@@ -5058,13 +5086,13 @@ def _q_label_dispersion(sf_dir: str) -> pa.Table:
         out_rows.append((int(labs_s[i]), tot_n, tot_sq,
                          norm2 - tot_sq))
         i = j
-    return pa.table({
+    return _psort(pa.table({
         "label": pa.array([r[0] for r in out_rows], pa.int64()),
         "n_vectors": pa.array([r[1] for r in out_rows], pa.int64()),
         "sum_sq_norm": pa.array([r[2] for r in out_rows], pa.int64()),
         "pair_dot_numer": pa.array([r[3] for r in out_rows],
                                    pa.int64()),
-    }).sort_by([("label", "ascending")])
+    }), [("label", "ascending")])
 
 
 def _q_users_all_event_types(sf_dir: str) -> pa.Table:
@@ -5147,7 +5175,7 @@ def _q_users_all_event_types(sf_dir: str) -> pa.Table:
         .groupby("kshard").map_groups(
             lambda t: survivors(t.drop_columns(["kshard"])),
             batch_format="pyarrow")
-    return _collect(out, out_schema).sort_by([("user_id", "ascending")])
+    return _psort(_collect(out, out_schema), [("user_id", "ascending")])
 
 
 def _q_gopher_quality_flags(sf_dir: str) -> pa.Table:
@@ -5192,7 +5220,7 @@ def _q_gopher_quality_flags(sf_dir: str) -> pa.Table:
                             ("n_hash", pa.int64()),
                             ("n_ellipsis", pa.int64()),
                             ("passes_gopher", pa.bool_())]))
-    return t.sort_by([("doc_id", "ascending")])
+    return _psort(t, [("doc_id", "ascending")])
 
 
 def _q_hard_negatives_topk(sf_dir: str) -> pa.Table:
@@ -5231,7 +5259,7 @@ def _q_hard_negatives_topk(sf_dir: str) -> pa.Table:
                             ("rank", pa.int64())])
     if qt.num_rows == 0:
         return out_schema.empty_table()
-    qt = qt.sort_by("vec_id")
+    qt = _psort(qt, "vec_id")
     qids = qt["vec_id"].to_numpy(zero_copy_only=False)
     qlabels = pc.cast(qt["label"], pa.int64()) \
         .to_numpy(zero_copy_only=False)
@@ -5302,8 +5330,8 @@ def _q_footer_stats_audit_documents(sf_dir: str) -> pa.Table:
         [os.path.join(sf_dir, "documents.parquet")],
         ["doc_id", "n_chars"])
     t = _collect(out)
-    return t.drop_columns(["file"]) \
-        .sort_by([("row_group", "ascending"), ("column", "ascending")])
+    return _psort(t.drop_columns(["file"]) \
+        , [("row_group", "ascending"), ("column", "ascending")])
 
 
 def _q_customer_revenue_lorenz(sf_dir: str) -> pa.Table:
@@ -5360,11 +5388,11 @@ def _q_customer_revenue_lorenz(sf_dir: str) -> pa.Table:
     t = _collect(agg, out_schema)
     if t.num_rows == 0:
         return out_schema.empty_table()
-    return pa.table({
+    return _psort(pa.table({
         "decile": t["decile"],
         "n_customers": pc.cast(t.column(1), pa.int64()),
         "cents": pc.cast(t.column(2), pa.int64()),
-    }).sort_by([("decile", "ascending")])
+    }), [("decile", "ascending")])
 
 
 def _q_doc_rank_stats_by_source(sf_dir: str) -> pa.Table:
@@ -5382,7 +5410,7 @@ def _q_doc_rank_stats_by_source(sf_dir: str) -> pa.Table:
         ("doc_id", pa.int64()), ("source", pa.string()),
         ("n_chars", pa.int64()), ("percent_rank", pa.float64()),
         ("cume_dist", pa.float64())]))
-    return t.sort_by([("doc_id", "ascending")])
+    return _psort(t, [("doc_id", "ascending")])
 
 
 def _q_null_profile_documents(sf_dir: str) -> pa.Table:
@@ -5405,12 +5433,12 @@ def _q_null_profile_documents(sf_dir: str) -> pa.Table:
     agg = ds.map_batches(prep, batch_format="pyarrow").aggregate(
         A.Sum("n_rows"), *[A.Sum(f"null_{c}") for c in cols])
     n_rows = int(agg.get("sum(n_rows)") or 0)
-    return pa.table({
+    return _psort(pa.table({
         "column": pa.array(cols, pa.string()),
         "n_rows": pa.array([n_rows] * len(cols), pa.int64()),
         "n_null": pa.array([int(agg.get(f"sum(null_{c})") or 0)
                             for c in cols], pa.int64()),
-    }).sort_by([("column", "ascending")])
+    }), [("column", "ascending")])
 
 
 def _q_order_priority_exists_counts(sf_dir: str) -> pa.Table:
@@ -5455,10 +5483,10 @@ def _q_order_priority_exists_counts(sf_dir: str) -> pa.Table:
         return out_schema.empty_table()
     g = parts.group_by(["o_orderpriority"], use_threads=False) \
         .aggregate([("n_orders", "sum")])
-    return pa.table({
+    return _psort(pa.table({
         "o_orderpriority": g["o_orderpriority"],
         "n_orders": pc.cast(g["n_orders_sum"], pa.int64())}) \
-        .sort_by("o_orderpriority")
+        , "o_orderpriority")
 
 
 def _q_nation_year_revenue(sf_dir: str) -> pa.Table:
@@ -5541,10 +5569,10 @@ def _q_nation_year_revenue(sf_dir: str) -> pa.Table:
         return out_schema.empty_table()
     g = parts.group_by(["nation", "o_year"], use_threads=False) \
         .aggregate([("revenue_cents", "sum")])
-    return pa.table({
+    return _psort(pa.table({
         "nation": g["nation"], "o_year": g["o_year"],
         "revenue_cents": pc.cast(g["revenue_cents_sum"], pa.int64())}) \
-        .sort_by([("nation", "ascending"), ("o_year", "ascending")])
+        , [("nation", "ascending"), ("o_year", "ascending")])
 
 
 def _q_brand_qty_revenue(sf_dir: str) -> pa.Table:
@@ -5699,7 +5727,7 @@ def _q_shipping_priority(sf_dir: str) -> pa.Table:
                                                pa.int64()),
                       "o_orderdate": pc.cast(g["o_orderdate"],
                                              pa.timestamp("us"))})
-        g = g.sort_by([("revenue_cents", "descending"),
+        g = _psort(g, [("revenue_cents", "descending"),
                        ("o_orderdate", "ascending"),
                        ("l_orderkey", "ascending")])
         return g.select(out_schema.names).slice(0, 10)
@@ -5710,7 +5738,7 @@ def _q_shipping_priority(sf_dir: str) -> pa.Table:
         .map_groups(lambda t: shard_top(t.drop_columns(["kshard"])),
                     batch_format="pyarrow"),
         out_schema)
-    return cand.sort_by([("revenue_cents", "descending"),
+    return _psort(cand, [("revenue_cents", "descending"),
                          ("o_orderdate", "ascending"),
                          ("l_orderkey", "ascending")]).slice(0, 10)
 
@@ -5821,12 +5849,12 @@ def _q_nation_volume_shipping(sf_dir: str) -> pa.Table:
     g = parts.group_by(["supp_nation", "cust_nation", "l_year"],
                        use_threads=False) \
         .aggregate([("revenue_cents", "sum")])
-    return pa.table({
+    return _psort(pa.table({
         "supp_nation": g["supp_nation"],
         "cust_nation": g["cust_nation"],
         "l_year": g["l_year"],
         "revenue_cents": pc.cast(g["revenue_cents_sum"], pa.int64())}) \
-        .sort_by([("supp_nation", "ascending"),
+        , [("supp_nation", "ascending"),
                   ("cust_nation", "ascending"),
                   ("l_year", "ascending")])
 
@@ -5949,11 +5977,11 @@ def _q_market_share_by_year(sf_dir: str) -> pa.Table:
         return out_schema.empty_table()
     g = parts.group_by("o_year", use_threads=False) \
         .aggregate([("nation_cents", "sum"), ("total_cents", "sum")])
-    return pa.table({
+    return _psort(pa.table({
         "o_year": g["o_year"],
         "nation_cents": pc.cast(g["nation_cents_sum"], pa.int64()),
         "total_cents": pc.cast(g["total_cents_sum"], pa.int64())}) \
-        .sort_by([("o_year", "ascending")])
+        , [("o_year", "ascending")])
 
 
 def _q_top_supplier_revenue(sf_dir: str) -> pa.Table:
@@ -6019,11 +6047,11 @@ def _q_top_supplier_revenue(sf_dir: str) -> pa.Table:
     names = dict(zip(sup["s_suppkey"].to_pylist(),
                      sup["s_name"].to_pylist()))
     keys = cand["l_suppkey"].to_pylist()
-    return pa.table({
+    return _psort(pa.table({
         "s_suppkey": pa.array(keys, pa.int64()),
         "s_name": pa.array([names.get(k) for k in keys], pa.string()),
         "total_cents": cand["total_cents"],
-    }).sort_by([("s_suppkey", "ascending")])
+    }), [("s_suppkey", "ascending")])
 
 
 def _q_price_mad_by_priority(sf_dir: str) -> pa.Table:
@@ -6100,8 +6128,8 @@ def _q_custkeys_not_in_low_orders(sf_dir: str) -> pa.Table:
     out = not_in_join(
         _read(sf_dir, "customer", columns=["c_custkey"]),
         low, "c_custkey", "o_custkey")
-    return _collect(out, pa.schema([("c_custkey", pa.int64())])) \
-        .sort_by("c_custkey")
+    return _psort(_collect(out, pa.schema([("c_custkey", pa.int64())])) \
+        , "c_custkey")
 
 
 def _q_weighted_sample_docs(sf_dir: str) -> pa.Table:
@@ -6115,7 +6143,7 @@ def _q_weighted_sample_docs(sf_dir: str) -> pa.Table:
     out = weighted_sample_keys(
         _read(sf_dir, "documents", columns=["doc_id", "n_chars"]),
         key_col="doc_id", weight_col="n_chars", k=50, seed=7)
-    return out.select(["doc_id", "weight"]).sort_by("doc_id")
+    return _psort(out.select(["doc_id", "weight"]), "doc_id")
 
 
 def _q_overlapping_session_pairs(sf_dir: str) -> pa.Table:
@@ -6145,7 +6173,7 @@ def _q_overlapping_session_pairs(sf_dir: str) -> pa.Table:
                         ("session_id_a", pa.int64()),
                         ("user_id_b", pa.int64()),
                         ("session_id_b", pa.int64())])
-    return _collect(out, schema).sort_by(
+    return _psort(_collect(out, schema), 
         [("user_id_a", "ascending"), ("session_id_a", "ascending"),
          ("user_id_b", "ascending"), ("session_id_b", "ascending")])
 
@@ -6262,13 +6290,13 @@ def _q_late_line_priority(sf_dir: str) -> pa.Table:
     g = parts.group_by("l_returnflag", use_threads=False) \
         .aggregate([("high_line_count", "sum"),
                     ("low_line_count", "sum")])
-    return pa.table({
+    return _psort(pa.table({
         "l_returnflag": g["l_returnflag"],
         "high_line_count": pc.cast(g["high_line_count_sum"],
                                    pa.int64()),
         "low_line_count": pc.cast(g["low_line_count_sum"],
                                   pa.int64())}) \
-        .sort_by("l_returnflag")
+        , "l_returnflag")
 
 
 def _q_important_parts(sf_dir: str) -> pa.Table:
@@ -6317,7 +6345,7 @@ def _q_important_parts(sf_dir: str) -> pa.Table:
         return tot_schema.empty_table()
     v = totals["value_cents"].to_numpy(zero_copy_only=False)
     thr = float(v.sum()) * 1.5 / len(v)
-    return totals.filter(pa.array(v > thr)).sort_by(
+    return _psort(totals.filter(pa.array(v > thr)), 
         [("value_cents", "descending"), ("l_partkey", "ascending")])
 
 
@@ -6396,10 +6424,10 @@ def _q_supplier_part_counts(sf_dir: str) -> pa.Table:
         return cnt_schema.empty_table()
     g = parts.group_by(["p_brand", "p_size"], use_threads=False) \
         .aggregate([("supplier_cnt", "sum")])
-    return pa.table({
+    return _psort(pa.table({
         "p_brand": g["p_brand"], "p_size": g["p_size"],
         "supplier_cnt": pc.cast(g["supplier_cnt_sum"], pa.int64())}) \
-        .sort_by([("supplier_cnt", "descending"),
+        , [("supplier_cnt", "descending"),
                   ("p_brand", "ascending"), ("p_size", "ascending")])
 
 
@@ -6505,14 +6533,14 @@ def _q_min_cost_supplier(sf_dir: str) -> pa.Table:
         return out_schema.empty_table()
     keys = cand["l_suppkey"].to_pylist()
     info = [sinfo[k] for k in keys]
-    return pa.table({
+    return _psort(pa.table({
         "p_partkey": cand["l_partkey"],
         "s_suppkey": cand["l_suppkey"],
         "s_name": pa.array([i[0] for i in info], pa.string()),
         "n_name": pa.array([i[2] for i in info], pa.string()),
         "s_acctbal": pa.array([i[1] for i in info], pa.float64()),
         "cost_cents": cand["cost_cents"],
-    }).sort_by([("s_acctbal", "descending"),
+    }), [("s_acctbal", "descending"),
                 ("p_partkey", "ascending"),
                 ("s_suppkey", "ascending")])
 
@@ -6597,11 +6625,11 @@ def _q_heavy_share_suppliers(sf_dir: str) -> pa.Table:
                          columns=["s_suppkey", "s_name"]))
     names = dict(zip(sup["s_suppkey"].to_pylist(),
                      sup["s_name"].to_pylist()))
-    return pa.table({
+    return _psort(pa.table({
         "s_suppkey": pa.array(sk, pa.int64()),
         "s_name": pa.array([names.get(int(k)) for k in sk],
                            pa.string())}) \
-        .sort_by([("s_suppkey", "ascending")])
+        , [("s_suppkey", "ascending")])
 
 
 def _q_waiting_suppliers(sf_dir: str) -> pa.Table:
@@ -6705,11 +6733,11 @@ def _q_waiting_suppliers(sf_dir: str) -> pa.Table:
     names = dict(zip(sup["s_suppkey"].to_pylist(),
                      sup["s_name"].to_pylist()))
     keys = g["s_suppkey"].to_pylist()
-    return pa.table({
+    return _psort(pa.table({
         "s_suppkey": g["s_suppkey"],
         "s_name": pa.array([names.get(k) for k in keys], pa.string()),
         "numwait": pc.cast(g["numwait_sum"], pa.int64())}) \
-        .sort_by([("numwait", "descending"),
+        , [("numwait", "descending"),
                   ("s_suppkey", "ascending")])
 
 
@@ -6734,8 +6762,8 @@ def _q_ref_violations_events_user_shuffle(sf_dir: str) -> pa.Table:
     out = anti_join(ev, cust, "user_id", "c_custkey")
     schema = pa.schema([("event_id", pa.int64()),
                         ("user_id", pa.int64())])
-    return _collect(out, schema).select(["event_id", "user_id"]) \
-        .sort_by([("event_id", "ascending")])
+    return _psort(_collect(out, schema).select(["event_id", "user_id"]) \
+        , [("event_id", "ascending")])
 
 
 def _q_embedding_unnest(sf_dir: str) -> pa.Table:
@@ -6752,7 +6780,7 @@ def _q_embedding_unnest(sf_dir: str) -> pa.Table:
         value_type=pa.float64())
     schema = pa.schema([("vec_id", pa.int64()), ("pos", pa.int64()),
                         ("value", pa.float64())])
-    return _collect(out, schema).sort_by(
+    return _psort(_collect(out, schema), 
         [("vec_id", "ascending"), ("pos", "ascending")])
 
 
