@@ -6784,6 +6784,23 @@ def _q_embedding_unnest(sf_dir: str) -> pa.Table:
         [("vec_id", "ascending"), ("pos", "ascending")])
 
 
+def _q_value_rank_tests(sf_dir: str) -> pa.Table:
+    """Exact nonparametric two-sample drift tests ('click' vs 'view'
+    value distributions): Kolmogorov-Smirnov D numerator and the
+    doubled Mann-Whitney rank sum, both as exact int64 ingredients
+    (functions/ranktests.py).  Shape: per-batch quantized-count
+    combiners -> ONE distinct-value groupby exchange -> Ray sort of
+    the distinct table -> per-block scalar partials with Python-int
+    prefix combine (the Gini machinery, reused for two order
+    statistics).  D = ks_d_num/(n1*n2) and U1 = (r1_doubled -
+    n1*(n1+1))/2 are one division away, deliberately not floats."""
+    from pyschema_ray.functions.ranktests import two_sample_rank_tests
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    return two_sample_rank_tests(ds, "value", "event_type",
+                                 "click", "view")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core validation engine (oracle-checked)
@@ -6990,6 +7007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality_flags": _q_gopher_quality_flags,
         "users_all_event_types": _q_users_all_event_types,
         "label_dispersion": _q_label_dispersion,
+        "value_rank_tests": _q_value_rank_tests,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -9689,6 +9707,37 @@ def oracle_sql() -> dict[str, str]:
              GROUP BY user_id, n.n_all
             HAVING count(DISTINCT event_type) = n.n_all
              ORDER BY user_id
+        """,
+        "value_rank_tests": """
+            WITH vals AS (
+                SELECT CAST(round(value * 1000) AS BIGINT) AS q,
+                       CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                       END AS i1,
+                       CASE WHEN event_type = 'view' THEN 1 ELSE 0
+                       END AS i2
+                  FROM events
+                 WHERE value IS NOT NULL
+                   AND event_type IN ('click', 'view')),
+            counts AS (
+                SELECT q, CAST(sum(i1) AS BIGINT) AS n1,
+                       CAST(sum(i2) AS BIGINT) AS n2
+                  FROM vals GROUP BY q),
+            tot AS (SELECT CAST(sum(n1) AS BIGINT) AS t1,
+                           CAST(sum(n2) AS BIGINT) AS t2 FROM counts),
+            cums AS (
+                SELECT n1, n2,
+                       sum(n1) OVER (ORDER BY q) AS c1,
+                       sum(n2) OVER (ORDER BY q) AS c2,
+                       sum(n1 + n2) OVER (ORDER BY q) - (n1 + n2)
+                           AS cbefore
+                  FROM counts)
+            SELECT tot.t1 AS n1, tot.t2 AS n2,
+                   CAST(max(abs(c1 * tot.t2 - c2 * tot.t1))
+                        AS BIGINT) AS ks_d_num,
+                   CAST(sum(n1 * (2 * cbefore + (n1 + n2) + 1))
+                        AS BIGINT) AS r1_doubled
+              FROM cums CROSS JOIN tot
+             GROUP BY tot.t1, tot.t2
         """,
         "gopher_quality_flags": """
             WITH d AS (

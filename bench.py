@@ -146,6 +146,8 @@ QUERY_SUBSET = [
     "footer_stats_audit_documents", "hard_negatives_topk",
     "gopher_quality_flags", "users_all_event_types",
     "label_dispersion",
+    # round-5k additions
+    "value_rank_tests",
 ]
 
 

@@ -1,0 +1,103 @@
+"""Round-5k entry-query edge cases vs their own oracle_sql() twins:
+exact two-sample rank tests (KS + Mann-Whitney) — hand-computed
+midrank ties, tie invariance across many blocks, and a one-sided
+(empty second group) corpus."""
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _entry():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ray_entry_r5k", os.path.join(os.path.dirname(__file__),
+                                      "..", "__ray_entry__.py"))
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+@pytest.fixture(scope="module")
+def entry():
+    return _entry()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), kind="stable") \
+             .reset_index(drop=True)
+
+
+def _compare(entry, name, sf_dir, tables):
+    import duckdb
+    out = entry.queries()[name](str(sf_dir))
+    got = out.to_pandas() if isinstance(out, pa.Table) else out
+    con = duckdb.connect()
+    for t in tables:
+        p = os.path.join(str(sf_dir), f"{t}.parquet")
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    want = con.execute(entry.oracle_sql()[name]).df()
+    g, w = _canon(got), _canon(want)
+    assert list(g.columns) == list(w.columns)
+    assert len(g) == len(w)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    return got
+
+
+def _events(vals_click, vals_view):
+    types = ["click"] * len(vals_click) + ["view"] * len(vals_view)
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "value": pa.array(list(vals_click) + list(vals_view),
+                          pa.float64()),
+    })
+
+
+def test_rank_tests_hand_computed_midranks(tmp_path, entry):
+    # click {1,2,3} vs view {2,3,4}: R1 = 1 + 2.5 + 4.5 = 8
+    # (midranks over the two ties), D = 1/3
+    pq.write_table(_events([1.0, 2.0, 3.0], [2.0, 3.0, 4.0]),
+                   tmp_path / "events.parquet")
+    got = _compare(entry, "value_rank_tests", tmp_path, ["events"])
+    assert got["n1"].tolist() == [3]
+    assert got["n2"].tolist() == [3]
+    assert got["ks_d_num"].tolist() == [3]      # D = 3/(3*3) = 1/3
+    assert got["r1_doubled"].tolist() == [16]   # 2 * 8
+
+
+def test_rank_tests_all_tied_across_blocks(tmp_path, entry,
+                                           monkeypatch):
+    # identical distributions, forced through many blocks: D must be
+    # exactly 0 and 2*R1 = n1*(N+1) (every row gets the same midrank)
+    n1, n2 = 40, 24
+    pq.write_table(_events([7.25] * n1, [7.25] * n2),
+                   tmp_path / "events.parquet")
+    monkeypatch.setenv("PSR_NUM_BLOCKS", "16")
+    got = _compare(entry, "value_rank_tests", tmp_path, ["events"])
+    assert got["ks_d_num"].tolist() == [0]
+    assert got["r1_doubled"].tolist() == [n1 * (n1 + n2 + 1)]
+
+
+def test_rank_tests_one_sided_group(tmp_path, entry):
+    # no 'view' rows at all: N2 = 0 -> every a_v is 0; the doubled
+    # rank sum degenerates to n1*(n1+1)
+    pq.write_table(_events([5.0, 6.0, 7.0], []),
+                   tmp_path / "events.parquet")
+    got = _compare(entry, "value_rank_tests", tmp_path, ["events"])
+    assert got["n2"].tolist() == [0]
+    assert got["ks_d_num"].tolist() == [0]
+    assert got["r1_doubled"].tolist() == [3 * 4]
+
+
+def test_rank_tests_separated_distributions(tmp_path, entry):
+    # fully separated: D = 1 -> ks_d_num = n1*n2; R1 minimal
+    pq.write_table(_events([1.0, 2.0], [10.0, 11.0, 12.0]),
+                   tmp_path / "events.parquet")
+    got = _compare(entry, "value_rank_tests", tmp_path, ["events"])
+    assert got["ks_d_num"].tolist() == [2 * 3]
+    assert got["r1_doubled"].tolist() == [2 * (1 + 2)]
