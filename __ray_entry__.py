@@ -6801,6 +6801,38 @@ def _q_value_rank_tests(sf_dir: str) -> pa.Table:
                                  "click", "view")
 
 
+def _q_pareto_parts(sf_dir: str) -> pa.Table:
+    """Pareto-frontier (skyline) parts — cheapest price per size tier
+    with no part both cheaper AND larger: the multi-objective
+    shortlist query (functions/analytics.py::pareto_frontier).
+    Shape: per-block vectorized local skylines (union-compatible, so
+    blocks reduce before the driver sees anything), a tiny global
+    merge, one broadcast membership filter scan.  Prices ride as
+    exact int cents; ties on both axes all survive (no strict
+    dominance), matching the SQL NOT EXISTS oracle."""
+    from pyschema_ray.functions.analytics import pareto_frontier
+
+    ds = _read(sf_dir, "part",
+               columns=["p_partkey", "p_retailprice", "p_size"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t["p_retailprice"]),
+                             pc.is_valid(t["p_size"])))
+        cents = pc.cast(pc.round(pc.multiply(t["p_retailprice"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        return pa.table({"p_partkey": t["p_partkey"],
+                         "price_cents": cents,
+                         "p_size": pc.cast(t["p_size"], pa.int64())})
+
+    out = pareto_frontier(ds.map_batches(prep, batch_format="pyarrow"),
+                          "price_cents", "p_size")
+    schema = pa.schema([("p_partkey", pa.int64()),
+                        ("price_cents", pa.int64()),
+                        ("p_size", pa.int64())])
+    return _psort(_collect(out, schema), [("p_partkey", "ascending")])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core validation engine (oracle-checked)
@@ -7008,6 +7040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_all_event_types": _q_users_all_event_types,
         "label_dispersion": _q_label_dispersion,
         "value_rank_tests": _q_value_rank_tests,
+        "pareto_parts": _q_pareto_parts,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -9707,6 +9740,25 @@ def oracle_sql() -> dict[str, str]:
              GROUP BY user_id, n.n_all
             HAVING count(DISTINCT event_type) = n.n_all
              ORDER BY user_id
+        """,
+        "pareto_parts": """
+            WITH p AS (
+                SELECT p_partkey,
+                       CAST(round(p_retailprice * 100) AS BIGINT)
+                           AS price_cents,
+                       CAST(p_size AS BIGINT) AS p_size
+                  FROM part
+                 WHERE p_retailprice IS NOT NULL
+                   AND p_size IS NOT NULL)
+            SELECT a.p_partkey, a.price_cents, a.p_size
+              FROM p a
+             WHERE NOT EXISTS (
+                   SELECT 1 FROM p b
+                    WHERE b.price_cents <= a.price_cents
+                      AND b.p_size >= a.p_size
+                      AND (b.price_cents < a.price_cents
+                           OR b.p_size > a.p_size))
+             ORDER BY a.p_partkey
         """,
         "value_rank_tests": """
             WITH vals AS (

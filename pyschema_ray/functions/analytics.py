@@ -2046,3 +2046,86 @@ def grouped_geomean(ds, group_col: str, cents_col: str):
                          "gm": pa.array(gm, pa.float64())})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _skyline_2d(m: np.ndarray, mx: np.ndarray):
+    """Skyline of 2-D points (minimize ``m``, maximize ``mx``):
+    distinct points where no other point has m <= AND mx >= with one
+    strict.  Vectorized: m-asc/mx-desc lexsort, per-m max, then keep
+    where mx strictly exceeds the running max of strictly-cheaper
+    points.  Returns (m_sky, mx_sky), m strictly ascending and mx
+    strictly descending."""
+    order = np.lexsort((-mx, m))
+    m_s, mx_s = m[order], mx[order]
+    first = np.ones(len(m_s), bool)
+    first[1:] = m_s[1:] != m_s[:-1]
+    m_u, mx_u = m_s[first], mx_s[first]
+    if len(m_u) == 0:
+        return m_u, mx_u
+    runmax = np.maximum.accumulate(mx_u)
+    keep = np.ones(len(m_u), bool)
+    keep[1:] = mx_u[1:] > runmax[:-1]
+    return m_u[keep], mx_u[keep]
+
+
+def pareto_frontier(ds, min_col: str, max_col: str):
+    """Rows on the 2-D Pareto frontier (``min_col`` minimized,
+    ``max_col`` maximized; both int64 — caller quantizes floats):
+    a row survives iff NO other row is <= / >= on both axes with at
+    least one strict inequality.  Ties on BOTH axes all survive
+    (neither dominates the other).
+
+    Scale shape: skyline is union-compatible — sky(A ∪ B) ⊆
+    sky(A) ∪ sky(B) — so each block reduces to its local skyline
+    (one lexsort + two vectorized passes), the driver merges the
+    per-block candidates (bounded by Σ local skyline sizes; for
+    random data the expected skyline is O(log n) points — only a
+    fully anti-correlated corpus, whose frontier IS the data, defeats
+    the reduction, as it does any engine), and the global frontier
+    broadcasts for one membership filter scan.  Membership is
+    searchsorted on the frontier's strictly-ascending ``m`` plus an
+    ``mx`` equality check — no packed-key magnitude contract.
+
+    -> Dataset: the input rows (all columns) on the frontier.
+    """
+    import ray
+
+    def block_skyline(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[min_col]),
+                             pc.is_valid(t[max_col])))
+        m = t[min_col].to_numpy(zero_copy_only=False)
+        mx = t[max_col].to_numpy(zero_copy_only=False)
+        mu, mxu = _skyline_2d(np.asarray(m, np.int64),
+                              np.asarray(mx, np.int64))
+        return pa.table({min_col: pa.array(mu, pa.int64()),
+                         max_col: pa.array(mxu, pa.int64())})
+
+    parts = [b for b in ds.map_batches(block_skyline,
+                                       batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=None)
+             if b.num_rows]
+    if not parts:  # all rows null on an axis (or empty corpus)
+        return ds.map_batches(lambda t: t.slice(0, 0),
+                              batch_format="pyarrow")
+    cand = pa.concat_tables(parts)
+    sky_m, sky_mx = _skyline_2d(
+        cand[min_col].to_numpy(zero_copy_only=False),
+        cand[max_col].to_numpy(zero_copy_only=False))
+    sky_ref = ray.put((sky_m, sky_mx))
+
+    def member_filter(t: pa.Table) -> pa.Table:
+        km, kx = ray.get(sky_ref)
+        valid = pc.and_(pc.is_valid(t[min_col]),
+                        pc.is_valid(t[max_col])) \
+            .to_numpy(zero_copy_only=False)
+        m = np.asarray(pc.fill_null(t[min_col], 0)
+                       .to_numpy(zero_copy_only=False), np.int64)
+        mx = np.asarray(pc.fill_null(t[max_col], 0)
+                        .to_numpy(zero_copy_only=False), np.int64)
+        pos = np.searchsorted(km, m)
+        inb = pos < len(km)
+        ok = valid & inb
+        ok[ok] = (km[pos[ok]] == m[ok]) & (kx[pos[ok]] == mx[ok])
+        return t.filter(pa.array(ok))
+
+    return ds.map_batches(member_filter, batch_format="pyarrow")

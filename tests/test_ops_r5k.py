@@ -101,3 +101,59 @@ def test_rank_tests_separated_distributions(tmp_path, entry):
     got = _compare(entry, "value_rank_tests", tmp_path, ["events"])
     assert got["ks_d_num"].tolist() == [2 * 3]
     assert got["r1_doubled"].tolist() == [2 * (1 + 2)]
+
+
+def _parts(keys, prices, sizes):
+    return pa.table({
+        "p_partkey": pa.array(keys, pa.int64()),
+        "p_retailprice": pa.array(prices, pa.float64()),
+        "p_size": pa.array(sizes, pa.int32()),
+    })
+
+
+def test_pareto_both_axis_ties_survive(tmp_path, entry):
+    # two parts with IDENTICAL (price, size): neither dominates the
+    # other (no strict inequality), both survive; a strictly worse
+    # third part does not
+    pq.write_table(_parts([1, 2, 3], [10.0, 10.0, 11.0], [5, 5, 5]),
+                   tmp_path / "part.parquet")
+    got = _compare(entry, "pareto_parts", tmp_path, ["part"])
+    assert sorted(got["p_partkey"].tolist()) == [1, 2]
+
+
+def test_pareto_cross_block_domination(tmp_path, entry, monkeypatch):
+    # the dominating point sits in a DIFFERENT block than its victim:
+    # per-block skylines alone would keep the victim; the global
+    # merge + membership filter must kill it
+    n = 64
+    keys = list(range(n))
+    prices = [50.0] * n
+    sizes = [10] * n
+    prices[63], sizes[63] = 10.0, 40   # dominates everything
+    pq.write_table(_parts(keys, prices, sizes),
+                   tmp_path / "part.parquet")
+    monkeypatch.setenv("PSR_NUM_BLOCKS", "16")
+    got = _compare(entry, "pareto_parts", tmp_path, ["part"])
+    assert got["p_partkey"].tolist() == [63]
+
+
+def test_pareto_anticorrelated_all_survive(tmp_path, entry):
+    # fully anti-correlated: every point is on the frontier
+    n = 20
+    pq.write_table(_parts(list(range(n)),
+                          [float(10 + i) for i in range(n)],
+                          [10 + i for i in range(n)]),
+                   tmp_path / "part.parquet")
+    got = _compare(entry, "pareto_parts", tmp_path, ["part"])
+    assert len(got) == n
+
+
+def test_pareto_null_axes_dropped(tmp_path, entry):
+    tbl = pa.table({
+        "p_partkey": pa.array([1, 2, 3], pa.int64()),
+        "p_retailprice": pa.array([5.0, None, 4.0], pa.float64()),
+        "p_size": pa.array([7, 9, None], pa.int32()),
+    })
+    pq.write_table(tbl, tmp_path / "part.parquet")
+    got = _compare(entry, "pareto_parts", tmp_path, ["part"])
+    assert got["p_partkey"].tolist() == [1]
