@@ -6833,6 +6833,24 @@ def _q_pareto_parts(sf_dir: str) -> pa.Table:
     return _psort(_collect(out, schema), [("p_partkey", "ascending")])
 
 
+def _q_user_value_ewma16(sf_dir: str) -> pa.Table:
+    """Per-user dyadic EWMA (alpha = 1/2, 16-lag window) of event
+    values at each user's latest event, as the exact integer
+    ewma_scaled = sum_k v_milli[last-k] * 2^(15-k)
+    (functions/ordered.py::grouped_ewma_pow2).  The dyadic alpha
+    keeps every term integer, so the SQL oracle's 16 LAG terms match
+    bit-for-bit — no float window recursion.  One user-hash
+    exchange, one per-shard sorted shifted-add scan."""
+    from pyschema_ray.functions.ordered import grouped_ewma_pow2
+
+    out = grouped_ewma_pow2(
+        _read(sf_dir, "events",
+              columns=["user_id", "ts", "event_id", "value"]))
+    return _psort(_collect(out, pa.schema([
+        ("user_id", pa.int64()), ("n_events", pa.int64()),
+        ("ewma_scaled", pa.int64())])), [("user_id", "ascending")])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core validation engine (oracle-checked)
@@ -7041,6 +7059,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_dispersion": _q_label_dispersion,
         "value_rank_tests": _q_value_rank_tests,
         "pareto_parts": _q_pareto_parts,
+        "user_value_ewma16": _q_user_value_ewma16,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -9740,6 +9759,29 @@ def oracle_sql() -> dict[str, str]:
              GROUP BY user_id, n.n_all
             HAVING count(DISTINCT event_type) = n.n_all
              ORDER BY user_id
+        """,
+        "user_value_ewma16": """
+            WITH e AS (
+                SELECT user_id, ts, event_id,
+                       CAST(round(value * 1000) AS BIGINT) AS vmilli
+                  FROM events
+                 WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                   AND value IS NOT NULL),
+            lagged AS (
+                SELECT user_id,
+                       CAST(coalesce(lag(vmilli, 0) OVER w, 0) * 32768 + coalesce(lag(vmilli, 1) OVER w, 0) * 16384 + coalesce(lag(vmilli, 2) OVER w, 0) * 8192 + coalesce(lag(vmilli, 3) OVER w, 0) * 4096 + coalesce(lag(vmilli, 4) OVER w, 0) * 2048 + coalesce(lag(vmilli, 5) OVER w, 0) * 1024 + coalesce(lag(vmilli, 6) OVER w, 0) * 512 + coalesce(lag(vmilli, 7) OVER w, 0) * 256 + coalesce(lag(vmilli, 8) OVER w, 0) * 128 + coalesce(lag(vmilli, 9) OVER w, 0) * 64 + coalesce(lag(vmilli, 10) OVER w, 0) * 32 + coalesce(lag(vmilli, 11) OVER w, 0) * 16 + coalesce(lag(vmilli, 12) OVER w, 0) * 8 + coalesce(lag(vmilli, 13) OVER w, 0) * 4 + coalesce(lag(vmilli, 14) OVER w, 0) * 2 + coalesce(lag(vmilli, 15) OVER w, 0) * 1
+                            AS BIGINT) AS ewma_scaled,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn,
+                       count(*) OVER (PARTITION BY user_id)
+                           AS n_events
+                  FROM e
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts, event_id))
+            SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+                   ewma_scaled
+              FROM lagged WHERE rn = 1 ORDER BY user_id
         """,
         "pareto_parts": """
             WITH p AS (

@@ -147,7 +147,7 @@ QUERY_SUBSET = [
     "gopher_quality_flags", "users_all_event_types",
     "label_dispersion",
     # round-5k additions
-    "value_rank_tests", "pareto_parts",
+    "value_rank_tests", "pareto_parts", "user_value_ewma16",
 ]
 
 

@@ -1414,3 +1414,72 @@ def grouped_rank_stats(ds, group_col: str, value_col: str,
 
     return ds.select_columns([key_col, group_col, value_col]) \
         .map_batches(score, batch_format="pyarrow")
+
+
+def grouped_ewma_pow2(ds, key_col: str = "user_id", ts_col: str = "ts",
+                      order_col: str = "event_id",
+                      value_col: str = "value", window: int = 16,
+                      num_shards: int | None = None):
+    """Per-key exponentially-weighted moving value (α = 1/2) at each
+    key's LAST event, as an EXACT integer: with v_milli the
+    round(v*1000) milli-units of the most recent ``window`` events of
+    the key (ordered by ts, order_col),
+
+        ewma_scaled = sum_{k=0..window-1} v_milli[last-k] * 2^(window-1-k)
+
+    i.e. the dyadic EWMA numerator scaled by 2^(window-1) — halving
+    weights per step back, truncated at ``window`` lags.  The dyadic
+    α makes every term an exact integer, so the result is
+    bit-reproducible by a SQL oracle built from ``window`` LAG terms
+    (the float-free-epilogue contract used across this repo; the
+    float EWMA is ewma_scaled / (1000 * 2^(window-1))).  Rows with a
+    null key, ts or value are dropped BEFORE lagging (the LAGs see
+    the same filtered stream the oracle's CTE does).
+
+    Magnitude contract: window * max|v_milli| * 2^(window-1) < 2^63
+    (defaults: |v| < ~2.8e12).
+
+    One key-hash exchange, one per-shard sorted run scan with a
+    ``window``-iteration vectorized shifted-add (no per-row Python).
+
+    -> Dataset(key_col, n_events int64, ewma_scaled int64).
+    """
+    nb = num_shards or _default_shards()
+
+    def exchange(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.and_(pc.is_valid(t[key_col]),
+                                     pc.is_valid(t[ts_col])),
+                             pc.is_valid(t[value_col])))
+        t = t.select([key_col, ts_col, order_col, value_col])
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "kshard", pa.array(_key_shards(keys, nb, 149), pa.int64()))
+
+    def scan(t: pa.Table) -> pa.Table:
+        t, keys, _us, (vals,) = _sorted_shard(t, key_col, ts_col,
+                                              order_col,
+                                              extra=[value_col])
+        n = len(keys)
+        ktype = t.schema.field(key_col).type
+        if n == 0:
+            return pa.table({key_col: pa.array([], ktype),
+                             "n_events": pa.array([], pa.int64()),
+                             "ewma_scaled": pa.array([], pa.int64())})
+        v = np.trunc(np.abs(np.asarray(vals, np.float64)) * 1000.0
+                     + 0.5).astype(np.int64) \
+            * np.where(np.asarray(vals, np.float64) < 0, -1, 1)
+        starts, sizes = _group_starts(keys)
+        last = starts + sizes - 1
+        acc = np.zeros(len(last), np.int64)
+        for k in range(window):
+            src = last - k
+            ok = src >= starts
+            acc[ok] += v[src[ok]] * np.int64(1 << (window - 1 - k))
+        return pa.table({
+            key_col: t[key_col].take(pa.array(last, pa.int64())),
+            "n_events": pa.array(sizes, pa.int64()),
+            "ewma_scaled": pa.array(acc, pa.int64()),
+        })
+
+    return ds.map_batches(exchange, batch_format="pyarrow") \
+        .groupby("kshard").map_groups(scan, batch_format="pyarrow")

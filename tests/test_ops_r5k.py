@@ -157,3 +157,44 @@ def test_pareto_null_axes_dropped(tmp_path, entry):
     pq.write_table(tbl, tmp_path / "part.parquet")
     got = _compare(entry, "pareto_parts", tmp_path, ["part"])
     assert got["p_partkey"].tolist() == [1]
+
+
+def _events_ts(uids, ts_secs, vals):
+    return pa.table({
+        "user_id": pa.array(uids, pa.int64()),
+        "ts": pa.array(
+            pd.to_datetime([f"2024-01-01 00:00:{s:02d}" for s in ts_secs])),
+        "event_id": pa.array(list(range(len(uids))), pa.int64()),
+        "value": pa.array(vals, pa.float64()),
+    })
+
+
+def test_ewma16_hand_computed(tmp_path, entry):
+    # user 1: values 1.0 then 3.0 -> 3000*2^15 + 1000*2^14
+    pq.write_table(_events_ts([1, 1], [1, 2], [1.0, 3.0]),
+                   tmp_path / "events.parquet")
+    got = _compare(entry, "user_value_ewma16", tmp_path, ["events"])
+    assert got["ewma_scaled"].tolist() == [3000 * 32768 + 1000 * 16384]
+    assert got["n_events"].tolist() == [2]
+
+
+def test_ewma16_window_truncates_old_lags(tmp_path, entry):
+    # 20 events: only the most recent 16 may contribute
+    n = 20
+    pq.write_table(_events_ts([7] * n, list(range(n)),
+                              [float(i + 1) for i in range(n)]),
+                   tmp_path / "events.parquet")
+    got = _compare(entry, "user_value_ewma16", tmp_path, ["events"])
+    expect = sum((20 - k) * 1000 * (1 << (15 - k)) for k in range(16))
+    assert got["ewma_scaled"].tolist() == [expect]
+
+
+def test_ewma16_negative_values_and_blocks(tmp_path, entry,
+                                           monkeypatch):
+    pq.write_table(_events_ts([1, 1, 2], [1, 2, 1],
+                              [-2.5, 1.25, -0.001]),
+                   tmp_path / "events.parquet")
+    monkeypatch.setenv("PSR_NUM_BLOCKS", "3")
+    got = _compare(entry, "user_value_ewma16", tmp_path, ["events"])
+    assert got["ewma_scaled"].tolist() == [
+        1250 * 32768 + (-2500) * 16384, -1 * 32768]
