@@ -6851,6 +6851,40 @@ def _q_user_value_ewma16(sf_dir: str) -> pa.Table:
         ("ewma_scaled", pa.int64())])), [("user_id", "ascending")])
 
 
+def _q_rowgroup_pruning_lineitem(sf_dir: str) -> pa.Table:
+    """Predicate-pushdown planning audit, METADATA ONLY: per lineitem
+    row group, footer min/max of l_extendedprice and whether the scan
+    for 0 <= price <= 950 could skip it
+    (stages/audit.py::rowgroup_pruning_report — O(files) footer reads,
+    zero data I/O; at 100 TB this plans millions of row groups without
+    touching a value page).  Oracle contract: a correct writer's
+    footer stats equal the data aggregates (the footer_stats_audit
+    convention); multi-row-group layouts are cross-checked against
+    DuckDB's independent parquet_metadata() reader in
+    tests/test_planner.py."""
+    from pyschema_ray.stages.audit import rowgroup_pruning_report
+
+    return rowgroup_pruning_report(
+        [os.path.join(sf_dir, "lineitem.parquet")],
+        "l_extendedprice", lo=0.0, hi=950.0)
+
+
+def _q_compaction_plan_tables(sf_dir: str) -> pa.Table:
+    """Deterministic small-file compaction plan over four tables'
+    row groups (stages/audit.py::compaction_plan): first-fit by
+    cumulative compressed bytes, bucket = floor(cum_before/target) —
+    METADATA ONLY (footer sizes are not derivable from row values, so
+    this is rows-only; tests/test_planner.py reproduces the
+    assignment bit-for-bit from DuckDB parquet_metadata()).  The plan
+    keys an embarrassingly parallel per-bucket rewrite with per-bucket
+    resume."""
+    from pyschema_ray.stages.audit import compaction_plan
+
+    paths = [os.path.join(sf_dir, f"{t}.parquet")
+             for t in ("documents", "events", "orders", "lineitem")]
+    return compaction_plan(paths, target_bytes=512 << 10)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core validation engine (oracle-checked)
@@ -7060,6 +7094,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_rank_tests": _q_value_rank_tests,
         "pareto_parts": _q_pareto_parts,
         "user_value_ewma16": _q_user_value_ewma16,
+        "rowgroup_pruning_lineitem": _q_rowgroup_pruning_lineitem,
+        "compaction_plan_tables": _q_compaction_plan_tables,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -9782,6 +9818,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
                    ewma_scaled
               FROM lagged WHERE rn = 1 ORDER BY user_id
+        """,
+        "rowgroup_pruning_lineitem": """
+            SELECT 'lineitem.parquet' AS file,
+                   CAST(0 AS BIGINT) AS row_group,
+                   CAST(count(*) AS BIGINT) AS num_rows,
+                   CAST(min(l_extendedprice) AS DOUBLE) AS stat_min,
+                   CAST(max(l_extendedprice) AS DOUBLE) AS stat_max,
+                   TRUE AS has_stats,
+                   (min(l_extendedprice) > 950.0
+                    OR max(l_extendedprice) < 0.0) AS prunable
+              FROM lineitem
         """,
         "pareto_parts": """
             WITH p AS (

@@ -148,6 +148,7 @@ QUERY_SUBSET = [
     "label_dispersion",
     # round-5k additions
     "value_rank_tests", "pareto_parts", "user_value_ewma16",
+    "rowgroup_pruning_lineitem", "compaction_plan_tables",
 ]
 
 

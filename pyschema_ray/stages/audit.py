@@ -102,3 +102,125 @@ def footer_stats_audit(paths: list[str], columns: list[str]):
 
     return ray.data.from_items(items).map_batches(
         audit, batch_size=8, batch_format="pandas")
+
+
+def rowgroup_pruning_report(paths: list[str], column: str,
+                            lo: float | None = None,
+                            hi: float | None = None) -> pa.Table:
+    """Predicate-pushdown effectiveness audit, METADATA ONLY: per
+    (file, row group), the footer min/max of ``column`` and whether a
+    pushdown read with predicate ``lo <= column <= hi`` (either bound
+    optional) could SKIP the row group entirely — min > hi or
+    max < lo, with absent stats never skippable (the conservative
+    rule every engine applies).  At 100 TB this plans a scan over
+    millions of row groups from O(files) footer reads, zero data I/O;
+    the driver-side loop is over footers, not rows.
+
+    Verifiable against DuckDB's ``parquet_metadata()`` (the same
+    footer through an independent reader) — see
+    tests/test_planner.py.
+
+    -> pa.Table(file, row_group, num_rows, stat_min, stat_max,
+       has_stats, prunable).
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    rows = {k: [] for k in ("file", "row_group", "num_rows",
+                            "stat_min", "stat_max", "has_stats",
+                            "prunable")}
+    for path in paths:
+        md = pq.ParquetFile(path).metadata
+        name_to_idx = {md.schema.column(i).path: i
+                       for i in range(md.num_columns)}
+        ci = name_to_idx[column]
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            st = rgm.column(ci).statistics
+            has = bool(st is not None and st.has_min_max)
+            smin = float(st.min) if has else None
+            smax = float(st.max) if has else None
+            prunable = has and ((hi is not None and smin > hi)
+                                or (lo is not None and smax < lo))
+            rows["file"].append(os.path.basename(path))
+            rows["row_group"].append(rg)
+            rows["num_rows"].append(rgm.num_rows)
+            rows["stat_min"].append(smin)
+            rows["stat_max"].append(smax)
+            rows["has_stats"].append(has)
+            rows["prunable"].append(bool(prunable))
+    return pa.table({
+        "file": pa.array(rows["file"], pa.string()),
+        "row_group": pa.array(rows["row_group"], pa.int64()),
+        "num_rows": pa.array(rows["num_rows"], pa.int64()),
+        "stat_min": pa.array(rows["stat_min"], pa.float64()),
+        "stat_max": pa.array(rows["stat_max"], pa.float64()),
+        "has_stats": pa.array(rows["has_stats"], pa.bool_()),
+        "prunable": pa.array(rows["prunable"], pa.bool_()),
+    })
+
+
+def compaction_plan(paths: list[str],
+                    target_bytes: int = 256 << 20) -> pa.Table:
+    """Small-file/row-group compaction plan, METADATA ONLY: walk row
+    groups in (file, row_group) order and assign each to an output
+    bucket by cumulative compressed size —
+    ``bucket = floor(cum_bytes_before / target_bytes)`` — the
+    deterministic first-fit that keeps input order (so downstream
+    lineage stays contiguous) and caps every output file at roughly
+    ``target_bytes`` (one row group may straddle; no row group is
+    split).  The plan is O(row groups) driver work from footers
+    alone; the compaction itself is then an embarrassingly parallel
+    per-bucket read->write with NO exchange, and a failed run resumes
+    per bucket.
+
+    Deterministic and independently checkable: DuckDB's
+    parquet_metadata() + a window cumsum reproduces the assignment
+    bit-for-bit (tests/test_planner.py).
+
+    -> pa.Table(bucket, n_rowgroups, n_rows, bytes) one row per
+       output bucket, plus per-row-group detail columns when
+       ``detail=True`` is wanted via :func:`compaction_assignments`.
+    """
+    a = compaction_assignments(paths, target_bytes)
+    g = a.group_by("bucket").aggregate([
+        ("row_group", "count"), ("num_rows", "sum"), ("bytes", "sum")])
+    g = g.rename_columns(["bucket", "n_rowgroups", "n_rows", "bytes"])
+    return pa.table({
+        "bucket": pc.cast(g["bucket"], pa.int64()),
+        "n_rowgroups": pc.cast(g["n_rowgroups"], pa.int64()),
+        "n_rows": pc.cast(g["n_rows"], pa.int64()),
+        "bytes": pc.cast(g["bytes"], pa.int64()),
+    }).sort_by("bucket")
+
+
+def compaction_assignments(paths: list[str],
+                           target_bytes: int) -> pa.Table:
+    """Per-row-group bucket assignment for :func:`compaction_plan`:
+    (file, row_group, num_rows, bytes, bucket) in input order."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    files, rgs, nrows, sizes = [], [], [], []
+    for path in paths:
+        md = pq.ParquetFile(path).metadata
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            files.append(os.path.basename(path))
+            rgs.append(rg)
+            nrows.append(rgm.num_rows)
+            sizes.append(sum(rgm.column(c).total_compressed_size
+                             for c in range(rgm.num_columns)))
+    import numpy as np
+    b = np.asarray(sizes, np.int64)
+    cum_before = np.cumsum(b) - b
+    bucket = cum_before // np.int64(target_bytes)
+    return pa.table({
+        "file": pa.array(files, pa.string()),
+        "row_group": pa.array(rgs, pa.int64()),
+        "num_rows": pa.array(nrows, pa.int64()),
+        "bytes": pa.array(b, pa.int64()),
+        "bucket": pa.array(bucket, pa.int64()),
+    })
