@@ -6885,6 +6885,66 @@ def _q_compaction_plan_tables(sf_dir: str) -> pa.Table:
     return compaction_plan(paths, target_bytes=512 << 10)
 
 
+def _q_nb_lang_predictions(sf_dir: str) -> pa.Table:
+    """Multinomial Naive-Bayes language prediction, trained ON the
+    corpus labels and scored back over every document
+    (functions/classifier.py): training is pure count aggregation
+    (one word-hash exchange), scoring is an actor-pool stage over a
+    ray.put model with exact integer milli-nat log terms — argmax
+    deterministic (ties -> smallest label) and fully SQL-reproducible
+    including add-one smoothing and OOV drops."""
+    from pyschema_ray.functions.classifier import nb_predict, nb_train
+
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "text", "lang"])         .map_batches(lambda t: t.filter(pc.is_valid(t["doc_id"])),
+                     batch_format="pyarrow")
+    model = nb_train(docs)
+    out = nb_predict(docs, model)
+    schema = pa.schema([("doc_id", pa.int64()),
+                        ("pred_label", pa.string()),
+                        ("score_mnat", pa.int64())])
+    return _psort(_collect(out, schema), [("doc_id", "ascending")])
+
+
+def _q_logreg_en_accuracy(sf_dir: str) -> pa.Table:
+    """Hashed-feature logistic regression trained by deterministic
+    parameter averaging (functions/classifier.py::logreg_train_avg):
+    fixed logical key-hash shards + key-ordered per-shard SGD make
+    the weights bit-identical under any physical re-blocking; each
+    round broadcasts the 2^12-float weight vector once.  Scored back
+    over the corpus (actor pool); output is the exact integer
+    confusion summary (rows-only — an iterative trained model has no
+    closed-form SQL twin; determinism is pytest-proven instead)."""
+    from pyschema_ray.functions.classifier import (logreg_score,
+                                                   logreg_train_avg)
+
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "text", "lang"])         .map_batches(lambda t: t.filter(pc.is_valid(t["doc_id"])),
+                     batch_format="pyarrow")
+    w, n_train = logreg_train_avg(
+        docs, lambda t: pc.equal(pc.fill_null(t["lang"], ""), "en"),
+        rounds=2)
+    scored = logreg_score(docs, w)
+
+    def against_truth(t: pa.Table, s: pa.Table) -> pa.Table:
+        joined = t.join(s, keys="doc_id")
+        y = pc.cast(pc.equal(pc.fill_null(joined["lang"], ""), "en"),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        p = joined["pred"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_train": pa.array([n_train], pa.int64()),
+            "n_scored": pa.array([len(y)], pa.int64()),
+            "pred_pos": pa.array([int(p.sum())], pa.int64()),
+            "n_correct": pa.array([int((p == y).sum())], pa.int64()),
+        })
+
+    truth = _collect(docs.map_batches(
+        lambda t: t.select(["doc_id", "lang"]), batch_format="pyarrow"))
+    return against_truth(truth, _collect(scored, pa.schema([
+        ("doc_id", pa.int64()), ("logit_milli", pa.int64()),
+        ("pred", pa.int64())])))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core validation engine (oracle-checked)
@@ -7096,6 +7156,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_ewma16": _q_user_value_ewma16,
         "rowgroup_pruning_lineitem": _q_rowgroup_pruning_lineitem,
         "compaction_plan_tables": _q_compaction_plan_tables,
+        "nb_lang_predictions": _q_nb_lang_predictions,
+        "logreg_en_accuracy": _q_logreg_en_accuracy,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -9818,6 +9880,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
                    ewma_scaled
               FROM lagged WHERE rn = 1 ORDER BY user_id
+        """,
+        "nb_lang_predictions": """
+            WITH d AS (
+                SELECT doc_id, lang,
+                       list_filter(regexp_split_to_array(
+                           lower(trim(coalesce(text, ''))), '\\s+'),
+                           x -> x <> '') AS ws
+                  FROM documents WHERE doc_id IS NOT NULL),
+            toks AS (SELECT doc_id, lang, unnest(ws) AS word FROM d),
+            labels AS (
+                SELECT lang AS label, CAST(count(*) AS BIGINT) AS nd
+                  FROM d WHERE lang IS NOT NULL GROUP BY 1),
+            tot AS (SELECT CAST(sum(nd) AS BIGINT) AS n_docs
+                      FROM labels),
+            cw AS (SELECT lang AS label, word,
+                          CAST(count(*) AS BIGINT) AS n
+                     FROM toks WHERE lang IS NOT NULL GROUP BY 1, 2),
+            ct AS (SELECT l.label,
+                          CAST(coalesce(sum(cw.n), 0) AS BIGINT) AS c
+                     FROM labels l LEFT JOIN cw ON cw.label = l.label
+                    GROUP BY 1),
+            vs AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS v
+                     FROM cw),
+            tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+                     FROM toks GROUP BY 1, 2),
+            tfv AS (SELECT tf.* FROM tf
+                      JOIN (SELECT DISTINCT word FROM cw) vw
+                        USING (word)),
+            wsum AS (
+                SELECT tfv.doc_id, l.label,
+                       CAST(sum(tfv.tf * CAST(round(1000 * ln(
+                            (coalesce(cw.n, 0) + 1)
+                            / CAST(ct.c + vs.v AS DOUBLE)))
+                            AS BIGINT)) AS BIGINT) AS ws
+                  FROM tfv CROSS JOIN labels l
+                  JOIN ct ON ct.label = l.label
+                  CROSS JOIN vs
+                  LEFT JOIN cw ON cw.label = l.label
+                       AND cw.word = tfv.word
+                 GROUP BY 1, 2),
+            scores AS (
+                SELECT dd.doc_id, l.label,
+                       coalesce(w.ws, 0)
+                       + CAST(round(1000 * ln(
+                             l.nd / CAST(t.n_docs AS DOUBLE)))
+                             AS BIGINT) AS score
+                  FROM (SELECT DISTINCT doc_id FROM d) dd
+                 CROSS JOIN labels l CROSS JOIN tot t
+                  LEFT JOIN wsum w ON w.doc_id = dd.doc_id
+                       AND w.label = l.label),
+            ranked AS (
+                SELECT doc_id, label, score,
+                       row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, label ASC) AS rn
+                  FROM scores)
+            SELECT doc_id, label AS pred_label,
+                   CAST(score AS BIGINT) AS score_mnat
+              FROM ranked WHERE rn = 1 ORDER BY doc_id
         """,
         "rowgroup_pruning_lineitem": """
             SELECT 'lineitem.parquet' AS file,
