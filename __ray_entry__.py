@@ -6945,6 +6945,50 @@ def _q_logreg_en_accuracy(sf_dir: str) -> pa.Table:
         ("pred", pa.int64())])))
 
 
+def _q_zorder_part_buckets(sf_dir: str) -> pa.Table:
+    """Morton (z-order) layout buckets over parts: interleave 8 bits
+    of p_size with 8 bits of the cents-price (functions/layout.py) and
+    count parts per z-bucket (z >> 8) — the layout key that makes
+    footer-stats pruning work on BOTH columns at once (see
+    tests/test_layout.py, which measures the 2-D pruning win over a
+    single-column sort).  Pure per-batch bit arithmetic + one small
+    groupby; the SQL twin is GENERATED from the same bit formula so
+    the two engines cannot drift."""
+    import ray.data.aggregate as A
+
+    from pyschema_ray.functions.layout import add_zorder_key
+
+    ds = _read(sf_dir, "part",
+               columns=["p_partkey", "p_retailprice", "p_size"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t["p_retailprice"]),
+                             pc.is_valid(t["p_size"])))
+        cents = pc.cast(pc.round(pc.multiply(t["p_retailprice"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        return pa.table({
+            "p_size": pc.cast(t["p_size"], pa.int64()),
+            "ybits": pc.bit_wise_and(
+                pc.shift_right(cents, 4), pa.scalar(255, pa.int64())),
+        })
+
+    keyed = add_zorder_key(ds.map_batches(prep, batch_format="pyarrow"),
+                           "p_size", "ybits")
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = pc.shift_right(t["zkey"], 8)
+        g = pa.table({"zbucket": b}).group_by("zbucket")             .aggregate([([], "count_all")])
+        return pa.table({"zbucket": pc.cast(g["zbucket"], pa.int64()),
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    out = keyed.map_batches(bucketize, batch_format="pyarrow")         .groupby("zbucket").aggregate(A.Sum("n"))
+    t = _collect(out, pa.schema([("zbucket", pa.int64()),
+                                 ("sum(n)", pa.int64())]))
+    t = t.rename_columns(["zbucket", "n_parts"])
+    return _psort(t, [("zbucket", "ascending")])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core validation engine (oracle-checked)
@@ -7158,6 +7202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compaction_plan_tables": _q_compaction_plan_tables,
         "nb_lang_predictions": _q_nb_lang_predictions,
         "logreg_en_accuracy": _q_logreg_en_accuracy,
+        "zorder_part_buckets": _q_zorder_part_buckets,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -9880,6 +9925,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
                    ewma_scaled
               FROM lagged WHERE rn = 1 ORDER BY user_id
+        """,
+        "zorder_part_buckets": """
+            WITH p AS (
+                SELECT CAST(p_size AS BIGINT) AS p_size,
+                       (CAST(round(p_retailprice * 100) AS BIGINT)
+                        >> 4) & 255 AS ybits
+                  FROM part
+                 WHERE p_retailprice IS NOT NULL
+                   AND p_size IS NOT NULL),
+            z AS (SELECT ((((p_size) >> 0) & 1) * 1 + (((ybits) >> 0) & 1) * 2 + (((p_size) >> 1) & 1) * 4 + (((ybits) >> 1) & 1) * 8 + (((p_size) >> 2) & 1) * 16 + (((ybits) >> 2) & 1) * 32 + (((p_size) >> 3) & 1) * 64 + (((ybits) >> 3) & 1) * 128 + (((p_size) >> 4) & 1) * 256 + (((ybits) >> 4) & 1) * 512 + (((p_size) >> 5) & 1) * 1024 + (((ybits) >> 5) & 1) * 2048 + (((p_size) >> 6) & 1) * 4096 + (((ybits) >> 6) & 1) * 8192 + (((p_size) >> 7) & 1) * 16384 + (((ybits) >> 7) & 1) * 32768) AS zkey FROM p)
+            SELECT CAST(zkey >> 8 AS BIGINT) AS zbucket,
+                   CAST(count(*) AS BIGINT) AS n_parts
+              FROM z GROUP BY 1 ORDER BY 1
         """,
         "nb_lang_predictions": """
             WITH d AS (

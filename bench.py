@@ -149,7 +149,7 @@ QUERY_SUBSET = [
     # round-5k additions
     "value_rank_tests", "pareto_parts", "user_value_ewma16",
     "rowgroup_pruning_lineitem", "compaction_plan_tables",
-    "nb_lang_predictions", "logreg_en_accuracy",
+    "nb_lang_predictions", "logreg_en_accuracy", "zorder_part_buckets",
 ]
 
 
