@@ -6989,6 +6989,25 @@ def _q_zorder_part_buckets(sf_dir: str) -> pa.Table:
     return _psort(t, [("zbucket", "ascending")])
 
 
+def _q_user_active_union(sf_dir: str) -> pa.Table:
+    """Per-user total ACTIVE time with overlaps merged: each event
+    opens a [ts, ts + value SECONDS) interval (value carries milli
+    precision — round(value*1000) ms exactly); islands of
+    overlapping-or-touching intervals union to max(end)-min(start)
+    (functions/ordered.py::interval_union_per_key — the
+    gaps-and-islands shape with VARIABLE interval lengths, which a
+    fixed-gap sessionize cannot express).  Exact int64 µs; one
+    user-hash exchange + per-shard C-level running-max scan."""
+    from pyschema_ray.functions.ordered import interval_union_per_key
+
+    out = interval_union_per_key(
+        _read(sf_dir, "events",
+              columns=["user_id", "ts", "event_id", "value"]))
+    return _psort(_collect(out, pa.schema([
+        ("user_id", pa.int64()), ("n_islands", pa.int64()),
+        ("union_us", pa.int64())])), [("user_id", "ascending")])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core validation engine (oracle-checked)
@@ -7203,6 +7222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_lang_predictions": _q_nb_lang_predictions,
         "logreg_en_accuracy": _q_logreg_en_accuracy,
         "zorder_part_buckets": _q_zorder_part_buckets,
+        "user_active_union": _q_user_active_union,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -9925,6 +9945,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
                    ewma_scaled
               FROM lagged WHERE rn = 1 ORDER BY user_id
+        """,
+        "user_active_union": """
+            WITH e AS (
+                SELECT user_id, ts, event_id,
+                       epoch_us(ts) AS s,
+                       epoch_us(ts)
+                       + CAST(round(value * 1000) AS BIGINT) * 1000
+                           AS en
+                  FROM events
+                 WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                   AND value IS NOT NULL AND value > 0),
+            w AS (
+                SELECT user_id, s, en,
+                       max(en) OVER (PARTITION BY user_id
+                           ORDER BY s, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS pmax
+                  FROM e),
+            fl AS (
+                SELECT user_id, s, en,
+                       CASE WHEN pmax IS NULL OR s > pmax
+                            THEN 1 ELSE 0 END AS brk
+                  FROM w),
+            isl AS (
+                SELECT user_id, s, en,
+                       sum(brk) OVER (PARTITION BY user_id
+                           ORDER BY s, en
+                           ROWS UNBOUNDED PRECEDING) AS island
+                  FROM fl),
+            spans AS (
+                SELECT user_id, island,
+                       max(en) - min(s) AS span_us
+                  FROM isl GROUP BY 1, 2)
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_islands,
+                   CAST(sum(span_us) AS BIGINT) AS union_us
+              FROM spans GROUP BY 1 ORDER BY 1
         """,
         "zorder_part_buckets": """
             WITH p AS (

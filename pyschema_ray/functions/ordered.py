@@ -1483,3 +1483,84 @@ def grouped_ewma_pow2(ds, key_col: str = "user_id", ts_col: str = "ts",
 
     return ds.map_batches(exchange, batch_format="pyarrow") \
         .groupby("kshard").map_groups(scan, batch_format="pyarrow")
+
+
+def interval_union_per_key(ds, key_col: str = "user_id",
+                           ts_col: str = "ts",
+                           order_col: str = "event_id",
+                           value_col: str = "value",
+                           num_shards: int | None = None):
+    """Per-key union length of VARIABLE-length intervals — the
+    gaps-and-islands shape sessionize cannot express (a fixed gap is
+    a constant-length special case): each event opens the interval
+    ``[ts, ts + round(value*1000) ms)``; overlapping-or-touching
+    intervals merge into islands and each island contributes
+    ``max(end) - min(start)`` µs.  Rows with null key/ts/value or a
+    non-positive value are dropped (no interval to contribute) —
+    matching the SQL oracle's WHERE.
+
+    One key-hash exchange, then per shard: one sort, a C-level
+    per-key running-max of interval ends (the island detector — a new
+    interval starts an island iff its start exceeds every previous
+    end of its key), and reduceat aggregates per island.  Exact
+    int64 µs end-to-end.
+
+    -> Dataset(key_col, n_islands int64, union_us int64).
+    """
+    import pandas as pd
+
+    nb = num_shards or _default_shards()
+
+    def exchange(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.and_(pc.is_valid(t[key_col]),
+                                     pc.is_valid(t[ts_col])),
+                             pc.is_valid(t[value_col])))
+        t = t.filter(pc.greater(t[value_col], 0.0))
+        t = t.select([key_col, ts_col, order_col, value_col])
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "kshard", pa.array(_key_shards(keys, nb, 173), pa.int64()))
+
+    def scan(t: pa.Table) -> pa.Table:
+        t, keys, us, (vals,) = _sorted_shard(t, key_col, ts_col,
+                                             order_col,
+                                             extra=[value_col])
+        n = len(keys)
+        ktype = t.schema.field(key_col).type
+        if n == 0:
+            return pa.table({key_col: pa.array([], ktype),
+                             "n_islands": pa.array([], pa.int64()),
+                             "union_us": pa.array([], pa.int64())})
+        vmilli = np.trunc(np.abs(np.asarray(vals, np.float64)) * 1000.0
+                          + 0.5).astype(np.int64)
+        en = us + vmilli * 1000  # µs end; value > 0 guaranteed
+        starts, sizes = _group_starts(keys)
+        run_start = np.zeros(n, bool)
+        run_start[starts] = True
+        # per-key inclusive running max of ends (C-level), shift by 1
+        cm = pd.Series(en).groupby(
+            pd.Series(np.repeat(np.arange(len(starts)), sizes))) \
+            .cummax().to_numpy()
+        pmax = np.empty(n, np.int64)
+        pmax[1:] = cm[:-1]
+        brk = run_start | (us > pmax)
+        isl_starts = np.flatnonzero(brk)
+        # union per island = max(end) - min(start); min(start) is the
+        # island's first row (sorted), max(end) = cm at island's last
+        isl_last = np.empty(len(isl_starts), np.int64)
+        isl_last[:-1] = isl_starts[1:] - 1
+        isl_last[-1] = n - 1
+        spans = cm[isl_last] - us[isl_starts]
+        # fold islands back to keys: island's key = key at its start
+        key_run_idx = np.repeat(np.arange(len(starts)), sizes)[isl_starts]
+        n_isl = np.bincount(key_run_idx, minlength=len(starts))
+        uni = np.bincount(key_run_idx, weights=spans.astype(np.float64),
+                          minlength=len(starts)).astype(np.int64)
+        return pa.table({
+            key_col: t[key_col].take(pa.array(starts, pa.int64())),
+            "n_islands": pa.array(n_isl, pa.int64()),
+            "union_us": pa.array(uni, pa.int64()),
+        })
+
+    return ds.map_batches(exchange, batch_format="pyarrow") \
+        .groupby("kshard").map_groups(scan, batch_format="pyarrow")

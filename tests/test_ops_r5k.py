@@ -198,3 +198,50 @@ def test_ewma16_negative_values_and_blocks(tmp_path, entry,
     got = _compare(entry, "user_value_ewma16", tmp_path, ["events"])
     assert got["ewma_scaled"].tolist() == [
         1250 * 32768 + (-2500) * 16384, -1 * 32768]
+
+
+def _events_dur(uids, ts_secs, vals):
+    return pa.table({
+        "user_id": pa.array(uids, pa.int64()),
+        "ts": pa.array(
+            pd.to_datetime([f"2024-01-01 00:00:{s:02d}" for s in ts_secs])),
+        "event_id": pa.array(list(range(len(uids))), pa.int64()),
+        "value": pa.array(vals, pa.float64()),
+    })
+
+
+def test_interval_union_overlap_touch_gap(tmp_path, entry):
+    # value is SECONDS (milli precision).  user 1: [0s, 2s) + [1s,
+    # 3s) overlap, [3s, 4s) touches (start == prev end) -> one island
+    # of 4s; [10s, 11s) gaps -> second island
+    pq.write_table(
+        _events_dur([1, 1, 1, 1], [0, 1, 3, 10],
+                    [2.0, 2.0, 1.0, 1.0]),
+        tmp_path / "events.parquet")
+    got = _compare(entry, "user_active_union", tmp_path, ["events"])
+    assert got["n_islands"].tolist() == [2]
+    assert got["union_us"].tolist() == [4_000_000 + 1_000_000]
+
+
+def test_interval_union_contained_interval(tmp_path, entry):
+    # second interval entirely INSIDE the first: union = first's span,
+    # and a third interval starting before the first's end but after
+    # the second's end must still merge (running-max, not last-end)
+    pq.write_table(
+        _events_dur([5, 5, 5], [0, 1, 8], [10.0, 2.0, 1.0]),
+        tmp_path / "events.parquet")
+    got = _compare(entry, "user_active_union", tmp_path, ["events"])
+    assert got["n_islands"].tolist() == [1]
+    assert got["union_us"].tolist() == [10_000_000]
+
+
+def test_interval_union_nonpositive_dropped_blocks(tmp_path, entry,
+                                                   monkeypatch):
+    pq.write_table(
+        _events_dur([1, 1, 2], [0, 5, 0], [0.0, 1.0, -3.0]),
+        tmp_path / "events.parquet")
+    monkeypatch.setenv("PSR_NUM_BLOCKS", "3")
+    got = _compare(entry, "user_active_union", tmp_path, ["events"])
+    # user 1 keeps only the 5s event; user 2 vanishes entirely
+    assert got["user_id"].tolist() == [1]
+    assert got["union_us"].tolist() == [1_000_000]
