@@ -7008,6 +7008,26 @@ def _q_user_active_union(sf_dir: str) -> pa.Table:
         ("union_us", pa.int64())])), [("user_id", "ascending")])
 
 
+def _q_fd_audit_orders(sf_dir: str) -> pa.Table:
+    """Functional-dependency discovery over orders: for three
+    candidate dependencies, the exact count of determinant values
+    that map to more than one dependent value
+    (functions/analytics.py::fd_audit over the hot-group-safe
+    grouped_ndv exchange).  o_orderkey->o_custkey must HOLD (orderkey
+    is the key); the reverse-direction candidates quantify how far
+    they fail — the schema-inference profile an engine runs before
+    trusting a join key or denormalizing."""
+    from pyschema_ray.functions.analytics import fd_audit
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_orderstatus"])
+    rows = [fd_audit(ds, det, dep) for det, dep in
+            (("o_orderkey", "o_custkey"),
+             ("o_custkey", "o_orderstatus"),
+             ("o_orderstatus", "o_custkey"))]
+    return pa.concat_tables(rows).sort_by("dependency")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core validation engine (oracle-checked)
@@ -7223,6 +7243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "logreg_en_accuracy": _q_logreg_en_accuracy,
         "zorder_part_buckets": _q_zorder_part_buckets,
         "user_active_union": _q_user_active_union,
+        "fd_audit_orders": _q_fd_audit_orders,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -9945,6 +9966,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
                    ewma_scaled
               FROM lagged WHERE rn = 1 ORDER BY user_id
+        """,
+        "fd_audit_orders": """
+            WITH fd AS (
+                SELECT 'o_orderkey->o_custkey' AS dependency,
+                       o_orderkey AS det,
+                       CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd
+                  FROM orders
+                 WHERE o_orderkey IS NOT NULL
+                   AND o_custkey IS NOT NULL
+                 GROUP BY 2
+                UNION ALL
+                SELECT 'o_custkey->o_orderstatus', o_custkey,
+                       CAST(count(DISTINCT o_orderstatus) AS BIGINT)
+                  FROM orders
+                 WHERE o_custkey IS NOT NULL
+                   AND o_orderstatus IS NOT NULL
+                 GROUP BY 2
+                UNION ALL
+                SELECT 'o_orderstatus->o_custkey',
+                       CAST(hash(o_orderstatus) AS BIGINT),
+                       CAST(count(DISTINCT o_custkey) AS BIGINT)
+                  FROM orders
+                 WHERE o_orderstatus IS NOT NULL
+                   AND o_custkey IS NOT NULL
+                 GROUP BY o_orderstatus)
+            SELECT dependency,
+                   CAST(count(*) AS BIGINT) AS n_det,
+                   CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_violations,
+                   CAST(max(nd) AS BIGINT) AS max_ndv
+              FROM fd GROUP BY 1 ORDER BY 1
         """,
         "user_active_union": """
             WITH e AS (

@@ -2129,3 +2129,34 @@ def pareto_frontier(ds, min_col: str, max_col: str):
         return t.filter(pa.array(ok))
 
     return ds.map_batches(member_filter, batch_format="pyarrow")
+
+
+def fd_audit(ds, det_col: str, dep_col: str) -> pa.Table:
+    """Functional-dependency audit: does ``det_col -> dep_col`` hold?
+    Composes :func:`grouped_ndv` (distinct-(det, dep) combiner on a
+    DEP-hash shard exchange — hot determinant values cannot pile one
+    shard) and folds its per-determinant distinct counts to three
+    scalars.  The profiling primitive behind key inference, join
+    planning and denormalization checks.
+
+    -> one-row pa.Table(dependency, n_det, n_violations, max_ndv):
+       violations = determinant values mapping to >1 distinct
+       dependent value; the FD holds iff n_violations == 0.
+    """
+    ndv = grouped_ndv(ds, det_col, dep_col)
+    n_det = 0
+    n_viol = 0
+    max_ndv = 0
+    for b in ndv.iter_batches(batch_format="pyarrow", batch_size=None):
+        if not b.num_rows:
+            continue
+        c = b["ndv"].to_numpy(zero_copy_only=False)
+        n_det += len(c)
+        n_viol += int((c > 1).sum())
+        max_ndv = max(max_ndv, int(c.max()))
+    return pa.table({
+        "dependency": pa.array([f"{det_col}->{dep_col}"], pa.string()),
+        "n_det": pa.array([n_det], pa.int64()),
+        "n_violations": pa.array([n_viol], pa.int64()),
+        "max_ndv": pa.array([max_ndv], pa.int64()),
+    })

@@ -245,3 +245,22 @@ def test_interval_union_nonpositive_dropped_blocks(tmp_path, entry,
     # user 1 keeps only the 5s event; user 2 vanishes entirely
     assert got["user_id"].tolist() == [1]
     assert got["union_us"].tolist() == [1_000_000]
+
+
+def test_fd_audit_holds_and_violates(tmp_path, entry, monkeypatch):
+    tbl = pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_custkey": pa.array([10, 10, 20, 20], pa.int64()),
+        "o_orderstatus": pa.array(["F", "O", "F", "F"], pa.string()),
+    })
+    pq.write_table(tbl, tmp_path / "orders.parquet")
+    monkeypatch.setenv("PSR_NUM_BLOCKS", "4")
+    got = _compare(entry, "fd_audit_orders", tmp_path, ["orders"]) \
+        .set_index("dependency")
+    # orderkey -> custkey holds (unique determinant)
+    assert got.loc["o_orderkey->o_custkey", "n_violations"] == 0
+    # custkey 10 maps to {F, O} -> one violation
+    assert got.loc["o_custkey->o_orderstatus", "n_violations"] == 1
+    assert got.loc["o_custkey->o_orderstatus", "max_ndv"] == 2
+    # status F maps to custkeys {10, 20}
+    assert got.loc["o_orderstatus->o_custkey", "n_violations"] == 1
