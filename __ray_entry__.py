@@ -7028,6 +7028,34 @@ def _q_fd_audit_orders(sf_dir: str) -> pa.Table:
     return pa.concat_tables(rows).sort_by("dependency")
 
 
+def _q_selectivity_audit_orders(sf_dir: str) -> pa.Table:
+    """Histogram selectivity-estimation audit for the band predicate
+    $100k <= o_totalprice <= $250k: per equi-depth decile of the
+    int-cent order totals, the exact (bucket rows, bounds, band
+    overlap, TRUE in-band rows) — what a cost-based planner compares
+    to decide if its equi-depth stats are trustworthy
+    (functions/analytics.py::equidepth_selectivity_audit; 3-scan
+    quantile selection + one bucketing scan, no fact-table shuffle).
+    The uniformity estimate n_rows*overlap/(hi-lo) is one division
+    away, deliberately not a float."""
+    from pyschema_ray.functions.analytics import (
+        equidepth_selectivity_audit)
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["o_totalprice"]))
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        return pa.table({"cents": cents})
+
+    out = equidepth_selectivity_audit(
+        ds.map_batches(prep, batch_format="pyarrow"), "cents",
+        lo=10_000_000, hi=25_000_000)
+    return _psort(out, [("decile", "ascending")])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core validation engine (oracle-checked)
@@ -7244,6 +7272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_part_buckets": _q_zorder_part_buckets,
         "user_active_union": _q_user_active_union,
         "fd_audit_orders": _q_fd_audit_orders,
+        "selectivity_audit_orders": _q_selectivity_audit_orders,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -9966,6 +9995,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
                    ewma_scaled
               FROM lagged WHERE rn = 1 ORDER BY user_id
+        """,
+        "selectivity_audit_orders": """
+            WITH r AS (
+                SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+                           AS cents
+                  FROM orders WHERE o_totalprice IS NOT NULL),
+            q AS (SELECT quantile_disc(cents, 0.1) AS t1, quantile_disc(cents, 0.2) AS t2, quantile_disc(cents, 0.3) AS t3, quantile_disc(cents, 0.4) AS t4, quantile_disc(cents, 0.5) AS t5, quantile_disc(cents, 0.6) AS t6, quantile_disc(cents, 0.7) AS t7, quantile_disc(cents, 0.8) AS t8, quantile_disc(cents, 0.9) AS t9,
+                         min(cents) AS mn, max(cents) AS mx FROM r),
+            d AS (
+                SELECT CAST(1 + CAST((cents > t1) AS BIGINT) + CAST((cents > t2) AS BIGINT) + CAST((cents > t3) AS BIGINT) + CAST((cents > t4) AS BIGINT) + CAST((cents > t5) AS BIGINT) + CAST((cents > t6) AS BIGINT) + CAST((cents > t7) AS BIGINT) + CAST((cents > t8) AS BIGINT) + CAST((cents > t9) AS BIGINT) AS BIGINT) AS decile, cents
+                  FROM r CROSS JOIN q),
+            g AS (
+                SELECT decile,
+                       CAST(count(*) AS BIGINT) AS n_rows,
+                       CAST(sum(CASE WHEN cents BETWEEN 10000000
+                                AND 25000000 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS in_band_rows
+                  FROM d GROUP BY 1)
+            SELECT decile, n_rows,
+                   CAST(CASE decile WHEN 1 THEN mn WHEN 2 THEN t1 WHEN 3 THEN t2 WHEN 4 THEN t3 WHEN 5 THEN t4 WHEN 6 THEN t5 WHEN 7 THEN t6 WHEN 8 THEN t7 WHEN 9 THEN t8 WHEN 10 THEN t9 END AS BIGINT) AS bucket_lo,
+                   CAST(CASE decile WHEN 10 THEN mx WHEN 1 THEN t1 WHEN 2 THEN t2 WHEN 3 THEN t3 WHEN 4 THEN t4 WHEN 5 THEN t5 WHEN 6 THEN t6 WHEN 7 THEN t7 WHEN 8 THEN t8 WHEN 9 THEN t9 END AS BIGINT) AS bucket_hi,
+                   CAST(greatest(0, least(25000000, CASE decile WHEN 10 THEN mx WHEN 1 THEN t1 WHEN 2 THEN t2 WHEN 3 THEN t3 WHEN 4 THEN t4 WHEN 5 THEN t5 WHEN 6 THEN t6 WHEN 7 THEN t7 WHEN 8 THEN t8 WHEN 9 THEN t9 END)
+                        - greatest(10000000, CASE decile WHEN 1 THEN mn WHEN 2 THEN t1 WHEN 3 THEN t2 WHEN 4 THEN t3 WHEN 5 THEN t4 WHEN 6 THEN t5 WHEN 7 THEN t6 WHEN 8 THEN t7 WHEN 9 THEN t8 WHEN 10 THEN t9 END))
+                        AS BIGINT) AS "overlap",
+                   in_band_rows
+              FROM g CROSS JOIN q
+             ORDER BY decile
         """,
         "fd_audit_orders": """
             WITH fd AS (

@@ -2160,3 +2160,67 @@ def fd_audit(ds, det_col: str, dep_col: str) -> pa.Table:
         "n_violations": pa.array([n_viol], pa.int64()),
         "max_ndv": pa.array([max_ndv], pa.int64()),
     })
+
+
+def equidepth_selectivity_audit(ds, value_col: str, lo: int, hi: int):
+    """Optimizer-statistics audit: per equi-depth decile of the int64
+    ``value_col``, the exact ingredients of a histogram selectivity
+    estimate for the band predicate ``lo <= v <= hi`` — bucket row
+    count, bucket bounds, the band's overlap width with the bucket,
+    and the TRUE in-band row count.  The uniformity estimate is
+    ``n_rows * overlap / (bucket_hi - bucket_lo)`` — exact integers
+    exposed, the division deliberately left to the reader (the
+    float-free-epilogue contract).
+
+    Shape: exact decile thresholds via the 3-scan distributed
+    selection (never a global sort), one min/max aggregate, then ONE
+    bucketing scan with 10-row per-batch partials — the fact table
+    never shuffles.  Bucket membership is threshold-count based
+    (1 + #thresholds strictly below), the Lorenz convention, so ties
+    are deterministic in both engines.
+
+    -> pa.Table(decile, n_rows, bucket_lo, bucket_hi, overlap,
+       in_band_rows) for non-empty deciles.
+    """
+    import ray.data.aggregate as A
+
+    dec = exact_value_deciles(ds, value_col)
+    thr = dec["value"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mm = ds.aggregate(A.Min(value_col), A.Max(value_col))
+    vmin = int(mm[f"min({value_col})"])
+    vmax = int(mm[f"max({value_col})"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.asarray(t[value_col].to_numpy(zero_copy_only=False),
+                       np.int64)
+        d = np.searchsorted(thr, x, side="left")  # #thresholds < x
+        n = np.bincount(d, minlength=10)
+        band = (x >= lo) & (x <= hi)
+        nb = np.bincount(d[band], minlength=10)
+        return pa.table({
+            "decile": pa.array(np.arange(1, 11, dtype=np.int64)),
+            "n": pa.array(n, pa.int64()),
+            "nband": pa.array(nb, pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("decile").aggregate(A.Sum("n"), A.Sum("nband"))
+    rows = [b for b in agg.iter_batches(batch_format="pyarrow",
+                                        batch_size=None) if b.num_rows]
+    t = pa.concat_tables(rows).sort_by("decile")
+    dcl = t["decile"].to_numpy(zero_copy_only=False)
+    n = pc.cast(t["sum(n)"], pa.int64()).to_numpy(zero_copy_only=False)
+    nb = pc.cast(t["sum(nband)"], pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    blo = np.where(dcl == 1, vmin, thr[np.maximum(dcl - 2, 0)])
+    bhi = np.where(dcl == 10, vmax, thr[np.minimum(dcl - 1, 8)])
+    overlap = np.maximum(
+        0, np.minimum(np.int64(hi), bhi) - np.maximum(np.int64(lo), blo))
+    keep = n > 0
+    return pa.table({
+        "decile": pa.array(dcl[keep], pa.int64()),
+        "n_rows": pa.array(n[keep], pa.int64()),
+        "bucket_lo": pa.array(blo[keep], pa.int64()),
+        "bucket_hi": pa.array(bhi[keep], pa.int64()),
+        "overlap": pa.array(overlap[keep], pa.int64()),
+        "in_band_rows": pa.array(nb[keep], pa.int64()),
+    })

@@ -264,3 +264,35 @@ def test_fd_audit_holds_and_violates(tmp_path, entry, monkeypatch):
     assert got.loc["o_custkey->o_orderstatus", "max_ndv"] == 2
     # status F maps to custkeys {10, 20}
     assert got.loc["o_orderstatus->o_custkey", "n_violations"] == 1
+
+
+def test_selectivity_audit_tied_thresholds_and_blocks(tmp_path, entry,
+                                                      monkeypatch):
+    # heavy ties: one dominant value collapses several thresholds;
+    # threshold-count bucketing must stay deterministic across blocks
+    prices = [100.0] * 60 + [float(100 + i) for i in range(1, 41)]
+    tbl = pa.table({"o_totalprice": pa.array(prices, pa.float64())})
+    pq.write_table(tbl, tmp_path / "orders.parquet")
+    monkeypatch.setenv("PSR_NUM_BLOCKS", "8")
+    got = _compare(entry, "selectivity_audit_orders", tmp_path,
+                   ["orders"])
+    # every row lands somewhere; totals conserved
+    assert got["n_rows"].sum() == 100
+    # the tied mass (cents == 10000 <= thresholds t1..t6) is decile 1
+    assert got.iloc[0]["n_rows"] >= 60
+
+
+def test_selectivity_audit_estimate_vs_actual(tmp_path, entry):
+    # uniform integer dollars 1..1000: the uniformity estimate from
+    # (n_rows, overlap, width) should approximate the true in-band
+    # count within one bucket's worth of rows
+    tbl = pa.table({"o_totalprice": pa.array(
+        [float(i) for i in range(1, 1001)], pa.float64())})
+    pq.write_table(tbl, tmp_path / "orders.parquet")
+    got = _compare(entry, "selectivity_audit_orders", tmp_path,
+                   ["orders"])
+    est = (got["n_rows"] * got["overlap"]
+           / (got["bucket_hi"] - got["bucket_lo"])).sum()
+    actual = got["in_band_rows"].sum()
+    # band is empty here (prices < $100k) -> both zero
+    assert actual == 0 and est == 0
