@@ -7056,6 +7056,28 @@ def _q_selectivity_audit_orders(sf_dir: str) -> pa.Table:
     return _psort(out, [("decile", "ascending")])
 
 
+def _q_cusum_value_alarms(sf_dir: str) -> pa.Table:
+    """Per-user one-sided CUSUM drift monitor over event values
+    (k = 250.0, h = 2000.0, exact milli-units): max CUSUM statistic,
+    alarm count and first alarming event
+    (functions/ordered.py::grouped_cusum).  The sequential-looking
+    recursion S_i = max(0, S_{i-1} + d_i) vectorizes exactly as
+    C_i - min(0, running-min C_j) — two C-level cumulative passes per
+    shard — and the SAME identity makes it a SQL window expression,
+    so the alarms are hash-matched cross-engine."""
+    from pyschema_ray.functions.ordered import grouped_cusum
+
+    out = grouped_cusum(
+        _read(sf_dir, "events",
+              columns=["user_id", "ts", "event_id", "value"]),
+        k_milli=250_000, h_milli=2_000_000)
+    return _psort(_collect(out, pa.schema([
+        ("user_id", pa.int64()), ("n_events", pa.int64()),
+        ("max_cusum", pa.int64()), ("n_alarms", pa.int64()),
+        ("first_alarm_order", pa.int64())])),
+        [("user_id", "ascending")])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core validation engine (oracle-checked)
@@ -7273,6 +7295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_active_union": _q_user_active_union,
         "fd_audit_orders": _q_fd_audit_orders,
         "selectivity_audit_orders": _q_selectivity_audit_orders,
+        "cusum_value_alarms": _q_cusum_value_alarms,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -9995,6 +10018,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
                    ewma_scaled
               FROM lagged WHERE rn = 1 ORDER BY user_id
+        """,
+        "cusum_value_alarms": """
+            WITH e AS (
+                SELECT user_id, ts, event_id,
+                       CAST(round(value * 1000) AS BIGINT) - 250000
+                           AS d
+                  FROM events
+                 WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                   AND value IS NOT NULL),
+            c1 AS (
+                SELECT user_id, ts, event_id,
+                       sum(d) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM e),
+            c AS (
+                SELECT user_id, event_id, cum,
+                       min(cum) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS runmin
+                  FROM c1),
+            s AS (
+                SELECT user_id, event_id,
+                       cum - least(runmin, 0) AS cusum
+                  FROM c)
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(max(cusum) AS BIGINT) AS max_cusum,
+                   CAST(sum(CASE WHEN cusum > 2000000 THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_alarms,
+                   CAST(min(CASE WHEN cusum > 2000000 THEN event_id
+                            END) AS BIGINT) AS first_alarm_order
+              FROM s GROUP BY 1 ORDER BY 1
         """,
         "selectivity_audit_orders": """
             WITH r AS (

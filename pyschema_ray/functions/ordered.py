@@ -1564,3 +1564,85 @@ def interval_union_per_key(ds, key_col: str = "user_id",
 
     return ds.map_batches(exchange, batch_format="pyarrow") \
         .groupby("kshard").map_groups(scan, batch_format="pyarrow")
+
+
+def grouped_cusum(ds, key_col: str = "user_id", ts_col: str = "ts",
+                  order_col: str = "event_id", value_col: str = "value",
+                  k_milli: int = 0, h_milli: int = 0,
+                  num_shards: int | None = None):
+    """Per-key one-sided CUSUM drift alarm over the event stream:
+    ``S_i = max(0, S_{i-1} + (v_milli_i - k_milli))`` with alarm when
+    ``S_i > h_milli``.  The recursion LOOKS sequential but obeys the
+    exact identity ``S_i = C_i - min(0, min_{j<=i} C_j)`` with C the
+    running sum of deviations — so the scan is two C-level cumulative
+    passes (cumsum + per-key running min), no per-row Python, and the
+    whole operator is reproducible by a SQL window oracle (window
+    SUM + window MIN + least()).  All terms exact int64 milli-units.
+
+    -> Dataset(key_col, n_events int64, max_cusum int64,
+       n_alarms int64, first_alarm_order) — first_alarm_order is the
+       ``order_col`` value of the first alarming event (null when the
+       key never alarms).
+    """
+    import pandas as pd
+
+    nb = num_shards or _default_shards()
+
+    def exchange(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.and_(pc.is_valid(t[key_col]),
+                                     pc.is_valid(t[ts_col])),
+                             pc.is_valid(t[value_col])))
+        t = t.select([key_col, ts_col, order_col, value_col])
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "kshard", pa.array(_key_shards(keys, nb, 193), pa.int64()))
+
+    def scan(t: pa.Table) -> pa.Table:
+        t, keys, _us, (vals,) = _sorted_shard(t, key_col, ts_col,
+                                              order_col,
+                                              extra=[value_col])
+        n = len(keys)
+        ktype = t.schema.field(key_col).type
+        otype = t.schema.field(order_col).type
+        if n == 0:
+            return pa.table({key_col: pa.array([], ktype),
+                             "n_events": pa.array([], pa.int64()),
+                             "max_cusum": pa.array([], pa.int64()),
+                             "n_alarms": pa.array([], pa.int64()),
+                             "first_alarm_order": pa.array([], otype)})
+        vmilli = np.trunc(np.abs(np.asarray(vals, np.float64)) * 1000.0
+                          + 0.5).astype(np.int64) \
+            * np.where(np.asarray(vals, np.float64) < 0, -1, 1)
+        d = vmilli - np.int64(k_milli)
+        starts, sizes = _group_starts(keys)
+        rid = np.repeat(np.arange(len(starts)), sizes)
+        # per-key cumsum: global cumsum minus the key's prefix offset
+        cs = np.cumsum(d)
+        prefix = np.zeros(len(starts), np.int64)
+        prefix[1:] = cs[starts[1:] - 1]
+        c = cs - prefix[rid]
+        runmin = pd.Series(c).groupby(pd.Series(rid)).cummin() \
+            .to_numpy()
+        s = c - np.minimum(runmin, 0)
+        alarm = s > np.int64(h_milli)
+        max_c = np.maximum.reduceat(s, starts)
+        n_alarms = np.bincount(rid[alarm], minlength=len(starts))
+        order_vals = t[order_col].to_numpy(zero_copy_only=False)
+        first_order = np.full(len(starts), None, object)
+        if alarm.any():
+            a_idx = np.flatnonzero(alarm)
+            a_rid = rid[a_idx]
+            firsts = np.ones(len(a_rid), bool)
+            firsts[1:] = a_rid[1:] != a_rid[:-1]  # a_idx sorted
+            fi = a_idx[firsts]
+            first_order[rid[fi]] = order_vals[fi]
+        return pa.table({
+            key_col: t[key_col].take(pa.array(starts, pa.int64())),
+            "n_events": pa.array(sizes, pa.int64()),
+            "max_cusum": pa.array(max_c, pa.int64()),
+            "n_alarms": pa.array(n_alarms, pa.int64()),
+            "first_alarm_order": pa.array(first_order.tolist(), otype),
+        })
+
+    return ds.map_batches(exchange, batch_format="pyarrow") \
+        .groupby("kshard").map_groups(scan, batch_format="pyarrow")

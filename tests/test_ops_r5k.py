@@ -296,3 +296,30 @@ def test_selectivity_audit_estimate_vs_actual(tmp_path, entry):
     actual = got["in_band_rows"].sum()
     # band is empty here (prices < $100k) -> both zero
     assert actual == 0 and est == 0
+
+
+def test_cusum_identity_hand_computed(tmp_path, entry):
+    # user 1 deviations (k=250): values 251, 247, 253 -> d = +1000,
+    # -3000, +3000 milli; S = 1000, 0, 3000 -> max 3000, no alarm
+    pq.write_table(_events_dur([1, 1, 1], [0, 1, 2],
+                               [251.0, 247.0, 253.0]),
+                   tmp_path / "events.parquet")
+    got = _compare(entry, "cusum_value_alarms", tmp_path, ["events"])
+    assert got["max_cusum"].tolist() == [3000]
+    assert got["n_alarms"].tolist() == [0]
+    assert got["first_alarm_order"].isna().all()
+
+
+def test_cusum_alarm_and_reset_across_blocks(tmp_path, entry,
+                                             monkeypatch):
+    # spike breaches h=2,000,000 (2000 value-units above k): event 1;
+    # the later negative run drags S back to 0 and it re-alarms at
+    # event 4 -> n_alarms counts BOTH breaching events
+    pq.write_table(
+        _events_dur([9, 9, 9, 9, 9], [0, 1, 2, 3, 4],
+                    [2500.0, 100.0, 100.0, 2600.0, 2400.0]),
+        tmp_path / "events.parquet")
+    monkeypatch.setenv("PSR_NUM_BLOCKS", "5")
+    got = _compare(entry, "cusum_value_alarms", tmp_path, ["events"])
+    assert got["n_alarms"].tolist()[0] >= 2
+    assert got["first_alarm_order"].tolist() == [0]
