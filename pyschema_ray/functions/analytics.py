@@ -2053,8 +2053,9 @@ def _skyline_2d(m: np.ndarray, mx: np.ndarray):
     distinct points where no other point has m <= AND mx >= with one
     strict.  Vectorized: m-asc/mx-desc lexsort, per-m max, then keep
     where mx strictly exceeds the running max of strictly-cheaper
-    points.  Returns (m_sky, mx_sky), m strictly ascending and mx
-    strictly descending."""
+    points.  Returns (m_sky, mx_sky), BOTH strictly ascending — each
+    surviving point must strictly out-``mx`` every cheaper survivor,
+    or the cheaper one would dominate it."""
     order = np.lexsort((-mx, m))
     m_s, mx_s = m[order], mx[order]
     first = np.ones(len(m_s), bool)
