@@ -7078,6 +7078,24 @@ def _q_cusum_value_alarms(sf_dir: str) -> pa.Table:
         [("user_id", "ascending")])
 
 
+def _q_streaming_user_sessions(sf_dir: str) -> pa.Table:
+    """STREAMING sessionize (functions/streaming.py): stateful
+    per-shard Ray actors consume time-ordered micro-batches routed by
+    worker tasks (sequence-numbered, reorder-buffered — data never
+    lands on the driver), close sessions as the watermark passes, and
+    flush at end-of-stream.  With an in-order feed and zero allowed
+    lateness the incremental result is BIT-EQUAL to the batch
+    sessionize, so this query shares user_sessions' SQL oracle —
+    the strongest cross-check a streaming operator can get."""
+    from pyschema_ray.functions.streaming import streaming_sessionize
+
+    out, n_late = streaming_sessionize(
+        _read(sf_dir, "events", columns=["user_id", "ts"]),
+        gap_seconds=1800.0, allowed_lateness_s=0.0, n_shards=4)
+    assert n_late == 0  # in-order feed: nothing may be dropped
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core validation engine (oracle-checked)
@@ -7296,6 +7314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fd_audit_orders": _q_fd_audit_orders,
         "selectivity_audit_orders": _q_selectivity_audit_orders,
         "cusum_value_alarms": _q_cusum_value_alarms,
+        "streaming_user_sessions": _q_streaming_user_sessions,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -10018,6 +10037,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
                    ewma_scaled
               FROM lagged WHERE rn = 1 ORDER BY user_id
+        """,
+        "streaming_user_sessions": """
+            WITH g AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS new_s
+                  FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (
+                SELECT user_id, ts,
+                       SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) - 1
+                           AS session_id
+                  FROM g)
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   min(ts) AS start, max(ts) AS "end",
+                   count(*) AS n_events
+              FROM s GROUP BY user_id, session_id
+             ORDER BY user_id, session_id
         """,
         "cusum_value_alarms": """
             WITH e AS (
