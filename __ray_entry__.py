@@ -7096,6 +7096,30 @@ def _q_streaming_user_sessions(sf_dir: str) -> pa.Table:
     return out
 
 
+def _q_streaming_events_hourly(sf_dir: str) -> pa.Table:
+    """STREAMING tumbling-window (1h) aggregate: the incremental twin
+    of events_hourly on the streaming framework (window-hash shard
+    actors, sequence-ordered ingest, watermark-closed windows with
+    state freed as they emit — resident state is open windows only,
+    never the stream).  Shares events_hourly's SQL oracle: in-order
+    feed + zero lateness must reproduce the batch answer exactly."""
+    from pyschema_ray.functions.streaming import streaming_tumbling_counts
+
+    out, n_late = streaming_tumbling_counts(
+        _read(sf_dir, "events",
+              columns=["ts", "event_type", "value"]),
+        width_s=3600.0, allowed_lateness_s=0.0, n_shards=4)
+    assert n_late == 0
+    t = pa.table({
+        "event_type": out["grp"],
+        "hour": out["window_start"],
+        "sum_cents": out["sum_cents"],
+        "n_events": out["n_events"],
+    })
+    return _psort(t, [("event_type", "ascending"),
+                      ("hour", "ascending")])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core validation engine (oracle-checked)
@@ -7315,6 +7339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "selectivity_audit_orders": _q_selectivity_audit_orders,
         "cusum_value_alarms": _q_cusum_value_alarms,
         "streaming_user_sessions": _q_streaming_user_sessions,
+        "streaming_events_hourly": _q_streaming_events_hourly,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -10037,6 +10062,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
                    ewma_scaled
               FROM lagged WHERE rn = 1 ORDER BY user_id
+        """,
+        "streaming_events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_cents,
+                   count(*) AS n_events
+              FROM events GROUP BY event_type, hour
+             ORDER BY event_type, hour
         """,
         "streaming_user_sessions": """
             WITH g AS (

@@ -151,7 +151,7 @@ QUERY_SUBSET = [
     "rowgroup_pruning_lineitem", "compaction_plan_tables",
     "nb_lang_predictions", "logreg_en_accuracy", "zorder_part_buckets",
     "user_active_union", "fd_audit_orders", "selectivity_audit_orders", "cusum_value_alarms",
-    "streaming_user_sessions",
+    "streaming_user_sessions", "streaming_events_hourly",
 ]
 
 

@@ -201,3 +201,154 @@ def streaming_sessionize(ds, key_col: str = "user_id",
     out = pa.concat_tables(tables) if tables else _sessions_table([])
     return out.sort_by([("user_id", "ascending"),
                         ("session_id", "ascending")]), n_late
+
+
+class _WindowShard:
+    """Actor body for streaming tumbling-window aggregates: state is
+    {(window_start_us, group) -> [sum_cents, n]} for the windows of
+    one window-hash shard; a window closes (emits + frees state) the
+    moment the shard's watermark passes its end — the per-shard max
+    is a lower bound of the global stream position under in-order
+    feed, so closing on it is safe."""
+
+    def __init__(self, width_us: int, lateness_us: int):
+        self.width = int(width_us)
+        self.late_allow = int(lateness_us)
+        self.state: dict = {}
+        self.emitted: list = []
+        self.buffer: dict = {}
+        self.next_seq = 0
+        self.max_ts = -(1 << 62)
+        self.n_late = 0
+
+    def ingest(self, seq: int, t) -> int:
+        self.buffer[seq] = t
+        while self.next_seq in self.buffer:
+            self._apply(self.buffer.pop(self.next_seq))
+            self.next_seq += 1
+        return len(self.buffer)
+
+    def _apply(self, t: pa.Table):
+        if t.num_rows == 0:
+            return
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        late = ts < (self.max_ts - self.late_allow)
+        self.n_late += int(late.sum())
+        self.max_ts = max(self.max_ts, int(ts.max()))
+        keep = ~late
+        ts = ts[keep]
+        groups = t["grp"].to_numpy(zero_copy_only=False)[keep]
+        cents = t["cents"].to_numpy(zero_copy_only=False)[keep]
+        win = (ts // self.width) * self.width
+        # one C-level group_by per batch, then O(distinct) dict folds
+        g = pa.table({
+            "w": pa.array(win, pa.int64()),
+            "grp": pa.array(groups),
+            "c": pa.array(cents, pa.int64()),
+            "one": pa.array(np.ones(len(win), np.int64)),
+        }).group_by(["w", "grp"]).aggregate([("c", "sum"),
+                                             ("one", "sum")])
+        for w, grp, c, n in zip(g["w"].to_pylist(),
+                                g["grp"].to_pylist(),
+                                g["c_sum"].to_pylist(),
+                                g["one_sum"].to_pylist()):
+            cur = self.state.setdefault((w, grp), [0, 0])
+            cur[0] += c
+            cur[1] += n
+        wm = self.max_ts - self.late_allow
+        for (w, grp) in [k for k in self.state
+                         if k[0] + self.width <= wm]:
+            c, n = self.state.pop((w, grp))
+            self.emitted.append((w, grp, c, n))
+
+    def finalize(self):
+        for (w, grp), (c, n) in sorted(self.state.items()):
+            self.emitted.append((w, grp, c, n))
+        self.state = {}
+        out = self.emitted
+        self.emitted = []
+        if not out:
+            return pa.table({
+                "window_start": pa.array([], pa.timestamp("us")),
+                "grp": pa.array([], pa.string()),
+                "sum_cents": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64())}), self.n_late
+        w, grp, c, n = zip(*sorted(out))
+        return pa.table({
+            "window_start": pa.array(np.asarray(w, "datetime64[us]")),
+            "grp": pa.array(grp),
+            "sum_cents": pa.array(c, pa.int64()),
+            "n_events": pa.array(n, pa.int64())}), self.n_late
+
+
+def streaming_tumbling_counts(ds, ts_col: str = "ts",
+                              group_col: str = "event_type",
+                              value_col: str = "value",
+                              width_s: float = 3600.0,
+                              allowed_lateness_s: float = 0.0,
+                              n_shards: int = 4):
+    """Streaming tumbling-window (sum_cents, n) per (window, group):
+    the incremental twin of the batch events_hourly aggregate, built
+    on the same routing/actor/watermark machinery as
+    :func:`streaming_sessionize` but sharded by WINDOW hash so a
+    window's whole state lives (and dies) on one actor.
+
+    Returns (pa.Table(window_start, grp, sum_cents, n_events),
+    n_late)."""
+    import ray
+
+    from .lm import _round_half_away
+
+    width_us = int(round(width_s * 1_000_000))
+    late_us = int(round(allowed_lateness_s * 1_000_000))
+    Shard = ray.remote(_WindowShard)
+    actors = [Shard.remote(width_us, late_us) for _ in range(n_shards)]
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[ts_col]),
+                             pc.is_valid(t[group_col])))
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        cents = _round_half_away(np.asarray(v, np.float64) * 100.0) \
+            .astype(np.int64)
+        return pa.table({
+            "ts_us": pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                             pa.int64()),
+            "grp": t[group_col],
+            "cents": pa.array(cents, pa.int64())})
+
+    sorted_ds = ds.map_batches(prep, batch_format="pyarrow") \
+        .sort("ts_us")
+
+    @ray.remote
+    def route(block, seq, actors, width_us):
+        t = block if isinstance(block, pa.Table) \
+            else pa.Table.from_pandas(block)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        win = (ts // width_us).astype(np.uint64)
+        shard = _key_shards(win.astype(np.int64), len(actors),
+                            _GAP_SEED + 1)
+        waits = [actor.ingest.remote(seq, t.filter(pa.array(shard == a)))
+                 for a, actor in enumerate(actors)]
+        ray.get(waits)
+        return t.num_rows
+
+    pending = []
+    seq = 0
+    for bundle in sorted_ds.iter_internal_ref_bundles():
+        for block_ref, _meta in bundle.blocks:
+            pending.append(route.remote(block_ref, seq, actors,
+                                        width_us))
+            seq += 1
+            if len(pending) > 2 * len(actors):
+                ray.get(pending.pop(0))
+    ray.get(pending)
+
+    parts = ray.get([a.finalize.remote() for a in actors])
+    tables = [p[0] for p in parts if p[0].num_rows]
+    n_late = sum(p[1] for p in parts)
+    if tables:
+        out = pa.concat_tables(tables).sort_by(
+            [("grp", "ascending"), ("window_start", "ascending")])
+    else:
+        out = parts[0][0]
+    return out, n_late

@@ -112,3 +112,51 @@ def test_actor_session_ids_count_up_per_user():
     out, _ = sh.finalize()
     assert out["session_id"].to_pylist() == [0, 1, 2]
     assert out["start"].to_pylist() == out["end"].to_pylist()
+
+
+def test_window_shard_closes_and_frees_state():
+    from pyschema_ray.functions.streaming import _WindowShard
+    sh = _WindowShard(width_us=3_600_000_000, lateness_us=0)
+
+    def wbatch(ts_secs, grps, cents):
+        base = 1704067200_000_000
+        return pa.table({
+            "ts_us": pa.array([base + int(s * 1e6) for s in ts_secs],
+                              pa.int64()),
+            "grp": pa.array(grps, pa.string()),
+            "cents": pa.array(cents, pa.int64())})
+
+    sh.ingest(0, wbatch([10, 20], ["a", "a"], [100, 200]))
+    assert len(sh.state) == 1 and not sh.emitted
+    # an event two hours later closes (and frees) the first window
+    sh.ingest(1, wbatch([7500], ["b"], [50]))
+    assert len(sh.emitted) == 1
+    assert sh.emitted[0][1] == "a" and sh.emitted[0][2] == 300
+    assert len(sh.state) == 1  # only the open window remains
+    out, n_late = sh.finalize()
+    assert out["n_events"].to_pylist() == [2, 1]
+    assert n_late == 0
+
+
+def test_window_shard_late_event_excluded():
+    from pyschema_ray.functions.streaming import _WindowShard
+    sh = _WindowShard(width_us=3_600_000_000,
+                      lateness_us=60_000_000)
+
+    def wbatch(ts_secs, grps, cents):
+        base = 1704067200_000_000
+        return pa.table({
+            "ts_us": pa.array([base + int(s * 1e6) for s in ts_secs],
+                              pa.int64()),
+            "grp": pa.array(grps, pa.string()),
+            "cents": pa.array(cents, pa.int64())})
+
+    sh.ingest(0, wbatch([10000], ["a"], [1]))
+    # 9000s is > 60s behind the 10000s watermark -> late, dropped;
+    # 9950s is within the grace window -> counted into the SAME
+    # [7200s, 10800s) window as the 10000s event
+    sh.ingest(1, wbatch([9000, 9950], ["a", "a"], [5, 7]))
+    out, n_late = sh.finalize()
+    assert n_late == 1
+    assert out["sum_cents"].to_pylist() == [8]
+    assert out["n_events"].to_pylist() == [2]
