@@ -7120,6 +7120,30 @@ def _q_streaming_events_hourly(sf_dir: str) -> pa.Table:
                       ("hour", "ascending")])
 
 
+def _q_embedding_pca_eigvals(sf_dir: str) -> pa.Table:
+    """Distributed PCA over the embedding table: one streaming pass
+    of EXACT-INTEGER Gram partials (milli-quantized, so the partials
+    commute bit-for-bit under any block split — float-sum drift
+    cannot move an eigenvalue), one d x d eigh on the driver
+    (functions/pca.py).  Emits the top-4 eigenvalues and explained-
+    variance ratios in milli units (rows-only: an eigendecomposition
+    has no SQL twin; determinism + numpy parity are pytest-proven)."""
+    from pyschema_ray.functions.pca import pca_fit
+
+    model = pca_fit(_read(sf_dir, "embeddings",
+                          columns=["embedding"]), k=4)
+    ev = model["eigvals"]
+    ratio = ev / model["total_var"]
+    from pyschema_ray.functions.lm import _round_half_away
+    return pa.table({
+        "component": pa.array(np.arange(1, len(ev) + 1), pa.int64()),
+        "eig_micro": pa.array(_round_half_away(ev * 1e6)
+                              .astype(np.int64), pa.int64()),
+        "explained_milli": pa.array(_round_half_away(ratio * 1e3)
+                                    .astype(np.int64), pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core validation engine (oracle-checked)
@@ -7340,6 +7364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_value_alarms": _q_cusum_value_alarms,
         "streaming_user_sessions": _q_streaming_user_sessions,
         "streaming_events_hourly": _q_streaming_events_hourly,
+        "embedding_pca_eigvals": _q_embedding_pca_eigvals,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,

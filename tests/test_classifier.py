@@ -116,3 +116,40 @@ def test_logreg_learns_separable_corpus():
     y = np.array([1 if i % 2 == 0 else 0 for i in range(120)])
     acc = (out.sort_values("doc_id")["pred"].to_numpy() == y).mean()
     assert acc >= 0.95
+
+
+def test_pca_matches_numpy_and_reblocking():
+    from pyschema_ray.functions.lm import _round_half_away
+    from pyschema_ray.functions.pca import pca_fit, pca_project
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(0, 1, (300, 2))
+    # embed a 2-D signal in 8-D with distinct variances
+    x = np.zeros((300, 8))
+    x[:, 0] = base[:, 0] * 3.0
+    x[:, 3] = base[:, 1] * 1.5
+    x[:, 6] = base[:, 0] * 0.5 + base[:, 1] * 0.5
+    t = pa.table({
+        "vec_id": pa.array(np.arange(300), pa.int64()),
+        "embedding": pa.array(list(x.astype(np.float32))),
+    })
+    models = []
+    for nblocks in (1, 11):
+        ds = ray.data.from_arrow(t).repartition(nblocks)
+        models.append(pca_fit(ds, k=3))
+    # exact-integer partials -> identical eigenvalues across blocks
+    assert np.array_equal(models[0]["eigvals"], models[1]["eigvals"])
+    # parity with a local numpy PCA over the SAME quantized matrix
+    xm = _round_half_away(x.astype(np.float32).astype(np.float64)
+                          * 1000.0)
+    c = np.cov(xm.T / 1000.0, bias=True)
+    w = np.sort(np.linalg.eigvalsh(c))[::-1][:3]
+    assert np.allclose(models[0]["eigvals"], w, rtol=1e-9, atol=1e-9)
+    # projection: variance along pc1 equals the top eigenvalue
+    ds = ray.data.from_arrow(t)
+    proj_parts = [b for b in pca_project(ds, models[0])
+                  .iter_batches(batch_format="pyarrow",
+                                batch_size=None) if b.num_rows]
+    out = pa.concat_tables(proj_parts).sort_by("vec_id").to_pandas()
+    v1 = out["pc1"].to_numpy().var()
+    assert abs(v1 - models[0]["eigvals"][0]) < 1e-6 * max(1.0, v1)
