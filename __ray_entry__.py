@@ -7144,6 +7144,70 @@ def _q_embedding_pca_eigvals(sf_dir: str) -> pa.Table:
     })
 
 
+def _q_customer_totals_after_cdc(sf_dir: str) -> pa.Table:
+    """Incremental materialized-view maintenance
+    (functions/relational.py::apply_agg_delta): per-customer
+    (n_orders, cents) is materialized once, then a CDC delta — every
+    17th order DELETED, every remaining 13th REPRICED to exactly
+    (cents*11+5)//10 — folds in as signed rows through ONE bounded
+    key-hash exchange; the base fact table is never rescanned.
+    Oracle = full recompute, so the hash gate proves
+    delta-apply == recompute including fully-deleted groups."""
+    import ray.data.aggregate as A
+
+    from pyschema_ray.functions.relational import apply_agg_delta
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.and_(pc.is_valid(t["o_orderkey"]),
+                                     pc.is_valid(t["o_custkey"])),
+                             pc.is_valid(t["o_totalprice"])))
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"],
+                         "cents": cents})
+
+    facts = ds.map_batches(prep, batch_format="pyarrow")
+
+    def base_rows(t: pa.Table) -> pa.Table:
+        g = pa.table({"o_custkey": t["o_custkey"], "cents": t["cents"],
+                      "n": pa.array(np.ones(t.num_rows, np.int64))})             .group_by("o_custkey").aggregate([("cents", "sum"),
+                                              ("n", "sum")])
+        return g.rename_columns(["o_custkey", "cents", "n"])
+
+    base = facts.map_batches(base_rows, batch_format="pyarrow")         .groupby("o_custkey").aggregate(A.Sum("cents"), A.Sum("n"))         .map_batches(lambda t: pa.table({
+            "o_custkey": t["o_custkey"],
+            "cents": pc.cast(t["sum(cents)"], pa.int64()),
+            "n": pc.cast(t["sum(n)"], pa.int64())}),
+            batch_format="pyarrow").materialize()
+
+    def delta_rows(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        dele = ok % 17 == 0
+        repr_ = (ok % 13 == 0) & ~dele
+        keys = np.concatenate([ck[dele], ck[repr_]])
+        dc = np.concatenate([-c[dele],
+                             (c[repr_] * 11 + 5) // 10 - c[repr_]])
+        dn = np.concatenate([np.full(int(dele.sum()), -1, np.int64),
+                             np.zeros(int(repr_.sum()), np.int64)])
+        return pa.table({"o_custkey": pa.array(keys, pa.int64()),
+                         "cents": pa.array(dc, pa.int64()),
+                         "n": pa.array(dn, pa.int64())})
+
+    delta = facts.map_batches(delta_rows, batch_format="pyarrow")
+    out = apply_agg_delta(base, delta, "o_custkey")
+    t = _collect(out, pa.schema([("o_custkey", pa.int64()),
+                                 ("cents", pa.int64()),
+                                 ("n", pa.int64())]))
+    return _psort(t, [("o_custkey", "ascending")])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core validation engine (oracle-checked)
@@ -7365,6 +7429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_user_sessions": _q_streaming_user_sessions,
         "streaming_events_hourly": _q_streaming_events_hourly,
         "embedding_pca_eigvals": _q_embedding_pca_eigvals,
+        "customer_totals_after_cdc": _q_customer_totals_after_cdc,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -10087,6 +10152,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
                    ewma_scaled
               FROM lagged WHERE rn = 1 ORDER BY user_id
+        """,
+        "customer_totals_after_cdc": """
+            WITH f AS (
+                SELECT o_orderkey, o_custkey,
+                       CAST(round(o_totalprice * 100) AS BIGINT)
+                           AS cents
+                  FROM orders
+                 WHERE o_orderkey IS NOT NULL
+                   AND o_custkey IS NOT NULL
+                   AND o_totalprice IS NOT NULL),
+            survived AS (
+                SELECT o_custkey,
+                       CASE WHEN o_orderkey % 13 = 0
+                            THEN (cents * 11 + 5) // 10
+                            ELSE cents END AS cents
+                  FROM f WHERE o_orderkey % 17 <> 0)
+            SELECT o_custkey,
+                   CAST(sum(cents) AS BIGINT) AS cents,
+                   CAST(count(*) AS BIGINT) AS n
+              FROM survived GROUP BY 1 ORDER BY 1
         """,
         "streaming_events_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS hour,

@@ -152,7 +152,7 @@ QUERY_SUBSET = [
     "nb_lang_predictions", "logreg_en_accuracy", "zorder_part_buckets",
     "user_active_union", "fd_audit_orders", "selectivity_audit_orders", "cusum_value_alarms",
     "streaming_user_sessions", "streaming_events_hourly",
-    "embedding_pca_eigvals",
+    "embedding_pca_eigvals", "customer_totals_after_cdc",
 ]
 
 

@@ -909,3 +909,36 @@ def join_cardinality_audit(left, right, left_key: str,
         "max_right_freq": pa.array([0], pa.int64())}))
     return parts.union(zero).repartition(1) \
         .map_batches(total, batch_format="pyarrow")
+
+
+def apply_agg_delta(base_agg, delta, key_col: str,
+                    cols: tuple = ("cents", "n"),
+                    num_shards: int | None = None):
+    """Incremental materialized-view maintenance: fold a SIGNED delta
+    aggregate (inserts positive, deletes negative, updates as their
+    difference) into a materialized per-key aggregate WITHOUT
+    rescanning the base fact table.  Both inputs are Datasets of
+    (key, *cols) rows; the exchange is one key-hash groupby over
+    base-keys + delta-keys — bounded by distinct keys, never facts.
+    Keys whose row count column (``cols[-1]``) folds to zero drop out
+    (fully-deleted groups).
+
+    The CDC-apply primitive every warehouse's REFRESH MATERIALIZED
+    VIEW ... INCREMENTAL runs; correctness = recompute equivalence,
+    oracle-checked in `customer_totals_after_cdc`.
+    """
+    import ray.data.aggregate as A
+
+    import pyarrow.compute as _pc
+
+    aggs = [A.Sum(c) for c in cols]
+    merged = base_agg.union(delta).groupby(key_col).aggregate(*aggs)
+
+    def finish(t: pa.Table) -> pa.Table:
+        out = {key_col: t[key_col]}
+        for c in cols:
+            out[c] = _pc.cast(t[f"sum({c})"], pa.int64())
+        tbl = pa.table(out)
+        return tbl.filter(_pc.not_equal(tbl[cols[-1]], 0))
+
+    return merged.map_batches(finish, batch_format="pyarrow")

@@ -323,3 +323,22 @@ def test_cusum_alarm_and_reset_across_blocks(tmp_path, entry,
     got = _compare(entry, "cusum_value_alarms", tmp_path, ["events"])
     assert got["n_alarms"].tolist()[0] >= 2
     assert got["first_alarm_order"].tolist() == [0]
+
+
+def test_cdc_apply_drops_fully_deleted_groups(tmp_path, entry,
+                                              monkeypatch):
+    # customer 5's ONLY order has key 17 -> deleted -> the group must
+    # vanish from the maintained aggregate (n folds to 0)
+    tbl = pa.table({
+        "o_orderkey": pa.array([17, 13, 2], pa.int64()),
+        "o_custkey": pa.array([5, 6, 6], pa.int64()),
+        "o_totalprice": pa.array([100.0, 200.0, 50.0], pa.float64()),
+    })
+    pq.write_table(tbl, tmp_path / "orders.parquet")
+    monkeypatch.setenv("PSR_NUM_BLOCKS", "3")
+    got = _compare(entry, "customer_totals_after_cdc", tmp_path,
+                   ["orders"])
+    assert got["o_custkey"].tolist() == [6]
+    # order 13 repriced: (20000*11+5)//10 = 22000 cents; + 5000
+    assert got["cents"].tolist() == [22000 + 5000]
+    assert got["n"].tolist() == [2]
