@@ -7208,6 +7208,36 @@ def _q_customer_totals_after_cdc(sf_dir: str) -> pa.Table:
     return _psort(t, [("o_custkey", "ascending")])
 
 
+def _q_sqlite_roundtrip_documents(sf_dir: str) -> pa.Table:
+    """SQLite round-trip of the documents table — the database-
+    ingest family (sources/sqlite_io.py): single-writer-actor export
+    (SQLite's writer lock, honestly observed), then the Sqoop-shape
+    RANGE-PARTITIONED parallel read (one metadata min/max query, one
+    Ray task per doc_id slice, typed empty slices).  Identity SQL
+    oracle; completes the source matrix with an operational-store
+    edge next to parquet/jsonl/avro/orc/ipc/csv/text."""
+    import shutil
+    import tempfile
+
+    from pyschema_ray.sources.sqlite_io import read_sqlite, write_sqlite
+
+    d = tempfile.mkdtemp(prefix="psr_sqlite_")
+    db = os.path.join(d, "docs.db")
+    try:
+        write_sqlite(_read(sf_dir, "documents"), db, "documents")
+        t = _collect(read_sqlite(db, "documents", "doc_id",
+                                 n_partitions=8))
+        return _psort(pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "text": pc.cast(t["text"], pa.string()),
+            "lang": pc.cast(t["lang"], pa.string()),
+            "source": pc.cast(t["source"], pa.string()),
+            "n_chars": pc.cast(t["n_chars"], pa.int64()),
+        }), "doc_id")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core validation engine (oracle-checked)
@@ -7430,6 +7460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_events_hourly": _q_streaming_events_hourly,
         "embedding_pca_eigvals": _q_embedding_pca_eigvals,
         "customer_totals_after_cdc": _q_customer_totals_after_cdc,
+        "sqlite_roundtrip_documents": _q_sqlite_roundtrip_documents,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -10152,6 +10183,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
                    ewma_scaled
               FROM lagged WHERE rn = 1 ORDER BY user_id
+        """,
+        "sqlite_roundtrip_documents": """
+            SELECT doc_id, text, lang, source, n_chars
+              FROM documents ORDER BY doc_id
         """,
         "customer_totals_after_cdc": """
             WITH f AS (

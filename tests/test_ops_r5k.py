@@ -342,3 +342,33 @@ def test_cdc_apply_drops_fully_deleted_groups(tmp_path, entry,
     # order 13 repriced: (20000*11+5)//10 = 22000 cents; + 5000
     assert got["cents"].tolist() == [22000 + 5000]
     assert got["n"].tolist() == [2]
+
+
+def test_sqlite_range_read_covers_negative_and_gapped_keys(tmp_path):
+    from pyschema_ray.sources.sqlite_io import read_sqlite, write_sqlite
+    import ray
+
+    t = pa.table({
+        "k": pa.array([-100, -1, 0, 7, 7, 999999], pa.int64()),
+        "v": pa.array(["a", "b", None, "d", "e", "f"], pa.string()),
+    })
+    db = str(tmp_path / "t.db")
+    write_sqlite(ray.data.from_arrow(t), db, "tt")
+    got = read_sqlite(db, "tt", "k", n_partitions=4)
+    parts = [b for b in got.iter_batches(batch_format="pyarrow",
+                                         batch_size=None) if b.num_rows]
+    back = pa.concat_tables(parts).sort_by([("k", "ascending"),
+                                            ("v", "ascending")])
+    assert back["k"].to_pylist() == [-100, -1, 0, 7, 7, 999999]
+    assert back["v"].to_pylist() == ["a", "b", None, "d", "e", "f"]
+
+
+def test_sqlite_empty_table_keeps_schema(tmp_path):
+    from pyschema_ray.sources.sqlite_io import read_sqlite
+    import sqlite3
+    db = str(tmp_path / "e.db")
+    con = sqlite3.connect(db)
+    con.execute('CREATE TABLE et (k INTEGER, v TEXT)')
+    con.commit(); con.close()
+    ds = read_sqlite(db, "et", "k")
+    assert ds.count() == 0
