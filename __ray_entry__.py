@@ -7238,6 +7238,24 @@ def _q_sqlite_roundtrip_documents(sf_dir: str) -> pa.Table:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _q_streaming_cusum_alarms(sf_dir: str) -> pa.Table:
+    """STREAMING per-user CUSUM monitor (same k/h as
+    cusum_value_alarms): O(1) integer state per key inside shard
+    actors — alarms fire AS THE STREAM RUNS instead of after the
+    scan.  In-order feed + zero lateness reproduces the batch
+    operator exactly, so this query shares its SQL window oracle
+    (functions/streaming.py::streaming_cusum)."""
+    from pyschema_ray.functions.streaming import streaming_cusum
+
+    out, n_late = streaming_cusum(
+        _read(sf_dir, "events",
+              columns=["user_id", "ts", "event_id", "value"]),
+        k_milli=250_000, h_milli=2_000_000,
+        allowed_lateness_s=0.0, n_shards=4)
+    assert n_late == 0
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core validation engine (oracle-checked)
@@ -7461,6 +7479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca_eigvals": _q_embedding_pca_eigvals,
         "customer_totals_after_cdc": _q_customer_totals_after_cdc,
         "sqlite_roundtrip_documents": _q_sqlite_roundtrip_documents,
+        "streaming_cusum_alarms": _q_streaming_cusum_alarms,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -10235,6 +10254,39 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
               FROM s GROUP BY user_id, session_id
              ORDER BY user_id, session_id
+        """,
+        "streaming_cusum_alarms": """
+            WITH e AS (
+                SELECT user_id, ts, event_id,
+                       CAST(round(value * 1000) AS BIGINT) - 250000
+                           AS d
+                  FROM events
+                 WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                   AND value IS NOT NULL),
+            c1 AS (
+                SELECT user_id, ts, event_id,
+                       sum(d) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM e),
+            c AS (
+                SELECT user_id, event_id, cum,
+                       min(cum) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS runmin
+                  FROM c1),
+            s AS (
+                SELECT user_id, event_id,
+                       cum - least(runmin, 0) AS cusum
+                  FROM c)
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(max(cusum) AS BIGINT) AS max_cusum,
+                   CAST(sum(CASE WHEN cusum > 2000000 THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_alarms,
+                   CAST(min(CASE WHEN cusum > 2000000 THEN event_id
+                            END) AS BIGINT) AS first_alarm_order
+              FROM s GROUP BY 1 ORDER BY 1
         """,
         "cusum_value_alarms": """
             WITH e AS (

@@ -153,7 +153,7 @@ QUERY_SUBSET = [
     "user_active_union", "fd_audit_orders", "selectivity_audit_orders", "cusum_value_alarms",
     "streaming_user_sessions", "streaming_events_hourly",
     "embedding_pca_eigvals", "customer_totals_after_cdc",
-    "sqlite_roundtrip_documents",
+    "sqlite_roundtrip_documents", "streaming_cusum_alarms",
 ]
 
 

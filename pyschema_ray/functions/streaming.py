@@ -352,3 +352,156 @@ def streaming_tumbling_counts(ds, ts_col: str = "ts",
     else:
         out = parts[0][0]
     return out, n_late
+
+
+class _CusumShard:
+    """Actor body for the streaming CUSUM monitor: per-key state is
+    exactly THREE integers (cumulative deviation C, its running min
+    M, the running max of S = C - min(M, 0)) plus alarm bookkeeping —
+    O(1) per key, courtesy of the same identity the batch operator
+    vectorizes (functions/ordered.py::grouped_cusum).  Sequence-
+    ordered ingest like the other shards."""
+
+    def __init__(self, k_milli: int, h_milli: int, lateness_us: int):
+        self.k = int(k_milli)
+        self.h = int(h_milli)
+        self.late_allow = int(lateness_us)
+        # user -> [C, runmin, max_s, n_events, n_alarms, first_order]
+        self.state: dict = {}
+        self.buffer: dict = {}
+        self.next_seq = 0
+        self.max_ts = -(1 << 62)
+        self.n_late = 0
+
+    def ingest(self, seq: int, t) -> int:
+        self.buffer[seq] = t
+        while self.next_seq in self.buffer:
+            self._apply(self.buffer.pop(self.next_seq))
+            self.next_seq += 1
+        return len(self.buffer)
+
+    def _apply(self, t: pa.Table):
+        if t.num_rows == 0:
+            return
+        idx = pc.sort_indices(t, sort_keys=[("user_id", "ascending"),
+                                            ("ts_us", "ascending"),
+                                            ("order", "ascending")])
+        t = t.take(idx)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        late = ts < (self.max_ts - self.late_allow)
+        self.n_late += int(late.sum())
+        self.max_ts = max(self.max_ts, int(ts.max()))
+        keep = ~late
+        users = t["user_id"].to_numpy(zero_copy_only=False)[keep]
+        vmilli = t["vmilli"].to_numpy(zero_copy_only=False)[keep]
+        orders = t["order"].to_numpy(zero_copy_only=False)[keep]
+        if not len(users):
+            return
+        d = vmilli - np.int64(self.k)
+        starts, sizes = _group_starts(users)
+        for r in range(len(starts)):
+            s, e = starts[r], starts[r] + sizes[r]
+            u = int(users[s])
+            st = self.state.setdefault(
+                u, [0, 0, 0, 0, 0, None])
+            c_local = st[0] + np.cumsum(d[s:e])
+            runmin = np.minimum(np.minimum.accumulate(c_local), st[1])
+            s_vec = c_local - np.minimum(runmin, 0)
+            alarms = s_vec > self.h
+            if alarms.any():
+                if st[5] is None:
+                    st[5] = int(orders[s + int(np.argmax(alarms))])
+                st[4] += int(alarms.sum())
+            st[2] = max(st[2], int(s_vec.max()))
+            st[3] += e - s
+            st[0] = int(c_local[-1])
+            st[1] = int(runmin[-1])
+
+    def finalize(self):
+        rows = sorted(self.state.items())
+        self.state = {}
+        if not rows:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "max_cusum": pa.array([], pa.int64()),
+                "n_alarms": pa.array([], pa.int64()),
+                "first_alarm_order": pa.array([], pa.int64())}), \
+                self.n_late
+        u = [r[0] for r in rows]
+        st = [r[1] for r in rows]
+        return pa.table({
+            "user_id": pa.array(u, pa.int64()),
+            "n_events": pa.array([x[3] for x in st], pa.int64()),
+            "max_cusum": pa.array([x[2] for x in st], pa.int64()),
+            "n_alarms": pa.array([x[4] for x in st], pa.int64()),
+            "first_alarm_order": pa.array([x[5] for x in st],
+                                          pa.int64())}), self.n_late
+
+
+def streaming_cusum(ds, key_col: str = "user_id", ts_col: str = "ts",
+                    order_col: str = "event_id",
+                    value_col: str = "value",
+                    k_milli: int = 0, h_milli: int = 0,
+                    allowed_lateness_s: float = 0.0,
+                    n_shards: int = 4):
+    """Streaming per-key CUSUM monitor on the shard-actor framework:
+    O(1) integer state per key, alarms observable AS THE STREAM RUNS
+    (the batch operator only answers afterwards).  In-order feed
+    reproduces the batch grouped_cusum exactly, so the driver query
+    shares its SQL window oracle.
+
+    Returns (pa.Table(user_id, n_events, max_cusum, n_alarms,
+    first_alarm_order), n_late)."""
+    import ray
+
+    from .lm import _round_half_away
+
+    late_us = int(round(allowed_lateness_s * 1_000_000))
+    Shard = ray.remote(_CusumShard)
+    actors = [Shard.remote(k_milli, h_milli, late_us)
+              for _ in range(n_shards)]
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.and_(pc.is_valid(t[key_col]),
+                                     pc.is_valid(t[ts_col])),
+                             pc.is_valid(t[value_col])))
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        vm = _round_half_away(np.asarray(v, np.float64) * 1000.0) \
+            .astype(np.int64)
+        return pa.table({
+            "user_id": pc.cast(t[key_col], pa.int64()),
+            "ts_us": pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                             pa.int64()),
+            "order": pc.cast(t[order_col], pa.int64()),
+            "vmilli": pa.array(vm, pa.int64())})
+
+    sorted_ds = ds.map_batches(prep, batch_format="pyarrow") \
+        .sort(["ts_us", "order"])
+
+    @ray.remote
+    def route(block, seq, actors):
+        t = block if isinstance(block, pa.Table) \
+            else pa.Table.from_pandas(block)
+        users = t["user_id"].to_numpy(zero_copy_only=False)
+        shard = _key_shards(users, len(actors), _GAP_SEED + 2)
+        ray.get([actor.ingest.remote(seq,
+                                     t.filter(pa.array(shard == a)))
+                 for a, actor in enumerate(actors)])
+        return t.num_rows
+
+    pending = []
+    seq = 0
+    for bundle in sorted_ds.iter_internal_ref_bundles():
+        for block_ref, _meta in bundle.blocks:
+            pending.append(route.remote(block_ref, seq, actors))
+            seq += 1
+            if len(pending) > 2 * len(actors):
+                ray.get(pending.pop(0))
+    ray.get(pending)
+
+    parts = ray.get([a.finalize.remote() for a in actors])
+    tables = [p[0] for p in parts if p[0].num_rows]
+    n_late = sum(p[1] for p in parts)
+    out = pa.concat_tables(tables) if tables else parts[0][0]
+    return out.sort_by([("user_id", "ascending")]), n_late

@@ -160,3 +160,66 @@ def test_window_shard_late_event_excluded():
     assert n_late == 1
     assert out["sum_cents"].to_pylist() == [8]
     assert out["n_events"].to_pylist() == [2]
+
+
+def test_streaming_cusum_state_is_o1_and_alarms_incrementally():
+    from pyschema_ray.functions.streaming import _CusumShard
+
+    def cbatch(uids, ts_secs, vmilli, orders):
+        base = 1704067200_000_000
+        return pa.table({
+            "user_id": pa.array(uids, pa.int64()),
+            "ts_us": pa.array([base + int(s * 1e6) for s in ts_secs],
+                              pa.int64()),
+            "order": pa.array(orders, pa.int64()),
+            "vmilli": pa.array(vmilli, pa.int64())})
+
+    sh = _CusumShard(k_milli=0, h_milli=5000, lateness_us=0)
+    # S after [3000, -4000]: 3000, then 0 (clamped)
+    sh.ingest(0, cbatch([1, 1], [0, 1], [3000, -4000], [0, 1]))
+    assert sh.state[1][4] == 0           # no alarms yet
+    # +6000 pushes S to 6000 > 5000 -> alarm fires MID-STREAM
+    sh.ingest(1, cbatch([1], [2], [6000], [2]))
+    assert sh.state[1][4] == 1
+    assert sh.state[1][5] == 2           # first alarm at order 2
+    out, _ = sh.finalize()
+    assert out["max_cusum"].to_pylist() == [6000]
+    # state is 6 scalars per key, regardless of event count
+    assert len(sh.state) == 0
+
+
+def test_streaming_cusum_carry_across_batches_matches_recursion():
+    from pyschema_ray.functions.streaming import _CusumShard
+    rng = np.random.default_rng(31)
+    d = rng.integers(-500, 500, 200).tolist()
+
+    def cbatch(vals, t0, o0):
+        base = 1704067200_000_000
+        n = len(vals)
+        return pa.table({
+            "user_id": pa.array([1] * n, pa.int64()),
+            "ts_us": pa.array([base + (t0 + i) * 1_000_000
+                               for i in range(n)], pa.int64()),
+            "order": pa.array([o0 + i for i in range(n)], pa.int64()),
+            "vmilli": pa.array(vals, pa.int64())})
+
+    sh = _CusumShard(k_milli=0, h_milli=3000, lateness_us=0)
+    # feed in ragged batches: 7, 50, 143
+    sh.ingest(0, cbatch(d[:7], 0, 0))
+    sh.ingest(1, cbatch(d[7:57], 7, 7))
+    sh.ingest(2, cbatch(d[57:], 57, 57))
+    out, _ = sh.finalize()
+    s = 0
+    mx = 0
+    n_alarms = 0
+    first = None
+    for i, x in enumerate(d):
+        s = max(0, s + x)
+        mx = max(mx, s)
+        if s > 3000:
+            n_alarms += 1
+            if first is None:
+                first = i
+    assert out["max_cusum"].to_pylist() == [mx]
+    assert out["n_alarms"].to_pylist() == [n_alarms]
+    assert out["first_alarm_order"].to_pylist() == [first]
