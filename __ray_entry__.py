@@ -7012,20 +7012,18 @@ def _q_fd_audit_orders(sf_dir: str) -> pa.Table:
     """Functional-dependency discovery over orders: for three
     candidate dependencies, the exact count of determinant values
     that map to more than one dependent value
-    (functions/analytics.py::fd_audit over the hot-group-safe
-    grouped_ndv exchange).  o_orderkey->o_custkey must HOLD (orderkey
+    (functions/analytics.py::fd_audit_multi — ALL dependencies in
+    one scan + one hot-group-safe distinct-pair exchange).  o_orderkey->o_custkey must HOLD (orderkey
     is the key); the reverse-direction candidates quantify how far
     they fail — the schema-inference profile an engine runs before
     trusting a join key or denormalizing."""
-    from pyschema_ray.functions.analytics import fd_audit
+    from pyschema_ray.functions.analytics import fd_audit_multi
 
     ds = _read(sf_dir, "orders",
                columns=["o_orderkey", "o_custkey", "o_orderstatus"])
-    rows = [fd_audit(ds, det, dep) for det, dep in
-            (("o_orderkey", "o_custkey"),
-             ("o_custkey", "o_orderstatus"),
-             ("o_orderstatus", "o_custkey"))]
-    return pa.concat_tables(rows).sort_by("dependency")
+    return fd_audit_multi(ds, [("o_orderkey", "o_custkey"),
+                               ("o_custkey", "o_orderstatus"),
+                               ("o_orderstatus", "o_custkey")])
 
 
 def _q_selectivity_audit_orders(sf_dir: str) -> pa.Table:
