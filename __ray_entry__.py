@@ -7254,6 +7254,29 @@ def _q_streaming_cusum_alarms(sf_dir: str) -> pa.Table:
     return out
 
 
+def _q_value_rank_tests_pairs(sf_dir: str) -> pa.Table:
+    """The two-sample rank-test battery across three event-type
+    pairs (click/view, click/purchase, view/error) — the pairwise
+    drift matrix a monitoring suite scans; each row is the exact
+    integer (KS numerator, doubled Mann-Whitney rank sum) of one
+    pair from functions/ranktests.py (machinery proven by
+    value_rank_tests; the scan runs once per pair on pruned
+    columns)."""
+    from pyschema_ray.functions.ranktests import two_sample_rank_tests
+
+    pairs = [("click", "view"), ("click", "purchase"),
+             ("view", "error")]
+    rows = []
+    for g1, g2 in pairs:
+        ds = _read(sf_dir, "events", columns=["event_type", "value"])
+        t = two_sample_rank_tests(ds, "value", "event_type", g1, g2)
+        rows.append(t.append_column(
+            "pair", pa.array([f"{g1}|{g2}"], pa.string())))
+    out = pa.concat_tables(rows).select(
+        ["pair", "n1", "n2", "ks_d_num", "r1_doubled"])
+    return _psort(out, [("pair", "ascending")])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core validation engine (oracle-checked)
@@ -7478,6 +7501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_totals_after_cdc": _q_customer_totals_after_cdc,
         "sqlite_roundtrip_documents": _q_sqlite_roundtrip_documents,
         "streaming_cusum_alarms": _q_streaming_cusum_alarms,
+        "value_rank_tests_pairs": _q_value_rank_tests_pairs,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -10252,6 +10276,114 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
               FROM s GROUP BY user_id, session_id
              ORDER BY user_id, session_id
+        """,
+        "value_rank_tests_pairs": """
+            SELECT * FROM (
+            SELECT 'click|view' AS pair, tot.t1 AS n1, tot.t2 AS n2,
+                   CAST(max(abs(c1 * tot.t2 - c2 * tot.t1))
+                        AS BIGINT) AS ks_d_num,
+                   CAST(sum(n1 * (2 * cbefore + (n1 + n2) + 1))
+                        AS BIGINT) AS r1_doubled
+              FROM (
+                SELECT n1, n2,
+                       sum(n1) OVER (ORDER BY q) AS c1,
+                       sum(n2) OVER (ORDER BY q) AS c2,
+                       sum(n1 + n2) OVER (ORDER BY q) - (n1 + n2)
+                           AS cbefore
+                  FROM (
+                    SELECT q, CAST(sum(i1) AS BIGINT) AS n1,
+                           CAST(sum(i2) AS BIGINT) AS n2
+                      FROM (
+                        SELECT CAST(round(value * 1000) AS BIGINT)
+                                   AS q,
+                               CASE WHEN event_type = 'click' THEN 1
+                                    ELSE 0 END AS i1,
+                               CASE WHEN event_type = 'view' THEN 1
+                                    ELSE 0 END AS i2
+                          FROM events
+                         WHERE value IS NOT NULL
+                           AND event_type IN ('click', 'view'))
+                     GROUP BY q)) cums
+             CROSS JOIN (
+                SELECT CAST(sum(CASE WHEN event_type = 'click'
+                                THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+                       CAST(sum(CASE WHEN event_type = 'view'
+                                THEN 1 ELSE 0 END) AS BIGINT) AS t2
+                  FROM events
+                 WHERE value IS NOT NULL
+                   AND event_type IN ('click', 'view')) tot
+             GROUP BY tot.t1, tot.t2
+            UNION ALL
+            SELECT 'click|purchase' AS pair, tot.t1 AS n1, tot.t2 AS n2,
+                   CAST(max(abs(c1 * tot.t2 - c2 * tot.t1))
+                        AS BIGINT) AS ks_d_num,
+                   CAST(sum(n1 * (2 * cbefore + (n1 + n2) + 1))
+                        AS BIGINT) AS r1_doubled
+              FROM (
+                SELECT n1, n2,
+                       sum(n1) OVER (ORDER BY q) AS c1,
+                       sum(n2) OVER (ORDER BY q) AS c2,
+                       sum(n1 + n2) OVER (ORDER BY q) - (n1 + n2)
+                           AS cbefore
+                  FROM (
+                    SELECT q, CAST(sum(i1) AS BIGINT) AS n1,
+                           CAST(sum(i2) AS BIGINT) AS n2
+                      FROM (
+                        SELECT CAST(round(value * 1000) AS BIGINT)
+                                   AS q,
+                               CASE WHEN event_type = 'click' THEN 1
+                                    ELSE 0 END AS i1,
+                               CASE WHEN event_type = 'purchase' THEN 1
+                                    ELSE 0 END AS i2
+                          FROM events
+                         WHERE value IS NOT NULL
+                           AND event_type IN ('click', 'purchase'))
+                     GROUP BY q)) cums
+             CROSS JOIN (
+                SELECT CAST(sum(CASE WHEN event_type = 'click'
+                                THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+                       CAST(sum(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS BIGINT) AS t2
+                  FROM events
+                 WHERE value IS NOT NULL
+                   AND event_type IN ('click', 'purchase')) tot
+             GROUP BY tot.t1, tot.t2
+            UNION ALL
+            SELECT 'view|error' AS pair, tot.t1 AS n1, tot.t2 AS n2,
+                   CAST(max(abs(c1 * tot.t2 - c2 * tot.t1))
+                        AS BIGINT) AS ks_d_num,
+                   CAST(sum(n1 * (2 * cbefore + (n1 + n2) + 1))
+                        AS BIGINT) AS r1_doubled
+              FROM (
+                SELECT n1, n2,
+                       sum(n1) OVER (ORDER BY q) AS c1,
+                       sum(n2) OVER (ORDER BY q) AS c2,
+                       sum(n1 + n2) OVER (ORDER BY q) - (n1 + n2)
+                           AS cbefore
+                  FROM (
+                    SELECT q, CAST(sum(i1) AS BIGINT) AS n1,
+                           CAST(sum(i2) AS BIGINT) AS n2
+                      FROM (
+                        SELECT CAST(round(value * 1000) AS BIGINT)
+                                   AS q,
+                               CASE WHEN event_type = 'view' THEN 1
+                                    ELSE 0 END AS i1,
+                               CASE WHEN event_type = 'error' THEN 1
+                                    ELSE 0 END AS i2
+                          FROM events
+                         WHERE value IS NOT NULL
+                           AND event_type IN ('view', 'error'))
+                     GROUP BY q)) cums
+             CROSS JOIN (
+                SELECT CAST(sum(CASE WHEN event_type = 'view'
+                                THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+                       CAST(sum(CASE WHEN event_type = 'error'
+                                THEN 1 ELSE 0 END) AS BIGINT) AS t2
+                  FROM events
+                 WHERE value IS NOT NULL
+                   AND event_type IN ('view', 'error')) tot
+             GROUP BY tot.t1, tot.t2)
+             ORDER BY pair
         """,
         "streaming_cusum_alarms": """
             WITH e AS (
