@@ -7277,6 +7277,19 @@ def _q_value_rank_tests_pairs(sf_dir: str) -> pa.Table:
     return _psort(out, [("pair", "ascending")])
 
 
+def _q_nchars_rank_drift_sources(sf_dir: str) -> pa.Table:
+    """Document-length drift between two sources (src0 vs src1) via
+    the exact rank-test battery over n_chars — the corpus-curation
+    check that one crawl shard's length distribution hasn't shifted
+    against another's, binlessly (functions/ranktests.py; scale=1
+    since n_chars is already integer)."""
+    from pyschema_ray.functions.ranktests import two_sample_rank_tests
+
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+    return two_sample_rank_tests(ds, "n_chars", "source",
+                                 "src0", "src1", scale=1.0)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core validation engine (oracle-checked)
@@ -7502,6 +7515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sqlite_roundtrip_documents": _q_sqlite_roundtrip_documents,
         "streaming_cusum_alarms": _q_streaming_cusum_alarms,
         "value_rank_tests_pairs": _q_value_rank_tests_pairs,
+        "nchars_rank_drift_sources": _q_nchars_rank_drift_sources,
         "order_priority_exists_counts": _q_order_priority_exists_counts,
         "nation_year_revenue": _q_nation_year_revenue,
         "brand_qty_revenue": _q_brand_qty_revenue,
@@ -10276,6 +10290,37 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
               FROM s GROUP BY user_id, session_id
              ORDER BY user_id, session_id
+        """,
+        "nchars_rank_drift_sources": """
+            WITH vals AS (
+                SELECT CAST(round(n_chars * 1) AS BIGINT) AS q,
+                       CASE WHEN source = 'src0' THEN 1 ELSE 0
+                       END AS i1,
+                       CASE WHEN source = 'src1' THEN 1 ELSE 0
+                       END AS i2
+                  FROM documents
+                 WHERE n_chars IS NOT NULL
+                   AND source IN ('src0', 'src1')),
+            counts AS (
+                SELECT q, CAST(sum(i1) AS BIGINT) AS n1,
+                       CAST(sum(i2) AS BIGINT) AS n2
+                  FROM vals GROUP BY q),
+            tot AS (SELECT CAST(sum(n1) AS BIGINT) AS t1,
+                           CAST(sum(n2) AS BIGINT) AS t2 FROM counts),
+            cums AS (
+                SELECT n1, n2,
+                       sum(n1) OVER (ORDER BY q) AS c1,
+                       sum(n2) OVER (ORDER BY q) AS c2,
+                       sum(n1 + n2) OVER (ORDER BY q) - (n1 + n2)
+                           AS cbefore
+                  FROM counts)
+            SELECT tot.t1 AS n1, tot.t2 AS n2,
+                   CAST(max(abs(c1 * tot.t2 - c2 * tot.t1))
+                        AS BIGINT) AS ks_d_num,
+                   CAST(sum(n1 * (2 * cbefore + (n1 + n2) + 1))
+                        AS BIGINT) AS r1_doubled
+              FROM cums CROSS JOIN tot
+             GROUP BY tot.t1, tot.t2
         """,
         "value_rank_tests_pairs": """
             SELECT * FROM (

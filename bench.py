@@ -154,7 +154,7 @@ QUERY_SUBSET = [
     "streaming_user_sessions", "streaming_events_hourly",
     "embedding_pca_eigvals", "customer_totals_after_cdc",
     "sqlite_roundtrip_documents", "streaming_cusum_alarms",
-    "value_rank_tests_pairs",
+    "value_rank_tests_pairs", "nchars_rank_drift_sources",
 ]
 
 
